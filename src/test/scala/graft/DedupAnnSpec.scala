@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup}
+
+class DedupAnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+  private lazy val em = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+
+  test("exact dedup finds injected duplicates") {
+    val withDups = docs.select("doc_id", "text")
+      .union(docs.filter($"doc_id" < 5).select($"doc_id" + 10000, $"text"))
+    val r = Dedup.exact(withDups, "doc_id", "text")
+    assert(r.filter($"n_dups" === 2).count() == 5)
+    assert(r.filter($"n_dups" === 2).agg(max("keep_id")).as[Long].head() < 500)
+  }
+
+  test("minhash estimate tracks exact jaccard for near-identical docs") {
+    // doc + itself with one token changed → jaccard ≈ high
+    val base = docs.filter($"doc_id" < 30).select($"doc_id", $"text")
+    val mutated = base.select(($"doc_id" + 1000).as("doc_id"),
+      concat($"text", lit(" zzz")).as("text"))
+    val r = Dedup.minhashLsh(base.union(mutated), "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 16)
+    val found = r.filter($"doc_a" === $"doc_b" - 1000 && $"est_jaccard" > 0.5)
+    assert(found.count() >= 25, "LSH should recover most mutated pairs")
+  }
+
+  test("simhash: identical docs distance 0, mutated docs close") {
+    val sigs = Dedup.simhashSigs(docs.limit(50), "doc_id", "text")
+    val self = sigs.as("a").join(sigs.as("b"),
+      col("a.doc_id") === col("b.doc_id"))
+    import graft.functions.GraftFunctions.hamming64
+    assert(self.filter(
+      hamming64(col("a.simhash"), col("b.simhash")) =!= 0).count() == 0)
+  }
+
+  test("IVF results are a subset of brute-force rankings restricted to label") {
+    val queries = em.filter($"vec_id" < 5)
+    val ivf = Ann.ivfTopK(queries, em, "vec_id", "embedding", "label", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every ivf neighbor must share the query's label
+    val labels = em.select($"vec_id", $"label").as[(Long, Int)]
+      .collect().toMap
+    assert(ivf.forall { case (q, n) => labels(q) == labels(n) })
+    // brute force on the same label subset must agree
+    for (q <- queries.select("vec_id").as[Long].collect()) {
+      val subset = em.filter($"label" === labels(q))
+      val bf = Ann.bruteForceTopK(em.filter($"vec_id" === q), subset,
+        "vec_id", "embedding", k = 3)
+        .select("neighbor_id").as[Long].collect().toSet
+      val got = ivf.filter(_._1 == q).map(_._2)
+      assert(got == bf, s"query $q: ivf=$got bf=$bf")
+    }
+  }
+
+  test("LSH ANN returns same-bucket true neighbors with high sim first") {
+    val r = Ann.lshBucketTopK(em.filter($"vec_id" < 5), em,
+      "vec_id", "embedding", dim = 64, nPlanes = 6, k = 5)
+    val perQ = r.groupBy("query_id").agg(min("sim").as("mn"), max("sim").as("mx"))
+      .filter($"mx" < $"mn").count()
+    assert(perQ == 0)
+  }
+}

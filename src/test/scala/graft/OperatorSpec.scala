@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.{IValue, TriState}
+import graft.operators.{Multimodal, Temporal}
+
+class OperatorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("IValue.fromHl7 tri-state mapping") {
+    assert(IValue.fromHl7(null) == IValue.ignore[String])
+    assert(IValue.fromHl7("") == IValue.ignore[String])
+    assert(IValue.fromHl7("\"\"") == IValue.delete[String])
+    assert(IValue.fromHl7("x") == IValue.save("x"))
+  }
+
+  test("F5 tri-state column merge SAVE/DELETE/IGNORE") {
+    val df = Seq(
+      ("SAVE", Some("new"), Some("old")),
+      ("DELETE", None: Option[String], Some("old")),
+      ("IGNORE", None: Option[String], Some("old")))
+      .toDF("status", "value", "current")
+    val out = df.select(TriState.applyField(
+      struct($"value", $"status"), $"current").as("merged"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("new"), None, Some("old")))
+  }
+
+  test("as-of join (union-window impl) matches row_number reference impl") {
+    val rnd = new scala.util.Random(3)
+    val probe = (1 to 200).map(i =>
+      (i.toLong % 7, rnd.nextInt(1000).toLong, 10000L + i))
+      .toDF("k", "ts_us", "event_id")
+    val build = (1 to 300).map(i =>
+      (i.toLong % 7, rnd.nextInt(1000).toLong, 20000L + i))
+      .toDF("k", "ts_us", "event_id")
+
+    val got = Temporal.asOfJoinBackward(probe, build, Seq("k"), "ts_us",
+        "event_id", Seq("event_id"))
+      .select($"event_id".as("pid"), $"asof_event_id".as("bid"))
+
+    val w = Window.partitionBy($"p.event_id")
+      .orderBy($"b.ts_us".desc_nulls_last, $"b.event_id".desc_nulls_last)
+    val ref = probe.as("p").join(build.as("b"),
+        $"p.k" === $"b.k" && $"b.ts_us" <= $"p.ts_us", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"p.event_id".as("pid"), $"b.event_id".as("bid"))
+
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("interval join semantics: build strictly before probe within window") {
+    val p = Seq((1L, 1000L, 1L)).toDF("k", "p_ts", "pid")
+    val b = Seq((1L, 400L, 10L), (1L, 999L, 11L), (1L, 1000L, 12L),
+      (1L, 399L, 13L)).toDF("k", "b_ts", "bid")
+    val r = Temporal.intervalJoin(p, b, Seq("k"), col("p_ts"), col("b_ts"),
+      windowUs = 600L)
+    assert(r.select("bid").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+  }
+
+  test("multimodal stub decode: schema + determinism + frame sampling") {
+    val rows = Seq(
+      Multimodal.MediaRow(1, "image", "abcdef".getBytes, "image/fake"),
+      Multimodal.MediaRow(2, "video", ("x" * 200).getBytes, "video/fake"))
+      .toDS()
+    val feats = Multimodal.decodeFeatures(rows, Multimodal.FakeCodec,
+      parallelism = Some(2))
+    val collected = feats.collect().sortBy(_.media_id)
+    assert(collected.map(_.n_bytes).toSeq == Seq(6L, 200L))
+    assert(collected.forall(_.feature.length == 8))
+    assert(collected(1).n_frames == 1 + 200 % 30)
+    // deterministic across runs
+    val again = Multimodal.decodeFeatures(rows, Multimodal.FakeCodec)
+      .collect().sortBy(_.media_id)
+    assert(again.map(_.feature.toSeq).toSeq ==
+      collected.map(_.feature.toSeq).toSeq)
+    val frames = Multimodal.sampleFrames(feats.toDF(), stride = 3)
+    assert(frames.filter($"media_id" === 2).count() ==
+      (1 + 200 % 30 + 2) / 3)
+  }
+
+  test("sessionize assigns increasing session ids per gap") {
+    val df = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 5000L, 3L),
+      (1L, 5100L, 4L)).toDF("k", "ts_us", "id")
+    val r = Temporal.sessionize(df, Seq("k"), "ts_us", "id", gapUs = 1000L)
+    assert(r.select("session_id").as[Long].collect().toSeq ==
+      Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("lang id picks a language deterministically") {
+    import graft.operators.TextAnalysis
+    val df = Seq("the cat and the dog is in that house",
+      "le chat et la maison est une belle", "xyzzy plugh")
+      .toDF("text")
+    val out = TextAnalysis.withLangId(df, "text")
+      .select("lang_guess").as[String].collect().toSeq
+    assert(out == Seq("en", "fr", "und"))
+  }
+}
