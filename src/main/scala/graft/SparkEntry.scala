@@ -423,6 +423,81 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
           col("est_bpe_tokens").cast("long").as("est_bpe_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- O6 run-merge: coalesce same-state runs into intervals ------
+    "q36_location_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      eventsUs(s, dir)
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .filter(col("__prev").isNull || col("event_type") =!= col("__prev"))
+        .withColumn("valid_until_us", lead(col("ts_us"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us"), col("event_id"))))
+        .select(col("user_id"), col("event_type").as("location"),
+          col("ts_us").as("valid_from_us"), col("valid_until_us"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    }),
+
+    // ---- F10 over run-merged intervals: occupancy as-of -------------
+    "q37_occupancy_asof" -> ((s, dir) => {
+      val tUs = 1704844800000000L // 2024-01-10
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      eventsUs(s, dir)
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .filter(col("__prev").isNull || col("event_type") =!= col("__prev"))
+        .withColumn("valid_until_us", lead(col("ts_us"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us"), col("event_id"))))
+        .filter(col("ts_us") <= tUs &&
+          (col("valid_until_us").isNull || col("valid_until_us") > tUs))
+        .groupBy(col("event_type").as("location"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("location"))
+    }),
+
+    // ---- A3/X6: array cardinality aggregates ------------------------
+    "q38_sample_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(size(col("embedding"))).cast("long").as("total_samples"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id"))
+        .orderBy(col("label"))
+    }),
+
+    // ---- T1/U2: ordered collect within group ------------------------
+    "q39_group_collect" -> ((s, dir) => {
+      t(s, dir, "embeddings").filter(col("vec_id") < 40)
+        .groupBy(col("label"))
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("vec_id")))).as("ids_csv"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }),
+
+    // ---- A7: value histogram ----------------------------------------
+    "q40_histogram" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .withColumn("bucket", floor(col("value") / 50.0).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- X4: timestamp→date in pinned UTC zone ----------------------
+    "q41_daily_activity" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .withColumn("day",
+          date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"))
     })
   )
 
@@ -739,6 +814,62 @@ object SparkEntry {
         | CAST(greatest(len(string_split_regex(trim(text), '\s+')),
         |   CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT)
         |   AS est_bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q36_location_intervals" ->
+      s"""WITH e AS ($EventsUsSql),
+         |d AS (SELECT user_id, event_id, event_type, ts_us,
+         |  lag(event_type) OVER w AS pl
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |k AS (SELECT user_id, event_id, event_type, ts_us FROM d
+         | WHERE pl IS NULL OR event_type <> pl)
+         |SELECT user_id, event_type AS location, ts_us AS valid_from_us,
+         | lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |   AS valid_until_us
+         |FROM k ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "q37_occupancy_asof" ->
+      s"""WITH e AS ($EventsUsSql),
+         |d AS (SELECT user_id, event_id, event_type, ts_us,
+         |  lag(event_type) OVER w AS pl
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |k AS (SELECT user_id, event_id, event_type, ts_us FROM d
+         | WHERE pl IS NULL OR event_type <> pl),
+         |iv AS (SELECT user_id, event_type, ts_us,
+         |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |    AS valid_until_us
+         | FROM k)
+         |SELECT event_type AS location, COUNT(*) AS n_users
+         |FROM iv WHERE ts_us <= 1704844800000000
+         | AND (valid_until_us IS NULL OR valid_until_us > 1704844800000000)
+         |GROUP BY event_type ORDER BY location""".stripMargin,
+
+    "q38_sample_stats" ->
+      """SELECT label, COUNT(*) AS n_vecs,
+        | CAST(SUM(len(embedding)) AS BIGINT) AS total_samples,
+        | CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+        | CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q39_group_collect" ->
+      """SELECT label,
+        | array_to_string(list(vec_id ORDER BY vec_id), ',') AS ids_csv,
+        | COUNT(*) AS n
+        |FROM embeddings WHERE vec_id < 40
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q40_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q41_daily_activity" ->
+      """WITH e AS (SELECT user_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events)
+        |SELECT day, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY day ORDER BY day""".stripMargin
   )
 }
