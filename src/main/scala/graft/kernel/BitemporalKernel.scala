@@ -74,13 +74,21 @@ object BitemporalKernel {
     val cols = keyCols ++ Seq(validFromUsCol, tieCol) ++ payloadCols
     val all = state.selectExpr(cols: _*).unionByName(updates.selectExpr(cols: _*))
 
-    // W2: at-least-once delivery — an exact replay of a message (same key,
-    // validFrom, tie) is a no-op (ref Technical_overview_of_EMAP.md:189-196).
-    // `tie` must uniquely identify the source message.
-    val history = all.dropDuplicates(keyCols ++ Seq(validFromUsCol, tieCol))
-
     val byKey = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(validFromUsCol), col(tieCol))
+
+    // W2: at-least-once delivery — an exact replay of a message (same key,
+    // validFrom, tie) is a no-op (ref Technical_overview_of_EMAP.md:189-196).
+    // `tie` must uniquely identify the source message. Replays are adjacent
+    // in the (validFrom, tie) sort, so a lag-filter dedups them inside the
+    // SAME window pass as the F6/lead steps below — the whole kernel is
+    // ONE hash exchange + ONE sort (a dropDuplicates here planned as two
+    // extra exchanges + a SortAggregate).
+    val msgId = struct(col(validFromUsCol), col(tieCol))
+    val history = all
+      .withColumn("__prev_id", lag(msgId, 1).over(byKey))
+      .filter(col("__prev_id").isNull || !(msgId <=> col("__prev_id")))
+      .drop("__prev_id")
 
     val payload = struct(payloadCols.map(col): _*)
     // F6 (output-side): coalesce runs of identical consecutive payloads —

@@ -89,6 +89,34 @@ class OperatorSpec extends SparkSpecBase {
       Seq(1L, 1L, 2L, 2L))
   }
 
+  test("X2: HL7 timestamp custom expression (codegen + SQL registration)") {
+    import graft.functions.Hl7Timestamp
+    Hl7Timestamp.register(spark)
+    val df = Seq(
+      "20240101123045",            // full seconds, UTC
+      "20240101123045.123",        // millis
+      "20240101123045.123456",     // micros
+      "20240101123045.123+0100",   // zone offset
+      "202401011230",              // minutes precision
+      "20240101",                  // date only
+      "garbage", "2024010x123045", // malformed
+      null).toDF("s")
+    val got = df.selectExpr("hl7_ts_us(s) AS us").as[Option[Long]]
+      .collect().toSeq
+    val base = java.time.Instant.parse("2024-01-01T12:30:45Z")
+      .getEpochSecond * 1000000L
+    assert(got == Seq(
+      Some(base), Some(base + 123000L), Some(base + 123456L),
+      Some(base + 123000L - 3600L * 1000000L),
+      Some(base - 45L * 1000000L),
+      Some(base - (12 * 3600 + 30 * 60 + 45) * 1000000L),
+      None, None, None))
+    // interpreted path agrees with codegen
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.Hl7TimestampParser.parseUs(
+      UTF8String.fromString("20240101123045")) == base)
+  }
+
   test("lang id picks a language deterministically") {
     import graft.operators.TextAnalysis
     val df = Seq("the cat and the dog is in that house",
