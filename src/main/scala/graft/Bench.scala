@@ -39,11 +39,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // JIT/codegen/IO warmup (untimed) so per-query numbers measure the
+    // engine, not first-query JVM startup costs.
+    time { spark.range(0, 1000000).selectExpr("sum(id)").collect() }
+    time { spark.read.parquet(s"$sfDir/nation.parquet").count() }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (name <- headline; fn <- SparkEntry.queries.get(name)) {
       System.err.println(s"[bench] running $name")
       results(name) = time { fn(spark, sfDir).count() }
       System.err.println(f"[bench] $name: ${results(name)}%.2f s")
+      // drop cached relations/broadcast debris between queries so later
+      // queries measure the engine, not accumulated GC pressure
+      spark.catalog.clearCache()
+      System.gc()
     }
 
     // Waveform ingest: generate + collate 540k samples (30 locs × 300 Hz

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EntityUpserts
+
+case class Flow(visitId: String, observationTypeId: Long,
+                observationTimeUs: Long, updatedTimeUs: Long, msgId: Long,
+                valueType: String, numericValue: Option[Double],
+                stringValue: Option[String], dateValue: Option[String],
+                unit: Option[String], comment: Option[String])
+
+class EntityUpsertsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("O14 flowsheet upsert on (visit, type, obsTime) with typed values") {
+    val updates = Seq(
+      Flow("v1", 7, 1000, 2000, 1, "NUMERIC", Some(36.6), None, None,
+        Some("degC"), None),
+      // correction for the same observation, newer update time
+      Flow("v1", 7, 1000, 3000, 2, "NUMERIC", Some(37.1), None, None,
+        Some("degC"), None),
+      // different observation time → separate row
+      Flow("v1", 7, 5000, 5500, 3, "NUMERIC", Some(36.9), None, None,
+        Some("degC"), None),
+      // TEXT-typed observation (mime dispatch via valueType)
+      Flow("v1", 9, 1000, 2000, 4, "TEXT", None, Some("sitting"), None,
+        None, None)).toDS().toDF()
+    val r = EntityUpserts.upsert("visit_observation", updates.limit(0),
+      updates)
+    val live = r.live
+      .select("observationTypeId", "observationTimeUs", "numericValue",
+        "stringValue")
+      .as[(Long, Long, Option[Double], Option[String])].collect().toSet
+    assert(live == Set(
+      (7L, 1000L, Some(37.1), None),
+      (7L, 5000L, Some(36.9), None),
+      (9L, 1000L, None, Some("sitting"))))
+    assert(r.audit.count() == 1) // the corrected temperature
+  }
+
+  test("O18 question dedup by text hash") {
+    val qs = Seq(("Why?", 1000L, 1L), ("Why?", 2000L, 2L),
+      ("How?", 1000L, 3L))
+      .toDF("questionText", "validFromUs", "msgId")
+    val hashed = EntityUpserts.withQuestionHash(qs, "questionText")
+    val r = EntityUpserts.upsert("question", hashed.limit(0), hashed)
+    // duplicate text collapses to one live question (F6: identical
+    // payload, no audit churn)
+    assert(r.live.count() == 2)
+    assert(r.audit.count() == 0)
+  }
+
+  test("O10 move visit re-keys to new patient when move is newer") {
+    val visits = Seq(("v1", "mOld", "encOld", 1000L),
+      ("v2", "mX", "encX", 1000L))
+      .toDF("visitId", "mrn", "encounter", "validFromUs")
+    val moves = Seq(("v1", "mNew", "encNew", 5000L))
+      .toDF("visitId", "newMrn", "newEncounter", "moveTimeUs")
+    val got = EntityUpserts.moveVisits(visits, moves)
+      .select("visitId", "mrn", "encounter")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("v1", "mNew", "encNew"), ("v2", "mX", "encX")))
+    // stale move (older than the visit) is a no-op
+    val stale = Seq(("v2", "mNew", "encNew", 500L))
+      .toDF("visitId", "newMrn", "newEncounter", "moveTimeUs")
+    assert(EntityUpserts.moveVisits(visits, stale)
+      .filter($"visitId" === "v2").select("mrn").as[String].head() == "mX")
+  }
+}

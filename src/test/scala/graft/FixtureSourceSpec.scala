@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.kernel.TriStateFold
+import graft.operators.LocationVisits
+import graft.sources.FixtureSource
+
+import java.io.File
+
+/** S10: the fixture corpus drives end-state tests exactly like the
+  * reference's yaml corpus drives its MessageProcessingBase suites —
+  * including the monitored-files guarantee that no fixture rots unused.
+  */
+class FixtureSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpusRoot =
+    new File(getClass.getResource("/fixtures").toURI)
+
+  private val adtSchema = StructType(Seq(
+    StructField("visitId", StringType), StructField("msgType", StringType),
+    StructField("location", StringType),
+    StructField("validFromUs", LongType),
+    StructField("sourceMessageId", LongType),
+    StructField("targetTimeUs", LongType),
+    StructField("dischargeTimeUs", LongType)))
+
+  private val ivString = StructType(Seq(
+    StructField("value", StringType), StructField("status", StringType)))
+  private val demoSchema = StructType(Seq(
+    StructField("mrn", StringType), StructField("validFromUs", LongType),
+    StructField("msgId", LongType), StructField("givenName", ivString),
+    StructField("postalCode", ivString)))
+
+  test("ADT fixture corpus end-state: moves + cancel converge") {
+    val fx = new FixtureSource(corpusRoot)
+    val msgs = fx.loadDir(spark, "AdtMessages/Moves", adtSchema)
+    val intervals = LocationVisits.deriveIntervals(msgs)
+      .orderBy("admissionUs")
+      .select("location", "admissionUs", "dischargeUs")
+      .as[(String, Long, Long)].collect().toSeq
+    // T11S transfer cancelled → first ward runs until ICU admission
+    assert(intervals == Seq(
+      ("T42E^T42E BY02^BY02-17", 0L, 7200000000L),
+      ("ICU^ICU BY01^BY01-01", 7200000000L, 10800000000L)))
+    // X8: location strings split dept^room^bed
+    val dept = msgs.selectExpr("split(location, '\\\\^')[0] AS d")
+      .filter($"d".isNotNull).distinct().as[String].collect().toSet
+    assert(dept == Set("T42E", "T11S", "ICU"))
+  }
+
+  test("tri-state demographic fixtures fold SAVE/IGNORE/DELETE") {
+    val fx = new FixtureSource(corpusRoot)
+    val msgs = fx.load(spark, "AdtMessages/generic/update_info.json",
+      demoSchema)
+    val r = TriStateFold.applyTriState(msgs, Seq("mrn"), "validFromUs",
+      "msgId", Seq("givenName", "postalCode"))
+    val live = r.live.select("givenName", "postalCode")
+      .as[(Option[String], Option[String])].head()
+    assert(live == (Some("ALICE"), None)) // IGNORE kept name, DELETE nulled postcode
+  }
+
+  test("monitored corpus flags unconsumed fixtures") {
+    val fx = new FixtureSource(corpusRoot)
+    fx.load(spark, "AdtMessages/generic/update_info.json", demoSchema)
+    val e = intercept[IllegalStateException](fx.assertAllConsumed())
+    assert(e.getMessage.contains("moves_hourly.json"))
+    // consuming everything satisfies the guarantee
+    fx.loadDir(spark, "AdtMessages/Moves", adtSchema)
+    fx.assertAllConsumed()
+  }
+}
