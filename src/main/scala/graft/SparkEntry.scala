@@ -489,6 +489,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // ---- X2: HL7 DTM parse via the custom Catalyst expression -------
+    // Round-trip: format event times as HL7 strings, parse them back
+    // with hl7_ts_us — must equal the second-truncated original.
+    "q42_hl7_roundtrip" -> ((s, dir) => {
+      graft.functions.Hl7Timestamp.register(s)
+      eventsUs(s, dir)
+        .withColumn("hl7",
+          date_format(timestamp_micros(col("ts_us")), "yyyyMMddHHmmss"))
+        .withColumn("parsed_us", expr("hl7_ts_us(hl7)"))
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("hl7"), col("parsed_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- X4: timestamp→date in pinned UTC zone ----------------------
     "q41_daily_activity" -> ((s, dir) => {
       eventsUs(s, dir)
@@ -864,6 +878,12 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "q42_hl7_roundtrip" ->
+      """SELECT event_id,
+        | strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H%M%S') AS hl7,
+        | epoch_us(date_trunc('second', CAST(ts AS TIMESTAMP))) AS parsed_us
+        |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
 
     "q41_daily_activity" ->
       """WITH e AS (SELECT user_id,
