@@ -282,17 +282,19 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ---- dedup: MinHash + LSH (scale path; no SQL oracle) -----------
+    // ---- dedup: MinHash + LSH (scale path; portable-hash oracle) ----
     "q21_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 2, numPerm = 64, bands = 8)
+          shingleN = 2, numPerm = 64, bands = 8,
+          estThreshold = 0.125, maxBucketSize = 100, portable = true)
         .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(500)
     }),
 
-    // ---- dedup: SimHash signatures (no SQL oracle) ------------------
+    // ---- dedup: SimHash signatures (portable-hash oracle) -----------
     "q22_simhash" -> ((s, dir) => {
-      Dedup.simhashSigs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashSigs(t(s, dir, "documents"), "doc_id", "text",
+          portable = true)
         .orderBy(col("doc_id"))
     }),
 
@@ -402,11 +404,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- ANN: random-hyperplane LSH buckets (no SQL oracle) ---------
+    // ---- ANN: sign-plane LSH buckets (portable integer oracle) ------
     "q33_ann_lsh" -> ((s, dir) => {
       val em = t(s, dir, "embeddings")
       Ann.lshBucketTopK(em.filter(col("vec_id") < 8), em,
-          "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5)
+          "vec_id", "embedding", dim = 64, nPlanes = 8, k = 5,
+          portable = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -501,6 +504,46 @@ object SparkEntry {
         .filter(col("event_type") === "signup")
         .select(col("event_id"), col("hl7"), col("parsed_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- O2 both axes: bitemporal stored-time travel ----------------
+    // Fold the event stream in 4 stored-time batches (batch = event_id%4,
+    // deliberately interleaved in valid time so every batch is an
+    // out-of-order arrival), maintaining the bitemporal table
+    // incrementally. Output: the full valid-time history as the database
+    // knew it at each stored cutoff — reconstructed purely from the
+    // stored axis of the table. The oracle replays each cutoff's message
+    // subset from scratch; a mismatch means stored-time history was
+    // rewritten (ref: informdb/AuditCore.java:32-35, 83-86).
+    "q43_bitemporal_travel" -> ((s, dir) => {
+      val msgs = eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("state"), col("value"),
+          (pmod(col("event_id"), lit(4)) + 1).cast("long").as("stored_us"))
+      val keyCols = Seq("user_id")
+      val payload = Seq("state", "value")
+      // Materialize between folds: in production each batch's state lands
+      // in the sink anyway (StarPipeline); chaining 4 lazy folds would
+      // double the plan per level and stall Catalyst.
+      val st = (1L to 4L).foldLeft(BitemporalKernel.emptyBitemporal(
+          msgs, keyCols, "ts_us", "event_id", payload)) { (acc, b) =>
+        val next = BitemporalKernel.applyBitemporal(acc,
+          msgs.filter(col("stored_us") === b),
+          keyCols, "ts_us", "event_id", "stored_us", payload)
+        BitemporalKernel.BitemporalState(
+          next.messages.localCheckpoint(),
+          next.table.localCheckpoint())
+      }
+      val beliefs = (1L to 4L).map { cutoff =>
+        st.table
+          .filter(storedAsOf(lit(cutoff), col("stored_from_us"),
+            col("stored_until_us")))
+          .select(lit(cutoff).as("cutoff"), col("user_id"), col("event_id"),
+            col("state"), col("value"), col("ts_us").as("valid_from_us"),
+            col("valid_until_us"))
+      }.reduce(_ unionByName _)
+      beliefs.orderBy(col("cutoff"), col("user_id"), col("valid_from_us"),
+        col("event_id"))
     }),
 
     // ---- X4: timestamp→date in pinned UTC zone ----------------------
@@ -712,13 +755,12 @@ object SparkEntry {
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
         |  FROM embeddings),
         |sx AS (SELECT query_id, neighbor_id,
-        |  list_cosine_similarity(qv, cv) AS sim
+        |  round(list_cosine_similarity(qv, cv), 4) + 0.0 AS sim
         | FROM q, c WHERE query_id <> neighbor_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         | FROM sx)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-        | round(sim, 4) + 0.0 AS sim
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q24_ann_ivf" ->
@@ -727,14 +769,99 @@ object SparkEntry {
         |c AS (SELECT vec_id AS neighbor_id, label AS cl,
         |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
         |sx AS (SELECT query_id, neighbor_id,
-        |  list_cosine_similarity(qv, cv) AS sim
+        |  round(list_cosine_similarity(qv, cv), 4) + 0.0 AS sim
         | FROM q JOIN c ON ql = cl AND query_id <> neighbor_id),
         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         | FROM sx)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-        | round(sim, 4) + 0.0 AS sim
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // MinHash replay: the portable charPolyHash + the same (a,b) affine
+    // permutation constants (minhashPerms is the single source of truth
+    // for both engines) make every signature value exact integer
+    // arithmetic DuckDB reproduces bit-for-bit.
+    "q21_minhash_lsh" -> {
+      val perms = Dedup.minhashPerms(64, 42L)
+      val aList = perms.map(_._1).mkString(", ")
+      val bList = perms.map(_._2).mkString(", ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
+         | FROM documents),
+         |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
+         |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+         |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+         |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
+         |  unnest(range(64)) AS j),
+         |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
+         | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
+         |bnd AS (SELECT doc_id, j // 8 AS band,
+         |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
+         | FROM sigj GROUP BY doc_id, band),
+         |cap AS (SELECT doc_id, band, bucket FROM bnd
+         | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
+         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM cap x JOIN cap y ON x.band = y.band AND x.bucket = y.bucket
+         |  AND x.doc_id < y.doc_id),
+         |sc AS (SELECT p.doc_a, p.doc_b,
+         |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+         | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
+         | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+         | GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, est_jaccard FROM sc WHERE est_jaccard >= 0.125
+         |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 500""".stripMargin
+    },
+
+    // SimHash replay: 31-bit portable signature, per-bit vote sums.
+    "q22_simhash" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |td AS (SELECT DISTINCT doc_id, t FROM tk),
+        |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM td),
+        |bits AS (SELECT doc_id, b,
+        |  SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        | FROM hs CROSS JOIN (SELECT unnest(range(31)) AS b) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+        |  ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Sign-plane LSH replay: ±1 plane weights (lshSignPlanes, shared
+    // constants) over floor-quantized integer coordinates — bucket bits
+    // are order-independent integer sums in both engines.
+    "q33_ann_lsh" -> {
+      val planesSql = Ann.lshSignPlanes(64, 8, 42L)
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |vq AS (SELECT vec_id, list_transform(v,
+         |  x -> CAST(floor(x * 1048576) AS BIGINT)) AS q FROM e),
+         |co AS (SELECT vec_id, unnest(q) AS x, unnest(range(64)) AS i FROM vq),
+         |pl AS (SELECT unnest($planesSql) AS w, unnest(range(8)) AS pi),
+         |pw AS (SELECT pi, unnest(w) AS wt, unnest(range(64)) AS i FROM pl),
+         |proj AS (SELECT co.vec_id, pw.pi, SUM(co.x * pw.wt) AS p
+         |  FROM co JOIN pw ON co.i = pw.i GROUP BY 1, 2),
+         |bk AS (SELECT vec_id, CAST(SUM(CASE WHEN p >= 0
+         |    THEN CAST(1 AS BIGINT) << pi ELSE 0 END) AS BIGINT) AS b
+         |  FROM proj GROUP BY 1),
+         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, bk.b AS qb
+         |  FROM e JOIN bk ON bk.vec_id = e.vec_id WHERE e.vec_id < 8),
+         |c AS (SELECT e.vec_id AS neighbor_id, e.v AS cv, bk.b AS cb
+         |  FROM e JOIN bk ON bk.vec_id = e.vec_id),
+         |sx AS (SELECT query_id, neighbor_id,
+         |  round(list_cosine_similarity(qv, cv), 4) + 0.0 AS sim
+         | FROM q JOIN c ON qb = cb AND query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         | FROM sx)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q25_text_stats" ->
       """WITH tk AS (SELECT doc_id,
@@ -884,6 +1011,24 @@ object SparkEntry {
         | strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H%M%S') AS hl7,
         | epoch_us(date_trunc('second', CAST(ts AS TIMESTAMP))) AS parsed_us
         |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
+    "q43_bitemporal_travel" ->
+      s"""WITH e AS ($EventsUsSql),
+         |m AS (SELECT user_id, event_id, event_type AS state, value, ts_us,
+         |  (event_id % 4) + 1 AS batch FROM e),
+         |cut AS (SELECT UNNEST([1, 2, 3, 4]) AS cutoff),
+         |x AS (SELECT c.cutoff, m.* FROM cut c JOIN m ON m.batch <= c.cutoff),
+         |d AS (SELECT cutoff, user_id, event_id, state, value, ts_us,
+         |  lag(state) OVER w AS pt, lag(value) OVER w AS pv
+         | FROM x WINDOW w AS (PARTITION BY cutoff, user_id ORDER BY ts_us, event_id)),
+         |k AS (SELECT cutoff, user_id, event_id, state, value, ts_us FROM d
+         | WHERE pt IS NULL OR state IS DISTINCT FROM pt OR value IS DISTINCT FROM pv),
+         |f AS (SELECT *, lead(ts_us) OVER
+         |  (PARTITION BY cutoff, user_id ORDER BY ts_us, event_id) AS valid_until_us
+         | FROM k)
+         |SELECT CAST(cutoff AS BIGINT) AS cutoff, user_id, event_id, state,
+         | value, ts_us AS valid_from_us, valid_until_us
+         |FROM f ORDER BY cutoff, user_id, valid_from_us, event_id""".stripMargin,
 
     "q41_daily_activity" ->
       """WITH e AS (SELECT user_id,

@@ -32,6 +32,25 @@ object GraftFunctions {
     storedUntilUs.isNull && validFromUs <= tUs &&
       (validUntilUs.isNull || tUs < validUntilUs)
 
+  /** F10, both axes: "state as the database knew it at stored time S,
+    * effective at event time t" — the reproducibility predicate over a
+    * [[graft.kernel.BitemporalKernel.BitemporalState]] table
+    * (ref: emap-star informdb/AuditCore.java:83-86 generalized to the
+    * stored axis per TemporalCore.java:29-32). All cols epoch-µs.
+    */
+  def validAsOfBitemporal(tUs: Column, sUs: Column,
+                          validFromUs: Column, validUntilUs: Column,
+                          storedFromUs: Column, storedUntilUs: Column): Column =
+    storedFromUs <= sUs && (storedUntilUs.isNull || sUs < storedUntilUs) &&
+      validFromUs <= tUs && (validUntilUs.isNull || tUs < validUntilUs)
+
+  /** Belief snapshot on the stored axis only: every version record the
+    * database held at stored time S (its valid-time history as then known).
+    */
+  def storedAsOf(sUs: Column, storedFromUs: Column,
+                 storedUntilUs: Column): Column =
+    storedFromUs <= sUs && (storedUntilUs.isNull || sUs < storedUntilUs)
+
   /** X5: per-sample timestamp for an exploded waveform array —
     * `obs + pos/rate` in integer µs (floor division, matches
     * `make_interval(secs => ord/rate)` semantics of the reference's
@@ -103,6 +122,20 @@ object GraftFunctions {
   // explode → hash-once → multi-min/sum aggregates: a per-row
   // array-function formulation would replicate the shingle pipeline into
   // every permutation expression (64× recompute, codegen-breaking tree).
+
+  /** Oracle-portable polynomial string hash:
+    * `fold chars: h = (h*mult + codepoint(c)) mod P`, P = 2^31-1.
+    * Unlike xxhash64 (Spark-only), this is exact integer arithmetic any
+    * ANSI SQL engine can replay (DuckDB: list_reduce over string_split) —
+    * it is what makes the MinHash/SimHash queries oracle-checkable.
+    * Stays in whole-stage codegen (array fold, no UDF).
+    */
+  def charPolyHash(s: Column, mult: Long = 31L): Column =
+    // filter the empty strings Spark's regex split can emit at the string
+    // edges (DuckDB's string_split(s, '') never does) — parity demands
+    // folding over exactly the characters
+    aggregate(filter(split(s, ""), c => c =!= lit("")), lit(0L),
+      (h, c) => pmod(h * lit(mult) + ascii(c), lit(2147483647L)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

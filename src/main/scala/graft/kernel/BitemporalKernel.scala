@@ -70,6 +70,24 @@ object BitemporalKernel {
       validFromUsCol: String,
       tieCol: String,
       payloadCols: Seq[String]): KernelResult = {
+    val (history, withUntil) =
+      foldVersions(state, updates, keyCols, validFromUsCol, tieCol, payloadCols)
+    KernelResult(
+      live = withUntil.filter(col("valid_until_us").isNull).drop("valid_until_us"),
+      audit = withUntil.filter(col("valid_until_us").isNotNull),
+      history = history)
+  }
+
+  /** Shared valid-time fold: returns (deduped message log, kept versions
+    * with valid_until_us stamped).
+    */
+  private def foldVersions(
+      state: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      validFromUsCol: String,
+      tieCol: String,
+      payloadCols: Seq[String]): (DataFrame, DataFrame) = {
 
     val cols = keyCols ++ Seq(validFromUsCol, tieCol) ++ payloadCols
     val all = state.selectExpr(cols: _*).unionByName(updates.selectExpr(cols: _*))
@@ -104,10 +122,149 @@ object BitemporalKernel {
     val withUntil = kept
       .withColumn("valid_until_us", lead(col(validFromUsCol), 1).over(byKey))
 
-    KernelResult(
-      live = withUntil.filter(col("valid_until_us").isNull).drop("valid_until_us"),
-      audit = withUntil.filter(col("valid_until_us").isNotNull),
-      history = history)
+    (history, withUntil)
+  }
+
+  // =================================================================
+  // Stored-time axis — the second half of "bitemporal"
+  // =================================================================
+
+  /** Bitemporal state carried between batches.
+    *
+    * @param messages deduped raw message log (the valid-time fold input;
+    *                 same role as [[KernelResult.history]]).
+    * @param table    bitemporal version records: keyCols, validFromUs,
+    *                 tie, payload, `valid_until_us`, `stored_from_us`,
+    *                 `stored_until_us`. A record with null stored_until is
+    *                 part of the current belief; stored-closed records are
+    *                 IMMUTABLE — late arrivals rewrite valid-time history
+    *                 but only ever append/close stored-time records, which
+    *                 is what makes time-travel reproducible
+    *                 (ref: informdb/AuditCore.java:32-35, 83-86;
+    *                 TemporalCore.java:29-32).
+    */
+  final case class BitemporalState(messages: DataFrame, table: DataFrame)
+
+  /** Empty bitemporal state with a schema derived from `updates`. */
+  def emptyBitemporal(
+      updates: DataFrame,
+      keyCols: Seq[String],
+      validFromUsCol: String,
+      tieCol: String,
+      payloadCols: Seq[String]): BitemporalState = {
+    val msgCols = keyCols ++ Seq(validFromUsCol, tieCol) ++ payloadCols
+    val empty = updates.selectExpr(msgCols: _*).limit(0)
+    BitemporalState(
+      messages = empty,
+      table = empty
+        .withColumn("valid_until_us", lit(null).cast("long"))
+        .withColumn("stored_from_us", lit(null).cast("long"))
+        .withColumn("stored_until_us", lit(null).cast("long")))
+  }
+
+  /** Fold one micro-batch of updates into bitemporal state (O2 with BOTH
+    * audit axes — the reference's full `RowState` + `@AuditTable` pattern:
+    * superseded rows get validUntil AND storedUntil stamped,
+    * ref informdb/AuditCore.java:32-35).
+    *
+    * Semantics: re-derive the canonical valid-time history from the full
+    * message log (order-independent, permutation-convergent), then diff it
+    * against the open (stored_until IS NULL) records:
+    *   - identical records (same key, validFrom, tie, payload, validUntil)
+    *     keep their original stored_from — an update that doesn't change a
+    *     version causes no stored churn (F6 on the stored axis);
+    *   - records that disappeared or changed are closed with
+    *     stored_until = the batch's stored stamp for that key;
+    *   - new/changed records open with stored_from = that stamp.
+    *
+    * Stored-time granularity is the batch: all of a key's changes within
+    * one batch share one stamp, `max(storedFromUs)` over the key's updates
+    * (the reference, processing serially, stamps per message — call this
+    * once per distinct storedFrom for that granularity; the fold is
+    * associative so the result agrees).
+    *
+    * Scale: cost is O(history of touched keys) when the caller pre-buckets
+    * state by key (see streaming.StarPipeline's bucketed fold) — keys
+    * without updates are diff-identity and produce no churn, so folding
+    * only buckets containing batch keys is exact.
+    *
+    * Time-travel over the result: [[graft.functions.GraftFunctions.validAsOfBitemporal]]
+    * — `stored_from <= S < stored_until AND valid_from <= t < valid_until`
+    * answers "state as the database knew it at S, effective at t"
+    * (ref informdb/AuditCore.java:83-86).
+    */
+  def applyBitemporal(
+      prev: BitemporalState,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      validFromUsCol: String,
+      tieCol: String,
+      storedFromUsCol: String,
+      payloadCols: Seq[String]): BitemporalState = {
+
+    val (newMessages, newVersions) = foldVersions(
+      prev.messages, updates, keyCols, validFromUsCol, tieCol, payloadCols)
+
+    // One stored stamp per touched key (batch granularity — see scaladoc).
+    val stamps = updates
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col(storedFromUsCol)).as("__stamp"))
+
+    val closed = prev.table.filter(col("stored_until_us").isNotNull)
+    val open = prev.table.filter(col("stored_until_us").isNull)
+      .drop("stored_until_us")
+
+    // Diff open records against the re-derived versions on the version
+    // identity (key, validFrom, tie); payload/validUntil compared
+    // null-safely. Full outer join: left-only = disappeared (absorbed or
+    // superseded shape), right-only = newly created, both = unchanged or
+    // content-changed.
+    val idCols = keyCols :+ validFromUsCol :+ tieCol
+    val oldSide = open.select(
+      idCols.map(col) ++
+        payloadCols.map(c => col(c).as(s"__old_$c")) ++
+        Seq(col("valid_until_us").as("__old_vu"),
+          col("stored_from_us").as("__old_sf"),
+          lit(true).as("__in_old")): _*)
+    val newSide = newVersions.withColumn("__in_new", lit(true))
+
+    val diff = newSide.join(oldSide, idCols, "full_outer")
+      .join(stamps, keyCols, "left")
+
+    val samePayload = struct(payloadCols.map(col): _*) <=>
+      struct(payloadCols.map(c => col(s"__old_$c")): _*)
+    val unchanged = col("__in_new").isNotNull && col("__in_old").isNotNull &&
+      samePayload && (col("valid_until_us") <=> col("__old_vu"))
+
+    val outCols = keyCols ++ Seq(validFromUsCol, tieCol) ++ payloadCols
+    val keepUnchanged = diff.filter(unchanged)
+      .select(outCols.map(col) ++ Seq(col("valid_until_us"),
+        col("__old_sf").as("stored_from_us"),
+        lit(null).cast("long").as("stored_until_us")): _*)
+    val closeOld = diff.filter(col("__in_old").isNotNull && !unchanged)
+      .select(keyCols.map(col) ++ Seq(col(validFromUsCol), col(tieCol)) ++
+        payloadCols.map(c => col(s"__old_$c").as(c)) ++
+        Seq(col("__old_vu").as("valid_until_us"),
+          col("__old_sf").as("stored_from_us"),
+          col("__stamp").as("stored_until_us")): _*)
+    val openNew = diff.filter(col("__in_new").isNotNull && !unchanged)
+      .select(outCols.map(col) ++ Seq(col("valid_until_us"),
+        col("__stamp").as("stored_from_us"),
+        lit(null).cast("long").as("stored_until_us")): _*)
+
+    // Bound the output partition count. The 3 diff branches are narrow
+    // over `open` (the batch side broadcasts), so each carries the
+    // previous table's partitions — without this coalesce the union
+    // compounds 3× per fold (exponential partition growth: measured
+    // 1→4→13→40→121… and a 120k-task stage by fold 10). coalesce is
+    // narrow (closed records don't move); at scale the caller's bucketed
+    // fold keeps per-bucket sizes bounded.
+    val nParts = math.max(1, updates.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    BitemporalState(
+      messages = newMessages,
+      table = closed.unionByName(keepUnchanged)
+        .unionByName(closeOld).unionByName(openNew).coalesce(nParts))
   }
 
   /** O3: delete-if-newer with audit (ref: core/.../PersonController.java:347-366).

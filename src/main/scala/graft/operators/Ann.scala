@@ -52,22 +52,58 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Fixed-seed ±1 (Rademacher) hyperplane weights for the portable LSH
+    * variant — shared with the DuckDB oracle builder (q33) so both
+    * engines compute identical buckets.
+    */
+  def lshSignPlanes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** Coordinate quantization for the portable LSH projections: integer
+    * micro-units make the projection sum exact (order-independent) in any
+    * engine. 2^20 preserves ~6 decimal digits of a float coordinate.
+    */
+  val LshQuantScale = 1048576L
+
   /** Random-hyperplane LSH bucketing (sign bits of projections onto
     * fixed-seed hyperplanes) — the candidate-generation scale path when no
     * precomputed clustering exists. Same-bucket pairs only.
+    *
+    * Default planes are Gaussian. `portable = true` uses ±1 Rademacher
+    * weights (sign random projection — same locality guarantee family)
+    * over [[LshQuantScale]]-quantized integer coordinates, so the bucket
+    * bits are exact integer arithmetic replayable by the DuckDB oracle:
+    * an IEEE float sum's value depends on evaluation order, an integer
+    * sum's does not.
     */
   def lshBucketTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
                     vecCol: String, dim: Int, nPlanes: Int, k: Int,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, portable: Boolean = false): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
     def bucket(v: org.apache.spark.sql.Column) =
-      planes.zipWithIndex.map { case (p, i) =>
-        val proj = aggregate(
-          zip_with(v, typedLit(p.toSeq), (x, w) => x * w),
-          lit(0.0), (a, x) => a + x)
-        when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
+      if (portable) {
+        val planes = lshSignPlanes(dim, nPlanes, seed)
+        // floor, not round: x is a float cast to double and 2^20 scaling is
+        // exact (exponent shift), so floor is unambiguous — round() could
+        // split engines on an exact .5
+        val vq = transform(v, x => floor(x * lit(LshQuantScale)).cast("long"))
+        planes.zipWithIndex.map { case (p, i) =>
+          val proj = aggregate(
+            zip_with(vq, typedLit(p), (x, w) => x * w),
+            lit(0L), (a, x) => a + x)
+          when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+      } else {
+        val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+        planes.zipWithIndex.map { case (p, i) =>
+          val proj = aggregate(
+            zip_with(v, typedLit(p.toSeq), (x, w) => x * w),
+            lit(0.0), (a, x) => a + x)
+          when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+      }
 
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         toDoubleVec(col(vecCol)).as("qv"))
@@ -84,14 +120,18 @@ object Ann {
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
+    // Rank on the ROUNDED similarity (+0.0 normalizes IEEE -0.0): a
+    // near-tie at a rank boundary must resolve identically in Spark and
+    // the oracle engine, and unrounded float sums are evaluation-order-
+    // dependent. neighbor_id breaks exact ties deterministically.
+    val simR = round(col("sim"), 4) + lit(0.0)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
+      .orderBy(simR.desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
-        // + 0.0 normalizes IEEE -0.0 so the oracle hash-compare holds
-        (round(col("sim"), 4) + lit(0.0)).as("sim"))
+        simR.as("sim"))
   }
 }

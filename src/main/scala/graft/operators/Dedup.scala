@@ -49,35 +49,67 @@ object Dedup {
       .select("doc_a", "doc_b", "shared", "jaccard")
   }
 
+  /** The (a, b) affine-permutation constants for [[minhashLsh]] — shared
+    * with the DuckDB oracle builder so both engines replay the identical
+    * signature arithmetic.
+    */
+  def minhashPerms(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerm)((rnd.nextInt(1 << 30).toLong + 1,
+                       rnd.nextInt(1 << 30).toLong))
+  }
+
   /** MinHash + LSH near-dup detection — the scale path.
     *
     * Pipeline: shingle → explode to (doc, shingle) rows → hash ONCE per
     * shingle → 64-way `min()` hash-aggregate per doc (map-side partial
     * aggregation: the shuffle carries only docs × numPerm longs, not the
-    * shingle stream) → band buckets (explode) → bucket self-join (the
-    * ONLY quadratic step, confined to same-bucket docs) → signature-
-    * estimated Jaccard on the candidates.
+    * shingle stream) → band buckets (explode, SKINNY rows: doc_id + band +
+    * bucket only) → hot-bucket cap → bucket self-join (the only quadratic
+    * step, confined to same-bucket docs) → pair-dedup BEFORE scoring →
+    * join signatures back once per unique pair → estimated Jaccard.
     *
-    * Each xxhash64 is evaluated exactly once; every stage is
-    * whole-stage-codegen'd. (The earlier all-array-function formulation
-    * rebuilt the shingle pipeline inside each of the 64 permutation
-    * expressions — 64× recompute, and the oversized expression tree fell
-    * out of codegen. Measured minutes → seconds at 5k docs.)
+    * Ordering matters at scale: the bucket join shuffles 3 narrow columns,
+    * pairs are deduped while still skinny, and the 2×numPerm-long
+    * signature arrays are attached exactly once per unique pair (the
+    * earlier form carried both arrays through the join and scored every
+    * band collision — up to `bands`× redundant shuffle + compute; it was
+    * the round-1 bench outlier at 44 s). The signature aggregate is
+    * lazily localCheckpoint'd: it feeds the bucket explode and both pair
+    * joins, and at 100 TB you would materialize signatures anyway.
+    *
+    * `maxBucketSize` drops degenerate buckets (boilerplate docs hashing
+    * identically) whose membership exceeds the cap — without it one hot
+    * bucket goes quadratic at 100×. The count window shares the bucket
+    * join's (band, bucket) partitioning, so the cap costs no extra
+    * exchange.
+    *
+    * `portable = true` swaps xxhash64 for the oracle-replayable
+    * [[graft.functions.GraftFunctions.charPolyHash]] and emits the band
+    * bucket as the raw min-value concatenation instead of its xxhash64 —
+    * bit-identical replay in ANSI SQL (DuckDB oracle q21).
+    *
+    * Each shingle hash is evaluated exactly once; every stage is
+    * whole-stage-codegen'd. (An all-array-function formulation rebuilt
+    * the shingle pipeline inside each of the 64 permutation expressions —
+    * 64× recompute, codegen-breaking tree. Measured minutes → seconds.)
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16,
-                 estThreshold: Double = 0.0, seed: Long = 42L): DataFrame = {
+                 estThreshold: Double = 0.0, seed: Long = 42L,
+                 maxBucketSize: Int = 0, portable: Boolean = false): DataFrame = {
     val rowsPerBand = numPerm / bands
     val P = 2147483647L // 2^31-1; keeps a*h+b far from Long overflow (ANSI)
-    val rnd = new scala.util.Random(seed)
-    val perms = Seq.fill(numPerm)((rnd.nextInt(1 << 30).toLong + 1,
-                                   rnd.nextInt(1 << 30).toLong))
+    val perms = minhashPerms(numPerm, seed)
 
+    val shingleHash =
+      if (portable) charPolyHash(col("s"))
+      else pmod(xxhash64(col("s")), lit(P))
     val shingleRows = docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
           .as("s"))
-      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+      .withColumn("h", shingleHash)
 
     val sig = shingleRows
       .groupBy(col("doc_id"))
@@ -86,48 +118,66 @@ object Dedup {
         perms.tail.zipWithIndex.map { case ((a, b), i) =>
           min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s${i + 1}")
         }: _*)
+      .localCheckpoint(false) // lazy: computed once, reused by 3 consumers
 
+    def bucketOf(b: Int) = {
+      val cat = concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
+      if (portable) cat else xxhash64(cat).cast("string")
+    }
     val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*))
-          .as("bucket"))
+      struct(lit(b).as("band"), bucketOf(b).as("bucket"))
     }: _*)
 
-    // Pack the signature into one array column — the candidate join then
-    // carries 2 array cells per pair instead of 2×numPerm columns.
-    val buckets = sig.select(col("doc_id"),
-        array((0 until numPerm).map(i => col(s"s$i")): _*).as("sig"),
-        explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("sig"),
+    val buckets = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
-    val matches = size(filter(
-      zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), m => m))
-    val a = buckets.as("a"); val b = buckets.as("b")
-    a.join(b,
+    val capped = if (maxBucketSize > 0) {
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      buckets.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") <= maxBucketSize).drop("__n")
+    } else buckets
+
+    val a = capped.as("a"); val b = capped.as("b")
+    val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sigArr = array((0 until numPerm).map(i => col(s"s$i")): _*)
+    val matches = size(filter(
+      zip_with(col("sa"), col("sb"), (x, y) => x === y), m => m))
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), sigArr.as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), sigArr.as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / numPerm).as("est_jaccard"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("est_jaccard") >= estThreshold)
   }
 
-  /** SimHash signatures (64-bit): bit b of the signature is the sign of
-    * the vote sum over token hashes' bit b. Same scale shape as
-    * minhashLsh: explode → hash once → 64 sum-aggregates (map-side
-    * partial agg) → recombine bits from materialized columns.
+  /** SimHash signatures: bit b of the signature is the sign of the vote
+    * sum over token hashes' bit b. Same scale shape as minhashLsh:
+    * explode → hash once → per-bit sum-aggregates (map-side partial agg)
+    * → recombine bits from materialized columns.
+    *
+    * Default: 64-bit xxhash64 signature. `portable = true`: 31-bit
+    * signature over [[graft.functions.GraftFunctions.charPolyHash]] —
+    * every step exact integer arithmetic an ANSI SQL oracle replays
+    * bit-for-bit (DuckDB q22).
     */
-  def simhashSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                  portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 31 else 64
     val tokRows = docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", if (portable) charPolyHash(col("t")) else xxhash64(col("t")))
     val votes = tokRows.groupBy(col("doc_id")).agg(
       sum(bitVote(0)).as("v0"),
-      (1 until 64).map(b => sum(bitVote(b)).as(s"v$b")): _*)
-    val sig = (0 until 64).map(b =>
+      (1 until nBits).map(b => sum(bitVote(b)).as(s"v$b")): _*)
+    val sig = (0 until nBits).map(b =>
       when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), sig.as("simhash"))

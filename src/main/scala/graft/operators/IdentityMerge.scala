@@ -34,9 +34,32 @@ object IdentityMerge {
   /** O4: apply a batch of merge events (survivor, absorbed) to an existing
     * mrn→live pointer table: every row whose live pointer is any absorbed
     * id is re-pointed at the survivor's live id.
+    *
+    * The merge set is transitive-closed first: a single batch may carry
+    * {A→B, B→C}, and the reference — processing serially — ends with A's
+    * pointer at C (each merge re-points every row whose live equals any
+    * previously-absorbed MRN, ref core/.../PersonController.java:113-132).
+    * A plain single-hop join would leave A→B stale. The merge set is
+    * admin-event-tiny (it is broadcast below for the same reason), so the
+    * closure runs driver-side: pointer-jump each survivor to its root,
+    * cycle-guarded (A→B plus B→A stops at the first repeat).
     */
   def applyMerges(mrnToLive: DataFrame, merges: DataFrame): DataFrame = {
-    val m = broadcast(merges.select(col("absorbed"), col("survivor")))
+    val sel = merges.select(col("absorbed"), col("survivor"))
+    val edges = sel.collect()
+    val ptr = edges.map(r => r.get(0) -> r.get(1)).toMap
+    def root(x: Any): Any = {
+      var cur = x
+      val seen = scala.collection.mutable.Set[Any]()
+      while (ptr.contains(cur) && seen.add(cur)) cur = ptr(cur)
+      if (seen.contains(cur)) x else cur // cycle: keep the original target
+    }
+    val closedRows = edges.map(r =>
+      org.apache.spark.sql.Row(r.get(0), root(r.get(1)))).toSeq
+    val closed = sel.sparkSession.createDataFrame(
+      sel.sparkSession.sparkContext.parallelize(closedRows, 1), sel.schema)
+
+    val m = broadcast(closed)
     mrnToLive.as("t")
       .join(m.as("m"), col("t.live_mrn") === col("m.absorbed"), "left")
       .select(col("t.mrn").as("mrn"),

@@ -40,7 +40,16 @@ object LocationVisits {
   val MsgCols = Seq("visitId", "msgType", "location", "validFromUs",
     "sourceMessageId", "targetTimeUs", "dischargeTimeUs")
 
-  def deriveIntervals(messages: DataFrame): DataFrame = {
+  /** Valid intervals only (the reference rejects zero/negative-length
+    * visits, PatientLocationController.java:384-387); the rejects go to
+    * [[intervalErrors]].
+    */
+  def deriveIntervals(messages: DataFrame): DataFrame =
+    deriveAll(messages)
+      .filter(col("dischargeUs").isNull ||
+        col("dischargeUs") > col("admissionUs"))
+
+  private def deriveAll(messages: DataFrame): DataFrame = {
     val m = messages
 
     // O8: annihilate cancelled moves.
@@ -103,6 +112,17 @@ object LocationVisits {
 
     fromMoves.unionByName(orphanDischarges)
   }
+
+  /** Error channel for [[deriveIntervals]]: zero- or negative-length
+    * intervals the reference rejects (a surviving Discharge at or before
+    * the last admission, or two surviving moves at the same instant; ref
+    * PatientLocationController.java:384-387). Same derivation, inverse
+    * guard — route to a dead-letter sink, never silently keep.
+    */
+  def intervalErrors(messages: DataFrame): DataFrame =
+    deriveAll(messages)
+      .filter(col("dischargeUs").isNotNull &&
+        col("dischargeUs") <= col("admissionUs"))
 
   /** The flagship EMAP read query (ref Technical_overview_of_EMAP.md:43-46):
     * who is in which location at time t — F10 over the interval table.

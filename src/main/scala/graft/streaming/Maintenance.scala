@@ -17,10 +17,14 @@ object Maintenance {
     * so the delete touches only expired partitions at any scale.
     */
   def retain(table: DataFrame, obsTimeUs: Column, retentionUs: Long): DataFrame = {
-    val cutoff = table.agg(max(obsTimeUs).as("mx"))
-      .select((col("mx") - retentionUs).as("cutoff"))
-    table.join(broadcast(cutoff)).filter(obsTimeUs >= col("cutoff"))
-      .drop("cutoff")
+    // Resolve the cutoff to a SCALAR first and filter with a literal: a
+    // literal predicate reaches the scan (PushedFilters) and partition-
+    // prunes, whereas a runtime 1-row join forces two full scans. The
+    // max() itself is a cheap column-pruned scan (min/max from parquet
+    // footer stats at best).
+    val row = table.agg(max(obsTimeUs).as("mx")).head()
+    if (row.isNullAt(0)) table
+    else table.filter(obsTimeUs >= lit(row.getLong(0) - retentionUs))
   }
 
   /** W5: priority union of a live stream and a backfill stream. Tags each
@@ -70,9 +74,13 @@ object Maintenance {
     val v = visits.select(col("location").as("v_loc"),
       col("visitId").as("v_visit"), col("admissionUs"), col("dischargeUs"))
     chunks.filter(col("visitId").isNull).drop("visitId")
+      // half-open [admission, discharge): a chunk stamped exactly at a
+      // handoff (prev discharge == next admission, same location) must
+      // attach to exactly ONE visit — the incoming one — matching
+      // occupancyAsOf's convention; an inclusive bound double-attached it
       .join(v, col("locationId") === col("v_loc") &&
         col("obsTimeUs") >= col("admissionUs") &&
-        (col("dischargeUs").isNull || col("obsTimeUs") <= col("dischargeUs")),
+        (col("dischargeUs").isNull || col("obsTimeUs") < col("dischargeUs")),
         "left")
       .withColumn("visitId", col("v_visit"))
       .drop("v_loc", "v_visit", "admissionUs", "dischargeUs")

@@ -75,20 +75,33 @@ object WaveformCollator {
     runs += run.result()
     val allRuns = runs.result().filter(_.nonEmpty)
 
-    // Cut one chunk of up to targetSamples whole messages off a run.
+    // Cut one chunk of up to targetSamples off a run. targetSamples is a
+    // HARD bound: an oversized first message is split, its remainder
+    // re-entering the run with the correspondingly advanced obsTime (so
+    // downstream gap audits still see a continuous stream).
     def cut(run: List[WaveMsg]): (WaveChunk, List[WaveMsg]) = {
-      val take = List.newBuilder[WaveMsg]
-      var n = 0
-      var rest = run
-      while (rest.nonEmpty &&
-             (n == 0 || n + rest.head.values.size <= cfg.targetSamples)) {
-        n += rest.head.values.size; take += rest.head; rest = rest.tail
+      val first = run.head
+      if (first.values.size > cfg.targetSamples) {
+        val (head, tail) = first.values.splitAt(cfg.targetSamples)
+        val restMsg = first.copy(values = tail,
+          obsTimeUs = first.obsTimeUs +
+            math.round(cfg.targetSamples * 1000000.0 / first.samplingRate))
+        (WaveChunk(first.locationId, first.streamId, first.obsTimeUs,
+          first.samplingRate, first.unit, head,
+          isError = false, errorMsg = null), restMsg :: run.tail)
+      } else {
+        val take = List.newBuilder[WaveMsg]
+        var n = 0
+        var rest = run
+        while (rest.nonEmpty &&
+               n + rest.head.values.size <= cfg.targetSamples) {
+          n += rest.head.values.size; take += rest.head; rest = rest.tail
+        }
+        val taken = take.result()
+        (WaveChunk(first.locationId, first.streamId, first.obsTimeUs,
+          first.samplingRate, first.unit, taken.flatMap(_.values),
+          isError = false, errorMsg = null), rest)
       }
-      val taken = take.result()
-      val first = taken.head
-      (WaveChunk(first.locationId, first.streamId, first.obsTimeUs,
-        first.samplingRate, first.unit, taken.flatMap(_.values),
-        isError = false, errorMsg = null), rest)
     }
 
     for (r <- allRuns) {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.{IValue, TriState}
-import graft.operators.{Multimodal, Temporal}
+import graft.operators.{IdentityMerge, Multimodal, Temporal}
 
 class OperatorSpec extends SparkSpecBase {
   import spark.implicits._
@@ -79,6 +79,30 @@ class OperatorSpec extends SparkSpecBase {
     val frames = Multimodal.sampleFrames(feats.toDF(), stride = 3)
     assert(frames.filter($"media_id" === 2).count() ==
       (1 + 200 % 30 + 2) / 3)
+  }
+
+  test("O4 chained merges in one batch match serial replay") {
+    val pointers = Seq(("A", "A"), ("B", "B"), ("C", "C"), ("D", "D"))
+      .toDF("mrn", "live_mrn")
+    val merges = Seq(("A", "B"), ("B", "C")).toDF("absorbed", "survivor")
+
+    // one batch {A→B, B→C} must equal serial replay: everything at C
+    val bulk = IdentityMerge.applyMerges(pointers, merges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(bulk == Map("A" -> "C", "B" -> "C", "C" -> "C", "D" -> "D"))
+
+    val serial = merges.collect().foldLeft(pointers) { (acc, m) =>
+      IdentityMerge.applyMerges(acc,
+        Seq((m.getString(0), m.getString(1))).toDF("absorbed", "survivor"))
+    }.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(serial == bulk)
+
+    // merge cycle degenerates safely (no hang, pointers stay in the set)
+    val cyc = IdentityMerge.applyMerges(pointers,
+      Seq(("A", "B"), ("B", "A")).toDF("absorbed", "survivor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cyc.keySet == Set("A", "B", "C", "D") &&
+      cyc.values.forall(Set("A", "B", "C", "D")))
   }
 
   test("sessionize assigns increasing session ids per gap") {

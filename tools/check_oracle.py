@@ -62,13 +62,17 @@ for name in sorted(oracle):
     else:
         print(f"{name}: OK ({len(hg)} rows)")
 
-# rows-only checks for oracle-less queries
+# rows-only checks for oracle-less queries: empty output is a FAILURE
+# (the contract says rows > 0)
 for d in sorted(glob.glob(f"{out_dir}/q*")):
     name = d.split("/")[-1]
     if name in oracle: continue
     pq = glob.glob(f"{d}/*.parquet")
     n = sum(len(pd.read_parquet(p)) for p in pq) if pq else 0
-    print(f"{name}: rows-only n={n}" + ("  (EMPTY!)" if n == 0 else ""))
+    if n == 0:
+        print(f"{name}: rows-only n=0  (EMPTY — FAIL)"); fails += 1
+    else:
+        print(f"{name}: rows-only n={n}")
 
 print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)
