@@ -555,6 +555,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("day"))
+    }),
+
+    // ---- S2: HL7 v2 wire parse round-trip ---------------------------
+    // Deterministically render each event as a raw ADT wire message
+    // (MSH/PID/PV1, DTM from ts_us, trigger from event_id), parse it back
+    // with the codegen'd Hl7Wire splitter, and emit the parsed fields.
+    // The oracle computes the expected values directly from the event
+    // columns — any splitter/routing/DTM bug breaks the match.
+    "q44_hl7_wire" -> ((s, dir) => {
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|GEN|FAC|||"), dtm, lit("||ADT^A0"),
+          (pmod(col("event_id"), lit(4)) + 1).cast("string"), lit("|M"),
+          eid, lit("|P|2.4")),
+        concat(lit("PID|1||"), uid,
+          lit("^^^MRN^MRN~9"), uid, lit("^^^NHS^NHSNMBR||Family^Given")),
+        concat(lit("PV1|1|I|WARD^R"), pmod(col("user_id"), lit(10)).cast("string"),
+          lit("^B1"), lit("|" * 16), lit("V"), eid))
+      graft.sources.Hl7Wire.parseAdt(
+          eventsUs(s, dir).withColumn("raw", raw), "raw")
+        .select(
+          regexp_extract(col("sourceMessageId"), "^M(\\d+)$", 1)
+            .cast("long").as("event_id"),
+          col("msgType").as("msg_type"), col("trigger"),
+          col("recordedDateTimeUs").as("recorded_us"),
+          col("mrn"), col("nhsNumber").as("nhs_number"),
+          col("visitNumber").as("visit_number"),
+          col("patientClass").as("patient_class"),
+          col("patientGivenName").as("given_name"),
+          col("patientFamilyName").as("family_name"),
+          col("fullLocationString").as("location"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1011,6 +1046,26 @@ object SparkEntry {
         | strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H%M%S') AS hl7,
         | epoch_us(date_trunc('second', CAST(ts AS TIMESTAMP))) AS parsed_us
         |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
+    // Wire-parse round-trip: expected values computed directly from the
+    // event columns (the generation is invertible), so any bug in the
+    // pipe/caret splitter, MSH-9 routing, or DTM parse breaks the match.
+    "q44_hl7_wire" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | CASE CAST((event_id % 4) + 1 AS INTEGER)
+         |   WHEN 1 THEN 'Admit' WHEN 2 THEN 'Transfer' WHEN 3 THEN 'Discharge'
+         |   ELSE 'Unhandled:A04' END AS msg_type,
+         | 'A0' || CAST((event_id % 4) + 1 AS VARCHAR) AS trigger,
+         | (ts_us // 1000000) * 1000000 AS recorded_us,
+         | CAST(user_id AS VARCHAR) AS mrn,
+         | '9' || CAST(user_id AS VARCHAR) AS nhs_number,
+         | 'V' || CAST(event_id AS VARCHAR) AS visit_number,
+         | 'I' AS patient_class,
+         | 'Given' AS given_name,
+         | 'Family' AS family_name,
+         | 'WARD^R' || CAST(user_id % 10 AS VARCHAR) || '^B1' AS location
+         |FROM e ORDER BY event_id""".stripMargin,
 
     "q43_bitemporal_travel" ->
       s"""WITH e AS ($EventsUsSql),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
@@ -50,6 +50,66 @@ object Ann {
         col("qcl") === col("ccl") && col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineSimPre(col("qv"), col("cv"), col("qn"), col("cn")))
     topK(scored, k)
+  }
+
+  /** Nearest-centroid id for a vector against k literal centroids —
+    * unrolled argmin expression (k is small by construction), fully
+    * codegen'd: array_min over (distance, id) structs orders by distance
+    * first, id as the deterministic tie-break.
+    */
+  def ivfCluster(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val dists = cents.map(c =>
+      aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+    val minD = least(dists: _*)
+    // first centroid achieving the min — deterministic tie-break
+    cents.indices.map(i => when(dists(i) === minD, lit(i)))
+      .reduce((a, b) => coalesce(a, b))
+  }
+
+  /** Train IVF coarse centroids with Lloyd's iterations. The vector set
+    * never leaves the cluster: each iteration is one assignment
+    * projection + one (cluster, position) average — two narrow aggs at
+    * any scale. Only the k×dim centroid matrix (tiny by definition)
+    * round-trips through the driver, which is what lets the next
+    * iteration inline the centroids as literals in a codegen'd argmin.
+    * Deterministic: init picks the k lowest xxhash64(id) vectors.
+    */
+  def ivfTrainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    val v = vectors.select(col(idCol).as("__id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    var cents: Seq[Seq[Double]] = v
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(k).select("v").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val byCluster = v
+        .select(ivfCluster(col("v"), cents).as("c"),
+          posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("c"), col("p")).agg(avg(col("x")).as("m"))
+        .groupBy(col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          s => s.getField("m")).as("cent"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => byCluster.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF ANN with trained centroids: assign both sides to their nearest
+    * coarse centroid, then the existing cluster-pruned equi-join. At rest
+    * the candidate side would be written partitioned by this cluster id —
+    * the query then reads one bucket partition instead of scanning.
+    */
+  def ivfTopKTrained(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     cents: Seq[Seq[Double]]): DataFrame = {
+    def withCluster(df: DataFrame) = df.withColumn("__ivf_cl",
+      ivfCluster(toDoubleVec(col(vecCol)), cents))
+    ivfTopK(withCluster(queries), withCluster(candidates), idCol, vecCol,
+      "__ivf_cl", k)
   }
 
   /** Fixed-seed ±1 (Rademacher) hyperplane weights for the portable LSH

@@ -51,7 +51,15 @@ object EntityUpserts {
     "question" -> EntityConfig(Seq("questionHash"), "validFromUs", "msgId",
       Seq("questionText")),
     "form_answer" -> EntityConfig(Seq("formId", "questionHash"),
-      "updatedTimeUs", "msgId", Seq("valueText", "valueNumeric")))
+      "updatedTimeUs", "msgId", Seq("valueText", "valueNumeric")),
+    // O19 metadata dims (ref core/.../FormController.java): the form
+    // instance plus its two description dims
+    "form" -> EntityConfig(Seq("internalId"), "firstFiledTimeUs", "msgId",
+      Seq("formDefinitionId", "visitId", "mrn", "noteId")),
+    "form_definition" -> EntityConfig(Seq("internalId"), "validFromUs",
+      "msgId", Seq("name", "patientFriendlyName")),
+    "form_question" -> EntityConfig(Seq("internalId"), "validFromUs",
+      "msgId", Seq("conceptName", "conceptAbbrevName")))
 
   def upsert(entity: String, state: DataFrame, updates: DataFrame)
       : KernelResult = {
@@ -65,6 +73,35 @@ object EntityUpserts {
     */
   def withQuestionHash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("questionHash", xxhash64(col(textCol)))
+
+  final case class WriteOnce(merged: DataFrame, errors: DataFrame)
+
+  /** J9 write-once dimension merge (ref LocationController.java:145-183:
+    * the Department/Room/Bed hierarchy FKs are immutable — an update that
+    * claims a DIFFERENT parent for an existing key is an error, never an
+    * overwrite). New keys insert; identical re-sends are no-ops;
+    * conflicting guarded columns route to the error channel with the
+    * stored-vs-claimed diff.
+    */
+  def writeOnceUpsert(current: DataFrame, updates: DataFrame,
+                      keyCols: Seq[String],
+                      guardedCols: Seq[String]): WriteOnce = {
+    val cols = keyCols ++ guardedCols
+    val u = updates.select(cols.map(col): _*).dropDuplicates(keyCols).as("u")
+    val c = current.select(cols.map(col): _*)
+      .withColumn("__exists", lit(true)).as("c")
+    val j = u.join(c, keyCols, "left")
+    val differs = guardedCols
+      .map(g => !(col(s"u.$g") <=> col(s"c.$g"))).reduce(_ || _)
+    val errors = j.filter(col("__exists").isNotNull && differs)
+      .select(keyCols.map(col) ++
+        guardedCols.map(g => col(s"u.$g").as(s"claimed_$g")) ++
+        guardedCols.map(g => col(s"c.$g").as(s"stored_$g")): _*)
+      .withColumn("error", lit("ImmutableFieldChanged"))
+    val inserts = j.filter(col("__exists").isNull)
+      .select(keyCols.map(col) ++ guardedCols.map(g => col(s"u.$g").as(g)): _*)
+    WriteOnce(current.unionByName(inserts, allowMissingColumns = true), errors)
+  }
 
   /** O10: MoveVisitInformation — re-key a visit to a different patient
     * and encounter (ref: core/.../VisitController.java:289+,

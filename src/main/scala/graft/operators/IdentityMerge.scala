@@ -65,4 +65,34 @@ object IdentityMerge {
       .select(col("t.mrn").as("mrn"),
         coalesce(col("m.survivor"), col("t.live_mrn")).as("live_mrn"))
   }
+
+  /** O5: ChangePatientIdentifiers — a message renames a patient's MRN
+    * (ref core/.../PersonController.java:368-404). Two branches, decided
+    * per change row against the CURRENT pointer table:
+    *  - the new MRN already exists → this is really a merge (old absorbed
+    *    into new), delegated to [[applyMerges]];
+    *  - the new MRN is unknown → in-place key update: the old MRN row is
+    *    re-keyed, and every live pointer at the old MRN follows.
+    * `changes` columns: oldMrn, newMrn. Change sets are admin-event-tiny
+    * → broadcast; the decision join streams the pointer table once.
+    */
+  def changeIdentifiers(mrnToLive: DataFrame, changes: DataFrame): DataFrame = {
+    val known = mrnToLive.select(col("mrn")).distinct()
+      .withColumnRenamed("mrn", "newMrn").withColumn("__known", lit(true))
+    val tagged = changes.select(col("oldMrn"), col("newMrn"))
+      .join(broadcast(known), Seq("newMrn"), "left")
+
+    val renames = broadcast(tagged.filter(col("__known").isNull)
+      .select(col("oldMrn"), col("newMrn")))
+    val renamed = mrnToLive.as("t")
+      .join(renames.as("rk"), col("t.mrn") === col("rk.oldMrn"), "left")
+      .join(renames.as("rl"), col("t.live_mrn") === col("rl.oldMrn"), "left")
+      .select(
+        coalesce(col("rk.newMrn"), col("t.mrn")).as("mrn"),
+        coalesce(col("rl.newMrn"), col("t.live_mrn")).as("live_mrn"))
+
+    val merges = tagged.filter(col("__known").isNotNull)
+      .select(col("oldMrn").as("absorbed"), col("newMrn").as("survivor"))
+    applyMerges(renamed, merges)
+  }
 }

@@ -53,6 +53,16 @@ object Labs {
       Seq("battery", "labSpecimenNumber"), "statusChangeTimeUs",
       Seq("epicOrderNumber", "mrn", "visitNumber"))
 
+    // Binary (e.g. PDF) result values ride along as a first-class binary
+    // payload column (ref LabResultController.java:131 valueAsBytes);
+    // optional in the message schema so text-only feeds need not carry it.
+    val hasBytes = msgs.schema("results").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("byteValue")
+    val byteValue =
+      if (hasBytes) col("r.byteValue") else lit(null).cast("binary")
+
     val resultRows = msgs
       .select(col("battery"), col("labSpecimenNumber"),
         col("sourceMessageId"), explode(col("results")).as("r"))
@@ -61,17 +71,21 @@ object Labs {
         col("r.mimeType").as("mimeType"),
         col("r.numericValue").as("numericValue"),
         col("r.stringValue").as("stringValue"),
+        byteValue.as("byteValue"),
         col("r.units").as("units"),
         col("r.resultTimeUs").as("resultTimeUs"),
         col("r.isolateCode").as("isolateCode"),
         col("r.sensitivities").as("sensitivities"))
 
     // J7: result upsert key = (order, test definition); mime-typed value
-    // dispatch is carried in the payload columns (NUMERIC vs TEXT).
+    // dispatch is carried in the payload columns (NUMERIC vs TEXT vs
+    // binary; X11 byte equality holds because Spark compares BinaryType
+    // by content in `<=>`, so a re-sent identical PDF is an F6 no-op).
     val results = fold(
       resultRows.drop("sensitivities"),
       Seq("battery", "labSpecimenNumber", "testCode"), "resultTimeUs",
-      Seq("mimeType", "numericValue", "stringValue", "units", "isolateCode"))
+      Seq("mimeType", "numericValue", "stringValue", "byteValue", "units",
+        "isolateCode"))
 
     val sensRows = resultRows
       .filter(col("isolateCode").isNotNull)

@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hl7Timestamp.hl7TsUs
+
+/** S2: HL7 v2 wire parsing — pipe/caret splitting of MSH/EVN/PID/PV1/
+  * OBR/OBX segments plus MSH-9 type/trigger routing into the interchange
+  * ADT shape (ref: hl7-reader/.../IdsOperations.java:351-477 for WHAT is
+  * extracted; the HL7 v2 encoding rules themselves are public spec).
+  *
+  * Spark-first: every accessor is a pure `functions._` composition
+  * (split / filter / get / element lookups), so parsing stays inside
+  * whole-stage codegen and distributes like any projection — no UDF, no
+  * driver loop, no per-row JVM object graph. A raw-message DataFrame at
+  * any scale parses in one narrow map stage.
+  *
+  * Conventions:
+  *  - segments split on CR (wire standard) or LF (file corpora);
+  *  - field numbering is HL7's: for non-MSH segments, field i is the
+  *    i-th pipe-delimited element after the segment id; MSH-1 IS the
+  *    field separator, so MSH-i sits one split-index earlier;
+  *  - only the first repetition (`~`) of a field is taken, matching the
+  *    reference's single-identifier reads;
+  *  - empty string → null (HL7 "not present"; tri-state semantics over
+  *    parsed values live in [[graft.model.IValue.fromHl7]]).
+  */
+object Hl7Wire {
+
+  /** Non-empty segments of a raw message. */
+  def segments(raw: Column): Column =
+    filter(split(raw, "[\\r\\n]+"), s => length(s) > 0)
+
+  /** First segment with the given id ("PID"), null if absent. */
+  def segment(raw: Column, id: String): Column =
+    get(filter(segments(raw), s => substring(s, 1, 3) === id), lit(0))
+
+  /** All segments with the given id (OBX/OBR/NTE repeat). */
+  def segmentsOf(raw: Column, id: String): Column =
+    filter(segments(raw), s => substring(s, 1, 3) === id)
+
+  private def nullIfEmpty(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+
+  /** HL7 field i (1-based) of a non-MSH segment. */
+  def fld(seg: Column, i: Int): Column =
+    nullIfEmpty(get(split(seg, "\\|"), lit(i)))
+
+  /** HL7 field i of the MSH segment (MSH-1 is the separator itself). */
+  def mshFld(seg: Column, i: Int): Column =
+    if (i == 1) lit("|") else nullIfEmpty(get(split(seg, "\\|"), lit(i - 1)))
+
+  /** Component k (1-based, `^`-separated) of a field. */
+  def cmp(f: Column, k: Int): Column =
+    nullIfEmpty(get(split(f, "\\^"), lit(k - 1)))
+
+  /** First repetition (`~`-separated) of a field. */
+  def rep1(f: Column): Column = nullIfEmpty(get(split(f, "~"), lit(0)))
+
+  /** ADT trigger (MSH-9.2) → interchange operation, the dispatch the
+    * reference routes in AdtMessageFactory (A01 admit, A02 transfer,
+    * A03 discharge, A08 update, A11/A12/A13 cancels, A40 merge).
+    */
+  def triggerToOp(trigger: Column): Column =
+    when(trigger === "A01", "Admit")
+      .when(trigger === "A02", "Transfer")
+      .when(trigger === "A03", "Discharge")
+      .when(trigger === "A08", "UpdateInfo")
+      .when(trigger === "A11", "CancelAdmit")
+      .when(trigger === "A12", "CancelTransfer")
+      .when(trigger === "A13", "CancelDischarge")
+      .when(trigger === "A40", "MergePatient")
+      .otherwise(concat(lit("Unhandled:"), trigger))
+
+  /** Parse raw ADT messages into the interchange ADT shape
+    * ([[graft.model.AdtMessage]] column-for-column, plus `trigger` and
+    * the X1 `validFromUs` best-guess). Messages missing MSH parse to
+    * null fields — filter on `msgType.isNotNull` for the clean channel.
+    */
+  def parseAdt(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val msh = segment(raw, "MSH")
+    val evn = segment(raw, "EVN")
+    val pid = segment(raw, "PID")
+    val pv1 = segment(raw, "PV1")
+
+    val trigger = cmp(mshFld(msh, 9), 2)
+    val recordedUs = coalesce(hl7TsUs(mshFld(msh, 7)), hl7TsUs(fld(evn, 2)))
+    val occurredUs = hl7TsUs(fld(evn, 6))
+    val name = fld(pid, 5)
+
+    df.select(
+      triggerToOp(trigger).as("msgType"),
+      trigger.as("trigger"),
+      mshFld(msh, 10).as("sourceMessageId"),
+      mshFld(msh, 3).as("sourceSystem"),
+      recordedUs.as("recordedDateTimeUs"),
+      occurredUs.as("eventOccurredDateTimeUs"),
+      cmp(rep1(fld(pid, 3)), 1).as("mrn"),
+      // NHS number: the PID-3 repetition whose identifier-type (CX.5)
+      // is NHSNMBR — scan repetitions, take the first match
+      get(transform(
+        filter(split(fld(pid, 3), "~"),
+          r => get(split(r, "\\^"), lit(4)) === "NHSNMBR"),
+        r => get(split(r, "\\^"), lit(0))), lit(0)).as("nhsNumber"),
+      cmp(fld(pv1, 19), 1).as("visitNumber"),
+      fld(pv1, 3).as("fullLocationString"),
+      cmp(fld(pv1, 2), 1).as("patientClass"),
+      cmp(name, 2).as("patientGivenName"),
+      cmp(name, 1).as("patientFamilyName"),
+      hl7TsUs(fld(pv1, 44)).as("admissionDateTimeUs"),
+      hl7TsUs(fld(pv1, 45)).as("dischargeDateTimeUs"),
+      coalesce(occurredUs, recordedUs).as("validFromUs"))
+  }
+
+  /** Explode a message's OBX result segments into one row each:
+    * (setId, valueType, observationId, subId, value, units, obsTimeUs,
+    * resultStatus). Carries every column of `df` through, so callers
+    * join results to their parsed order/ADT context for free.
+    */
+  def parseObx(df: DataFrame, rawCol: String): DataFrame = {
+    val obx = col("__obx")
+    df.withColumn("__obx", explode(segmentsOf(col(rawCol), "OBX")))
+      .withColumn("obxSetId", fld(obx, 1).cast("int"))
+      .withColumn("valueType", fld(obx, 2))
+      .withColumn("observationId", cmp(fld(obx, 3), 1))
+      .withColumn("observationSubId", fld(obx, 4))
+      .withColumn("value", rep1(fld(obx, 5)))
+      .withColumn("units", cmp(fld(obx, 6), 1))
+      .withColumn("resultStatus", fld(obx, 11))
+      .withColumn("obsTimeUs", hl7TsUs(fld(obx, 14)))
+      .drop("__obx")
+  }
+
+  /** Explode OBR order segments: (orderNumber, testId, requestedUs,
+    * obsUs, status). */
+  def parseObr(df: DataFrame, rawCol: String): DataFrame = {
+    val obr = col("__obr")
+    df.withColumn("__obr", explode(segmentsOf(col(rawCol), "OBR")))
+      .withColumn("fillerOrderNumber", cmp(fld(obr, 3), 1))
+      .withColumn("testId", cmp(fld(obr, 4), 1))
+      .withColumn("requestedDateTimeUs", hl7TsUs(fld(obr, 6)))
+      .withColumn("observationDateTimeUs", hl7TsUs(fld(obr, 7)))
+      .withColumn("resultStatus", fld(obr, 25))
+      .drop("__obr")
+  }
+}

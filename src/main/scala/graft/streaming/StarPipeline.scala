@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.kernel.BitemporalKernel
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** S8/W1: the streaming star-maintenance pipeline — every micro-batch of
   * messages is folded into the persisted bitemporal state via the kernel
@@ -11,53 +14,121 @@ import graft.kernel.BitemporalKernel
   * Technical_overview_of_EMAP.md:180).
   *
   * foreachBatch = the reference's per-message ACID transaction at
-  * micro-batch granularity: read current history, fold, atomically
-  * replace. Parquet-swap here (single-writer, version directories +
-  * _CURRENT pointer — atomic because the pointer write is one rename);
-  * swap in Delta/Iceberg MERGE for multi-writer production.
+  * micro-batch granularity.
+  *
+  * State layout — incremental by key bucket, atomic by manifest:
+  *
+  *   stateDir/_CURRENT              → name of the live manifest file
+  *   stateDir/manifest-v<N>         → lines `table \t bucket \t relPath`
+  *   stateDir/data/<table>/v<N>/__bucket=<k>/  (parquet files)
+  *
+  * History is hash-partitioned into `nBuckets` buckets on the key. A
+  * micro-batch reads ONLY the buckets its keys hash into, folds them with
+  * the kernel, and writes ONLY those buckets back; the new manifest
+  * carries every untouched bucket's entry forward verbatim (same files —
+  * zero I/O, not even a copy). Fold cost is therefore O(state of touched
+  * buckets), not O(total state): size nBuckets so a bucket's history fits
+  * an executor, and per-batch cost tracks batch key-spread instead of
+  * table size — the property that keeps the write path alive at 100×.
+  *
+  * One manifest covers history/live/audit together, and readers resolve
+  * every table through the single `_CURRENT` pointer (one atomic rename),
+  * so a crash between table writes can never expose mixed versions —
+  * a reader joining live+audit always sees one consistent fold.
+  * (Single-writer parquet-swap; swap in Delta/Iceberg MERGE for
+  * multi-writer production.)
   */
 object StarPipeline {
 
   final case class Config(stateDir: String, keyCols: Seq[String],
                           validFromUsCol: String, tieCol: String,
-                          payloadCols: Seq[String])
+                          payloadCols: Seq[String], nBuckets: Int = 64)
 
-  private def currentVersion(spark: SparkSession, dir: String): Option[String] = {
-    val f = new java.io.File(s"$dir/_CURRENT")
-    if (f.exists) Some(new String(java.nio.file.Files.readAllBytes(f.toPath)).trim)
-    else None
+  private val Tables = Seq("history", "live", "audit")
+
+  private def bucketOf(cfg: Config): Column =
+    pmod(xxhash64(cfg.keyCols.map(col): _*), lit(cfg.nBuckets))
+
+  /** manifest: table → (bucket id → path relative to stateDir). */
+  private def readManifest(cfg: Config): Map[String, Map[String, String]] = {
+    val cur = Paths.get(cfg.stateDir, "_CURRENT")
+    if (!Files.exists(cur)) return Map.empty
+    val name = new String(Files.readAllBytes(cur)).trim
+    val lines = new String(Files.readAllBytes(Paths.get(cfg.stateDir, name)))
+      .split("\n").filter(_.nonEmpty)
+    lines.map(_.split("\t")).collect { case Array(t, b, p) => (t, b, p) }
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
   }
 
+  private def writeManifest(cfg: Config,
+                            man: Map[String, Map[String, String]],
+                            batchId: Long): Unit = {
+    val name = s"manifest-v$batchId"
+    val body = (for {
+      (t, buckets) <- man.toSeq.sortBy(_._1)
+      (b, p) <- buckets.toSeq.sortBy(_._1.toLong)
+    } yield s"$t\t$b\t$p").mkString("\n")
+    Files.createDirectories(Paths.get(cfg.stateDir))
+    Files.write(Paths.get(cfg.stateDir, name), body.getBytes)
+    val tmp = Paths.get(cfg.stateDir, "_CURRENT.tmp")
+    Files.write(tmp, name.getBytes)
+    Files.move(tmp, Paths.get(cfg.stateDir, "_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a table as of the current manifest (all buckets unioned). */
   def readState(spark: SparkSession, cfg: Config, table: String): Option[DataFrame] =
-    currentVersion(spark, s"${cfg.stateDir}/$table")
-      .map(v => spark.read.parquet(s"${cfg.stateDir}/$table/$v"))
-
-  private def writeState(df: DataFrame, cfg: Config, table: String,
-                         batchId: Long): Unit = {
-    val dir = s"${cfg.stateDir}/$table"
-    val v = s"v$batchId"
-    df.write.mode("overwrite").parquet(s"$dir/$v")
-    val tmp = java.nio.file.Paths.get(dir, "_CURRENT.tmp")
-    java.nio.file.Files.write(tmp, v.getBytes)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+    readManifest(cfg).get(table).filter(_.nonEmpty).map { buckets =>
+      spark.read.parquet(
+        buckets.values.toSeq.sorted.map(p => s"${cfg.stateDir}/$p"): _*)
+    }
 
   /** Fold one micro-batch into the persisted state. Idempotent on replay
     * (W2): re-folding the same batch produces the same history because
-    * the kernel dedups on (key, validFrom, tie).
+    * the kernel dedups on (key, validFrom, tie), and the rewrite targets
+    * the same version directories.
     */
   def foldBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val spark = batch.sparkSession
-    val history = readState(spark, cfg, "history")
-      .getOrElse(batch.limit(0))
+    val man = readManifest(cfg)
+
+    // Which buckets does this batch touch? (≤ nBuckets small longs.)
+    val touched = batch.select(bucketOf(cfg).as("__bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+
+    // Read ONLY the touched buckets' history.
+    val histPaths = touched
+      .flatMap(k => man.getOrElse("history", Map.empty).get(k.toString))
+      .map(p => s"${cfg.stateDir}/$p")
+    val history =
+      if (histPaths.isEmpty) batch.limit(0)
+      else spark.read.parquet(histPaths: _*)
+
     val r = BitemporalKernel.applyBatch(history, batch, cfg.keyCols,
       cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
-    // materialize history first; live/audit are derived views of it
-    writeState(r.history, cfg, "history", batchId)
-    writeState(r.live, cfg, "live", batchId)
-    writeState(r.audit, cfg, "audit", batchId)
+
+    val newMan = Tables.foldLeft(man) { (m, tbl) =>
+      val df = tbl match {
+        case "history" => r.history
+        case "live"    => r.live
+        case "audit"   => r.audit
+      }
+      val vDir = s"data/$tbl/v$batchId"
+      df.withColumn("__bucket", bucketOf(cfg))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"${cfg.stateDir}/$vDir")
+      // A touched bucket with no output rows gets no directory — its
+      // manifest entry is dropped (the bucket is now empty for `tbl`).
+      val updated = touched.foldLeft(m.getOrElse(tbl, Map.empty)) { (tm, k) =>
+        val rel = s"$vDir/__bucket=$k"
+        if (Files.exists(Paths.get(cfg.stateDir, rel))) tm.updated(k.toString, rel)
+        else tm - k.toString
+      }
+      m.updated(tbl, updated)
+    }
+    writeManifest(cfg, newMan, batchId)
   }
 
   /** Start the maintenance query over a message stream. */

@@ -59,6 +59,24 @@ class CollatorSpec extends SparkSpecBase {
     assert(rest2.isEmpty)
   }
 
+  test("oversized message is split: targetSamples is a hard bound") {
+    // one 7000-sample message against targetSamples=3000
+    val periodUs = 1000000.0 / 300
+    val big = List(WaveMsg("LOC1", "300hz", 0L, 300, "uV",
+      Seq.tabulate(7000)(_.toDouble)))
+    val (chunks, rest) = collate(big, cfg, nowUs = Long.MaxValue,
+      flushAll = true)
+    assert(rest.isEmpty)
+    assert(chunks.map(_.values.size) == List(3000, 3000, 1000))
+    assert(chunks.forall(!_.isError))
+    // sample continuity: concatenation reproduces the original payload,
+    // and each split chunk's obsTime advances by samples/rate
+    assert(chunks.flatMap(_.values) == big.head.values)
+    assert(chunks.map(_.obsTimeUs) ==
+      List(0L, math.round(3000 * periodUs), math.round(3000 * periodUs) +
+        math.round(3000 * periodUs)))
+  }
+
   test("splits at gaps larger than tolerance") {
     val a = contiguous(10)                       // ends at ~1.333s
     val b = contiguous(10, startUs = 10_000_000L) // 10s: clear gap

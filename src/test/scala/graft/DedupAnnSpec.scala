@@ -56,6 +56,37 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("trained IVF: Lloyd's improves inertia; top-k matches brute force within cluster") {
+    def inertia(cents: Seq[Seq[Double]]): Double = {
+      import graft.functions.GraftFunctions.toDoubleVec
+      val cl = Ann.ivfCluster(toDoubleVec($"embedding"), cents)
+      val dist = cents.zipWithIndex.map { case (c, i) =>
+        when(cl === i, aggregate(
+          zip_with(toDoubleVec($"embedding"), typedLit(c),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      }.reduce((a, b) => coalesce(a, b))
+      em.select(sum(dist)).as[Double].head()
+    }
+    val init = Ann.ivfTrainCentroids(em, "vec_id", "embedding", k = 4, iters = 0)
+    val trained = Ann.ivfTrainCentroids(em, "vec_id", "embedding", k = 4, iters = 4)
+    assert(inertia(trained) <= inertia(init))
+
+    // per query: trained-IVF top-k == brute force restricted to the
+    // query's trained cluster
+    val q = em.filter($"vec_id" < 3)
+    val got = Ann.ivfTopKTrained(q, em, "vec_id", "embedding", 3, trained)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    import graft.functions.GraftFunctions.toDoubleVec
+    val withCl = em.withColumn("cl",
+      Ann.ivfCluster(toDoubleVec($"embedding"), trained))
+    val exp = Ann.ivfTopK(withCl.filter($"vec_id" < 3), withCl,
+        "vec_id", "embedding", "cl", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("LSH ANN returns same-bucket true neighbors with high sim first") {
     val r = Ann.lshBucketTopK(em.filter($"vec_id" < 5), em,
       "vec_id", "embedding", dim = 64, nPlanes = 6, k = 5)

@@ -50,6 +50,46 @@ class EntityUpsertsSpec extends SparkSpecBase {
     assert(r.audit.count() == 0)
   }
 
+  test("O19 form metadata dims upsert via registry") {
+    val defs = Seq((10L, 1000L, 1L, "ICU admission", "ICU form"),
+      (10L, 2000L, 2L, "ICU admission v2", "ICU form"))
+      .toDF("internalId", "validFromUs", "msgId", "name",
+        "patientFriendlyName")
+    val r = EntityUpserts.upsert("form_definition", defs.limit(0), defs)
+    val live = r.live.select("internalId", "name").as[(Long, String)]
+      .collect().toSeq
+    assert(live == Seq((10L, "ICU admission v2")))
+    assert(r.audit.count() == 1) // v1 name closed by the rename
+
+    val forms = Seq((77L, 5000L, 3L, 10L, "v1", "m1", Option.empty[Long]))
+      .toDF("internalId", "firstFiledTimeUs", "msgId", "formDefinitionId",
+        "visitId", "mrn", "noteId")
+    val f = EntityUpserts.upsert("form", forms.limit(0), forms)
+    assert(f.live.count() == 1)
+  }
+
+  test("J9 write-once dim: new inserts, identical no-op, changed FK errors") {
+    val current = Seq(("bed1", "room1"), ("bed2", "room1"))
+      .toDF("bedId", "roomId")
+    val updates = Seq(
+      ("bed1", "room1"), // identical → no-op
+      ("bed2", "room9"), // CHANGED parent → error, not overwrite
+      ("bed3", "room2")) // new → insert
+      .toDF("bedId", "roomId")
+    val r = EntityUpserts.writeOnceUpsert(current, updates,
+      Seq("bedId"), Seq("roomId"))
+    val merged = r.merged.select("bedId", "roomId").as[(String, String)]
+      .collect().toMap
+    assert(merged == Map("bed1" -> "room1", "bed2" -> "room1",
+      "bed3" -> "room2"))
+    val errs = r.errors.collect()
+    assert(errs.length == 1)
+    assert(errs.head.getAs[String]("bedId") == "bed2" &&
+      errs.head.getAs[String]("claimed_roomId") == "room9" &&
+      errs.head.getAs[String]("stored_roomId") == "room1" &&
+      errs.head.getAs[String]("error") == "ImmutableFieldChanged")
+  }
+
   test("O10 move visit re-keys to new patient when move is newer") {
     val visits = Seq(("v1", "mOld", "encOld", 1000L),
       ("v2", "mX", "encX", 1000L))

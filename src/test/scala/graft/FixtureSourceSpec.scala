@@ -65,8 +65,14 @@ class FixtureSourceSpec extends SparkSpecBase {
     fx.load(spark, "AdtMessages/generic/update_info.json", demoSchema)
     val e = intercept[IllegalStateException](fx.assertAllConsumed())
     assert(e.getMessage.contains("moves_hourly.json"))
-    // consuming everything satisfies the guarantee
+    // consuming the full corpus satisfies the guarantee (schemas are the
+    // per-family contracts exercised in FixturePermutationSpec; here the
+    // monitored walk only needs each file touched through the source)
     fx.loadDir(spark, "AdtMessages/Moves", adtSchema)
+    import org.apache.spark.sql.types.StructType
+    val touchAll = Seq("Flowsheets", "PatientConditions", "ConsultRequests",
+      "Forms", "DeptStates", "LabOrders")
+    touchAll.foreach(d => fx.loadDir(spark, d, new StructType()))
     fx.assertAllConsumed()
   }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Hl7Wire
+
+/** Golden wire-parse tests: raw HL7 v2 → interchange rows equal
+  * hand-written expected values (the reference's
+  * TestHl7ParsingMatchesInterchangeFactoryOutput pattern).
+  */
+class Hl7WireSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def seg(fields: String*): String = fields.mkString("|")
+  private def pv1To19(loc: String, visit: String): String =
+    (Seq("PV1", "1", "I", loc) ++ Seq.fill(15)("") :+ visit).mkString("|")
+
+  private val adtRaw = Seq(
+    "MSH|^~\\&|EPIC|UCLH|||20240102030405||ADT^A01|MSG001|P|2.4",
+    "EVN|A01|20240102030405||||20240102030400",
+    "PID|1||40800000^^^MRN^MRN~9999999999^^^NHS^NHSNMBR||ORANGE^Zest||19800101|F",
+    pv1To19("T11E^T11E BY02^BY02-17", "123412341234")
+  ).mkString("\r")
+
+  test("golden ADT A01 parses to the interchange shape") {
+    val r = Hl7Wire.parseAdt(Seq(adtRaw).toDF("raw"), "raw").collect().head
+    assert(r.getAs[String]("msgType") == "Admit")
+    assert(r.getAs[String]("trigger") == "A01")
+    assert(r.getAs[String]("sourceMessageId") == "MSG001")
+    assert(r.getAs[String]("sourceSystem") == "EPIC")
+    // 2024-01-02T03:04:05Z / 03:04:00Z
+    assert(r.getAs[Long]("recordedDateTimeUs") == 1704164645000000L)
+    assert(r.getAs[Long]("eventOccurredDateTimeUs") == 1704164640000000L)
+    assert(r.getAs[String]("mrn") == "40800000")
+    assert(r.getAs[String]("nhsNumber") == "9999999999")
+    assert(r.getAs[String]("visitNumber") == "123412341234")
+    assert(r.getAs[String]("fullLocationString") == "T11E^T11E BY02^BY02-17")
+    assert(r.getAs[String]("patientClass") == "I")
+    assert(r.getAs[String]("patientGivenName") == "Zest")
+    assert(r.getAs[String]("patientFamilyName") == "ORANGE")
+    assert(r.isNullAt(r.fieldIndex("admissionDateTimeUs")))
+    // X1 best-guess: occurred wins over recorded
+    assert(r.getAs[Long]("validFromUs") == 1704164640000000L)
+  }
+
+  test("trigger routing covers the ADT operation set + fallback") {
+    val triggers = Seq("A01", "A02", "A03", "A08", "A11", "A12", "A13",
+      "A40", "A99")
+    val raws = triggers.map(t =>
+      s"MSH|^~\\&|S|F|||20240101000000||ADT^$t|M$t|P|2.4")
+    val got = Hl7Wire.parseAdt(raws.toDF("raw"), "raw")
+      .select("trigger", "msgType").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "A01" -> "Admit", "A02" -> "Transfer", "A03" -> "Discharge",
+      "A08" -> "UpdateInfo", "A11" -> "CancelAdmit",
+      "A12" -> "CancelTransfer", "A13" -> "CancelDischarge",
+      "A40" -> "MergePatient", "A99" -> "Unhandled:A99"))
+  }
+
+  test("golden ORU: OBR order + repeated OBX results explode per row") {
+    val oruRaw = Seq(
+      "MSH|^~\\&|WINPATH|UCLH|||20240102030405||ORU^R01|MSG002|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      "OBR|1||ORD123^LAB|FBC^Full Blood Count|||20240102030405",
+      "OBX|1|NM|HGB^Hemoglobin||13.5|g/dL|||||F|||20240102030405",
+      "OBX|2|ST|WCC^White Cells||pending review||||||P"
+    ).mkString("\r")
+    val df = Seq(oruRaw).toDF("raw")
+
+    val obr = Hl7Wire.parseObr(df, "raw").collect()
+    assert(obr.length == 1)
+    assert(obr.head.getAs[String]("fillerOrderNumber") == "ORD123")
+    assert(obr.head.getAs[String]("testId") == "FBC")
+    assert(obr.head.getAs[Long]("observationDateTimeUs") == 1704164645000000L)
+
+    val obx = Hl7Wire.parseObx(df, "raw").orderBy("obxSetId").collect()
+    assert(obx.length == 2)
+    assert(obx(0).getAs[String]("observationId") == "HGB")
+    assert(obx(0).getAs[String]("valueType") == "NM")
+    assert(obx(0).getAs[String]("value") == "13.5")
+    assert(obx(0).getAs[String]("units") == "g/dL")
+    assert(obx(0).getAs[String]("resultStatus") == "F")
+    assert(obx(0).getAs[Long]("obsTimeUs") == 1704164645000000L)
+    assert(obx(1).getAs[String]("observationId") == "WCC")
+    assert(obx(1).getAs[String]("resultStatus") == "P")
+    assert(obx(1).isNullAt(obx(1).fieldIndex("obsTimeUs")))
+  }
+
+  test("missing segments and empty fields degrade to nulls, not errors") {
+    val bare = "MSH|^~\\&|S|F|||20240101000000||ADT^A03|M1|P|2.4"
+    val r = Hl7Wire.parseAdt(Seq(bare).toDF("raw"), "raw").collect().head
+    assert(r.getAs[String]("msgType") == "Discharge")
+    assert(r.isNullAt(r.fieldIndex("mrn")))
+    assert(r.isNullAt(r.fieldIndex("visitNumber")))
+    assert(r.isNullAt(r.fieldIndex("eventOccurredDateTimeUs")))
+    assert(r.getAs[Long]("validFromUs") == 1704067200000000L)
+    // no OBX → zero exploded rows
+    assert(Hl7Wire.parseObx(Seq(bare).toDF("raw"), "raw").count() == 0)
+  }
+}

@@ -99,6 +99,24 @@ class LocationVisitsSpec extends SparkSpecBase {
     assert(got.getAs[Boolean]("inferredAdmission"))
   }
 
+  test("zero/negative-length intervals are rejected to the error channel") {
+    // surviving Discharge BEFORE the last admission → negative interval
+    val bad = Seq(
+      M("v1", "Admit", "A", 2 * H, 1, None, None),
+      M("v1", "Discharge", null, 3 * H, 2, None, Some(1 * H)))
+    val valid = LocationVisits.deriveIntervals(toDf(bad))
+    assert(valid.count() == 0)
+    val errs = LocationVisits.intervalErrors(toDf(bad)).collect()
+    assert(errs.length == 1 &&
+      errs.head.getAs[Long]("dischargeUs") == 1 * H &&
+      errs.head.getAs[Long]("admissionUs") == 2 * H)
+
+    // a healthy visit is untouched by the guard
+    val ok = LocationVisits.deriveIntervals(toDf(moves))
+    assert(ok.count() == 4 &&
+      LocationVisits.intervalErrors(toDf(moves)).count() == 0)
+  }
+
   test("occupancy as-of (flagship bed-occupancy query, F10)") {
     val intervals = LocationVisits.deriveIntervals(toDf(moves))
     val at = LocationVisits.occupancyAsOf(intervals, 2 * H + 1)

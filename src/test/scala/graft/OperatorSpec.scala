@@ -105,6 +105,18 @@ class OperatorSpec extends SparkSpecBase {
       cyc.values.forall(Set("A", "B", "C", "D")))
   }
 
+  test("O5 change-identifiers: rename when new MRN unknown, merge when known") {
+    val pointers = Seq(("A", "A"), ("B", "A"), ("C", "C"), ("D", "D"))
+      .toDF("mrn", "live_mrn") // B already merged into A
+    val changes = Seq(
+      ("A", "Z"),  // Z unknown → in-place rename; B's pointer follows
+      ("D", "C"))  // C exists → merge D into C
+      .toDF("oldMrn", "newMrn")
+    val out = IdentityMerge.changeIdentifiers(pointers, changes)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map("Z" -> "Z", "B" -> "Z", "C" -> "C", "D" -> "C"))
+  }
+
   test("sessionize assigns increasing session ids per gap") {
     val df = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 5000L, 3L),
       (1L, 5100L, 4L)).toDF("k", "ts_us", "id")

@@ -78,6 +78,37 @@ class PipelineSpec extends SparkSpecBase {
     assert(audit == Seq((1000L, 2000L), (2000L, 3000L)))
   }
 
+  test("S8 bucketed fold rewrites only touched buckets (incremental state)") {
+    import graft.kernel.BitemporalKernel
+    val stateDir = Files.createTempDirectory("star_bucket").toString
+    val cfg = StarPipeline.Config(stateDir, Seq("key"), "ts_us", "msg_id",
+      Seq("state", "value"), nBuckets = 8)
+    val b1 = (1L to 8L).map(k => StarMsg(k, 1000L * k, k, "a", k.toDouble)).toDF()
+    StarPipeline.foldBatch(b1, 1L, cfg)
+    def bucketDirs(v: String) = new java.io.File(s"$stateDir/data/history/$v")
+      .listFiles().filter(_.getName.startsWith("__bucket=")).map(_.getName).toSet
+    val v1Before = bucketDirs("v1")
+
+    val b2 = Seq(StarMsg(1L, 500L, 100L, "z", 0.5)).toDF()
+    StarPipeline.foldBatch(b2, 2L, cfg)
+
+    // v2 holds exactly the buckets batch 2 touched; v1's files are intact
+    val touched = b2.select(pmod(xxhash64(col("key")), lit(8)).cast("string"))
+      .distinct().as[String].collect().map("__bucket=" + _).toSet
+    assert(bucketDirs("v2") == touched)
+    assert(bucketDirs("v1") == v1Before)
+
+    // combined state == from-scratch fold of all messages
+    val expect = BitemporalKernel.applyBatch(b1.limit(0), b1.unionByName(b2),
+      Seq("key"), "ts_us", "msg_id", Seq("state", "value"))
+    val gotLive = StarPipeline.readState(spark, cfg, "live").get
+      .orderBy("key").select("key", "ts_us", "state")
+      .as[(Long, Long, String)].collect().toSeq
+    val expLive = expect.live.orderBy("key").select("key", "ts_us", "state")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(gotLive == expLive && gotLive.nonEmpty)
+  }
+
   test("S7: effect log captures per-batch progress") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
