@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.kernel.BitemporalKernel
-import graft.operators.{Ann, Dedup, IdentityMerge, Temporal, TextAnalysis}
+import graft.operators.{Ann, Dedup, EntityUpserts, IdentityMerge, Temporal, TextAnalysis}
 
 /** Driver contract (see SURVEY.md §7 + TESTDATA.md).
   *
@@ -416,7 +416,7 @@ object SparkEntry {
     // ---- embedding-cosine near-dup w/ cluster blocking --------------
     "q34_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          "label", simThreshold = 0.2)
+          "label", simThreshold = 0.2, maxClusterSize = 2000)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -590,6 +590,78 @@ object SparkEntry {
           col("patientFamilyName").as("family_name"),
           col("fullLocationString").as("location"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- language ID (lexicon-hit argmax, oracle-replayable) --------
+    "q45_lang_id" -> ((s, dir) => {
+      TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- J9 write-once dim merge: merged channel --------------------
+    // current = nation; updates mutate every 5th region FK (must NOT
+    // overwrite) and add 25 new keys (must insert).
+    "q46_write_once_merge" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val updates = nation.select(col("n_nationkey"),
+          when(pmod(col("n_nationkey"), lit(5)) === 0,
+            col("n_regionkey") + 1).otherwise(col("n_regionkey"))
+            .as("n_regionkey"))
+        .unionByName(nation.select(
+          (col("n_nationkey") + 100).as("n_nationkey"), col("n_regionkey")))
+      EntityUpserts.writeOnceUpsert(nation, updates,
+          Seq("n_nationkey"), Seq("n_regionkey"))
+        .merged
+        .select(col("n_nationkey").cast("long").as("nationkey"),
+          col("n_regionkey").cast("long").as("regionkey"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---- J9 write-once dim merge: error channel ---------------------
+    "q47_write_once_errors" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val updates = nation.select(col("n_nationkey"),
+          when(pmod(col("n_nationkey"), lit(5)) === 0,
+            col("n_regionkey") + 1).otherwise(col("n_regionkey"))
+            .as("n_regionkey"))
+        .unionByName(nation.select(
+          (col("n_nationkey") + 100).as("n_nationkey"), col("n_regionkey")))
+      EntityUpserts.writeOnceUpsert(nation, updates,
+          Seq("n_nationkey"), Seq("n_regionkey"))
+        .errors
+        .select(col("n_nationkey").cast("long").as("nationkey"),
+          col("claimed_n_regionkey").cast("long").as("claimed"),
+          col("stored_n_regionkey").cast("long").as("stored"),
+          col("error"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---- S2: ORU wire round-trip through the OBX exploder -----------
+    "q48_hl7_obx" -> ((s, dir) => {
+      val e = eventsUs(s, dir).filter(col("event_type") === "signup")
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val hr = (pmod(col("event_id"), lit(120)) + 40).cast("string")
+      val spo2 = (pmod(col("event_id"), lit(10)) + 90).cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|WP|FAC|||"), dtm, lit("||ORU^R01|M"), eid,
+          lit("|P|2.4")),
+        concat(lit("PID|1||"), col("user_id").cast("string")),
+        concat(lit("OBR|1||O"), eid, lit("^LAB|PANEL^Vitals|||"), dtm),
+        concat(lit("OBX|1|NM|HR^HeartRate||"), hr, lit("|bpm|||||F|||"), dtm),
+        concat(lit("OBX|2|NM|SPO2^Saturation||"), spo2,
+          lit("|%|||||F|||"), dtm))
+      graft.sources.Hl7Wire.parseObx(e.withColumn("raw", raw), "raw")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("obxSetId").cast("long").as("obx_set"),
+          col("observationId").as("obs_id"), col("value"),
+          col("units"), col("resultStatus").as("status"),
+          col("obsTimeUs").as("obs_us"))
+        .orderBy(col("event_id"), col("obx_set"))
     })
   )
 
@@ -977,7 +1049,8 @@ object SparkEntry {
 
     "q34_embed_neardup" ->
       """WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings)
+        |  FROM embeddings
+        |  QUALIFY COUNT(*) OVER (PARTITION BY label) <= 2000)
         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
         | round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS sim
         |FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -1046,6 +1119,57 @@ object SparkEntry {
         | strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H%M%S') AS hl7,
         | epoch_us(date_trunc('second', CAST(ts AS TIMESTAMP))) AS parsed_us
         |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
+    "q45_lang_id" ->
+      """WITH lex(lang, words) AS (VALUES
+        |  ('de', ['der','die','das','und','ist','ein','nicht','mit']),
+        |  ('en', ['the','and','of','to','is','in','that','it']),
+        |  ('es', ['el','la','los','las','es','una','que','por']),
+        |  ('fr', ['le','la','et','les','des','un','une','est']),
+        |  ('zh', ['的','是','了','在','我','有','和','不'])),
+        |tk AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        | FROM documents),
+        |sc AS (SELECT tk.doc_id, lex.lang,
+        |  SUM(CASE WHEN list_contains(lex.words, tk.t) THEN 1 ELSE 0 END)
+        |    AS score
+        | FROM tk CROSS JOIN lex GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang, score, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc)
+        |SELECT d.doc_id,
+        | CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_guess
+        |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q46_write_once_merge" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+        | CAST(n_regionkey AS BIGINT) AS regionkey FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS BIGINT),
+        | CAST(n_regionkey AS BIGINT) FROM nation
+        |ORDER BY nationkey""".stripMargin,
+
+    "q47_write_once_errors" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+        | CAST(n_regionkey + 1 AS BIGINT) AS claimed,
+        | CAST(n_regionkey AS BIGINT) AS stored,
+        | 'ImmutableFieldChanged' AS error
+        |FROM nation WHERE n_nationkey % 5 = 0
+        |ORDER BY nationkey""".stripMargin,
+
+    "q48_hl7_obx" ->
+      s"""WITH e AS ($EventsUsSql),
+         |s AS (SELECT * FROM e WHERE event_type = 'signup'),
+         |x AS (SELECT event_id, ts_us, unnest([1, 2]) AS obx_set FROM s)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | CAST(obx_set AS BIGINT) AS obx_set,
+         | CASE obx_set WHEN 1 THEN 'HR' ELSE 'SPO2' END AS obs_id,
+         | CASE obx_set WHEN 1 THEN CAST(event_id % 120 + 40 AS VARCHAR)
+         |   ELSE CAST(event_id % 10 + 90 AS VARCHAR) END AS value,
+         | CASE obx_set WHEN 1 THEN 'bpm' ELSE '%' END AS units,
+         | 'F' AS status,
+         | (ts_us // 1000000) * 1000000 AS obs_us
+         |FROM x ORDER BY event_id, obx_set""".stripMargin,
 
     // Wire-parse round-trip: expected values computed directly from the
     // event columns (the generation is invertible), so any bug in the

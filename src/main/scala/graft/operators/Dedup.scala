@@ -204,12 +204,22 @@ object Dedup {
 
   /** Embedding-cosine near-dup: pairs above simThreshold, using the IVF
     * bucket (or any coarse cluster id) as the blocking key.
+    * `maxClusterSize` (0 = off) drops clusters above the cap before the
+    * self-join — within-cluster cost is quadratic, so one degenerate
+    * cluster (a dead-embedding mode) would otherwise dominate at 100×;
+    * the count window shares the join's cluster partitioning.
     */
   def embeddingNearDup(embeds: DataFrame, idCol: String, vecCol: String,
-                       clusterCol: String, simThreshold: Double): DataFrame = {
-    val prepped = embeds.select(col(idCol).as("doc_id"),
+                       clusterCol: String, simThreshold: Double,
+                       maxClusterSize: Int = 0): DataFrame = {
+    val base = embeds.select(col(idCol).as("doc_id"),
       col(clusterCol).as("cl"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
+    val prepped = if (maxClusterSize > 0) {
+      val w = Window.partitionBy(col("cl"))
+      base.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") <= maxClusterSize).drop("__n")
+    } else base
     val a = prepped.as("a"); val b = prepped.as("b")
     a.join(b, col("a.cl") === col("b.cl") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("sim",

@@ -85,6 +85,50 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(obx(1).isNullAt(obx(1).fieldIndex("obsTimeUs")))
   }
 
+  test("end-to-end: raw ADT wire messages derive location intervals") {
+    import graft.operators.LocationVisits
+    def msh(trigger: String, id: Long, dtm: String) =
+      s"MSH|^~\\&|EPIC|UCLH|||$dtm||ADT^$trigger|M$id|P|2.4"
+    def evn(occurred: String) =
+      Seq("EVN", "X", "20240101150000", "", "", "", occurred).mkString("|")
+    def pv1(loc: String, visit: String, discharge: String = "") =
+      (Seq("PV1", "1", "I", loc) ++ Seq.fill(15)("") ++ Seq(visit) ++
+        Seq.fill(25)("") :+ discharge).mkString("|")
+    val pid = "PID|1||40800000^^^MRN^MRN"
+
+    val h10 = "20240101100000"; val h11 = "20240101110000"
+    val h12 = "20240101120000"; val h13 = "20240101130000"
+    val raws = Seq(
+      Seq(msh("A01", 1, h10), evn(h10), pid, pv1("W1", "V9")),
+      Seq(msh("A02", 2, h11), evn(h11), pid, pv1("W2", "V9")),
+      Seq(msh("A02", 3, h12), evn(h12), pid, pv1("W3", "V9")),
+      // cancel of the 11:00 transfer: EVN-6 carries the cancelled time
+      Seq(msh("A12", 4, "20240101140000"), evn(h11), pid, pv1("W2", "V9")),
+      Seq(msh("A03", 5, h13), evn(h13), pid, pv1("W3", "V9", h13))
+    ).map(_.mkString("\r"))
+
+    val adt = Hl7Wire.parseAdt(raws.toDF("raw"), "raw")
+    val msgs = adt.select(
+      col("visitNumber").as("visitId"),
+      col("msgType"),
+      col("fullLocationString").as("location"),
+      col("validFromUs"),
+      regexp_extract(col("sourceMessageId"), "^M(\\d+)$", 1).cast("long")
+        .as("sourceMessageId"),
+      when(col("msgType").startsWith("Cancel"),
+        col("eventOccurredDateTimeUs")).as("targetTimeUs"),
+      col("dischargeDateTimeUs").as("dischargeTimeUs"))
+
+    val iv = LocationVisits.deriveIntervals(msgs)
+      .orderBy("admissionUs")
+      .select("location", "admissionUs", "dischargeUs")
+      .as[(String, Long, Long)].collect().toSeq
+    val t10 = 1704103200000000L; val t12 = t10 + 2 * 3600000000L
+    val t13 = t10 + 3 * 3600000000L
+    // W2 transfer annihilated by the A12 → W1 runs until the W3 move
+    assert(iv == Seq(("W1", t10, t12), ("W3", t12, t13)))
+  }
+
   test("missing segments and empty fields degrade to nulls, not errors") {
     val bare = "MSH|^~\\&|S|F|||20240101000000||ADT^A03|M1|P|2.4"
     val r = Hl7Wire.parseAdt(Seq(bare).toDF("raw"), "raw").collect().head
