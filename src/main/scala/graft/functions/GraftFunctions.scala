@@ -64,14 +64,17 @@ object GraftFunctions {
   /** Cast array<float> to array<double> (stable fold arithmetic). */
   def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product via sequential left fold — deterministic summation order
-    * (left-to-right), codegen'd, no shuffle.
+  /** Dot product — deterministic sequential left fold, backed by the
+    * native [[graft.functions.DotProduct]] expression (one generated
+    * loop, no zipped-array materialization; bit-identical to the
+    * aggregate/zip_with formulation).
     */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dotProduct(a: Column, b: Column): Column = VectorOps.vecDot(a, b)
 
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  /** sqrt(v·v) — same fold order as the dot product, so norms are
+    * bit-identical to the HOF formulation too.
+    */
+  def l2Norm(v: Column): Column = sqrt(VectorOps.vecDot(v, v))
 
   def cosineSim(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
@@ -124,18 +127,15 @@ object GraftFunctions {
   // every permutation expression (64× recompute, codegen-breaking tree).
 
   /** Oracle-portable polynomial string hash:
-    * `fold chars: h = (h*mult + codepoint(c)) mod P`, P = 2^31-1.
+    * `fold code points: h = (h*mult + cp) mod P`, P = 2^31-1.
     * Unlike xxhash64 (Spark-only), this is exact integer arithmetic any
     * ANSI SQL engine can replay (DuckDB: list_reduce over string_split) —
     * it is what makes the MinHash/SimHash queries oracle-checkable.
-    * Stays in whole-stage codegen (array fold, no UDF).
+    * Backed by the native [[graft.functions.PolyHash]] expression (one
+    * generated loop, no per-char array materialization).
     */
   def charPolyHash(s: Column, mult: Long = 31L): Column =
-    // filter the empty strings Spark's regex split can emit at the string
-    // edges (DuckDB's string_split(s, '') never does) — parity demands
-    // folding over exactly the characters
-    aggregate(filter(split(s, ""), c => c =!= lit("")), lit(0L),
-      (h, c) => pmod(h * lit(mult) + ascii(c), lit(2147483647L)))
+    PolyHash.polyHash(s, mult)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

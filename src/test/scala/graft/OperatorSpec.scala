@@ -153,6 +153,43 @@ class OperatorSpec extends SparkSpecBase {
       UTF8String.fromString("20240101123045")) == base)
   }
 
+  test("poly_hash native expression matches the HOF formulation") {
+    import graft.functions.GraftFunctions.charPolyHash
+    val df = Seq("abc", "", "hello world", "héllo", "a b  c", "\"\"")
+      .toDF("s")
+    val hof = aggregate(filter(split($"s", ""), c => c =!= lit("")),
+      lit(0L), (h, c) => pmod(h * lit(31L) + ascii(c), lit(2147483647L)))
+    val rows = df.select(charPolyHash($"s").as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != hof ${r.getLong(1)}"))
+    // known value, DuckDB-verified: list_reduce fold of 'abc' = 96354
+    assert(df.filter($"s" === "abc").select(charPolyHash($"s"))
+      .as[Long].head() == 96354L)
+  }
+
+  test("vec_dot native expression is bit-identical to the HOF fold") {
+    import graft.functions.GraftFunctions.{dotProduct, l2Norm}
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 50).map(_ =>
+      (Seq.fill(64)(rnd.nextDouble() - 0.5), Seq.fill(64)(rnd.nextDouble() - 0.5)))
+      .toDF("a", "b")
+    val hofDot = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate($"a", lit(0.0), (acc, x) => acc + x * x))
+    val rows = df.select(dotProduct($"a", $"b").as("n"), hofDot.as("h"),
+      l2Norm($"a").as("nn"), hofNorm.as("hn")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // null semantics match zip_with/aggregate: length mismatch → null
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    assert(bad.select(dotProduct($"a", $"b")).collect().head.isNullAt(0))
+  }
+
   test("lang id picks a language deterministically") {
     import graft.operators.TextAnalysis
     val df = Seq("the cat and the dog is in that house",
