@@ -102,14 +102,21 @@ object Dedup {
     val P = 2147483647L // 2^31-1; keeps a*h+b far from Long overflow (ANSI)
     val perms = minhashPerms(numPerm, seed)
 
-    val shingleHash =
-      if (portable) charPolyHash(col("s"))
-      else pmod(xxhash64(col("s")), lit(P))
-    val shingleRows = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
-          .as("s"))
-      .withColumn("h", shingleHash)
+    // Portable path: the fused native tokenize→shingle→poly-hash
+    // expression (one pass over the text, no intermediate strings —
+    // profiling showed string materialization dominated this stage).
+    // Duplicate hashes within a doc are harmless under the min-
+    // aggregates, so distinct runs on the cheap long array.
+    val shingleRows =
+      if (portable)
+        docs.select(col(idCol).as("doc_id"),
+          explode(array_distinct(graft.functions.ShingleHash
+            .shingleHashes(col(textCol), shingleN))).as("h"))
+      else
+        docs.select(col(idCol).as("doc_id"),
+          explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+            .as("s"))
+          .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
 
     val sig = shingleRows
       .groupBy(col("doc_id"))

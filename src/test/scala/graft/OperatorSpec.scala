@@ -190,6 +190,24 @@ class OperatorSpec extends SparkSpecBase {
     assert(bad.select(dotProduct($"a", $"b")).collect().head.isNullAt(0))
   }
 
+  test("shingle_hashes fused expression matches tokens→shingles→polyHash") {
+    import graft.functions.GraftFunctions.{charPolyHash, shingles, tokens}
+    import graft.functions.ShingleHash.shingleHashes
+    val df = Seq("a b c d", "  padded   whitespace\tand\ttabs  ",
+      "single", "", "   ", "x y", "caffé con leche por favor")
+      .toDF("s")
+    for (n <- Seq(1, 2, 3)) {
+      val rows = df.select(
+        shingleHashes($"s", n).as("fused"),
+        transform(shingles(tokens($"s"), n), sh => charPolyHash(sh))
+          .as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n fused ${r.getSeq[Long](0)} != hof ${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("lang id picks a language deterministically") {
     import graft.operators.TextAnalysis
     val df = Seq("the cat and the dog is in that house",
