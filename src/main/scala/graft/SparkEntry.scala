@@ -152,11 +152,12 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("ts_us").as("p_ts_us"))
       val c = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user_id"),
+        .select(col("user_id"),
           col("event_id").as("click_id"), col("ts_us").as("c_ts_us"))
-      Temporal.intervalJoin(p, c, Seq.empty, col("p_ts_us"), col("c_ts_us"),
-          windowUs = 3600000000L)
-        .where(col("user_id") === col("c_user_id"))
+      // key passed explicitly: the equi-join on user_id is part of the
+      // operator contract, not something the optimizer must recover
+      Temporal.intervalJoin(p, c, Seq("user_id"), col("p_ts_us"),
+          col("c_ts_us"), windowUs = 3600000000L)
         .select(col("purchase_id"), col("click_id"),
           (col("p_ts_us") - col("c_ts_us")).as("lead_us"))
         .orderBy(col("purchase_id"), col("click_id"))

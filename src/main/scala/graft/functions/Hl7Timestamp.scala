@@ -37,7 +37,13 @@ object Hl7TimestampParser {
       v
     }
     val year = digits(0, 4); val month = digits(4, 2); val day = digits(6, 2)
-    if (year == Int.MinValue || month < 1 || month > 12 || day < 1 || day > 31)
+    val maxDay =
+      if (month == 2) {
+        if ((year % 4 == 0 && year % 100 != 0) || year % 400 == 0) 29 else 28
+      } else if (month == 4 || month == 6 || month == 9 || month == 11) 30
+      else 31
+    if (year == Int.MinValue || month < 1 || month > 12 || day < 1 ||
+        day > maxDay)
       return Long.MinValue
     i = 8
     var hour = 0; var min = 0; var sec = 0

@@ -151,6 +151,12 @@ class OperatorSpec extends SparkSpecBase {
     import org.apache.spark.unsafe.types.UTF8String
     assert(graft.functions.Hl7TimestampParser.parseUs(
       UTF8String.fromString("20240101123045")) == base)
+    // calendar-aware day validation: Feb 30 / Apr 31 rejected, leap days ok
+    val cal = Seq("20240230120000", "20240431120000", "20230229120000",
+      "20240229120000", "20000229120000", "19000228120000")
+      .toDF("s").selectExpr("hl7_ts_us(s) IS NOT NULL AS ok")
+      .as[Boolean].collect().toSeq
+    assert(cal == Seq(false, false, false, true, true, true))
   }
 
   test("poly_hash native expression matches the HOF formulation") {

@@ -109,6 +109,53 @@ class PipelineSpec extends SparkSpecBase {
     assert(gotLive == expLive && gotLive.nonEmpty)
   }
 
+  test("end-to-end stream: raw HL7 wire → parse → bucketed star fold") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def adt(trigger: String, id: Long, dtm: String, loc: String) = Seq(
+      s"MSH|^~\\&|EPIC|UCLH|||$dtm||ADT^$trigger|M$id|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      (Seq("PV1", "1", "I", loc) ++ Seq.fill(15)("") :+ "V1").mkString("|")
+    ).mkString("\r")
+
+    val stateDir = Files.createTempDirectory("hl7_star").toString
+    val ckpt = Files.createTempDirectory("hl7_ckpt").toString
+    val cfg = StarPipeline.Config(stateDir, Seq("mrn"), "ts_us", "msg_id",
+      Seq("patientClass", "location"), nBuckets = 4)
+
+    val input = MemoryStream[String](spark)
+    def start() = {
+      val parsed = graft.sources.Hl7Wire.parseAdt(
+        input.toDS().toDF("value"), "value")
+      val msgs = parsed.select(col("mrn"),
+        col("validFromUs").as("ts_us"),
+        regexp_extract(col("sourceMessageId"), "^M(\\d+)$", 1).cast("long")
+          .as("msg_id"),
+        col("patientClass"), col("fullLocationString").as("location"))
+      StarPipeline.start(msgs, cfg, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    }
+
+    val q = start()
+    input.addData(Seq(adt("A01", 2, "20240101100000", "W1"),
+      adt("A02", 3, "20240101110000", "W2")))
+    q.processAllAvailable(); q.stop()
+
+    // late batch: an earlier-in-valid-time update lands after
+    val q2 = start()
+    input.addData(Seq(adt("A08", 1, "20240101090000", "W0")))
+    q2.processAllAvailable(); q2.stop()
+
+    val live = StarPipeline.readState(spark, cfg, "live").get
+      .select("mrn", "location").as[(String, String)].collect().toSeq
+    assert(live == Seq(("40800000", "W2"))) // newest valid-time wins
+    val audit = StarPipeline.readState(spark, cfg, "audit").get
+      .orderBy("ts_us").select("location", "valid_until_us")
+      .as[(String, Long)].collect().toSeq
+    // late 09:00 row retro-inserted and closed by the 10:00 admit
+    assert(audit.map(_._1) == Seq("W0", "W1"))
+  }
+
   test("S7: effect log captures per-batch progress") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
