@@ -663,6 +663,42 @@ object SparkEntry {
           col("units"), col("resultStatus").as("status"),
           col("obsTimeUs").as("obs_us"))
         .orderBy(col("event_id"), col("obx_set"))
+    }),
+
+    // ---- S3/S4: dead-letter routing of a corrupted wire corpus ------
+    // Deterministically corrupt every wire message by event_id mod 6
+    // (junk frame / unknown trigger / empty PID-3 / no timestamps), parse,
+    // and route through the standard ADT guard chain. The oracle knows
+    // which corruption each event got, so it predicts channel + reason
+    // without any string work.
+    "q49_dead_letter" -> ((s, dir) => {
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val m = pmod(col("event_id"), lit(6))
+      val rawOk = concat_ws("\r",
+        concat(lit("MSH|^~\\&|GEN|FAC|||"),
+          when(m === 3, lit("")).otherwise(dtm),
+          lit("||ADT^"), when(m === 1, lit("A99")).otherwise(lit("A01")),
+          lit("|M"), eid, lit("|P|2.4")),
+        concat(lit("PID|1||"),
+          when(m === 2, lit("")).otherwise(concat(uid, lit("^^^MRN^MRN")))),
+        lit("PV1|1|I|WARD^R1^B1"))
+      val raw = when(m === 0, concat(lit("JUNK|frame|M"), eid))
+        .otherwise(rawOk)
+      val parsed = graft.sources.Hl7Wire.parseAdt(
+        eventsUs(s, dir).withColumn("raw", raw), "raw")
+      val routed = graft.streaming.DeadLetter.route(
+        parsed, graft.streaming.DeadLetter.adtRules)
+      routed.dead
+        .select(col("event_id").cast("long").as("event_id"),
+          lit("dead").as("channel"), col("reason"))
+        .unionByName(routed.clean
+          .select(col("event_id").cast("long").as("event_id"),
+            lit("clean").as("channel"),
+            lit(null).cast("string").as("reason")))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1190,6 +1226,15 @@ object SparkEntry {
          | 'Given' AS given_name,
          | 'Family' AS family_name,
          | 'WARD^R' || CAST(user_id % 10 AS VARCHAR) || '^B1' AS location
+         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q49_dead_letter" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | CASE WHEN event_id % 6 <= 3 THEN 'dead' ELSE 'clean' END AS channel,
+         | CASE event_id % 6 WHEN 0 THEN 'unroutable'
+         |   WHEN 1 THEN 'unhandled_type' WHEN 2 THEN 'missing_mrn'
+         |   WHEN 3 THEN 'missing_valid_from' END AS reason
          |FROM e ORDER BY event_id""".stripMargin,
 
     "q43_bitemporal_travel" ->

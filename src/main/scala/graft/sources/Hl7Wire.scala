@@ -74,7 +74,10 @@ object Hl7Wire {
   /** Parse raw ADT messages into the interchange ADT shape
     * ([[graft.model.AdtMessage]] column-for-column, plus `trigger` and
     * the X1 `validFromUs` best-guess). Messages missing MSH parse to
-    * null fields — filter on `msgType.isNotNull` for the clean channel.
+    * null fields — route through [[graft.streaming.DeadLetter.adtRules]]
+    * for the clean/dead split. Input columns ride along after the parsed
+    * fields (name clashes resolve to the parsed field), so the dead
+    * letter keeps its original payload and callers keep their context.
     */
   def parseAdt(df: DataFrame, rawCol: String): DataFrame = {
     val raw = col(rawCol)
@@ -88,7 +91,7 @@ object Hl7Wire {
     val occurredUs = hl7TsUs(fld(evn, 6))
     val name = fld(pid, 5)
 
-    df.select(
+    val parsed = Seq(
       triggerToOp(trigger).as("msgType"),
       trigger.as("trigger"),
       mshFld(msh, 10).as("sourceMessageId"),
@@ -110,6 +113,13 @@ object Hl7Wire {
       hl7TsUs(fld(pv1, 44)).as("admissionDateTimeUs"),
       hl7TsUs(fld(pv1, 45)).as("dischargeDateTimeUs"),
       coalesce(occurredUs, recordedUs).as("validFromUs"))
+    val parsedNames = Set("msgType", "trigger", "sourceMessageId",
+      "sourceSystem", "recordedDateTimeUs", "eventOccurredDateTimeUs",
+      "mrn", "nhsNumber", "visitNumber", "fullLocationString",
+      "patientClass", "patientGivenName", "patientFamilyName",
+      "admissionDateTimeUs", "dischargeDateTimeUs", "validFromUs")
+    val carried = df.columns.filterNot(parsedNames.contains).map(col)
+    df.select(parsed ++ carried: _*)
   }
 
   /** Explode a message's OBX result segments into one row each:

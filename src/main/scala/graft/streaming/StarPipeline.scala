@@ -142,4 +142,28 @@ object StarPipeline {
       .foreachBatch((batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, cfg))
       .start()
+
+  /** Start the maintenance query with S3/S4 ack/nack semantics: each
+    * micro-batch is routed through [[DeadLetter.route]] first; rejects
+    * land under `deadDir/batch=<id>` (overwrite per batch ⇒ idempotent
+    * on replay, like the fold itself), and only the clean channel —
+    * projected to kernel message columns by `toMessages` — enters the
+    * fold. The nack is a persisted row, never a dropped message.
+    */
+  def startWithDeadLetter(parsed: DataFrame,
+                          rules: Seq[(String, Column)],
+                          toMessages: DataFrame => DataFrame,
+                          cfg: Config, deadDir: String,
+                          checkpointDir: String,
+                          trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    parsed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = DeadLetter.route(batch, rules)
+        r.dead.write.mode("overwrite").parquet(s"$deadDir/batch=$batchId")
+        foldBatch(toMessages(r.clean), batchId, cfg)
+      }
+      .start()
 }

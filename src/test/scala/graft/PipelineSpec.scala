@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{CascadingDelete, PendingMovements}
-import graft.streaming.{EffectLog, StarPipeline}
+import graft.streaming.{DeadLetter, EffectLog, StarPipeline}
 
 import java.nio.file.Files
 
@@ -123,22 +123,25 @@ class PipelineSpec extends SparkSpecBase {
     val cfg = StarPipeline.Config(stateDir, Seq("mrn"), "ts_us", "msg_id",
       Seq("patientClass", "location"), nBuckets = 4)
 
+    val deadDir = Files.createTempDirectory("hl7_dead").toString
     val input = MemoryStream[String](spark)
     def start() = {
       val parsed = graft.sources.Hl7Wire.parseAdt(
         input.toDS().toDF("value"), "value")
-      val msgs = parsed.select(col("mrn"),
-        col("validFromUs").as("ts_us"),
-        regexp_extract(col("sourceMessageId"), "^M(\\d+)$", 1).cast("long")
-          .as("msg_id"),
-        col("patientClass"), col("fullLocationString").as("location"))
-      StarPipeline.start(msgs, cfg, ckpt,
+      StarPipeline.startWithDeadLetter(parsed, DeadLetter.adtRules,
+        clean => clean.select(col("mrn"),
+          col("validFromUs").as("ts_us"),
+          regexp_extract(col("sourceMessageId"), "^M(\\d+)$", 1).cast("long")
+            .as("msg_id"),
+          col("patientClass"), col("fullLocationString").as("location")),
+        cfg, deadDir, ckpt,
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
     }
 
     val q = start()
     input.addData(Seq(adt("A01", 2, "20240101100000", "W1"),
-      adt("A02", 3, "20240101110000", "W2")))
+      adt("A02", 3, "20240101110000", "W2"),
+      "GARBAGE frame"))
     q.processAllAvailable(); q.stop()
 
     // late batch: an earlier-in-valid-time update lands after
@@ -154,6 +157,10 @@ class PipelineSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toSeq
     // late 09:00 row retro-inserted and closed by the 10:00 admit
     assert(audit.map(_._1) == Seq("W0", "W1"))
+    // the nacked frame is persisted with its reason, not dropped
+    val dead = spark.read.parquet(s"$deadDir/batch=0")
+      .select("value", "reason").as[(String, String)].collect().toSeq
+    assert(dead == Seq(("GARBAGE frame", "unroutable")))
   }
 
   test("S7: effect log captures per-batch progress") {
