@@ -699,6 +699,45 @@ object SparkEntry {
             lit("clean").as("channel"),
             lit(null).cast("string").as("reason")))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- S2/O16: nested lab-builder round-trip ----------------------
+    // Render two-order ORU^R01 messages (values derived from event
+    // columns), build the nested order→results shape positionally, then
+    // flatten. The oracle predicts every nested field per (event, order,
+    // result) without touching the wire text.
+    "q50_hl7_lab_nested" -> ((s, dir) => {
+      val e = eventsUs(s, dir).filter(col("event_type") === "signup")
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val h1 = (pmod(col("event_id"), lit(50)) + 100).cast("string")
+      val h2 = (pmod(col("event_id"), lit(20)) + 4).cast("string")
+      val h3 = (pmod(col("event_id"), lit(15)) + 130).cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|WP|FAC|||"), dtm, lit("||ORU^R01|M"), eid,
+          lit("|P|2.4")),
+        concat(lit("PID|1||"), col("user_id").cast("string")),
+        concat(lit("OBR|1||O"), eid,
+          lit("A^LAB|FBC^Full Blood Count^WinPath|||"), dtm),
+        concat(lit("OBX|1|NM|HGB^Hemoglobin||"), h1, lit("|g/dL|||||F")),
+        concat(lit("OBX|2|NM|WCC^White Cells||"), h2, lit("|x10e9/L|||||F")),
+        concat(lit("OBR|2||O"), eid, lit("B^LAB|UE^Urea^WinPath|||"), dtm),
+        concat(lit("OBX|1|NM|NA^Sodium||"), h3, lit("|mmol/L|||||F")))
+      graft.sources.Hl7Wire.parseLabOrders(
+          e.withColumn("raw", raw), "raw")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("orderIdx").cast("long").as("order_idx"),
+          col("fillerOrderNumber").as("filler_order"),
+          col("testId").as("test_id"),
+          col("codingSystem").as("coding_system"),
+          explode(col("results")).as("r"))
+        .select(col("event_id"), col("order_idx"), col("filler_order"),
+          col("test_id"), col("coding_system"),
+          col("r.setId").cast("long").as("set_id"),
+          col("r.observationId").as("obs_id"), col("r.value"),
+          col("r.units"))
+        .orderBy(col("event_id"), col("order_idx"), col("set_id"))
     })
   )
 
@@ -1236,6 +1275,30 @@ object SparkEntry {
          |   WHEN 1 THEN 'unhandled_type' WHEN 2 THEN 'missing_mrn'
          |   WHEN 3 THEN 'missing_valid_from' END AS reason
          |FROM e ORDER BY event_id""".stripMargin,
+
+    "q50_hl7_lab_nested" ->
+      s"""WITH e AS ($EventsUsSql),
+         |s AS (SELECT * FROM e WHERE event_type = 'signup')
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | CAST(0 AS BIGINT) AS order_idx,
+         | 'O' || CAST(event_id AS VARCHAR) || 'A' AS filler_order,
+         | 'FBC' AS test_id, 'WinPath' AS coding_system,
+         | CAST(1 AS BIGINT) AS set_id, 'HGB' AS obs_id,
+         | CAST(event_id % 50 + 100 AS VARCHAR) AS value, 'g/dL' AS units
+         |FROM s
+         |UNION ALL
+         |SELECT CAST(event_id AS BIGINT), CAST(0 AS BIGINT),
+         | 'O' || CAST(event_id AS VARCHAR) || 'A', 'FBC', 'WinPath',
+         | CAST(2 AS BIGINT), 'WCC',
+         | CAST(event_id % 20 + 4 AS VARCHAR), 'x10e9/L'
+         |FROM s
+         |UNION ALL
+         |SELECT CAST(event_id AS BIGINT), CAST(1 AS BIGINT),
+         | 'O' || CAST(event_id AS VARCHAR) || 'B', 'UE', 'WinPath',
+         | CAST(1 AS BIGINT), 'NA',
+         | CAST(event_id % 15 + 130 AS VARCHAR), 'mmol/L'
+         |FROM s
+         |ORDER BY event_id, order_idx, set_id""".stripMargin,
 
     "q43_bitemporal_travel" ->
       s"""WITH e AS ($EventsUsSql),

@@ -153,4 +153,120 @@ object Hl7Wire {
       .withColumn("resultStatus", fld(obr, 25))
       .drop("__obr")
   }
+
+  /** ORU^R01 → the NESTED interchange lab shape: one row per OBR order
+    * carrying its OBX results as an array of structs — the counterpart
+    * of the reference's lab builders, which group each order's results
+    * into `LabOrderMsg.labResultMsgs`
+    * (hl7-reader/.../labs/LabOrderBuilder + LabFunnel routing,
+    * IdsOperations.java:442-477).
+    *
+    * Grouping is positional, as the wire format defines it: an OBX
+    * belongs to the most recent OBR above it. Implemented entirely with
+    * array higher-order functions (transform-with-index / filter /
+    * posexplode), so the builder stays a codegen'd narrow projection —
+    * message count in, order count out, zero shuffles at any scale.
+    *
+    * Output per order: sourceMessageId/sourceSystem/mrn context,
+    * orderIdx (0-based position of the OBR in its message),
+    * fillerOrderNumber, testId, codingSystem, requested/observation
+    * DTMs, resultStatus, and `results` = array of structs
+    * (setId, valueType, observationId, subId, value, units, refRange,
+    * abnormalFlag, status, obsTimeUs). Input columns ride along.
+    */
+  def parseLabOrders(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val segs = segments(raw)
+    // (segment text, position) pairs; positions anchor OBX→OBR ownership
+    val withPos = transform(segs,
+      (s, i) => struct(s.as("seg"), i.as("pos")))
+    val obrs = filter(withPos,
+      x => substring(x.getField("seg"), 1, 3) === "OBR")
+    val obxs = filter(withPos,
+      x => substring(x.getField("seg"), 1, 3) === "OBX")
+
+    val msh = segment(raw, "MSH")
+    val pid = segment(raw, "PID")
+
+    val exploded = df
+      .withColumn("__obrs", obrs)
+      .withColumn("__obxs", obxs)
+      .select(col("*"), posexplode(col("__obrs")).as(Seq("orderIdx", "__obr")))
+
+    val obrSeg = col("__obr").getField("seg")
+    val obrPos = col("__obr").getField("pos")
+    // this order owns OBX rows strictly between its OBR and the next OBR
+    val nextPos = coalesce(
+      get(col("__obrs"), col("orderIdx") + 1).getField("pos"),
+      size(segments(raw)))
+    val mine = filter(col("__obxs"),
+      o => o.getField("pos") > obrPos && o.getField("pos") < nextPos)
+    val results = transform(mine, o => {
+      val x = o.getField("seg")
+      struct(
+        fld(x, 1).cast("int").as("setId"),
+        fld(x, 2).as("valueType"),
+        cmp(fld(x, 3), 1).as("observationId"),
+        fld(x, 4).as("subId"),
+        rep1(fld(x, 5)).as("value"),
+        cmp(fld(x, 6), 1).as("units"),
+        fld(x, 7).as("refRange"),
+        fld(x, 8).as("abnormalFlag"),
+        fld(x, 11).as("status"),
+        hl7TsUs(fld(x, 14)).as("obsTimeUs"))
+    })
+
+    val parsedNames = Set("sourceMessageId", "sourceSystem", "mrn",
+      "orderIdx", "fillerOrderNumber", "testId", "codingSystem",
+      "requestedDateTimeUs", "observationDateTimeUs", "resultStatus",
+      "results")
+    exploded.select(
+      Seq(
+        mshFld(msh, 10).as("sourceMessageId"),
+        mshFld(msh, 3).as("sourceSystem"),
+        cmp(rep1(fld(pid, 3)), 1).as("mrn"),
+        col("orderIdx"),
+        cmp(fld(obrSeg, 3), 1).as("fillerOrderNumber"),
+        cmp(fld(obrSeg, 4), 1).as("testId"),
+        cmp(fld(obrSeg, 4), 3).as("codingSystem"),
+        hl7TsUs(fld(obrSeg, 6)).as("requestedDateTimeUs"),
+        hl7TsUs(fld(obrSeg, 7)).as("observationDateTimeUs"),
+        fld(obrSeg, 25).as("resultStatus"),
+        results.as("results")) ++
+        df.columns.filterNot(parsedNames.contains).map(col): _*)
+  }
+
+  /** The funnel: [[parseLabOrders]] output → the interchange lab-message
+    * shape [[graft.operators.Labs.deriveStar]] consumes (the reference's
+    * LabFunnel step between the HL7 builders and the core controllers).
+    * NM values dispatch to the NUMERIC mime type with a parsed double;
+    * everything else stays TEXT — the reference's value-type dispatch
+    * (core/.../LabResultController.java:122-137).
+    */
+  def wireToLabMessages(nested: DataFrame): DataFrame =
+    nested.select(
+      col("fillerOrderNumber").as("epicOrderNumber"),
+      col("fillerOrderNumber").as("labSpecimenNumber"),
+      col("testId").as("battery"),
+      col("mrn"),
+      lit(null).cast("string").as("visitNumber"),
+      col("observationDateTimeUs").as("collectionTimeUs"),
+      coalesce(col("observationDateTimeUs"), col("requestedDateTimeUs"))
+        .as("statusChangeTimeUs"),
+      col("sourceMessageId"),
+      transform(col("results"), r => struct(
+        r.getField("observationId").as("testCode"),
+        when(r.getField("valueType") === "NM", "NUMERIC").otherwise("TEXT")
+          .as("mimeType"),
+        when(r.getField("valueType") === "NM",
+          r.getField("value").cast("double")).as("numericValue"),
+        when(r.getField("valueType") =!= "NM", r.getField("value"))
+          .as("stringValue"),
+        r.getField("units").as("units"),
+        coalesce(r.getField("obsTimeUs"),
+          col("observationDateTimeUs")).as("resultTimeUs"),
+        lit(null).cast("string").as("isolateCode"),
+        lit(null).cast(
+          "array<struct<agent:string,value:string,resultTimeUs:bigint>>")
+          .as("sensitivities"))).as("results"))
 }

@@ -85,6 +85,73 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(obx(1).isNullAt(obx(1).fieldIndex("obsTimeUs")))
   }
 
+  test("golden ORU: multi-OBR message nests each order's own OBX set") {
+    // Two orders in one message; positional grouping: OBX 1-2 belong to
+    // the FBC order, OBX 3 to the U&E order (the lab-builder contract).
+    val oruRaw = Seq(
+      "MSH|^~\\&|WINPATH|UCLH|||20240102030405||ORU^R01|MSG003|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      "OBR|1||ORD1^LAB|FBC^Full Blood Count^WinPath|||20240102030405||||||||||||||||||F",
+      "OBX|1|NM|HGB^Hemoglobin||13.5|g/dL|12.0-15.0|N||||||20240102030405",
+      "OBX|2|NM|WCC^White Cells||9.1|x10^9/L|||||P",
+      "OBR|2||ORD2^LAB|UE^Urea and Electrolytes^WinPath|||20240102040000",
+      "OBX|1|NM|NA^Sodium||140|mmol/L|135-145|N||||||20240102040000"
+    ).mkString("\r")
+
+    val rows = Hl7Wire.parseLabOrders(Seq(oruRaw).toDF("raw"), "raw")
+      .orderBy("orderIdx").collect()
+    assert(rows.length == 2)
+
+    val fbc = rows(0)
+    assert(fbc.getAs[String]("sourceMessageId") == "MSG003")
+    assert(fbc.getAs[String]("sourceSystem") == "WINPATH")
+    assert(fbc.getAs[String]("mrn") == "40800000")
+    assert(fbc.getAs[String]("fillerOrderNumber") == "ORD1")
+    assert(fbc.getAs[String]("testId") == "FBC")
+    assert(fbc.getAs[String]("codingSystem") == "WinPath")
+    assert(fbc.getAs[String]("resultStatus") == "F")
+    val fbcResults = fbc.getSeq[org.apache.spark.sql.Row](fbc.fieldIndex("results"))
+    assert(fbcResults.map(_.getAs[String]("observationId")) ==
+      Seq("HGB", "WCC"))
+    assert(fbcResults.head.getAs[String]("value") == "13.5")
+    assert(fbcResults.head.getAs[String]("refRange") == "12.0-15.0")
+    assert(fbcResults.head.getAs[String]("abnormalFlag") == "N")
+    assert(fbcResults.head.getAs[Long]("obsTimeUs") == 1704164645000000L)
+    assert(fbcResults(1).getAs[String]("status") == "P")
+
+    val ue = rows(1)
+    assert(ue.getAs[String]("fillerOrderNumber") == "ORD2")
+    assert(ue.getSeq[org.apache.spark.sql.Row](ue.fieldIndex("results"))
+      .map(_.getAs[String]("observationId")) == Seq("NA"))
+    // trailing-order DTM parsed from its own OBR (OBR-7 observation time)
+    assert(ue.getAs[Long]("observationDateTimeUs") == 1704168000000000L)
+  }
+
+  test("end-to-end: raw ORU wire messages fold into the labs star") {
+    import graft.operators.Labs
+    // initial result + a newer corrected value for HGB (F7 newer wins),
+    // plus an older stale re-send that must NOT overwrite (F7 guard)
+    def oru(msgId: String, dtm: String, hgb: String) = Seq(
+      s"MSH|^~\\&|WINPATH|UCLH|||$dtm||ORU^R01|$msgId|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      s"OBR|1||ORD9^LAB|FBC^Full Blood Count^WinPath|||$dtm",
+      s"OBX|1|NM|HGB^Hemoglobin||$hgb|g/dL|||||F|||$dtm"
+    ).mkString("\r")
+    val raws = Seq(
+      oru("L1", "20240102030405", "13.5"),
+      oru("L2", "20240102050000", "14.1"), // newer correction
+      oru("L0", "20240102010000", "12.0")) // stale, must lose
+
+    val nested = Hl7Wire.parseLabOrders(raws.toDF("raw"), "raw")
+    val star = Labs.deriveStar(Hl7Wire.wireToLabMessages(nested))
+    val res = star.results.collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[String]("testCode") == "HGB")
+    assert(res.head.getAs[String]("mimeType") == "NUMERIC")
+    assert(res.head.getAs[Double]("numericValue") == 14.1)
+    assert(star.samples.count() == 1 && star.orders.count() == 1)
+  }
+
   test("end-to-end: raw ADT wire messages derive location intervals") {
     import graft.operators.LocationVisits
     def msh(trigger: String, id: Long, dtm: String) =
