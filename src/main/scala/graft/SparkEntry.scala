@@ -738,6 +738,67 @@ object SparkEntry {
           col("r.observationId").as("obs_id"), col("r.value"),
           col("r.units"))
         .orderBy(col("event_id"), col("order_idx"), col("set_id"))
+    }),
+
+    // ---- S2/O17: PPR problem-list wire round-trip -------------------
+    "q51_hl7_problems" -> ((s, dir) => {
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val action = element_at(array(lit("AD"), lit("UP"), lit("DE")),
+        (pmod(col("event_id"), lit(3)) + 1).cast("int"))
+      val status = when(pmod(col("event_id"), lit(2)) === 0, "ACTIVE")
+        .otherwise("RESOLVED")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|Problem List|||"), dtm,
+          lit("|OP1|PPR^PC1|P"), eid, lit("|P|2.4")),
+        concat(lit("PID|1||"), col("user_id").cast("string"),
+          lit("^^^MRN^MRN")),
+        concat(lit("PRB|"), action, lit("|"), dtm, lit("|C"),
+          (pmod(col("event_id"), lit(100))).cast("string"),
+          lit("^Condition^I10UK|"), eid, lit("|||"), dtm,
+          lit("||||||"), status))
+      graft.sources.Hl7Wire.parseProblems(
+          eventsUs(s, dir).withColumn("raw", raw), "raw")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("mrn"), col("action"),
+          col("conditionCode").as("condition_code"),
+          col("codingSystem").as("coding_system"),
+          col("epicProblemId").as("problem_id"), col("status"),
+          col("updatedTimeUs").as("updated_us"),
+          col("addedTimeUs").as("added_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- S2/O20: ORM consult wire round-trip ------------------------
+    "q52_hl7_consults" -> ((s, dir) => {
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val m3 = pmod(col("event_id"), lit(3))
+      val orc1 = when(m3 === 0, "NW").otherwise("OC")
+      val security = when(m3 === 2, "DISCHAUTO").otherwise("OP1")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|Consult Orders|||"), dtm, lit("|"),
+          security, lit("|ORM^O01|K"), eid, lit("|P|2.4")),
+        concat(lit("PID|1||"), col("user_id").cast("string"),
+          lit("^^^MRN^MRN")),
+        concat(lit("ORC|"), orc1, lit("|"), eid, lit("^EPC|||||||"), dtm),
+        concat(lit("OBR|1|"), eid, lit("^EPC||^^^^IP CON"),
+          lit("|" * 32), dtm, lit("|" * 8), lit("CON"),
+          pmod(col("event_id"), lit(50)).cast("string")),
+        lit("NTE|1||Reason?->testing"))
+      graft.sources.Hl7Wire.parseConsults(
+          eventsUs(s, dir).withColumn("raw", raw), "raw")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("mrn"), col("epicConsultId").as("consult_id"),
+          col("consultationType").as("consultation_type"),
+          col("cancelled").cast("int").cast("long").as("cancelled"),
+          col("closedDueToDischarge").cast("int").cast("long")
+            .as("closed_discharge"),
+          col("statusChangeTimeUs").as("status_change_us"),
+          col("scheduledTimeUs").as("scheduled_us"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1299,6 +1360,35 @@ object SparkEntry {
          | CAST(event_id % 15 + 130 AS VARCHAR), 'mmol/L'
          |FROM s
          |ORDER BY event_id, order_idx, set_id""".stripMargin,
+
+    "q51_hl7_problems" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | CAST(user_id AS VARCHAR) AS mrn,
+         | CASE event_id % 3 WHEN 0 THEN 'AD' WHEN 1 THEN 'UP' ELSE 'DE' END
+         |   AS action,
+         | 'C' || CAST(event_id % 100 AS VARCHAR) AS condition_code,
+         | 'I10UK' AS coding_system,
+         | CAST(event_id AS VARCHAR) AS problem_id,
+         | CASE WHEN event_id % 2 = 0 THEN 'ACTIVE' ELSE 'RESOLVED' END
+         |   AS status,
+         | (ts_us // 1000000) * 1000000 AS updated_us,
+         | (ts_us // 1000000) * 1000000 AS added_us
+         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q52_hl7_consults" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | CAST(user_id AS VARCHAR) AS mrn,
+         | CAST(event_id AS BIGINT) AS consult_id,
+         | 'CON' || CAST(event_id % 50 AS VARCHAR) AS consultation_type,
+         | CAST(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT)
+         |   AS cancelled,
+         | CAST(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT)
+         |   AS closed_discharge,
+         | (ts_us // 1000000) * 1000000 AS status_change_us,
+         | (ts_us // 1000000) * 1000000 AS scheduled_us
+         |FROM e ORDER BY event_id""".stripMargin,
 
     "q43_bitemporal_travel" ->
       s"""WITH e AS ($EventsUsSql),

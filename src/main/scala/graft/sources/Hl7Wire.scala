@@ -236,6 +236,102 @@ object Hl7Wire {
         df.columns.filterNot(parsedNames.contains).map(col): _*)
   }
 
+  /** PPR^PC1/2/3 → patient-problem rows, one per PRB segment (a message
+    * may carry a whole problem list). Field map follows the reference's
+    * PatientProblemFactory (hl7-reader/.../conditons/
+    * PatientProblemFactory.java:74-86): PRB-1 action, PRB-2 updated DTM,
+    * PRB-3 code^name^codingSystem, PRB-4 problem instance id, PRB-7
+    * added date, PRB-9 resolved date, PRB-13 confirmation status,
+    * PRB-16 onset date. MSH/PID/PV1 context rides along; input columns
+    * are carried through.
+    */
+  def parseProblems(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val msh = segment(raw, "MSH")
+    val pid = segment(raw, "PID")
+    val pv1 = segment(raw, "PV1")
+    val prb = col("__prb")
+    df.withColumn("__prb", explode(segmentsOf(raw, "PRB")))
+      .withColumn("sourceMessageId", mshFld(msh, 10))
+      .withColumn("sourceSystem", mshFld(msh, 3))
+      .withColumn("mrn", cmp(rep1(fld(pid, 3)), 1))
+      .withColumn("visitNumber", cmp(fld(pv1, 19), 1))
+      .withColumn("action", fld(prb, 1))
+      .withColumn("updatedTimeUs", hl7TsUs(fld(prb, 2)))
+      .withColumn("conditionCode", cmp(fld(prb, 3), 1))
+      .withColumn("conditionName", cmp(fld(prb, 3), 2))
+      .withColumn("codingSystem", cmp(fld(prb, 3), 3))
+      .withColumn("epicProblemId", cmp(fld(prb, 4), 1))
+      .withColumn("addedTimeUs", hl7TsUs(fld(prb, 7)))
+      .withColumn("resolvedTimeUs", hl7TsUs(fld(prb, 9)))
+      .withColumn("status", cmp(fld(prb, 13), 1))
+      .withColumn("onsetTimeUs", hl7TsUs(fld(prb, 16)))
+      .drop("__prb")
+  }
+
+  /** ORM^O01 consult orders → consult-request rows, one per message
+    * (the reference rejects multi-order consults,
+    * ConsultFactory.java:37-49): ORC-2 epic consult id, ORC-9 status
+    * change DTM, OBR-36 scheduled DTM, OBR-44 consultation type; an
+    * ORC-1 of OC is a cancellation — attributed to automated discharge
+    * (closedDueToDischarge) when MSH-8's security code is DISCHAUTO
+    * (ConsultFactory.java:67-82). NTE notes split on `->` into
+    * question→answer entries; NTEs without the separator are comments.
+    */
+  def parseConsults(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val msh = segment(raw, "MSH")
+    val pid = segment(raw, "PID")
+    val pv1 = segment(raw, "PV1")
+    val orc = segment(raw, "ORC")
+    val obr = segment(raw, "OBR")
+    val ntes = transform(segmentsOf(raw, "NTE"), s => fld(s, 3))
+    val qa = filter(ntes, n => n.contains("->"))
+    val security = mshFld(msh, 8)
+    val cancelledOrc = fld(orc, 1) === "OC"
+    df
+      .withColumn("sourceMessageId", mshFld(msh, 10))
+      .withColumn("sourceSystem", mshFld(msh, 3))
+      .withColumn("mrn", cmp(rep1(fld(pid, 3)), 1))
+      .withColumn("visitNumber", cmp(fld(pv1, 19), 1))
+      .withColumn("epicConsultId", cmp(fld(orc, 2), 1).cast("long"))
+      .withColumn("statusChangeTimeUs", hl7TsUs(fld(orc, 9)))
+      .withColumn("scheduledTimeUs", hl7TsUs(fld(obr, 36)))
+      .withColumn("consultationType", cmp(fld(obr, 44), 1))
+      .withColumn("cancelled",
+        coalesce(cancelledOrc && security =!= "DISCHAUTO", lit(false)))
+      .withColumn("closedDueToDischarge",
+        coalesce(cancelledOrc && security === "DISCHAUTO", lit(false)))
+      .withColumn("questions", map_from_entries(transform(qa, n => struct(
+        get(split(n, "->", 2), lit(0)).as("question"),
+        get(split(n, "->", 2), lit(1)).as("answer")))))
+      .withColumn("comments",
+        filter(ntes, n => !coalesce(n.contains("->"), lit(false))))
+  }
+
+  /** Funnel: [[parseProblems]] output → the patient_condition registry
+    * shape ([[graft.operators.EntityUpserts]] `patient_condition`:
+    * key (mrn, conditionTypeId, internalId), event time updatedTimeUs).
+    * The condition type's natural identity is its code+coding-system
+    * pair (ref PatientConditionController.java:185-195); AD/UP both
+    * upsert, DE rows are returned for the caller to feed the kernel's
+    * delete-if-newer path (ConditionAction semantics).
+    */
+  def wireToConditionMessages(problems: DataFrame): DataFrame =
+    problems.select(
+      col("mrn"),
+      concat_ws(":", col("codingSystem"), col("conditionCode"))
+        .as("conditionTypeId"),
+      col("epicProblemId").as("internalId"),
+      col("updatedTimeUs"),
+      col("sourceMessageId").as("msgId"),
+      col("status"),
+      lit(null).cast("string").as("severity"),
+      date_format(timestamp_micros(col("onsetTimeUs")), "yyyy-MM-dd")
+        .as("onsetDate"),
+      lit(null).cast("string").as("comment"),
+      col("action"))
+
   /** The funnel: [[parseLabOrders]] output → the interchange lab-message
     * shape [[graft.operators.Labs.deriveStar]] consumes (the reference's
     * LabFunnel step between the HL7 builders and the core controllers).

@@ -127,6 +127,110 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(ue.getAs[Long]("observationDateTimeUs") == 1704168000000000L)
   }
 
+  test("golden PPR: problem-list message explodes one row per PRB") {
+    val ppr = Seq(
+      "MSH|^~\\&|EPIC|Problem List|||20240302210122|OP773|PPR^PC1|PL01|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      (Seq("PV1", "1", "O", "T42E^BY02^17") ++ Seq.fill(15)("") :+
+        "998877").mkString("|"),
+      "PRB|AD|20240302210122|K64.9^Haemorrhoids, unspecified^I10UK|1333555|||20230601||||||ACTIVE|||20230531",
+      "PRB|UP|20240302210122|E11.9^Type 2 diabetes^I10UK|1444666|||20220115|||||||||20220101"
+    ).mkString("\r")
+
+    val rows = Hl7Wire.parseProblems(Seq(ppr).toDF("raw"), "raw")
+      .orderBy("epicProblemId").collect()
+    assert(rows.length == 2)
+    val p = rows.head
+    assert(p.getAs[String]("sourceMessageId") == "PL01")
+    assert(p.getAs[String]("mrn") == "40800000")
+    assert(p.getAs[String]("visitNumber") == "998877")
+    assert(p.getAs[String]("action") == "AD")
+    assert(p.getAs[String]("conditionCode") == "K64.9")
+    assert(p.getAs[String]("conditionName") == "Haemorrhoids, unspecified")
+    assert(p.getAs[String]("codingSystem") == "I10UK")
+    assert(p.getAs[String]("epicProblemId") == "1333555")
+    assert(p.getAs[String]("status") == "ACTIVE")
+    // date-only DTMs parse to midnight UTC
+    assert(p.getAs[Long]("addedTimeUs") == 1685577600000000L)
+    assert(p.getAs[Long]("onsetTimeUs") == 1685491200000000L)
+    assert(p.isNullAt(p.fieldIndex("resolvedTimeUs")))
+    assert(rows(1).getAs[String]("action") == "UP")
+    assert(rows(1).getAs[String]("conditionCode") == "E11.9")
+  }
+
+  test("golden ORM consult: request, cancel, and discharge-auto close") {
+    def consult(msgId: String, security: String, orc1: String) = Seq(
+      s"MSH|^~\\&|EPIC|Consult Orders|||20240212140020|$security|ORM^O01|$msgId|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      (Seq("PV1", "", "I", "T01^BY06^34R") ++ Seq.fill(15)("") :+
+        "555444").mkString("|"),
+      s"ORC|$orc1|7654321^EPC|||||^^^20240212115500^^R||20240212140000",
+      (Seq("OBR", "1", "7654321^EPC", "", "^^^^IP CON FRAILTY", "",
+        "20240212115500") ++ Seq.fill(29)("") ++ Seq("20240212115500") ++
+        Seq.fill(7)("") :+ "CON255").mkString("|"),
+      "NTE|1||Reason for Consult?->frailty, delirium",
+      "NTE|2||Did you contact the team?->No",
+      "NTE|3||plain comment without separator"
+    ).mkString("\r")
+
+    val rows = Hl7Wire.parseConsults(Seq(
+        consult("C1", "OP11", "NW"),
+        consult("C2", "OP11", "OC"),
+        consult("C3", "DISCHAUTO", "OC")).toDF("raw"), "raw")
+      .orderBy("sourceMessageId").collect()
+
+    val nw = rows(0)
+    assert(nw.getAs[Long]("epicConsultId") == 7654321L)
+    assert(nw.getAs[String]("consultationType") == "CON255")
+    assert(nw.getAs[String]("visitNumber") == "555444")
+    assert(!nw.getAs[Boolean]("cancelled"))
+    assert(!nw.getAs[Boolean]("closedDueToDischarge"))
+    // 2024-02-12T14:00:00Z / 11:55:00Z
+    assert(nw.getAs[Long]("statusChangeTimeUs") == 1707746400000000L)
+    assert(nw.getAs[Long]("scheduledTimeUs") == 1707738900000000L)
+    assert(nw.getMap[String, String](nw.fieldIndex("questions")) == Map(
+      "Reason for Consult?" -> "frailty, delirium",
+      "Did you contact the team?" -> "No"))
+    assert(nw.getSeq[String](nw.fieldIndex("comments")) ==
+      Seq("plain comment without separator"))
+    assert(rows(1).getAs[Boolean]("cancelled"))
+    assert(!rows(1).getAs[Boolean]("closedDueToDischarge"))
+    assert(!rows(2).getAs[Boolean]("cancelled"))
+    assert(rows(2).getAs[Boolean]("closedDueToDischarge"))
+  }
+
+  test("end-to-end: PPR wire messages fold into the condition star") {
+    import graft.operators.EntityUpserts
+    import graft.kernel.BitemporalKernel
+    def ppr(msgId: String, dtm: String, prb: String) = Seq(
+      s"MSH|^~\\&|EPIC|Problem List|||$dtm|OP1|PPR^PC1|$msgId|P|2.4",
+      "PID|1||40800000^^^MRN^MRN", prb).mkString("\r")
+    val raws = Seq(
+      ppr("P1", "20240301120000",
+        "PRB|AD|20240301120000|K64.9^Haemorrhoids^I10UK|111|||20240115||||||ACTIVE|||20240201"),
+      ppr("P2", "20240302120000", // newer status update, same problem
+        "PRB|UP|20240302120000|K64.9^Haemorrhoids^I10UK|111|||20240115||||||RESOLVED|||20240201"),
+      ppr("P3", "20240301130000",
+        "PRB|AD|20240301130000|E11.9^Diabetes^I10UK|222|||20240101||||||ACTIVE"),
+      ppr("P4", "20240303120000", // delete the diabetes problem
+        "PRB|DE|20240303120000|E11.9^Diabetes^I10UK|222|||20240101||||||ACTIVE"))
+
+    val msgs = graft.sources.Hl7Wire.wireToConditionMessages(
+      graft.sources.Hl7Wire.parseProblems(raws.toDF("raw"), "raw"))
+    val upserts = msgs.filter(col("action") =!= "DE").drop("action")
+    val deletes = msgs.filter(col("action") === "DE").drop("action")
+
+    val folded = EntityUpserts.upsert("patient_condition",
+      upserts.limit(0), upserts)
+    val live = BitemporalKernel.deleteIfNewer(folded.live, deletes,
+      Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs").live
+
+    val rows = live.select("conditionTypeId", "status", "onsetDate")
+      .as[(String, String, String)].collect().toSeq
+    // diabetes deleted; haemorrhoids survives with the newer RESOLVED status
+    assert(rows == Seq(("I10UK:K64.9", "RESOLVED", "2024-02-01")))
+  }
+
   test("end-to-end: raw ORU wire messages fold into the labs star") {
     import graft.operators.Labs
     // initial result + a newer corrected value for HGB (F7 newer wins),
