@@ -799,6 +799,46 @@ object SparkEntry {
           col("statusChangeTimeUs").as("status_change_us"),
           col("scheduledTimeUs").as("scheduled_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- S2/O14: ORU^R30 flowsheet wire round-trip ------------------
+    // Typed value dispatch (NM/ST/DT by event_id mod 3) plus the
+    // empty-value tombstone channel (mod 7): the oracle predicts value
+    // type, exactly one populated value column, and DELETE status.
+    "q53_hl7_flowsheet" -> ((s, dir) => {
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val m3 = pmod(col("event_id"), lit(3))
+      val m7 = pmod(col("event_id"), lit(7))
+      val typ = when(m3 === 0, "NM").when(m3 === 1, "ST").otherwise("DT")
+      val v = when(m7 === 0, lit(""))
+        .when(m3 === 0, (pmod(col("event_id"), lit(120)) + 40).cast("string"))
+        .when(m3 === 1,
+          concat(lit("pos"), pmod(col("event_id"), lit(10)).cast("string")))
+        .otherwise(date_format(timestamp_micros(
+          expr("ts_us div 1000000") * 1000000L), "yyyyMMdd"))
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|CAREVUE|UCLH|||"), dtm, lit("||ORU^R30|F"),
+          eid, lit("|P|2.4")),
+        concat(lit("PID|1||"), col("user_id").cast("string")),
+        concat(lit("PV1|1|I|T03"), lit("|" * 16), lit("V"), eid),
+        concat(lit("OBX|1|"), typ, lit("|ID"),
+          pmod(col("event_id"), lit(9)).cast("string"), lit("^Obs||"), v,
+          lit("|u|||||F|||"), dtm))
+      graft.sources.Hl7Wire.parseFlowsheets(
+          eventsUs(s, dir).withColumn("raw", raw), "raw")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("sourceMessageId").as("msg_id"), col("mrn"),
+          col("visitNumber").as("visit_number"),
+          col("interfaceId").as("interface_id"),
+          col("valueType").as("value_type"),
+          col("numericValue").as("numeric_value"),
+          col("stringValue").as("string_value"),
+          col("dateValue").as("date_value"),
+          col("status"),
+          col("observationTimeUs").as("obs_us"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1388,6 +1428,25 @@ object SparkEntry {
          |   AS closed_discharge,
          | (ts_us // 1000000) * 1000000 AS status_change_us,
          | (ts_us // 1000000) * 1000000 AS scheduled_us
+         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q53_hl7_flowsheet" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | 'F' || CAST(event_id AS VARCHAR) || '$$01' AS msg_id,
+         | CAST(user_id AS VARCHAR) AS mrn,
+         | 'V' || CAST(event_id AS VARCHAR) AS visit_number,
+         | 'ID' || CAST(event_id % 9 AS VARCHAR) AS interface_id,
+         | CASE event_id % 3 WHEN 0 THEN 'NUMERIC' WHEN 1 THEN 'TEXT'
+         |   ELSE 'DATE' END AS value_type,
+         | CASE WHEN event_id % 7 <> 0 AND event_id % 3 = 0
+         |   THEN CAST(event_id % 120 + 40 AS DOUBLE) END AS numeric_value,
+         | CASE WHEN event_id % 7 <> 0 AND event_id % 3 = 1
+         |   THEN 'pos' || CAST(event_id % 10 AS VARCHAR) END AS string_value,
+         | CASE WHEN event_id % 7 <> 0 AND event_id % 3 = 2
+         |   THEN strftime(make_timestamp(ts_us), '%Y-%m-%d') END AS date_value,
+         | CASE WHEN event_id % 7 = 0 THEN 'DELETE' ELSE 'SAVE' END AS status,
+         | (ts_us // 1000000) * 1000000 AS obs_us
          |FROM e ORDER BY event_id""".stripMargin,
 
     "q43_bitemporal_travel" ->

@@ -23,7 +23,9 @@ class FixtureSource(val root: File) {
   private def allFixtures: Seq[String] = {
     def walk(f: File): Seq[File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".json")) Seq(f) else Nil
+      else if (f.getName.endsWith(".json") || f.getName.endsWith(".hl7"))
+        Seq(f)
+      else Nil
     walk(root).map(f => root.toPath.relativize(f.toPath).toString).sorted
   }
 
@@ -46,6 +48,20 @@ class FixtureSource(val root: File) {
     matching.foreach(consumed += _)
     spark.read.schema(schema).json(
       matching.map(p => new File(root, p).getPath): _*)
+  }
+
+  /** Load raw HL7 wire fixtures (`.hl7`, one file = one message — the
+    * reference's hl7-reader txt-corpus convention) under a subdirectory:
+    * one row per file, column `raw`, ready for the Hl7Wire parsers.
+    */
+  def loadWireDir(spark: SparkSession, relDir: String): DataFrame = {
+    val matching = allFixtures.filter(p =>
+      p.startsWith(relDir) && p.endsWith(".hl7"))
+    require(matching.nonEmpty, s"no wire fixtures under: $relDir")
+    matching.foreach(consumed += _)
+    spark.read.option("wholetext", "true")
+      .text(matching.map(p => new File(root, p).getPath): _*)
+      .withColumnRenamed("value", "raw")
   }
 
   /** The monitored-corpus guarantee: throws listing every fixture no

@@ -309,6 +309,107 @@ object Hl7Wire {
         filter(ntes, n => !coalesce(n.contains("->"), lit(false))))
   }
 
+  /** ORU^R30/R01 vital-signs → flowsheet rows, one per OBX (ref
+    * FlowsheetFactory.java:83-210): interface id OBX-3.1, value-type
+    * dispatch on OBX-2 (NM → NUMERIC double, DT → DATE, else TEXT),
+    * units OBX-6.1, observation time OBX-14, updated time MSH-7. An OBX
+    * with an EMPTY value is an explicit tombstone — the reference maps
+    * it to InterchangeValue.delete() (FlowsheetFactory.java:186,198,207)
+    * — surfaced here as status=DELETE with null value columns. NTE
+    * comment segments attach to the OBX directly above them (positional,
+    * like the lab builder); multiple NTE lines join with newlines.
+    * Sub-message id = MSH-10 + "$" + zero-padded OBX set id (X10).
+    */
+  def parseFlowsheets(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val withPos = transform(segments(raw),
+      (s, i) => struct(s.as("seg"), i.as("pos")))
+    def ofId(id: String) = filter(withPos,
+      x => substring(x.getField("seg"), 1, 3) === id)
+
+    val msh = segment(raw, "MSH")
+    val pid = segment(raw, "PID")
+    val pv1 = segment(raw, "PV1")
+
+    val exploded = df
+      .withColumn("__obxs", ofId("OBX"))
+      .withColumn("__ntes", ofId("NTE"))
+      .select(col("*"), posexplode(col("__obxs")).as(Seq("obxIdx", "__obx")))
+
+    val x = col("__obx").getField("seg")
+    val obxPos = col("__obx").getField("pos")
+    val nextObxPos = coalesce(
+      get(col("__obxs"), col("obxIdx") + 1).getField("pos"),
+      size(segments(raw)))
+    val comments = transform(
+      filter(col("__ntes"),
+        n => n.getField("pos") > obxPos && n.getField("pos") < nextObxPos),
+      n => fld(n.getField("seg"), 3))
+    val rawType = fld(x, 2)
+    val value = rep1(fld(x, 5))
+    val setId = fld(x, 1).cast("int")
+
+    exploded.select(
+      Seq(
+        concat(mshFld(msh, 10), lit("$"),
+          lpad(setId.cast("string"), 2, "0")).as("sourceMessageId"),
+        mshFld(msh, 3).as("sourceSystem"),
+        cmp(rep1(fld(pid, 3)), 1).as("mrn"),
+        cmp(fld(pv1, 19), 1).as("visitNumber"),
+        cmp(fld(x, 3), 1).as("interfaceId"),
+        when(rawType === "NM", "NUMERIC").when(rawType === "DT", "DATE")
+          .otherwise("TEXT").as("valueType"),
+        when(rawType === "NM", value.cast("double")).as("numericValue"),
+        when(rawType =!= "NM" && rawType =!= "DT", trim(value))
+          .as("stringValue"),
+        when(rawType === "DT",
+          date_format(timestamp_micros(hl7TsUs(value)), "yyyy-MM-dd"))
+          .as("dateValue"),
+        when(value.isNull, "DELETE").otherwise("SAVE").as("status"),
+        cmp(fld(x, 6), 1).as("unit"),
+        hl7TsUs(fld(x, 14)).as("observationTimeUs"),
+        hl7TsUs(mshFld(msh, 7)).as("updatedTimeUs"),
+        when(size(comments) > 0, array_join(comments, "\n")).as("comment")) ++
+        df.columns.filterNot(Set("sourceMessageId", "sourceSystem", "mrn",
+          "visitNumber", "interfaceId", "valueType", "numericValue",
+          "stringValue", "dateValue", "status", "unit", "observationTimeUs",
+          "updatedTimeUs", "comment").contains).map(col): _*)
+  }
+
+  /** ORM^O01 advance-decision orders — the reference's factory is a
+    * near-twin of the consult one (AdvanceDecisionFactory.java:55-80):
+    * same ORC/OBR/NTE layout, plus the decision type's display name at
+    * OBR-4.5. Columns renamed to the advance-decision vocabulary.
+    */
+  def parseAdvanceDecisions(df: DataFrame, rawCol: String): DataFrame = {
+    val obr = segment(col(rawCol), "OBR")
+    parseConsults(df, rawCol)
+      .withColumnRenamed("epicConsultId", "advanceDecisionNumber")
+      .withColumnRenamed("consultationType", "careCode")
+      .withColumnRenamed("scheduledTimeUs", "requestedTimeUs")
+      .withColumn("typeName", cmp(fld(obr, 4), 5))
+  }
+
+  /** Funnel: [[parseFlowsheets]] output → the visit_observation registry
+    * shape (key (visitId, observationTypeId, observationTimeUs); O14).
+    * DELETE tombstones carry null value columns — the kernel's payload
+    * fold nulls the stored values, the F6 diff check makes re-sent
+    * tombstones no-ops.
+    */
+  def wireToFlowsheetMessages(flowsheets: DataFrame): DataFrame =
+    flowsheets.select(
+      col("visitNumber").as("visitId"),
+      col("interfaceId").as("observationTypeId"),
+      col("observationTimeUs"),
+      col("updatedTimeUs"),
+      col("sourceMessageId").as("msgId"),
+      col("valueType"),
+      col("numericValue"),
+      col("stringValue"),
+      col("dateValue"),
+      col("unit"),
+      col("comment"))
+
   /** Funnel: [[parseProblems]] output → the patient_condition registry
     * shape ([[graft.operators.EntityUpserts]] `patient_condition`:
     * key (mrn, conditionTypeId, internalId), event time updatedTimeUs).

@@ -60,6 +60,41 @@ class FixtureSourceSpec extends SparkSpecBase {
     assert(live == (Some("ALICE"), None)) // IGNORE kept name, DELETE nulled postcode
   }
 
+  test("raw wire corpus: every family parses through its builder") {
+    import graft.sources.Hl7Wire
+    import org.apache.spark.sql.functions.col
+    val fx = new FixtureSource(corpusRoot)
+    val wire = fx.loadWireDir(spark, "Hl7Wire")
+    assert(wire.count() == 5)
+
+    val adt = Hl7Wire.parseAdt(wire, "raw")
+      .filter(col("msgType") === "Admit")
+    assert(adt.select("mrn", "visitNumber").as[(String, String)]
+      .collect().toSeq == Seq(("51900001", "443322")))
+
+    val labs = Hl7Wire.parseLabOrders(
+      wire.filter(col("raw").contains("ORU^R01")), "raw")
+    assert(labs.count() == 2) // two OBRs in the multi-order message
+    assert(labs.filter(col("testId") === "CRP").count() == 1)
+
+    val problems = Hl7Wire.parseProblems(wire, "raw")
+    assert(problems.select("conditionCode").as[String].collect().toSeq ==
+      Seq("J45.9"))
+
+    val consults = Hl7Wire.parseConsults(
+      wire.filter(col("raw").contains("ORM^O01")), "raw")
+    assert(consults.select("epicConsultId").as[Long].collect().toSeq ==
+      Seq(9900221L))
+    assert(consults.select("consultationType").as[String].collect()
+      .toSeq == Seq("CON310"))
+
+    val flows = Hl7Wire.parseFlowsheets(
+      wire.filter(col("raw").contains("ORU^R30")), "raw")
+    assert(flows.select("interfaceId", "numericValue", "comment")
+      .as[(String, Double, String)].collect().toSeq ==
+      Seq(("5", 78.0, "resting")))
+  }
+
   test("monitored corpus flags unconsumed fixtures") {
     val fx = new FixtureSource(corpusRoot)
     fx.load(spark, "AdtMessages/generic/update_info.json", demoSchema)
@@ -73,6 +108,7 @@ class FixtureSourceSpec extends SparkSpecBase {
     val touchAll = Seq("Flowsheets", "PatientConditions", "ConsultRequests",
       "Forms", "DeptStates", "LabOrders")
     touchAll.foreach(d => fx.loadDir(spark, d, new StructType()))
+    fx.loadWireDir(spark, "Hl7Wire")
     fx.assertAllConsumed()
   }
 }

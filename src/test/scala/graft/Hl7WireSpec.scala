@@ -199,6 +199,25 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(rows(2).getAs[Boolean]("closedDueToDischarge"))
   }
 
+  test("golden ORM advance decision: care code, type name, cancel") {
+    val raw = Seq(
+      "MSH|^~\\&|EPIC|AdvDecisions|||20240212140020|OP9|ORM^O01|AD1|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      "ORC|NW|555777^EPC|||||||20240212140000",
+      (Seq("OBR", "1", "555777^EPC", "",
+        "COD4^^^^DNACPR decision") ++ Seq.fill(31)("") ++
+        Seq("20240212115500") ++ Seq.fill(7)("") :+ "COD4")
+        .mkString("|")).mkString("\r")
+    val r = Hl7Wire.parseAdvanceDecisions(Seq(raw).toDF("raw"), "raw")
+      .collect().head
+    assert(r.getAs[Long]("advanceDecisionNumber") == 555777L)
+    assert(r.getAs[String]("careCode") == "COD4")
+    assert(r.getAs[String]("typeName") == "DNACPR decision")
+    assert(r.getAs[Long]("statusChangeTimeUs") == 1707746400000000L)
+    assert(r.getAs[Long]("requestedTimeUs") == 1707738900000000L)
+    assert(!r.getAs[Boolean]("cancelled"))
+  }
+
   test("end-to-end: PPR wire messages fold into the condition star") {
     import graft.operators.EntityUpserts
     import graft.kernel.BitemporalKernel
@@ -229,6 +248,74 @@ class Hl7WireSpec extends SparkSpecBase {
       .as[(String, String, String)].collect().toSeq
     // diabetes deleted; haemorrhoids survives with the newer RESOLVED status
     assert(rows == Seq(("I10UK:K64.9", "RESOLVED", "2024-02-01")))
+  }
+
+  test("golden ORU^R30 flowsheet: typed values, tombstone, NTE comment") {
+    val r30 = Seq(
+      "MSH|^~\\&|CAREVUE|UCLH|||20240405120000||ORU^R30|FS01|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      (Seq("PV1", "1", "I", "T03") ++ Seq.fill(15)("") :+ "777333")
+        .mkString("|"),
+      "OBX|1|NM|5^HEART RATE||92|bpm|||||F|||20240405115500",
+      "NTE|1||measured supine",
+      "NTE|2||patient resting",
+      "OBX|2|ST|28^POSITION||  sitting  ||||||F|||20240405115500",
+      "OBX|3|DT|21^LAST MENSTRUAL PERIOD||20240321||||||F|||20240405115500",
+      "OBX|4|NM|5^HEART RATE||||||||F|||20240405120000" // tombstone
+    ).mkString("\r")
+
+    val rows = Hl7Wire.parseFlowsheets(Seq(r30).toDF("raw"), "raw")
+      .orderBy("sourceMessageId").collect()
+    assert(rows.length == 4)
+    val hr = rows(0)
+    assert(hr.getAs[String]("sourceMessageId") == "FS01$01")
+    assert(hr.getAs[String]("mrn") == "40800000")
+    assert(hr.getAs[String]("visitNumber") == "777333")
+    assert(hr.getAs[String]("interfaceId") == "5")
+    assert(hr.getAs[String]("valueType") == "NUMERIC")
+    assert(hr.getAs[Double]("numericValue") == 92.0)
+    assert(hr.getAs[String]("unit") == "bpm")
+    assert(hr.getAs[String]("status") == "SAVE")
+    assert(hr.getAs[String]("comment") == "measured supine\npatient resting")
+    assert(hr.getAs[Long]("observationTimeUs") == 1712318100000000L)
+    assert(hr.getAs[Long]("updatedTimeUs") == 1712318400000000L)
+
+    val pos = rows(1)
+    assert(pos.getAs[String]("valueType") == "TEXT")
+    assert(pos.getAs[String]("stringValue") == "sitting") // stripped
+    assert(pos.isNullAt(pos.fieldIndex("comment")))
+
+    val lmp = rows(2)
+    assert(lmp.getAs[String]("valueType") == "DATE")
+    assert(lmp.getAs[String]("dateValue") == "2024-03-21")
+
+    val del = rows(3)
+    assert(del.getAs[String]("status") == "DELETE")
+    assert(del.isNullAt(del.fieldIndex("numericValue")))
+  }
+
+  test("end-to-end: flowsheet wire messages fold into visit_observation") {
+    import graft.operators.EntityUpserts
+    def r30(msgId: String, dtm: String, obx: String) = Seq(
+      s"MSH|^~\\&|CAREVUE|UCLH|||$dtm||ORU^R30|$msgId|P|2.4",
+      "PID|1||40800000^^^MRN^MRN",
+      (Seq("PV1", "1", "I", "T03") ++ Seq.fill(15)("") :+ "777333")
+        .mkString("|"), obx).mkString("\r")
+    val raws = Seq(
+      r30("F1", "20240405120000",
+        "OBX|1|NM|5^HEART RATE||92|bpm|||||F|||20240405115500"),
+      r30("F2", "20240405121000", // newer correction, same observation
+        "OBX|1|NM|5^HEART RATE||95|bpm|||||C|||20240405115500"),
+      r30("F3", "20240405113000", // stale value must lose
+        "OBX|1|NM|5^HEART RATE||88|bpm|||||F|||20240405115500"))
+
+    val msgs = Hl7Wire.wireToFlowsheetMessages(
+      Hl7Wire.parseFlowsheets(raws.toDF("raw"), "raw"))
+    val live = EntityUpserts.upsert("visit_observation",
+      msgs.limit(0), msgs).live
+    val rows = live.select("observationTypeId", "numericValue")
+      .as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("5", 95.0)))
   }
 
   test("end-to-end: raw ORU wire messages fold into the labs star") {
