@@ -50,6 +50,11 @@ object EntityUpserts {
       Seq("decisionTypeId", "visitId", "cancelled", "closed")),
     "question" -> EntityConfig(Seq("questionHash"), "validFromUs", "msgId",
       Seq("questionText")),
+    // O18: answers keyed by (question, parent request) — the reference's
+    // RequestAnswer (QuestionController: answers attach to the consult /
+    // lab order that asked them)
+    "request_answer" -> EntityConfig(Seq("questionHash", "parentId"),
+      "updatedTimeUs", "msgId", Seq("answer")),
     "form_answer" -> EntityConfig(Seq("formId", "questionHash"),
       "updatedTimeUs", "msgId", Seq("valueText", "valueNumeric")),
     // O19 metadata dims (ref core/.../FormController.java): the form

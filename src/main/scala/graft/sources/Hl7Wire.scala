@@ -56,6 +56,55 @@ object Hl7Wire {
   /** First repetition (`~`-separated) of a field. */
   def rep1(f: Column): Column = nullIfEmpty(get(split(f, "~"), lit(0)))
 
+  /** One mixed wire stream → per-family parsed channels, the analog of
+    * the reference's central router (IdsOperations.messageFromHl7Message,
+    * IdsOperations.java:413-477): MSH-9 type/trigger decides the
+    * factory. Unroutable frames and unhandled types land in `dead` with
+    * a reason (S3/S4 nack semantics). Each channel is a filter + its
+    * family parser over the same input — at scale this is one scan
+    * fanned into narrow codegen'd branches, no shuffle until the
+    * downstream folds.
+    *
+    *   ADT^*            → adt        (parseAdt)
+    *   ORU^R01          → labOrders  (parseLabOrders — WinPath-style)
+    *   ORU^R30          → flowsheets (parseFlowsheets)
+    *   PPR^PC1/PC2/PC3  → problems   (parseProblems)
+    *   ORM^O01          → consults   (parseConsults; advance decisions
+    *                      share the layout — split on OBR-44 downstream)
+    */
+  final case class RoutedWire(adt: DataFrame, labOrders: DataFrame,
+                              flowsheets: DataFrame, problems: DataFrame,
+                              consults: DataFrame, dead: DataFrame)
+
+  def route(df: DataFrame, rawCol: String): RoutedWire = {
+    val raw = col(rawCol)
+    val msh = segment(raw, "MSH")
+    val msgType = cmp(mshFld(msh, 9), 1)
+    val trigger = cmp(mshFld(msh, 9), 2)
+    val tagged = df.withColumn("__t", msgType).withColumn("__g", trigger)
+
+    def is(t: String, gs: String*) =
+      col("__t") === t &&
+        (if (gs.isEmpty) lit(true) else col("__g").isin(gs: _*))
+    val handled = is("ADT") || is("ORU", "R01", "R30") ||
+      is("PPR", "PC1", "PC2", "PC3") || is("ORM", "O01")
+
+    def branch(cond: Column, parse: (DataFrame, String) => DataFrame) =
+      parse(tagged.filter(cond), rawCol).drop("__t", "__g")
+
+    RoutedWire(
+      adt = branch(is("ADT"), parseAdt),
+      labOrders = branch(is("ORU", "R01"), parseLabOrders),
+      flowsheets = branch(is("ORU", "R30"), parseFlowsheets),
+      problems = branch(is("PPR", "PC1", "PC2", "PC3"), parseProblems),
+      consults = branch(is("ORM", "O01"), parseConsults),
+      dead = tagged.withColumn("reason",
+          when(col("__t").isNull, "unroutable")
+            .when(!handled, concat(lit("unhandled_type:"), col("__t"),
+              lit("^"), coalesce(col("__g"), lit("")))))
+        .filter(col("reason").isNotNull).drop("__t", "__g"))
+  }
+
   /** ADT trigger (MSH-9.2) → interchange operation, the dispatch the
     * reference routes in AdtMessageFactory (A01 admit, A02 transfer,
     * A03 discharge, A08 update, A11/A12/A13 cancels, A40 merge).
@@ -389,6 +438,20 @@ object Hl7Wire {
       .withColumnRenamed("scheduledTimeUs", "requestedTimeUs")
       .withColumn("typeName", cmp(fld(obr, 4), 5))
   }
+
+  /** Funnel: [[parseConsults]] question→answer entries → one row per
+    * question for the question / request_answer registries (O18: the
+    * reference dedups questions by text and keys answers by
+    * (question, parent request), QuestionController).
+    */
+  def wireToQuestionMessages(consults: DataFrame): DataFrame =
+    consults.select(
+        col("epicConsultId").cast("string").as("parentId"),
+        col("statusChangeTimeUs").as("updatedTimeUs"),
+        col("sourceMessageId").as("msgId"),
+        explode(map_entries(col("questions"))).as("qa"))
+      .select(col("parentId"), col("updatedTimeUs"), col("msgId"),
+        col("qa.key").as("questionText"), col("qa.value").as("answer"))
 
   /** Funnel: [[parseFlowsheets]] output → the visit_observation registry
     * shape (key (visitId, observationTypeId, observationTimeUs); O14).

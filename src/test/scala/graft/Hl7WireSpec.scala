@@ -387,6 +387,73 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(iv == Seq(("W1", t10, t12), ("W3", t12, t13)))
   }
 
+  test("end-to-end: consult questions fold into question/answer stars") {
+    import graft.operators.EntityUpserts
+    def consult(msgId: String, dtm: String, id: String, ntes: Seq[String]) =
+      (Seq(
+        s"MSH|^~\\&|EPIC|Consult Orders|||$dtm|OP|ORM^O01|$msgId|P|2.4",
+        "PID|1||40800000^^^MRN^MRN",
+        s"ORC|NW|$id^EPC|||||||$dtm") ++
+        ntes.zipWithIndex.map { case (n, i) => s"NTE|${i + 1}||$n" })
+        .mkString("\r")
+    val raws = Seq(
+      consult("Q1", "20240601100000", "100",
+        Seq("Reason?->sepsis", "Contacted team?->No")),
+      consult("Q2", "20240601110000", "200",
+        Seq("Reason?->falls")), // same question text, different consult
+      consult("Q3", "20240601120000", "100",
+        Seq("Contacted team?->Yes"))) // newer answer for consult 100
+
+    val qa = EntityUpserts.withQuestionHash(
+      Hl7Wire.wireToQuestionMessages(
+        Hl7Wire.parseConsults(raws.toDF("raw"), "raw")), "questionText")
+
+    // question dim dedups by text: 2 distinct questions from 4 entries
+    val questions = EntityUpserts.upsert("question",
+      qa.withColumnRenamed("updatedTimeUs", "validFromUs").limit(0),
+      qa.withColumnRenamed("updatedTimeUs", "validFromUs")).live
+    assert(questions.select("questionText").as[String].collect().toSet ==
+      Set("Reason?", "Contacted team?"))
+
+    // answers keyed (question, parent): newer answer wins per consult
+    val answers = EntityUpserts.upsert("request_answer",
+      qa.limit(0), qa).live
+    val got = answers.join(questions, "questionHash")
+      .select("questionText", "parentId", "answer")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("Reason?", "100", "sepsis"),
+      ("Reason?", "200", "falls"),
+      ("Contacted team?", "100", "Yes")))
+  }
+
+  test("central router fans one mixed stream into family channels") {
+    val raws = Seq(
+      "MSH|^~\\&|EPIC|UCLH|||20240101000000||ADT^A01|R1|P|2.4\rPID|1||1^^^MRN^MRN",
+      "MSH|^~\\&|WP|UCLH|||20240101000000||ORU^R01|R2|P|2.4\rOBR|1||O1^LAB|FBC^F^WP\rOBX|1|NM|HGB||13|g|||||F",
+      "MSH|^~\\&|CV|UCLH|||20240101000000||ORU^R30|R3|P|2.4\rOBX|1|NM|5^HR||80|bpm|||||F",
+      "MSH|^~\\&|EPIC|PL|||20240101000000|X|PPR^PC1|R4|P|2.4\rPRB|AD|20240101000000|A^B^C|9",
+      "MSH|^~\\&|EPIC|CO|||20240101000000|X|ORM^O01|R5|P|2.4\rORC|NW|7^EPC|||||||20240101000000",
+      "MSH|^~\\&|EPIC|XX|||20240101000000||SIU^S12|R6|P|2.4", // unhandled
+      "no MSH here at all")
+    val r = Hl7Wire.route(raws.toDF("raw"), "raw")
+    assert(r.adt.select("sourceMessageId").as[String].collect().toSeq ==
+      Seq("R1"))
+    assert(r.labOrders.select("sourceMessageId").as[String].collect()
+      .toSeq == Seq("R2"))
+    assert(r.flowsheets.select("sourceMessageId").as[String].collect()
+      .toSeq == Seq("R3$01"))
+    assert(r.problems.select("sourceMessageId").as[String].collect()
+      .toSeq == Seq("R4"))
+    assert(r.consults.select("sourceMessageId").as[String].collect()
+      .toSeq == Seq("R5"))
+    val dead = r.dead.select("reason").as[String].collect().toSet
+    assert(dead == Set("unhandled_type:SIU^S12", "unroutable"))
+    // channels + dead partition the input exactly
+    assert(r.adt.count() + r.labOrders.count() + r.flowsheets.count() +
+      r.problems.count() + r.consults.count() + r.dead.count() == 7)
+  }
+
   test("missing segments and empty fields degrade to nulls, not errors") {
     val bare = "MSH|^~\\&|S|F|||20240101000000||ADT^A03|M1|P|2.4"
     val r = Hl7Wire.parseAdt(Seq(bare).toDF("raw"), "raw").collect().head
