@@ -839,6 +839,32 @@ object SparkEntry {
           col("status"),
           col("observationTimeUs").as("obs_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- incremental corpus dedup: batch-folded = from-scratch ------
+    // Fold the document corpus in two batches (even ids first, then
+    // odd) through the persisted-signature incremental MinHash path.
+    // The oracle replays ONE full-corpus LSH pass: the union of the two
+    // folds' pairs must equal it exactly — the determinism that lets a
+    // 100 TB pipeline dedup each ingest increment without rescanning.
+    "q54_incremental_dedup" -> ((s, dir) => {
+      val all = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b0 = all.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b1 = all.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val s0 = Dedup.emptyMinhashState(all, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 8, portable = true)
+      val (p0, st1r) = Dedup.incrementalMinhash(s0, b0, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 8, estThreshold = 0.125,
+        portable = true)
+      val st1 = Dedup.MinhashState(st1r.signatures.localCheckpoint(),
+        st1r.buckets.localCheckpoint())
+      val (p1, _) = Dedup.incrementalMinhash(st1, b1, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 8, estThreshold = 0.125,
+        portable = true)
+      // n/64 is exactly representable — bit-equal in both engines (q21)
+      p0.unionByName(p1)
+        .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(500)
     })
   )
 
@@ -1090,6 +1116,41 @@ object SparkEntry {
          | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
          |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          | FROM cap x JOIN cap y ON x.band = y.band AND x.bucket = y.bucket
+         |  AND x.doc_id < y.doc_id),
+         |sc AS (SELECT p.doc_a, p.doc_b,
+         |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+         | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
+         | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+         | GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, est_jaccard FROM sc WHERE est_jaccard >= 0.125
+         |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 500""".stripMargin
+    },
+
+    // Same LSH replay as q21 but uncapped over the full corpus: the
+    // batch-incremental fold must reproduce the from-scratch pair set.
+    "q54_incremental_dedup" -> {
+      val perms = Dedup.minhashPerms(64, 42L)
+      val aList = perms.map(_._1).mkString(", ")
+      val bList = perms.map(_._2).mkString(", ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
+         | FROM documents),
+         |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
+         |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+         |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+         |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
+         |  unnest(range(64)) AS j),
+         |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
+         | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
+         |bnd AS (SELECT doc_id, j // 8 AS band,
+         |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
+         | FROM sigj GROUP BY doc_id, band),
+         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
          |  AND x.doc_id < y.doc_id),
          |sc AS (SELECT p.doc_a, p.doc_b,
          |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard

@@ -94,11 +94,13 @@ object Dedup {
     * the shingle pipeline inside each of the 64 permutation expressions —
     * 64× recompute, codegen-breaking tree. Measured minutes → seconds.)
     */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16,
-                 estThreshold: Double = 0.0, seed: Long = 42L,
-                 maxBucketSize: Int = 0, portable: Boolean = false): DataFrame = {
-    val rowsPerBand = numPerm / bands
+  /** MinHash signature table (doc_id, s0..s{numPerm-1}) — the reusable
+    * first stage of [[minhashLsh]] and [[incrementalMinhash]]. Lazily
+    * localCheckpoint'd: one computation feeds every consumer.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numPerm: Int, seed: Long,
+                        portable: Boolean): DataFrame = {
     val P = 2147483647L // 2^31-1; keeps a*h+b far from Long overflow (ANSI)
     val perms = minhashPerms(numPerm, seed)
 
@@ -118,7 +120,7 @@ object Dedup {
             .as("s"))
           .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
 
-    val sig = shingleRows
+    shingleRows
       .groupBy(col("doc_id"))
       .agg(min(pmod(lit(perms.head._1) * col("h") + lit(perms.head._2),
           lit(P))).as("s0"),
@@ -126,7 +128,12 @@ object Dedup {
           min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s${i + 1}")
         }: _*)
       .localCheckpoint(false) // lazy: computed once, reused by 3 consumers
+  }
 
+  /** LSH band buckets (doc_id, band, bucket) from a signature table. */
+  def bandBuckets(sig: DataFrame, numPerm: Int, bands: Int,
+                  portable: Boolean): DataFrame = {
+    val rowsPerBand = numPerm / bands
     def bucketOf(b: Int) = {
       val cat = concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)
@@ -135,10 +142,18 @@ object Dedup {
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"), bucketOf(b).as("bucket"))
     }: _*)
-
-    val buckets = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+    sig.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                 estThreshold: Double = 0.0, seed: Long = 42L,
+                 maxBucketSize: Int = 0, portable: Boolean = false): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN, numPerm,
+      seed, portable)
+    val buckets = bandBuckets(sig, numPerm, bands, portable)
 
     val capped = if (maxBucketSize > 0) {
       val w = Window.partitionBy(col("band"), col("bucket"))
@@ -162,6 +177,82 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / numPerm).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** Persisted dedup state: the corpus's signature and bucket tables.
+    * At rest, persist `buckets` partitioned by
+    * `pmod(xxhash64(bucket), B)` — the incremental fold's candidate
+    * join then prunes to the partitions the batch's buckets hash into,
+    * so per-batch cost tracks batch size, not corpus size (same bucket
+    * trick as [[graft.streaming.StarPipeline]]).
+    */
+  final case class MinhashState(signatures: DataFrame, buckets: DataFrame)
+
+  /** Incremental near-dup fold — dedup a NEW batch of documents against
+    * an already-signed corpus without rescanning it (the shape a 100 TB
+    * training-data pipeline actually runs: continuous ingest, dedup
+    * each increment against everything seen so far).
+    *
+    * Returns the dup pairs this batch introduces (new×corpus and
+    * new×new, scored exactly like [[minhashLsh]]) and the grown state.
+    * Folding a corpus batch-by-batch yields EXACTLY the pair set of one
+    * full-corpus run (per-doc signatures/buckets are deterministic; a
+    * cross-batch pair is emitted by the fold that sees its second
+    * member) — `DedupAnnSpec` asserts this equivalence.
+    *
+    * Cost shape: the batch's shingle/signature work is O(batch); the
+    * candidate join touches only state buckets matching the batch's
+    * (band, bucket) keys; signatures attach once per unique pair.
+    * Nothing reads the corpus text again.
+    */
+  def incrementalMinhash(state: MinhashState, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16, estThreshold: Double = 0.0,
+                         seed: Long = 42L, portable: Boolean = false)
+      : (DataFrame, MinhashState) = {
+    val bSig = minhashSignatures(batch, idCol, textCol, shingleN, numPerm,
+      seed, portable)
+    val bBuckets = bandBuckets(bSig, numPerm, bands, portable)
+      .localCheckpoint(false)
+
+    // batch drives the probe: new×old needs any id order (normalized
+    // below), new×new counts once via the id ordering
+    val corpus = state.buckets.withColumn("__new", lit(false))
+      .unionByName(bBuckets.withColumn("__new", lit(true)))
+    val pairs = bBuckets.as("a").join(corpus.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          ((!col("b.__new") && col("a.doc_id") =!= col("b.doc_id")) ||
+            (col("b.__new") && col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+
+    val allSig = state.signatures.unionByName(bSig)
+    val sigArr = array((0 until numPerm).map(i => col(s"s$i")): _*)
+    val matches = size(filter(
+      zip_with(col("sa"), col("sb"), (x, y) => x === y), m => m))
+    val scored = pairs
+      .join(allSig.select(col("doc_id").as("doc_a"), sigArr.as("sa")),
+        "doc_a")
+      .join(allSig.select(col("doc_id").as("doc_b"), sigArr.as("sb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / numPerm).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+
+    (scored, MinhashState(allSig, state.buckets.unionByName(bBuckets)))
+  }
+
+  /** Empty state with the right schemas, derived from any batch. */
+  def emptyMinhashState(batch: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numPerm: Int = 64,
+                        bands: Int = 16, seed: Long = 42L,
+                        portable: Boolean = false): MinhashState = {
+    val sig0 = minhashSignatures(batch.limit(0), idCol, textCol, shingleN,
+      numPerm, seed, portable)
+    MinhashState(sig0, bandBuckets(sig0, numPerm, bands, portable))
   }
 
   /** SimHash signatures: bit b of the signature is the sign of the vote

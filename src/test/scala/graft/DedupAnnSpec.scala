@@ -28,6 +28,33 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(found.count() >= 25, "LSH should recover most mutated pairs")
   }
 
+  test("incremental minhash fold equals the full-corpus run") {
+    val all = docs.limit(200).select($"doc_id", $"text")
+    val b0 = all.filter($"doc_id" % 2 === 0)
+    val b1 = all.filter($"doc_id" % 2 === 1)
+
+    val full = Dedup.minhashLsh(all, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    val s0 = Dedup.emptyMinhashState(all, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 16)
+    val (p0, s1) = Dedup.incrementalMinhash(s0, b0, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 16)
+    val st1 = Dedup.MinhashState(
+      s1.signatures.localCheckpoint(), s1.buckets.localCheckpoint())
+    val (p1, _) = Dedup.incrementalMinhash(st1, b1, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 16)
+
+    val fold0 = p0.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fold1 = p1.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // each pair surfaces exactly once, in the fold seeing its 2nd member
+    assert(fold0.intersect(fold1).isEmpty)
+    assert(fold0.union(fold1) == full)
+    // batch-1-internal pairs all stayed in fold 0
+    assert(fold0.forall { case (a, b) => a % 2 == 0 && b % 2 == 0 })
+  }
+
   test("simhash: identical docs distance 0, mutated docs close") {
     val sigs = Dedup.simhashSigs(docs.limit(50), "doc_id", "text")
     val self = sigs.as("a").join(sigs.as("b"),
