@@ -55,6 +55,17 @@ object Bench {
       System.gc()
     }
 
+    // HL7 wire ingest: render every event row as a raw ADT message and
+    // push it through the full parse (segment split, field/component
+    // extraction, DTM parse, trigger routing) — messages/s is the
+    // ingest-front-end headline (reference envelope is ~10-100 msg/s
+    // sustained; BASELINE.md).
+    results("w2_wire_parse") = time {
+      val q44 = SparkEntry.queries("q44_hl7_wire")
+      require(q44(spark, sfDir).count() > 0)
+    }
+    spark.catalog.clearCache(); System.gc()
+
     // Waveform ingest: generate + collate 540k samples (30 locs × 300 Hz
     // × 60 s, 40 samples/msg) into ≤3000-sample rows.
     results("w1_waveform_collate") = time {

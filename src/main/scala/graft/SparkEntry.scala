@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.kernel.BitemporalKernel
-import graft.operators.{Ann, Dedup, EntityUpserts, IdentityMerge, Temporal, TextAnalysis}
+import graft.operators.{Ann, Dedup, EntityUpserts, IdentityMerge, Multimodal, Temporal, TextAnalysis}
 
 /** Driver contract (see SURVEY.md §7 + TESTDATA.md).
   *
@@ -865,6 +865,31 @@ object SparkEntry {
       p0.unionByName(p1)
         .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(500)
+    }),
+
+    // ---- multimodal: REAL decode seam + frame-sampling plan ---------
+    // Unlike q32 (metadata arithmetic), this runs the actual batched
+    // mapPartitions decode (FakeCodec stands in for ffmpeg — see
+    // Multimodal scaladoc) and then plans every 7th frame of each video.
+    // The oracle predicts the whole plan from the payload length alone.
+    "q55_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("modality",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+        .select(col("doc_id").as("media_id"), col("modality"),
+          col("payload"), lit("application/octet-stream").as("mime"))
+        .as[Multimodal.MediaRow]
+      val feats = Multimodal
+        .decodeFeatures(media, Multimodal.FakeCodec, parallelism = Some(8))
+        .toDF()
+      Multimodal.sampleFrames(
+          feats.filter(col("modality") === "video"), stride = 7)
+        .select(col("media_id").cast("long").as("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -1284,6 +1309,15 @@ object SparkEntry {
         | CAST(CASE WHEN modality = 'video' THEN 1 + n_bytes % 30 ELSE 1 END
         |   AS BIGINT) AS n_frames
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q55_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n
+        | FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, 1 + n % 30 AS frames FROM m)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        | CAST(unnest(range(0, frames, 7)) AS BIGINT) AS frame_idx
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     "q34_embed_neardup" ->
       """WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
