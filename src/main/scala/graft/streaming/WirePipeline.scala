@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sources.Hl7Wire
+
+/** The full ingestion pipeline in one entry point — the Spark analog of
+  * the reference's hl7-reader + core App pair: a raw HL7 stream is
+  * routed by MSH-9 (S2), family-guarded (S3/S4 nack), funneled into each
+  * family's interchange shape, and folded into that family's bitemporal
+  * star state ([[StarPipeline]] bucketed fold) — every micro-batch, all
+  * families, one query.
+  *
+  * State layout under `stateRoot`:
+  *
+  *   adt/ labs/ flowsheets/ conditions/ consults/   → StarPipeline dirs
+  *   dead/router/batch=N   → unroutable / unhandled-type frames
+  *   dead/<family>/batch=N → family-guard rejects (missing key/time)
+  *
+  * Dead-letter writes are per-batch overwrites — idempotent on replay,
+  * like the folds themselves. Scale shape: one scan of the batch fans
+  * into narrow parse branches; each family fold touches only the state
+  * buckets its keys hash into.
+  */
+object WirePipeline {
+
+  /** Per-family kernel configs (natural key, event time, tie, payload). */
+  private def cfg(stateRoot: String, family: String, key: Seq[String],
+                  vf: String, payload: Seq[String]) =
+    StarPipeline.Config(s"$stateRoot/$family", key, vf, "sourceMessageId",
+      payload, nBuckets = 8)
+
+  def start(raw: DataFrame, rawCol: String, stateRoot: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    raw.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, rawCol, stateRoot)
+      }
+      .start()
+
+  /** One micro-batch through the whole front end (also callable on a
+    * static frame for backfill).
+    */
+  def foldBatch(batch: DataFrame, batchId: Long, rawCol: String,
+                stateRoot: String): Unit = {
+    val r = Hl7Wire.route(batch, rawCol)
+    r.dead.write.mode("overwrite")
+      .parquet(s"$stateRoot/dead/router/batch=$batchId")
+
+    def guardAndFold(parsed: DataFrame, family: String,
+                     rules: Seq[(String, org.apache.spark.sql.Column)],
+                     toMsgs: DataFrame => DataFrame,
+                     key: Seq[String], vf: String,
+                     payload: Seq[String]): Unit = {
+      val routed = DeadLetter.route(parsed, rules)
+      routed.dead.write.mode("overwrite")
+        .parquet(s"$stateRoot/dead/$family/batch=$batchId")
+      StarPipeline.foldBatch(toMsgs(routed.clean), batchId,
+        cfg(stateRoot, family, key, vf, payload))
+    }
+
+    guardAndFold(r.adt, "adt",
+      Seq("missing_mrn" -> col("mrn").isNull,
+        "missing_valid_from" -> col("validFromUs").isNull),
+      _.select(col("mrn"), col("validFromUs"), col("sourceMessageId"),
+        col("msgType"), col("patientClass"), col("fullLocationString")),
+      Seq("mrn"), "validFromUs",
+      Seq("msgType", "patientClass", "fullLocationString"))
+
+    guardAndFold(r.labOrders, "labs",
+      Seq("missing_order" -> col("fillerOrderNumber").isNull,
+        "missing_time" -> coalesce(col("observationDateTimeUs"),
+          col("requestedDateTimeUs")).isNull),
+      Hl7Wire.wireToLabMessages(_),
+      Seq("battery", "labSpecimenNumber"), "statusChangeTimeUs",
+      Seq("epicOrderNumber", "mrn", "results"))
+
+    guardAndFold(r.flowsheets, "flowsheets",
+      Seq("missing_visit" -> col("visitNumber").isNull,
+        "missing_type" -> col("interfaceId").isNull,
+        "missing_time" -> col("observationTimeUs").isNull),
+      Hl7Wire.wireToFlowsheetMessages(_)
+        .withColumnRenamed("msgId", "sourceMessageId"),
+      Seq("visitId", "observationTypeId", "observationTimeUs"),
+      "updatedTimeUs",
+      Seq("valueType", "numericValue", "stringValue", "dateValue", "unit",
+        "comment"))
+
+    guardAndFold(r.problems, "conditions",
+      Seq("missing_mrn" -> col("mrn").isNull,
+        "missing_time" -> col("updatedTimeUs").isNull),
+      Hl7Wire.wireToConditionMessages(_)
+        .withColumnRenamed("msgId", "sourceMessageId"),
+      Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
+      Seq("status", "severity", "onsetDate", "comment", "action"))
+
+    guardAndFold(r.consults, "consults",
+      Seq("missing_id" -> col("epicConsultId").isNull,
+        "missing_time" -> col("statusChangeTimeUs").isNull),
+      _.select(col("epicConsultId"), col("statusChangeTimeUs"),
+        col("sourceMessageId"), col("mrn"), col("visitNumber"),
+        col("consultationType"), col("cancelled"),
+        col("closedDueToDischarge")),
+      Seq("epicConsultId"), "statusChangeTimeUs",
+      Seq("mrn", "visitNumber", "consultationType", "cancelled",
+        "closedDueToDischarge"))
+  }
+}
