@@ -801,7 +801,7 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // ---- S2/O14: ORU^R30 flowsheet wire round-trip ------------------
+    // ---- S2/O14: ORU^R01 Vitals flowsheet wire round-trip -----------
     // Typed value dispatch (NM/ST/DT by event_id mod 3) plus the
     // empty-value tombstone channel (mod 7): the oracle predicts value
     // type, exactly one populated value column, and DELETE status.
@@ -819,7 +819,7 @@ object SparkEntry {
         .otherwise(date_format(timestamp_micros(
           expr("ts_us div 1000000") * 1000000L), "yyyyMMdd"))
       val raw = concat_ws("\r",
-        concat(lit("MSH|^~\\&|CAREVUE|UCLH|||"), dtm, lit("||ORU^R30|F"),
+        concat(lit("MSH|^~\\&|CAREVUE|Vitals|||"), dtm, lit("||ORU^R01|F"),
           eid, lit("|P|2.4")),
         concat(lit("PID|1||"), col("user_id").cast("string")),
         concat(lit("PV1|1|I|T03"), lit("|" * 16), lit("V"), eid),

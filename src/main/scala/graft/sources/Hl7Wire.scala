@@ -58,23 +58,37 @@ object Hl7Wire {
 
   /** One mixed wire stream → per-family parsed channels, the analog of
     * the reference's central router (IdsOperations.messageFromHl7Message,
-    * IdsOperations.java:413-477): MSH-9 type/trigger decides the
-    * factory. Unroutable frames and unhandled types land in `dead` with
-    * a reason (S3/S4 nack semantics). Each channel is a filter + its
-    * family parser over the same input — at scale this is one scan
-    * fanned into narrow codegen'd branches, no shuffle until the
-    * downstream folds.
+    * IdsOperations.java:413-477): MSH-9 type/trigger picks the message
+    * family, then order/result messages fan further by coding system
+    * ([[LabFunnel.codingSystem]] — the OrderAndResultService decision,
+    * OrderAndResultService.java:49-216). Unroutable frames, unhandled
+    * types, the deliberately-ignored blood-products feed and unknown
+    * coding systems land in `dead` with a reason (S3/S4 nack semantics).
+    * Each channel is a filter + its family parser over the same input —
+    * at scale this is one scan fanned into narrow codegen'd branches, no
+    * shuffle until the downstream folds.
     *
-    *   ADT^*            → adt        (parseAdt)
-    *   ORU^R01          → labOrders  (parseLabOrders — WinPath-style)
-    *   ORU^R30          → flowsheets (parseFlowsheets)
-    *   PPR^PC1/PC2/PC3  → problems   (parseProblems)
-    *   ORM^O01          → consults   (parseConsults; advance decisions
-    *                      share the layout — split on OBR-44 downstream)
+    *   ADT^*                      → adt
+    *   ORU^R01  WIN_PATH          → labOrders (generic nested star shape)
+    *                                + winPathLabs (full-fidelity builder)
+    *   ORU^R01  CO_PATH           → coPathLabs
+    *   ORU^R01  BIO_CONNECT       → bioConnectLabs
+    *   ORU^R01  BANK_MANAGER      → bankManagerLabs
+    *   ORU^R01  PACS              → imagingLabs
+    *   ORU^R01  FLOWSHEET (Vitals)→ flowsheets
+    *   ORU^R30  ABL90_FLEX_PLUS   → ablLabs
+    *   ORM^O01  CONSULT_ORDER     → consults
+    *   ORM^O01  ADVANCED_DECISION → advanceDecisions
+    *   ORM^O01 / ORR^O02 WIN_PATH/CO_PATH → labOrderAcks (no results)
+    *   PPR^PC1/PC2/PC3            → problems
     */
   final case class RoutedWire(adt: DataFrame, labOrders: DataFrame,
-                              flowsheets: DataFrame, problems: DataFrame,
-                              consults: DataFrame, dead: DataFrame)
+                              winPathLabs: DataFrame, coPathLabs: DataFrame,
+                              ablLabs: DataFrame, bioConnectLabs: DataFrame,
+                              bankManagerLabs: DataFrame, imagingLabs: DataFrame,
+                              labOrderAcks: DataFrame, flowsheets: DataFrame,
+                              problems: DataFrame, consults: DataFrame,
+                              advanceDecisions: DataFrame, dead: DataFrame)
 
   def route(df: DataFrame, rawCol: String): RoutedWire = {
     val raw = col(rawCol)
@@ -82,27 +96,62 @@ object Hl7Wire {
     val msgType = cmp(mshFld(msh, 9), 1)
     val trigger = cmp(mshFld(msh, 9), 2)
     val tagged = df.withColumn("__t", msgType).withColumn("__g", trigger)
+      .withColumn("__cs", LabFunnel.codingSystem(raw))
+    val cs = col("__cs")
 
     def is(t: String, gs: String*) =
       col("__t") === t &&
         (if (gs.isEmpty) lit(true) else col("__g").isin(gs: _*))
-    val handled = is("ADT") || is("ORU", "R01", "R30") ||
-      is("PPR", "PC1", "PC2", "PC3") || is("ORM", "O01")
+    val isOrm = is("ORM", "O01")
+    val isOrr = is("ORR", "O02")
+    val r01Systems = Seq(LabFunnel.WinPath, LabFunnel.CoPath,
+      LabFunnel.BioConnect, LabFunnel.BankManager, LabFunnel.Pacs,
+      LabFunnel.Flowsheet)
+    // null coding system must read as NOT handled, not three-valued null
+    val handled = coalesce(
+      is("ADT") ||
+        (is("ORU", "R01") && cs.isin(r01Systems: _*)) ||
+        (is("ORU", "R30") && cs === LabFunnel.Abl90) ||
+        is("PPR", "PC1", "PC2", "PC3") ||
+        (isOrm && cs.isin(LabFunnel.ConsultOrder, LabFunnel.AdvanceDecision,
+          LabFunnel.WinPath, LabFunnel.CoPath)) ||
+        (isOrr && cs.isin(LabFunnel.WinPath, LabFunnel.CoPath)),
+      lit(false))
 
     def branch(cond: Column, parse: (DataFrame, String) => DataFrame) =
-      parse(tagged.filter(cond), rawCol).drop("__t", "__g")
+      parse(tagged.filter(cond), rawCol).drop("__t", "__g", "__cs")
+    def r01(system: String) = is("ORU", "R01") && cs === system
+
+    val acksFor = (system: String) =>
+      branch((isOrm || isOrr) && cs === system,
+        LabFunnel.parseOrderMessages(_, _, system))
 
     RoutedWire(
       adt = branch(is("ADT"), parseAdt),
-      labOrders = branch(is("ORU", "R01"), parseLabOrders),
-      flowsheets = branch(is("ORU", "R30"), parseFlowsheets),
+      labOrders = branch(r01(LabFunnel.WinPath), parseLabOrders),
+      winPathLabs = branch(r01(LabFunnel.WinPath), LabFunnel.parseWinPathResults),
+      coPathLabs = branch(r01(LabFunnel.CoPath), LabFunnel.parseCoPath),
+      ablLabs = branch(is("ORU", "R30") && cs === LabFunnel.Abl90,
+        LabFunnel.parseAbl90),
+      bioConnectLabs = branch(r01(LabFunnel.BioConnect), LabFunnel.parseBioConnect),
+      bankManagerLabs = branch(r01(LabFunnel.BankManager), LabFunnel.parseBankManager),
+      imagingLabs = branch(r01(LabFunnel.Pacs), LabFunnel.parseImage),
+      labOrderAcks = acksFor(LabFunnel.WinPath)
+        .unionByName(acksFor(LabFunnel.CoPath)),
+      flowsheets = branch(r01(LabFunnel.Flowsheet), parseFlowsheets),
       problems = branch(is("PPR", "PC1", "PC2", "PC3"), parseProblems),
-      consults = branch(is("ORM", "O01"), parseConsults),
+      consults = branch(isOrm && cs === LabFunnel.ConsultOrder, parseConsults),
+      advanceDecisions = branch(isOrm && cs === LabFunnel.AdvanceDecision,
+        parseAdvanceDecisions),
       dead = tagged.withColumn("reason",
           when(col("__t").isNull, "unroutable")
+            .when(cs === LabFunnel.BloodProducts,
+              "ignored_coding_system:BLOOD_PRODUCTS")
+            .when((is("ORU", "R01", "R30") || isOrm || isOrr) && !handled,
+              "unknown_coding_system")
             .when(!handled, concat(lit("unhandled_type:"), col("__t"),
               lit("^"), coalesce(col("__g"), lit("")))))
-        .filter(col("reason").isNotNull).drop("__t", "__g"))
+        .filter(col("reason").isNotNull).drop("__t", "__g", "__cs"))
   }
 
   /** ADT trigger (MSH-9.2) → interchange operation, the dispatch the

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.sources.Hl7Wire
+import graft.sources.{Hl7Wire, LabFunnel}
 
 /** The full ingestion pipeline in one entry point — the Spark analog of
   * the reference's hl7-reader + core App pair: a raw HL7 stream is
@@ -72,13 +72,27 @@ object WirePipeline {
       Seq("mrn"), "validFromUs",
       Seq("msgType", "patientClass", "fullLocationString"))
 
-    guardAndFold(r.labOrders, "labs",
+    // Labs: the WinPath result stream plus the point-of-care / blood-bank
+    // funnel channels union into ONE interchange shape and one fold —
+    // same state dir, one batch id, no double-fold.
+    val labGuard = DeadLetter.route(r.labOrders,
       Seq("missing_order" -> col("fillerOrderNumber").isNull,
         "missing_time" -> coalesce(col("observationDateTimeUs"),
-          col("requestedDateTimeUs")).isNull),
-      Hl7Wire.wireToLabMessages(_),
-      Seq("battery", "labSpecimenNumber"), "statusChangeTimeUs",
-      Seq("epicOrderNumber", "mrn", "results"))
+          col("requestedDateTimeUs")).isNull))
+    labGuard.dead.write.mode("overwrite")
+      .parquet(s"$stateRoot/dead/labs/batch=$batchId")
+    val funnelMsgs = Seq(
+      "abl" -> r.ablLabs, "bioconnect" -> r.bioConnectLabs,
+      "bankmanager" -> r.bankManagerLabs).map { case (name, ch) =>
+        ch.filter(col("error").isNotNull).write.mode("overwrite")
+          .parquet(s"$stateRoot/dead/labs_$name/batch=$batchId")
+        LabFunnel.toLabMessages(ch)
+      }.reduce(_ unionByName _)
+    StarPipeline.foldBatch(
+      Hl7Wire.wireToLabMessages(labGuard.clean).unionByName(funnelMsgs),
+      batchId,
+      cfg(stateRoot, "labs", Seq("battery", "labSpecimenNumber"),
+        "statusChangeTimeUs", Seq("epicOrderNumber", "mrn", "results")))
 
     guardAndFold(r.flowsheets, "flowsheets",
       Seq("missing_visit" -> col("visitNumber").isNull,

@@ -65,7 +65,12 @@ class FixtureSourceSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.col
     val fx = new FixtureSource(corpusRoot)
     val wire = fx.loadWireDir(spark, "Hl7Wire")
-    assert(wire.count() == 5)
+    assert(wire.count() == 6)
+
+    val abl = graft.sources.LabFunnel.parseAbl90(
+      wire.filter(col("raw").contains("ORU^R30")), "raw")
+    assert(abl.select("labSpecimenNumber").as[String].collect().toSeq ==
+      Seq("66554"))
 
     val adt = Hl7Wire.parseAdt(wire, "raw")
       .filter(col("msgType") === "Admit")
@@ -89,7 +94,7 @@ class FixtureSourceSpec extends SparkSpecBase {
       .toSeq == Seq("CON310"))
 
     val flows = Hl7Wire.parseFlowsheets(
-      wire.filter(col("raw").contains("ORU^R30")), "raw")
+      wire.filter(col("raw").contains("|Vitals|")), "raw")
     assert(flows.select("interfaceId", "numericValue", "comment")
       .as[(String, Double, String)].collect().toSeq ==
       Seq(("5", 78.0, "resting")))

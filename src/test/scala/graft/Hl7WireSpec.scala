@@ -250,9 +250,9 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(rows == Seq(("I10UK:K64.9", "RESOLVED", "2024-02-01")))
   }
 
-  test("golden ORU^R30 flowsheet: typed values, tombstone, NTE comment") {
+  test("golden ORU^R01 Vitals flowsheet: typed values, tombstone, NTE comment") {
     val r30 = Seq(
-      "MSH|^~\\&|CAREVUE|UCLH|||20240405120000||ORU^R30|FS01|P|2.4",
+      "MSH|^~\\&|CAREVUE|Vitals|||20240405120000||ORU^R01|FS01|P|2.4",
       "PID|1||40800000^^^MRN^MRN",
       (Seq("PV1", "1", "I", "T03") ++ Seq.fill(15)("") :+ "777333")
         .mkString("|"),
@@ -297,7 +297,7 @@ class Hl7WireSpec extends SparkSpecBase {
   test("end-to-end: flowsheet wire messages fold into visit_observation") {
     import graft.operators.EntityUpserts
     def r30(msgId: String, dtm: String, obx: String) = Seq(
-      s"MSH|^~\\&|CAREVUE|UCLH|||$dtm||ORU^R30|$msgId|P|2.4",
+      s"MSH|^~\\&|CAREVUE|Vitals|||$dtm||ORU^R01|$msgId|P|2.4",
       "PID|1||40800000^^^MRN^MRN",
       (Seq("PV1", "1", "I", "T03") ++ Seq.fill(15)("") :+ "777333")
         .mkString("|"), obx).mkString("\r")
@@ -430,28 +430,46 @@ class Hl7WireSpec extends SparkSpecBase {
   test("central router fans one mixed stream into family channels") {
     val raws = Seq(
       "MSH|^~\\&|EPIC|UCLH|||20240101000000||ADT^A01|R1|P|2.4\rPID|1||1^^^MRN^MRN",
-      "MSH|^~\\&|WP|UCLH|||20240101000000||ORU^R01|R2|P|2.4\rOBR|1||O1^LAB|FBC^F^WP\rOBX|1|NM|HGB||13|g|||||F",
-      "MSH|^~\\&|CV|UCLH|||20240101000000||ORU^R30|R3|P|2.4\rOBX|1|NM|5^HR||80|bpm|||||F",
+      "MSH|^~\\&|WP|UCLH|||20240101000000||ORU^R01|R2|P|2.4\rOBR|1||O1^LAB|FBC^F^WinPath|||20240101000000\rOBX|1|NM|HGB||13|g|||||F",
+      "MSH|^~\\&|CV|Vitals|||20240101000000||ORU^R01|R3|P|2.4\rOBX|1|NM|5^HR||80|bpm|||||F",
       "MSH|^~\\&|EPIC|PL|||20240101000000|X|PPR^PC1|R4|P|2.4\rPRB|AD|20240101000000|A^B^C|9",
-      "MSH|^~\\&|EPIC|CO|||20240101000000|X|ORM^O01|R5|P|2.4\rORC|NW|7^EPC|||||||20240101000000",
+      "MSH|^~\\&|EPIC|Consult Orders|||20240101000000|X|ORM^O01|R5|P|2.4\rORC|NW|7^EPC|||||||20240101000000",
       "MSH|^~\\&|EPIC|XX|||20240101000000||SIU^S12|R6|P|2.4", // unhandled
-      "no MSH here at all")
+      "no MSH here at all",
+      "MSH|^~\\&|ABL90 FLEX Plus|UCLH|||20240101000000||ORU^R30|R7|P|2.4" +
+        "\rOBR|1|1^A|2^B|VBG^Gas|||20240101000000|||||||20240101000000" +
+        "\rOBX|1|NM|pH^pH||7.4|||||F",
+      "MSH|^~\\&|WP|UCLH|||20240101000000||ORR^O02|R8|P|2.4" +
+        "\rORC|NA|94000010|123456789||||||20240101000000" +
+        "\rOBR|1|94000010|123456789|FBC^F^WinPath|||20240101000000",
+      // order/result with no recognisable coding system
+      "MSH|^~\\&|MYSTERY|UCLH|||20240101000000||ORU^R01|R9|P|2.4\rOBR|1||X|Y^Z")
     val r = Hl7Wire.route(raws.toDF("raw"), "raw")
     assert(r.adt.select("sourceMessageId").as[String].collect().toSeq ==
       Seq("R1"))
     assert(r.labOrders.select("sourceMessageId").as[String].collect()
       .toSeq == Seq("R2"))
+    // the WinPath result stream also feeds the full-fidelity builder
+    assert(r.winPathLabs.select("sourceMessageId").as[String].collect()
+      .toSeq == Seq("R2_01"))
     assert(r.flowsheets.select("sourceMessageId").as[String].collect()
       .toSeq == Seq("R3$01"))
     assert(r.problems.select("sourceMessageId").as[String].collect()
       .toSeq == Seq("R4"))
     assert(r.consults.select("sourceMessageId").as[String].collect()
       .toSeq == Seq("R5"))
+    assert(r.ablLabs.select("sourceMessageId").as[String].collect()
+      .toSeq == Seq("R7"))
+    assert(r.labOrderAcks.select("sourceMessageId").as[String].collect()
+      .toSeq == Seq("R8_01"))
     val dead = r.dead.select("reason").as[String].collect().toSet
-    assert(dead == Set("unhandled_type:SIU^S12", "unroutable"))
-    // channels + dead partition the input exactly
+    assert(dead == Set("unhandled_type:SIU^S12", "unroutable",
+      "unknown_coding_system"))
+    // channels + dead partition the input exactly (winPathLabs mirrors
+    // labOrders over the same WIN_PATH rows, so it is excluded)
     assert(r.adt.count() + r.labOrders.count() + r.flowsheets.count() +
-      r.problems.count() + r.consults.count() + r.dead.count() == 7)
+      r.problems.count() + r.consults.count() + r.ablLabs.count() +
+      r.labOrderAcks.count() + r.dead.count() == 10)
   }
 
   test("missing segments and empty fields degrade to nulls, not errors") {
