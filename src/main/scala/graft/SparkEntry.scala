@@ -890,6 +890,180 @@ object SparkEntry {
         .select(col("media_id").cast("long").as("media_id"),
           col("frame_idx").cast("long").as("frame_idx"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ---- duplicate clusters: connected components over LSH pairs ----
+    // q21's candidate pairs → min-label connected components; DuckDB
+    // replays the clustering with a recursive CTE over the same pairs.
+    "q56_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 8,
+        estThreshold = 0.125, maxBucketSize = 100, portable = true)
+      Dedup.dupClusters(pairs, "doc_a", "doc_b")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- S2 funnel: coding-system routing round-trip ----------------
+    // Render each order as a wire message whose identifying markers
+    // (MSH-3/MSH-4/OBR-3.2/OBR-4.3/OBR-4.4) rotate by o_orderkey%7; the
+    // oracle predicts the decision table's output per case.
+    "q57_wire_funnel" -> ((s, dir) => {
+      val k = col("o_orderkey").cast("string")
+      val m7 = pmod(col("o_orderkey"), lit(7))
+      val msh3 = when(m7 === 2, "BIO-CONNECT")
+        .when(m7 === 3, "ABL90 FLEX Plus")
+        .when(m7 === 4, "IMG_RESULT").otherwise("EPIC")
+      val msh4 = when(m7 === 5, "Vitals").otherwise("UCLH")
+      val obr3 = when(m7 === 1, "F1^CoPathPlus").otherwise("F1^LAB")
+      val obr4 = when(m7 === 0, "FBC^FBC^WinPath")
+        .when(m7 === 6, "PROF1^Profile^^Profiles").otherwise("X^Y")
+      val typ = when(m7 === 3, "ORU^R30").otherwise("ORU^R01")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|"), msh3, lit("|"), msh4, lit("|||20240501120000||"),
+          typ, lit("|W"), k, lit("|P|2.4")),
+        concat(lit("OBR|1|P1|"), obr3, lit("|"), obr4,
+          lit("|||20240501100000")))
+      t(s, dir, "orders").withColumn("raw", raw)
+        .select(col("o_orderkey").cast("long").as("order_key"),
+          graft.sources.LabFunnel.codingSystem(col("raw"))
+            .as("coding_system"))
+        .orderBy(col("order_key"))
+    }),
+
+    // ---- S2/O16 WinPath wire: isolate merge + sensitivity re-parent --
+    // Two orders per message: a culture whose ISOLATE appears as a CE
+    // code OBX plus an ST quantity OBX sharing a sub-id (merged on
+    // parse), and a sensitivity child order pointing back via OBR-26
+    // (re-parented onto the isolate). The oracle predicts the flattened
+    // parent order straight from the source columns.
+    "q58_winpath_wire" -> ((s, dir) => {
+      import graft.sources.LabFunnel
+      val k = col("o_orderkey").cast("string")
+      val c50 = pmod(col("o_custkey"), lit(50)).cast("string")
+      val spec10 = concat(lpad(k, 9, "0"), lit("7")) // 9 digits + type char
+      val quantity = concat(lit("Q"), pmod(col("o_orderkey"), lit(9)).cast("string"))
+      val agent = concat(lit("AG"), pmod(col("o_orderkey"), lit(5)).cast("string"))
+      val sv = when(pmod(col("o_orderkey"), lit(2)) === 0, "S").otherwise("R")
+      val wcc = (pmod(col("o_orderkey"), lit(120)) + 40).cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|WinPath|UCLH|||20240501120000||ORU^R01|W"),
+          k, lit("|P|2.4")),
+        concat(lit("PID|1||M"), col("o_custkey").cast("string"),
+          lit("^^^MRN^MRN")),
+        concat(lit("ORC|RE|EP"), k, lit("|"), spec10, lit("||CM")),
+        concat(lit("OBR|1|EP"), k, lit("|"), spec10,
+          lit("|MCU^CULTURE^WinPath|||20240501100000"), lit("|" * 15),
+          lit("20240501113000||HAEM|F")),
+        concat(lit("OBX|1|CE|ISOLATE^Isolate^WinPath|1|ISO"), c50,
+          lit("^Bug "), c50, lit("^WinPath||||||F")),
+        concat(lit("OBX|2|ST|ISOLATE^Isolate^WinPath|1|"), quantity,
+          lit("||||||F")),
+        concat(lit("OBX|3|NM|WCC^WCC^WinPath||"), wcc,
+          lit("|10*9/L|||||F")),
+        concat(lit("ORC|RE|EP"), k, lit("|"), spec10, lit("||CM")),
+        concat(lit("OBR|2|EP"), k, lit("|"), spec10,
+          lit("|SENS^Sens^WinPath|||20240501100000"), lit("|" * 6),
+          lit("CLIN"), k, lit("|" * 9), lit("20240501113000||HAEM|F|"),
+          lit("ISOLATE&Isolate&WinPath^1")),
+        concat(lit("OBX|1|ST|"), agent, lit("^Agent^WinPath||"), sv,
+          lit("||||||F")))
+      val parsed = LabFunnel.parseWinPathResults(
+        t(s, dir, "orders").withColumn("raw", raw), "raw")
+      val iso = get(filter(col("results"),
+        r => r.getField("testCode") === "ISOLATE"), lit(0))
+      val wccR = get(filter(col("results"),
+        r => r.getField("testCode") === "WCC"), lit(0))
+      parsed.select(
+          regexp_extract(col("sourceMessageId"), "^W(\\d+)_01$", 1)
+            .cast("long").as("order_key"),
+          col("epicOrderNumber").as("epic"),
+          col("labSpecimenNumber").as("specimen"),
+          iso.getField("mimeType").as("mime"),
+          iso.getField("isolate").getField("code").as("iso_code"),
+          iso.getField("isolate").getField("name").as("iso_name"),
+          iso.getField("isolate").getField("quantity").as("quantity"),
+          iso.getField("isolate").getField("clinicalInfo").as("clin_info"),
+          size(iso.getField("isolate").getField("sensitivities"))
+            .cast("long").as("sens_n"),
+          get(iso.getField("isolate").getField("sensitivities"), lit(0))
+            .getField("testCode").as("sens_agent"),
+          get(iso.getField("isolate").getField("sensitivities"), lit(0))
+            .getField("stringValue").as("sens_value"),
+          wccR.getField("numericValue").as("wcc"))
+        .orderBy(col("order_key"))
+    }),
+
+    // ---- S2 CoPath wire: text report + base64 PDF byte round-trip ---
+    // The ED payload is the document's own (sanitised) text, base64'd at
+    // render and decoded back to bytes at parse; the oracle predicts the
+    // decoded string straight from the text column.
+    "q59_copath_pdf" -> ((s, dir) => {
+      import graft.sources.LabFunnel
+      val id = col("doc_id").cast("string")
+      val payload = concat(lit("DOC "), id, lit(" "),
+        substring(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), 1, 40))
+      val b64 = regexp_replace(base64(encode(payload, "UTF-8")), "[\\r\\n]", "")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|Bridges|UCLH|||20240501120000||ORU^R01|CP"),
+          id, lit("|P|2.4")),
+        concat(lit("ORC|RE|UH"), id, lit("|UH"), id, lit("||CM")),
+        concat(lit("OBR|1|UH"), id, lit("|UH"), id,
+          lit("|H^Histology^CPEAP|||20240501100000"), lit("|" * 15),
+          lit("20240501113000||CP|F")),
+        concat(lit("OBX|1|TX|UH"), id, lit("^^CPEAP||Report "), id,
+          lit("||||||F")),
+        concat(lit("OBX|2|ED|UH"), id, lit("^^CPEAP||"),
+          lit("Content-Type: text/plain; charset=US-ASCII; name=r.pdf; "),
+          lit("Content-transfer-encoding: base64"), b64, lit("||||||F")))
+      val parsed = LabFunnel.parseCoPath(
+        t(s, dir, "documents").withColumn("raw", raw), "raw")
+      val tx = get(filter(col("coPathResults"),
+        r => r.getField("valueType") === "TX"), lit(0))
+      val ed = get(filter(col("coPathResults"),
+        r => r.getField("valueType") === "ED"), lit(0))
+      parsed.select(
+          regexp_extract(col("sourceMessageId"), "^CP(\\d+)_01$", 1)
+            .cast("long").as("doc_id"),
+          col("battery"), // Epic H→UH remap
+          tx.getField("stringValue").as("report"),
+          ed.getField("mimeType").as("mime"),
+          decode(ed.getField("byteValue"), "UTF-8").as("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- S2 ABL90 wire: point-of-care numerics with result operators --
+    "q60_abl90_wire" -> ((s, dir) => {
+      import graft.sources.LabFunnel
+      val k = col("o_orderkey").cast("string")
+      val m3 = pmod(col("o_orderkey"), lit(3))
+      val num = (pmod(col("o_orderkey"), lit(90)) + 10).cast("string")
+      val v = when(m3 === 0, concat(lit("<"), num))
+        .when(m3 === 1, concat(lit(">"), num)).otherwise(num)
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|ABL90 FLEX Plus|UCLH|||20240501120000||ORU^R30|A"),
+          k, lit("|P|2.4")),
+        concat(lit("PID|1||M"), col("o_custkey").cast("string"),
+          lit("^^^MRN^MRN")),
+        concat(lit("OBR|1|PL"), k, lit("^A|FIL"), k,
+          lit("^B|VBG^Gas|||20240501115500"), lit("|" * 7),
+          lit("20240501115800|Venous blood&Blood venous")),
+        concat(lit("OBX|1|NM|pH^pH^ABL|1|"), v,
+          lit("|kPa^kPa||N|||F|||20240501115900")))
+      LabFunnel.parseAbl90(
+          t(s, dir, "orders").withColumn("raw", raw), "raw")
+        .select(
+          regexp_extract(col("sourceMessageId"), "^A(\\d+)$", 1)
+            .cast("long").as("order_key"),
+          col("labSpecimenNumber").as("specimen"),
+          col("specimenType").as("specimen_type"),
+          col("sampleReceivedTimeUs").as("received_us"),
+          get(col("results"), lit(0)).getField("numericValue").as("value"),
+          get(col("results"), lit(0)).getField("resultOperator").as("op"),
+          get(col("results"), lit(0)).getField("stringValue").as("raw_value"),
+          get(col("results"), lit(0)).getField("units").as("units"))
+        .orderBy(col("order_key"))
     })
   )
 
@@ -1567,6 +1741,97 @@ object SparkEntry {
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events)
         |SELECT day, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users
-        |FROM e GROUP BY day ORDER BY day""".stripMargin
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
+
+    // q21's LSH pair replay + a recursive CTE for min-id connected
+    // components — the oracle for the distributed label-propagation op.
+    "q56_dup_clusters" -> {
+      val perms = Dedup.minhashPerms(64, 42L)
+      val aList = perms.map(_._1).mkString(", ")
+      val bList = perms.map(_._2).mkString(", ")
+      s"""WITH RECURSIVE toks AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
+         | FROM documents),
+         |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
+         |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+         |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+         |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
+         |  unnest(range(64)) AS j),
+         |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
+         | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
+         |bnd AS (SELECT doc_id, j // 8 AS band,
+         |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
+         | FROM sigj GROUP BY doc_id, band),
+         |cap AS (SELECT doc_id, band, bucket FROM bnd
+         | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
+         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM cap x JOIN cap y ON x.band = y.band AND x.bucket = y.bucket
+         |  AND x.doc_id < y.doc_id),
+         |sc AS (SELECT p.doc_a, p.doc_b,
+         |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+         | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
+         | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+         | GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM sc WHERE est_jaccard >= 0.125),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         | UNION SELECT doc_b, doc_a FROM pairs),
+         |walk(node, r) AS (SELECT s, s FROM ed
+         | UNION SELECT e.d, w.r FROM walk w JOIN ed e ON e.s = w.node)
+         |SELECT CAST(node AS BIGINT) AS doc_id,
+         | CAST(MIN(r) AS BIGINT) AS cluster_id
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+    },
+
+    "q57_wire_funnel" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+        | CASE CAST(o_orderkey % 7 AS INTEGER)
+        |  WHEN 0 THEN 'WIN_PATH' WHEN 1 THEN 'CO_PATH'
+        |  WHEN 2 THEN 'BIO_CONNECT' WHEN 3 THEN 'ABL90_FLEX_PLUS'
+        |  WHEN 4 THEN 'PACS' WHEN 5 THEN 'FLOWSHEET'
+        |  ELSE 'BANK_MANAGER' END AS coding_system
+        |FROM orders ORDER BY order_key""".stripMargin,
+
+    "q58_winpath_wire" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+        | 'EP' || CAST(o_orderkey AS VARCHAR) AS epic,
+        | lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS specimen,
+        | 'LAB_ISOLATE' AS mime,
+        | 'ISO' || CAST(o_custkey % 50 AS VARCHAR) AS iso_code,
+        | 'Bug ' || CAST(o_custkey % 50 AS VARCHAR) AS iso_name,
+        | 'Q' || CAST(o_orderkey % 9 AS VARCHAR) AS quantity,
+        | 'CLIN' || CAST(o_orderkey AS VARCHAR) AS clin_info,
+        | CAST(1 AS BIGINT) AS sens_n,
+        | 'AG' || CAST(o_orderkey % 5 AS VARCHAR) AS sens_agent,
+        | CASE WHEN o_orderkey % 2 = 0 THEN 'S' ELSE 'R' END AS sens_value,
+        | CAST(o_orderkey % 120 + 40 AS DOUBLE) AS wcc
+        |FROM orders ORDER BY order_key""".stripMargin,
+
+    "q59_copath_pdf" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | 'UH' AS battery,
+        | 'Report ' || CAST(doc_id AS VARCHAR) AS report,
+        | 'PDF' AS mime,
+        | 'DOC ' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |   substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 40)
+        |   AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q60_abl90_wire" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+        | 'FIL' || CAST(o_orderkey AS VARCHAR) AS specimen,
+        | 'Venous blood' AS specimen_type,
+        | CAST(1714564680000000 AS BIGINT) AS received_us,
+        | CAST(o_orderkey % 90 + 10 AS DOUBLE) AS value,
+        | CASE CAST(o_orderkey % 3 AS INTEGER)
+        |   WHEN 0 THEN '<' WHEN 1 THEN '>' ELSE '=' END AS op,
+        | CASE CAST(o_orderkey % 3 AS INTEGER)
+        |   WHEN 0 THEN '<' WHEN 1 THEN '>' ELSE '' END ||
+        |   CAST(o_orderkey % 90 + 10 AS VARCHAR) AS raw_value,
+        | 'kPa' AS units
+        |FROM orders ORDER BY order_key""".stripMargin
   )
 }

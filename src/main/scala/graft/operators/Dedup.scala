@@ -326,4 +326,40 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
+
+  /** Connected components over an undirected duplicate-pair edge list →
+    * (doc_id, cluster_id) with cluster_id = the smallest id reachable.
+    * Near-dup pair lists (LSH/SimHash output) cluster into near-cliques,
+    * so min-label propagation converges in 2-3 rounds; each round is ONE
+    * shuffle (join labels across edges + min-aggregate), the driver loop
+    * only counts rounds and changed labels — data never collects. The
+    * symmetric edge list is checkpointed once and reused every round;
+    * per-round checkpoints truncate lineage so the plan stays flat at
+    * any scale. For graphs with long paths swap in pointer-jumping
+    * (label(label(x))) to make rounds logarithmic — dup clusters don't
+    * need it. Only docs that appear in a pair are emitted.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(false)
+    var labels = edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("node"), least(col("src"), col("m")).as("label"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("label").as("nl"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"), least(col("label"), col("nl")).as("label"))
+        .localCheckpoint(false)
+      changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

@@ -121,4 +121,14 @@ class DedupAnnSpec extends SparkSpecBase {
       .filter($"mx" < $"mn").count()
     assert(perQ == 0)
   }
+
+  test("dup clusters: label propagation equals transitive closure") {
+    // chain 1-2-3-4 (needs >1 round), pair {10,11}, triangle {20,21,22}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
