@@ -1064,6 +1064,115 @@ object SparkEntry {
           get(col("results"), lit(0)).getField("stringValue").as("raw_value"),
           get(col("results"), lit(0)).getField("units").as("units"))
         .orderBy(col("order_key"))
+    }),
+
+    // ---- S2: FULL AdtMessageFactory trigger matrix round-trip -------
+    // One wire message per event cycling through all 19 implemented ADT
+    // triggers, each carrying MRG previous identifiers, a PV1-42 pending
+    // destination, and a second PID/PV1 group — so every trigger-specific
+    // extraction path (merge/move/change-ids, pending, swap) is exercised
+    // and hash-checked against the oracle's direct recomputation.
+    "q61_adt_matrix" -> ((s, dir) => {
+      val trigs = Seq("A01", "A02", "A03", "A04", "A06", "A07", "A08",
+        "A11", "A12", "A13", "A15", "A17", "A26", "A28", "A29", "A31",
+        "A40", "A45", "A47")
+      val trig = element_at(array(trigs.map(lit): _*),
+        (pmod(col("event_id"), lit(trigs.size)) + 1).cast("int"))
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|UCLH|||"), dtm, lit("||ADT^"), trig,
+          lit("|T"), eid, lit("|P|2.4")),
+        concat(lit("EVN|"), trig, lit("|"), dtm, lit("||ADMIT")),
+        concat(lit("PID|1||"), uid, lit("^^^MRN^MRN")),
+        concat(lit("PV1|1|I|LOC^"), uid, lit("|" * 16), lit("V"), eid,
+          lit("|" * 23), lit("PD"), eid),
+        concat(lit("MRG|O"), uid, lit("^^^MRN^MRN~8"), uid,
+          lit("^^^NHS^NHSNMBR||||PV"), eid),
+        concat(lit("PID|2||X"), uid, lit("^^^MRN^MRN")),
+        concat(lit("PV1|2|I|OLOC"), lit("|" * 16), lit("W"), eid))
+      graft.sources.Hl7Wire.parseAdt(
+          eventsUs(s, dir).withColumn("raw", raw), "raw")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("trigger"), col("msgType").as("msg_type"),
+          col("mrn"), col("visitNumber").as("visit_number"),
+          col("previousMrn").as("previous_mrn"),
+          col("previousNhsNumber").as("previous_nhs"),
+          col("previousVisitNumber").as("previous_visit"),
+          col("pendingDestination").as("pending_dest"),
+          col("otherMrn").as("other_mrn"),
+          col("otherVisitNumber").as("other_visit"),
+          col("validFromUs").as("valid_from_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- S2: A05 ZIF infections + the serial progress gate ----------
+    // Added datetimes are deliberately scrambled (−(id%7)h) so the gate
+    // rejects real rows; the oracle replays the reference's serial fold
+    // as the same running-max window.
+    "q62_infection_gate" -> ((s, dir) => {
+      val addedSec = expr("ts_us div 1000000") - pmod(col("event_id"), lit(7)) * 3600L
+      val addedDtm = date_format(timestamp_micros(addedSec * 1000000L),
+        "yyyyMMddHHmmss")
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|UCLH|||"), dtm, lit("||ADT^A05|I"),
+          eid, lit("|P|2.4")),
+        concat(lit("EVN|A05|"), dtm),
+        concat(lit("PID|1||"), col("user_id").cast("string"),
+          lit("^^^MRN^MRN")),
+        concat(lit("ZIF|C"), pmod(col("event_id"), lit(40)).cast("string"),
+          lit("^"), addedDtm))
+      graft.sources.Hl7Wire.infectionGate(
+          graft.sources.Hl7Wire.parseInfections(
+            eventsUs(s, dir).withColumn("raw", raw), "raw"),
+          serviceStartUs = 0L, orderCols = Seq("event_id"))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("conditionCode").as("condition_code"),
+          col("addedTimeUs").as("added_us"), col("mrn"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- S2: A60 IAM allergy wire round-trip ------------------------
+    "q63_allergy_wire" -> ((s, dir) => {
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val action = element_at(array(lit("A"), lit("D"), lit("U"), lit("X")),
+        (pmod(col("event_id"), lit(4)) + 1).cast("int"))
+      val nReact = (pmod(col("event_id"), lit(3)) + 1).cast("int")
+      val reacts = array_join(
+        transform(sequence(lit(1), nReact),
+          i => concat(lit("R"), i.cast("string"))), "~")
+      val onset = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMdd")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|UCLH|||"), dtm, lit("||ADT^A60|G"),
+          eid, lit("|P|2.4")),
+        concat(lit("EVN|A60|"), dtm),
+        concat(lit("PID|1||"), col("user_id").cast("string"),
+          lit("^^^MRN^MRN")),
+        concat(lit("IAM|1|DA^Drug|"), eid, lit("^ALLERGEN"),
+          pmod(col("event_id"), lit(25)).cast("string"),
+          lit("^ALG|SV"), pmod(col("event_id"), lit(3)).cast("string"),
+          lit("^Severity|"), reacts, lit("|"), action, lit("|"), eid,
+          lit("^EPIC||||"), onset, lit("||"), dtm, lit("||||Active")))
+      graft.sources.Hl7Wire.parseAllergies(
+          eventsUs(s, dir).withColumn("raw", raw), "raw")
+        .filter(col("error").isNull)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("mrn"), col("subType").as("sub_type"),
+          col("conditionCode").as("condition_code"),
+          col("severity"), col("action"),
+          size(col("reactions")).cast("long").as("n_reactions"),
+          col("epicConditionId").as("epic_id"),
+          col("onsetDate").as("onset_date"),
+          col("addedTimeUs").as("added_us"), col("status"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1625,7 +1734,7 @@ object SparkEntry {
          |SELECT CAST(event_id AS BIGINT) AS event_id,
          | CASE CAST((event_id % 4) + 1 AS INTEGER)
          |   WHEN 1 THEN 'Admit' WHEN 2 THEN 'Transfer' WHEN 3 THEN 'Discharge'
-         |   ELSE 'Unhandled:A04' END AS msg_type,
+         |   ELSE 'Register' END AS msg_type,
          | 'A0' || CAST((event_id % 4) + 1 AS VARCHAR) AS trigger,
          | (ts_us // 1000000) * 1000000 AS recorded_us,
          | CAST(user_id AS VARCHAR) AS mrn,
@@ -1832,6 +1941,75 @@ object SparkEntry {
         |   WHEN 0 THEN '<' WHEN 1 THEN '>' ELSE '' END ||
         |   CAST(o_orderkey % 90 + 10 AS VARCHAR) AS raw_value,
         | 'kPa' AS units
-        |FROM orders ORDER BY order_key""".stripMargin
+        |FROM orders ORDER BY order_key""".stripMargin,
+
+    "q61_adt_matrix" ->
+      s"""WITH e AS ($EventsUsSql),
+         |t AS (SELECT *,
+         |  CASE CAST(event_id % 19 AS INTEGER)
+         |   WHEN 0 THEN 'A01' WHEN 1 THEN 'A02' WHEN 2 THEN 'A03'
+         |   WHEN 3 THEN 'A04' WHEN 4 THEN 'A06' WHEN 5 THEN 'A07'
+         |   WHEN 6 THEN 'A08' WHEN 7 THEN 'A11' WHEN 8 THEN 'A12'
+         |   WHEN 9 THEN 'A13' WHEN 10 THEN 'A15' WHEN 11 THEN 'A17'
+         |   WHEN 12 THEN 'A26' WHEN 13 THEN 'A28' WHEN 14 THEN 'A29'
+         |   WHEN 15 THEN 'A31' WHEN 16 THEN 'A40' WHEN 17 THEN 'A45'
+         |   ELSE 'A47' END AS trigger
+         | FROM e)
+         |SELECT CAST(event_id AS BIGINT) AS event_id, trigger,
+         | CASE trigger
+         |  WHEN 'A01' THEN 'Admit'
+         |  WHEN 'A02' THEN 'Transfer' WHEN 'A06' THEN 'Transfer'
+         |  WHEN 'A07' THEN 'Transfer'
+         |  WHEN 'A03' THEN 'Discharge' WHEN 'A04' THEN 'Register'
+         |  WHEN 'A08' THEN 'UpdateInfo' WHEN 'A28' THEN 'UpdateInfo'
+         |  WHEN 'A31' THEN 'UpdateInfo'
+         |  WHEN 'A11' THEN 'CancelAdmit' WHEN 'A12' THEN 'CancelTransfer'
+         |  WHEN 'A13' THEN 'CancelDischarge'
+         |  WHEN 'A15' THEN 'PendingTransfer' WHEN 'A17' THEN 'SwapLocations'
+         |  WHEN 'A26' THEN 'CancelPendingTransfer'
+         |  WHEN 'A29' THEN 'DeletePersonInformation'
+         |  WHEN 'A40' THEN 'MergePatient' WHEN 'A45' THEN 'MoveVisit'
+         |  ELSE 'ChangeIdentifiers' END AS msg_type,
+         | CAST(user_id AS VARCHAR) AS mrn,
+         | 'V' || CAST(event_id AS VARCHAR) AS visit_number,
+         | 'O' || CAST(user_id AS VARCHAR) AS previous_mrn,
+         | '8' || CAST(user_id AS VARCHAR) AS previous_nhs,
+         | 'PV' || CAST(event_id AS VARCHAR) AS previous_visit,
+         | 'PD' || CAST(event_id AS VARCHAR) AS pending_dest,
+         | 'X' || CAST(user_id AS VARCHAR) AS other_mrn,
+         | 'W' || CAST(event_id AS VARCHAR) AS other_visit,
+         | (ts_us // 1000000) * 1000000 AS valid_from_us
+         |FROM t ORDER BY event_id""".stripMargin,
+
+    "q62_infection_gate" ->
+      s"""WITH e AS ($EventsUsSql),
+         |z AS (SELECT user_id, event_id,
+         |  (ts_us // 1000000 - (event_id % 7) * 3600) * 1000000 AS added_us
+         | FROM e),
+         |g AS (SELECT *, max(added_us) OVER (ORDER BY event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prog
+         | FROM z)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | 'C' || CAST(event_id % 40 AS VARCHAR) AS condition_code,
+         | added_us, CAST(user_id AS VARCHAR) AS mrn
+         |FROM g WHERE added_us >= COALESCE(prog, 0)
+         |ORDER BY event_id""".stripMargin,
+
+    "q63_allergy_wire" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | CAST(user_id AS VARCHAR) AS mrn,
+         | 'DA' AS sub_type,
+         | 'ALLERGEN' || CAST(event_id % 25 AS VARCHAR) AS condition_code,
+         | 'SV' || CAST(event_id % 3 AS VARCHAR) AS severity,
+         | CASE CAST(event_id % 4 AS INTEGER)
+         |   WHEN 0 THEN 'AD' WHEN 1 THEN 'DE' ELSE 'UP' END AS action,
+         | CAST(event_id % 3 + 1 AS BIGINT) AS n_reactions,
+         | CAST(event_id AS BIGINT) AS epic_id,
+         | strftime(make_timestamp((ts_us // 1000000) * 1000000),
+         |   '%Y-%m-%d') AS onset_date,
+         | (ts_us // 1000000) * 1000000 AS added_us,
+         | 'Active' AS status
+         |FROM e ORDER BY event_id""".stripMargin
   )
 }

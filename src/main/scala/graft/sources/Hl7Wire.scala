@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hl7Timestamp.hl7TsUs
 
@@ -81,6 +82,11 @@ object Hl7Wire {
     *   ORM^O01  ADVANCED_DECISION → advanceDecisions
     *   ORM^O01 / ORR^O02 WIN_PATH/CO_PATH → labOrderAcks (no results)
     *   PPR^PC1/PC2/PC3            → problems
+    *   ORU^R01 / ORM^O01          → impliedAdt (person/visit context
+    *                                the reference derives from every
+    *                                order/result message)
+    *   ADT^A05                    → adt (ImpliedAdt) + infections (ZIF)
+    *   ADT^A60                    → allergies (IAM) only
     */
   final case class RoutedWire(adt: DataFrame, labOrders: DataFrame,
                               winPathLabs: DataFrame, coPathLabs: DataFrame,
@@ -88,9 +94,17 @@ object Hl7Wire {
                               bankManagerLabs: DataFrame, imagingLabs: DataFrame,
                               labOrderAcks: DataFrame, flowsheets: DataFrame,
                               problems: DataFrame, consults: DataFrame,
-                              advanceDecisions: DataFrame, dead: DataFrame)
+                              advanceDecisions: DataFrame,
+                              impliedAdt: DataFrame, infections: DataFrame,
+                              allergies: DataFrame, dead: DataFrame)
 
-  def route(df: DataFrame, rawCol: String): RoutedWire = {
+  /** @param adtSenderAllowlist when non-empty, ADT frames whose MSH-3
+    *   sending application is not in the list are dead-lettered instead
+    *   of parsed — the reference's `ALLOWED_ADT_SENDER` gate
+    *   (IdsOperations.java:62,425-429, constant "EPIC").
+    */
+  def route(df: DataFrame, rawCol: String,
+            adtSenderAllowlist: Seq[String] = Nil): RoutedWire = {
     val raw = col(rawCol)
     val msh = segment(raw, "MSH")
     val msgType = cmp(mshFld(msh, 9), 1)
@@ -104,12 +118,16 @@ object Hl7Wire {
         (if (gs.isEmpty) lit(true) else col("__g").isin(gs: _*))
     val isOrm = is("ORM", "O01")
     val isOrr = is("ORR", "O02")
+    val sender = cmp(mshFld(msh, 3), 1)
+    val senderOk =
+      if (adtSenderAllowlist.isEmpty) lit(true)
+      else coalesce(sender.isin(adtSenderAllowlist: _*), lit(false))
     val r01Systems = Seq(LabFunnel.WinPath, LabFunnel.CoPath,
       LabFunnel.BioConnect, LabFunnel.BankManager, LabFunnel.Pacs,
       LabFunnel.Flowsheet)
     // null coding system must read as NOT handled, not three-valued null
     val handled = coalesce(
-      is("ADT") ||
+      (is("ADT") && senderOk) ||
         (is("ORU", "R01") && cs.isin(r01Systems: _*)) ||
         (is("ORU", "R30") && cs === LabFunnel.Abl90) ||
         is("PPR", "PC1", "PC2", "PC3") ||
@@ -127,7 +145,10 @@ object Hl7Wire {
         LabFunnel.parseOrderMessages(_, _, system))
 
     RoutedWire(
-      adt = branch(is("ADT"), parseAdt),
+      // A60 fans to the allergies channel only (the reference's A60 ADT
+      // build throws NotImplemented and is swallowed,
+      // IdsOperations.java:493-503); every other ADT trigger parses here.
+      adt = branch(is("ADT") && senderOk && !is("ADT", "A60"), parseAdt),
       labOrders = branch(r01(LabFunnel.WinPath), parseLabOrders),
       winPathLabs = branch(r01(LabFunnel.WinPath), LabFunnel.parseWinPathResults),
       coPathLabs = branch(r01(LabFunnel.CoPath), LabFunnel.parseCoPath),
@@ -143,8 +164,18 @@ object Hl7Wire {
       consults = branch(isOrm && cs === LabFunnel.ConsultOrder, parseConsults),
       advanceDecisions = branch(isOrm && cs === LabFunnel.AdvanceDecision,
         parseAdvanceDecisions),
+      // the reference also derives an implied ADT (person/visit context)
+      // from every ORU^R01 and ORM^O01 (IdsOperations.java:431-460
+      // buildAndAddAdtMessage with fromAdtStream=false) — parse failures
+      // there are silent, here they're null-field rows the dead-letter
+      // rules drop
+      impliedAdt = branch(is("ORU", "R01") || isOrm, parseAdt),
+      infections = branch(is("ADT", "A05") && senderOk, parseInfections),
+      allergies = branch(is("ADT", "A60") && senderOk, parseAllergies),
       dead = tagged.withColumn("reason",
           when(col("__t").isNull, "unroutable")
+            .when(is("ADT") && !senderOk,
+              concat(lit("skipped_sender:"), coalesce(sender, lit(""))))
             .when(cs === LabFunnel.BloodProducts,
               "ignored_coding_system:BLOOD_PRODUCTS")
             .when((is("ORU", "R01", "R30") || isOrm || isOrr) && !handled,
@@ -154,20 +185,44 @@ object Hl7Wire {
         .filter(col("reason").isNotNull).drop("__t", "__g", "__cs"))
   }
 
-  /** ADT trigger (MSH-9.2) → interchange operation, the dispatch the
-    * reference routes in AdtMessageFactory (A01 admit, A02 transfer,
-    * A03 discharge, A08 update, A11/A12/A13 cancels, A40 merge).
+  /** ADT trigger (MSH-9.2) → interchange operation — the FULL dispatch of
+    * the reference's AdtMessageFactory.buildAdtMessageSubclass
+    * (AdtMessageFactory.java:190-285): A01 admit; A02/A06/A07 transfer
+    * (class changes are location-neutral transfers); A03 discharge; A04
+    * register (unless EVN-4 is ENC_CREATE — not implemented); A05 and the
+    * non-ADT R01/O01 are implied ADT; A08/A28/A31 update; A11/A12/A13
+    * cancels; A14/A38 scheduling (not implemented); A15/A26 pending
+    * transfer open/cancel; A17 swap locations; A29 delete person; A40
+    * merge; A45 move visit; A47 change identifiers. Everything the
+    * reference throws Hl7MessageNotImplementedException for keeps the
+    * `Unhandled:` prefix so [[graft.streaming.DeadLetter.adtRules]]
+    * routes it to the dead letter.
     */
-  def triggerToOp(trigger: Column): Column =
+  def triggerToOp(trigger: Column, eventReasonCode: Column): Column =
     when(trigger === "A01", "Admit")
-      .when(trigger === "A02", "Transfer")
+      .when(trigger.isin("A02", "A06", "A07"), "Transfer")
       .when(trigger === "A03", "Discharge")
-      .when(trigger === "A08", "UpdateInfo")
+      .when(trigger === "A04",
+        when(eventReasonCode === "ENC_CREATE", "Unhandled:ENC_CREATE")
+          .otherwise("Register"))
+      .when(trigger.isin("A05") || trigger.isin("R01", "O01"), "ImpliedAdt")
+      .when(trigger.isin("A08", "A28", "A31"), "UpdateInfo")
       .when(trigger === "A11", "CancelAdmit")
       .when(trigger === "A12", "CancelTransfer")
       .when(trigger === "A13", "CancelDischarge")
+      .when(trigger.isin("A14", "A38"),
+        concat(lit("Unhandled:scheduling:"), trigger))
+      .when(trigger === "A15", "PendingTransfer")
+      .when(trigger === "A17", "SwapLocations")
+      .when(trigger === "A26", "CancelPendingTransfer")
+      .when(trigger === "A29", "DeletePersonInformation")
       .when(trigger === "A40", "MergePatient")
+      .when(trigger === "A45", "MoveVisit")
+      .when(trigger === "A47", "ChangeIdentifiers")
       .otherwise(concat(lit("Unhandled:"), trigger))
+
+  def triggerToOp(trigger: Column): Column =
+    triggerToOp(trigger, lit(null).cast("string"))
 
   /** Parse raw ADT messages into the interchange ADT shape
     * ([[graft.model.AdtMessage]] column-for-column, plus `trigger` and
@@ -183,14 +238,25 @@ object Hl7Wire {
     val evn = segment(raw, "EVN")
     val pid = segment(raw, "PID")
     val pv1 = segment(raw, "PV1")
+    // A17 swap carries a second PID/PV1 group (the other patient of the
+    // swap, AdtMessageFactory.buildSwapLocations); A45 nests its MRG+PV1
+    // in a MERGE_INFO group, which on the wire is just the segments.
+    val pid2 = get(segmentsOf(raw, "PID"), lit(1))
+    val pv12 = get(segmentsOf(raw, "PV1"), lit(1))
+    val mrg = segment(raw, "MRG")
 
     val trigger = cmp(mshFld(msh, 9), 2)
     val recordedUs = coalesce(hl7TsUs(mshFld(msh, 7)), hl7TsUs(fld(evn, 2)))
     val occurredUs = hl7TsUs(fld(evn, 6))
     val name = fld(pid, 5)
+    def nhsOf(pidSeg: Column): Column =
+      get(transform(
+        filter(split(fld(pidSeg, 3), "~"),
+          r => get(split(r, "\\^"), lit(4)) === "NHSNMBR"),
+        r => get(split(r, "\\^"), lit(0))), lit(0))
 
     val parsed = Seq(
-      triggerToOp(trigger).as("msgType"),
+      triggerToOp(trigger, fld(evn, 4)).as("msgType"),
       trigger.as("trigger"),
       mshFld(msh, 10).as("sourceMessageId"),
       mshFld(msh, 3).as("sourceSystem"),
@@ -199,10 +265,7 @@ object Hl7Wire {
       cmp(rep1(fld(pid, 3)), 1).as("mrn"),
       // NHS number: the PID-3 repetition whose identifier-type (CX.5)
       // is NHSNMBR — scan repetitions, take the first match
-      get(transform(
-        filter(split(fld(pid, 3), "~"),
-          r => get(split(r, "\\^"), lit(4)) === "NHSNMBR"),
-        r => get(split(r, "\\^"), lit(0))), lit(0)).as("nhsNumber"),
+      nhsOf(pid).as("nhsNumber"),
       cmp(fld(pv1, 19), 1).as("visitNumber"),
       fld(pv1, 3).as("fullLocationString"),
       cmp(fld(pv1, 2), 1).as("patientClass"),
@@ -210,12 +273,33 @@ object Hl7Wire {
       cmp(name, 1).as("patientFamilyName"),
       hl7TsUs(fld(pv1, 44)).as("admissionDateTimeUs"),
       hl7TsUs(fld(pv1, 45)).as("dischargeDateTimeUs"),
+      // A03 extras (PV1Wrap.getDischargeDisposition / getDischargeLocation)
+      fld(pv1, 36).as("dischargeDisposition"),
+      fld(pv1, 37).as("dischargeLocation"),
+      // A12: the cancelled transfer's location is PV1-6 (prior location)
+      fld(pv1, 6).as("cancelledLocation"),
+      // A15/A26: pending destination is PV1-42
+      fld(pv1, 42).as("pendingDestination"),
+      // A40/A45/A47: MRG-1 rep 1 = prior MRN, rep 2 = prior NHS number
+      // (AdtMessageFactory.setPreviousIdentifiers); MRG-5 = prior visit
+      cmp(rep1(fld(mrg, 1)), 1).as("previousMrn"),
+      cmp(get(split(fld(mrg, 1), "~"), lit(1)), 1).as("previousNhsNumber"),
+      cmp(fld(mrg, 5), 1).as("previousVisitNumber"),
+      // A17: the other patient/visit of the swap (second PID/PV1 group)
+      cmp(rep1(fld(pid2, 3)), 1).as("otherMrn"),
+      nhsOf(pid2).as("otherNhsNumber"),
+      cmp(fld(pv12, 19), 1).as("otherVisitNumber"),
+      fld(pv12, 3).as("otherFullLocationString"),
       coalesce(occurredUs, recordedUs).as("validFromUs"))
     val parsedNames = Set("msgType", "trigger", "sourceMessageId",
       "sourceSystem", "recordedDateTimeUs", "eventOccurredDateTimeUs",
       "mrn", "nhsNumber", "visitNumber", "fullLocationString",
       "patientClass", "patientGivenName", "patientFamilyName",
-      "admissionDateTimeUs", "dischargeDateTimeUs", "validFromUs")
+      "admissionDateTimeUs", "dischargeDateTimeUs",
+      "dischargeDisposition", "dischargeLocation", "cancelledLocation",
+      "pendingDestination", "previousMrn", "previousNhsNumber",
+      "previousVisitNumber", "otherMrn", "otherNhsNumber",
+      "otherVisitNumber", "otherFullLocationString", "validFromUs")
     val carried = df.columns.filterNot(parsedNames.contains).map(col)
     df.select(parsed ++ carried: _*)
   }
@@ -365,6 +449,102 @@ object Hl7Wire {
       .withColumn("status", cmp(fld(prb, 13), 1))
       .withColumn("onsetTimeUs", hl7TsUs(fld(prb, 16)))
       .drop("__prb")
+  }
+
+  /** ADT^A05 → patient-infection rows, one per repetition of the custom
+    * ZIF-1 field (ref PatientInfectionFactory.java:47-83; the ZIF segment
+    * is one repeating `name^addedDTM^resolvedDTM` composite,
+    * hl7/custom/v26/segment/ZIF.java + field/Infection.java). Context:
+    * MSH-3 source system, MSH-10 source id, PID-3 MRN, EVN-2 updated DTM.
+    * Rows with no added datetime carry it null — [[infectionGate]]
+    * applies the reference's progress filter.
+    */
+  def parseInfections(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val msh = segment(raw, "MSH")
+    val pid = segment(raw, "PID")
+    val evn = segment(raw, "EVN")
+    val zif = segment(raw, "ZIF")
+    val inf = col("__inf")
+    df.select(col("*"),
+        posexplode(split(fld(zif, 1), "~")).as(Seq("infectionIdx", "__inf")))
+      .withColumn("sourceMessageId", mshFld(msh, 10))
+      .withColumn("sourceSystem", mshFld(msh, 3))
+      .withColumn("mrn", cmp(rep1(fld(pid, 3)), 1))
+      .withColumn("updatedTimeUs", hl7TsUs(fld(evn, 2)))
+      .withColumn("conditionCode", cmp(inf, 1))
+      .withColumn("addedTimeUs", hl7TsUs(cmp(inf, 2)))
+      .withColumn("resolvedTimeUs", hl7TsUs(cmp(inf, 3)))
+      .drop("__inf")
+  }
+
+  /** The reference's infection progress filter
+    * (conditons/PatientStatusService.java:22-30 + the factory's serial
+    * replay): processing messages in source order, an infection is kept
+    * iff its added datetime is present and not before the progress
+    * high-water mark, and every kept infection advances the mark.
+    * Because a row is only rejected when its added time is BELOW the
+    * current mark, the mark always equals the running maximum of the
+    * added times seen so far — so the serial fold collapses to one
+    * window: keep iff `added >= max(added) over preceding rows`,
+    * seeded with the service-start instant. One shuffle-free sort at
+    * scale (the stream is already in source order per partition).
+    */
+  def infectionGate(df: DataFrame, serviceStartUs: Long,
+                    orderCols: Seq[String]): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__progress",
+        greatest(coalesce(max(col("addedTimeUs")).over(w),
+          lit(serviceStartUs)), lit(serviceStartUs)))
+      .filter(col("addedTimeUs").isNotNull &&
+        col("addedTimeUs") >= col("__progress"))
+      .drop("__progress")
+  }
+
+  /** ADT^A60 → patient-allergy rows, one per IAM segment (ref
+    * PatientAllergyFactory.java:41-117): IAM-2.1 allergen type (subType),
+    * IAM-3.2 allergen code/name (the reference reads the CWE *text*
+    * component), IAM-4.1 severity, IAM-5 reactions (repeating), IAM-6.1
+    * action (A=ADD, D=DELETE, U/X=UPDATE, anything else is an error —
+    * surfaced in the `error` column for the dead-letter split, never a
+    * throw), IAM-7.1 epic condition id, IAM-11 onset date, IAM-13
+    * reported DTM (addedTimeUs), IAM-17.1 clinical status. Context:
+    * MSH-3/MSH-10/PID-3/EVN-2 like infections.
+    */
+  def parseAllergies(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val msh = segment(raw, "MSH")
+    val pid = segment(raw, "PID")
+    val evn = segment(raw, "EVN")
+    val iam = col("__iam")
+    val actionRaw = cmp(fld(iam, 6), 1)
+    df.select(col("*"),
+        posexplode(segmentsOf(raw, "IAM")).as(Seq("allergyIdx", "__iam")))
+      .withColumn("sourceMessageId", mshFld(msh, 10))
+      .withColumn("sourceSystem", mshFld(msh, 3))
+      .withColumn("mrn", cmp(rep1(fld(pid, 3)), 1))
+      .withColumn("updatedTimeUs", hl7TsUs(fld(evn, 2)))
+      .withColumn("subType", cmp(fld(iam, 2), 1))
+      .withColumn("conditionCode", cmp(fld(iam, 3), 2))
+      .withColumn("severity", cmp(fld(iam, 4), 1))
+      .withColumn("reactions",
+        filter(transform(split(fld(iam, 5), "~"), r => cmp(r, 1)),
+          r => r.isNotNull))
+      .withColumn("action",
+        when(actionRaw === "A", "AD")
+          .when(actionRaw === "D", "DE")
+          .when(actionRaw.isin("U", "X"), "UP"))
+      .withColumn("epicConditionId", cmp(fld(iam, 7), 1).cast("long"))
+      .withColumn("onsetDate",
+        date_format(timestamp_micros(hl7TsUs(fld(iam, 11))), "yyyy-MM-dd"))
+      .withColumn("addedTimeUs", hl7TsUs(fld(iam, 13)))
+      .withColumn("status", cmp(fld(iam, 17), 1))
+      .withColumn("error",
+        when(col("action").isNull,
+          concat(lit("invalid_allergy_action:"),
+            coalesce(actionRaw, lit("")))))
+      .drop("__iam")
   }
 
   /** ORM^O01 consult orders → consult-request rows, one per message
@@ -544,6 +724,96 @@ object Hl7Wire {
         .as("onsetDate"),
       lit(null).cast("string").as("comment"),
       col("action"))
+
+  /** Funnel: [[parseAllergies]] output → the patient_condition registry
+    * shape (same contract as [[wireToConditionMessages]]; ref
+    * PatientConditionFactory allergy path). Reactions ride along for the
+    * caller's reaction table; rows with a non-null `error` should be
+    * dead-lettered before this funnel.
+    */
+  def wireToAllergyMessages(allergies: DataFrame): DataFrame =
+    allergies.filter(col("error").isNull).select(
+      col("mrn"),
+      concat(lit("ALLERGY:"), coalesce(col("conditionCode"), lit("")))
+        .as("conditionTypeId"),
+      col("epicConditionId").cast("string").as("internalId"),
+      col("updatedTimeUs"),
+      col("sourceMessageId").as("msgId"),
+      col("status"),
+      col("severity"),
+      col("onsetDate"),
+      lit(null).cast("string").as("comment"),
+      col("action"),
+      col("reactions"))
+
+  /** Funnel: [[parseInfections]] (post-[[infectionGate]]) → the
+    * patient_condition registry shape. Infections carry no external id
+    * or action — every surviving row is an upsert (ref
+    * PatientConditionController infection path).
+    */
+  def wireToInfectionMessages(infections: DataFrame): DataFrame =
+    infections.select(
+      col("mrn"),
+      concat(lit("INFECTION:"), coalesce(col("conditionCode"), lit("")))
+        .as("conditionTypeId"),
+      lit(null).cast("string").as("internalId"),
+      col("updatedTimeUs"),
+      col("sourceMessageId").as("msgId"),
+      lit(null).cast("string").as("status"),
+      lit(null).cast("string").as("severity"),
+      date_format(timestamp_micros(col("addedTimeUs")), "yyyy-MM-dd")
+        .as("onsetDate"),
+      lit(null).cast("string").as("comment"),
+      lit("AD").as("action"))
+
+  /** Demux of a parsed ADT channel into the rare cross-key operations'
+    * input shapes (SURVEY §2.4 O4/O5/O9/O10/O13 + O11): the reference
+    * processes these serially under MrnLock; here each family is a
+    * filtered projection feeding its batch operator —
+    * [[graft.operators.PendingMovements.derive]],
+    * [[graft.operators.LocationVisits]] swap,
+    * [[graft.operators.IdentityMerge.applyMerges]]/changeIdentifiers,
+    * [[graft.operators.EntityUpserts.moveVisits]],
+    * [[graft.operators.CascadingDelete.person]].
+    */
+  final case class AdtOps(pendings: DataFrame, pendingCancels: DataFrame,
+                          swaps: DataFrame, merges: DataFrame,
+                          identifierChanges: DataFrame, visitMoves: DataFrame,
+                          personDeletes: DataFrame)
+
+  def adtOps(adt: DataFrame): AdtOps = {
+    def opIs(name: String) = adt.filter(col("msgType") === name)
+    AdtOps(
+      // surrogate ids via xxhash64(sourceMessageId) — the repo-wide
+      // deterministic-key policy (no sequence bottleneck)
+      pendings = opIs("PendingTransfer").select(
+        xxhash64(col("sourceMessageId")).as("pendingId"),
+        col("visitNumber").as("visitId"),
+        col("pendingDestination").as("location"),
+        col("validFromUs").as("tsUs")),
+      pendingCancels = opIs("CancelPendingTransfer").select(
+        xxhash64(col("sourceMessageId")).as("cancelId"),
+        col("visitNumber").as("visitId"),
+        col("pendingDestination").as("location"),
+        col("validFromUs").as("tsUs")),
+      swaps = opIs("SwapLocations").select(
+        col("visitNumber").as("visitA"),
+        col("otherVisitNumber").as("visitB")),
+      merges = opIs("MergePatient").select(
+        col("previousMrn").as("absorbed"),
+        col("mrn").as("survivor")),
+      identifierChanges = opIs("ChangeIdentifiers").select(
+        col("previousMrn").as("oldMrn"),
+        col("mrn").as("newMrn")),
+      visitMoves = opIs("MoveVisit").select(
+        col("previousVisitNumber").as("visitId"),
+        col("mrn").as("newMrn"),
+        col("visitNumber").as("newEncounter"),
+        col("validFromUs").as("moveTimeUs")),
+      personDeletes = opIs("DeletePersonInformation").select(
+        col("mrn"),
+        col("validFromUs").as("delTimeUs")))
+  }
 
   /** The funnel: [[parseLabOrders]] output → the interchange lab-message
     * shape [[graft.operators.Labs.deriveStar]] consumes (the reference's

@@ -795,7 +795,27 @@ object LabFunnel {
     * isolate/sensitivity kernels key on. Schema-aligned with
     * [[Hl7Wire.wireToLabMessages]] so the two paths union into one fold.
     */
-  def toLabMessages(orders: DataFrame): DataFrame =
+  def toLabMessages(orders: DataFrame): DataFrame = {
+    // only the WinPath builder carries isolates; the point-of-care /
+    // blood-bank builders' result structs have no `isolate` member —
+    // their messages flatten with null isolate columns
+    val hasIsolate = orders.schema("results").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        s: org.apache.spark.sql.types.StructType, _) =>
+        s.fieldNames.contains("isolate")
+      case _ => false
+    }
+    def isoCode(r: Column): Column =
+      if (hasIsolate) r.getField("isolate").getField("code")
+      else lit(null).cast("string")
+    def sensitivities(r: Column): Column =
+      if (hasIsolate)
+        transform(r.getField("isolate").getField("sensitivities"), s => struct(
+          s.getField("testCode").as("agent"),
+          s.getField("stringValue").as("value"),
+          s.getField("resultTimeUs").as("resultTimeUs")))
+      else lit(null).cast(
+        "array<struct<agent:string,value:string,resultTimeUs:bigint>>")
     orders.filter(col("error").isNull).select(
       coalesce(col("epicOrderNumber"), col("labSpecimenNumber"))
         .as("epicOrderNumber"),
@@ -815,12 +835,9 @@ object LabFunnel {
         r.getField("units").as("units"),
         coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"))
           .as("resultTimeUs"),
-        r.getField("isolate").getField("code").as("isolateCode"),
-        transform(r.getField("isolate").getField("sensitivities"), s => struct(
-          s.getField("testCode").as("agent"),
-          s.getField("stringValue").as("value"),
-          s.getField("resultTimeUs").as("resultTimeUs")))
-          .as("sensitivities"))).as("results"))
+        isoCode(r).as("isolateCode"),
+        sensitivities(r).as("sensitivities"))).as("results"))
+  }
 
   // ------------------------------------------------------------------
   // PACS imaging reports (ORU^R01)

@@ -67,7 +67,7 @@ object StarPipeline {
     val name = s"manifest-v$batchId"
     val body = (for {
       (t, buckets) <- man.toSeq.sortBy(_._1)
-      (b, p) <- buckets.toSeq.sortBy(_._1.toLong)
+      (b, p) <- buckets.toSeq.sortBy(_._1)
     } yield s"$t\t$b\t$p").mkString("\n")
     Files.createDirectories(Paths.get(cfg.stateDir))
     Files.write(Paths.get(cfg.stateDir, name), body.getBytes)
@@ -130,6 +130,99 @@ object StarPipeline {
     }
     writeManifest(cfg, newMan, batchId)
   }
+
+  /** W6/S9 compaction — the maintenance lever that keeps the per-fold
+    * read cost bounded as history accumulates: versions closed before
+    * `horizonUs` move from the hot buckets to an append-only cold
+    * archive (`<table>.cold` manifest entries, never rewritten by later
+    * folds or compactions), and only the hot tail stays in the buckets
+    * [[foldBatch]] reads. Correctness contract: after compacting at H,
+    * arrivals with validFrom >= H fold identically to the uncompacted
+    * state (cold rows of a key all sort strictly before any such
+    * arrival, so the kernel's re-derivation over the hot tail is
+    * unchanged); arrivals BEFORE H must be split out with [[lateSplit]]
+    * and handled on a slow path over [[readFull]]. The horizon persists
+    * in `_HORIZON` under one manifest swap with the data move.
+    *
+    * Cost: one pass over the hot state + the newly-cold rows — the
+    * scheduled-job analog of Delta OPTIMIZE; existing cold files are
+    * carried by reference (zero I/O), so repeated compactions stay
+    * O(hot), not O(archive).
+    */
+  def compact(spark: SparkSession, cfg: Config, horizonUs: Long,
+              batchId: Long): Unit = {
+    val man = readManifest(cfg)
+    val newMan = Seq("history", "audit").foldLeft(man) { (m, tbl) =>
+      readState(spark, cfg, tbl) match {
+        case None => m
+        case Some(state) =>
+          // history carries no stamped until (folds re-derive it) — a
+          // version is closed iff its successor's validFrom is known and
+          // before the horizon, the same lead() the kernel stamps with;
+          // audit rows carry valid_until_us directly.
+          val closed = tbl match {
+            case "history" =>
+              val byKey = org.apache.spark.sql.expressions.Window
+                .partitionBy(cfg.keyCols.map(col): _*)
+                .orderBy(col(cfg.validFromUsCol), col(cfg.tieCol))
+              lead(col(cfg.validFromUsCol), 1).over(byKey) < horizonUs
+            case _ => col("valid_until_us") < horizonUs
+          }
+          val flagged = state.withColumn("__cold", coalesce(closed, lit(false)))
+          val hotDir = s"data/$tbl/v$batchId"
+          flagged.filter(!col("__cold")).drop("__cold")
+            .withColumn("__bucket", bucketOf(cfg))
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(s"${cfg.stateDir}/$hotDir")
+          val coldDir = s"data/$tbl.cold/v$batchId"
+          flagged.filter(col("__cold")).drop("__cold")
+            .withColumn("__bucket", bucketOf(cfg))
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(s"${cfg.stateDir}/$coldDir")
+          def entries(dir: String, suffix: String) =
+            (0L until cfg.nBuckets.toLong).flatMap { k =>
+              val rel = s"$dir/__bucket=$k"
+              if (Files.exists(Paths.get(cfg.stateDir, rel)))
+                Some(s"$k$suffix" -> rel)
+              else None
+            }.toMap
+          m.updated(tbl, entries(hotDir, ""))
+            .updated(s"$tbl.cold",
+              m.getOrElse(s"$tbl.cold", Map.empty) ++
+                entries(coldDir, s"-$batchId"))
+      }
+    }
+    writeManifest(cfg, newMan, batchId)
+    Files.write(Paths.get(cfg.stateDir, "_HORIZON"),
+      horizonUs.toString.getBytes)
+  }
+
+  /** The compaction horizon currently in force, if any. */
+  def compactionHorizon(cfg: Config): Option[Long] = {
+    val p = Paths.get(cfg.stateDir, "_HORIZON")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toLong)
+    else None
+  }
+
+  /** Split a batch against the compaction horizon: `ok` folds on the
+    * fast path; `late` (validFrom < horizon) needs the slow path over
+    * [[readFull]] — or a dead-letter rule built from
+    * [[compactionHorizon]].
+    */
+  def lateSplit(batch: DataFrame, cfg: Config): (DataFrame, DataFrame) =
+    compactionHorizon(cfg) match {
+      case None => (batch, batch.limit(0))
+      case Some(h) =>
+        (batch.filter(col(cfg.validFromUsCol) >= h),
+          batch.filter(col(cfg.validFromUsCol) < h))
+    }
+
+  /** Hot ∪ cold — the complete table, for readers and late repair. */
+  def readFull(spark: SparkSession, cfg: Config, table: String): Option[DataFrame] =
+    (readState(spark, cfg, table), readState(spark, cfg, s"$table.cold")) match {
+      case (Some(h), Some(c)) => Some(h.unionByName(c))
+      case (h, c) => h.orElse(c)
+    }
 
   /** Start the maintenance query over a message stream. */
   def start(messages: DataFrame, cfg: Config,

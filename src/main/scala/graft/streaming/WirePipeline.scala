@@ -64,11 +64,19 @@ object WirePipeline {
         cfg(stateRoot, family, key, vf, payload))
     }
 
+    // ADT proper is guarded (a frame without MRN is a nack); the implied
+    // ADT the reference derives from every ORU^R01/ORM^O01
+    // (IdsOperations.buildAndAddAdtMessage, fromAdtStream=false) joins
+    // the same person/visit fold but fails SILENTLY, as in the reference
+    // — order messages legitimately arrive without patient context.
+    val impliedOk = r.impliedAdt
+      .filter(col("mrn").isNotNull && col("validFromUs").isNotNull)
     guardAndFold(r.adt, "adt",
       Seq("missing_mrn" -> col("mrn").isNull,
         "missing_valid_from" -> col("validFromUs").isNull),
-      _.select(col("mrn"), col("validFromUs"), col("sourceMessageId"),
-        col("msgType"), col("patientClass"), col("fullLocationString")),
+      clean => clean.unionByName(impliedOk, allowMissingColumns = true)
+        .select(col("mrn"), col("validFromUs"), col("sourceMessageId"),
+          col("msgType"), col("patientClass"), col("fullLocationString")),
       Seq("mrn"), "validFromUs",
       Seq("msgType", "patientClass", "fullLocationString"))
 
@@ -105,13 +113,53 @@ object WirePipeline {
       Seq("valueType", "numericValue", "stringValue", "dateValue", "unit",
         "comment"))
 
-    guardAndFold(r.problems, "conditions",
+    // Conditions: problems (PPR) + allergies (A60 IAM) + infections
+    // (A05 ZIF, behind the serial progress gate) are three funnels into
+    // ONE patient_condition fold — the reference's three condition
+    // factories meeting in PatientConditionController.
+    val probGuard = DeadLetter.route(r.problems,
       Seq("missing_mrn" -> col("mrn").isNull,
-        "missing_time" -> col("updatedTimeUs").isNull),
-      Hl7Wire.wireToConditionMessages(_)
-        .withColumnRenamed("msgId", "sourceMessageId"),
-      Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
-      Seq("status", "severity", "onsetDate", "comment", "action"))
+        "missing_time" -> col("updatedTimeUs").isNull))
+    probGuard.dead.write.mode("overwrite")
+      .parquet(s"$stateRoot/dead/conditions/batch=$batchId")
+    val allerGuard = DeadLetter.route(r.allergies,
+      Seq("invalid_action" -> col("error").isNotNull,
+        "missing_mrn" -> col("mrn").isNull,
+        "missing_time" -> col("updatedTimeUs").isNull))
+    allerGuard.dead.write.mode("overwrite")
+      .parquet(s"$stateRoot/dead/allergies/batch=$batchId")
+
+    // Infection progress survives restarts the same way the fold state
+    // does — a tiny high-watermark file advanced per batch (the
+    // reference holds it in the factory across a service run,
+    // PatientInfectionFactory.infectionProgress).
+    val progressPath = java.nio.file.Paths.get(
+      s"$stateRoot/conditions/_INF_PROGRESS")
+    val infStart =
+      if (java.nio.file.Files.exists(progressPath))
+        new String(java.nio.file.Files.readAllBytes(progressPath)).trim.toLong
+      else 0L
+    val gatedInf = Hl7Wire.infectionGate(
+      r.infections.filter(col("mrn").isNotNull),
+      infStart, Seq("sourceMessageId", "infectionIdx"))
+
+    val condMsgs = Hl7Wire.wireToConditionMessages(probGuard.clean)
+      .unionByName(Hl7Wire.wireToAllergyMessages(allerGuard.clean)
+        .drop("reactions"))
+      .unionByName(Hl7Wire.wireToInfectionMessages(gatedInf))
+    StarPipeline.foldBatch(
+      condMsgs.withColumnRenamed("msgId", "sourceMessageId"), batchId,
+      cfg(stateRoot, "conditions",
+        Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
+        Seq("status", "severity", "onsetDate", "comment", "action")))
+
+    val newProgress = gatedInf
+      .agg(max(col("addedTimeUs"))).collect().headOption
+      .flatMap(rw => Option(rw.get(0)).map(_.asInstanceOf[Long]))
+    newProgress.filter(_ > infStart).foreach { p =>
+      java.nio.file.Files.createDirectories(progressPath.getParent)
+      java.nio.file.Files.write(progressPath, p.toString.getBytes)
+    }
 
     guardAndFold(r.consults, "consults",
       Seq("missing_id" -> col("epicConsultId").isNull,

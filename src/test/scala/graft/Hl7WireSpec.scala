@@ -42,18 +42,224 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(r.getAs[Long]("validFromUs") == 1704164640000000L)
   }
 
-  test("trigger routing covers the ADT operation set + fallback") {
-    val triggers = Seq("A01", "A02", "A03", "A08", "A11", "A12", "A13",
-      "A40", "A99")
-    val raws = triggers.map(t =>
+  test("trigger routing covers the full AdtMessageFactory dispatch") {
+    val expected = Map(
+      "A01" -> "Admit", "A02" -> "Transfer", "A03" -> "Discharge",
+      "A04" -> "Register", "A05" -> "ImpliedAdt",
+      "A06" -> "Transfer", "A07" -> "Transfer",
+      "A08" -> "UpdateInfo", "A28" -> "UpdateInfo", "A31" -> "UpdateInfo",
+      "A11" -> "CancelAdmit", "A12" -> "CancelTransfer",
+      "A13" -> "CancelDischarge",
+      "A14" -> "Unhandled:scheduling:A14", "A38" -> "Unhandled:scheduling:A38",
+      "A15" -> "PendingTransfer", "A17" -> "SwapLocations",
+      "A26" -> "CancelPendingTransfer", "A29" -> "DeletePersonInformation",
+      "A40" -> "MergePatient", "A45" -> "MoveVisit",
+      "A47" -> "ChangeIdentifiers", "A99" -> "Unhandled:A99")
+    val raws = expected.keys.toSeq.map(t =>
       s"MSH|^~\\&|S|F|||20240101000000||ADT^$t|M$t|P|2.4")
     val got = Hl7Wire.parseAdt(raws.toDF("raw"), "raw")
       .select("trigger", "msgType").as[(String, String)].collect().toMap
-    assert(got == Map(
-      "A01" -> "Admit", "A02" -> "Transfer", "A03" -> "Discharge",
-      "A08" -> "UpdateInfo", "A11" -> "CancelAdmit",
-      "A12" -> "CancelTransfer", "A13" -> "CancelDischarge",
-      "A40" -> "MergePatient", "A99" -> "Unhandled:A99"))
+    assert(got == expected)
+  }
+
+  test("A04 register is dropped when EVN-4 says ENC_CREATE") {
+    val raws = Seq(
+      "MSH|^~\\&|S|F|||20240101000000||ADT^A04|M1|P|2.4\r" +
+        "EVN|A04|20240101000000||ENC_CREATE",
+      "MSH|^~\\&|S|F|||20240101000000||ADT^A04|M2|P|2.4\r" +
+        "EVN|A04|20240101000000||ADMIT")
+    val got = Hl7Wire.parseAdt(raws.toDF("raw"), "raw")
+      .select("sourceMessageId", "msgType").as[(String, String)]
+      .collect().toMap
+    assert(got == Map("M1" -> "Unhandled:ENC_CREATE", "M2" -> "Register"))
+  }
+
+  test("golden A40/A45/A47: MRG previous identifiers and prior visit") {
+    val merge = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A40|M1|P|2.4",
+      "PID|1||SURV^^^MRN^MRN||X^Y",
+      "MRG|OLD^^^MRN^MRN~9111^^^NHS^NHSNMBR").mkString("\r")
+    val move = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A45|M2|P|2.4",
+      "PID|1||P2^^^MRN^MRN",
+      "MRG|OLDP^^^MRN^MRN||||V900",
+      pv1To19("LOC^A^B", "V901")).mkString("\r")
+    val rows = Hl7Wire.parseAdt(Seq(merge, move).toDF("raw"), "raw")
+      .orderBy("sourceMessageId").collect()
+    val m = rows(0)
+    assert(m.getAs[String]("msgType") == "MergePatient")
+    assert(m.getAs[String]("mrn") == "SURV")
+    assert(m.getAs[String]("previousMrn") == "OLD")
+    assert(m.getAs[String]("previousNhsNumber") == "9111")
+    val v = rows(1)
+    assert(v.getAs[String]("msgType") == "MoveVisit")
+    assert(v.getAs[String]("previousMrn") == "OLDP")
+    assert(v.getAs[String]("previousVisitNumber") == "V900")
+    assert(v.getAs[String]("visitNumber") == "V901")
+  }
+
+  test("golden A17 swap: second PID/PV1 group is the other patient") {
+    val swap = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A17|M1|P|2.4",
+      "PID|1||P1^^^MRN^MRN~9001^^^NHS^NHSNMBR",
+      pv1To19("WARD1^R1^B1", "V1"),
+      "PID|2||P2^^^MRN^MRN~9002^^^NHS^NHSNMBR",
+      pv1To19("WARD2^R2^B2", "V2")).mkString("\r")
+    val r = Hl7Wire.parseAdt(Seq(swap).toDF("raw"), "raw").collect().head
+    assert(r.getAs[String]("msgType") == "SwapLocations")
+    assert(r.getAs[String]("mrn") == "P1")
+    assert(r.getAs[String]("visitNumber") == "V1")
+    assert(r.getAs[String]("fullLocationString") == "WARD1^R1^B1")
+    assert(r.getAs[String]("otherMrn") == "P2")
+    assert(r.getAs[String]("otherNhsNumber") == "9002")
+    assert(r.getAs[String]("otherVisitNumber") == "V2")
+    assert(r.getAs[String]("otherFullLocationString") == "WARD2^R2^B2")
+  }
+
+  test("golden A15/A26: pending destination from PV1-42; A03 extras") {
+    def pv1With42(loc: String, visit: String, pending: String) =
+      (Seq("PV1", "1", "I", loc) ++ Seq.fill(15)("") :+ visit) // …-19
+        .padTo(42, "").:+(pending).mkString("|")
+    val pend = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A15|M1|P|2.4",
+      pv1With42("HERE^A^B", "V1", "THERE^C^D")).mkString("\r")
+    val disch = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A03|M2|P|2.4",
+      (Seq("PV1", "1", "I", "HERE^A^B") ++ Seq.fill(15)("") :+ "V2")
+        .padTo(36, "").++(Seq("HOME", "DISLOC")).mkString("|")).mkString("\r")
+    val rows = Hl7Wire.parseAdt(Seq(pend, disch).toDF("raw"), "raw")
+      .orderBy("sourceMessageId").collect()
+    assert(rows(0).getAs[String]("msgType") == "PendingTransfer")
+    assert(rows(0).getAs[String]("pendingDestination") == "THERE^C^D")
+    assert(rows(1).getAs[String]("msgType") == "Discharge")
+    assert(rows(1).getAs[String]("dischargeDisposition") == "HOME")
+    assert(rows(1).getAs[String]("dischargeLocation") == "DISLOC")
+  }
+
+  test("golden A05 ZIF: one infection row per repetition; progress gate") {
+    val raw = Seq(
+      "MSH|^~\\&|EPIC|F|||20240103000000||ADT^A05|M1|P|2.4",
+      "EVN|A05|20240103000000",
+      "PID|1||P1^^^MRN^MRN",
+      "ZIF|Covid^20240102000000^20240110000000~Flu^20240101000000").mkString("\r")
+    val rows = Hl7Wire.parseInfections(Seq(raw).toDF("raw"), "raw")
+      .orderBy("infectionIdx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("conditionCode") == "Covid")
+    assert(rows(0).getAs[Long]("addedTimeUs") == 1704153600000000L)
+    assert(rows(0).getAs[Long]("resolvedTimeUs") == 1704844800000000L)
+    assert(rows(0).getAs[String]("mrn") == "P1")
+    assert(rows(1).getAs[String]("conditionCode") == "Flu")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("resolvedTimeUs")))
+
+    // the serial progress fold: Covid (Jan 2) advances the mark, so the
+    // older Flu (Jan 1) rep is rejected — exactly the reference's replay
+    val gated = Hl7Wire.infectionGate(
+      Hl7Wire.parseInfections(Seq(raw).toDF("raw"), "raw"),
+      serviceStartUs = 0L,
+      orderCols = Seq("sourceMessageId", "infectionIdx"))
+    assert(gated.select("conditionCode").as[String].collect().toSeq ==
+      Seq("Covid"))
+  }
+
+  test("infection gate matches serial replay over a permuted stream") {
+    // added times per message: 10, 5, 12, 12, 3 → serial replay keeps
+    // 10, 12, 12 (progress never goes backwards, ties accepted)
+    val added = Seq(10L, 5L, 12L, 12L, 3L)
+    val raws = added.zipWithIndex.map { case (a, i) =>
+      val dtm = f"202401010000${a}%02d"
+      s"MSH|^~\\&|EPIC|F|||20240101000000||ADT^A05|M$i|P|2.4\r" +
+        s"PID|1||P$i^^^MRN^MRN\rZIF|Inf$i^$dtm"
+    }
+    val gated = Hl7Wire.infectionGate(
+      Hl7Wire.parseInfections(raws.toDF("raw"), "raw"),
+      serviceStartUs = 0L,
+      orderCols = Seq("sourceMessageId", "infectionIdx"))
+    assert(gated.select("conditionCode").as[String].collect().toSeq ==
+      Seq("Inf0", "Inf2", "Inf3"))
+  }
+
+  test("golden A60 IAM: allergy fields, action mapping, reactions, error") {
+    val raw = Seq(
+      "MSH|^~\\&|EPIC|F|||20240102000000||ADT^A60|M1|P|2.4",
+      "EVN|A60|20240102000000",
+      "PID|1||P1^^^MRN^MRN",
+      "IAM|1|DA^Drug|1^PENICILLIN^ALG|SV^Severe|RASH^R~HIVES|A|771^EPIC" +
+        "||||20230115||20240101000000||||Active",
+      "IAM|2|FA^Food|2^NUTS^ALG||ANAPHYLAXIS|D|772^EPIC" +
+        "||||||20240101000000||||Resolved",
+      "IAM|3|DA^Drug|3^ASPIRIN^ALG||X1|Q|773^EPIC").mkString("\r")
+    val rows = Hl7Wire.parseAllergies(Seq(raw).toDF("raw"), "raw")
+      .orderBy("allergyIdx").collect()
+    assert(rows.length == 3)
+    val a = rows(0)
+    assert(a.getAs[String]("subType") == "DA")
+    assert(a.getAs[String]("conditionCode") == "PENICILLIN")
+    assert(a.getAs[String]("severity") == "SV")
+    assert(a.getSeq[String](a.fieldIndex("reactions")) == Seq("RASH", "HIVES"))
+    assert(a.getAs[String]("action") == "AD")
+    assert(a.getAs[Long]("epicConditionId") == 771L)
+    assert(a.getAs[String]("onsetDate") == "2023-01-15")
+    assert(a.getAs[Long]("addedTimeUs") == 1704067200000000L)
+    assert(a.getAs[String]("mrn") == "P1")
+    assert(a.isNullAt(a.fieldIndex("error")))
+    assert(rows(1).getAs[String]("action") == "DE")
+    // unknown action code → error channel, not a throw
+    assert(rows(2).isNullAt(rows(2).fieldIndex("action")))
+    assert(rows(2).getAs[String]("error") == "invalid_allergy_action:Q")
+  }
+
+  test("router: A60→allergies, A05→adt+infections, R01→impliedAdt, sender gate") {
+    val raws = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A05|R1|P|2.4\r" +
+        "PID|1||P1^^^MRN^MRN\rZIF|Covid^20240102000000",
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A60|R2|P|2.4\r" +
+        "PID|1||P2^^^MRN^MRN\rIAM|1|DA^D|1^PEN^ALG||R|A|7^E",
+      "MSH|^~\\&|ROGUE|F|||20240101000000||ADT^A01|R3|P|2.4\r" +
+        "PID|1||P3^^^MRN^MRN",
+      "MSH|^~\\&|WP|UCLH|||20240101000000||ORU^R01|R4|P|2.4\r" +
+        "PID|1||P4^^^MRN^MRN\rOBR|1||O1^LAB|FBC^F^WinPath|||20240101000000")
+    val r = Hl7Wire.route(raws.toDF("raw"), "raw",
+      adtSenderAllowlist = Seq("EPIC"))
+    assert(r.adt.select("sourceMessageId").as[String].collect().toSeq ==
+      Seq("R1")) // A05 parses as ImpliedAdt; A60 routes away; ROGUE gated
+    assert(r.adt.select("msgType").as[String].collect().toSeq ==
+      Seq("ImpliedAdt"))
+    assert(r.infections.select("conditionCode").as[String].collect()
+      .toSeq == Seq("Covid"))
+    assert(r.allergies.select("conditionCode").as[String].collect()
+      .toSeq == Seq("PEN"))
+    // the lab message also yields implied person/visit context
+    assert(r.impliedAdt.select("sourceMessageId", "msgType")
+      .as[(String, String)].collect().toSeq == Seq(("R4", "ImpliedAdt")))
+    assert(r.dead.select("reason").as[String].collect().toSeq ==
+      Seq("skipped_sender:ROGUE"))
+  }
+
+  test("adtOps demux feeds the cross-key operators' input shapes") {
+    val raws = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000001||ADT^A15|M1|P|2.4\r" +
+        ((Seq("PV1", "1", "I", "HERE^A^B") ++ Seq.fill(15)("") :+ "V1")
+          .padTo(42, "") :+ "DEST^C^D").mkString("|"),
+      "MSH|^~\\&|EPIC|F|||20240101000002||ADT^A26|M2|P|2.4\r" +
+        ((Seq("PV1", "1", "I", "HERE^A^B") ++ Seq.fill(15)("") :+ "V1")
+          .padTo(42, "") :+ "DEST^C^D").mkString("|"),
+      "MSH|^~\\&|EPIC|F|||20240101000003||ADT^A40|M3|P|2.4\r" +
+        "PID|1||SURV^^^MRN^MRN\rMRG|OLD^^^MRN^MRN",
+      "MSH|^~\\&|EPIC|F|||20240101000004||ADT^A29|M4|P|2.4\r" +
+        "PID|1||GONE^^^MRN^MRN")
+    val ops = Hl7Wire.adtOps(
+      Hl7Wire.parseAdt(raws.toDF("raw"), "raw"))
+    val pend = graft.operators.PendingMovements.derive(
+      ops.pendings, ops.pendingCancels, matchWindowUs = 3600L * 1000000L)
+      .collect().head
+    assert(pend.getAs[String]("visitId") == "V1")
+    assert(pend.getAs[Long]("requestTsUs") == 1704067201000000L)
+    assert(pend.getAs[Long]("cancelledTsUs") == 1704067202000000L)
+    assert(ops.merges.as[(String, String)].collect().toSeq ==
+      Seq(("OLD", "SURV")))
+    assert(ops.personDeletes.select("mrn").as[String].collect().toSeq ==
+      Seq("GONE"))
   }
 
   test("golden ORU: OBR order + repeated OBX results explode per row") {

@@ -109,6 +109,73 @@ class PipelineSpec extends SparkSpecBase {
     assert(gotLive == expLive && gotLive.nonEmpty)
   }
 
+  test("W6 compaction: cold split preserves history, folds stay identical") {
+    def mkDir() = Files.createTempDirectory("star_compact").toString
+    val dirA = mkDir(); val dirB = mkDir()
+    val cfgA = StarPipeline.Config(dirA, Seq("key"), "ts_us", "msg_id",
+      Seq("state", "value"), nBuckets = 8)
+    val cfgB = cfgA.copy(stateDir = dirB)
+
+    // two folds build up closed versions (1000→2000→3000 per key)
+    val b1 = (1L to 6L).map(k => StarMsg(k, 1000L, k, "a", 1.0)).toDF()
+    val b2 = (1L to 6L).flatMap(k => Seq(
+      StarMsg(k, 2000L, 10 + k, "b", 2.0),
+      StarMsg(k, 3000L, 20 + k, "c", 3.0))).toDF()
+    Seq(cfgA, cfgB).foreach { c =>
+      StarPipeline.foldBatch(b1, 1L, c)
+      StarPipeline.foldBatch(b2, 2L, c)
+    }
+
+    // compact A at horizon 2500: versions closed before 2500 go cold
+    StarPipeline.compact(spark, cfgA, horizonUs = 2500L, batchId = 3L)
+    assert(StarPipeline.compactionHorizon(cfgA).contains(2500L))
+
+    // hot ∪ cold == the uncompacted history, row for row
+    def hist(c: StarPipeline.Config, full: Boolean) =
+      (if (full) StarPipeline.readFull(spark, c, "history")
+       else StarPipeline.readState(spark, c, "history")).get
+        .orderBy("key", "ts_us")
+        .select("key", "ts_us", "state")
+        .as[(Long, Long, String)].collect().toSeq
+    assert(hist(cfgA, full = true) == hist(cfgB, full = false))
+    // and the hot side really shrank (closed-before-horizon rows left)
+    assert(hist(cfgA, full = false).size < hist(cfgB, full = false).size)
+    // exactly the 1000-versions are cold (their successor is at 2000 < H)
+    val coldRows = StarPipeline.readState(spark, cfgA, "history.cold").get
+    assert(coldRows.count() == 6 &&
+      coldRows.select(max(col("ts_us"))).as[Long].collect().head == 1000L)
+
+    // a post-horizon fold produces identical state on both paths
+    val b3 = (1L to 6L).map(k => StarMsg(k, 4000L, 30 + k, "d", 4.0)).toDF()
+    StarPipeline.foldBatch(b3, 4L, cfgA)
+    StarPipeline.foldBatch(b3, 4L, cfgB)
+    assert(hist(cfgA, full = true) == hist(cfgB, full = false))
+    def live(c: StarPipeline.Config) =
+      StarPipeline.readState(spark, c, "live").get
+        .orderBy("key").select("key", "ts_us", "state")
+        .as[(Long, Long, String)].collect().toSeq
+    assert(live(cfgA) == live(cfgB) && live(cfgA).size == 6)
+
+    // cold entries are carried by reference across folds and compactions
+    val before = new java.io.File(s"$dirA/data/history.cold/v3")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    StarPipeline.compact(spark, cfgA, horizonUs = 2500L, batchId = 5L)
+    val after = new java.io.File(s"$dirA/data/history.cold/v3")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == before)
+    assert(hist(cfgA, full = true) == hist(cfgB, full = false))
+
+    // late arrivals (validFrom < horizon) split to the slow path
+    val mixed = Seq(StarMsg(1L, 2400L, 99L, "late", 0.0),
+      StarMsg(2L, 5000L, 98L, "ok", 5.0)).toDF()
+    val (ok, late) = StarPipeline.lateSplit(mixed, cfgA)
+    assert(ok.select("key").as[Long].collect().toSeq == Seq(2L))
+    assert(late.select("key").as[Long].collect().toSeq == Seq(1L))
+    // no horizon (dirB) → nothing splits late
+    val (okB, lateB) = StarPipeline.lateSplit(mixed, cfgB)
+    assert(okB.count() == 2 && lateB.count() == 0)
+  }
+
   test("end-to-end stream: raw HL7 wire → parse → bucketed star fold") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
