@@ -79,6 +79,27 @@ object Bench {
       require(chunks.count() > 0)
     }
 
+    // Incremental star fold: the write path's headline scale property —
+    // a micro-batch folds in time proportional to ITS key spread, not to
+    // accumulated state. Untimed: fold the full events table into a
+    // 64-bucket bitemporal state. Timed: fold a ~2%-of-keys update batch
+    // (reads/rewrites only the buckets those keys hash into).
+    results("w3_incremental_fold") = {
+      import org.apache.spark.sql.functions._
+      val root = java.nio.file.Files
+        .createTempDirectory("bench_fold").toString
+      val cfg = graft.streaming.StarPipeline.Config(root, Seq("user_id"),
+        "ts_us", "event_id", Seq("event_type", "value"), nBuckets = 64)
+      val e = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+      graft.streaming.StarPipeline.foldBatch(e, 1L, cfg) // state build
+      val small = e.filter(pmod(xxhash64(col("user_id")), lit(50)) === 0)
+        .withColumn("ts_us", col("ts_us") + 86400L * 1000000L)
+        .withColumn("event_id", col("event_id") + 100000000L)
+      time { graft.streaming.StarPipeline.foldBatch(small, 2L, cfg) }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

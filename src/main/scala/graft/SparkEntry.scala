@@ -1173,6 +1173,87 @@ object SparkEntry {
           col("onsetDate").as("onset_date"),
           col("addedTimeUs").as("added_us"), col("status"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- §3.3 monitoring: hourly ingest rates -----------------------
+    "q64_ingest_rates" -> ((s, dir) => {
+      graft.streaming.Monitoring.ingestRates(
+          eventsUs(s, dir), "ts_us", 3600L, Seq("event_type"))
+        .select(col("bucket_us"), col("event_type"),
+          col("n_messages"), col("first_us"), col("last_us"))
+        .orderBy(col("bucket_us"), col("event_type"))
+    }),
+
+    // ---- W6: fold → compact → fold equals the two-batch replay ------
+    // Evens fold first; the state compacts at Jan 15 (closed versions
+    // move to the cold archive); post-horizon odds fold on the hot tail
+    // only. readFull must equal the oracle's replay of the SAME batching
+    // (F6 run-coalescing is arrival-order-dependent by design, so the
+    // oracle coalesces evens first, then re-coalesces with the odds).
+    "q65_compacted_fold" -> ((s, dir) => {
+      import graft.streaming.StarPipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q65_state").toString
+      val horizonUs = 1705276800000000L // 2024-01-15T00:00:00Z
+      val cfg = StarPipeline.Config(root, Seq("user_id"), "ts_us",
+        "event_id", Seq("event_type", "value"), nBuckets = 16)
+      val e = eventsUs(s, dir).select(col("user_id"), col("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      StarPipeline.foldBatch(
+        e.filter(pmod(col("event_id"), lit(2)) === 0), 1L, cfg)
+      StarPipeline.compact(s, cfg, horizonUs, 2L)
+      StarPipeline.foldBatch(
+        e.filter(pmod(col("event_id"), lit(2)) === 1 &&
+          col("ts_us") >= horizonUs), 3L, cfg)
+      StarPipeline.readFull(s, cfg, "history").get
+        .select(col("user_id"), col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value"),
+          col("ts_us").as("valid_from_us"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    }),
+
+    // ---- S2: full PID/PV2 demographics round-trip -------------------
+    "q66_demographics_wire" -> ((s, dir) => {
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val classes = Seq("I", "O", "E", "N", "B", "P", "DAY CASE",
+        "SURG ADMIT")
+      val cls = element_at(array(classes.map(lit): _*),
+        (pmod(col("event_id"), lit(classes.size)) + 1).cast("int"))
+      val deathInd = element_at(array(lit("Y"), lit("N"), lit("")),
+        (pmod(col("event_id"), lit(3)) + 1).cast("int"))
+      val pid = concat(
+        lit("PID|1||"), uid, lit("^^^MRN^MRN||FAM"), uid,
+        lit("^Giv^Mid^^Ttl|||"),
+        when(pmod(col("event_id"), lit(2)) === 0, "F").otherwise("M"),
+        lit("|||Street^^City^^ZIP"), pmod(col("user_id"), lit(100)),
+        lit("||||||REL"), pmod(col("user_id"), lit(5)),
+        lit("|||||E"), pmod(col("user_id"), lit(10)),
+        lit("|||||||"), dtm, lit("|"), deathInd)
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|UCLH|||"), dtm, lit("||ADT^A08|D"),
+          eid, lit("|P|2.4")),
+        pid,
+        concat(lit("PV1|1|"), cls, lit("|W^R^B|||PREV^O^L")),
+        concat(lit("PV2"), lit("|" * 38), lit("MODE"),
+          pmod(col("event_id"), lit(4))))
+      graft.sources.Hl7Wire.parseAdt(
+          eventsUs(s, dir).withColumn("raw", raw), "raw")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("patientMiddleName").as("middle_name"),
+          col("patientTitle").as("title"),
+          col("patientSex").as("sex"),
+          col("patientZipOrPostalCode").as("postal"),
+          col("patientReligion").as("religion"),
+          col("ethnicGroupCode").as("ethnic_code"),
+          col("patientIsAlive").cast("long").as("is_alive"),
+          col("patientDeathDateTimeUs").as("death_us"),
+          col("modeOfArrival").as("mode_arrival"),
+          col("previousLocation").as("previous_location"),
+          col("patientClassName").as("class_name"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -2010,6 +2091,57 @@ object SparkEntry {
          |   '%Y-%m-%d') AS onset_date,
          | (ts_us // 1000000) * 1000000 AS added_us,
          | 'Active' AS status
+         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q64_ingest_rates" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT (ts_us // 3600000000) * 3600000000 AS bucket_us,
+         | event_type, COUNT(*) AS n_messages,
+         | MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+         |FROM e GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "q65_compacted_fold" ->
+      s"""WITH e AS ($EventsUsSql),
+         |ev AS (SELECT user_id, event_id, event_type, value, ts_us FROM e
+         |  WHERE event_id % 2 = 0),
+         |d1 AS (SELECT *, lag(event_type) OVER w AS pt, lag(value) OVER w AS pv
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |k1 AS (SELECT user_id, event_id, event_type, value, ts_us FROM d1
+         |  WHERE pt IS NULL OR event_type IS DISTINCT FROM pt
+         |    OR value IS DISTINCT FROM pv),
+         |m2 AS (SELECT * FROM k1
+         |  UNION ALL
+         |  SELECT user_id, event_id, event_type, value, ts_us FROM e
+         |  WHERE event_id % 2 = 1 AND ts_us >= 1705276800000000),
+         |d2 AS (SELECT *, lag(event_type) OVER w AS pt, lag(value) OVER w AS pv
+         |  FROM m2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |k2 AS (SELECT user_id, event_id, event_type, value, ts_us FROM d2
+         |  WHERE pt IS NULL OR event_type IS DISTINCT FROM pt
+         |    OR value IS DISTINCT FROM pv)
+         |SELECT user_id, CAST(event_id AS BIGINT) AS event_id, event_type,
+         | value, ts_us AS valid_from_us
+         |FROM k2 ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q66_demographics_wire" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | 'Mid' AS middle_name,
+         | 'Ttl' AS title,
+         | CASE WHEN event_id % 2 = 0 THEN 'F' ELSE 'M' END AS sex,
+         | 'ZIP' || CAST(user_id % 100 AS VARCHAR) AS postal,
+         | 'REL' || CAST(user_id % 5 AS VARCHAR) AS religion,
+         | 'E' || CAST(user_id % 10 AS VARCHAR) AS ethnic_code,
+         | CASE CAST(event_id % 3 AS INTEGER)
+         |   WHEN 0 THEN 0 WHEN 1 THEN 1 END AS is_alive,
+         | (ts_us // 1000000) * 1000000 AS death_us,
+         | 'MODE' || CAST(event_id % 4 AS VARCHAR) AS mode_arrival,
+         | 'PREV^O^L' AS previous_location,
+         | CASE CAST(event_id % 8 AS INTEGER)
+         |   WHEN 0 THEN 'INPATIENT' WHEN 1 THEN 'OUTPATIENT'
+         |   WHEN 2 THEN 'EMERGENCY' WHEN 3 THEN 'NOT_APPLICABLE'
+         |   WHEN 4 THEN 'NEW_BORN' WHEN 5 THEN 'PRE_ADMIT'
+         |   WHEN 6 THEN 'DAY_CASE' ELSE 'SURGICAL_ADMISSION' END
+         |   AS class_name
          |FROM e ORDER BY event_id""".stripMargin
   )
 }

@@ -268,9 +268,29 @@ object Hl7Wire {
       nhsOf(pid).as("nhsNumber"),
       cmp(fld(pv1, 19), 1).as("visitNumber"),
       fld(pv1, 3).as("fullLocationString"),
+      fld(pv1, 6).as("previousLocation"),
       cmp(fld(pv1, 2), 1).as("patientClass"),
+      patientClassName(cmp(fld(pv1, 2), 1)).as("patientClassName"),
       cmp(name, 2).as("patientGivenName"),
       cmp(name, 1).as("patientFamilyName"),
+      // full PatientInfoHl7 demographics (AdtMessageFactory.java:119-151)
+      cmp(name, 3).as("patientMiddleName"),
+      cmp(name, 5).as("patientTitle"),
+      cmp(fld(pid, 8), 1).as("patientSex"),
+      hl7TsUs(fld(pid, 7)).as("patientBirthDateTimeUs"),
+      date_format(timestamp_micros(hl7TsUs(fld(pid, 7))), "yyyy-MM-dd")
+        .as("patientBirthDate"),
+      cmp(rep1(fld(pid, 11)), 5).as("patientZipOrPostalCode"),
+      cmp(fld(pid, 17), 1).as("patientReligion"),
+      cmp(rep1(fld(pid, 22)), 1).as("ethnicGroupCode"),
+      // death info can arrive in ANY message, not just A03; the
+      // indicator is tri-state (Y→dead, N→alive, else unknown/IGNORE),
+      // and the death time is kept even when the indicator denies it
+      hl7TsUs(fld(pid, 29)).as("patientDeathDateTimeUs"),
+      when(fld(pid, 30) === "Y", lit(false))
+        .when(fld(pid, 30) === "N", lit(true))
+        .as("patientIsAlive"),
+      cmp(fld(segment(raw, "PV2"), 38), 1).as("modeOfArrival"),
       hl7TsUs(fld(pv1, 44)).as("admissionDateTimeUs"),
       hl7TsUs(fld(pv1, 45)).as("dischargeDateTimeUs"),
       // A03 extras (PV1Wrap.getDischargeDisposition / getDischargeLocation)
@@ -294,7 +314,12 @@ object Hl7Wire {
     val parsedNames = Set("msgType", "trigger", "sourceMessageId",
       "sourceSystem", "recordedDateTimeUs", "eventOccurredDateTimeUs",
       "mrn", "nhsNumber", "visitNumber", "fullLocationString",
-      "patientClass", "patientGivenName", "patientFamilyName",
+      "previousLocation", "patientClass", "patientClassName",
+      "patientGivenName", "patientFamilyName", "patientMiddleName",
+      "patientTitle", "patientSex", "patientBirthDateTimeUs",
+      "patientBirthDate", "patientZipOrPostalCode", "patientReligion",
+      "ethnicGroupCode", "patientDeathDateTimeUs", "patientIsAlive",
+      "modeOfArrival",
       "admissionDateTimeUs", "dischargeDateTimeUs",
       "dischargeDisposition", "dischargeLocation", "cancelledLocation",
       "pendingDestination", "previousMrn", "previousNhsNumber",
@@ -303,6 +328,35 @@ object Hl7Wire {
     val carried = df.columns.filterNot(parsedNames.contains).map(col)
     df.select(parsed ++ carried: _*)
   }
+
+  /** PV1-2 code → the reference's PatientClass enum name
+    * (interchange PatientClass: E/I/N/B/P/O + the two spelled-out
+    * codes); unknown codes stay null — the reference throws, we
+    * dead-letter on a rule over this null + non-null raw code.
+    */
+  def patientClassName(code: Column): Column =
+    when(code === "E", "EMERGENCY")
+      .when(code === "I", "INPATIENT")
+      .when(code === "N", "NOT_APPLICABLE")
+      .when(code === "B", "NEW_BORN")
+      .when(code === "P", "PRE_ADMIT")
+      .when(code === "O", "OUTPATIENT")
+      .when(code === "DAY CASE", "DAY_CASE")
+      .when(code === "SURG ADMIT", "SURGICAL_ADMISSION")
+
+  /** Ethnic-group code → display name via a caller-supplied mapping
+    * (the reference ships a CSV lookup, hl7/parser/EthnicGroup.java;
+    * the mapping is site data, so it arrives as a parameter here).
+    * Unmapped codes pass through unchanged, like the reference's
+    * default branch.
+    */
+  def ethnicGroupName(code: Column, mapping: Map[String, String]): Column =
+    if (mapping.isEmpty) code
+    else {
+      val m = map(mapping.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      coalesce(element_at(m, code), code)
+    }
 
   /** Explode a message's OBX result segments into one row each:
     * (setId, valueType, observationId, subId, value, units, obsTimeUs,

@@ -224,6 +224,63 @@ object StarPipeline {
       case (h, c) => h.orElse(c)
     }
 
+  /** The slow path for [[lateSplit]]'s late channel: arrivals older than
+    * the compaction horizon fold over hot ∪ cold of ONLY the buckets
+    * their keys hash into — those buckets un-compact (their cold rows
+    * fold back into the hot tier and their cold manifest entries drop),
+    * every other bucket's hot and cold entries carry forward untouched.
+    * Cost is O(archive ∩ touched buckets), paid only on the rare repair;
+    * the next [[compact]] re-tiers the repaired buckets. Correctness is
+    * the kernel's: with the key's FULL history present, a late arrival
+    * folds exactly as it would have in arrival order.
+    */
+  def repairLate(late: DataFrame, batchId: Long, cfg: Config): Unit = {
+    val spark = late.sparkSession
+    val man = readManifest(cfg)
+    val touched = late.select(bucketOf(cfg).as("__bucket"))
+      .distinct().collect().map(_.getLong(0)).map(_.toString).toSet
+    if (touched.isEmpty) return
+
+    // a cold manifest key is "<bucket>-<compactBatchId>"
+    def coldKeysOf(tbl: String) =
+      man.getOrElse(s"$tbl.cold", Map.empty)
+        .filter { case (k, _) => touched.contains(k.split("-")(0)) }
+    def pathsFor(tbl: String) =
+      (man.getOrElse(tbl, Map.empty).filter(t => touched.contains(t._1)) ++
+        coldKeysOf(tbl)).values.toSeq.sorted
+        .map(p => s"${cfg.stateDir}/$p")
+
+    val histPaths = pathsFor("history")
+    val history =
+      if (histPaths.isEmpty) late.limit(0)
+      else spark.read.parquet(histPaths: _*)
+    val r = BitemporalKernel.applyBatch(history, late, cfg.keyCols,
+      cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
+
+    val newMan = Tables.foldLeft(man) { (m, tbl) =>
+      val df = tbl match {
+        case "history" => r.history
+        case "live"    => r.live
+        case "audit"   => r.audit
+      }
+      val vDir = s"data/$tbl/v$batchId"
+      df.withColumn("__bucket", bucketOf(cfg))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"${cfg.stateDir}/$vDir")
+      val updatedHot = touched.foldLeft(m.getOrElse(tbl, Map.empty)) {
+        (tm, k) =>
+          val rel = s"$vDir/__bucket=$k"
+          if (Files.exists(Paths.get(cfg.stateDir, rel))) tm.updated(k, rel)
+          else tm - k
+      }
+      // the repaired buckets' cold rows are folded into hot now
+      val updatedCold =
+        m.getOrElse(s"$tbl.cold", Map.empty) -- coldKeysOf(tbl).keys
+      m.updated(tbl, updatedHot).updated(s"$tbl.cold", updatedCold)
+    }
+    writeManifest(cfg, newMan, batchId)
+  }
+
   /** Start the maintenance query over a message stream. */
   def start(messages: DataFrame, cfg: Config,
             checkpointDir: String,

@@ -65,7 +65,7 @@ class FixtureSourceSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.col
     val fx = new FixtureSource(corpusRoot)
     val wire = fx.loadWireDir(spark, "Hl7Wire")
-    assert(wire.count() == 6)
+    assert(wire.count() == 13)
 
     val abl = graft.sources.LabFunnel.parseAbl90(
       wire.filter(col("raw").contains("ORU^R30")), "raw")
@@ -98,6 +98,36 @@ class FixtureSourceSpec extends SparkSpecBase {
     assert(flows.select("interfaceId", "numericValue", "comment")
       .as[(String, Double, String)].collect().toSeq ==
       Seq(("5", 78.0, "resting")))
+
+    // cross-key trigger family: pending/swap/merge/move extractions
+    val allAdt = Hl7Wire.parseAdt(wire, "raw")
+    val pending = allAdt.filter(col("msgType") === "PendingTransfer")
+    assert(pending.select("visitNumber", "pendingDestination")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("443323", "T11E^T11E BY02^BY02-17")))
+    assert(allAdt.filter(col("msgType") === "CancelPendingTransfer")
+      .count() == 1)
+    val swap = allAdt.filter(col("msgType") === "SwapLocations")
+    assert(swap.select("visitNumber", "otherVisitNumber")
+      .as[(String, String)].collect().toSeq == Seq(("443324", "443325")))
+    val merge = allAdt.filter(col("msgType") === "MergePatient")
+    assert(merge.select("previousMrn", "previousNhsNumber")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("51900006", "6666666666")))
+    val move = allAdt.filter(col("msgType") === "MoveVisit")
+    assert(move.select("previousVisitNumber", "visitNumber")
+      .as[(String, String)].collect().toSeq == Seq(("443326", "443327")))
+
+    // conditions wire family: ZIF infections + IAM allergies
+    val inf = Hl7Wire.parseInfections(
+      wire.filter(col("raw").contains("ADT^A05")), "raw")
+    assert(inf.select("conditionCode").as[String].collect().toSet ==
+      Set("MRSA", "COVID-19"))
+    val aller = Hl7Wire.parseAllergies(
+      wire.filter(col("raw").contains("ADT^A60")), "raw")
+    assert(aller.select("conditionCode", "action").as[(String, String)]
+      .collect().toSet == Set(("PENICILLIN", "AD"), ("PEANUT", "UP")))
+    assert(aller.filter(col("error").isNotNull).count() == 0)
   }
 
   test("monitored corpus flags unconsumed fixtures") {

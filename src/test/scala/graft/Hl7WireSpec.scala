@@ -209,6 +209,46 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(rows(2).getAs[String]("error") == "invalid_allergy_action:Q")
   }
 
+  test("golden demographics: PID/PV2 fields the factory reads") {
+    val pidFields = Seq("PID", "1", "", "P1^^^MRN^MRN", "",
+        "PLUM^Victoria^May^^Ms", "", "", "F", "", "",
+        "12 Road^^London^^NW1 2BU").padTo(17, "").:+("CofE")
+      .padTo(22, "").:+("A~B")
+      .padTo(29, "").:+("20240301123000").:+("Y")
+    val pv2Fields = Seq("PV2").padTo(38, "").:+("A&E")
+    val raw = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A08|M1|P|2.4",
+      pidFields.mkString("|"),
+      "PV1|1|I|W^R^B|||OLD^O^L",
+      pv2Fields.mkString("|")).mkString("\r")
+    val r = Hl7Wire.parseAdt(Seq(raw).toDF("raw"), "raw").collect().head
+    assert(r.getAs[String]("patientMiddleName") == "May")
+    assert(r.getAs[String]("patientTitle") == "Ms")
+    assert(r.getAs[String]("patientSex") == "F")
+    assert(r.getAs[String]("patientZipOrPostalCode") == "NW1 2BU")
+    assert(r.getAs[String]("patientReligion") == "CofE")
+    assert(r.getAs[String]("ethnicGroupCode") == "A")
+    assert(r.getAs[String]("previousLocation") == "OLD^O^L")
+    assert(r.getAs[String]("modeOfArrival") == "A&E")
+    // death info: indicator Y → not alive, with the death time kept
+    assert(r.getAs[Boolean]("patientIsAlive") == false)
+    assert(r.getAs[Long]("patientDeathDateTimeUs") == 1709296200000000L)
+    assert(r.getAs[String]("patientClassName") == "INPATIENT")
+
+    // tri-state: absent indicator leaves isAlive null (IGNORE)
+    val bare = "MSH|^~\\&|S|F|||20240101000000||ADT^A08|M2|P|2.4\r" +
+      "PID|1||P2^^^MRN^MRN"
+    val b = Hl7Wire.parseAdt(Seq(bare).toDF("raw"), "raw").collect().head
+    assert(b.isNullAt(b.fieldIndex("patientIsAlive")))
+
+    // ethnic-group lookup maps codes, passes unknowns through
+    val mapped = Seq(("A", ""), ("Z", "")).toDF("code", "x")
+      .select(Hl7Wire.ethnicGroupName(col("code"),
+        Map("A" -> "British")).as("name"))
+      .as[String].collect().toSeq
+    assert(mapped == Seq("British", "Z"))
+  }
+
   test("router: A60→allergies, A05→adt+infections, R01→impliedAdt, sender gate") {
     val raws = Seq(
       "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A05|R1|P|2.4\r" +

@@ -174,6 +174,21 @@ class PipelineSpec extends SparkSpecBase {
     // no horizon (dirB) → nothing splits late
     val (okB, lateB) = StarPipeline.lateSplit(mixed, cfgB)
     assert(okB.count() == 2 && lateB.count() == 0)
+
+    // repairLate: the pre-horizon arrival folds over hot ∪ cold of its
+    // bucket and lands exactly where arrival-order processing would put
+    // it; only that bucket un-compacts
+    val lateMsg = Seq(StarMsg(1L, 1500L, 97L, "lateX", 1.5)).toDF()
+    StarPipeline.repairLate(lateMsg, 6L, cfgA)
+    StarPipeline.foldBatch(lateMsg, 6L, cfgB)
+    assert(hist(cfgA, full = true) == hist(cfgB, full = false))
+    assert(live(cfgA) == live(cfgB))
+    val keyBucket = (k: Long) => Seq(k).toDF("key")
+      .select(pmod(xxhash64(col("key")), lit(8))).as[Long].head()
+    val sharedBucket = (1L to 6L).filter(k => keyBucket(k) == keyBucket(1L))
+    val coldLeft = StarPipeline.readState(spark, cfgA, "history.cold").get
+    assert(coldLeft.filter(col("key").isin(sharedBucket: _*)).count() == 0)
+    assert(coldLeft.count() == 6 - sharedBucket.size)
   }
 
   test("end-to-end stream: raw HL7 wire → parse → bucketed star fold") {
