@@ -1254,6 +1254,29 @@ object SparkEntry {
           col("previousLocation").as("previous_location"),
           col("patientClassName").as("class_name"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- S2: PPR NTE comments (positional, space-joined) ------------
+    "q67_problem_comments" -> ((s, dir) => {
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val withNotes = pmod(col("event_id"), lit(3)) =!= 0
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|Problem List|||"), dtm,
+          lit("|OP1|PPR^PC1|N"), eid, lit("|P|2.4")),
+        concat(lit("PID|1||"), col("user_id").cast("string"),
+          lit("^^^MRN^MRN")),
+        concat(lit("PRB|AD|"), dtm, lit("|C"),
+          pmod(col("event_id"), lit(100)).cast("string"),
+          lit("^Condition^I10UK|"), eid),
+        when(withNotes, concat(lit("NTE|1||note"), eid, lit("~extra"),
+          eid, lit("\rNTE|2||tail"))))
+      graft.sources.Hl7Wire.parseProblems(
+          eventsUs(s, dir).withColumn("raw", raw), "raw")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("conditionCode").as("condition_code"), col("comment"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -2142,6 +2165,15 @@ object SparkEntry {
          |   WHEN 4 THEN 'NEW_BORN' WHEN 5 THEN 'PRE_ADMIT'
          |   WHEN 6 THEN 'DAY_CASE' ELSE 'SURGICAL_ADMISSION' END
          |   AS class_name
+         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q67_problem_comments" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS event_id,
+         | 'C' || CAST(event_id % 100 AS VARCHAR) AS condition_code,
+         | CASE WHEN event_id % 3 <> 0 THEN
+         |   'note' || CAST(event_id AS VARCHAR) || ' extra' ||
+         |   CAST(event_id AS VARCHAR) || ' tail' END AS comment
          |FROM e ORDER BY event_id""".stripMargin
   )
 }

@@ -64,7 +64,14 @@ object EntityUpserts {
     "form_definition" -> EntityConfig(Seq("internalId"), "validFromUs",
       "msgId", Seq("name", "patientFriendlyName")),
     "form_question" -> EntityConfig(Seq("internalId"), "validFromUs",
-      "msgId", Seq("conceptName", "conceptAbbrevName")))
+      "msgId", Seq("conceptName", "conceptAbbrevName")),
+    // O14 metadata dim (ref VisitObservationController.processMetadata +
+    // interchange FlowsheetMetadata): naming rows upsert per half-key;
+    // identity unification of the two halves is
+    // [[graft.operators.ObservationTypes.unify]]
+    "visit_observation_type" -> EntityConfig(
+      Seq("interfaceId", "idInApplication"), "validFromUs", "msgId",
+      Seq("name", "displayName", "valueType", "unit", "description")))
 
   def upsert(entity: String, state: DataFrame, updates: DataFrame)
       : KernelResult = {

@@ -486,8 +486,33 @@ object Hl7Wire {
     val msh = segment(raw, "MSH")
     val pid = segment(raw, "PID")
     val pv1 = segment(raw, "PV1")
-    val prb = col("__prb")
-    df.withColumn("__prb", explode(segmentsOf(raw, "PRB")))
+    val prb = col("__prb").getField("seg")
+    val withPos = transform(segments(raw),
+      (s, i) => struct(s.as("seg"), i.as("pos")))
+    def ofId(id: String) = filter(withPos,
+      x => substring(x.getField("seg"), 1, 3) === id)
+
+    val exploded = df
+      .withColumn("__prbs", ofId("PRB"))
+      .withColumn("__ntes", ofId("NTE"))
+      .select(col("*"), posexplode(col("__prbs")).as(Seq("__prbIdx", "__prb")))
+
+    // a problem's comment = all NTE comment repetitions under its PRB,
+    // space-joined (PatientProblemFactory.java:44-50 concatenates every
+    // NTE-3 repetition; we trim the factory's leading-space artifact)
+    val prbPos = col("__prb").getField("pos")
+    val nextPrbPos = coalesce(
+      get(col("__prbs"), col("__prbIdx") + 1).getField("pos"),
+      size(segments(raw)))
+    val myNtes = filter(col("__ntes"),
+      n => n.getField("pos") > prbPos && n.getField("pos") < nextPrbPos)
+    val commentParts = flatten(transform(myNtes,
+      n => split(coalesce(fld(n.getField("seg"), 3), lit("")), "~")))
+    val comment = when(size(myNtes) > 0,
+      nullIfEmpty(trim(array_join(commentParts, " "))))
+
+    exploded
+      .withColumn("comment", comment)
       .withColumn("sourceMessageId", mshFld(msh, 10))
       .withColumn("sourceSystem", mshFld(msh, 3))
       .withColumn("mrn", cmp(rep1(fld(pid, 3)), 1))
@@ -502,7 +527,7 @@ object Hl7Wire {
       .withColumn("resolvedTimeUs", hl7TsUs(fld(prb, 9)))
       .withColumn("status", cmp(fld(prb, 13), 1))
       .withColumn("onsetTimeUs", hl7TsUs(fld(prb, 16)))
-      .drop("__prb")
+      .drop("__prb", "__prbs", "__ntes", "__prbIdx")
   }
 
   /** ADT^A05 → patient-infection rows, one per repetition of the custom
@@ -776,7 +801,7 @@ object Hl7Wire {
       lit(null).cast("string").as("severity"),
       date_format(timestamp_micros(col("onsetTimeUs")), "yyyy-MM-dd")
         .as("onsetDate"),
-      lit(null).cast("string").as("comment"),
+      col("comment"),
       col("action"))
 
   /** Funnel: [[parseAllergies]] output → the patient_condition registry

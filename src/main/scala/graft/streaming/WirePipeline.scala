@@ -102,6 +102,25 @@ object WirePipeline {
       cfg(stateRoot, "labs", Seq("battery", "labSpecimenNumber"),
         "statusChangeTimeUs", Seq("epicOrderNumber", "mrn", "results")))
 
+    // ORM^O01 / ORR^O02 order messages carry no results but DO update
+    // order state (the reference's WinPath/CoPath order builders:
+    // number binding, status-change/sample-received times). They fold
+    // into a status side-table keyed like the labs star, so the read
+    // path joins them without risking a null-results overwrite of the
+    // result-bearing fold.
+    guardAndFold(r.labOrderAcks, "lab_status",
+      Seq("builder_error" -> col("error").isNotNull,
+        "missing_specimen" -> col("labSpecimenNumber").isNull,
+        "missing_time" -> col("statusChangeTimeUs").isNull),
+      _.select(col("battery"), col("labSpecimenNumber"),
+        col("statusChangeTimeUs"), col("sourceMessageId"),
+        col("orderControlId"), col("orderStatus"), col("epicOrderNumber"),
+        col("orderTimeUs"), col("sampleReceivedTimeUs"),
+        col("resultStatus")),
+      Seq("battery", "labSpecimenNumber"), "statusChangeTimeUs",
+      Seq("orderControlId", "orderStatus", "epicOrderNumber",
+        "orderTimeUs", "sampleReceivedTimeUs", "resultStatus"))
+
     guardAndFold(r.flowsheets, "flowsheets",
       Seq("missing_visit" -> col("visitNumber").isNull,
         "missing_type" -> col("interfaceId").isNull,

@@ -106,4 +106,68 @@ class EntityUpsertsSpec extends SparkSpecBase {
     assert(EntityUpserts.moveVisits(visits, stale)
       .filter($"visitId" === "v2").select("mrn").as[String].head() == "mX")
   }
+
+  test("O14 metadata: observation-type naming upsert via registry") {
+    val updates = Seq(
+      // Caboodle naming row (no interfaceId yet)
+      (null.asInstanceOf[String], "F1", 1000L, 1L, "Heart Rate", "HR",
+        "NUMERIC", "bpm", "beats per minute"),
+      // EPIC half-row from the flowsheet stream (interfaceId only)
+      ("I1", null.asInstanceOf[String], 1500L, 2L, null, null, null,
+        null, null),
+      // newer naming correction for the Caboodle row
+      (null.asInstanceOf[String], "F1", 2000L, 3L, "Heart Rate", "HR",
+        "NUMERIC", "/min", "beats per minute"))
+      .toDF("interfaceId", "idInApplication", "validFromUs", "msgId",
+        "name", "displayName", "valueType", "unit", "description")
+    val r = EntityUpserts.upsert("visit_observation_type",
+      updates.limit(0), updates)
+    val live = r.live.orderBy("validFromUs")
+      .select("interfaceId", "idInApplication", "unit")
+      .as[(Option[String], Option[String], Option[String])].collect().toSeq
+    assert(live == Seq(
+      (Some("I1"), None, None),
+      (None, Some("F1"), Some("/min"))))
+  }
+
+  test("O14 metadata: mapping message unifies the two half-rows") {
+    import graft.operators.ObservationTypes
+    val types = Seq(
+      (100L, null.asInstanceOf[String], "F1", "Heart Rate", 1000L),
+      (200L, "I1", null.asInstanceOf[String], null, 1500L),
+      (300L, "I9", "F9", "Already Mapped", 500L),
+      (400L, "I5", null.asInstanceOf[String], "Epic Only", 800L))
+      .toDF("typeId", "interfaceId", "idInApplication", "name",
+        "validFromUs")
+    val mappings = Seq(
+      ("I1", "F1", 3000L),   // unify: 100 absorbs I1, 200 dies
+      ("I9", "F9", 3000L),   // already unified → no-op
+      ("I5", "F5", 3000L),   // EPIC-only row learns its app id
+      ("I7", "F7", 3000L))   // unknown pair → fresh row
+      .toDF("interfaceId", "idInApplication", "validFromUs")
+    val obs = Seq(("o1", 200L), ("o2", 100L), ("o3", 400L))
+      .toDF("obsId", "observationTypeId")
+
+    val u = ObservationTypes.unify(types, mappings, obs)
+    val got = u.types.orderBy("typeId")
+      .select("typeId", "interfaceId", "idInApplication")
+      .as[(Long, Option[String], Option[String])].collect().toSeq
+    val freshId = got.map(_._1).filterNot(Seq(100L, 300L, 400L).contains).head
+    assert(got == Seq(
+      (100L, Some("I1"), Some("F1")),
+      (300L, Some("I9"), Some("F9")),
+      (400L, Some("I5"), Some("F5")),
+      (freshId, Some("I7"), Some("F7"))).sortBy(_._1))
+
+    // observations of the dead EPIC row re-point to the survivor
+    val o = u.observations.orderBy("obsId")
+      .select("obsId", "observationTypeId")
+      .as[(String, Long)].collect().toSeq
+    assert(o == Seq(("o1", 100L), ("o2", 100L), ("o3", 400L)))
+
+    // the death is audited with its replacement
+    val a = u.audit.select("typeId", "replacedByTypeId")
+      .as[(Long, Long)].collect().toSeq
+    assert(a == Seq((200L, 100L)))
+  }
 }

@@ -209,6 +209,25 @@ class Hl7WireSpec extends SparkSpecBase {
     assert(rows(2).getAs[String]("error") == "invalid_allergy_action:Q")
   }
 
+  test("golden PPR comments: NTEs under a PRB space-join into its comment") {
+    val raw = Seq(
+      "MSH|^~\\&|EPIC|PL|||20240101000000|X|PPR^PC1|M1|P|2.4",
+      "PID|1||P1^^^MRN^MRN",
+      "PRB|AD|20240101000000|C1^One^I10|1",
+      "NTE|1||first note~second rep",
+      "NTE|2||third",
+      "PRB|AD|20240101000000|C2^Two^I10|2",
+      "PRB|AD|20240101000000|C3^Three^I10|3",
+      "NTE|1||only for three").mkString("\r")
+    val rows = Hl7Wire.parseProblems(Seq(raw).toDF("raw"), "raw")
+      .orderBy("conditionCode").select("conditionCode", "comment")
+      .as[(String, Option[String])].collect().toSeq
+    assert(rows == Seq(
+      ("C1", Some("first note second rep third")),
+      ("C2", None),
+      ("C3", Some("only for three"))))
+  }
+
   test("golden demographics: PID/PV2 fields the factory reads") {
     val pidFields = Seq("PID", "1", "", "P1^^^MRN^MRN", "",
         "PLUM^Victoria^May^^Ms", "", "", "F", "", "",

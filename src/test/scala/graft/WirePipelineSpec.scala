@@ -42,7 +42,13 @@ class WirePipelineSpec extends SparkSpecBase {
       "MSH|^~\\&|EPIC|UCLH|||20240103120000||ADT^A05|W5|P|2.4\r" +
         "EVN|A05|20240103120000\r" +
         "PID|1||M5^^^MRN^MRN\r" +
-        "ZIF|Covid^20240102000000~Flu^20240101000000").toDF("raw")
+        "ZIF|Covid^20240102000000~Flu^20240101000000",
+      // WinPath ORR ack: status update, no results → lab_status fold
+      "MSH|^~\\&|WP|UCLH|||20240101120000||ORR^O02|W6A|P|2.4\r" +
+        "PID|1||M2^^^MRN^MRN\r" +
+        "ORC|NA|94000010|123456789||||||20240101113000\r" +
+        "OBR|1|94000010|123456789|FBC^F^WinPath|||20240101090000")
+      .toDF("raw")
 
     WirePipeline.foldBatch(batch1, 1L, "raw", root)
 
@@ -65,6 +71,15 @@ class WirePipelineSpec extends SparkSpecBase {
     val labs = live("labs", Seq("battery", "labSpecimenNumber"),
       "statusChangeTimeUs", Seq("epicOrderNumber", "mrn", "results"))
     assert(labs.select("mrn").as[String].collect().toSeq == Seq("M2"))
+
+    // lab-status fold: the ack binds numbers + status time, no results
+    val labStatus = live("lab_status", Seq("battery", "labSpecimenNumber"),
+      "statusChangeTimeUs",
+      Seq("orderControlId", "orderStatus", "epicOrderNumber",
+        "orderTimeUs", "sampleReceivedTimeUs", "resultStatus"))
+    assert(labStatus
+      .select("labSpecimenNumber", "orderControlId")
+      .as[(String, String)].collect().toSeq == Seq(("123456789", "NA")))
 
     // conditions fold: problem + allergy + ONE gated infection
     val condKey = Seq("mrn", "conditionTypeId", "internalId")
