@@ -71,7 +71,18 @@ object EntityUpserts {
     // [[graft.operators.ObservationTypes.unify]]
     "visit_observation_type" -> EntityConfig(
       Seq("interfaceId", "idInApplication"), "validFromUs", "msgId",
-      Seq("name", "displayName", "valueType", "unit", "description")))
+      Seq("name", "displayName", "valueType", "unit", "description")),
+    // type-dim metadata feeds (ref ConsultationRequestController
+    // .processMessage(ConsultMetadata) name-if-newer;
+    // LabController.processLabMetadata battery/test split — route on
+    // labsMetadataType BEFORE these upserts, unrecognised types to the
+    // dead letter, matching its RequiredDataMissingException)
+    "consultation_type" -> EntityConfig(Seq("code"), "validFromUs",
+      "msgId", Seq("name")),
+    "lab_battery" -> EntityConfig(Seq("batteryCode", "codingSystem"),
+      "validFromUs", "msgId", Seq("name")),
+    "lab_test_definition" -> EntityConfig(Seq("testCode", "codingSystem"),
+      "validFromUs", "msgId", Seq("name")))
 
   def upsert(entity: String, state: DataFrame, updates: DataFrame)
       : KernelResult = {

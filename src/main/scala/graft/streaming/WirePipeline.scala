@@ -48,6 +48,16 @@ object WirePipeline {
     */
   def foldBatch(batch: DataFrame, batchId: Long, rawCol: String,
                 stateRoot: String): Unit = {
+    // every family channel is a separate action over this batch — cache
+    // it once so ten funnels don't re-read the source ten times
+    val cached = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try foldRouted(cached, batchId, rawCol, stateRoot)
+    finally cached.unpersist()
+  }
+
+  private def foldRouted(batch: DataFrame, batchId: Long, rawCol: String,
+                         stateRoot: String): Unit = {
     val r = Hl7Wire.route(batch, rawCol)
     r.dead.write.mode("overwrite")
       .parquet(s"$stateRoot/dead/router/batch=$batchId")
@@ -191,4 +201,19 @@ object WirePipeline {
       Seq("mrn", "visitNumber", "consultationType", "cancelled",
         "closedDueToDischarge"))
   }
+
+  /** Current (non-deleted) conditions. A DE action folds as a TOMBSTONE
+    * version — newest state wins under F7, an older re-add cannot
+    * resurrect it, and the full version history stays queryable — the
+    * audit-preserving batch analog of the reference's hard delete with
+    * audit row (PatientConditionController delete path).
+    */
+  def liveConditions(spark: org.apache.spark.sql.SparkSession,
+                     stateRoot: String): Option[DataFrame] =
+    StarPipeline.readState(spark,
+        cfg(stateRoot, "conditions",
+          Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
+          Seq("status", "severity", "onsetDate", "comment", "action")),
+        "live")
+      .map(_.filter(coalesce(col("action") =!= "DE", lit(true))))
 }

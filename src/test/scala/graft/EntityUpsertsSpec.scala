@@ -130,6 +130,31 @@ class EntityUpsertsSpec extends SparkSpecBase {
       (None, Some("F1"), Some("/min"))))
   }
 
+  test("type-dim metadata: consult / lab battery / test definition upserts") {
+    // consult type: newer name wins, older loses (name-if-newer)
+    val consult = Seq(("CON1", 2000L, 1L, "Cardiology"),
+      ("CON1", 1000L, 2L, "Old Cardio"), ("CON2", 1000L, 3L, "Renal"))
+      .toDF("code", "validFromUs", "msgId", "name")
+    val ct = EntityUpserts.upsert("consultation_type",
+      consult.limit(0), consult)
+    assert(ct.live.orderBy("code").select("code", "name")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("CON1", "Cardiology"), ("CON2", "Renal")))
+
+    // lab metadata: same shortCode under two coding systems stays two rows
+    val labs = Seq(("FBC", "WIN_PATH", 1000L, 1L, "Full blood count"),
+      ("FBC", "CO_PATH", 1000L, 2L, "FBC (path)"))
+    val bat = labs.toDF("batteryCode", "codingSystem", "validFromUs",
+      "msgId", "name")
+    val lb = EntityUpserts.upsert("lab_battery", bat.limit(0), bat)
+    assert(lb.live.count() == 2)
+    val defs = labs.toDF("testCode", "codingSystem", "validFromUs",
+      "msgId", "name")
+    val ld = EntityUpserts.upsert("lab_test_definition",
+      defs.limit(0), defs)
+    assert(ld.live.count() == 2)
+  }
+
   test("O14 metadata: mapping message unifies the two half-rows") {
     import graft.operators.ObservationTypes
     val types = Seq(

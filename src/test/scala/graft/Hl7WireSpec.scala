@@ -179,6 +179,22 @@ class Hl7WireSpec extends SparkSpecBase {
       Seq("Inf0", "Inf2", "Inf3"))
   }
 
+  test("infection gate is invariant to input row order (sorts by source)") {
+    val added = Seq(10L, 5L, 12L, 12L, 3L)
+    val raws = added.zipWithIndex.map { case (a, i) =>
+      s"MSH|^~\\&|EPIC|F|||20240101000000||ADT^A05|M$i|P|2.4\r" +
+        s"PID|1||P$i^^^MRN^MRN\rZIF|Inf$i^202401010000${f"$a%02d"}"
+    }
+    def gated(rs: Seq[String]) = Hl7Wire.infectionGate(
+        Hl7Wire.parseInfections(rs.toDF("raw"), "raw"),
+        serviceStartUs = 0L,
+        orderCols = Seq("sourceMessageId", "infectionIdx"))
+      .select("conditionCode").as[String].collect().toSeq
+    val expect = gated(raws)
+    assert(gated(raws.reverse) == expect)
+    assert(gated(scala.util.Random.shuffle(raws)) == expect)
+  }
+
   test("golden A60 IAM: allergy fields, action mapping, reactions, error") {
     val raw = Seq(
       "MSH|^~\\&|EPIC|F|||20240102000000||ADT^A60|M1|P|2.4",

@@ -104,7 +104,12 @@ class WirePipelineSpec extends SparkSpecBase {
       "MSH|^~\\&|EPIC|UCLH|||20240104120000||ADT^A05|W6|P|2.4\r" +
         "EVN|A05|20240104120000\r" +
         "PID|1||M6^^^MRN^MRN\r" +
-        "ZIF|RSV^20240101060000~Strep^20240103000000").toDF("raw")
+        "ZIF|RSV^20240101060000~Strep^20240103000000",
+      // DE action for M3's problem → tombstone version, not a lost row
+      "MSH|^~\\&|EPIC|Problem List|||20240102100000|X|PPR^PC1|W7|P|2.4\r" +
+        "PID|1||M3^^^MRN^MRN\r" +
+        "PRB|DE|20240102100000|C1^Asthma^I10UK|700|||20240101100000")
+      .toDF("raw")
     WirePipeline.foldBatch(batch2, 2L, "raw", root)
 
     val cond2 = live("conditions", condKey, "updatedTimeUs", condPay)
@@ -113,5 +118,13 @@ class WirePipelineSpec extends SparkSpecBase {
     assert(new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/conditions/_INF_PROGRESS"))).toLong ==
       1704240000000000L)
+
+    // the tombstone wins in raw live state but is filtered from the
+    // current-conditions view
+    assert(cond2.filter(col("conditionTypeId") === "I10UK:C1")
+      .select("action").as[String].collect().toSeq == Seq("DE"))
+    val current = WirePipeline.liveConditions(spark, root).get
+    assert(!current.select("conditionTypeId").as[String].collect()
+      .toSet.contains("I10UK:C1"))
   }
 }
