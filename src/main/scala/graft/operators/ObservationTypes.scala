@@ -116,4 +116,27 @@ object ObservationTypes {
 
     Unified(surviving.unionByName(freshAligned), obs, audit)
   }
+
+  /** Waveform streams register their own observation types
+    * (VisitObservationController.getOrCreateFromWaveform:132-139): keyed
+    * by the stream id on BOTH halves, named by the stream description,
+    * flagged real-time. One distinct-aggregate over the chunk stream —
+    * the earliest observation time per stream is its validFrom, ready
+    * for the `visit_observation_type` registry upsert.
+    */
+  def fromWaveform(chunks: DataFrame, streamIdCol: String,
+                   descriptionCol: String, obsTimeUsCol: String): DataFrame =
+    chunks.groupBy(col(streamIdCol).as("interfaceId"))
+      .agg(min(col(obsTimeUsCol)).as("validFromUs"),
+        first(col(descriptionCol)).as("name"))
+      .select(col("interfaceId"),
+        col("interfaceId").as("idInApplication"),
+        col("validFromUs"),
+        concat(lit("wf:"), col("interfaceId")).as("msgId"),
+        col("name"),
+        lit(null).cast("string").as("displayName"),
+        lit("waveform").as("valueType"),
+        lit(null).cast("string").as("unit"),
+        lit(null).cast("string").as("description"),
+        lit(true).as("isRealTime"))
 }

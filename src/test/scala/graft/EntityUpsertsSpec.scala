@@ -155,6 +155,24 @@ class EntityUpsertsSpec extends SparkSpecBase {
     assert(ld.live.count() == 2)
   }
 
+  test("waveform streams register real-time observation types") {
+    import graft.operators.ObservationTypes
+    val chunks = Seq(
+      ("52A", "ecg", 2000L), ("52A", "ecg", 1000L), ("61B", "spo2", 500L))
+      .toDF("streamId", "mapped", "obsTimeUs")
+    val types = ObservationTypes.fromWaveform(chunks, "streamId",
+      "mapped", "obsTimeUs")
+    val got = types.orderBy("interfaceId")
+      .select("interfaceId", "idInApplication", "validFromUs", "name")
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(got == Seq(("52A", "52A", 1000L, "ecg"),
+      ("61B", "61B", 500L, "spo2")))
+    // and the shape feeds the registry upsert directly
+    val r = EntityUpserts.upsert("visit_observation_type",
+      types.drop("isRealTime").limit(0), types.drop("isRealTime"))
+    assert(r.live.count() == 2)
+  }
+
   test("O14 metadata: mapping message unifies the two half-rows") {
     import graft.operators.ObservationTypes
     val types = Seq(

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.kernel.BitemporalKernel
+
+/** Plan-shape regression tests: the SCALING.md claims as assertions.
+  * These lock the 100× properties in — a refactor that sneaks a second
+  * shuffle into the kernel fold, loses a broadcast, or breaks the
+  * narrow wire parse fails HERE, not in a cluster.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countIn(p: String, needle: String): Int =
+    needle.r.findAllIn(p).length
+
+  test("kernel fold: ONE hash exchange; windows share the partitioning") {
+    val state = Seq((1L, 1000L, 1L, "a")).toDF("key", "ts_us", "msg_id", "v")
+    val batch = Seq((1L, 2000L, 2L, "b"), (2L, 1000L, 3L, "c"))
+      .toDF("key", "ts_us", "msg_id", "v")
+    val r = BitemporalKernel.applyBatch(state, batch, Seq("key"),
+      "ts_us", "msg_id", Seq("v"))
+    val p = plan(r.history)
+    // one Exchange for the union'd fold; dedup + F6 + stamping windows
+    // all reuse it (AQE wraps the final plan, count the exchange ops)
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("dim enrich: small dimension broadcasts, no sort-merge join") {
+    val facts = spark.range(0, 10000)
+      .select(col("id"), pmod(col("id"), lit(25)).as("nk"))
+    val dim = Seq((0L, "UK"), (1L, "FR")).toDF("nk", "name")
+    val joined = facts.join(broadcast(dim), Seq("nk"))
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("wire parse is a narrow projection: zero exchanges") {
+    val raws = Seq(
+      "MSH|^~\\&|EPIC|F|||20240101000000||ADT^A01|M1|P|2.4\r" +
+        "PID|1||P1^^^MRN^MRN").toDF("raw")
+    val p = plan(graft.sources.Hl7Wire.parseAdt(raws, "raw"))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("text stats are shuffle-free per-row expressions") {
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.stats(docs, "doc_id", "text"))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("brute-force ANN top-k keeps the partial-limit optimization") {
+    val emb = (0L to 50L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("emb_id", "embedding")
+    val p = plan(graft.operators.Ann.bruteForceTopK(
+      emb.limit(2), emb, "emb_id", "embedding", k = 3))
+    // Spark 4 WindowGroupLimit = per-partition top-k BEFORE the shuffle;
+    // losing it turns top-k into a full sort of all candidates
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("lateSplit filters push down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("planshape").toString
+    spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 10).as("ts_us"))
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("ts_us") >= 5000L)
+    val p = plan(scan)
+    assert(p.contains("PushedFilters: [IsNotNull(ts_us), GreaterThanOrEqual(ts_us,5000)]") ||
+      p.contains("GreaterThanOrEqual(ts_us,5000)"), p)
+  }
+}
