@@ -1277,6 +1277,48 @@ object SparkEntry {
         .select(col("event_id").cast("long").as("event_id"),
           col("conditionCode").as("condition_code"), col("comment"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- training-data prep: the ops COMPOSE ------------------------
+    // exact-dedup → per-doc quality stats → quality gate, one pipeline:
+    // the shape of a real corpus-prep job (each stage is its own
+    // oracle-checked op — q19/q25 — this checks their composition).
+    "q68_prep_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = Dedup.exact(docs, "doc_id", "text")
+      val survivors = docs.join(keep,
+        col("doc_id") === col("keep_id")).drop("keep_id")
+      TextAnalysis.stats(survivors, "doc_id", "text")
+        .join(survivors.select(col("doc_id"), col("n_dups")), Seq("doc_id"))
+        .filter(col("quality"))
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_dups").cast("long").as("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- waveform downsample WITHOUT exploding ----------------------
+    // Per-(location, minute) mean over array rows: the per-row partial
+    // is an `aggregate` HOF (zero shuffle), rounded samples sum as
+    // DECIMAL so cross-row addition is exact and order-free, then ONE
+    // group-by combines partials — the 100 TB shape (posexplode would
+    // shuffle every sample).
+    "q69_waveform_downsample" -> ((s, dir) => {
+      val msgs = graft.sources.WaveformGenerator.messages(s,
+        nLocations = 5, rateHz = 50, seconds = 120, samplesPerMsg = 40)
+      msgs
+        .withColumn("__sum",
+          aggregate(col("values"), lit(0).cast("decimal(28,6)"),
+            (acc, v) => (acc + round(v, 6).cast("decimal(28,6)"))
+              .cast("decimal(28,6)")))
+        .withColumn("__minute",
+          (col("obsTimeUs") / 60000000L).cast("long") * 60000000L)
+        .groupBy(col("locationId").as("location_id"),
+          col("__minute").as("minute_us"))
+        .agg(sum(size(col("values"))).cast("long").as("n_samples"),
+          (sum(col("__sum")).cast("double") /
+            sum(size(col("values")))).as("mean_value"))
+        .orderBy(col("location_id"), col("minute_us"))
     })
   )
 
@@ -2174,6 +2216,36 @@ object SparkEntry {
          | CASE WHEN event_id % 3 <> 0 THEN
          |   'note' || CAST(event_id AS VARCHAR) || ' extra' ||
          |   CAST(event_id AS VARCHAR) || ' tail' END AS comment
-         |FROM e ORDER BY event_id""".stripMargin
+         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q68_prep_pipeline" ->
+      """WITH dd AS (SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |  FROM documents GROUP BY text),
+        |sv AS (SELECT doc_id, text, n_dups
+        |  FROM documents JOIN dd ON doc_id = keep_id),
+        |tk AS (SELECT doc_id, n_dups,
+        |  UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM sv),
+        |ag AS (SELECT doc_id, MIN(n_dups) AS n_dups, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in')
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio
+        | FROM tk GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_dups AS BIGINT) AS n_dups
+        |FROM ag
+        |WHERE n_tokens >= 5 AND n_tokens <= 100000 AND stop_ratio < 0.5
+        |ORDER BY doc_id""".stripMargin,
+
+    "q69_waveform_downsample" ->
+      """WITH s AS (SELECT loc.l AS loc, k.k AS k,
+        |  round(999.0 * sin(2 * pi() * 5.0 * k.k / 50.0), 6) AS v,
+        |  ((k.k // 40) * 800000 // 60000000) * 60000000 AS minute_us
+        | FROM (SELECT UNNEST(range(5)) AS l) loc,
+        |      (SELECT UNNEST(range(6000)) AS k) k)
+        |SELECT 'LOC' || CAST(loc AS VARCHAR) AS location_id, minute_us,
+        | COUNT(*) AS n_samples,
+        | CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |   AS mean_value
+        |FROM s GROUP BY loc, minute_us
+        |ORDER BY location_id, minute_us""".stripMargin
   )
 }
