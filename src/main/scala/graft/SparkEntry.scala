@@ -1319,12 +1319,290 @@ object SparkEntry {
           (sum(col("__sum")).cast("double") /
             sum(size(col("values")))).as("mean_value"))
         .orderBy(col("location_id"), col("minute_us"))
+    }),
+
+    // ---- O2 both axes, PERSISTED: the streamed star's stored-time
+    // travel (q43's contract, but through StarPipeline's bucketed
+    // manifest fold — each batch lands on disk and the next fold reads
+    // it back through a FRESH Config, i.e. the state survives a process
+    // restart; ref informdb/AuditCore.java:32-35, TemporalCore.java:29-32)
+    "q70_bitemporal_pipeline" -> ((s, dir) => {
+      import graft.streaming.StarPipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q70_state").toString
+      val msgs = eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("state"), col("value"),
+          (pmod(col("event_id"), lit(4)) + 1).cast("long").as("stored_us"))
+      val mkCfg = () => StarPipeline.Config(root, Seq("user_id"), "ts_us",
+        "event_id", Seq("state", "value"), nBuckets = 16,
+        storedFromUsCol = "stored_us")
+      (1L to 4L).foreach { b =>
+        StarPipeline.foldBatchBitemporal(
+          msgs.filter(col("stored_us") === b), b, mkCfg())
+      }
+      val tbl = StarPipeline.readBitemporal(s, mkCfg()).get
+      val beliefs = (1L to 4L).map { cutoff =>
+        tbl.filter(storedAsOf(lit(cutoff), col("stored_from_us"),
+            col("stored_until_us")))
+          .select(lit(cutoff).as("cutoff"), col("user_id"), col("event_id"),
+            col("state"), col("value"), col("ts_us").as("valid_from_us"),
+            col("valid_until_us"))
+      }.reduce(_ unionByName _)
+      beliefs.orderBy(col("cutoff"), col("user_id"), col("valid_from_us"),
+        col("event_id"))
+    }),
+
+    // ---- composed pipeline oracles: raw wire → WirePipeline.foldBatch
+    // (persisted, two micro-batches) → derived read views. These check
+    // the WHOLE front door — router, parser, guard, bucketed fold,
+    // manifest read-back, derived re-derivation — against a DuckDB
+    // replay of the reference semantics (the reference's single
+    // consumer, core/.../App.java:75-118).
+
+    // O6/O7 occupancy from persisted ADT state
+    "q71_pipeline_occupancy" -> ((s, dir) => {
+      import graft.streaming.WirePipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q71_state").toString
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val t5 = pmod(col("event_id"), lit(5))
+      val trig = when(t5 === 0, "A01").when(t5.isin(1, 2), "A02")
+        .when(t5 === 3, "A08").otherwise("A03")
+      val mid = concat(lit("T"), lpad(eid, 10, "0"))
+      val loc = concat(col("event_type"), lit("_"), eid)
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|UCLH|||"), dtm, lit("||ADT^"), trig,
+          lit("|"), mid, lit("|P|2.4")),
+        concat(lit("EVN|"), trig, lit("|"), dtm, lit("||||"), dtm),
+        concat(lit("PID|1||M"), uid, lit("^^^MRN^MRN")),
+        concat(lit("PV1|1|I|"), loc, lit("|" * 16), lit("V"), uid,
+          lit("|" * 26), when(t5 === 4, dtm).otherwise(lit(""))))
+      val msgs = eventsUs(s, dir).withColumn("raw", raw).select("raw",
+        "event_id")
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("event_id"), lit(2)) === 0), 1L, "raw", root)
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("event_id"), lit(2)) === 1), 2L, "raw", root)
+      WirePipeline.derived(s, root).get.intervals
+        .select(col("visitId").as("visit_id"), col("location"),
+          col("admissionUs").as("admission_us"),
+          col("inferredAdmission").cast("long").as("inferred_admission"),
+          col("dischargeUs").as("discharge_us"),
+          col("inferredDischarge").cast("long").as("inferred_discharge"))
+        .orderBy(col("visit_id"), col("admission_us"), col("location"))
+    }),
+
+    // O4 identity pointer table from persisted ADT state: chained A40
+    // merges transitively close through the pipeline
+    "q72_pipeline_mrn_map" -> ((s, dir) => {
+      import graft.streaming.WirePipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q72_state").toString
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val isMerge = pmod(col("event_id"), lit(13)) === 0
+      val trig = when(isMerge, "A40").otherwise("A01")
+      val mid = concat(lit("G"), lpad(eid, 10, "0"))
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|UCLH|||"), dtm, lit("||ADT^"), trig,
+          lit("|"), mid, lit("|P|2.4")),
+        concat(lit("EVN|"), trig, lit("|"), dtm),
+        concat(lit("PID|1||M"), uid, lit("^^^MRN^MRN")),
+        when(isMerge, concat(lit("MRG|M"), (col("user_id") - 1)
+          .cast("string"), lit("^^^MRN^MRN"))).otherwise(lit("PV1|1|O")))
+      val msgs = eventsUs(s, dir).withColumn("raw", raw).select("raw",
+        "event_id")
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("event_id"), lit(2)) === 0), 1L, "raw", root)
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("event_id"), lit(2)) === 1), 2L, "raw", root)
+      WirePipeline.derived(s, root).get.mrnToLive
+        .orderBy(col("mrn"))
+    }),
+
+    // O17 live conditions from persisted state: PPR problems fold with
+    // AD/UP/DE actions; tombstoned keys drop from the live view
+    "q73_pipeline_conditions" -> ((s, dir) => {
+      import graft.streaming.WirePipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q73_state").toString
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val k = pmod(col("event_id"), lit(20)).cast("string")
+      val act = when(pmod(col("event_id"), lit(7)) === 0, "DE")
+        .when(pmod(col("event_id"), lit(2)) === 0, "AD").otherwise("UP")
+      val onset = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMdd")
+      val mid = concat(lit("N"), lpad(eid, 10, "0"))
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|Problem List|||"), dtm,
+          lit("|X|PPR^PC1|"), mid, lit("|P|2.4")),
+        concat(lit("PID|1||M"), uid, lit("^^^MRN^MRN")),
+        concat(lit("PRB|"), act, lit("|"), dtm, lit("|C"), k,
+          lit("^Cond^I10UK|P"), k, lit("|||||||||S"),
+          pmod(col("event_id"), lit(3)).cast("string"),
+          lit("|||"), onset))
+      val msgs = eventsUs(s, dir).withColumn("raw", raw).select("raw",
+        "event_id")
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("event_id"), lit(2)) === 0), 1L, "raw", root)
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("event_id"), lit(2)) === 1), 2L, "raw", root)
+      WirePipeline.liveConditions(s, root).get
+        .select(col("mrn"), col("conditionTypeId").as("condition_type"),
+          col("internalId").as("internal_id"), col("status"),
+          col("onsetDate").as("onset_date"), col("action"))
+        .orderBy(col("mrn"), col("condition_type"))
+    }),
+
+    // O16 lab star from persisted state: WinPath ORU wire → funnel →
+    // bucketed fold → live read-back, results exploded
+    "q74_pipeline_labs" -> ((s, dir) => {
+      import graft.streaming.WirePipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q74_state").toString
+      val k = col("o_orderkey").cast("string")
+      val v1 = (pmod(col("o_orderkey"), lit(90)) + 10).cast("string")
+      val v2 = (pmod(col("o_custkey"), lit(50)) + 1).cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|WinPath|UCLH|||20240501120000||ORU^R01|L"),
+          lpad(k, 10, "0"), lit("|P|2.4")),
+        concat(lit("PID|1||M"), col("o_custkey").cast("string"),
+          lit("^^^MRN^MRN")),
+        concat(lit("OBR|1|EP"), k, lit("|F"), k,
+          lit("|FBC^FBC^WinPath|||20240501100000")),
+        concat(lit("OBX|1|NM|HGB^Haemoglobin^WinPath||"), v1,
+          lit("|g/dL|||||F")),
+        concat(lit("OBX|2|NM|WCC^WCC^WinPath||"), v2,
+          lit("|10*9/L|||||F")))
+      val msgs = t(s, dir, "orders").withColumn("raw", raw)
+        .select("raw", "o_orderkey")
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("o_orderkey"), lit(2)) === 0), 1L, "raw", root)
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("o_orderkey"), lit(2)) === 1), 2L, "raw", root)
+      graft.streaming.StarPipeline.readState(s,
+          graft.streaming.StarPipeline.Config(s"$root/labs",
+            Seq("battery", "labSpecimenNumber"), "statusChangeTimeUs",
+            "sourceMessageId", Seq("epicOrderNumber", "mrn", "results"),
+            nBuckets = 8), "live").get
+        .select(col("battery"), col("labSpecimenNumber"), col("mrn"),
+          explode(col("results")).as("r"))
+        .select(
+          regexp_extract(col("labSpecimenNumber"), "^F(\\d+)$", 1)
+            .cast("long").as("order_key"),
+          col("battery"), col("mrn"),
+          col("r.testCode").as("test_code"),
+          col("r.mimeType").as("mime"),
+          col("r.numericValue").as("num_value"),
+          col("r.units"))
+        .orderBy(col("order_key"), col("test_code"))
+    }),
+
+    // ---- O19 Forms (SDE) vertical from persisted state: instances +
+    // answers fold in batch 1, a value re-file + the metadata import
+    // land in batch 2 — newest-wins answers, placeholder dims for
+    // definitions/questions metadata never described (ref
+    // core/.../FormController.java:110-164, FormProcessor.java:52-83)
+    "q75_forms_pipeline" -> ((s, dir) => {
+      import graft.streaming.FormsPipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q75_state").toString
+      val cfg = FormsPipeline.Config(root, nBuckets = 4)
+      val k = col("o_orderkey")
+      val ks = k.cast("string")
+      def inst(answers: Column) = struct(
+        concat(lit("F"), ks).as("formInstanceId"),
+        concat(lit("D"), pmod(k, lit(5)).cast("string")).as("formId"),
+        concat(lit("M"), col("o_custkey").cast("string")).as("mrn"),
+        concat(lit("V"), ks).as("visitNumber"),
+        (k * 1000L).as("firstFiledTimeUs"),
+        (k * 10L).as("msgId"),
+        answers.as("answers"))
+      def ans(q: String, filed: Column, msg: Column, sv: Column,
+              nv: Column) = struct(
+        lit(q).as("questionId"), filed.as("filedTimeUs"),
+        msg.as("msgId"), lit(null).cast("string").as("context"),
+        sv.as("stringValue"), nv.as("numericValue"),
+        lit(null).cast("boolean").as("booleanValue"),
+        lit(null).cast("string").as("dateValue"),
+        lit(null).cast("long").as("datetimeValueUs"))
+      val orders = t(s, dir, "orders")
+      val initial = orders.select(inst(array(
+        ans("Q1", k * 1000L, k * 10L + 1L,
+          lit(null).cast("string"), pmod(k, lit(97)).cast("double")),
+        ans("Q2", k * 1000L, k * 10L + 2L,
+          concat(lit("S"), pmod(k, lit(3)).cast("string")),
+          lit(null).cast("double")))).as("f")).select("f.*")
+      // batch 2 re-files Q1 for even instances with a CHANGED value
+      val refile = orders.filter(pmod(k, lit(2)) === 0)
+        .select(inst(array(
+          ans("Q1", k * 1000L + 7L, k * 10L + 3L,
+            lit(null).cast("string"),
+            (pmod(k, lit(97)) + 1).cast("double")))).as("f"))
+        .select("f.*")
+      val meta = s.range(3).select(
+        concat(lit("D"), col("id").cast("string")).as("formId"),
+        lit(1L).as("validFromUs"), col("id").as("msgId"),
+        concat(lit("Form D"), col("id").cast("string")).as("name"),
+        lit(null).cast("string").as("patientFriendlyName"))
+      val qMeta = s.range(1).select(
+        lit("Q1").as("questionId"), lit(1L).as("validFromUs"),
+        lit(9L).as("msgId"), lit("Numeric score").as("name"),
+        lit("score").as("abbrevName"),
+        lit(null).cast("string").as("description"))
+      FormsPipeline.foldBatch(1L, cfg,
+        forms = Some(initial.filter(pmod(col("o_orderkey"), lit(2)) === 1)))
+      FormsPipeline.foldBatch(2L, cfg,
+        forms = Some(initial.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .unionByName(refile)),
+        formMeta = Some(meta), qMeta = Some(qMeta))
+      FormsPipeline.answers(s, cfg).get
+        .select(col("formInstanceId").as("form_instance"),
+          col("questionId").as("question_id"),
+          col("filedTimeUs").as("filed_us"),
+          col("numericValue").as("num_value"),
+          col("stringValue").as("str_value"),
+          col("formName").as("form_name"),
+          col("formPlaceholder").cast("long").as("form_placeholder"),
+          col("questionName").as("question_name"))
+        .orderBy(col("form_instance"), col("question_id"))
     })
   )
 
   // ===================================================================
   // DuckDB oracles. Same column names, same determinism rules.
   // ===================================================================
+
+  /** DuckDB replay of the bitemporal belief semantics: fold batches
+    * 1..cutoff in valid-time order per cutoff — shared by q43 (in-memory
+    * fold) and q70 (persisted StarPipeline fold).
+    */
+  private val BitemporalBeliefSql =
+    s"""WITH e AS ($EventsUsSql),
+       |m AS (SELECT user_id, event_id, event_type AS state, value, ts_us,
+       |  (event_id % 4) + 1 AS batch FROM e),
+       |cut AS (SELECT UNNEST([1, 2, 3, 4]) AS cutoff),
+       |x AS (SELECT c.cutoff, m.* FROM cut c JOIN m ON m.batch <= c.cutoff),
+       |d AS (SELECT cutoff, user_id, event_id, state, value, ts_us,
+       |  lag(state) OVER w AS pt, lag(value) OVER w AS pv
+       | FROM x WINDOW w AS (PARTITION BY cutoff, user_id ORDER BY ts_us, event_id)),
+       |k AS (SELECT cutoff, user_id, event_id, state, value, ts_us FROM d
+       | WHERE pt IS NULL OR state IS DISTINCT FROM pt OR value IS DISTINCT FROM pv),
+       |f AS (SELECT *, lead(ts_us) OVER
+       |  (PARTITION BY cutoff, user_id ORDER BY ts_us, event_id) AS valid_until_us
+       | FROM k)
+       |SELECT CAST(cutoff AS BIGINT) AS cutoff, user_id, event_id, state,
+       | value, ts_us AS valid_from_us, valid_until_us
+       |FROM f ORDER BY cutoff, user_id, valid_from_us, event_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1973,23 +2251,118 @@ object SparkEntry {
          | (ts_us // 1000000) * 1000000 AS obs_us
          |FROM e ORDER BY event_id""".stripMargin,
 
-    "q43_bitemporal_travel" ->
+    "q43_bitemporal_travel" -> BitemporalBeliefSql,
+
+    // identical belief semantics, derived from the PERSISTED pipeline
+    // state instead of an in-memory fold — same oracle replay
+    "q70_bitemporal_pipeline" -> BitemporalBeliefSql,
+
+    "q71_pipeline_occupancy" ->
       s"""WITH e AS ($EventsUsSql),
-         |m AS (SELECT user_id, event_id, event_type AS state, value, ts_us,
-         |  (event_id % 4) + 1 AS batch FROM e),
-         |cut AS (SELECT UNNEST([1, 2, 3, 4]) AS cutoff),
-         |x AS (SELECT c.cutoff, m.* FROM cut c JOIN m ON m.batch <= c.cutoff),
-         |d AS (SELECT cutoff, user_id, event_id, state, value, ts_us,
-         |  lag(state) OVER w AS pt, lag(value) OVER w AS pv
-         | FROM x WINDOW w AS (PARTITION BY cutoff, user_id ORDER BY ts_us, event_id)),
-         |k AS (SELECT cutoff, user_id, event_id, state, value, ts_us FROM d
-         | WHERE pt IS NULL OR state IS DISTINCT FROM pt OR value IS DISTINCT FROM pv),
-         |f AS (SELECT *, lead(ts_us) OVER
-         |  (PARTITION BY cutoff, user_id ORDER BY ts_us, event_id) AS valid_until_us
-         | FROM k)
-         |SELECT CAST(cutoff AS BIGINT) AS cutoff, user_id, event_id, state,
-         | value, ts_us AS valid_from_us, valid_until_us
-         |FROM f ORDER BY cutoff, user_id, valid_from_us, event_id""".stripMargin,
+         |b AS (SELECT user_id, event_id, event_type,
+         |  (ts_us // 1000000) * 1000000 AS vf,
+         |  CAST(event_id % 5 AS INTEGER) AS trig FROM e),
+         |mv AS (SELECT 'V' || CAST(user_id AS VARCHAR) AS visit_id,
+         |  event_type || '_' || CAST(event_id AS VARCHAR) AS location,
+         |  vf, event_id FROM b WHERE trig IN (0, 1, 2)),
+         |runs AS (SELECT visit_id, location, vf, event_id,
+         |  lead(vf) OVER (PARTITION BY visit_id ORDER BY vf, event_id)
+         |    AS next_vf
+         | FROM mv),
+         |disc AS (SELECT 'V' || CAST(user_id AS VARCHAR) AS visit_id,
+         |  MAX(vf) AS final_dis FROM b WHERE trig = 4 GROUP BY 1),
+         |iv AS (SELECT r.visit_id, r.location, r.vf AS admission_us,
+         |  CAST(0 AS BIGINT) AS inferred_admission,
+         |  COALESCE(r.next_vf, d.final_dis) AS discharge_us,
+         |  CAST(CASE WHEN r.next_vf IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS inferred_discharge
+         | FROM runs r LEFT JOIN disc d USING (visit_id)),
+         |orph AS (SELECT d.visit_id, CAST(NULL AS VARCHAR) AS location,
+         |  d.final_dis - 1000000 AS admission_us, CAST(1 AS BIGINT),
+         |  d.final_dis AS discharge_us, CAST(0 AS BIGINT)
+         | FROM disc d
+         | WHERE d.visit_id NOT IN (SELECT DISTINCT visit_id FROM mv))
+         |SELECT visit_id, location, admission_us, inferred_admission,
+         | discharge_us, inferred_discharge
+         |FROM (SELECT * FROM iv UNION ALL SELECT * FROM orph)
+         |WHERE discharge_us IS NULL OR discharge_us > admission_us
+         |ORDER BY visit_id, admission_us, location""".stripMargin,
+
+    "q72_pipeline_mrn_map" ->
+      s"""WITH RECURSIVE e AS ($EventsUsSql),
+         |edges AS (SELECT DISTINCT
+         |  'M' || CAST(user_id - 1 AS VARCHAR) AS absorbed,
+         |  'M' || CAST(user_id AS VARCHAR) AS survivor
+         | FROM e WHERE event_id % 13 = 0),
+         |mrns AS (SELECT DISTINCT 'M' || CAST(user_id AS VARCHAR) AS mrn
+         |  FROM e
+         | UNION SELECT absorbed FROM edges
+         | UNION SELECT survivor FROM edges),
+         |walk(mrn, cur) AS (SELECT mrn, mrn FROM mrns
+         | UNION SELECT w.mrn, ed.survivor
+         |   FROM walk w JOIN edges ed ON ed.absorbed = w.cur)
+         |SELECT w.mrn, w.cur AS live_mrn FROM walk w
+         |WHERE NOT EXISTS (SELECT 1 FROM edges ed WHERE ed.absorbed = w.cur)
+         |ORDER BY mrn""".stripMargin,
+
+    "q73_pipeline_conditions" ->
+      s"""WITH e AS ($EventsUsSql),
+         |b AS (SELECT user_id, event_id,
+         |  (ts_us // 1000000) * 1000000 AS vf,
+         |  CAST(event_id % 20 AS INTEGER) AS k,
+         |  CASE WHEN event_id % 7 = 0 THEN 'DE'
+         |       WHEN event_id % 2 = 0 THEN 'AD' ELSE 'UP' END AS action,
+         |  'S' || CAST(event_id % 3 AS VARCHAR) AS status FROM e),
+         |last AS (SELECT 'M' || CAST(user_id AS VARCHAR) AS mrn,
+         |  'I10UK:C' || CAST(k AS VARCHAR) AS condition_type,
+         |  'P' || CAST(k AS VARCHAR) AS internal_id,
+         |  status, strftime(make_timestamp(vf), '%Y-%m-%d') AS onset_date,
+         |  action,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, k
+         |    ORDER BY vf DESC, event_id DESC) AS rn
+         | FROM b)
+         |SELECT mrn, condition_type, internal_id, status, onset_date,
+         | action
+         |FROM last WHERE rn = 1 AND action <> 'DE'
+         |ORDER BY mrn, condition_type""".stripMargin,
+
+    "q75_forms_pipeline" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |a AS (
+        | SELECT 'F' || CAST(k AS VARCHAR) AS form_instance, k % 5 AS fid,
+        |  'Q1' AS question_id, k * 1000 AS filed_us,
+        |  CAST(k % 97 AS DOUBLE) AS num_value,
+        |  CAST(NULL AS VARCHAR) AS str_value, k * 10 + 1 AS msg FROM o
+        | UNION ALL
+        | SELECT 'F' || CAST(k AS VARCHAR), k % 5, 'Q2', k * 1000,
+        |  CAST(NULL AS DOUBLE), 'S' || CAST(k % 3 AS VARCHAR),
+        |  k * 10 + 2 FROM o
+        | UNION ALL
+        | SELECT 'F' || CAST(k AS VARCHAR), k % 5, 'Q1', k * 1000 + 7,
+        |  CAST(k % 97 + 1 AS DOUBLE), CAST(NULL AS VARCHAR),
+        |  k * 10 + 3 FROM o WHERE k % 2 = 0),
+        |last AS (SELECT *, row_number() OVER (
+        |  PARTITION BY form_instance, question_id
+        |  ORDER BY filed_us DESC, msg DESC) AS rn FROM a)
+        |SELECT form_instance, question_id, filed_us, num_value, str_value,
+        | CASE WHEN fid <= 2 THEN 'Form D' || CAST(fid AS VARCHAR) END
+        |   AS form_name,
+        | CAST(CASE WHEN fid <= 2 THEN 0 ELSE 1 END AS BIGINT)
+        |   AS form_placeholder,
+        | CASE WHEN question_id = 'Q1' THEN 'Numeric score' END
+        |   AS question_name
+        |FROM last WHERE rn = 1
+        |ORDER BY form_instance, question_id""".stripMargin,
+
+    "q74_pipeline_labs" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+        | 'FBC' AS battery, 'M' || CAST(o_custkey AS VARCHAR) AS mrn,
+        | t.test_code, 'NUMERIC' AS mime,
+        | CASE t.test_code WHEN 'HGB' THEN CAST(o_orderkey % 90 + 10 AS DOUBLE)
+        |   ELSE CAST(o_custkey % 50 + 1 AS DOUBLE) END AS num_value,
+        | CASE t.test_code WHEN 'HGB' THEN 'g/dL' ELSE '10*9/L' END AS units
+        |FROM orders CROSS JOIN (SELECT UNNEST(['HGB', 'WCC']) AS test_code) t
+        |ORDER BY order_key, test_code""".stripMargin,
 
     "q41_daily_activity" ->
       """WITH e AS (SELECT user_id,

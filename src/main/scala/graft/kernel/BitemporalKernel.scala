@@ -63,15 +63,25 @@ object BitemporalKernel {
     * @param tieCol      deterministic tie-breaker (e.g. source message id).
     * @param payloadCols mutable payload columns (F6 diff is over these).
     */
+  /** @param materialize hook applied to the two shared intermediates
+    *   (deduped message log; stamped versions). The returned
+    *   live/audit/history all branch off them, so a caller that runs
+    *   more than one action over the result (e.g. StarPipeline's three
+    *   table writes) should pass a persist here — the window fold then
+    *   evaluates once instead of once per action. Default is identity
+    *   (pure, no cache handles leak).
+    */
   def applyBatch(
       state: DataFrame,
       updates: DataFrame,
       keyCols: Seq[String],
       validFromUsCol: String,
       tieCol: String,
-      payloadCols: Seq[String]): KernelResult = {
+      payloadCols: Seq[String],
+      materialize: DataFrame => DataFrame = identity): KernelResult = {
     val (history, withUntil) =
-      foldVersions(state, updates, keyCols, validFromUsCol, tieCol, payloadCols)
+      foldVersions(state, updates, keyCols, validFromUsCol, tieCol,
+        payloadCols, materialize)
     KernelResult(
       live = withUntil.filter(col("valid_until_us").isNull).drop("valid_until_us"),
       audit = withUntil.filter(col("valid_until_us").isNotNull),
@@ -79,7 +89,7 @@ object BitemporalKernel {
   }
 
   /** Shared valid-time fold: returns (deduped message log, kept versions
-    * with valid_until_us stamped).
+    * with valid_until_us stamped), each passed through `materialize`.
     */
   private def foldVersions(
       state: DataFrame,
@@ -87,7 +97,8 @@ object BitemporalKernel {
       keyCols: Seq[String],
       validFromUsCol: String,
       tieCol: String,
-      payloadCols: Seq[String]): (DataFrame, DataFrame) = {
+      payloadCols: Seq[String],
+      materialize: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
 
     val cols = keyCols ++ Seq(validFromUsCol, tieCol) ++ payloadCols
     val all = state.selectExpr(cols: _*).unionByName(updates.selectExpr(cols: _*))
@@ -103,10 +114,10 @@ object BitemporalKernel {
     // ONE hash exchange + ONE sort (a dropDuplicates here planned as two
     // extra exchanges + a SortAggregate).
     val msgId = struct(col(validFromUsCol), col(tieCol))
-    val history = all
+    val history = materialize(all
       .withColumn("__prev_id", lag(msgId, 1).over(byKey))
       .filter(col("__prev_id").isNull || !(msgId <=> col("__prev_id")))
-      .drop("__prev_id")
+      .drop("__prev_id"))
 
     val payload = struct(payloadCols.map(col): _*)
     // F6 (output-side): coalesce runs of identical consecutive payloads —
@@ -119,8 +130,8 @@ object BitemporalKernel {
       .drop("__prev_payload")
 
     // Same partitioning & ordering → no extra shuffle for the second pass.
-    val withUntil = kept
-      .withColumn("valid_until_us", lead(col(validFromUsCol), 1).over(byKey))
+    val withUntil = materialize(kept
+      .withColumn("valid_until_us", lead(col(validFromUsCol), 1).over(byKey)))
 
     (history, withUntil)
   }
@@ -200,10 +211,12 @@ object BitemporalKernel {
       validFromUsCol: String,
       tieCol: String,
       storedFromUsCol: String,
-      payloadCols: Seq[String]): BitemporalState = {
+      payloadCols: Seq[String],
+      materialize: DataFrame => DataFrame = identity): BitemporalState = {
 
     val (newMessages, newVersions) = foldVersions(
-      prev.messages, updates, keyCols, validFromUsCol, tieCol, payloadCols)
+      prev.messages, updates, keyCols, validFromUsCol, tieCol, payloadCols,
+      materialize)
 
     // One stored stamp per touched key (batch granularity — see scaladoc).
     val stamps = updates

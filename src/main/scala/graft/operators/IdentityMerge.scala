@@ -45,7 +45,9 @@ object IdentityMerge {
     * cycle-guarded (A→B plus B→A stops at the first repeat).
     */
   def applyMerges(mrnToLive: DataFrame, merges: DataFrame): DataFrame = {
-    val sel = merges.select(col("absorbed"), col("survivor"))
+    // dedup BEFORE the closure: a re-delivered merge event is a no-op,
+    // and duplicate edges must not fan out the pointer join below
+    val sel = merges.select(col("absorbed"), col("survivor")).distinct()
     val edges = sel.collect()
     val ptr = edges.map(r => r.get(0) -> r.get(1)).toMap
     def root(x: Any): Any = {
@@ -54,8 +56,8 @@ object IdentityMerge {
       while (ptr.contains(cur) && seen.add(cur)) cur = ptr(cur)
       if (seen.contains(cur)) x else cur // cycle: keep the original target
     }
-    val closedRows = edges.map(r =>
-      org.apache.spark.sql.Row(r.get(0), root(r.get(1)))).toSeq
+    val closedRows = ptr.toSeq.map { case (a, s) =>
+      org.apache.spark.sql.Row(a, root(s)) }
     val closed = sel.sparkSession.createDataFrame(
       sel.sparkSession.sparkContext.parallelize(closedRows, 1), sel.schema)
 
@@ -79,7 +81,7 @@ object IdentityMerge {
   def changeIdentifiers(mrnToLive: DataFrame, changes: DataFrame): DataFrame = {
     val known = mrnToLive.select(col("mrn")).distinct()
       .withColumnRenamed("mrn", "newMrn").withColumn("__known", lit(true))
-    val tagged = changes.select(col("oldMrn"), col("newMrn"))
+    val tagged = changes.select(col("oldMrn"), col("newMrn")).distinct()
       .join(broadcast(known), Seq("newMrn"), "left")
 
     val renames = broadcast(tagged.filter(col("__known").isNull)

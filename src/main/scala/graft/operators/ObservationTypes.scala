@@ -57,9 +57,13 @@ object ObservationTypes {
 
     // does the mapping's OTHER half exist as a row? (drives delete vs
     // enrich for EPIC rows)
+    // dedupe on the join key: a (bad-data) duplicate idInApplication row
+    // must not fan out the dim — keep the smallest typeId
+    // deterministically and let the audit surface the duplicate
     val caboodleRows = broadcast(types
       .filter(col("idInApplication").isNotNull)
-      .select(col("idInApplication").as("c_app"), col("typeId").as("c_id")))
+      .groupBy(col("idInApplication").as("c_app"))
+      .agg(min(col("typeId")).as("c_id")))
     val t2 = t.join(caboodleRows,
       col("me.m_app") === col("c_app"), "left")
 
@@ -81,12 +85,18 @@ object ObservationTypes {
       .drop("__gain_if", "__new_if", "__gain_app", "__new_app",
         "__dead", "__replacement", "__m_vf")
 
-    // mappings touching NO existing row (neither half) create the row
-    val known = types.select(col("interfaceId").as("k_if")).distinct()
-      .unionByName(types.select(col("idInApplication").as("k_if")).distinct())
-      .filter(col("k_if").isNotNull)
-    val fresh = m.join(broadcast(known), col("m_if") === col("k_if"), "left_anti")
-      .join(broadcast(known.withColumnRenamed("k_if", "k_app")),
+    // mappings touching NO existing row (neither half) create the row.
+    // Each half checks against ITS OWN identity space: m_if against
+    // existing interfaceIds, m_app against existing idInApplications — a
+    // pooled set would silently drop a mapping whose interfaceId merely
+    // collides with some row's idInApplication (neither enriching nor
+    // creating).
+    val knownIf = types.select(col("interfaceId").as("k_if"))
+      .filter(col("k_if").isNotNull).distinct()
+    val knownApp = types.select(col("idInApplication").as("k_app"))
+      .filter(col("k_app").isNotNull).distinct()
+    val fresh = m.join(broadcast(knownIf), col("m_if") === col("k_if"), "left_anti")
+      .join(broadcast(knownApp),
         col("m_app") === col("k_app"), "left_anti")
       .select(
         xxhash64(col("m_if"), col("m_app")).as("typeId"),

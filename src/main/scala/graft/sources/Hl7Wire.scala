@@ -168,15 +168,20 @@ object Hl7Wire {
       // from every ORU^R01 and ORM^O01 (IdsOperations.java:431-460
       // buildAndAddAdtMessage with fromAdtStream=false) — parse failures
       // there are silent, here they're null-field rows the dead-letter
-      // rules drop
-      impliedAdt = branch(is("ORU", "R01") || isOrm, parseAdt),
+      // rules drop. Gated on `handled`: a frame the router dead-letters
+      // (unknown/ignored coding system) discards its implied ADT too —
+      // the reference's Hl7MessageIgnoredException throws the WHOLE
+      // message away, already-built ADT included (LabFunnel
+      // determineCodingSystem; OrderAndResultService.java:49-216).
+      impliedAdt = branch((is("ORU", "R01") || isOrm) && handled, parseAdt),
       infections = branch(is("ADT", "A05") && senderOk, parseInfections),
       allergies = branch(is("ADT", "A60") && senderOk, parseAllergies),
       dead = tagged.withColumn("reason",
           when(col("__t").isNull, "unroutable")
             .when(is("ADT") && !senderOk,
               concat(lit("skipped_sender:"), coalesce(sender, lit(""))))
-            .when(cs === LabFunnel.BloodProducts,
+            .when((is("ORU") || isOrm || isOrr) &&
+                cs === LabFunnel.BloodProducts,
               "ignored_coding_system:BLOOD_PRODUCTS")
             .when((is("ORU", "R01", "R30") || isOrm || isOrr) && !handled,
               "unknown_coding_system")
@@ -564,21 +569,52 @@ object Hl7Wire {
     * high-water mark, and every kept infection advances the mark.
     * Because a row is only rejected when its added time is BELOW the
     * current mark, the mark always equals the running maximum of the
-    * added times seen so far — so the serial fold collapses to one
-    * window: keep iff `added >= max(added) over preceding rows`,
-    * seeded with the service-start instant. One shuffle-free sort at
-    * scale (the stream is already in source order per partition).
+    * added times seen so far — keep iff `added >= max(added) over
+    * preceding rows` (in `orderCols` order), seeded with the
+    * service-start instant.
+    *
+    * Scale shape — a global prefix max WITHOUT a single-partition
+    * window: range-partition on the order key, compute the running max
+    * within each partition, then carry each partition's total max into
+    * its successors as a driver-computed prefix (≤ numPartitions
+    * scalars, folded into a literal map). Every stage is distributed;
+    * the only driver traffic is one row per partition.
     */
   def infectionGate(df: DataFrame, serviceStartUs: Long,
                     orderCols: Seq[String]): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
+    // eager localCheckpoint: the carry probe and the final filter must
+    // see the SAME partition assignment (range boundaries are sampled,
+    // so a recompute could renumber partitions under the carry map)
+    val parted = df.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // per-partition total max → prefix-max carry-in per partition id
+    val partMax = parted.groupBy(col("__pid"))
+      .agg(max(col("addedTimeUs")).as("__max"))
+      .collect()
+      .map(r => r.getInt(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .sortBy(_._1)
+    if (partMax.isEmpty) return df.filter(lit(false))
+    val carries = partMax.scanLeft(-1 -> serviceStartUs) {
+      case ((_, acc), (pid, m)) => pid -> math.max(acc, m.getOrElse(Long.MinValue))
+    }
+    // carry for partition p = running max over partitions < p (seeded)
+    val carryIn = carries.sliding(2).collect {
+      case Array((_, prev), (pid, _)) => Seq(lit(pid), lit(prev))
+    }.flatten.toSeq
+    val wIn = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__progress",
-        greatest(coalesce(max(col("addedTimeUs")).over(w),
-          lit(serviceStartUs)), lit(serviceStartUs)))
+    parted
+      .withColumn("__carry",
+        coalesce(element_at(map(carryIn: _*), col("__pid")),
+          lit(serviceStartUs)))
+      .withColumn("__progress",
+        greatest(coalesce(max(col("addedTimeUs")).over(wIn),
+          col("__carry")), col("__carry")))
       .filter(col("addedTimeUs").isNotNull &&
         col("addedTimeUs") >= col("__progress"))
-      .drop("__progress")
+      .drop("__pid", "__carry", "__progress")
   }
 
   /** ADT^A60 → patient-allergy rows, one per IAM segment (ref
@@ -752,13 +788,17 @@ object Hl7Wire {
     * reference dedups questions by text and keys answers by
     * (question, parent request), QuestionController).
     */
-  def wireToQuestionMessages(consults: DataFrame): DataFrame =
+  def wireToQuestionMessages(consults: DataFrame,
+                             parentTable: String = "CONSULT_REQUEST",
+                             parentIdCol: String = "epicConsultId"): DataFrame =
     consults.select(
-        col("epicConsultId").cast("string").as("parentId"),
+        lit(parentTable).as("parentTable"),
+        col(parentIdCol).cast("string").as("parentId"),
         col("statusChangeTimeUs").as("updatedTimeUs"),
         col("sourceMessageId").as("msgId"),
         explode(map_entries(col("questions"))).as("qa"))
-      .select(col("parentId"), col("updatedTimeUs"), col("msgId"),
+      .select(col("parentTable"), col("parentId"), col("updatedTimeUs"),
+        col("msgId"),
         col("qa.key").as("questionText"), col("qa.value").as("answer"))
 
   /** Funnel: [[parseFlowsheets]] output → the visit_observation registry

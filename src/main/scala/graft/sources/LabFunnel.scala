@@ -839,6 +839,75 @@ object LabFunnel {
         sensitivities(r).as("sensitivities"))).as("results"))
   }
 
+  /** Funnel: [[parseCoPath]] output → the unified lab-message shape
+    * (schema-aligned with [[toLabMessages]] /
+    * [[Hl7Wire.wireToLabMessages]] so CoPath folds into the SAME labs
+    * star as every other source — the reference's CoPath builder feeding
+    * the common lab controllers). TEXT sections carry their joined
+    * report text; PDF payloads ride as base64 text (the star's results
+    * column is uniform across sources; decode at read time). Result
+    * entries with a parse error are excluded — route the order-level
+    * `error` channel to the dead letter before this funnel.
+    */
+  def coPathToLabMessages(orders: DataFrame): DataFrame =
+    orders.filter(col("error").isNull).select(
+      coalesce(col("epicOrderNumber"), col("labSpecimenNumber"))
+        .as("epicOrderNumber"),
+      col("labSpecimenNumber"),
+      col("battery"),
+      col("mrn"),
+      col("visitNumber"),
+      col("collectionTimeUs"),
+      coalesce(col("statusChangeTimeUs"), col("collectionTimeUs"))
+        .as("statusChangeTimeUs"),
+      col("sourceMessageId"),
+      transform(
+        filter(col("coPathResults"), r => r.getField("error").isNull),
+        r => struct(
+          r.getField("testCode").as("testCode"),
+          r.getField("mimeType").as("mimeType"),
+          lit(null).cast("double").as("numericValue"),
+          coalesce(r.getField("stringValue"),
+            base64(r.getField("byteValue"))).as("stringValue"),
+          lit(null).cast("string").as("units"),
+          coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"))
+            .as("resultTimeUs"),
+          lit(null).cast("string").as("isolateCode"),
+          lit(null).cast(
+            "array<struct<agent:string,value:string,resultTimeUs:bigint>>")
+            .as("sensitivities"))).as("results"))
+
+  /** Funnel: [[parseImage]] output → the unified lab-message shape (the
+    * PACS report sections become TEXT results in the same labs star).
+    * Sections flagged `image_non_text_section` are excluded.
+    */
+  def imageToLabMessages(orders: DataFrame): DataFrame =
+    orders.filter(col("error").isNull).select(
+      coalesce(col("epicOrderNumber"), col("labSpecimenNumber"))
+        .as("epicOrderNumber"),
+      col("labSpecimenNumber"),
+      col("battery"),
+      col("mrn"),
+      col("visitNumber"),
+      col("collectionTimeUs"),
+      coalesce(col("statusChangeTimeUs"), col("collectionTimeUs"))
+        .as("statusChangeTimeUs"),
+      col("sourceMessageId"),
+      transform(
+        filter(col("imageResults"), r => r.getField("error").isNull),
+        r => struct(
+          r.getField("testCode").as("testCode"),
+          r.getField("mimeType").as("mimeType"),
+          lit(null).cast("double").as("numericValue"),
+          r.getField("stringValue").as("stringValue"),
+          lit(null).cast("string").as("units"),
+          coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"))
+            .as("resultTimeUs"),
+          lit(null).cast("string").as("isolateCode"),
+          lit(null).cast(
+            "array<struct<agent:string,value:string,resultTimeUs:bigint>>")
+            .as("sensitivities"))).as("results"))
+
   // ------------------------------------------------------------------
   // PACS imaging reports (ORU^R01)
   // ------------------------------------------------------------------

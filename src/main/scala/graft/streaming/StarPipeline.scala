@@ -40,9 +40,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StarPipeline {
 
+  /** @param storedFromUsCol batch column holding the stored-time stamp
+    *   (epoch µs, e.g. ingestion time) — consumed by the BITEMPORAL fold
+    *   ([[foldBatchBitemporal]]); the valid-time-only [[foldBatch]]
+    *   ignores it.
+    */
   final case class Config(stateDir: String, keyCols: Seq[String],
                           validFromUsCol: String, tieCol: String,
-                          payloadCols: Seq[String], nBuckets: Int = 64)
+                          payloadCols: Seq[String], nBuckets: Int = 64,
+                          storedFromUsCol: String = "storedFromUs")
 
   private val Tables = Seq("history", "live", "audit")
 
@@ -88,26 +94,63 @@ object StarPipeline {
     * (W2): re-folding the same batch produces the same history because
     * the kernel dedups on (key, validFrom, tie), and the rewrite targets
     * the same version directories.
+    *
+    * Horizon safety: a batch row with validFrom below the compaction
+    * horizon automatically un-compacts its bucket — that bucket's cold
+    * history folds back into the hot tier (and its cold manifest entries
+    * drop), so folding without an explicit [[lateSplit]] can never
+    * diverge from full-replay history (F6 coalescing always compares
+    * against the true predecessor). Fast-path batches pay nothing: the
+    * late-bucket probe rides the same touched-bucket aggregate.
     */
-  def foldBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
-    val spark = batch.sparkSession
+  def foldBatch(batch0: DataFrame, batchId: Long, cfg: Config): Unit = {
+    val spark = batch0.sparkSession
     val man = readManifest(cfg)
 
-    // Which buckets does this batch touch? (≤ nBuckets small longs.)
-    val touched = batch.select(bucketOf(cfg).as("__bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    if (touched.isEmpty) return
+    // The batch feeds FOUR actions (bucket probe + three table writes);
+    // its lineage is often an expression-heavy parse — evaluate it once.
+    // Likewise the kernel's shared intermediates: the three table writes
+    // all branch off them, so persist via the kernel's materialize hook.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += p; p
+    }
+    val batch = pin(batch0)
+    try {
 
-    // Read ONLY the touched buckets' history.
-    val histPaths = touched
-      .flatMap(k => man.getOrElse("history", Map.empty).get(k.toString))
+    // Which buckets does this batch touch (≤ nBuckets small longs), and
+    // which of them carry pre-horizon arrivals (those need their cold
+    // tier folded back in)?
+    val lateFlag = compactionHorizon(cfg) match {
+      case Some(h) => max(when(col(cfg.validFromUsCol) < h, 1).otherwise(0))
+      case None    => max(lit(0))
+    }
+    val probe = batch.groupBy(bucketOf(cfg).as("__bucket"))
+      .agg(lateFlag.as("__late")).collect()
+    val touched = probe.map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val lateBuckets =
+      probe.filter(_.getInt(1) == 1).map(_.getLong(0).toString).toSet
+
+    // a cold manifest key is "<bucket>-<compactBatchId>"
+    def coldKeysOf(tbl: String) =
+      man.getOrElse(s"$tbl.cold", Map.empty)
+        .filter { case (k, _) => lateBuckets.contains(k.split("-")(0)) }
+
+    // Read ONLY the touched buckets' history — hot, plus cold for the
+    // buckets a late arrival un-compacts.
+    val histPaths = (touched
+      .flatMap(k => man.getOrElse("history", Map.empty).get(k.toString)) ++
+      coldKeysOf("history").values)
       .map(p => s"${cfg.stateDir}/$p")
     val history =
       if (histPaths.isEmpty) batch.limit(0)
       else spark.read.parquet(histPaths: _*)
 
     val r = BitemporalKernel.applyBatch(history, batch, cfg.keyCols,
-      cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
+      cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols, pin)
 
     val newMan = Tables.foldLeft(man) { (m, tbl) =>
       val df = tbl match {
@@ -126,8 +169,190 @@ object StarPipeline {
         if (Files.exists(Paths.get(cfg.stateDir, rel))) tm.updated(k.toString, rel)
         else tm - k.toString
       }
-      m.updated(tbl, updated)
+      // un-compacted buckets' cold rows are folded into hot now
+      val mm = m.updated(tbl, updated)
+      if (lateBuckets.isEmpty) mm
+      else mm.updated(s"$tbl.cold",
+        m.getOrElse(s"$tbl.cold", Map.empty) -- coldKeysOf(tbl).keys)
     }
+    writeManifest(cfg, newMan, batchId)
+    } finally pinned.foreach(_.unpersist(false))
+  }
+
+  // =================================================================
+  // Bitemporal mode — the stored-time axis, persisted (O2 both axes)
+  // =================================================================
+
+  private val BtTables = Seq("bt_messages", "bt_table")
+
+  /** Fold one micro-batch into persisted BITEMPORAL state — the
+    * stored-axis twin of [[foldBatch]], persisting
+    * [[BitemporalKernel.BitemporalState]] (deduped message log + version
+    * records stamped `stored_from_us`/`stored_until_us`) through the same
+    * bucketed manifest layout. This is what makes the reference's
+    * headline reproducibility — "state as the DB knew it at stored time
+    * S" (ref informdb/AuditCore.java:32-35,83-86;
+    * TemporalCore.java:29-32) — answerable from the PERSISTED star,
+    * surviving a process restart: every batch closes superseded records
+    * with the batch's stored stamp (`cfg.storedFromUsCol`, e.g.
+    * ingestion time) and opens replacements, records once stored-closed
+    * are immutable forever.
+    *
+    * Scale shape matches [[foldBatch]]: only the buckets the batch's
+    * keys hash into are read and rewritten; untouched buckets carry
+    * forward by manifest reference with zero I/O. Late arrivals below
+    * the compaction horizon auto-un-compact their buckets, exactly as in
+    * [[foldBatch]]. Idempotent on replay: the kernel's message dedup +
+    * the stored-diff's F6 (an update that changes nothing causes no
+    * stored churn) make a re-folded batch a no-op.
+    */
+  def foldBatchBitemporal(batch0: DataFrame, batchId: Long,
+                          cfg: Config): Unit = {
+    val spark = batch0.sparkSession
+    val man = readManifest(cfg)
+
+    // probe + stamps + two table writes all read the batch — once.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += p; p
+    }
+    val batch = pin(batch0)
+    try {
+
+    val lateFlag = compactionHorizon(cfg) match {
+      case Some(h) => max(when(col(cfg.validFromUsCol) < h, 1).otherwise(0))
+      case None    => max(lit(0))
+    }
+    val probe = batch.groupBy(bucketOf(cfg).as("__bucket"))
+      .agg(lateFlag.as("__late")).collect()
+    val touched = probe.map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val lateBuckets =
+      probe.filter(_.getInt(1) == 1).map(_.getLong(0).toString).toSet
+
+    def coldKeysOf(tbl: String) =
+      man.getOrElse(s"$tbl.cold", Map.empty)
+        .filter { case (k, _) => lateBuckets.contains(k.split("-")(0)) }
+    def readTouched(tbl: String): Option[DataFrame] = {
+      val paths = (touched
+        .flatMap(k => man.getOrElse(tbl, Map.empty).get(k.toString)) ++
+        coldKeysOf(tbl).values).map(p => s"${cfg.stateDir}/$p")
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    }
+
+    val empty = BitemporalKernel.emptyBitemporal(batch, cfg.keyCols,
+      cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
+    val prev = BitemporalKernel.BitemporalState(
+      messages = readTouched("bt_messages").getOrElse(empty.messages),
+      table = readTouched("bt_table").getOrElse(empty.table))
+
+    val r = BitemporalKernel.applyBitemporal(prev, batch, cfg.keyCols,
+      cfg.validFromUsCol, cfg.tieCol, cfg.storedFromUsCol, cfg.payloadCols,
+      pin)
+
+    val newMan = BtTables.foldLeft(man) { (m, tbl) =>
+      val df = if (tbl == "bt_messages") r.messages else r.table
+      val vDir = s"data/$tbl/v$batchId"
+      df.withColumn("__bucket", bucketOf(cfg))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"${cfg.stateDir}/$vDir")
+      val updated = touched.foldLeft(m.getOrElse(tbl, Map.empty)) { (tm, k) =>
+        val rel = s"$vDir/__bucket=$k"
+        if (Files.exists(Paths.get(cfg.stateDir, rel))) tm.updated(k.toString, rel)
+        else tm - k.toString
+      }
+      val mm = m.updated(tbl, updated)
+      if (lateBuckets.isEmpty) mm
+      else mm.updated(s"$tbl.cold",
+        m.getOrElse(s"$tbl.cold", Map.empty) -- coldKeysOf(tbl).keys)
+    }
+    writeManifest(cfg, newMan, batchId)
+    } finally pinned.foreach(_.unpersist(false))
+  }
+
+  /** The complete bitemporal version table (hot ∪ cold) — query it with
+    * [[graft.functions.GraftFunctions.validAsOfBitemporal]] /
+    * `storedAsOf` for both-axes time travel over the persisted star.
+    */
+  def readBitemporal(spark: SparkSession, cfg: Config): Option[DataFrame] =
+    readFull(spark, cfg, "bt_table")
+
+  /** Compaction for the bitemporal state at valid-time horizon
+    * `horizonUs` — keeps the per-fold read bounded as stored history
+    * accumulates. Three row classes archive to the `.cold` tier:
+    *
+    *   - stored-closed records (`stored_until_us` NOT NULL): immutable
+    *     forever, safe to archive unconditionally;
+    *   - open records wholly before the per-key boundary version u* =
+    *     the key's last version starting before the horizon: an arrival
+    *     with validFrom ≥ horizon can never change their payload,
+    *     validUntil, or existence, so the stored diff never touches
+    *     them;
+    *   - messages strictly before u* in (validFrom, tie) order: the hot
+    *     tail then re-derives versions from u* on, and u* is a true
+    *     version boundary, so payload coalescing (F6) is unchanged.
+    *
+    * Arrivals BELOW the horizon auto-un-compact their buckets inside
+    * [[foldBatchBitemporal]] (hot ∪ cold fold, cold entries dropped) —
+    * correctness never depends on the caller splitting the batch.
+    */
+  def compactBitemporal(spark: SparkSession, cfg: Config, horizonUs: Long,
+                        batchId: Long): Unit = {
+    val man = readManifest(cfg)
+    if (!man.contains("bt_table")) return
+    val tbl = readState(spark, cfg, "bt_table").get
+    val msgs = readState(spark, cfg, "bt_messages").get
+
+    // per-key boundary version u*: max (validFrom, tie) over OPEN
+    // records starting before the horizon
+    val vfTie = struct(col(cfg.validFromUsCol), col(cfg.tieCol))
+    val bounds = tbl.filter(col("stored_until_us").isNull &&
+        col(cfg.validFromUsCol) < horizonUs)
+      .groupBy(cfg.keyCols.map(col): _*)
+      .agg(max(vfTie).as("__u"))
+
+    def split(df: DataFrame, isCold: Column): (DataFrame, DataFrame) = {
+      val flagged = df.join(bounds, cfg.keyCols, "left")
+        .withColumn("__cold", coalesce(isCold, lit(false)))
+      (flagged.filter(!col("__cold")).drop("__cold", "__u"),
+        flagged.filter(col("__cold")).drop("__cold", "__u"))
+    }
+    val beforeBoundary = col("__u").isNotNull && vfTie < col("__u")
+    val (tblHot, tblCold) = split(tbl,
+      col("stored_until_us").isNotNull ||
+        (col("stored_until_us").isNull && beforeBoundary))
+    val (msgHot, msgCold) = split(msgs, beforeBoundary)
+
+    val newMan = Seq(
+      ("bt_table", tblHot, tblCold),
+      ("bt_messages", msgHot, msgCold)).foldLeft(man) {
+      case (m, (t, hot, coldDf)) =>
+        val hotDir = s"data/$t/v$batchId"
+        hot.withColumn("__bucket", bucketOf(cfg))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"${cfg.stateDir}/$hotDir")
+        val coldDir = s"data/$t.cold/v$batchId"
+        coldDf.withColumn("__bucket", bucketOf(cfg))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"${cfg.stateDir}/$coldDir")
+        def entries(dir: String, suffix: String) =
+          (0L until cfg.nBuckets.toLong).flatMap { k =>
+            val rel = s"$dir/__bucket=$k"
+            if (Files.exists(Paths.get(cfg.stateDir, rel)))
+              Some(s"$k$suffix" -> rel)
+            else None
+          }.toMap
+        m.updated(t, entries(hotDir, ""))
+          .updated(s"$t.cold",
+            m.getOrElse(s"$t.cold", Map.empty) ++
+              entries(coldDir, s"-$batchId"))
+    }
+    val hTmp = Paths.get(cfg.stateDir, "_HORIZON.tmp")
+    Files.write(hTmp, horizonUs.toString.getBytes)
+    Files.move(hTmp, Paths.get(cfg.stateDir, "_HORIZON"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     writeManifest(cfg, newMan, batchId)
   }
 
@@ -192,9 +417,16 @@ object StarPipeline {
                 entries(coldDir, s"-$batchId"))
       }
     }
+    // Horizon FIRST (tmp + atomic move), then the manifest swap: a crash
+    // between the two leaves the horizon advanced over an un-compacted
+    // manifest, which is safe — foldBatch's late-bucket probe finds no
+    // cold entries and reads the still-complete hot tier. The reverse
+    // order would let pre-horizon arrivals fold over hot-only state.
+    val hTmp = Paths.get(cfg.stateDir, "_HORIZON.tmp")
+    Files.write(hTmp, horizonUs.toString.getBytes)
+    Files.move(hTmp, Paths.get(cfg.stateDir, "_HORIZON"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     writeManifest(cfg, newMan, batchId)
-    Files.write(Paths.get(cfg.stateDir, "_HORIZON"),
-      horizonUs.toString.getBytes)
   }
 
   /** The compaction horizon currently in force, if any. */
@@ -234,52 +466,8 @@ object StarPipeline {
     * the kernel's: with the key's FULL history present, a late arrival
     * folds exactly as it would have in arrival order.
     */
-  def repairLate(late: DataFrame, batchId: Long, cfg: Config): Unit = {
-    val spark = late.sparkSession
-    val man = readManifest(cfg)
-    val touched = late.select(bucketOf(cfg).as("__bucket"))
-      .distinct().collect().map(_.getLong(0)).map(_.toString).toSet
-    if (touched.isEmpty) return
-
-    // a cold manifest key is "<bucket>-<compactBatchId>"
-    def coldKeysOf(tbl: String) =
-      man.getOrElse(s"$tbl.cold", Map.empty)
-        .filter { case (k, _) => touched.contains(k.split("-")(0)) }
-    def pathsFor(tbl: String) =
-      (man.getOrElse(tbl, Map.empty).filter(t => touched.contains(t._1)) ++
-        coldKeysOf(tbl)).values.toSeq.sorted
-        .map(p => s"${cfg.stateDir}/$p")
-
-    val histPaths = pathsFor("history")
-    val history =
-      if (histPaths.isEmpty) late.limit(0)
-      else spark.read.parquet(histPaths: _*)
-    val r = BitemporalKernel.applyBatch(history, late, cfg.keyCols,
-      cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
-
-    val newMan = Tables.foldLeft(man) { (m, tbl) =>
-      val df = tbl match {
-        case "history" => r.history
-        case "live"    => r.live
-        case "audit"   => r.audit
-      }
-      val vDir = s"data/$tbl/v$batchId"
-      df.withColumn("__bucket", bucketOf(cfg))
-        .write.mode("overwrite").partitionBy("__bucket")
-        .parquet(s"${cfg.stateDir}/$vDir")
-      val updatedHot = touched.foldLeft(m.getOrElse(tbl, Map.empty)) {
-        (tm, k) =>
-          val rel = s"$vDir/__bucket=$k"
-          if (Files.exists(Paths.get(cfg.stateDir, rel))) tm.updated(k, rel)
-          else tm - k
-      }
-      // the repaired buckets' cold rows are folded into hot now
-      val updatedCold =
-        m.getOrElse(s"$tbl.cold", Map.empty) -- coldKeysOf(tbl).keys
-      m.updated(tbl, updatedHot).updated(s"$tbl.cold", updatedCold)
-    }
-    writeManifest(cfg, newMan, batchId)
-  }
+  def repairLate(late: DataFrame, batchId: Long, cfg: Config): Unit =
+    foldBatch(late, batchId, cfg)
 
   /** Start the maintenance query over a message stream. */
   def start(messages: DataFrame, cfg: Config,

@@ -191,6 +191,85 @@ class PipelineSpec extends SparkSpecBase {
     assert(coldLeft.count() == 6 - sharedBucket.size)
   }
 
+  test("bitemporal fold: persisted stored axis == in-memory kernel fold, " +
+      "survives restart, replay, compaction, and late arrivals") {
+    import graft.kernel.BitemporalKernel
+    val dir = Files.createTempDirectory("star_bt").toString
+    val mk = () => StarPipeline.Config(dir, Seq("key"), "ts_us", "msg_id",
+      Seq("state", "value"), nBuckets = 8, storedFromUsCol = "stored_us")
+    val cfg = mk()
+
+    // out-of-order stream: batch 2 carries ts BEFORE batch 1's (late in
+    // valid time), so the stored axis must close batch-1 records
+    def batch(b: Long) = ((1L to 6L).map { k =>
+      StarMsg(k, 1000L * ((b * 3 + k) % 7 + 1), b * 100 + k,
+        s"s$b", b.toDouble)
+    } :+ StarMsg(1L, 500L * b, 900 + b, "x", 0.5)).toDF()
+      .withColumn("stored_us", lit(b))
+
+    (1L to 3L).foreach(b => StarPipeline.foldBatchBitemporal(batch(b), b, cfg))
+    // "restart": a fresh Config instance — all state must come off disk
+    StarPipeline.foldBatchBitemporal(batch(4), 4L, mk())
+
+    // expected: the in-memory kernel fold of the same four batches
+    val expected = (1L to 4L).foldLeft(BitemporalKernel.emptyBitemporal(
+        batch(1), Seq("key"), "ts_us", "msg_id", Seq("state", "value"))) {
+      (acc, b) =>
+        val next = BitemporalKernel.applyBitemporal(acc, batch(b),
+          Seq("key"), "ts_us", "msg_id", "stored_us", Seq("state", "value"))
+        BitemporalKernel.BitemporalState(
+          next.messages.localCheckpoint(), next.table.localCheckpoint())
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "ts_us", "msg_id", "state", "value",
+        "valid_until_us", "stored_from_us", "stored_until_us")
+      .as[(Long, Long, Long, String, Double, Option[Long], Option[Long],
+        Option[Long])].collect().toSeq.sorted
+    assert(snap(StarPipeline.readBitemporal(spark, cfg).get) ==
+      snap(expected.table))
+
+    // W2 replay: re-folding batch 3 is a no-op on BOTH axes
+    StarPipeline.foldBatchBitemporal(batch(3), 5L, cfg)
+    assert(snap(StarPipeline.readBitemporal(spark, cfg).get) ==
+      snap(expected.table))
+
+    // compaction: archive stored-closed + valid-frozen rows, then prove
+    // a post-horizon fold matches an uncompacted twin
+    val dirB = Files.createTempDirectory("star_bt_b").toString
+    val cfgB = cfg.copy(stateDir = dirB)
+    (1L to 4L).foreach(b => StarPipeline.foldBatchBitemporal(batch(b), b, cfgB))
+    StarPipeline.compactBitemporal(spark, cfg, horizonUs = 5000L, batchId = 6L)
+    assert(StarPipeline.readState(spark, cfg, "bt_table").get.count() <
+      StarPipeline.readState(spark, cfgB, "bt_table").get.count())
+    assert(snap(StarPipeline.readBitemporal(spark, cfg).get) ==
+      snap(StarPipeline.readBitemporal(spark, cfgB).get))
+
+    val b5 = Seq(StarMsg(2L, 6000L, 777L, "post", 9.0)).toDF()
+      .withColumn("stored_us", lit(5L))
+    StarPipeline.foldBatchBitemporal(b5, 7L, cfg)
+    StarPipeline.foldBatchBitemporal(b5, 7L, cfgB)
+    assert(snap(StarPipeline.readBitemporal(spark, cfg).get) ==
+      snap(StarPipeline.readBitemporal(spark, cfgB).get))
+
+    // late arrival BELOW the horizon: folds without an explicit
+    // lateSplit — its bucket un-compacts and the result still matches
+    val late = Seq(StarMsg(3L, 1500L, 888L, "late", 1.5)).toDF()
+      .withColumn("stored_us", lit(6L))
+    StarPipeline.foldBatchBitemporal(late, 8L, cfg)
+    StarPipeline.foldBatchBitemporal(late, 8L, cfgB)
+    assert(snap(StarPipeline.readBitemporal(spark, cfg).get) ==
+      snap(StarPipeline.readBitemporal(spark, cfgB).get))
+
+    // stored-time travel over the PERSISTED table: belief at S=2 only
+    // contains records stored at or before batch 2
+    import graft.functions.GraftFunctions.storedAsOf
+    val belief2 = StarPipeline.readBitemporal(spark, cfg).get
+      .filter(storedAsOf(lit(2L), col("stored_from_us"),
+        col("stored_until_us")))
+    assert(belief2.count() > 0)
+    assert(belief2.select(max(col("stored_from_us"))).as[Long].head() <= 2L)
+  }
+
   test("end-to-end stream: raw HL7 wire → parse → bucketed star fold") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

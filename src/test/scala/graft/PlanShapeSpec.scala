@@ -64,6 +64,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("infection gate: no single-partition window (scales out)") {
+    val df = (1L to 200L).map(i => (s"M$i", i % 7, 1000000L * (i % 50)))
+      .toDF("sourceMessageId", "infectionIdx", "addedTimeUs")
+    val gated = graft.sources.Hl7Wire.infectionGate(df, 0L,
+      Seq("sourceMessageId", "infectionIdx"))
+    val p = plan(gated)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // and the two-phase prefix max agrees with the serial fold
+    val serial = {
+      val rows = df.orderBy("sourceMessageId", "infectionIdx")
+        .select("sourceMessageId", "infectionIdx", "addedTimeUs")
+        .as[(String, Long, Long)].collect()
+      var mark = 0L
+      rows.filter { case (_, _, added) =>
+        val keep = added >= mark
+        if (keep) mark = math.max(mark, added)
+        keep
+      }.map(r => (r._1, r._2)).toSet
+    }
+    val got = gated.select("sourceMessageId", "infectionIdx")
+      .as[(String, Long)].collect().toSet
+    assert(got == serial)
+  }
+
   test("lateSplit filters push down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("planshape").toString
     spark.range(0, 1000)

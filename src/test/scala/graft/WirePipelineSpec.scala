@@ -15,6 +15,11 @@ class WirePipelineSpec extends SparkSpecBase {
   private def pv1(visit: String) =
     (Seq("PV1", "1", "I", "W^R^B") ++ Seq.fill(15)("") :+ visit).mkString("|")
 
+  private val WirePayload = Seq("msgType", "patientClass",
+    "fullLocationString", "visitNumber", "previousMrn",
+    "previousVisitNumber", "otherVisitNumber", "pendingDestination",
+    "targetTimeUs", "dischargeTimeUs")
+
   test("one mixed batch fans into adt/labs/conditions folds; progress persists") {
     val root = Files.createTempDirectory("wire_pipe").toString
 
@@ -59,8 +64,7 @@ class WirePipelineSpec extends SparkSpecBase {
           payload, nBuckets = 8), "live").get
 
     // adt fold: the admit AND the implied-ADT person context from the lab
-    val adt = live("adt", Seq("mrn"), "validFromUs",
-      Seq("msgType", "patientClass", "fullLocationString"))
+    val adt = live("adt", Seq("mrn"), "validFromUs", WirePayload)
     // M2 implied from the lab message; M5 implied from its A05 (the
     // reference builds an ADT message for A05 alongside the infections)
     assert(adt.select("mrn", "msgType").as[(String, String)].collect()
@@ -126,5 +130,160 @@ class WirePipelineSpec extends SparkSpecBase {
     val current = WirePipeline.liveConditions(spark, root).get
     assert(!current.select("conditionTypeId").as[String].collect()
       .toSet.contains("I10UK:C1"))
+  }
+
+  test("adt ops route into derived state: chained A40 + A17 in ONE batch, " +
+      "A15 pending, A29 cascade, CoPath/imaging/questions folds") {
+    val root = Files.createTempDirectory("wire_derived").toString
+    def msh(trig: String, id: String, dtm: String) =
+      s"MSH|^~\\&|EPIC|UCLH|||$dtm||ADT^$trig|$id|P|2.4"
+    def evn(trig: String, dtm: String, occurred: String = "") =
+      Seq("EVN", trig, dtm, "", "", "", occurred).mkString("|")
+    def pv1At(loc: String, visit: String) =
+      (Seq("PV1", "1", "I", loc) ++ Seq.fill(15)("") :+ visit).mkString("|")
+
+    val batch1 = Seq(
+      // two admits → open intervals in W1 / W2
+      Seq(msh("A01", "D1", "20240201080000"), evn("A01", "20240201080000"),
+        "PID|1||P1^^^MRN^MRN", pv1At("W1", "V1")).mkString("\r"),
+      Seq(msh("A01", "D2", "20240201080500"), evn("A01", "20240201080500"),
+        "PID|1||P2^^^MRN^MRN", pv1At("W2", "V2")).mkString("\r"),
+      // third patient, to be deleted by A29 later in the SAME batch
+      Seq(msh("A01", "D3", "20240201081000"), evn("A01", "20240201081000"),
+        "PID|1||P3^^^MRN^MRN", pv1At("W3", "V3")).mkString("\r"),
+      // A17: swap V1 and V2's open locations (second PID/PV1 group)
+      Seq(msh("A17", "D4", "20240201090000"), evn("A17", "20240201090000"),
+        "PID|1||P1^^^MRN^MRN", pv1At("W1", "V1"),
+        "PID|2||P2^^^MRN^MRN", pv1At("W2", "V2")).mkString("\r"),
+      // chained A40s in one batch: P4→P5 and P5→P6 must close to P6
+      Seq(msh("A40", "D5", "20240201100000"), evn("A40", "20240201100000"),
+        "PID|1||P5^^^MRN^MRN", "MRG|P4^^^MRN^MRN").mkString("\r"),
+      Seq(msh("A40", "D6", "20240201100500"), evn("A40", "20240201100500"),
+        "PID|1||P6^^^MRN^MRN", "MRG|P5^^^MRN^MRN").mkString("\r"),
+      // A15 pending transfer for V1, destination in PV1-42
+      Seq(msh("A15", "D7", "20240201110000"), evn("A15", "20240201110000"),
+        "PID|1||P1^^^MRN^MRN",
+        (Seq("PV1", "1", "I", "W2") ++ Seq.fill(15)("") ++ Seq("V1") ++
+          Seq.fill(22)("") :+ "DEST1").mkString("|")).mkString("\r"),
+      // A29 delete person P3 (after their admit)
+      Seq(msh("A29", "D8", "20240201120000"), evn("A29", "20240201120000"),
+        "PID|1||P3^^^MRN^MRN", pv1At("W3", "V3")).mkString("\r"),
+      // CoPath report with a TEXT section → labs star
+      ("MSH|^~\\&|Co-Path|UCLH|||20240201130000||ORU^R01|D9|P|2.4\r" +
+        "PID|1||P1^^^MRN^MRN\r" +
+        "ORC|RE|CP100|SPEC100^CoPathPlus||CM\r" +
+        "OBR|1|CP100|SPEC100^CoPathPlus|UH^Histology^CPEAP|||20240201120000\r" +
+        "OBX|1|TX|TX^Report^CoPath||Malignant cells seen||||||F"),
+      // PACS imaging report → labs star (GDT narrative)
+      ("MSH|^~\\&|IMG_RESULT|UCLH|||20240201140000||ORU^R01|D10|P|2.4\r" +
+        "PID|1||P2^^^MRN^MRN\r" +
+        "ORC|RE|IMG200|ACC200||CM\r" +
+        "OBR|1|IMG200|ACC200|XR^Chest XRay^PACS|||20240201130000\r" +
+        "OBX|1|TX|GDT^^PACS||No acute findings||||||F"),
+      // consult with a question → questions star
+      ("MSH|^~\\&|EPIC|Consult Orders|||20240201150000|OP|ORM^O01|D11|P|2.4\r" +
+        "PID|1||P1^^^MRN^MRN\r" +
+        "ORC|NW|9001^EPC|||||||20240201150000\r" +
+        "NTE|1||Reason?->sepsis")).toDF("raw")
+
+    WirePipeline.foldBatch(batch1, 1L, "raw", root)
+    val d = WirePipeline.derived(spark, root).get
+
+    // A17 applied: V1's open interval sits in W2, V2's in W1
+    val open = d.intervals.filter(col("dischargeUs").isNull)
+      .select("visitId", "location").as[(String, String)].collect().toMap
+    assert(open("V1") == "W2" && open("V2") == "W1")
+    // A29 cascade: V3's intervals are gone, P3 not in demographics
+    assert(!open.contains("V3"))
+    assert(!d.demographics.select("mrn").as[String].collect().toSet
+      .contains("P3"))
+
+    // chained A40 transitively closed INSIDE one batch
+    val m = d.mrnToLive.select("mrn", "live_mrn").as[(String, String)]
+      .collect().toMap
+    assert(m("P4") == "P6" && m("P5") == "P6" && m("P1") == "P1")
+
+    // A15 pending open for V1 → DEST1
+    val p = d.pendings.select("visitId", "location", "cancelledTsUs")
+      .as[(String, String, Option[Long])].collect()
+    assert(p.toSeq == Seq(("V1", "DEST1", None)))
+
+    // CoPath + imaging landed in the SAME labs star
+    val labs = StarPipeline.readState(spark,
+      StarPipeline.Config(s"$root/labs",
+        Seq("battery", "labSpecimenNumber"), "statusChangeTimeUs",
+        "sourceMessageId", Seq("epicOrderNumber", "mrn", "results"),
+        nBuckets = 8), "live").get
+    val labRows = labs.select(col("battery"),
+        explode(col("results")).as("r"))
+      .select(col("battery"), col("r.mimeType"), col("r.stringValue"))
+      .as[(String, String, String)].collect().toSet
+    assert(labRows.contains(("UH", "TEXT", "Malignant cells seen")))
+    assert(labRows.contains(("XR", "TEXT", "No acute findings")))
+
+    // the consult question landed in the questions star
+    val q = StarPipeline.readState(spark,
+      StarPipeline.Config(s"$root/questions",
+        Seq("parentTable", "parentId", "questionText"), "updatedTimeUs",
+        "sourceMessageId", Seq("answer"), nBuckets = 8), "live").get
+    assert(q.select("parentTable", "parentId", "questionText", "answer")
+      .as[(String, String, String, String)].collect().toSeq ==
+      Seq(("CONSULT_REQUEST", "9001", "Reason?", "sepsis")))
+  }
+
+  test("dead-letter replay: repaired frames fold to the same state as an " +
+      "originally-correct stream; unrepaired frames return to the dead letter") {
+    val root = Files.createTempDirectory("wire_replay").toString
+    val good =
+      "MSH|^~\\&|EPIC|UCLH|||20240301080000||ADT^A01|R1|P|2.4\r" +
+        "PID|1||M1^^^MRN^MRN\r" + pv1("V1")
+    val broken = // missing MRN → family nack
+      "MSH|^~\\&|EPIC|UCLH|||20240301090000||ADT^A01|R2|P|2.4\r" +
+        "PID|1||^^^MRN^MRN\r" + pv1("V2")
+    val fixed = broken.replace("PID|1||^^^", "PID|1||M9^^^")
+    WirePipeline.foldBatch(Seq(good, broken).toDF("raw"), 1L, "raw", root)
+
+    def liveMrns = StarPipeline.readState(spark,
+      StarPipeline.Config(s"$root/adt", Seq("mrn"), "validFromUs",
+        "sourceMessageId", WirePayload, nBuckets = 8), "live").get
+      .select("mrn").as[String].collect().toSet
+    assert(liveMrns == Set("M1"))
+    assert(spark.read.parquet(s"$root/dead/adt/batch=1")
+      .select("reason").as[String].collect().toSeq == Seq("missing_mrn"))
+
+    // replay as-is (no repair): the frame routes straight back to the
+    // dead letter under the new batch id, state untouched
+    WirePipeline.replayDeadLetters(spark, root, "raw", "adt", Seq(1L), 50L)
+    assert(liveMrns == Set("M1"))
+    assert(spark.read.parquet(s"$root/dead/adt/batch=50")
+      .select("reason").as[String].collect().toSeq == Seq("missing_mrn"))
+
+    // replay with a repair: converges to the originally-correct stream
+    WirePipeline.replayDeadLetters(spark, root, "raw", "adt", Seq(1L), 51L,
+      df => df.withColumn("raw",
+        regexp_replace(col("raw"), "PID\\|1\\|\\|\\^\\^\\^",
+          "PID|1||M9^^^")))
+    assert(liveMrns == Set("M1", "M9"))
+
+    val oracle = Files.createTempDirectory("wire_replay_oracle").toString
+    WirePipeline.foldBatch(Seq(good, fixed).toDF("raw"), 1L, "raw", oracle)
+    val expect = StarPipeline.readState(spark,
+      StarPipeline.Config(s"$oracle/adt", Seq("mrn"), "validFromUs",
+        "sourceMessageId", WirePayload, nBuckets = 8), "live").get
+      .select("mrn", "msgType", "visitNumber", "validFromUs")
+      .as[(String, String, String, Long)].collect().toSet
+    def replayed = StarPipeline.readState(spark,
+      StarPipeline.Config(s"$root/adt", Seq("mrn"), "validFromUs",
+        "sourceMessageId", WirePayload, nBuckets = 8), "live").get
+      .select("mrn", "msgType", "visitNumber", "validFromUs")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(replayed == expect)
+
+    // replaying the same repair again is a no-op (kernel message dedup)
+    WirePipeline.replayDeadLetters(spark, root, "raw", "adt", Seq(1L), 52L,
+      df => df.withColumn("raw",
+        regexp_replace(col("raw"), "PID\\|1\\|\\|\\^\\^\\^",
+          "PID|1||M9^^^")))
+    assert(replayed == expect)
   }
 }
