@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the HL7 wire parses project hundreds of fields — far over the
+      // default whole-stage-codegen cap, which silently drops them to
+      // interpreted eval; lift it so the parse hot path stays codegen'd
+      .config("spark.sql.codegen.maxFields", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -63,6 +67,39 @@ object Bench {
     results("w2_wire_parse") = time {
       val q44 = SparkEntry.queries("q44_hl7_wire")
       require(q44(spark, sfDir).count() > 0)
+    }
+    spark.catalog.clearCache(); System.gc()
+
+    // Nested-lab wire ingest (the heaviest parse: WinPath builder with
+    // isolate merge + sensitivity re-parenting): a BOUNDED 10k-message
+    // run so lab-builder perf regressions show in the headline without
+    // tying the bench to the SF row count.
+    results("w4_lab_wire") = time {
+      import org.apache.spark.sql.functions._
+      val k = col("id").cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|WinPath|UCLH|||20240501120000||ORU^R01|W"),
+          k, lit("|P|2.4")),
+        concat(lit("PID|1||M"), k, lit("^^^MRN^MRN")),
+        concat(lit("ORC|RE|EP"), k, lit("|"), lpad(k, 10, "0"), lit("||CM")),
+        concat(lit("OBR|1|EP"), k, lit("|"), lpad(k, 10, "0"),
+          lit("|MCU^CULTURE^WinPath|||20240501100000"), lit("|" * 15),
+          lit("20240501113000||HAEM|F")),
+        concat(lit("OBX|1|CE|ISOLATE^Isolate^WinPath|1|ISO"), k,
+          lit("^Bug^WinPath||||||F")),
+        concat(lit("OBX|2|NM|WCC^WCC^WinPath||"),
+          (pmod(col("id"), lit(120)) + 40).cast("string"),
+          lit("|10*9/L|||||F")),
+        concat(lit("ORC|RE|EP"), k, lit("|"), lpad(k, 10, "0"), lit("||CM")),
+        concat(lit("OBR|2|EP"), k, lit("|"), lpad(k, 10, "0"),
+          lit("|SENS^Sens^WinPath|||20240501100000"), lit("|" * 6),
+          lit("CLIN"), lit("|" * 9), lit("20240501113000||HAEM|F|"),
+          lit("ISOLATE&Isolate&WinPath^1")),
+        concat(lit("OBX|1|ST|AG^Agent^WinPath||S||||||F")))
+      val msgs = spark.range(10000).repartition(
+        spark.sparkContext.defaultParallelism).withColumn("raw", raw)
+      require(graft.sources.LabFunnel.parseWinPathResults(msgs, "raw")
+        .count() > 0)
     }
     spark.catalog.clearCache(); System.gc()
 

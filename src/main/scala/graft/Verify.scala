@@ -18,6 +18,9 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as epoch-ns longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // wide wire-parse projections must stay inside whole-stage
+      // codegen (default field cap silently drops them to interpreted)
+      .config("spark.sql.codegen.maxFields", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

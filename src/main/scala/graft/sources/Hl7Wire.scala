@@ -370,7 +370,11 @@ object Hl7Wire {
     */
   def parseObx(df: DataFrame, rawCol: String): DataFrame = {
     val obx = col("__obx")
-    df.withColumn("__obx", explode(segmentsOf(col(rawCol), "OBX")))
+    // outer + null filter ≡ explode, but dodges the optimizer's
+    // InferFiltersFromGenerate, whose inferred size() predicate
+    // re-evaluates the generator child once more per row
+    df.withColumn("__obx", explode_outer(segmentsOf(col(rawCol), "OBX")))
+      .filter(col("__obx").isNotNull)
       .withColumn("obxSetId", fld(obx, 1).cast("int"))
       .withColumn("valueType", fld(obx, 2))
       .withColumn("observationId", cmp(fld(obx, 3), 1))
@@ -386,7 +390,8 @@ object Hl7Wire {
     * obsUs, status). */
   def parseObr(df: DataFrame, rawCol: String): DataFrame = {
     val obr = col("__obr")
-    df.withColumn("__obr", explode(segmentsOf(col(rawCol), "OBR")))
+    df.withColumn("__obr", explode_outer(segmentsOf(col(rawCol), "OBR")))
+      .filter(col("__obr").isNotNull)
       .withColumn("fillerOrderNumber", cmp(fld(obr, 3), 1))
       .withColumn("testId", cmp(fld(obr, 4), 1))
       .withColumn("requestedDateTimeUs", hl7TsUs(fld(obr, 6)))
@@ -432,7 +437,9 @@ object Hl7Wire {
     val exploded = df
       .withColumn("__obrs", obrs)
       .withColumn("__obxs", obxs)
-      .select(col("*"), posexplode(col("__obrs")).as(Seq("orderIdx", "__obr")))
+      .select(col("*"),
+        posexplode_outer(col("__obrs")).as(Seq("orderIdx", "__obr")))
+      .filter(col("__obr").isNotNull)
 
     val obrSeg = col("__obr").getField("seg")
     val obrPos = col("__obr").getField("pos")
@@ -500,7 +507,9 @@ object Hl7Wire {
     val exploded = df
       .withColumn("__prbs", ofId("PRB"))
       .withColumn("__ntes", ofId("NTE"))
-      .select(col("*"), posexplode(col("__prbs")).as(Seq("__prbIdx", "__prb")))
+      .select(col("*"),
+        posexplode_outer(col("__prbs")).as(Seq("__prbIdx", "__prb")))
+      .filter(col("__prb").isNotNull)
 
     // a problem's comment = all NTE comment repetitions under its PRB,
     // space-joined (PatientProblemFactory.java:44-50 concatenates every
@@ -551,7 +560,9 @@ object Hl7Wire {
     val zif = segment(raw, "ZIF")
     val inf = col("__inf")
     df.select(col("*"),
-        posexplode(split(fld(zif, 1), "~")).as(Seq("infectionIdx", "__inf")))
+        posexplode_outer(split(fld(zif, 1), "~"))
+          .as(Seq("infectionIdx", "__inf")))
+      .filter(col("__inf").isNotNull)
       .withColumn("sourceMessageId", mshFld(msh, 10))
       .withColumn("sourceSystem", mshFld(msh, 3))
       .withColumn("mrn", cmp(rep1(fld(pid, 3)), 1))
@@ -635,7 +646,9 @@ object Hl7Wire {
     val iam = col("__iam")
     val actionRaw = cmp(fld(iam, 6), 1)
     df.select(col("*"),
-        posexplode(segmentsOf(raw, "IAM")).as(Seq("allergyIdx", "__iam")))
+        posexplode_outer(segmentsOf(raw, "IAM"))
+          .as(Seq("allergyIdx", "__iam")))
+      .filter(col("__iam").isNotNull)
       .withColumn("sourceMessageId", mshFld(msh, 10))
       .withColumn("sourceSystem", mshFld(msh, 3))
       .withColumn("mrn", cmp(rep1(fld(pid, 3)), 1))
@@ -727,7 +740,9 @@ object Hl7Wire {
     val exploded = df
       .withColumn("__obxs", ofId("OBX"))
       .withColumn("__ntes", ofId("NTE"))
-      .select(col("*"), posexplode(col("__obxs")).as(Seq("obxIdx", "__obx")))
+      .select(col("*"),
+        posexplode_outer(col("__obxs")).as(Seq("obxIdx", "__obx")))
+      .filter(col("__obx").isNotNull)
 
     val x = col("__obx").getField("seg")
     val obxPos = col("__obx").getField("pos")

@@ -88,14 +88,18 @@ object LabFunnel {
     * this anchor and the next — the wire format's positional ownership
     * rule, same anchoring as [[Hl7Wire.parseLabOrders]].
     */
-  def orderGroups(raw: Column, anchorId: String): Column = {
-    val wp = segsWithPos(raw)
-    val anchors = ofId(wp, anchorId)
-    val orcs = ofId(wp, "ORC")
-    val obrs = ofId(wp, "OBR")
-    val obxs = ofId(wp, "OBX")
-    val ntes = ofId(wp, "NTE")
-    val total = size(segments(raw))
+  def orderGroups(raw: Column, anchorId: String): Column =
+    // bind the shared per-row arrays once: inside the per-anchor lambda
+    // below each reference would otherwise re-evaluate its whole
+    // subtree (split + transform + filter over the full message) per
+    // anchor — HOF lambdas get no subexpression elimination
+    let(segsWithPos(raw)) { wp =>
+    let(ofId(wp, anchorId)) { anchors =>
+    let(ofId(wp, "ORC")) { orcs =>
+    let(ofId(wp, "OBR")) { obrs =>
+    let(ofId(wp, "OBX")) { obxs =>
+    let(ofId(wp, "NTE")) { ntes =>
+    let(size(wp)) { total =>
     transform(anchors, (a, k) => {
       val lo = a.getField("pos")
       val hi = coalesce(get(anchors, k + 1).getField("pos"), total)
@@ -113,11 +117,31 @@ object LabFunnel {
             x => x.getField("pos") > prevLo && x.getField("pos") < lo)
           get(cands, size(cands) - 1).getField("seg")
         }
+      // Segments split into field arrays ONCE at group construction —
+      // every downstream field access is then an O(1) array get instead
+      // of a per-reference split. Inside transform/filter lambdas Spark
+      // has no subexpression elimination (HOFs never codegen), so
+      // without this each of the ~25 field reads per segment re-split
+      // the same string — measured ~20 ms/row on the WinPath builder,
+      // ~10× less with the pre-split.
       struct(orcSeg.as("orc"), obrSeg.as("obr"),
-        within(obxs).as("obxs"), within(ntes).as("ntes"),
+        split(orcSeg, "\\|").as("orcF"), split(obrSeg, "\\|").as("obrF"),
+        transform(within(obxs), x => struct(
+          x.getField("seg").as("seg"),
+          split(x.getField("seg"), "\\|").as("f"),
+          x.getField("pos").as("pos"))).as("obxs"),
+        transform(within(ntes), x => struct(
+          split(x.getField("seg"), "\\|").as("f"),
+          x.getField("pos").as("pos"))).as("ntes"),
         lo.as("lo"), hi.as("hi"))
-    })
-  }
+    })}}}}}}}
+
+  /** HL7 field i (1-based) from a pre-split field array (element 0 is
+    * the segment id, so field i sits at index i — same convention as
+    * [[Hl7Wire.fld]]).
+    */
+  private def gf(arr: Column, i: Int): Column =
+    nullIfEmpty(get(arr, lit(i)))
 
   // ------------------------------------------------------------------
   // NTE notes → questions + comments
@@ -171,9 +195,11 @@ object LabFunnel {
       })
   }
 
-  /** NTE-3 text of the note segments in `ntes` (pos-struct array). */
+  /** NTE-3 text of the note segments in `ntes` (pre-split pos-struct
+    * array).
+    */
   private def noteTexts(ntes: Column): Column =
-    transform(ntes, n => coalesce(trim(fld(n.getField("seg"), 3)), lit("")))
+    transform(ntes, n => coalesce(trim(gf(n.getField("f"), 3)), lit("")))
 
   // ------------------------------------------------------------------
   // result structs
@@ -194,22 +220,22 @@ object LabFunnel {
     * (AblResultBuilder.java:58-72). A numeric parse failure surfaces as
     * `numericDelete` (the kernel's F8 delete semantics downstream).
     */
-  private def resultStruct(x: Column, pos: Column, notes: Column,
+  private def resultStruct(xf: Column, pos: Column, notes: Column,
                            resultTimeUs: Column, normalFlag: Option[String],
                            forceNumeric: Boolean, epicOrderNumber: Column): Column = {
-    val valueType = fld(x, 2)
-    val strValue = when(fld(x, 5).isNotNull,
-      array_join(split(fld(x, 5), "~"), "\n"))
+    val valueType = gf(xf, 2)
+    val strValue = when(gf(xf, 5).isNotNull,
+      array_join(split(gf(xf, 5), "~"), "\n"))
     val isNm = if (forceNumeric) lit(true) else valueType === "NM"
     val hasOp = substring(strValue, 1, 1).isin("<", ">")
     val numStr = when(hasOp, substring(strValue, 2, 1000000)).otherwise(strValue)
     val numOk = numStr.rlike(numRe)
     val num = when(isNm && numOk, numStr.cast("double"))
-    val rr = fld(x, 7)
+    val rr = gf(xf, 7)
     val rrParts = split(rr, "-")
     val rrRange = size(rrParts) === 2 &&
       get(rrParts, lit(0)).rlike(numRe) && get(rrParts, lit(1)).rlike(numRe)
-    val flagRaw = nullIfEmpty(regexp_replace(coalesce(fld(x, 8), lit("")), "~", ""))
+    val flagRaw = nullIfEmpty(regexp_replace(coalesce(gf(xf, 8), lit("")), "~", ""))
     val flag = normalFlag match {
       case Some(n) => when(flagRaw === n, lit(null)).otherwise(flagRaw)
       case None => flagRaw
@@ -217,19 +243,19 @@ object LabFunnel {
     val textish = valueType.isin("ST", "FT", "TX", "NM")
     struct(
       pos.as("ord"),
-      fld(x, 1).cast("int").as("setId"),
-      cmp(fld(x, 3), 1).as("testCode"),
-      cmp(fld(x, 3), 3).as("testCodingSystem"),
-      fld(x, 4).as("subId"),
+      gf(xf, 1).cast("int").as("setId"),
+      cmp(gf(xf, 3), 1).as("testCode"),
+      cmp(gf(xf, 3), 3).as("testCodingSystem"),
+      gf(xf, 4).as("subId"),
       valueType.as("valueType"),
-      rep1(fld(x, 5)).as("rawValue"),
+      rep1(gf(xf, 5)).as("rawValue"),
       when(isNm, "NUMERIC").otherwise("TEXT").as("mimeType"),
       (if (forceNumeric) strValue else when(textish, strValue)).as("stringValue"),
       num.as("numericValue"),
       when(isNm && num.isNotNull,
         when(hasOp, substring(strValue, 1, 1)).otherwise("=")).as("resultOperator"),
       coalesce(isNm && strValue.isNotNull && !numOk, lit(false)).as("numericDelete"),
-      cmp(fld(x, 6), 1).as("units"),
+      cmp(gf(xf, 6), 1).as("units"),
       when(rrRange, get(rrParts, lit(0)).cast("double"))
         .when(rr.startsWith(">") && substring(rr, 2, 1000000).rlike(numRe),
           substring(rr, 2, 1000000).cast("double")).as("refLow"),
@@ -237,7 +263,7 @@ object LabFunnel {
         .when(rr.startsWith("<") && substring(rr, 2, 1000000).rlike(numRe),
           substring(rr, 2, 1000000).cast("double")).as("refHigh"),
       flag.as("abnormalFlag"),
-      fld(x, 11).as("status"),
+      gf(xf, 11).as("status"),
       resultTimeUs.as("resultTimeUs"),
       when(length(notes) > 0, notes).as("notes"),
       epicOrderNumber.as("epicOrderNumber"))
@@ -300,37 +326,37 @@ object LabFunnel {
     * Returns the named columns a builder composes into its order struct.
     */
   private def orderCore(g: Column): Map[String, Column] = {
-    val orc = g.getField("orc")
-    val obr = g.getField("obr")
-    val oc = fld(orc, 1)
-    val orc9 = hl7TsUs(fld(orc, 9))
-    val obr22 = hl7TsUs(fld(obr, 22))
-    val sps1 = cmp(fld(obr, 15), 1)
+    val orcF = g.getField("orcF")
+    val obrF = g.getField("obrF")
+    val oc = gf(orcF, 1)
+    val orc9 = hl7TsUs(gf(orcF, 9))
+    val obr22 = hl7TsUs(gf(obrF, 22))
+    val sps1 = cmp(gf(obrF, 15), 1)
     Map(
       "orderControlId" -> oc,
-      "orderStatus" -> fld(orc, 5),
-      "collectionTimeUs" -> hl7TsUs(fld(obr, 7)),
-      "requestedTimeUs" -> hl7TsUs(fld(obr, 6)),
+      "orderStatus" -> gf(orcF, 5),
+      "collectionTimeUs" -> hl7TsUs(gf(obrF, 7)),
+      "requestedTimeUs" -> hl7TsUs(gf(obrF, 6)),
       "orderTimeUs" -> when(oc.isin("NW", "SN"), orc9),
       "sampleReceivedTimeUs" ->
-        when(oc === "SC" && fld(obr, 25) === "I", orc9),
+        when(oc === "SC" && gf(obrF, 25) === "I", orc9),
       "statusChangeTimeUs" ->
         when(oc.isin("NW", "SN", "NA", "CR", "CA", "OC"), orc9)
           .when(oc === "SC", coalesce(obr22, orc9))
           .otherwise(obr22),
-      "labDepartment" -> fld(obr, 24),
-      "resultStatus" -> fld(obr, 25),
-      "battery" -> cmp(fld(obr, 4), 1),
+      "labDepartment" -> gf(obrF, 24),
+      "resultStatus" -> gf(obrF, 25),
+      "battery" -> cmp(gf(obrF, 4), 1),
       "specimenType" -> nullIfEmpty(get(split(sps1, "&"), lit(0))),
       "collectionMethod" ->
-        nullIfEmpty(array_join(split(cmp(fld(obr, 15), 3), "&"), ", ")),
-      "clinicalInfo" -> coalesce(fld(obr, 13), cmp(fld(obr, 31), 2)),
-      "parentObsId" -> nullIfEmpty(get(split(cmp(fld(obr, 26), 1), "&"), lit(0))),
-      "parentSubId" -> cmp(fld(obr, 26), 2),
-      "epicOrderNumberOrc" -> cmp(fld(orc, 2), 1),
-      "epicOrderNumberObr" -> cmp(fld(obr, 2), 1),
-      "orcFiller" -> cmp(fld(orc, 3), 1),
-      "orcPlacerGroup" -> cmp(fld(orc, 4), 1))
+        nullIfEmpty(array_join(split(cmp(gf(obrF, 15), 3), "&"), ", ")),
+      "clinicalInfo" -> coalesce(gf(obrF, 13), cmp(gf(obrF, 31), 2)),
+      "parentObsId" -> nullIfEmpty(get(split(cmp(gf(obrF, 26), 1), "&"), lit(0))),
+      "parentSubId" -> cmp(gf(obrF, 26), 2),
+      "epicOrderNumberOrc" -> cmp(gf(orcF, 2), 1),
+      "epicOrderNumberObr" -> cmp(gf(obrF, 2), 1),
+      "orcFiller" -> cmp(gf(orcF, 3), 1),
+      "orcPlacerGroup" -> cmp(gf(orcF, 4), 1))
   }
 
   private val orderFields = Seq("sourceMessageId", "sourceSystem", "mrn",
@@ -362,8 +388,15 @@ object LabFunnel {
   private def explodeOrders(df: DataFrame, orders: Column): DataFrame = {
     val carried = df.columns
       .filterNot(c => orderFields.contains(c) || c.startsWith("__")).map(col)
+    // explode_OUTER + null filter ≡ explode, but the optimizer's
+    // InferFiltersFromGenerate only fires on the non-outer form — and
+    // its inferred `size(arr) > 0` predicate gets the WHOLE parse
+    // expression substituted in by pushdown, evaluating every message's
+    // parse twice (confirmed by stack sampling). The null check below
+    // tests the exploded attribute: one cheap comparison per row.
     df.withColumn("__toExplode", orders)
-      .select(col("*"), explode(col("__toExplode")).as("__o"))
+      .select(col("*"), explode_outer(col("__toExplode")).as("__o"))
+      .filter(col("__o").isNotNull)
       .select(orderFields.map(f => col("__o").getField(f).as(f)) ++ carried: _*)
   }
 
@@ -400,7 +433,6 @@ object LabFunnel {
                              withResults: Boolean,
                              overrides: Map[String, Column] = Map.empty): Column = {
     val core = orderCore(g)
-    val obr = g.getField("obr")
     val oc = core("orderControlId")
     val allowed =
       if (system == WinPath) Seq("RE", "NW", "SC", "SN", "NA", "CA", "CR", "OC")
@@ -430,7 +462,6 @@ object LabFunnel {
         coalesce(orcNum, lit("")) =!= coalesce(obrNum, lit(""))
       else lit(false)
     val (qSep, qPat) = if (system == CoPath) ("->", "->") else (":", "[:?]-")
-    val qc = questionsAndComments(noteTexts(g.getField("ntes")), qSep, qPat)
     val err =
       when(mismatch, lit("epic_order_number_mismatch"))
         .when(if (system == WinPath) length(specimenRaw) < 9 else lit(false),
@@ -438,33 +469,36 @@ object LabFunnel {
         .when(core("collectionTimeUs").isNull, lit("collection_time_missing"))
         .when(oc.isNull || !oc.isin(allowed: _*),
           concat(lit("oc_not_allowed:"), coalesce(oc, lit("null"))))
-    val resultTime = hl7TsUs(fld(obr, 22))
+    val resultTime = hl7TsUs(gf(g.getField("obrF"), 22))
     val results =
       if (!withResults) lit(null).cast("string") // placeholder, rebuilt below
       else {
         val raws = transform(g.getField("obxs"), o =>
-          resultStruct(o.getField("seg"), o.getField("pos"),
+          resultStruct(o.getField("f"), o.getField("pos"),
             obxNotes(g, o), resultTime, None, forceNumeric = false,
             epicOrderNumber = obrNum))
         winPathResults(raws, obrNum)
       }
-    val base = Map(
-      "sourceMessageId" -> subMsgId(mshFld(msh, 10), k),
-      "sourceSystem" -> srcSys,
-      "mrn" -> mrn,
-      "visitNumber" -> visit,
-      "codingSystem" -> lit(system),
-      "epicOrderNumber" -> epic,
-      "epicOrderDelete" -> epicDelete,
-      "labSpecimenNumber" -> specimen,
-      "batteryCodingSystem" -> lit(system),
-      "battery" -> battery,
-      "questions" -> qc.getField("questions"),
-      "comments" -> nullIfEmpty(qc.getField("comments")),
-      "error" -> err,
-      "results" -> results)
-    struct(orderFields.map(f =>
-      overrides.getOrElse(f, base.getOrElse(f, core(f))).as(f)): _*)
+    // the questions/comments aggregate feeds two fields — bind it once
+    let(questionsAndComments(noteTexts(g.getField("ntes")), qSep, qPat)) { qc =>
+      val base = Map(
+        "sourceMessageId" -> subMsgId(mshFld(msh, 10), k),
+        "sourceSystem" -> srcSys,
+        "mrn" -> mrn,
+        "visitNumber" -> visit,
+        "codingSystem" -> lit(system),
+        "epicOrderNumber" -> epic,
+        "epicOrderDelete" -> epicDelete,
+        "labSpecimenNumber" -> specimen,
+        "batteryCodingSystem" -> lit(system),
+        "battery" -> battery,
+        "questions" -> qc.getField("questions"),
+        "comments" -> nullIfEmpty(qc.getField("comments")),
+        "error" -> err,
+        "results" -> results)
+      struct(orderFields.map(f =>
+        overrides.getOrElse(f, base.getOrElse(f, core(f))).as(f)): _*)
+    }
   }
 
   /** NTE lines owned by one OBX: positions between it and the next OBX
@@ -488,7 +522,9 @@ object LabFunnel {
     */
   private def winPathResults(raws: Column, epicObr: Column): Column = {
     val cultureSuffix = " culture yields:"
-    val typed = transform(raws, r => {
+    // typed feeds noSub + withSub, and withSub is re-filtered per
+    // sub-id — let-bind both so the whole result chain evaluates once
+    val typed0 = transform(raws, r => {
       val isIso = r.getField("testCode") === "ISOLATE"
       val isCe = r.getField("valueType") === "CE"
       val sv = coalesce(r.getField("stringValue"), r.getField("rawValue"))
@@ -505,23 +541,26 @@ object LabFunnel {
         when(isIso, isolateStruct(code, name, culture, quantity,
           lit(null), lit(null).cast(emptySens))))
     })
-    val withSub = filter(typed, r => r.getField("subId").isNotNull)
-    val noSub = filter(typed, r => r.getField("subId").isNull)
-    val subIds = array_distinct(transform(withSub, _.getField("subId")))
-    val merged = transform(subIds, sid =>
-      let(filter(withSub, r => r.getField("subId") === sid)) { grp =>
-        def co(f: String) = aggregate(grp, lit(null).cast("string"),
-          (acc, r) => coalesce(acc, r.getField("isolate").getField(f)))
-        let(get(grp, lit(0))) { first =>
-          rebuildResult(first,
-            Map("stringValue" ->
-              when(size(grp) > 1, lit(null)).otherwise(first.getField("stringValue"))),
-            isolateStruct(co("code"), co("name"), co("cultureType"), co("quantity"),
-              lit(null), lit(null).cast(emptySens)))
-        }
-      })
-    array_sort(concat(noSub, merged),
-      (a, b) => a.getField("ord") - b.getField("ord"))
+    let(typed0) { typed =>
+      let(filter(typed, r => r.getField("subId").isNotNull)) { withSub =>
+        val noSub = filter(typed, r => r.getField("subId").isNull)
+        val subIds = array_distinct(transform(withSub, _.getField("subId")))
+        val merged = transform(subIds, sid =>
+          let(filter(withSub, r => r.getField("subId") === sid)) { grp =>
+            def co(f: String) = aggregate(grp, lit(null).cast("string"),
+              (acc, r) => coalesce(acc, r.getField("isolate").getField(f)))
+            let(get(grp, lit(0))) { first =>
+              rebuildResult(first,
+                Map("stringValue" ->
+                  when(size(grp) > 1, lit(null)).otherwise(first.getField("stringValue"))),
+                isolateStruct(co("code"), co("name"), co("cultureType"), co("quantity"),
+                  lit(null), lit(null).cast(emptySens)))
+            }
+          })
+        array_sort(concat(noSub, merged),
+          (a, b) => a.getField("ord") - b.getField("ord"))
+      }
+    }
   }
 
   /** ORU^R01 WinPath results: nested orders with isolate handling and
@@ -602,32 +641,32 @@ object LabFunnel {
         withResults = false,
         overrides = Map("questions" -> nullQuestions,
           "comments" -> lit(null).cast("string")))
-      val obr22 = hl7TsUs(fld(g.getField("obr"), 22))
+      val obr22 = hl7TsUs(gf(g.getField("obrF"), 22))
       val obxs = g.getField("obxs")
       val types = array_distinct(transform(obxs,
-        o => fld(o.getField("seg"), 2)))
-      val results = transform(types, t => {
-        val grp = filter(obxs, o => fld(o.getField("seg"), 2) <=> t)
-        val first = get(grp, lit(0)).getField("seg")
-        val keyOf = (s: Column) => concat_ws("$",
-          coalesce(cmp(fld(s, 3), 1), lit("")), coalesce(fld(s, 4), lit("")))
+        o => gf(o.getField("f"), 2)))
+      val results = transform(types, t =>
+        let(filter(obxs, o => gf(o.getField("f"), 2) <=> t)) { grp =>
+        let(array_join(transform(grp,
+          o => coalesce(gf(o.getField("f"), 5), lit(""))), "")) { concatenated =>
+        val first = get(grp, lit(0)).getField("f")
+        val keyOf = (f: Column) => concat_ws("$",
+          coalesce(cmp(gf(f, 3), 1), lit("")), coalesce(gf(f, 4), lit("")))
         val keyDrift = exists(grp, o =>
-          keyOf(o.getField("seg")) =!= keyOf(first))
+          keyOf(o.getField("f")) =!= keyOf(first))
         val multiRep = exists(grp,
-          o => coalesce(fld(o.getField("seg"), 5).contains("~"), lit(false)))
+          o => coalesce(gf(o.getField("f"), 5).contains("~"), lit(false)))
         val isText = t.isin("TX", "ST")
         val joined = array_join(transform(grp,
-          o => coalesce(fld(o.getField("seg"), 5), lit(""))),
+          o => coalesce(gf(o.getField("f"), 5), lit(""))),
           "\n")
-        val concatenated = array_join(transform(grp,
-          o => coalesce(fld(o.getField("seg"), 5), lit(""))), "")
         val isMimeOnly = concatenated === "MIME"
         val stripped = regexp_replace(concatenated, coPathMime, "")
         val b64Ok = stripped.rlike("^[A-Za-z0-9+/=]+$")
         struct(
           get(grp, lit(0)).getField("pos").as("ord"),
-          cmp(fld(first, 3), 1).as("testCode"),
-          fld(first, 4).as("subId"),
+          cmp(gf(first, 3), 1).as("testCode"),
+          gf(first, 4).as("subId"),
           t.as("valueType"),
           when(isText, "TEXT").when(t === "ED", "PDF").as("mimeType"),
           when(isText, joined).as("stringValue"),
@@ -644,14 +683,16 @@ object LabFunnel {
               "copath_encoding_unexpected")
             .when(t === "ED" && !isMimeOnly && !b64Ok, "copath_bad_base64")
             .as("error"))
-      })
+      }})
       struct(base.as("order"),
         filter(results, r => !r.getField("ignored")).as("coPathResults"))
     })
     val carried = df.columns
-      .filterNot(c => orderFields.contains(c) || c == "coPathResults").map(col)
+      .filterNot(c => orderFields.contains(c) || c == "coPathResults" ||
+        c.startsWith("__")).map(col)
     df.withColumn("__orders", orders)
-      .select(col("*"), explode(col("__orders")).as("__o"))
+      .select(col("*"), explode_outer(col("__orders")).as("__o"))
+      .filter(col("__o").isNotNull)
       .select(orderFields.map(f =>
         col("__o").getField("order").getField(f).as(f)) ++
         Seq(col("__o").getField("coPathResults").as("coPathResults")) ++
@@ -676,11 +717,11 @@ object LabFunnel {
     val groups = orderGroups(raw, "OBR")
     val orders = transform(groups, (g, k) => {
       val core = orderCore(g)
-      val obr = g.getField("obr")
-      val t = hl7TsUs(fld(obr, 14))
+      val obrF = g.getField("obrF")
+      val t = hl7TsUs(gf(obrF, 14))
       val results = transform(g.getField("obxs"), o =>
-        resultStruct(o.getField("seg"), o.getField("pos"), obxNotes(g, o),
-          hl7TsUs(fld(o.getField("seg"), 14)), Some("N"), forceNumeric = true,
+        resultStruct(o.getField("f"), o.getField("pos"), obxNotes(g, o),
+          hl7TsUs(gf(o.getField("f"), 14)), Some("N"), forceNumeric = true,
           epicOrderNumber = lit(null).cast("string")))
       val base = Map(
         "sourceMessageId" -> mshFld(msh, 10),
@@ -688,7 +729,7 @@ object LabFunnel {
         "codingSystem" -> lit(Abl90), "batteryCodingSystem" -> lit(Abl90),
         "epicOrderNumber" -> lit(null).cast("string"),
         "epicOrderDelete" -> lit(false),
-        "labSpecimenNumber" -> cmp(fld(obr, 3), 1),
+        "labSpecimenNumber" -> cmp(gf(obrF, 3), 1),
         "orderTimeUs" -> t, "sampleReceivedTimeUs" -> t,
         "statusChangeTimeUs" -> t,
         "questions" -> lit(null).cast("array<struct<question:string,answer:string>>"),
@@ -713,11 +754,11 @@ object LabFunnel {
     val groups = orderGroups(raw, "OBR")
     val orders = transform(groups, (g, k) => {
       val core = orderCore(g)
-      val obr = g.getField("obr")
-      val t = hl7TsUs(fld(obr, 14))
+      val obrF = g.getField("obrF")
+      val t = hl7TsUs(gf(obrF, 14))
       val results = transform(g.getField("obxs"), o =>
-        resultStruct(o.getField("seg"), o.getField("pos"), obxNotes(g, o),
-          hl7TsUs(fld(o.getField("seg"), 14)), Some("N"), forceNumeric = true,
+        resultStruct(o.getField("f"), o.getField("pos"), obxNotes(g, o),
+          hl7TsUs(gf(o.getField("f"), 14)), Some("N"), forceNumeric = true,
           epicOrderNumber = lit(null).cast("string")))
       val base = Map(
         "sourceMessageId" -> mshFld(msh, 10),
@@ -725,7 +766,7 @@ object LabFunnel {
         "codingSystem" -> lit(BioConnect), "batteryCodingSystem" -> lit(BioConnect),
         "epicOrderNumber" -> lit(null).cast("string"),
         "epicOrderDelete" -> lit(false),
-        "labSpecimenNumber" -> cmp(fld(obr, 2), 1),
+        "labSpecimenNumber" -> cmp(gf(obrF, 2), 1),
         "orderTimeUs" -> t, "sampleReceivedTimeUs" -> t,
         "statusChangeTimeUs" -> t,
         "requestedTimeUs" -> lit(null).cast("bigint"),
@@ -753,12 +794,12 @@ object LabFunnel {
     val nGroups = size(groups)
     val orders = transform(groups, (g, k) => {
       val core = orderCore(g)
-      val obr = g.getField("obr")
-      val t = hl7TsUs(fld(obr, 7))
+      val obrF = g.getField("obrF")
+      val t = hl7TsUs(gf(obrF, 7))
       val oc = core("orderControlId")
       val results = transform(g.getField("obxs"), o =>
-        resultStruct(o.getField("seg"), o.getField("pos"), obxNotes(g, o),
-          hl7TsUs(fld(o.getField("seg"), 14)), None, forceNumeric = false,
+        resultStruct(o.getField("f"), o.getField("pos"), obxNotes(g, o),
+          hl7TsUs(gf(o.getField("f"), 14)), None, forceNumeric = false,
           epicOrderNumber = lit(null).cast("string")))
       val base = Map(
         "sourceMessageId" -> mshFld(msh, 10),
@@ -767,9 +808,9 @@ object LabFunnel {
         "epicOrderNumber" -> when(!coalesce(oc === "CA", lit(false)),
           core("epicOrderNumberOrc")),
         "epicOrderDelete" -> coalesce(oc === "CA", lit(false)),
-        "labSpecimenNumber" -> cmp(fld(obr, 3), 1),
+        "labSpecimenNumber" -> cmp(gf(obrF, 3), 1),
         "orderTimeUs" -> t, "sampleReceivedTimeUs" -> t,
-        "statusChangeTimeUs" -> coalesce(hl7TsUs(fld(obr, 22)), t),
+        "statusChangeTimeUs" -> coalesce(hl7TsUs(gf(obrF, 22)), t),
         "labDepartment" -> lit(BankManager),
         "clinicalInfo" -> nullIfEmpty(
           array_join(noteTexts(g.getField("ntes")), "\n")),
@@ -930,26 +971,26 @@ object LabFunnel {
     val groups = orderGroups(raw, "OBR")
     val orders = transform(groups, (g, k) => {
       val core = orderCore(g)
-      val obr = g.getField("obr")
       val obxs = g.getField("obxs")
-      val obr22 = hl7TsUs(fld(obr, 22))
-      val idOf = (o: Column) => cmp(fld(o.getField("seg"), 3), 1)
-      val valOf = (o: Column) => coalesce(fld(o.getField("seg"), 5), lit(""))
-      // position of the "Signed by:" narrative line, if any
+      val obr22 = hl7TsUs(gf(g.getField("obrF"), 22))
+      val idOf = (o: Column) => cmp(gf(o.getField("f"), 3), 1)
+      val valOf = (o: Column) => coalesce(gf(o.getField("f"), 5), lit(""))
+      // position of the "Signed by:" narrative line, if any — a per-group
+      // scalar referenced per OBX, so bind it once
       val sigStarts = filter(obxs,
         o => idOf(o) === "GDT" && valOf(o) === "Signed by:")
-      val sigPos = coalesce(get(sigStarts, lit(0)).getField("pos"),
-        size(segments(raw)))
+      let(coalesce(get(sigStarts, lit(0)).getField("pos"),
+        size(segments(raw)))) { sigPos =>
       val mappedId = (o: Column) =>
         when(idOf(o) === "GDT" && o.getField("pos") >= sigPos, "SIG")
           .otherwise(idOf(o))
       val textIds = filter(
         transform(obxs, o => mappedId(o)),
         i => i.isin(imgTextIds.keys.toSeq: _*))
-      val sections = transform(array_distinct(textIds), id => {
-        val grp = filter(obxs, o => mappedId(o) === id)
+      val sections = transform(array_distinct(textIds), id =>
+        let(filter(obxs, o => mappedId(o) === id)) { grp =>
         val badType = exists(grp,
-          o => !fld(o.getField("seg"), 2).isin("TX", "ST"))
+          o => !gf(o.getField("f"), 2).isin("TX", "ST"))
         struct(
           get(grp, lit(0)).getField("pos").as("ord"),
           imgTextIds.foldLeft(lit(null).cast("string")) { case (acc, (k2, v)) =>
@@ -990,11 +1031,14 @@ object LabFunnel {
       struct(base.map { case (f, c) => c.as(f) }.toSeq ++
         orderFields.filterNot(base.contains).filterNot(_ == "results")
           .map(f => core(f).as(f)) :+ imageResults.as("imageResults"): _*)
+      }
     })
     val fields = orderFields.filterNot(_ == "results") :+ "imageResults"
-    val carried = df.columns.filterNot(fields.contains).map(col)
+    val carried = df.columns
+      .filterNot(c => fields.contains(c) || c.startsWith("__")).map(col)
     df.withColumn("__orders", orders)
-      .select(col("*"), explode(col("__orders")).as("__o"))
+      .select(col("*"), explode_outer(col("__orders")).as("__o"))
+      .filter(col("__o").isNotNull)
       .select(fields.map(f => col("__o").getField(f).as(f)) ++ carried: _*)
   }
 }

@@ -54,6 +54,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "Exchange") == 0, p)
   }
 
+  test("wire explodes leak no parse expression into a Filter " +
+      "(InferFiltersFromGenerate would double every parse)") {
+    // a Filter predicate containing an array higher-order function means
+    // the optimizer substituted a generator child (the parse itself)
+    // into an inferred size() check — the whole parse then runs twice
+    // per row. The explode_outer + attribute-null-filter shape keeps
+    // predicates down to one attribute comparison.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    def hofFilters(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: LFilter if f.condition.exists(_.isInstanceOf[HigherOrderFunction]) =>
+          f.condition.toString.take(120)
+      }
+    val raws = Seq(
+      "MSH|^~\\&|WinPath|UCLH|||20240501120000||ORU^R01|W1|P|2.4\r" +
+        "PID|1||M1^^^MRN^MRN\r" +
+        "ORC|RE|EP1|123456789||CM\r" +
+        "OBR|1|EP1|123456789|FBC^FBC^WinPath|||20240501100000\r" +
+        "OBX|1|NM|HGB^Hb^WinPath||13.5|g/dL|||||F").toDF("raw")
+    for (parsed <- Seq(
+        graft.sources.LabFunnel.parseWinPathResults(raws, "raw"),
+        graft.sources.LabFunnel.parseCoPath(raws, "raw"),
+        graft.sources.LabFunnel.parseImage(raws, "raw"),
+        graft.sources.Hl7Wire.parseLabOrders(raws, "raw"),
+        graft.sources.Hl7Wire.parseFlowsheets(raws, "raw")))
+      assert(hofFilters(parsed).isEmpty, hofFilters(parsed).mkString("; "))
+  }
+
   test("brute-force ANN top-k keeps the partial-limit optimization") {
     val emb = (0L to 50L).map(i => (i, Array.fill(4)(i.toFloat)))
       .toDF("emb_id", "embedding")
