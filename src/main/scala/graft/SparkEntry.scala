@@ -1507,6 +1507,53 @@ object SparkEntry {
         .orderBy(col("order_key"), col("test_code"))
     }),
 
+    // ---- O2 both axes through the WIRE pipeline: raw ADT folds
+    // bitemporally (storedFrom = batch id, the reference's per-write
+    // stored stamp at micro-batch granularity), then each stored cutoff
+    // replays the belief — batch 2 re-delivers some batch-1 frames
+    // (W2: replays must cause zero stored churn) and carries
+    // out-of-order valid times (stored axis must close/reopen the
+    // versions batch 1 believed in)
+    "q76_wire_bitemporal" -> ((s, dir) => {
+      import graft.streaming.WirePipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q76_state").toString
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val trig = when(pmod(col("event_id"), lit(7)) === 0, "A01")
+        .otherwise("A02")
+      val mid = concat(lit("B"), lpad(eid, 10, "0"))
+      val loc = concat(col("event_type"), lit("_"), eid)
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|UCLH|||"), dtm, lit("||ADT^"), trig,
+          lit("|"), mid, lit("|P|2.4")),
+        concat(lit("EVN|"), trig, lit("|"), dtm),
+        concat(lit("PID|1||M"), uid, lit("^^^MRN^MRN")),
+        concat(lit("PV1|1|I|"), loc, lit("|" * 16), lit("V"), uid))
+      val msgs = eventsUs(s, dir).withColumn("raw", raw)
+        .select("raw", "event_id")
+      val b1 = msgs.filter(pmod(col("event_id"), lit(2)) === 0)
+      // odd frames + an exact replay of every 10th even frame
+      val b2 = msgs.filter(pmod(col("event_id"), lit(2)) === 1)
+        .unionByName(msgs.filter(pmod(col("event_id"), lit(10)) === 0))
+      WirePipeline.foldBatch(b1, 1L, "raw", root, bitemporal = true)
+      WirePipeline.foldBatch(b2, 2L, "raw", root, bitemporal = true)
+      val tbl = WirePipeline.readBelief(s, root, "adt").get
+      (1L to 2L).map { cut =>
+        tbl.filter(storedAsOf(lit(cut), col("stored_from_us"),
+            col("stored_until_us")))
+          .select(lit(cut).as("cutoff"), col("mrn"),
+            col("validFromUs").as("valid_from_us"),
+            col("valid_until_us"),
+            col("msgType").as("msg_type"),
+            col("fullLocationString").as("location"),
+            col("visitNumber").as("visit_id"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("cutoff"), col("mrn"), col("valid_from_us"))
+    }),
+
     // ---- O19 Forms (SDE) vertical from persisted state: instances +
     // answers fold in batch 1, a value re-file + the metadata import
     // land in batch 2 — newest-wins answers, placeholder dims for
@@ -2325,6 +2372,28 @@ object SparkEntry {
          | action
          |FROM last WHERE rn = 1 AND action <> 'DE'
          |ORDER BY mrn, condition_type""".stripMargin,
+
+    "q76_wire_bitemporal" ->
+      s"""WITH e AS ($EventsUsSql),
+         |m AS (SELECT 'M' || CAST(user_id AS VARCHAR) AS mrn,
+         |  (ts_us // 1000000) * 1000000 AS vf,
+         |  'B' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS mid,
+         |  CASE WHEN event_id % 7 = 0 THEN 'Admit' ELSE 'Transfer' END
+         |    AS msg_type,
+         |  event_type || '_' || CAST(event_id AS VARCHAR) AS location,
+         |  'V' || CAST(user_id AS VARCHAR) AS visit_id,
+         |  CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS b
+         | FROM e),
+         |per AS (
+         | SELECT 1 AS cutoff, * FROM m WHERE b <= 1
+         | UNION ALL SELECT 2 AS cutoff, * FROM m),
+         |v AS (SELECT cutoff, mrn, vf AS valid_from_us,
+         |  lead(vf) OVER (PARTITION BY cutoff, mrn ORDER BY vf, mid)
+         |    AS valid_until_us,
+         |  msg_type, location, visit_id FROM per)
+         |SELECT cutoff, mrn, valid_from_us, valid_until_us, msg_type,
+         | location, visit_id
+         |FROM v ORDER BY cutoff, mrn, valid_from_us""".stripMargin,
 
     "q75_forms_pipeline" ->
       """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),

@@ -78,9 +78,18 @@ object WirePipeline {
 
   /** One micro-batch through the whole front end (also callable on a
     * static frame for backfill).
+    *
+    * @param bitemporal when true, every family folds through
+    *   [[StarPipeline.foldBatchBitemporal]] with `storedFromUs` stamped
+    *   as the batch id — the reference stamps storedFrom on EVERY table
+    *   write (informdb/TemporalCore.java:29-32), and the batch id is
+    *   its deterministic micro-batch analog (strictly increasing, one
+    *   stamp per transaction boundary). "State as the DB knew it at
+    *   batch S" then answers from the persisted star via
+    *   [[StarPipeline.readBitemporal]] + `storedAsOf`.
     */
   def foldBatch(batch: DataFrame, batchId: Long, rawCol: String,
-                stateRoot: String): Unit = {
+                stateRoot: String, bitemporal: Boolean = false): Unit = {
     // every family channel is a separate action over this batch — cache
     // it once so ten funnels don't re-read the source ten times. Spread
     // a narrow batch over the executors first: the family parsers are
@@ -97,7 +106,7 @@ object WirePipeline {
     val conf = batch.sparkSession.conf
     val prevMaxFields = conf.get("spark.sql.codegen.maxFields", "100")
     conf.set("spark.sql.codegen.maxFields", "2000")
-    try foldRouted(cached, batchId, rawCol, stateRoot)
+    try foldRouted(cached, batchId, rawCol, stateRoot, bitemporal)
     finally {
       conf.set("spark.sql.codegen.maxFields", prevMaxFields)
       cached.unpersist()
@@ -105,7 +114,7 @@ object WirePipeline {
   }
 
   private def foldRouted(batch: DataFrame, batchId: Long, rawCol: String,
-                         stateRoot: String): Unit = {
+                         stateRoot: String, bitemporal: Boolean): Unit = {
     val r = Hl7Wire.route(batch, rawCol)
 
     // Each parsed family channel feeds at least two actions (its guard's
@@ -118,6 +127,11 @@ object WirePipeline {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       mats += p; p
     }
+    // valid-time fold, or the stored-stamped bitemporal twin
+    def foldStar(msgs: DataFrame, cfgC: StarPipeline.Config): Unit =
+      if (!bitemporal) StarPipeline.foldBatch(msgs, batchId, cfgC)
+      else StarPipeline.foldBatchBitemporal(
+        msgs.withColumn("storedFromUs", lit(batchId)), batchId, cfgC)
     try {
 
     // ONE cheap pass over the cached batch decides which family folds
@@ -208,7 +222,7 @@ object WirePipeline {
       val routed = DeadLetter.route(parsed, rules)
       routed.dead.write.mode("overwrite")
         .parquet(s"$stateRoot/dead/$family/batch=$batchId")
-      StarPipeline.foldBatch(toMsgs(routed.clean), batchId,
+      foldStar(toMsgs(routed.clean),
         cfg(stateRoot, family, key, vf, payload))
       routed.clean
     }
@@ -275,9 +289,8 @@ object WirePipeline {
         deadErrors(r.coPathLabs, "copath"))) else Nil) ++
       (if (hasImaging) Seq(LabFunnel.imageToLabMessages(
         deadErrors(r.imagingLabs, "imaging"))) else Nil)
-    if (labMsgs.nonEmpty) StarPipeline.foldBatch(
+    if (labMsgs.nonEmpty) foldStar(
       labMsgs.reduce(_ unionByName _),
-      batchId,
       cfg(stateRoot, "labs", Seq("battery", "labSpecimenNumber"),
         "statusChangeTimeUs", Seq("epicOrderNumber", "mrn", "results")))
 
@@ -366,9 +379,9 @@ object WirePipeline {
     }
 
     val condMsgs = probMsgs ++ allerMsgs ++ infMsgs
-    if (condMsgs.nonEmpty) StarPipeline.foldBatch(
+    if (condMsgs.nonEmpty) foldStar(
       condMsgs.reduce(_ unionByName _)
-        .withColumnRenamed("msgId", "sourceMessageId"), batchId,
+        .withColumnRenamed("msgId", "sourceMessageId"),
       cfg(stateRoot, "conditions",
         Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
         Seq("status", "severity", "onsetDate", "comment", "action")))
@@ -409,9 +422,9 @@ object WirePipeline {
         advClean.map(Hl7Wire.wireToQuestionMessages(_,
           parentTable = "ADVANCE_DECISION",
           parentIdCol = "advanceDecisionNumber")).toSeq
-    if (qMsgs.nonEmpty) StarPipeline.foldBatch(
+    if (qMsgs.nonEmpty) foldStar(
       qMsgs.reduce(_ unionByName _)
-        .withColumnRenamed("msgId", "sourceMessageId"), batchId,
+        .withColumnRenamed("msgId", "sourceMessageId"),
       cfg(stateRoot, "questions",
         Seq("parentTable", "parentId", "questionText"), "updatedTimeUs",
         Seq("answer")))
@@ -444,10 +457,39 @@ object WirePipeline {
   final case class DerivedState(intervals: DataFrame, mrnToLive: DataFrame,
                                 pendings: DataFrame, demographics: DataFrame)
 
+  /** A family's full bitemporal version table (requires the pipeline to
+    * have folded with `bitemporal = true`). Query with
+    * [[graft.functions.GraftFunctions.storedAsOf]] for "state as the
+    * pipeline knew it after batch S".
+    */
+  def readBelief(spark: org.apache.spark.sql.SparkSession,
+                 stateRoot: String, family: String): Option[DataFrame] = {
+    val c = family match {
+      case "adt" => adtCfg(stateRoot)
+      case f => cfg(stateRoot, f, Seq("__unused"), "__unused", Nil)
+    }
+    StarPipeline.readBitemporal(spark, c)
+  }
+
+  private def btHistory(spark: org.apache.spark.sql.SparkSession,
+                        c: StarPipeline.Config): Option[DataFrame] =
+    StarPipeline.readFull(spark, c, "bt_messages")
+
+  private def btLive(spark: org.apache.spark.sql.SparkSession,
+                     c: StarPipeline.Config): Option[DataFrame] =
+    StarPipeline.readBitemporal(spark, c).map(
+      _.filter(col("stored_until_us").isNull && col("valid_until_us").isNull)
+        .drop("valid_until_us", "stored_from_us", "stored_until_us"))
+
   def derived(spark: org.apache.spark.sql.SparkSession, stateRoot: String,
-              pendingWindowUs: Long = 72L * 3600L * 1000000L)
-      : Option[DerivedState] =
-    StarPipeline.readFull(spark, adtCfg(stateRoot), "history").map { h =>
+              pendingWindowUs: Long = 72L * 3600L * 1000000L,
+              bitemporal: Boolean = false)
+      : Option[DerivedState] = {
+    val c = adtCfg(stateRoot)
+    val hist =
+      if (bitemporal) btHistory(spark, c)
+      else StarPipeline.readFull(spark, c, "history")
+    hist.map { h =>
       val ops = Hl7Wire.adtOps(h)
 
       // O6/O7/O8 + O9 swap + O10 move: interval inference over the
@@ -501,7 +543,8 @@ object WirePipeline {
       // person demographics: live ADT state minus A29 deletes (O3/O11).
       // The A29 row is an op marker, not demographic state — a person
       // whose NEWEST version is the delete itself is deleted.
-      val live = StarPipeline.readState(spark, adtCfg(stateRoot), "live")
+      val live = (if (bitemporal) btLive(spark, c)
+        else StarPipeline.readState(spark, c, "live"))
         .getOrElse(h.limit(0))
         .filter(col("msgType") =!= "DeletePersonInformation")
       val demographics = graft.kernel.BitemporalKernel.deleteIfNewer(
@@ -510,6 +553,7 @@ object WirePipeline {
 
       DerivedState(intervals, mrnMap, pendings, demographics)
     }
+  }
 
   /** Current (non-deleted) conditions. A DE action folds as a TOMBSTONE
     * version — newest state wins under F7, an older re-add cannot
@@ -518,11 +562,13 @@ object WirePipeline {
     * audit row (PatientConditionController delete path).
     */
   def liveConditions(spark: org.apache.spark.sql.SparkSession,
-                     stateRoot: String): Option[DataFrame] =
-    StarPipeline.readState(spark,
-        cfg(stateRoot, "conditions",
-          Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
-          Seq("status", "severity", "onsetDate", "comment", "action")),
-        "live")
+                     stateRoot: String,
+                     bitemporal: Boolean = false): Option[DataFrame] = {
+    val c = cfg(stateRoot, "conditions",
+      Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
+      Seq("status", "severity", "onsetDate", "comment", "action"))
+    (if (bitemporal) btLive(spark, c)
+     else StarPipeline.readState(spark, c, "live"))
       .map(_.filter(coalesce(col("action") =!= "DE", lit(true))))
+  }
 }

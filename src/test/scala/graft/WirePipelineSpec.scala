@@ -286,4 +286,50 @@ class WirePipelineSpec extends SparkSpecBase {
           "PID|1||M9^^^")))
     assert(replayed == expect)
   }
+
+  test("bitemporal mode: wire folds stamp the stored axis; current views " +
+      "match the valid-time pipeline; old beliefs remain answerable") {
+    val adt = (n: Int, mrn: String, loc: String, dtm: String) =>
+      s"MSH|^~\\&|EPIC|UCLH|||$dtm||ADT^A02|T$n|P|2.4\r" +
+        s"PID|1||$mrn^^^MRN^MRN\r" +
+        (Seq("PV1", "1", "I", loc) ++ Seq.fill(15)("") :+ s"V$mrn")
+          .mkString("|")
+    val prb = (n: Int, mrn: String, code: String, dtm: String) =>
+      s"MSH|^~\\&|EPIC|Problem List|||$dtm|X|PPR^PC1|P$n|P|2.4\r" +
+        s"PID|1||$mrn^^^MRN^MRN\r" +
+        s"PRB|AD|$dtm|$code^X^I10UK|9|||$dtm"
+    val b1 = Seq(adt(1, "M1", "W1", "20240401080000"),
+      prb(2, "M1", "C1", "20240401080000")).toDF("raw")
+    val b2 = Seq(adt(3, "M1", "W2", "20240401090000"),
+      prb(4, "M1", "C2", "20240401090000")).toDF("raw")
+
+    val bt = Files.createTempDirectory("wire_bt").toString
+    val vt = Files.createTempDirectory("wire_vt").toString
+    for ((root, flag) <- Seq((bt, true), (vt, false))) {
+      WirePipeline.foldBatch(b1, 1L, "raw", root, bitemporal = flag)
+      WirePipeline.foldBatch(b2, 2L, "raw", root, bitemporal = flag)
+    }
+
+    // current state agrees across modes
+    def conds(root: String, flag: Boolean) =
+      WirePipeline.liveConditions(spark, root, bitemporal = flag).get
+        .select("conditionTypeId").as[String].collect().toSet
+    assert(conds(bt, flag = true) == conds(vt, flag = false))
+    def locs(root: String, flag: Boolean) =
+      WirePipeline.derived(spark, root, bitemporal = flag).get
+        .demographics.select("mrn", "fullLocationString")
+        .as[(String, String)].collect().toSet
+    assert(locs(bt, flag = true) == locs(vt, flag = false))
+    assert(locs(bt, flag = true) == Set(("M1", "W2")))
+
+    // the stored axis answers "what did the pipeline believe after
+    // batch 1": W1 open, W2 unknown
+    import graft.functions.GraftFunctions.storedAsOf
+    val belief1 = WirePipeline.readBelief(spark, bt, "adt").get
+      .filter(storedAsOf(lit(1L), col("stored_from_us"),
+        col("stored_until_us")))
+    assert(belief1.select("fullLocationString").as[String]
+      .collect().toSeq == Seq("W1"))
+    assert(belief1.filter(col("valid_until_us").isNull).count() == 1)
+  }
 }
