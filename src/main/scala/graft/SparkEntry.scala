@@ -1554,6 +1554,19 @@ object SparkEntry {
         .orderBy(col("cutoff"), col("mrn"), col("valid_from_us"))
     }),
 
+    // ---- Gopher repetition filters over the documents corpus --------
+    "q77_repetition" -> ((s, dir) => {
+      graft.operators.TextAnalysis.repetitionStats(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_words").cast("long").as("n_words"),
+          col("dup_line_frac"), col("dup_line_char_frac"),
+          col("top_2gram_char_frac"), col("dup_5gram_char_frac"),
+          col("repetition_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- O19 Forms (SDE) vertical from persisted state: instances +
     // answers fold in batch 1, a value re-file + the metadata import
     // land in batch 2 — newest-wins answers, placeholder dims for
@@ -2372,6 +2385,53 @@ object SparkEntry {
          | action
          |FROM last WHERE rn = 1 AND action <> 'DE'
          |ORDER BY mrn, condition_type""".stripMargin,
+
+    "q77_repetition" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  trim(text) AS t FROM documents),
+        |base AS (SELECT doc_id,
+        |  list_filter(string_split(t, chr(10)), x -> len(trim(x)) > 0) AS ls,
+        |  list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS ws
+        | FROM d),
+        |lw AS (SELECT doc_id, len(ls) AS nl, len(ws) AS nw,
+        |  COALESCE(list_sum(list_transform(ls, x -> len(x))), 0) AS lc,
+        |  COALESCE(list_sum(list_transform(list_distinct(ls),
+        |    x -> len(x))), 0) AS dlc,
+        |  len(list_distinct(ls)) AS dnl,
+        |  COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS wc,
+        |  ws FROM base),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, nw),
+        |  i -> ws[i] || ' ' || ws[i + 1])) AS g FROM lw WHERE nw >= 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |b2 AS (SELECT doc_id, c, len(g) - 1 AS l FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, len(g) - 1 DESC, g DESC) AS rn FROM c2)
+        | WHERE rn = 1),
+        |g5 AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3),
+        |  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+        |    ws[i + 3] || ' ' || ws[i + 4])) AS g FROM lw WHERE nw >= 5),
+        |c5 AS (SELECT doc_id,
+        |  SUM(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS dup
+        | FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
+        | GROUP BY 1),
+        |f AS (SELECT lw.doc_id, nl AS n_lines, nw AS n_words,
+        |  CASE WHEN nl > 0 THEN CAST(nl - dnl AS DOUBLE) / nl
+        |    ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / lc
+        |    ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE WHEN b2.c IS NOT NULL AND wc > 0
+        |    THEN CAST(b2.c * b2.l AS DOUBLE) / wc
+        |    ELSE 0.0 END AS top_2gram_char_frac,
+        |  CASE WHEN wc > 0 THEN least(1.0,
+        |      CAST(COALESCE(c5.dup, 0) AS DOUBLE) / wc)
+        |    ELSE 0.0 END AS dup_5gram_char_frac
+        | FROM lw LEFT JOIN b2 ON lw.doc_id = b2.doc_id
+        |   LEFT JOIN c5 ON lw.doc_id = c5.doc_id)
+        |SELECT *, CAST(CASE WHEN dup_line_frac <= 0.30
+        |  AND dup_line_char_frac <= 0.20 AND top_2gram_char_frac <= 0.20
+        |  AND dup_5gram_char_frac <= 0.15 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS repetition_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q76_wire_bitemporal" ->
       s"""WITH e AS ($EventsUsSql),

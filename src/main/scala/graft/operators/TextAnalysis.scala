@@ -37,6 +37,93 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       fingerprint(tokens(col(textCol))).as("fp"))
 
+  /** Single-element-transform let binding (see LabFunnel.let): inside
+    * per-row expressions a multi-referenced subtree would otherwise
+    * re-evaluate per reference.
+    */
+  private def let(value: Column)(body: Column => Column): Column =
+    get(transform(array(value), v => body(v)), lit(0))
+
+  /** Gopher-style repetition signals (MassiveText quality rules, Rae et
+    * al. 2021 §A1.1): documents dominated by repeated lines or n-grams
+    * are boilerplate/spam. Per-document, zero shuffle:
+    *
+    *   - `dup_line_frac`       fraction of non-empty lines that repeat
+    *     an earlier line
+    *   - `dup_line_char_frac`  fraction of line characters in those
+    *     repeats
+    *   - `top_2gram_char_frac` fraction of word characters covered by
+    *     occurrences of the most frequent word 2-gram (argmax
+    *     tie-breaks by count, then gram length, then gram text — fixed
+    *     so the result is deterministic)
+    *   - `dup_5gram_char_frac` fraction of word characters covered by
+    *     occurrences of word 5-grams seen more than once
+    *     (occurrence-sum form, capped at 1.0 — the paper de-overlaps;
+    *     the cap keeps the signal ordering without per-char bookkeeping)
+    *   - `repetition_pass`     the paper's thresholds: ≤0.30 dup lines,
+    *     ≤0.20 dup line chars, ≤0.20 top 2-gram, ≤0.15 dup 5-gram
+    *
+    * All fractions are exact-integer / exact-integer divisions →
+    * bit-deterministic doubles.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val stats = let(filter(split(t, "\n"), l => length(trim(l)) > 0)) { lines =>
+      let(filter(split(t, "\\s+"), w => length(w) > 0)) { words =>
+        val nl = size(lines)
+        val nw = size(words)
+        val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+        val distLineChars = aggregate(array_distinct(lines), lit(0L),
+          (acc, l) => acc + length(l))
+        val wordChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        val dupLineFrac = when(nl > 0,
+          (nl - size(array_distinct(lines))).cast("double") / nl)
+          .otherwise(0.0)
+        val dupLineCharFrac = when(lineChars > 0,
+          (lineChars - distLineChars).cast("double") / lineChars)
+          .otherwise(0.0)
+
+        def grams(n: Int): Column =
+          when(nw >= n, transform(sequence(lit(1), nw - (n - 1)),
+            i => array_join(slice(words, i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))
+        // (count, gram char length) of the most frequent 2-gram; struct
+        // max = count, then length, then text — the documented tie-break
+        val top2 = let(grams(2)) { g2 =>
+          let(array_max(transform(array_distinct(g2), g => struct(
+            size(filter(g2, x => x === g)).as("c"),
+            (length(g) - 1).as("l"), g.as("g"))))) { best =>
+            when(size(g2) > 0 && wordChars > 0,
+              (best.getField("c") * best.getField("l")).cast("double") /
+                wordChars).otherwise(0.0)
+          }
+        }
+        val dup5 = let(grams(5)) { g5 =>
+          let(aggregate(array_distinct(g5), lit(0L), (acc, g) =>
+            acc + let(size(filter(g5, x => x === g))) { c =>
+              when(c > 1, c.cast("long") * (length(g) - 4)).otherwise(0L)
+            })) { dupChars =>
+            when(wordChars > 0,
+              least(lit(1.0), dupChars.cast("double") / wordChars))
+              .otherwise(0.0)
+          }
+        }
+        struct(nl.as("n_lines"), nw.as("n_words"),
+          dupLineFrac.as("dup_line_frac"),
+          dupLineCharFrac.as("dup_line_char_frac"),
+          top2.as("top_2gram_char_frac"),
+          dup5.as("dup_5gram_char_frac"))
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), stats.as("__s"))
+      .select(col("doc_id"), col("__s.*"))
+      .withColumn("repetition_pass",
+        (col("dup_line_frac") <= 0.30 &&
+          col("dup_line_char_frac") <= 0.20 &&
+          col("top_2gram_char_frac") <= 0.20 &&
+          col("dup_5gram_char_frac") <= 0.15).cast("long"))
+  }
+
   /** Character n-gram profile based language ID heuristic. Scores each
     * language by stopword-lexicon hits and common-bigram hits; returns the
     * argmax (ties broken alphabetically). Profiles are tiny hardcoded

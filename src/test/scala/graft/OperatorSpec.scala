@@ -223,4 +223,35 @@ class OperatorSpec extends SparkSpecBase {
       .select("lang_guess").as[String].collect().toSeq
     assert(out == Seq("en", "fr", "und"))
   }
+
+  test("Gopher repetition signals: exact fractions on a known document") {
+    import graft.operators.TextAnalysis
+    val spam = "buy now\nbuy now\ngreat offer\n" +
+      "click here click here click here"
+    val clean = "a b c d e f g h i j k l m n o"
+    val df = Seq((1L, spam), (2L, clean)).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_lines", "n_words", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "dup_5gram_char_frac", "repetition_pass")
+      .as[(Int, Int, Double, Double, Double, Double, Long)]
+      .collect()
+    // spam: 4 lines, 1 dup ("buy now") → 1/4; line chars 57, dup 7;
+    // words = 12 totalling 49 chars; 2-gram counts: "click here"×3
+    // (9 chars each), "buy now"×2, "here click"×2 → top covers 27/49
+    val s = r(0)
+    assert(s._1 == 4 && s._2 == 12)
+    assert(s._3 == 1.0 / 4)
+    assert(s._4 == 7.0 / 57)
+    assert(s._5 == 27.0 / 49)
+    assert(s._6 == 0.0) // all 5-grams distinct
+    assert(s._7 == 0L) // fails the top-2-gram threshold
+    // clean: single line, 15 distinct 1-char words → every 2-gram
+    // unique, top covers 2/15 ≤ 0.20 → passes
+    val c = r(1)
+    assert(c._1 == 1 && c._2 == 15)
+    assert(c._3 == 0.0 && c._4 == 0.0 && c._6 == 0.0)
+    assert(c._5 == 2.0 / 15)
+    assert(c._7 == 1L)
+  }
 }
