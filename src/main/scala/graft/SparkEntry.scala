@@ -1554,6 +1554,24 @@ object SparkEntry {
         .orderBy(col("cutoff"), col("mrn"), col("valid_from_us"))
     }),
 
+    // ---- persisted incremental IVF index: two appends → partition-
+    // pruned 2-probe query over the on-disk index ---------------------
+    "q78_ivf_index" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("q78_index").toString
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      Ann.ivfIndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", col("label"), root, 1L)
+      Ann.ivfIndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", col("label"), root, 2L)
+      val qs = em.filter(col("vec_id") < 8)
+        .withColumn("probes", array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      Ann.ivfIndexQuery(s, root, qs, "vec_id", "embedding", "probes", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- Gopher repetition filters over the documents corpus --------
     "q77_repetition" -> ((s, dir) => {
       graft.operators.TextAnalysis.repetitionStats(
@@ -2385,6 +2403,25 @@ object SparkEntry {
          | action
          |FROM last WHERE rn = 1 AND action <> 'DE'
          |ORDER BY mrn, condition_type""".stripMargin,
+
+    "q78_ivf_index" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |  CAST(embedding AS DOUBLE[]) AS qv, label
+        | FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT query_id, qv, unnest([CAST(label AS BIGINT),
+        |  CAST((label + 1) % (SELECT MAX(label) + 1 FROM embeddings)
+        |    AS BIGINT)]) AS probe FROM q),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |  CAST(embedding AS DOUBLE[]) AS cv, CAST(label AS BIGINT) AS cl
+        | FROM embeddings),
+        |sx AS (SELECT query_id, neighbor_id,
+        |  round(list_cosine_similarity(qv, cv), 4) + 0.0 AS sim
+        | FROM p JOIN c ON probe = cl AND query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM sx)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q77_repetition" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

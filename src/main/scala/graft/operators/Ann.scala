@@ -179,6 +179,61 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Append one micro-batch of vectors to a PERSISTED IVF index — the
+    * vector-store scale path. Each batch is written partitioned by its
+    * coarse-cluster assignment (`indexDir/batch=N/cluster=c/`), with the
+    * l2 norm precomputed at write time, so:
+    *
+    *   - appends never touch existing data (cost is O(batch), state
+    *     grows append-only like the star pipeline's batches);
+    *   - a query reading nProbe clusters partition-prunes to those
+    *     directories across every batch — at corpus scale that is the
+    *     difference between a full scan and a few bucket reads.
+    *
+    * `cluster` is any stable coarse assignment: a precomputed label
+    * column, or [[ivfCluster]] over centroids frozen at index creation
+    * (standard IVF practice — retraining centroids means rebuilding).
+    */
+  def ivfIndexAppend(batch: DataFrame, idCol: String, vecCol: String,
+                     cluster: Column, indexDir: String,
+                     batchId: Long): Unit =
+    batch.select(col(idCol).as("emb_id"),
+        toDoubleVec(col(vecCol)).as("v"),
+        cluster.cast("long").as("cluster"))
+      .withColumn("norm", l2Norm(col("v")))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/batch=$batchId")
+
+  /** Top-k over the persisted index: each query probes the clusters in
+    * its `probesCol` array. The distinct probe set collects to the
+    * driver (queries are small by contract) and filters the scan as a
+    * LITERAL predicate — that is what makes partition pruning certain,
+    * not dependent on a runtime dynamic-pruning plan.
+    */
+  def ivfIndexQuery(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, queries: DataFrame, idCol: String,
+                    vecCol: String, probesCol: String, k: Int): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"),
+        toDoubleVec(col(vecCol)).as("qv"),
+        col(probesCol).cast("array<long>").as("__probes"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val probeSet = q0.select(explode(col("__probes")).as("p"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("cluster").isin(probeSet: _*))
+    val q = broadcast(q0
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("__probes")).as("probe")))
+    // a vector lives in exactly ONE cluster partition, so multi-probe
+    // queries cannot double-count a neighbor
+    val scored = q.join(idx,
+        col("probe") === col("cluster") && col("query_id") =!= col("emb_id"))
+      .withColumnRenamed("emb_id", "neighbor_id")
+      .withColumn("sim",
+        cosineSimPre(col("qv"), col("v"), col("qn"), col("norm")))
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     // Rank on the ROUNDED similarity (+0.0 normalizes IEEE -0.0): a
     // near-tie at a rank boundary must resolve identically in Spark and

@@ -57,6 +57,17 @@ object Hl7Wire {
   /** First repetition (`~`-separated) of a field. */
   def rep1(f: Column): Column = nullIfEmpty(get(split(f, "~"), lit(0)))
 
+  /** Single-element-transform let binding: evaluates `value` once per
+    * scope. Needed inside HOF lambdas, which get no subexpression
+    * elimination (see LabFunnel.let).
+    */
+  private def letC(value: Column)(body: Column => Column): Column =
+    get(transform(array(value), v => body(v)), lit(0))
+
+  /** Field i from a pre-split field array (same indexing as [[fld]]). */
+  private def gf(arr: Column, i: Int): Column =
+    nullIfEmpty(get(arr, lit(i)))
+
   /** One mixed wire stream → per-family parsed channels, the analog of
     * the reference's central router (IdsOperations.messageFromHl7Message,
     * IdsOperations.java:413-477): MSH-9 type/trigger picks the message
@@ -449,20 +460,21 @@ object Hl7Wire {
       size(segments(raw)))
     val mine = filter(col("__obxs"),
       o => o.getField("pos") > obrPos && o.getField("pos") < nextPos)
-    val results = transform(mine, o => {
-      val x = o.getField("seg")
-      struct(
-        fld(x, 1).cast("int").as("setId"),
-        fld(x, 2).as("valueType"),
-        cmp(fld(x, 3), 1).as("observationId"),
-        fld(x, 4).as("subId"),
-        rep1(fld(x, 5)).as("value"),
-        cmp(fld(x, 6), 1).as("units"),
-        fld(x, 7).as("refRange"),
-        fld(x, 8).as("abnormalFlag"),
-        fld(x, 11).as("status"),
-        hl7TsUs(fld(x, 14)).as("obsTimeUs"))
-    })
+    // one split per OBX, not one per field — HOF lambdas get no CSE
+    val results = transform(mine, o =>
+      letC(split(o.getField("seg"), "\\|")) { xf =>
+        struct(
+          gf(xf, 1).cast("int").as("setId"),
+          gf(xf, 2).as("valueType"),
+          cmp(gf(xf, 3), 1).as("observationId"),
+          gf(xf, 4).as("subId"),
+          rep1(gf(xf, 5)).as("value"),
+          cmp(gf(xf, 6), 1).as("units"),
+          gf(xf, 7).as("refRange"),
+          gf(xf, 8).as("abnormalFlag"),
+          gf(xf, 11).as("status"),
+          hl7TsUs(gf(xf, 14)).as("obsTimeUs"))
+      })
 
     val parsedNames = Set("sourceMessageId", "sourceSystem", "mrn",
       "orderIdx", "fillerOrderNumber", "testId", "codingSystem",

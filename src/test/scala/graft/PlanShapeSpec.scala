@@ -117,6 +117,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(got == serial)
   }
 
+  test("persisted IVF index: probes partition-prune the scan; appends " +
+      "compose to the same index") {
+    import graft.operators.Ann
+    val vecs = (0L to 40L).map(i =>
+      (i, Array.fill(4)((i % 5).toFloat + 1f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val one = java.nio.file.Files.createTempDirectory("ivf_one").toString
+    val two = java.nio.file.Files.createTempDirectory("ivf_two").toString
+    Ann.ivfIndexAppend(vecs, "vec_id", "embedding", col("label"), one, 1L)
+    Ann.ivfIndexAppend(vecs.filter(col("vec_id") < 20), "vec_id",
+      "embedding", col("label"), two, 1L)
+    Ann.ivfIndexAppend(vecs.filter(col("vec_id") >= 20), "vec_id",
+      "embedding", col("label"), two, 2L)
+
+    val qs = vecs.filter(col("vec_id") < 3)
+      .withColumn("probes", array(col("label").cast("long")))
+    def res(dir: String) = Ann.ivfIndexQuery(spark, dir, qs, "vec_id",
+        "embedding", "probes", k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(res(one) == res(two) && res(one).nonEmpty)
+
+    // the probe set reaches the scan as a partition filter — only the
+    // probed cluster directories are read
+    val p = plan(Ann.ivfIndexQuery(spark, two, qs, "vec_id", "embedding",
+      "probes", k = 2))
+    assert(p.contains("PartitionFilters") && p.contains("cluster"), p)
+    assert(!p.contains("PartitionFilters: []"), p)
+  }
+
   test("lateSplit filters push down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("planshape").toString
     spark.range(0, 1000)
