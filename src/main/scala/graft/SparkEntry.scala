@@ -1572,6 +1572,50 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- S5 waveform wire: MLLP-framed HL7 ORU^R01 → deframe → parse
+    // with metadata enrichment + location mapping; unusable streams
+    // surface as error rows, never dropped (ref
+    // waveform-reader/.../Hl7ParseAndQueue.java:50-140) --------------
+    "q79_waveform_hl7" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.WaveformListener
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val sid = (pmod(col("event_id"), lit(3)) + 52912).cast("string")
+      val v1 = pmod(col("event_id"), lit(97)).cast("string")
+      val v2 = (pmod(col("event_id"), lit(89)) + 1).cast("string")
+      val v3 = (pmod(col("event_id"), lit(83)) + 2).cast("string")
+      val raw = concat(lit(""),
+        concat_ws("\r",
+          concat(lit("MSH|^~\\&|CAPS|UCLH|||20240601120000||ORU^R01|W"),
+            eid, lit("|P|2.4")),
+          lit("PV1|1|I|B1"),
+          lit("OBR|1|||||||||B1"),
+          concat(lit("OBX|1|NA|"), sid, lit("||"), v1, lit("^"), v2,
+            lit("^"), v3, lit("|||||||||"), dtm)),
+        lit("\r"))
+      val md = Seq(("52912", 300, "uV", "ECG II", true),
+        ("52913", 50, "mmHg", "ART", true),
+        ("52914", 120, "x", "BAD", false))
+        .toDF("streamId", "samplingRate", "unit", "streamDescription",
+          "usable")
+      val lines = eventsUs(s, dir).withColumn("line", raw).select("line")
+      WaveformListener.parseWaveformHl7(
+          WaveformListener.frameMllp(lines, "line"), "hl7", md,
+          locationMapping = Map("B1" -> "T42^B1"))
+        .select(col("sourceMessageId").as("msg_id"),
+          col("locationId").as("location"),
+          col("streamId").cast("long").as("stream_id"),
+          col("samplingRate").cast("long").as("rate"),
+          col("unit"),
+          col("obsTimeUs").as("obs_us"),
+          element_at(col("values"), 1).as("v1"),
+          element_at(col("values"), 3).as("v3"),
+          col("error"))
+        .orderBy(col("msg_id"))
+    }),
+
     // ---- Gopher repetition filters over the documents corpus --------
     "q77_repetition" -> ((s, dir) => {
       graft.operators.TextAnalysis.repetitionStats(
@@ -2403,6 +2447,23 @@ object SparkEntry {
          | action
          |FROM last WHERE rn = 1 AND action <> 'DE'
          |ORDER BY mrn, condition_type""".stripMargin,
+
+    "q79_waveform_hl7" ->
+      s"""WITH e AS ($EventsUsSql),
+         |m AS (SELECT 'W' || CAST(event_id AS VARCHAR) || '_1_1' AS msg_id,
+         |  'T42^B1' AS location,
+         |  52912 + (event_id % 3) AS stream_id,
+         |  (ts_us // 1000000) * 1000000 AS obs_us,
+         |  CAST(event_id % 97 AS DOUBLE) AS v1,
+         |  CAST(event_id % 83 + 2 AS DOUBLE) AS v3,
+         |  event_id % 3 AS s3 FROM e)
+         |SELECT msg_id, location, CAST(stream_id AS BIGINT) AS stream_id,
+         | CAST(CASE s3 WHEN 0 THEN 300 WHEN 1 THEN 50 ELSE 120 END
+         |   AS BIGINT) AS rate,
+         | CASE s3 WHEN 0 THEN 'uV' WHEN 1 THEN 'mmHg' ELSE 'x' END AS unit,
+         | obs_us, v1, v3,
+         | CASE WHEN s3 = 2 THEN 'unusable_stream' END AS error
+         |FROM m ORDER BY msg_id""".stripMargin,
 
     "q78_ivf_index" ->
       """WITH q AS (SELECT vec_id AS query_id,
