@@ -164,8 +164,10 @@ object FormsPipeline {
 
   /** Live answers joined to their form instance and both dims — the
     * reference's form_answer → form → form_definition / form_question
-    * FK walk, placeholders included. Dims broadcast (they are small by
-    * construction: one row per form/question TYPE, not per instance).
+    * FK walk, placeholders included. The TYPE dims broadcast (small by
+    * construction: one row per form/question type); the instance table
+    * grows with the corpus, so its join stays a hash join on the shared
+    * formInstanceId key — answers and instances co-partition.
     */
   def answers(spark: SparkSession, cfg: Config): Option[DataFrame] =
     StarPipeline.readState(spark, ansCfg(cfg), "live").map { ans =>
@@ -183,7 +185,7 @@ object FormsPipeline {
       val qs = questions(spark, cfg).get
         .select(col("questionId"), col("name").as("questionName"),
           col("placeholder").as("questionPlaceholder"))
-      ans.join(broadcast(form), Seq("formInstanceId"), "left")
+      ans.join(form, Seq("formInstanceId"), "left")
         .join(broadcast(defs), Seq("formId"), "left")
         .join(broadcast(qs), Seq("questionId"), "left")
     }
