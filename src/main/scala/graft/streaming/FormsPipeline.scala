@@ -103,6 +103,24 @@ object FormsPipeline {
       batchId, qCfg(cfg)))
   }
 
+  /** Start the streaming vertical over a form-instance stream (metadata
+    * frames arrive on their own feeds in the reference; fold them via
+    * [[foldBatch]] from a second query or a scheduled import).
+    */
+  def start(forms: DataFrame, cfg: Config, checkpointDir: String,
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger
+                .ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    forms.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batchId, cfg, forms = Some(batch))
+      }
+      .start()
+
   /** The form-definition dim: folded metadata ∪ placeholders for every
     * formId the instance star references but metadata hasn't described
     * yet (FormController.java:111-117 getOrCreate placeholder path).

@@ -34,13 +34,14 @@ object WirePipeline {
 
   def start(raw: DataFrame, rawCol: String, stateRoot: String,
             checkpointDir: String,
-            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+            bitemporal: Boolean = false): StreamingQuery =
     raw.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, rawCol, stateRoot)
+        foldBatch(batch, batchId, rawCol, stateRoot, bitemporal)
       }
       .start()
 

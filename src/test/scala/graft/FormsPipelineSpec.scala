@@ -7,6 +7,14 @@ import graft.streaming.FormsPipeline
 /** O19: the Forms (SDE) vertical — persisted folds, placeholder dims,
   * filing-date-only no-ops, the F3 flag, and out-of-order convergence.
   */
+case class FormsAnswerMsg(questionId: String, filedTimeUs: Long,
+    msgId: Long, context: String, stringValue: String,
+    numericValue: java.lang.Double, booleanValue: java.lang.Boolean,
+    dateValue: String, datetimeValueUs: java.lang.Long)
+case class FormsMsg(formInstanceId: String, formId: String, mrn: String,
+    visitNumber: String, firstFiledTimeUs: Long, msgId: Long,
+    answers: Seq[FormsAnswerMsg])
+
 class FormsPipelineSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -99,6 +107,33 @@ class FormsPipelineSpec extends SparkSpecBase {
     FormsPipeline.foldBatch(3L, c, forms = Some(formsDf(
       ("F1", "2056", "M1", "V1", 1000L, 3L,
         Seq(answer("Q1", 3000L, 3L, s = "no"))))))
+
+    val live = FormsPipeline.answers(spark, c).get
+      .select("questionId", "stringValue", "filedTimeUs")
+      .as[(String, String, Long)].collect().toSeq
+    assert(live == Seq(("Q1", "no", 2000L)))
+  }
+
+  test("streaming: form instances fold per micro-batch, state survives " +
+      "a query restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val c = cfgAt()
+    val ckpt = java.nio.file.Files.createTempDirectory("forms_ckpt").toString
+    val input = MemoryStream[FormsMsg](spark)
+    val q = FormsPipeline.start(input.toDS().toDF(), c, ckpt,
+      Trigger.AvailableNow())
+    input.addData(FormsMsg("F1", "2056", "M1", "V1", 1000L, 1L,
+      Seq(FormsAnswerMsg("Q1", 1000L, 1L, null, "yes", null, null, null,
+        null))))
+    q.processAllAvailable(); q.stop()
+
+    val q2 = FormsPipeline.start(input.toDS().toDF(), c, ckpt,
+      Trigger.AvailableNow())
+    input.addData(FormsMsg("F1", "2056", "M1", "V1", 1000L, 2L,
+      Seq(FormsAnswerMsg("Q1", 2000L, 2L, null, "no", null, null, null,
+        null))))
+    q2.processAllAvailable(); q2.stop()
 
     val live = FormsPipeline.answers(spark, c).get
       .select("questionId", "stringValue", "filedTimeUs")
