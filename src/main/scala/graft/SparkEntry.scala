@@ -1616,6 +1616,15 @@ object SparkEntry {
         .orderBy(col("msg_id"))
     }),
 
+    // ---- exact duplicated spans (window-hash substring dedup) -------
+    "q80_dup_spans" -> ((s, dir) => {
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("win_idx"),
+          col("window_hash"), col("n_docs"))
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
     // ---- Gopher repetition filters over the documents corpus --------
     "q77_repetition" -> ((s, dir) => {
       graft.operators.TextAnalysis.repetitionStats(
@@ -2447,6 +2456,28 @@ object SparkEntry {
          | action
          |FROM last WHERE rn = 1 AND action <> 'DE'
          |ORDER BY mrn, condition_type""".stripMargin,
+
+    "q80_dup_spans" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |wins AS (SELECT doc_id,
+        |  unnest(range(1, len(ws) - 6)) - 1 AS win_idx,
+        |  unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> array_to_string(ws[i:i + 7], ' '))) AS win
+        | FROM base WHERE len(ws) >= 8),
+        |hashed AS (SELECT doc_id, win_idx,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(win, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS window_hash
+        | FROM wins),
+        |shared AS (SELECT window_hash,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        | FROM hashed GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT h.doc_id, CAST(h.win_idx AS BIGINT) AS win_idx,
+        | h.window_hash, s.n_docs
+        |FROM hashed h JOIN shared s USING (window_hash)
+        |ORDER BY doc_id, win_idx""".stripMargin,
 
     "q79_waveform_hl7" ->
       s"""WITH e AS ($EventsUsSql),

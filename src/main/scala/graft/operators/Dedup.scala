@@ -22,6 +22,37 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
 
+  /** Exact duplicated-SPAN detection — the window-hash form of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): whole-document dedup misses
+    * the boilerplate header pasted into thousands of otherwise-unique
+    * pages. Every `windowTokens`-token window is hashed with the
+    * portable poly-hash, and windows whose hash occurs in MORE than one
+    * document are emitted with the sharing count — the caller cuts the
+    * spans or drops the docs.
+    *
+    * Scale shape: windows are pure per-row array expressions (no
+    * shuffle); the rest is one aggregation plus the flag-back join,
+    * both keyed on the window hash (AQE's skew handling covers the
+    * hot-boilerplate hash). A poly-hash collision can flag a false
+    * span; verify the window text within the matched group when
+    * cutting, as the paper's suffix-array pass does.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               windowTokens: Int): DataFrame = {
+    val wins = docs.select(col(idCol).as("doc_id"),
+        posexplode_outer(shingles(tokens(col(textCol)), windowTokens))
+          .as(Seq("win_idx", "win")))
+      .filter(col("win").isNotNull)
+      .withColumn("h", charPolyHash(col("win")))
+    val shared = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    wins.join(shared, Seq("h"))
+      .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+        col("h").as("window_hash"), col("n_docs"))
+  }
+
   /** Candidate doc pairs by exact token-n-gram Jaccard over an inverted
     * shingle index. O(sum over shingles of df²) — bound the input or use
     * minhashLsh for the scale path.

@@ -131,4 +131,21 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("dup spans: only cross-document windows flag, at the right offsets") {
+    val boiler = "terms of use apply to this site" // 7 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),       // boiler at win_idx 2
+      (2L, s"$boiler delta epsilon zeta eta"), // boiler at win_idx 0
+      (3L, "totally unrelated text with no shared windows here at all"),
+      // repeats the boiler twice; both offsets flag (the hash is cross-
+      // doc via docs 1/2), and n_docs counts DISTINCT docs
+      (4L, s"x y z w $boiler q r s t $boiler"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, "doc_id", "text", windowTokens = 7)
+      .select("doc_id", "win_idx", "n_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L), (2L, 0L, 3L), (4L, 4L, 3L),
+      (4L, 15L, 3L)))
+  }
 }
