@@ -279,6 +279,12 @@ object StarPipeline {
   def readBitemporal(spark: SparkSession, cfg: Config): Option[DataFrame] =
     readFull(spark, cfg, "bt_table")
 
+  /** Path-only read of a bitemporal state dir (reads resolve purely
+    * through the manifest; no key/time configuration is needed).
+    */
+  def readBitemporal(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    readBitemporal(spark, Config(stateDir, Nil, "", "", Nil))
+
   /** Compaction for the bitemporal state at valid-time horizon
     * `horizonUs` — keeps the per-fold read bounded as stored history
     * accumulates. Three row classes archive to the `.cold` tier:

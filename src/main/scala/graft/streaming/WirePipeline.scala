@@ -464,13 +464,8 @@ object WirePipeline {
     * pipeline knew it after batch S".
     */
   def readBelief(spark: org.apache.spark.sql.SparkSession,
-                 stateRoot: String, family: String): Option[DataFrame] = {
-    val c = family match {
-      case "adt" => adtCfg(stateRoot)
-      case f => cfg(stateRoot, f, Seq("__unused"), "__unused", Nil)
-    }
-    StarPipeline.readBitemporal(spark, c)
-  }
+                 stateRoot: String, family: String): Option[DataFrame] =
+    StarPipeline.readBitemporal(spark, s"$stateRoot/$family")
 
   private def btHistory(spark: org.apache.spark.sql.SparkSession,
                         c: StarPipeline.Config): Option[DataFrame] =
