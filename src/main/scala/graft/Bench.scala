@@ -43,6 +43,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Drop cached relations/broadcast debris between queries so later
+    // queries measure the engine, not accumulated storage pressure.
+    // localCheckpoint'd RDDs (the LSH signature tables) are NOT in the
+    // catalog cache — release them synchronously here, because leaving
+    // them to the async ContextCleaner (triggered by the gc below) races
+    // with late task-end events and pollutes the bench tail with
+    // DAGScheduler accumulator stack traces.
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     // JIT/codegen/IO warmup (untimed) so per-query numbers measure the
     // engine, not first-query JVM startup costs.
     time { spark.range(0, 1000000).selectExpr("sum(id)").collect() }
@@ -53,10 +67,7 @@ object Bench {
       System.err.println(s"[bench] running $name")
       results(name) = time { fn(spark, sfDir).count() }
       System.err.println(f"[bench] $name: ${results(name)}%.2f s")
-      // drop cached relations/broadcast debris between queries so later
-      // queries measure the engine, not accumulated GC pressure
-      spark.catalog.clearCache()
-      System.gc()
+      dropCaches()
     }
 
     // HL7 wire ingest: render every event row as a raw ADT message and
@@ -68,7 +79,7 @@ object Bench {
       val q44 = SparkEntry.queries("q44_hl7_wire")
       require(q44(spark, sfDir).count() > 0)
     }
-    spark.catalog.clearCache(); System.gc()
+    dropCaches()
 
     // Nested-lab wire ingest (the heaviest parse: WinPath builder with
     // isolate merge + sensitivity re-parenting): a BOUNDED 10k-message
@@ -101,7 +112,7 @@ object Bench {
       require(graft.sources.LabFunnel.parseWinPathResults(msgs, "raw")
         .count() > 0)
     }
-    spark.catalog.clearCache(); System.gc()
+    dropCaches()
 
     // Waveform ingest: generate + collate 540k samples (30 locs × 300 Hz
     // × 60 s, 40 samples/msg) into ≤3000-sample rows.
@@ -119,9 +130,15 @@ object Bench {
     // Incremental star fold: the write path's headline scale property —
     // a micro-batch folds in time proportional to ITS key spread, not to
     // accumulated state. Untimed: fold the full events table into a
-    // 64-bucket bitemporal state. Timed: fold a ~2%-of-keys update batch
-    // (reads/rewrites only the buckets those keys hash into).
-    results("w3_incremental_fold") = {
+    // 64-bucket state. Timed lanes:
+    //   w3  — a ~2%-of-keys update batch whose keys spread over ALL 64
+    //         buckets (a full-state fold: the worst case);
+    //   w3b — a similar-sized batch whose keys all hash into ONE bucket
+    //         (the incremental property: cost tracks the touched-bucket
+    //         fraction, ~1/64 of the state, not the batch row count);
+    //   w5  — the same small batch through the BITEMPORAL fold (stored
+    //         axis diff on top of the valid fold; budget: within 2× w3).
+    {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files
         .createTempDirectory("bench_fold").toString
@@ -134,7 +151,26 @@ object Bench {
       val small = e.filter(pmod(xxhash64(col("user_id")), lit(50)) === 0)
         .withColumn("ts_us", col("ts_us") + 86400L * 1000000L)
         .withColumn("event_id", col("event_id") + 100000000L)
-      time { graft.streaming.StarPipeline.foldBatch(small, 2L, cfg) }
+      results("w3_incremental_fold") =
+        time { graft.streaming.StarPipeline.foldBatch(small, 2L, cfg) }
+      // keys of bucket 0 only (same hash the pipeline buckets by)
+      val oneBucket = e
+        .filter(pmod(xxhash64(col("user_id")), lit(64)) === 0)
+        .withColumn("ts_us", col("ts_us") + 2 * 86400L * 1000000L)
+        .withColumn("event_id", col("event_id") + 200000000L)
+      results("w3b_bucket_local_fold") =
+        time { graft.streaming.StarPipeline.foldBatch(oneBucket, 3L, cfg) }
+
+      val rootB = java.nio.file.Files
+        .createTempDirectory("bench_btfold").toString
+      val cfgB = graft.streaming.StarPipeline.Config(rootB, Seq("user_id"),
+        "ts_us", "event_id", Seq("event_type", "value"), nBuckets = 64,
+        storedFromUsCol = "stored_us")
+      val eb = e.withColumn("stored_us", lit(1700000000000000L))
+      graft.streaming.StarPipeline.foldBatchBitemporal(eb, 1L, cfgB)
+      val smallB = small.withColumn("stored_us", lit(1700000100000000L))
+      results("w5_bitemporal_fold") =
+        time { graft.streaming.StarPipeline.foldBatchBitemporal(smallB, 2L, cfgB) }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

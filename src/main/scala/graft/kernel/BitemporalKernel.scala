@@ -65,11 +65,14 @@ object BitemporalKernel {
     */
   /** @param materialize hook applied to the two shared intermediates
     *   (deduped message log; stamped versions). The returned
-    *   live/audit/history all branch off them, so a caller that runs
-    *   more than one action over the result (e.g. StarPipeline's three
-    *   table writes) should pass a persist here — the window fold then
-    *   evaluates once instead of once per action. Default is identity
-    *   (pure, no cache handles leak).
+    *   live/audit/history all branch off them; a caller running several
+    *   actions over the result MAY pass a persist here — but measure
+    *   first: the two window passes share one exchange+sort, so
+    *   recomputing the fold per action from cheap inputs (cached batch +
+    *   columnar state) usually beats materializing two state-sized
+    *   caches (StarPipeline measured pinning as a 55% regression and
+    *   passes identity). Default is identity (pure, no cache handles
+    *   leak).
     */
   def applyBatch(
       state: DataFrame,

@@ -49,7 +49,14 @@ object IdentityMerge {
     // and duplicate edges must not fan out the pointer join below
     val sel = merges.select(col("absorbed"), col("survivor")).distinct()
     val edges = sel.collect()
-    val ptr = edges.map(r => r.get(0) -> r.get(1)).toMap
+    // CONFLICTING merges (same absorbed, different survivors — a data
+    // error, but one the framework must handle deterministically):
+    // resolve to the max survivor by string order, so every run of the
+    // same batch re-points identically regardless of partition order.
+    val ptr = edges.map(r => r.get(0) -> r.get(1))
+      .groupBy(_._1)
+      .map { case (a, ss) =>
+        a -> ss.map(_._2).maxBy(v => String.valueOf(v)) }
     def root(x: Any): Any = {
       var cur = x
       val seen = scala.collection.mutable.Set[Any]()

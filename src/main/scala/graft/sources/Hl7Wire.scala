@@ -605,6 +605,10 @@ object Hl7Wire {
     */
   def infectionGate(df: DataFrame, serviceStartUs: Long,
                     orderCols: Seq[String]): DataFrame = {
+    // count-gate FIRST: a mixed batch whose A05s carry zero ZIF
+    // infections must not pay the eager checkpoint below (isEmpty is a
+    // limit-1 probe; the caller's batch cache makes it cheap)
+    if (df.isEmpty) return df.filter(lit(false))
     // eager localCheckpoint: the carry probe and the final filter must
     // see the SAME partition assignment (range boundaries are sampled,
     // so a recompute could renumber partitions under the carry map)

@@ -874,7 +874,8 @@ object LabFunnel {
         r.getField("numericValue").as("numericValue"),
         r.getField("stringValue").as("stringValue"),
         r.getField("units").as("units"),
-        coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"))
+        coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"),
+            col("collectionTimeUs"))
           .as("resultTimeUs"),
         isoCode(r).as("isolateCode"),
         sensitivities(r).as("sensitivities"))).as("results"))
@@ -911,7 +912,8 @@ object LabFunnel {
           coalesce(r.getField("stringValue"),
             base64(r.getField("byteValue"))).as("stringValue"),
           lit(null).cast("string").as("units"),
-          coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"))
+          coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"),
+            col("collectionTimeUs"))
             .as("resultTimeUs"),
           lit(null).cast("string").as("isolateCode"),
           lit(null).cast(
@@ -942,7 +944,8 @@ object LabFunnel {
           lit(null).cast("double").as("numericValue"),
           r.getField("stringValue").as("stringValue"),
           lit(null).cast("string").as("units"),
-          coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"))
+          coalesce(r.getField("resultTimeUs"), col("statusChangeTimeUs"),
+            col("collectionTimeUs"))
             .as("resultTimeUs"),
           lit(null).cast("string").as("isolateCode"),
           lit(null).cast(

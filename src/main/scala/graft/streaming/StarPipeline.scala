@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.kernel.BitemporalKernel
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /** S8/W1: the streaming star-maintenance pipeline — every micro-batch of
   * messages is folded into the persisted bitemporal state via the kernel
@@ -83,6 +84,21 @@ object StarPipeline {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Bucket ids present under `stateDir/dir` — ONE directory listing per
+    * written version dir, instead of a `Files.exists` probe per bucket
+    * (object-store-friendly: N round-trips → 1 LIST per write).
+    */
+  private def bucketsIn(stateDir: String, dir: String): Set[Long] = {
+    val p = Paths.get(stateDir, dir)
+    if (!Files.isDirectory(p)) return Set.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("__bucket=") =>
+        n.stripPrefix("__bucket=").toLong }
+      .toSet
+    finally s.close()
+  }
+
   /** Read a table as of the current manifest (all buckets unioned). */
   def readState(spark: SparkSession, cfg: Config, table: String): Option[DataFrame] =
     readManifest(cfg).get(table).filter(_.nonEmpty).map { buckets =>
@@ -109,15 +125,14 @@ object StarPipeline {
 
     // The batch feeds FOUR actions (bucket probe + three table writes);
     // its lineage is often an expression-heavy parse — evaluate it once.
-    // Likewise the kernel's shared intermediates: the three table writes
-    // all branch off them, so persist via the kernel's materialize hook.
-    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += p; p
-    }
-    val batch = pin(batch0)
+    // The kernel's state-sized intermediates are deliberately NOT pinned:
+    // the three table writes recompute the fold from the pinned batch +
+    // columnar state read, and the two window passes share one
+    // exchange+sort, so 3× recompute beats materializing two
+    // touched-state-sized caches (measured: pinning them regressed the
+    // incremental-fold bench 55%, BENCH_r04→r05 w3).
+    val batch = batch0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
     // Which buckets does this batch touch (≤ nBuckets small longs), and
@@ -150,7 +165,7 @@ object StarPipeline {
       else spark.read.parquet(histPaths: _*)
 
     val r = BitemporalKernel.applyBatch(history, batch, cfg.keyCols,
-      cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols, pin)
+      cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
 
     val newMan = Tables.foldLeft(man) { (m, tbl) =>
       val df = tbl match {
@@ -164,9 +179,9 @@ object StarPipeline {
         .parquet(s"${cfg.stateDir}/$vDir")
       // A touched bucket with no output rows gets no directory — its
       // manifest entry is dropped (the bucket is now empty for `tbl`).
+      val present = bucketsIn(cfg.stateDir, vDir)
       val updated = touched.foldLeft(m.getOrElse(tbl, Map.empty)) { (tm, k) =>
-        val rel = s"$vDir/__bucket=$k"
-        if (Files.exists(Paths.get(cfg.stateDir, rel))) tm.updated(k.toString, rel)
+        if (present.contains(k)) tm.updated(k.toString, s"$vDir/__bucket=$k")
         else tm - k.toString
       }
       // un-compacted buckets' cold rows are folded into hot now
@@ -176,7 +191,7 @@ object StarPipeline {
         m.getOrElse(s"$tbl.cold", Map.empty) -- coldKeysOf(tbl).keys)
     }
     writeManifest(cfg, newMan, batchId)
-    } finally pinned.foreach(_.unpersist(false))
+    } finally batch.unpersist(false)
   }
 
   // =================================================================
@@ -211,14 +226,12 @@ object StarPipeline {
     val spark = batch0.sparkSession
     val man = readManifest(cfg)
 
-    // probe + stamps + two table writes all read the batch — once.
-    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += p; p
-    }
-    val batch = pin(batch0)
+    // probe + stamps + two table writes all read the batch — once. The
+    // kernel's state-sized intermediates are NOT pinned (same measured
+    // trade-off as foldBatch: 2× recompute from the pinned batch beats
+    // materializing touched-state-sized caches).
+    val batch = batch0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
     val lateFlag = compactionHorizon(cfg) match {
@@ -249,8 +262,7 @@ object StarPipeline {
       table = readTouched("bt_table").getOrElse(empty.table))
 
     val r = BitemporalKernel.applyBitemporal(prev, batch, cfg.keyCols,
-      cfg.validFromUsCol, cfg.tieCol, cfg.storedFromUsCol, cfg.payloadCols,
-      pin)
+      cfg.validFromUsCol, cfg.tieCol, cfg.storedFromUsCol, cfg.payloadCols)
 
     val newMan = BtTables.foldLeft(man) { (m, tbl) =>
       val df = if (tbl == "bt_messages") r.messages else r.table
@@ -258,9 +270,9 @@ object StarPipeline {
       df.withColumn("__bucket", bucketOf(cfg))
         .write.mode("overwrite").partitionBy("__bucket")
         .parquet(s"${cfg.stateDir}/$vDir")
+      val present = bucketsIn(cfg.stateDir, vDir)
       val updated = touched.foldLeft(m.getOrElse(tbl, Map.empty)) { (tm, k) =>
-        val rel = s"$vDir/__bucket=$k"
-        if (Files.exists(Paths.get(cfg.stateDir, rel))) tm.updated(k.toString, rel)
+        if (present.contains(k)) tm.updated(k.toString, s"$vDir/__bucket=$k")
         else tm - k.toString
       }
       val mm = m.updated(tbl, updated)
@@ -269,7 +281,7 @@ object StarPipeline {
         m.getOrElse(s"$tbl.cold", Map.empty) -- coldKeysOf(tbl).keys)
     }
     writeManifest(cfg, newMan, batchId)
-    } finally pinned.foreach(_.unpersist(false))
+    } finally batch.unpersist(false)
   }
 
   /** The complete bitemporal version table (hot ∪ cold) — query it with
@@ -344,12 +356,8 @@ object StarPipeline {
           .write.mode("overwrite").partitionBy("__bucket")
           .parquet(s"${cfg.stateDir}/$coldDir")
         def entries(dir: String, suffix: String) =
-          (0L until cfg.nBuckets.toLong).flatMap { k =>
-            val rel = s"$dir/__bucket=$k"
-            if (Files.exists(Paths.get(cfg.stateDir, rel)))
-              Some(s"$k$suffix" -> rel)
-            else None
-          }.toMap
+          bucketsIn(cfg.stateDir, dir)
+            .map(k => s"$k$suffix" -> s"$dir/__bucket=$k").toMap
         m.updated(t, entries(hotDir, ""))
           .updated(s"$t.cold",
             m.getOrElse(s"$t.cold", Map.empty) ++
@@ -411,12 +419,8 @@ object StarPipeline {
             .write.mode("overwrite").partitionBy("__bucket")
             .parquet(s"${cfg.stateDir}/$coldDir")
           def entries(dir: String, suffix: String) =
-            (0L until cfg.nBuckets.toLong).flatMap { k =>
-              val rel = s"$dir/__bucket=$k"
-              if (Files.exists(Paths.get(cfg.stateDir, rel)))
-                Some(s"$k$suffix" -> rel)
-              else None
-            }.toMap
+            bucketsIn(cfg.stateDir, dir)
+              .map(k => s"$k$suffix" -> s"$dir/__bucket=$k").toMap
           m.updated(tbl, entries(hotDir, ""))
             .updated(s"$tbl.cold",
               m.getOrElse(s"$tbl.cold", Map.empty) ++

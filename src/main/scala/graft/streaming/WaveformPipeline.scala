@@ -135,29 +135,31 @@ object WaveformPipeline {
       s"$stateRoot/${new String(Files.readAllBytes(p)).trim}"))
   }
 
+  /** Append batch ids newer than `mark` — ONE directory listing. */
+  private def listAppendIds(stateRoot: String, mark: Long): List[Long] = {
+    val appendRoot = Paths.get(stateRoot, "append")
+    if (!Files.exists(appendRoot)) return Nil
+    val ls = Files.list(appendRoot)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(_ > mark).toList.sorted
+    } finally ls.close()
+  }
+
   /** All chunks visible now: the consolidated tier (if any) plus append
     * batches newer than the consolidation marker.
     */
   def readChunks(spark: SparkSession, stateRoot: String): Option[DataFrame] = {
-    val appendRoot = Paths.get(stateRoot, "append")
     val (baseDirs, mark) = pointer(stateRoot) match {
       case Some((dir, m)) => (Seq(s"$stateRoot/$dir"), m)
       case None => (Nil, -1L)
     }
-    val appendDirs =
-      if (!Files.exists(appendRoot)) Nil
-      else {
-        val ls = Files.list(appendRoot)
-        try {
-          import scala.jdk.CollectionConverters._
-          ls.iterator().asScala
-            .map(_.getFileName.toString)
-            .filter(_.startsWith("batch="))
-            .filter(_.stripPrefix("batch=").toLong > mark)
-            .map(n => s"$stateRoot/append/$n").toList.sorted
-        } finally ls.close()
-      }
-    val dirs = baseDirs ++ appendDirs
+    val dirs = baseDirs ++ listAppendIds(stateRoot, mark)
+      .map(id => s"$stateRoot/append/batch=$id")
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
@@ -171,26 +173,24 @@ object WaveformPipeline {
     */
   def maintain(spark: SparkSession, stateRoot: String, visits: DataFrame,
                retentionUs: Long, batchId: Long): Unit = {
-    readChunks(spark, stateRoot).foreach { chunks =>
-      val repaired = Maintenance.repairOrphans(chunks, visits)
-      val kept = Maintenance.retain(repaired, col("obsTimeUs"), retentionUs)
-      val dir = s"data/v$batchId"
-      kept.write.mode("overwrite").parquet(s"$stateRoot/$dir")
-      val appendRoot = Paths.get(stateRoot, "append")
-      val maxBatch =
-        if (!Files.exists(appendRoot)) -1L
-        else {
-          val ls = Files.list(appendRoot)
-          try {
-            import scala.jdk.CollectionConverters._
-            val ids = ls.iterator().asScala.map(_.getFileName.toString)
-              .filter(_.startsWith("batch="))
-              .map(_.stripPrefix("batch=").toLong).toList
-            if (ids.isEmpty) -1L else ids.max
-          } finally ls.close()
-        }
-      writePointer(stateRoot, dir, maxBatch)
+    // Snapshot the append listing ONCE, read exactly those batches, and
+    // advance the marker to the max id actually read — re-listing after
+    // consolidation would let a batch appended mid-maintain be covered
+    // by the new marker while its rows are absent from the consolidated
+    // tier (permanently invisible to readChunks).
+    val (baseDirs, mark) = pointer(stateRoot) match {
+      case Some((dir, m)) => (Seq(s"$stateRoot/$dir"), m)
+      case None => (Nil, -1L)
     }
+    val appendIds = listAppendIds(stateRoot, mark)
+    val dirs = baseDirs ++ appendIds.map(id => s"$stateRoot/append/batch=$id")
+    if (dirs.isEmpty) return
+    val chunks = spark.read.parquet(dirs: _*)
+    val repaired = Maintenance.repairOrphans(chunks, visits)
+    val kept = Maintenance.retain(repaired, col("obsTimeUs"), retentionUs)
+    val dir = s"data/v$batchId"
+    kept.write.mode("overwrite").parquet(s"$stateRoot/$dir")
+    writePointer(stateRoot, dir, (mark :: appendIds).max)
   }
 
   /** Start the streaming lifecycle over a raw socket-text stream. */

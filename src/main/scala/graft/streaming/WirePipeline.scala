@@ -32,6 +32,29 @@ object WirePipeline {
     StarPipeline.Config(s"$stateRoot/$family", key, vf, "sourceMessageId",
       payload, nBuckets = 8)
 
+  /** Was this state root folded in bitemporal mode? Decided from the
+    * persisted manifests alone (any family manifest listing the
+    * `bt_messages` table), so replay/backfill entry points land in the
+    * SAME table family as the original fold without the caller having
+    * to remember the flag.
+    */
+  def isBitemporal(stateRoot: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(stateRoot)
+    if (!java.nio.file.Files.isDirectory(root)) return false
+    val s = java.nio.file.Files.list(root)
+    try s.iterator().asScala.exists { d =>
+      val cur = d.resolve("_CURRENT")
+      java.nio.file.Files.isRegularFile(cur) && {
+        val man = d.resolve(
+          new String(java.nio.file.Files.readAllBytes(cur)).trim)
+        java.nio.file.Files.isRegularFile(man) &&
+          new String(java.nio.file.Files.readAllBytes(man))
+            .contains("bt_messages")
+      }
+    } finally s.close()
+  }
+
   def start(raw: DataFrame, rawCol: String, stateRoot: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
@@ -73,8 +96,11 @@ object WirePipeline {
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
     if (dirs.isEmpty) return
     val dead = spark.read.parquet(dirs: _*)
+    // replay into the SAME table family the stream folds into — a
+    // bitemporal pipeline's repaired frames must appear in
+    // readBelief/storedAsOf, not in a diverging valid-time-only set
     foldBatch(repair(dead).select(col(rawCol)), newBatchId, rawCol,
-      stateRoot)
+      stateRoot, bitemporal = isBitemporal(stateRoot))
   }
 
   /** One micro-batch through the whole front end (also callable on a
@@ -101,18 +127,25 @@ object WirePipeline {
       if (batch.rdd.getNumPartitions < np) batch.repartition(np) else batch
     val cached = spread.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the parse projections are hundreds of fields wide — far over the
-    // default whole-stage-codegen field cap, which silently drops them
-    // to interpreted eval (~30% slower measured); lift it for the fold
-    val conf = batch.sparkSession.conf
-    val prevMaxFields = conf.get("spark.sql.codegen.maxFields", "100")
-    conf.set("spark.sql.codegen.maxFields", "2000")
+    liftCodegenCap(batch.sparkSession)
     try foldRouted(cached, batchId, rawCol, stateRoot, bitemporal)
-    finally {
-      conf.set("spark.sql.codegen.maxFields", prevMaxFields)
-      cached.unpersist()
-    }
+    finally cached.unpersist()
   }
+
+  // the parse projections are hundreds of fields wide — far over the
+  // default whole-stage-codegen field cap, which silently drops them to
+  // interpreted eval (~30% slower measured). Lift the cap ONCE per
+  // session and leave it raised: a per-batch set/restore races with
+  // concurrent queries on the same session (e.g. a WaveformPipeline
+  // stream), which could run a fold under the default cap or leak a
+  // half-restored value.
+  private val codegenLifted = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private def liftCodegenCap(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (codegenLifted.add(spark) &&
+        spark.conf.get("spark.sql.codegen.maxFields", "100").toInt < 2000)
+      spark.conf.set("spark.sql.codegen.maxFields", "2000")
 
   private def foldRouted(batch: DataFrame, batchId: Long, rawCol: String,
                          stateRoot: String, bitemporal: Boolean): Unit = {
