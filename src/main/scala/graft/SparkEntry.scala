@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.kernel.BitemporalKernel
-import graft.operators.{Ann, Dedup, EntityUpserts, IdentityMerge, Multimodal, Temporal, TextAnalysis}
+import graft.operators.{Ann, Dedup, EntityUpserts, IdentityMerge, LocationMeta, Multimodal, Temporal, TextAnalysis}
 
 /** Driver contract (see SURVEY.md §7 + TESTDATA.md).
   *
@@ -1706,6 +1706,72 @@ object SparkEntry {
           col("formPlaceholder").cast("long").as("form_placeholder"),
           col("questionName").as("question_name"))
         .orderBy(col("form_instance"), col("question_id"))
+    }),
+
+    // ---- O12b: room/bed/bed-facility metadata verticals -------------
+    // The dept/room/bed trio driven from ONE LocationMetadata message
+    // shape (ref LocationController.java:128-146): room states SCD-2
+    // with write-once names, bed states with CSN dedup + pool-bed
+    // counting, bed facilities accumulating per state.
+    "q81_location_states" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val base = t(s, dir, "orders").select(
+        k.as("msgId"),
+        (col("o_custkey") % 20).as("departmentId"),
+        concat(lit("R"), (k % 50).cast("string")).as("roomHl7"),
+        concat(lit("B"), (k % 7).cast("string")).as("bedHl7"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("contactUs"),
+        when(col("o_orderstatus") === "F", lit("ACTIVE"))
+          .otherwise(lit("INACTIVE")).as("status"),
+        (k % 11 === 0).as("isPool"),
+        (k % 5 === 0).as("isBunk"),
+        (k % 2 === 0).as("inCensus"),
+        when(k % 3 === 0, lit("COT"))
+          .when(k % 3 === 1, lit("MONITOR")).as("facility"))
+      val roomMsgs = base.select(col("departmentId"), col("roomHl7"),
+        concat(lit("Room-"), col("roomHl7")).as("roomName"),
+        col("msgId").as("roomCsn"), col("contactUs").as("roomContactUs"),
+        col("status").as("roomRecordState"),
+        (col("msgId") % 2 === 1).as("isRoomReady"), col("msgId"))
+      val bedMsgs = base.select(col("departmentId"), col("roomHl7"),
+        col("bedHl7"), col("msgId").as("bedCsn"),
+        col("contactUs").as("bedContactUs"),
+        col("status").as("bedRecordState"), col("isPool").as("isPoolBed"),
+        col("isBunk").as("isBunkBed"), col("inCensus").as("bedIsInCensus"),
+        col("facility").as("bedFacility"), col("msgId"))
+      val r = LocationMeta.roomStates(roomMsgs)
+      val b = LocationMeta.bedStates(bedMsgs)
+      val facCount = b.facilities
+        .groupBy("departmentId", "roomHl7", "bedHl7", "csn")
+        .agg(countDistinct(col("facility")).as("fc"))
+      val bedOut = b.states
+        .join(facCount, Seq("departmentId", "roomHl7", "bedHl7", "csn"),
+          "left")
+        .select(lit("bed").as("level"),
+          col("departmentId").cast("long").as("department_id"),
+          col("roomHl7").as("room"), col("bedHl7").as("bed"),
+          col("csn").cast("long").as("csn"), col("status"),
+          lit(null).cast("int").as("is_ready"),
+          col("isBunkBed").cast("int").as("is_bunk"),
+          col("bedIsInCensus").cast("int").as("in_census"),
+          col("poolBedCount").cast("long").as("pool_count"),
+          col("validFromUs").as("valid_from_us"),
+          col("validUntilUs").as("valid_until_us"),
+          coalesce(col("fc"), lit(0)).cast("long").as("fac_count"))
+      val roomOut = r.states.select(lit("room").as("level"),
+        col("departmentId").cast("long").as("department_id"),
+        col("roomHl7").as("room"), lit(null).cast("string").as("bed"),
+        col("csn").cast("long").as("csn"), col("status"),
+        col("isRoomReady").cast("int").as("is_ready"),
+        lit(null).cast("int").as("is_bunk"),
+        lit(null).cast("int").as("in_census"),
+        lit(null).cast("long").as("pool_count"),
+        col("validFromUs").as("valid_from_us"),
+        col("validUntilUs").as("valid_until_us"),
+        lit(null).cast("long").as("fac_count"))
+      roomOut.unionByName(bedOut)
+        .orderBy(col("level"), col("department_id"), col("room"),
+          col("bed"), col("csn"))
     })
   )
 
@@ -2877,6 +2943,80 @@ object SparkEntry {
         | CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
         |   AS mean_value
         |FROM s GROUP BY loc, minute_us
-        |ORDER BY location_id, minute_us""".stripMargin
+        |ORDER BY location_id, minute_us""".stripMargin,
+
+    "q81_location_states" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS msg_id,
+        |  o_custkey % 20 AS department_id,
+        |  'R' || CAST(o_orderkey % 50 AS VARCHAR) AS room,
+        |  'B' || CAST(o_orderkey % 7 AS VARCHAR) AS bed,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS contact_us,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'ACTIVE' ELSE 'INACTIVE' END
+        |    AS status,
+        |  (o_orderkey % 11 = 0) AS is_pool,
+        |  (o_orderkey % 5 = 0) AS is_bunk,
+        |  (o_orderkey % 2 = 0) AS in_census,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'COT'
+        |       WHEN o_orderkey % 3 = 1 THEN 'MONITOR' END AS facility
+        | FROM orders),
+        |room_states AS (
+        | SELECT 'room' AS level, department_id, room,
+        |  CAST(NULL AS VARCHAR) AS bed, msg_id AS csn, status,
+        |  CAST(msg_id % 2 = 1 AS INT) AS is_ready,
+        |  CAST(NULL AS INT) AS is_bunk, CAST(NULL AS INT) AS in_census,
+        |  CAST(NULL AS BIGINT) AS pool_count,
+        |  contact_us AS valid_from_us,
+        |  LEAD(contact_us) OVER (PARTITION BY department_id, room
+        |    ORDER BY contact_us, msg_id) AS valid_until_us,
+        |  CAST(NULL AS BIGINT) AS fac_count
+        | FROM base),
+        |pool AS (
+        | SELECT department_id, room, bed, contact_us,
+        |  MIN(msg_id) AS msg_id, MIN(msg_id) AS csn,
+        |  arg_min(status, msg_id) AS status,
+        |  arg_min(is_bunk, msg_id) AS is_bunk,
+        |  arg_min(in_census, msg_id) AS in_census,
+        |  COUNT(DISTINCT msg_id) AS pool_count
+        | FROM base WHERE is_pool GROUP BY 1, 2, 3, 4),
+        |nonpool AS (
+        | SELECT department_id, room, bed, contact_us, msg_id,
+        |  msg_id AS csn, status, is_bunk, in_census,
+        |  CAST(NULL AS BIGINT) AS pool_count
+        | FROM base WHERE NOT is_pool),
+        |cand AS (
+        | SELECT * FROM pool UNION ALL BY NAME SELECT * FROM nonpool),
+        |bed_states AS (
+        | SELECT *, LEAD(contact_us) OVER (
+        |   PARTITION BY department_id, room, bed
+        |   ORDER BY contact_us, msg_id) AS valid_until_us
+        | FROM cand),
+        |fac AS (
+        | SELECT DISTINCT department_id, room, bed, csn, facility FROM (
+        |  SELECT b.department_id, b.room, b.bed, p.csn, b.facility
+        |  FROM base b JOIN pool p
+        |    USING (department_id, room, bed, contact_us)
+        |  WHERE b.is_pool AND b.facility IS NOT NULL
+        |  UNION ALL
+        |  SELECT department_id, room, bed, msg_id AS csn, facility
+        |  FROM base WHERE NOT is_pool AND facility IS NOT NULL)),
+        |fac_count AS (
+        | SELECT department_id, room, bed, csn,
+        |  COUNT(DISTINCT facility) AS fc
+        | FROM fac GROUP BY 1, 2, 3, 4)
+        |SELECT level, department_id, room, bed, csn, status, is_ready,
+        | is_bunk, in_census, pool_count, valid_from_us, valid_until_us,
+        | fac_count
+        |FROM room_states
+        |UNION ALL BY NAME
+        |SELECT 'bed' AS level, b.department_id, b.room, b.bed, b.csn,
+        | b.status, CAST(NULL AS INT) AS is_ready,
+        | CAST(b.is_bunk AS INT) AS is_bunk,
+        | CAST(b.in_census AS INT) AS in_census, b.pool_count,
+        | b.contact_us AS valid_from_us, b.valid_until_us,
+        | COALESCE(f.fc, 0) AS fac_count
+        |FROM bed_states b LEFT JOIN fac_count f
+        |  USING (department_id, room, bed, csn)
+        |ORDER BY level, department_id, room, bed, csn""".stripMargin
   )
 }
