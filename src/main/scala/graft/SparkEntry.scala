@@ -1772,6 +1772,58 @@ object SparkEntry {
       roomOut.unionByName(bedOut)
         .orderBy(col("level"), col("department_id"), col("room"),
           col("bed"), col("csn"))
+    }),
+
+    // ---- O17b: ConditionVisits link table ---------------------------
+    // Problems with a PV1 visit save an insert-once condition↔visit
+    // link (ref PatientConditionController.java:337-348); links outlive
+    // condition tombstones and re-sightings are no-ops. Two batches
+    // through the persisted pipeline, then the link set joined to the
+    // live condition view.
+    "q82_condition_visits" -> ((s, dir) => {
+      import graft.streaming.WirePipeline
+      val root = java.nio.file.Files
+        .createTempDirectory("q82_state").toString
+      val dtm = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
+      val eid = col("event_id").cast("string")
+      val uid = col("user_id").cast("string")
+      val k = pmod(col("event_id"), lit(20)).cast("string")
+      val act = when(pmod(col("event_id"), lit(7)) === 0, "DE")
+        .when(pmod(col("event_id"), lit(2)) === 0, "AD").otherwise("UP")
+      val onset = date_format(timestamp_micros(
+        expr("ts_us div 1000000") * 1000000L), "yyyyMMdd")
+      val mid = concat(lit("V"), lpad(eid, 10, "0"))
+      // a visit on 2 of 3 messages; the visit id varies per message so
+      // one condition accumulates several links (concat_ws skips the
+      // null PV1 row entirely)
+      val pv1 = when(pmod(col("event_id"), lit(3)) =!= 0,
+        concat(lit("PV1|1|I|T11"), lit("|" * 16), lit("E"), uid,
+          lit("x"), pmod(col("event_id"), lit(4)).cast("string")))
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|EPIC|Problem List|||"), dtm,
+          lit("|X|PPR^PC1|"), mid, lit("|P|2.4")),
+        concat(lit("PID|1||M"), uid, lit("^^^MRN^MRN")),
+        pv1,
+        concat(lit("PRB|"), act, lit("|"), dtm, lit("|C"), k,
+          lit("^Cond^I10UK|P"), k, lit("|||||||||S"),
+          pmod(col("event_id"), lit(3)).cast("string"),
+          lit("|||"), onset))
+      val msgs = eventsUs(s, dir).withColumn("raw", raw).select("raw",
+        "event_id")
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("event_id"), lit(2)) === 0), 1L, "raw", root)
+      WirePipeline.foldBatch(
+        msgs.filter(pmod(col("event_id"), lit(2)) === 1), 2L, "raw", root)
+      val links = WirePipeline.conditionVisits(s, root).get
+      val live = WirePipeline.liveConditions(s, root).get
+        .select(col("mrn"), col("conditionTypeId"), col("internalId"),
+          col("status"))
+      links.join(live, Seq("mrn", "conditionTypeId", "internalId"))
+        .select(col("mrn"), col("conditionTypeId").as("condition_type"),
+          col("internalId").as("internal_id"),
+          col("visitNumber").as("visit_id"), col("status"))
+        .orderBy(col("mrn"), col("condition_type"), col("visit_id"))
     })
   )
 
@@ -2522,6 +2574,35 @@ object SparkEntry {
          | action
          |FROM last WHERE rn = 1 AND action <> 'DE'
          |ORDER BY mrn, condition_type""".stripMargin,
+
+    "q82_condition_visits" ->
+      s"""WITH e AS ($EventsUsSql),
+         |b AS (SELECT user_id, event_id,
+         |  (ts_us // 1000000) * 1000000 AS vf,
+         |  CAST(event_id % 20 AS INTEGER) AS k,
+         |  CASE WHEN event_id % 7 = 0 THEN 'DE'
+         |       WHEN event_id % 2 = 0 THEN 'AD' ELSE 'UP' END AS action,
+         |  'S' || CAST(event_id % 3 AS VARCHAR) AS status FROM e),
+         |links AS (SELECT DISTINCT
+         |  'M' || CAST(user_id AS VARCHAR) AS mrn,
+         |  'I10UK:C' || CAST(k AS VARCHAR) AS condition_type,
+         |  'P' || CAST(k AS VARCHAR) AS internal_id,
+         |  'E' || CAST(user_id AS VARCHAR) || 'x'
+         |    || CAST(event_id % 4 AS VARCHAR) AS visit_id
+         | FROM b WHERE event_id % 3 <> 0),
+         |last AS (SELECT 'M' || CAST(user_id AS VARCHAR) AS mrn,
+         |  'I10UK:C' || CAST(k AS VARCHAR) AS condition_type,
+         |  'P' || CAST(k AS VARCHAR) AS internal_id,
+         |  status, action,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id, k
+         |    ORDER BY vf DESC, event_id DESC) AS rn
+         | FROM b)
+         |SELECT l.mrn, l.condition_type, l.internal_id, l.visit_id,
+         | la.status
+         |FROM links l JOIN last la
+         |  USING (mrn, condition_type, internal_id)
+         |WHERE la.rn = 1 AND la.action <> 'DE'
+         |ORDER BY mrn, condition_type, visit_id""".stripMargin,
 
     "q80_dup_spans" ->
       """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

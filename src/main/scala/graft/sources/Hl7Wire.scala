@@ -658,6 +658,7 @@ object Hl7Wire {
     val raw = col(rawCol)
     val msh = segment(raw, "MSH")
     val pid = segment(raw, "PID")
+    val pv1 = segment(raw, "PV1")
     val evn = segment(raw, "EVN")
     val iam = col("__iam")
     val actionRaw = cmp(fld(iam, 6), 1)
@@ -668,6 +669,7 @@ object Hl7Wire {
       .withColumn("sourceMessageId", mshFld(msh, 10))
       .withColumn("sourceSystem", mshFld(msh, 3))
       .withColumn("mrn", cmp(rep1(fld(pid, 3)), 1))
+      .withColumn("visitNumber", cmp(fld(pv1, 19), 1))
       .withColumn("updatedTimeUs", hl7TsUs(fld(evn, 2)))
       .withColumn("subType", cmp(fld(iam, 2), 1))
       .withColumn("conditionCode", cmp(fld(iam, 3), 2))
@@ -873,7 +875,8 @@ object Hl7Wire {
       date_format(timestamp_micros(col("onsetTimeUs")), "yyyy-MM-dd")
         .as("onsetDate"),
       col("comment"),
-      col("action"))
+      col("action"),
+      col("visitNumber"))
 
   /** Funnel: [[parseAllergies]] output → the patient_condition registry
     * shape (same contract as [[wireToConditionMessages]]; ref
@@ -894,6 +897,7 @@ object Hl7Wire {
       col("onsetDate"),
       lit(null).cast("string").as("comment"),
       col("action"),
+      col("visitNumber"),
       col("reactions"))
 
   /** Funnel: [[parseInfections]] (post-[[infectionGate]]) → the

@@ -412,7 +412,26 @@ object WirePipeline {
       Seq(Hl7Wire.wireToInfectionMessages(gatedInf))
     }
 
-    val condMsgs = probMsgs ++ allerMsgs ++ infMsgs
+    // ConditionVisits link table: problems and allergies (NOT
+    // infections) with a visit save an insert-once condition↔visit link
+    // (ref core/.../PatientConditionController.java:337-348 —
+    // savePatientConditionHospitalVisitLink inserts only when no row
+    // exists, never updates, never deletes; links outlive a condition
+    // tombstone). Fold shape: key = the whole link tuple, constant
+    // payload — F6 run-coalescing makes every re-sighting a no-op, so
+    // the live view IS the distinct pair set, permutation-invariant.
+    val linkMsgs = probMsgs ++ allerMsgs
+    if (linkMsgs.nonEmpty) foldStar(
+      linkMsgs.reduce(_ unionByName _)
+        .filter(col("visitNumber").isNotNull)
+        .select(col("mrn"), col("conditionTypeId"), col("internalId"),
+          col("visitNumber"), col("updatedTimeUs"),
+          col("msgId").as("sourceMessageId"), lit(true).as("linked")),
+      cfg(stateRoot, "condition_visits",
+        Seq("mrn", "conditionTypeId", "internalId", "visitNumber"),
+        "updatedTimeUs", Seq("linked")))
+
+    val condMsgs = linkMsgs.map(_.drop("visitNumber")) ++ infMsgs
     if (condMsgs.nonEmpty) foldStar(
       condMsgs.reduce(_ unionByName _)
         .withColumnRenamed("msgId", "sourceMessageId"),
@@ -599,5 +618,26 @@ object WirePipeline {
     (if (bitemporal) btLive(spark, c)
      else StarPipeline.readState(spark, c, "live"))
       .map(_.filter(coalesce(col("action") =!= "DE", lit(true))))
+  }
+
+  /** The condition↔visit link set (ref ConditionVisits entity +
+    * PatientConditionController.savePatientConditionHospitalVisitLink):
+    * one row per distinct (mrn, conditionTypeId, internalId,
+    * visitNumber) ever seen on a problem/allergy message with a visit.
+    * Links are insert-once — a condition tombstone does NOT remove its
+    * links (the reference never deletes from this table), so read it
+    * unfiltered and join to [[liveConditions]] when only live
+    * conditions' visits are wanted.
+    */
+  def conditionVisits(spark: org.apache.spark.sql.SparkSession,
+                      stateRoot: String,
+                      bitemporal: Boolean = false): Option[DataFrame] = {
+    val c = cfg(stateRoot, "condition_visits",
+      Seq("mrn", "conditionTypeId", "internalId", "visitNumber"),
+      "updatedTimeUs", Seq("linked"))
+    (if (bitemporal) btLive(spark, c)
+     else StarPipeline.readState(spark, c, "live"))
+      .map(_.select(col("mrn"), col("conditionTypeId"),
+        col("internalId"), col("visitNumber")))
   }
 }

@@ -132,6 +132,59 @@ class WirePipelineSpec extends SparkSpecBase {
       .toSet.contains("I10UK:C1"))
   }
 
+  test("condition-visit links: insert-once distinct set, arrival-order " +
+    "invariant, survives the condition tombstone; infections never link") {
+    def msg(id: String, mrn: String, act: String, dtm: String,
+            visit: Option[String]) = {
+      val segs = Seq(
+        s"MSH|^~\\&|EPIC|Problem List|||$dtm|X|PPR^PC1|$id|P|2.4",
+        s"PID|1||$mrn^^^MRN^MRN") ++
+        visit.map(pv1) :+
+        s"PRB|$act|$dtm|C9^Asthma^I10UK|900"
+      segs.mkString("\r")
+    }
+    val frames = Seq(
+      msg("P1", "M1", "AD", "20240101100000", Some("V1")),
+      msg("P2", "M1", "UP", "20240102100000", Some("V2")),
+      // re-sighting of V1 → no second link row
+      msg("P3", "M1", "UP", "20240103100000", Some("V1")),
+      // no PV1 → no link (the reference's visit-null guard)
+      msg("P4", "M1", "UP", "20240104100000", None),
+      // the DE message still links its visit, then tombstones
+      msg("P5", "M1", "DE", "20240105100000", Some("V3")),
+      // infection for the same patient: folds, but never links
+      "MSH|^~\\&|EPIC|UCLH|||20240103120000||ADT^A05|P6|P|2.4\r" +
+        "EVN|A05|20240103120000\r" + "PID|1||M1^^^MRN^MRN\r" +
+        pv1("V9") + "\r" + "ZIF|Covid^20240102000000")
+
+    def foldInto(order: Seq[Seq[String]]): String = {
+      val root = Files.createTempDirectory("cond_visits").toString
+      order.zipWithIndex.foreach { case (b, i) =>
+        WirePipeline.foldBatch(b.toDF("raw"), i + 1L, "raw", root)
+      }
+      root
+    }
+    val rootA = foldInto(Seq(frames.take(3), frames.drop(3)))
+    val rootB = foldInto(Seq(frames.reverse.take(2), frames.reverse.drop(2)))
+
+    def linkSet(root: String) = WirePipeline.conditionVisits(spark, root)
+      .get.select("mrn", "conditionTypeId", "internalId", "visitNumber")
+      .as[(String, String, String, String)].collect().toSet
+
+    val expected = Set(
+      ("M1", "I10UK:C9", "900", "V1"),
+      ("M1", "I10UK:C9", "900", "V2"),
+      ("M1", "I10UK:C9", "900", "V3"))
+    assert(linkSet(rootA) == expected)
+    // permutation convergence: reversed arrival, different batch split
+    assert(linkSet(rootB) == expected)
+
+    // exactly ONE live version per link (re-sighting coalesced, F6)
+    assert(WirePipeline.conditionVisits(spark, rootA).get.count() == 3)
+    // the condition itself is tombstoned, links remain queryable
+    assert(WirePipeline.liveConditions(spark, rootA).get.count() == 1)
+  }
+
   test("adt ops route into derived state: chained A40 + A17 in ONE batch, " +
       "A15 pending, A29 cascade, CoPath/imaging/questions folds") {
     val root = Files.createTempDirectory("wire_derived").toString
