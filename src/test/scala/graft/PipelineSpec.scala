@@ -109,6 +109,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(gotLive == expLive && gotLive.nonEmpty)
   }
 
+  test("S8 JDBC MERGE sink folds to the same state as the manifest sink; " +
+    "replayed batches are exact no-ops") {
+    import graft.streaming.{JdbcStarSink, ManifestStarSink, StarSink}
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("derby_home").toString)
+    val jdbc: StarSink = new graft.streaming.JdbcStarSink(
+      "jdbc:derby:memory:starsink;create=true", "conditions")
+    val manifest: StarSink = ManifestStarSink
+    val cfg = StarPipeline.Config(
+      Files.createTempDirectory("star_jdbc_ref").toString,
+      Seq("key"), "ts_us", "msg_id", Seq("state", "value"), nBuckets = 8)
+
+    // out-of-order arrivals + a no-op payload repeat (F6) + a key that
+    // empties later (run coalescing must DELETE its vanished audit row)
+    val b1 = Seq(StarMsg(1, 2000, 2, "b", 2.0), StarMsg(1, 3000, 3, "b", 2.0),
+      StarMsg(2, 1000, 4, "x", 1.0)).toDF()
+    val b2 = Seq(StarMsg(1, 1000, 1, "a", 1.0), // late, retro-inserts
+      StarMsg(2, 5000, 5, "y", 9.0)).toDF()
+    Seq(jdbc, manifest).foreach { s =>
+      s.fold(b1, 1L, cfg); s.fold(b2, 2L, cfg)
+    }
+
+    def dump(s: StarSink, t: String) =
+      s.read(spark, cfg, t).get
+        .select("key", "ts_us", "msg_id", "state", "value")
+        .as[(Long, Long, Long, String, Double)].collect().toSeq.sorted
+    Seq("history", "live", "audit").foreach { t =>
+      assert(dump(jdbc, t) == dump(manifest, t), s"table $t diverged")
+    }
+    assert(dump(jdbc, "live").nonEmpty)
+
+    // replay of a committed batch: progress mark short-circuits, state
+    // unchanged (W2)
+    val before = dump(jdbc, "history")
+    jdbc.fold(b2, 2L, cfg)
+    assert(dump(jdbc, "history") == before)
+  }
+
   test("W6 compaction: cold split preserves history, folds stay identical") {
     def mkDir() = Files.createTempDirectory("star_compact").toString
     val dirA = mkDir(); val dirB = mkDir()
