@@ -892,6 +892,35 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // ---- multimodal: REAL codec — PNG encode→decode round-trip ------
+    // Deterministic solid-gray PNGs generated per event (dimensions and
+    // gray level are pure functions of event_id), decoded back through
+    // the REAL javax.imageio codec on the same mapPartitions seam as
+    // q55. The oracle predicts the decoded pixel dimensions and the
+    // dominant luminance-histogram bin from event_id alone — if the
+    // codec didn't truly parse the PNG bytes, nothing would line up.
+    "q83_imageio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(50)) === 0)
+        .select(col("event_id").cast("long").as("media_id"),
+          (lit(8) + pmod(col("event_id"), lit(32))).cast("int").as("w"),
+          (lit(8) + pmod(col("event_id"), lit(7))).cast("int").as("h"),
+          pmod(col("event_id"), lit(256)).cast("int").as("g"))
+        .as[(Long, Int, Int, Int)]
+        .map { case (id, w, h, g) => Multimodal.MediaRow(
+          id, "image", Multimodal.encodePng(w, h, g), "image/png") }
+      Multimodal
+        .decodeFeatures(media, Multimodal.ImageIoCodec, parallelism = Some(8))
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (array_position(col("feature"), array_max(col("feature"))) - 1)
+            .cast("long").as("top_bin"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- duplicate clusters: connected components over LSH pairs ----
     // q21's candidate pairs → min-label connected components; DuckDB
     // replays the clustering with a recursive CTE over the same pairs.
@@ -2274,6 +2303,14 @@ object SparkEntry {
         |SELECT CAST(media_id AS BIGINT) AS media_id,
         | CAST(unnest(range(0, frames, 7)) AS BIGINT) AS frame_idx
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q83_imageio_decode" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS media_id,
+         | CAST(8 + event_id % 32 AS BIGINT) AS width,
+         | CAST(8 + event_id % 7 AS BIGINT) AS height,
+         | CAST((event_id % 256) // 32 AS BIGINT) AS top_bin
+         |FROM e WHERE event_id % 50 = 0 ORDER BY media_id""".stripMargin,
 
     "q34_embed_neardup" ->
       """WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * Media payloads are opaque `binary` columns plus typed metadata; decode /
   * feature-extraction runs as batched per-partition transforms (the Scala
   * analog of `mapInPandas`): one task per partition, vectorized iteration,
-  * decode library called per batch. The actual codec is STUBBED here (no
-  * image/audio libs in this environment) behind `FakeCodec` — a
-  * deterministic stand-in with the real interface — so the Spark-side
-  * schema, partitioning and batch shape are real and tested.
+  * decode library called per batch. The codec seam has two impls:
+  * [[ImageIoCodec]] — a REAL pure-JVM image decode (`javax.imageio`
+  * PNG/JPEG → pixel dimensions + an intensity-histogram feature) proving
+  * the seam end-to-end on actual encoded bytes — and [[FakeCodec]], a
+  * deterministic stand-in for modalities whose native libs (ffmpeg etc.)
+  * aren't in this environment, keeping tests stable where no real decoder
+  * exists.
   */
 object Multimodal {
 
@@ -50,6 +53,59 @@ object Multimodal {
         }
         MediaFeatures(r.media_id, r.modality, n, w, h, frames, feat)
       }
+  }
+
+  /** Real image decode via `javax.imageio` (pure JVM — PNG, JPEG, BMP,
+    * GIF): actual pixel dimensions plus an 8-bin luminance histogram
+    * (normalized to the pixel count) as the feature vector. Undecodable
+    * payloads fail the task — route them through a dead-letter filter
+    * upstream when the lake may hold corrupt blobs.
+    */
+  object ImageIoCodec extends Codec {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload: media ${r.media_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+              + (rgb & 0xff)) / 3
+            hist(lum >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val total = (w.toLong * h).toFloat
+        MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
+          w, h, 1, hist.map(_ / total))
+      }
+  }
+
+  /** Deterministic solid-gray PNG bytes (pure-JVM encode) — the fixture
+    * generator for [[ImageIoCodec]]: dimensions and the histogram bin
+    * are exact functions of the arguments, so an oracle can predict the
+    * decode output without seeing the bytes.
+    */
+  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Batched decode over partitions. Repartitions to `parallelism` first

@@ -81,6 +81,28 @@ class OperatorSpec extends SparkSpecBase {
       (1 + 200 % 30 + 2) / 3)
   }
 
+  test("multimodal REAL codec: PNG encode→imageio decode round-trips " +
+    "dimensions and luminance histogram") {
+    val rows = Seq(
+      Multimodal.MediaRow(1, "image", Multimodal.encodePng(20, 10, 0),
+        "image/png"),
+      Multimodal.MediaRow(2, "image", Multimodal.encodePng(33, 7, 255),
+        "image/png"),
+      Multimodal.MediaRow(3, "image", Multimodal.encodePng(8, 8, 100),
+        "image/png")).toDS()
+    val feats = Multimodal
+      .decodeFeatures(rows, Multimodal.ImageIoCodec, parallelism = Some(2))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.width, f.height)).toSeq ==
+      Seq((20, 10), (33, 7), (8, 8)))
+    // solid gray g lands every pixel in histogram bin g/32
+    assert(feats.map(_.feature.indexWhere(_ == 1.0f)).toSeq ==
+      Seq(0, 7, 3))
+    // payload really is encoded PNG, not raw pixels
+    assert(feats.forall(f => f.n_bytes > 0 &&
+      f.n_bytes != f.width.toLong * f.height * 3))
+  }
+
   test("O4 chained merges in one batch match serial replay") {
     val pointers = Seq(("A", "A"), ("B", "B"), ("C", "C"), ("D", "D"))
       .toDF("mrn", "live_mrn")
