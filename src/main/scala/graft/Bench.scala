@@ -144,8 +144,12 @@ object Bench {
         .createTempDirectory("bench_fold").toString
       val cfg = graft.streaming.StarPipeline.Config(root, Seq("user_id"),
         "ts_us", "event_id", Seq("event_type", "value"), nBuckets = 64)
-      val e = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val raw0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val e = raw0.withColumn("ts_us",
+          raw0.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+            case _ => expr("unix_micros(cast(ts as timestamp))")
+          })
         .select("user_id", "ts_us", "event_id", "event_type", "value")
       graft.streaming.StarPipeline.foldBatch(e, 1L, cfg) // state build
       val small = e.filter(pmod(xxhash64(col("user_id")), lit(50)) === 0)
