@@ -33,6 +33,14 @@ object Bench {
       // default whole-stage-codegen cap, which silently drops them to
       // interpreted eval; lift it so the parse hot path stays codegen'd
       .config("spark.sql.codegen.maxFields", "2000")
+      // Spark 4.1's HybridAnalyzer RANDOMLY samples queries to dual-run
+      // through the experimental single-pass resolver
+      // (SQLConf.ANALYZER_DUAL_RUN_SAMPLE_RATE + a Random in
+      // HybridAnalyzer) and throws when the two resolvers disagree —
+      // a coin-flip analysis failure killed the round-6 bench run. Pin
+      // the legacy fixed-point resolver only.
+      .config("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", "false")
+      .config("spark.sql.analyzer.singlePassResolver.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -45,17 +53,23 @@ object Bench {
 
     // Drop cached relations/broadcast debris between queries so later
     // queries measure the engine, not accumulated storage pressure.
-    // localCheckpoint'd RDDs (the LSH signature tables) are NOT in the
-    // catalog cache — release them synchronously here, because leaving
-    // them to the async ContextCleaner (triggered by the gc below) races
-    // with late task-end events and pollutes the bench tail with
-    // DAGScheduler accumulator stack traces.
-    def dropCaches(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-    }
+    // Operator-persisted DataFrames (the LSH signature tables) are NOT
+    // in the catalog cache — release them synchronously here rather than
+    // leaving them to the async ContextCleaner.
+    def dropCaches(): Unit =
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dropCaches failed: ${e.getMessage}") }
+
+    // A lane-setup failure (e.g. an untimed state build) must cost that
+    // lane, never the round's whole JSON line.
+    def section(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] section $label failed: $e") }
 
     // JIT/codegen/IO warmup (untimed) so per-query numbers measure the
     // engine, not first-query JVM startup costs.
@@ -138,18 +152,14 @@ object Bench {
     //         fraction, ~1/64 of the state, not the batch row count);
     //   w5  — the same small batch through the BITEMPORAL fold (stored
     //         axis diff on top of the valid fold; budget: within 2× w3).
-    {
+    section("fold") {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files
         .createTempDirectory("bench_fold").toString
       val cfg = graft.streaming.StarPipeline.Config(root, Seq("user_id"),
         "ts_us", "event_id", Seq("event_type", "value"), nBuckets = 64)
-      val raw0 = spark.read.parquet(s"$sfDir/events.parquet")
-      val e = raw0.withColumn("ts_us",
-          raw0.schema("ts").dataType match {
-            case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-            case _ => expr("unix_micros(cast(ts as timestamp))")
-          })
+      // canonical epoch-µs derivation shared with the oracle queries
+      val e = SparkEntry.eventsUs(spark, sfDir)
         .select("user_id", "ts_us", "event_id", "event_type", "value")
       graft.streaming.StarPipeline.foldBatch(e, 1L, cfg) // state build
       val small = e.filter(pmod(xxhash64(col("user_id")), lit(50)) === 0)

@@ -34,7 +34,7 @@ object SparkEntry {
     * epoch-ns longs; floor-divide to µs to agree with the oracle's
     * epoch_us(CAST(ts AS TIMESTAMP)) truncation.
     */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsUs(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     val us = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
@@ -919,6 +919,53 @@ object SparkEntry {
           (array_position(col("feature"), array_max(col("feature"))) - 1)
             .cast("long").as("top_bin"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- decontamination: shingle overlap vs a benchmark set --------
+    // Benchmark stand-in = every 20th document; the remaining docs are
+    // "training data" checked for 3-gram membership overlap (GPT-3
+    // App. C shape). Broadcast bench hash set; portable poly-hash.
+    "q84_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.decontaminate(
+          d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", "text", shingleN = 3, threshold = 0.05)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- stratified sampling: deterministic per-language rates ------
+    "q85_stratified_sample" -> ((s, dir) => {
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id",
+          "lang", rates = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.25),
+          defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PII scrub: count + redact emails / IPv4 / phones -----------
+    // The corpus has no PII, so each doc gets a deterministic synthetic
+    // email+phone+IP suffix (pure functions of doc_id) appended in BOTH
+    // engines; the scrub then has real work whose counts and redacted
+    // text the oracle replays exactly.
+    "q86_pii_scrub" -> ((s, dir) => {
+      val salted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" +4420"),
+          lpad(pmod(col("doc_id"), lit(100000000)).cast("string"), 8, "0"),
+          lit(" 10."), (pmod(col("doc_id"), lit(200)) + 1).cast("string"),
+          lit("."), (pmod(col("doc_id") * 7, lit(200)) + 1).cast("string"),
+          lit("."), (pmod(col("doc_id") * 13, lit(200)) + 1).cast("string"))
+          .as("text"))
+      TextAnalysis.piiScrub(salted, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // ---- sequence packing: concat-and-chunk token layout ------------
+    "q87_pack_sequences" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id",
+          "source", "text", chunkTokens = 2048)
+        .orderBy(col("stream"), col("doc_id"))
     }),
 
     // ---- duplicate clusters: connected components over LSH pairs ----
@@ -2311,6 +2358,91 @@ object SparkEntry {
          | CAST(8 + event_id % 7 AS BIGINT) AS height,
          | CAST((event_id % 256) // 32 AS BIGINT) AS top_bin
          |FROM e WHERE event_id % 50 = 0 ORDER BY media_id""".stripMargin,
+
+    // Decontamination replay: the same trigram shingles + poly-hash as
+    // the Spark side (q21's hs CTE pattern), benchmark = doc_id%20=0.
+    "q84_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+        | FROM documents),
+        |shr AS (SELECT doc_id,
+        |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+        |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS s FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+        |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
+        |agg AS (SELECT t.doc_id, COUNT(*) AS n_shingles,
+        |   SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        |  FROM hs t LEFT JOIN bench b ON t.h = b.h
+        |  WHERE t.doc_id % 20 <> 0 GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+        | CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+        | CASE WHEN COALESCE(a.n_shingles, 0) > 0
+        |   THEN CAST(a.n_overlap AS DOUBLE) / a.n_shingles ELSE 0.0 END
+        |   AS overlap_frac,
+        | (CASE WHEN COALESCE(a.n_shingles, 0) > 0
+        |   THEN CAST(a.n_overlap AS DOUBLE) / a.n_shingles ELSE 0.0 END
+        |   >= 0.05) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Stratified-sample replay: poly-hash of (doc_id || '|' || lang).
+    "q85_stratified_sample" ->
+      """WITH k AS (SELECT doc_id, lang, source,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(
+        |      string_split(CAST(doc_id AS VARCHAR) || '|' || lang, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) % 10000 AS slot
+        | FROM documents)
+        |SELECT doc_id, lang, source FROM k
+        |WHERE slot < (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+        |  WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000.0
+        |ORDER BY doc_id""".stripMargin,
+
+    // PII-scrub replay: identical RE2/Java-compatible patterns over the
+    // same deterministically salted text.
+    "q86_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com +4420'
+        |   || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+        |   || ' 10.' || CAST(doc_id % 200 + 1 AS VARCHAR)
+        |   || '.' || CAST((doc_id * 7) % 200 + 1 AS VARCHAR)
+        |   || '.' || CAST((doc_id * 13) % 200 + 1 AS VARCHAR) AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(t,
+        |   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+        | CAST(len(regexp_extract_all(t, '\+[0-9]{8,15}')) AS INT)
+        |   AS n_phones,
+        | regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+[0-9]{8,15}', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Sequence-packing replay: exact integer cumulative sums.
+    "q87_pack_sequences" ->
+      """WITH n AS (SELECT source AS stream, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |c AS (SELECT stream, doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM n)
+        |SELECT stream, doc_id, n_tokens, end_tok,
+        | end_tok - n_tokens AS start_tok,
+        | CAST((end_tok - n_tokens) // 2048 AS BIGINT) AS first_chunk,
+        | CAST((end_tok - 1) // 2048 AS BIGINT) AS last_chunk
+        |FROM c ORDER BY stream, doc_id""".stripMargin,
 
     "q34_embed_neardup" ->
       """WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

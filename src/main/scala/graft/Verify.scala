@@ -21,6 +21,12 @@ object Verify {
       // wide wire-parse projections must stay inside whole-stage
       // codegen (default field cap silently drops them to interpreted)
       .config("spark.sql.codegen.maxFields", "2000")
+      // Disable the sampled dual-run of the experimental single-pass
+      // resolver (HybridAnalyzer throws on resolver disagreement, at
+      // random, per ANALYZER_DUAL_RUN_SAMPLE_RATE) — one flaky analysis
+      // failure must not zero a round's correctness dump.
+      .config("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", "false")
+      .config("spark.sql.analyzer.singlePassResolver.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -106,8 +106,8 @@ object Dedup {
     * earlier form carried both arrays through the join and scored every
     * band collision — up to `bands`× redundant shuffle + compute; it was
     * the round-1 bench outlier at 44 s). The signature aggregate is
-    * lazily localCheckpoint'd: it feeds the bucket explode and both pair
-    * joins, and at 100 TB you would materialize signatures anyway.
+    * persisted: it feeds the bucket explode and both pair joins, and at
+    * 100 TB you would materialize signatures anyway.
     *
     * `maxBucketSize` drops degenerate buckets (boilerplate docs hashing
     * identically) whose membership exceeds the cap — without it one hot
@@ -126,8 +126,8 @@ object Dedup {
     * 64× recompute, codegen-breaking tree. Measured minutes → seconds.)
     */
   /** MinHash signature table (doc_id, s0..s{numPerm-1}) — the reusable
-    * first stage of [[minhashLsh]] and [[incrementalMinhash]]. Lazily
-    * localCheckpoint'd: one computation feeds every consumer.
+    * first stage of [[minhashLsh]] and [[incrementalMinhash]]. Persisted:
+    * one computation feeds every consumer.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numPerm: Int, seed: Long,
@@ -158,7 +158,15 @@ object Dedup {
         perms.tail.zipWithIndex.map { case ((a, b), i) =>
           min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s${i + 1}")
         }: _*)
-      .localCheckpoint(false) // lazy: computed once, reused by 3 consumers
+      // computed once, reused by 3 consumers. persist, NOT localCheckpoint:
+      // truncating the lineage here made the ContextCleaner unregister the
+      // checkpoint job's stage accumulators while late task-end events
+      // still referenced them — every bench run of q21 logged a page of
+      // benign-but-noisy "non-existent accumulator" DAGScheduler errors
+      // (round-5 verdict). persist gives the same compute-once property
+      // with the lineage intact; callers release it via unpersist or
+      // catalog-wide cache drops.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** LSH band buckets (doc_id, band, bucket) from a signature table. */
@@ -245,7 +253,7 @@ object Dedup {
     val bSig = minhashSignatures(batch, idCol, textCol, shingleN, numPerm,
       seed, portable)
     val bBuckets = bandBuckets(bSig, numPerm, bands, portable)
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // batch drives the probe: new×old needs any id order (normalized
     // below), new×new counts once via the id ordering

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -166,4 +167,103 @@ object TextAnalysis {
       size(tokens(col(textCol))).as("n_words"),
       greatest(size(tokens(col(textCol))).cast("long"),
         ceil(length(col(textCol)).cast("double") / 4.0)).as("est_bpe_tokens"))
+
+  /** Test-set decontamination: flag training documents whose shingle
+    * overlap with a benchmark/eval corpus exceeds `threshold` (the
+    * GPT-3-style n-gram membership check, Brown et al. 2020 App. C;
+    * PaLM §8 uses the same shape). Per doc: total distinct shingles,
+    * how many appear anywhere in the benchmark, and the overlap
+    * fraction.
+    *
+    * Scale shape: benchmark sets are eval-sized (thousands of docs) —
+    * their distinct hash set is broadcast, so the 100 TB training side
+    * never shuffles its shingle stream; the only exchange is the final
+    * per-doc aggregation, carried pre-reduced by partial aggregation.
+    * Shingles hash through the portable poly-hash
+    * ([[graft.functions.ShingleHash]]), so the check is oracle-replayable.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, benchTextCol: String,
+                    shingleN: Int = 5, threshold: Double = 0.1): DataFrame = {
+    import graft.functions.ShingleHash
+    val docSh = docs.select(col(idCol).as("doc_id"),
+      explode_outer(array_distinct(
+        ShingleHash.shingleHashes(col(textCol), shingleN))).as("h"))
+    val benchSh = benchmark.select(explode(array_distinct(
+        ShingleHash.shingleHashes(col(benchTextCol), shingleN))).as("h"))
+      .distinct().withColumn("__hit", lit(1L))
+    docSh.join(broadcast(benchSh), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          col("n_overlap").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * documents, decided by a portable hash of (id, stratum) — stable
+    * across runs, clusters, and engines (no RNG state, no
+    * `sample()` nondeterminism under retries; the property a
+    * reproducible training-data pipeline needs). `rates` maps stratum →
+    * keep fraction in [0,1]; anything unlisted keeps `defaultRate`.
+    * Zero shuffle: one codegen'd predicate per row.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val slot = pmod(charPolyHash(
+      concat(col(idCol).cast("string"), lit("|"), col(strataCol))), lit(10000L))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(slot < rate * 10000.0)
+  }
+
+  /** PII scrubbing: count and redact emails, IPv4 addresses, and
+    * international-format phone numbers. Pure per-row regex work (zero
+    * shuffle, codegen'd); patterns are restricted to syntax with
+    * identical semantics in Java regex and RE2 so the scrub is
+    * oracle-replayable. Redaction order (emails → IPs → phones) is part
+    * of the contract: an email's host must not be re-matched as a
+    * bare domain by later passes.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{8,15}"
+
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
+  /** Sequence packing (concat-and-chunk): lay documents end-to-end per
+    * `groupCol` stream in `idCol` order and record which fixed-size
+    * token windows each document spans — the GPT-style pretraining
+    * batch layout. Emits per doc: token offsets in the stream and the
+    * first/last chunk indices (a doc straddling a boundary appears in
+    * both chunks; the trainer masks across the join).
+    *
+    * One shuffle (the per-group window); the cumulative sum is exact
+    * integer arithmetic, so the layout is deterministic and
+    * oracle-replayable at any parallelism.
+    */
+  def packSequences(docs: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, chunkTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+    docs.select(col(groupCol).as("stream"), col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("first_chunk", floor(col("start_tok") / chunkTokens))
+      .withColumn("last_chunk", floor((col("end_tok") - lit(1)) / chunkTokens))
+  }
 }

@@ -12,6 +12,9 @@ object SharedSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // no sampled dual-run analysis (flaky HybridAnalyzer disagreement)
+    .config("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", "false")
+    .config("spark.sql.analyzer.singlePassResolver.enabled", "false")
     .getOrCreate()
 }
 

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-7 training-data ops: decontamination, stratified sampling,
+  * PII scrubbing, sequence packing.
+  */
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("decontaminate: overlap fraction against a benchmark set") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 4 trigrams, 2 shared
+      (2L, "one two three four"),                  // disjoint from bench
+      (3L, "xy zz")                                // too short: 0 shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "gamma delta epsilon zeta eta")       // shares 2 trigrams w/ d1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(docs, bench, "doc_id", "text",
+        "text", shingleN = 3, threshold = 0.4)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.length == 3)
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_shingles") == 4 &&
+      d1.getAs[Long]("n_overlap") == 2 &&
+      d1.getAs[Double]("overlap_frac") == 0.5 &&
+      d1.getAs[Boolean]("contaminated"))
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_overlap") == 0 && !d2.getAs[Boolean]("contaminated"))
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_shingles") == 0 &&
+      d3.getAs[Double]("overlap_frac") == 0.0 &&
+      !d3.getAs[Boolean]("contaminated"))
+  }
+
+  test("stratifiedSample: deterministic, rate-monotone, boundary rates") {
+    val docs = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val all = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 1.0))
+    assert(all.count() == 1000, "rate 1.0 keeps everything")
+    val none = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.0, "de" -> 0.0))
+    assert(none.count() == 0, "rate 0.0 keeps nothing")
+
+    val half = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val c1 = half.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // hash-sampling tolerance: ±10 points of the target rate at n=500
+    assert(math.abs(c1("en") - 250L) < 50, s"en kept ${c1("en")}")
+    assert(math.abs(c1("de") - 50L) < 50, s"de kept ${c1("de")}")
+    // determinism: the same call selects the same rows
+    val again = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+    assert(half.select("doc_id").except(again.select("doc_id")).count() == 0)
+    // subset property: raising a rate only adds documents
+    val more = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.8, "de" -> 0.1))
+    assert(half.select("doc_id").except(more.select("doc_id")).count() == 0,
+      "lower-rate selection must be a subset of the higher-rate one")
+  }
+
+  test("piiScrub: counts and redaction") {
+    val docs = Seq(
+      (1L, "mail a.user+x@dept.example.org and b@c.io from 192.168.0.1 call +442071234567"),
+      (2L, "clean text with version 1.2 and price 3.4")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_emails") == 2 && r1.getAs[Int]("n_ips") == 1 &&
+      r1.getAs[Int]("n_phones") == 1)
+    assert(r1.getAs[String]("redacted") ==
+      "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>")
+    val r2 = out(1)
+    assert(r2.getAs[Int]("n_emails") == 0 && r2.getAs[Int]("n_ips") == 0 &&
+      r2.getAs[Int]("n_phones") == 0)
+    assert(r2.getAs[String]("redacted") == "clean text with version 1.2 and price 3.4")
+  }
+
+  test("packSequences: contiguous offsets, chunk spans, straddling docs") {
+    val docs = Seq(
+      (1L, "s", "a b c d"),        // 4 tokens: [0,4)   chunk 0
+      (2L, "s", "e f g"),          // 3 tokens: [4,7)   chunks 0-1 (straddles 5)
+      (3L, "s", "h i"),            // 2 tokens: [7,9)   chunk 1
+      (10L, "t", "x y z w v u t")  // own stream: [0,7) chunks 0-1
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "source", "text",
+        chunkTokens = 5)
+      .orderBy("stream", "doc_id")
+      .select("stream", "doc_id", "n_tokens", "start_tok", "end_tok",
+        "first_chunk", "last_chunk")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == (("s", 1L, 4L, 0L, 4L, 0L, 0L)))
+    assert(out(1) == (("s", 2L, 3L, 4L, 7L, 0L, 1L)))
+    assert(out(2) == (("s", 3L, 2L, 7L, 9L, 1L, 1L)))
+    assert(out(3) == (("t", 10L, 7L, 0L, 7L, 0L, 1L)))
+    // offsets are gap-free per stream
+    val s = out.filter(_._1 == "s")
+    assert(s.sliding(2).forall(p => p(0)._5 == p(1)._4))
+  }
+}
