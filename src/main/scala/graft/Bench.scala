@@ -17,7 +17,11 @@ object Bench {
     "q07_scd2_history", "q09_interval_join", "q10_disjunctive_lookup",
     "q17_upsert_kernel", "q19_dedup_exact", "q21_minhash_lsh",
     "q23_ann_brute", "q25_text_stats", "q27_fingerprint",
-    "q31_asof_join", "q34_embed_neardup")
+    "q31_asof_join", "q34_embed_neardup",
+    // round 7: decontamination (broadcast-join + one-agg shape) and
+    // sequence packing (per-stream window) — trendlines for the new
+    // text-prep operators
+    "q84_decontaminate", "q87_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -157,4 +157,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(ts_us), GreaterThanOrEqual(ts_us,5000)]") ||
       p.contains("GreaterThanOrEqual(ts_us,5000)"), p)
   }
+
+  test("stratified sample and PII scrub are shuffle-free per-row work") {
+    val docs = Seq((1L, "en", "some text a@b.co")).toDF("doc_id", "lang", "text")
+    val pSample = plan(graft.operators.TextAnalysis.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.5)))
+    assert(countIn(pSample, "Exchange") == 0, pSample)
+    val pScrub = plan(graft.operators.TextAnalysis.piiScrub(docs, "doc_id", "text"))
+    assert(countIn(pScrub, "Exchange") == 0, pScrub)
+  }
+
+  test("decontamination broadcasts the benchmark set; the training " +
+      "shingle stream is never shuffled (one agg exchange only)") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e f")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.decontaminate(
+      docs, bench, "doc_id", "text", "text", shingleN = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the TRAINING side shuffles exactly once — the per-doc aggregation,
+    // pre-reduced by partial aggregation. (The benchmark side's distinct
+    // has its own exchange, but that's the eval-sized set feeding the
+    // broadcast, never the 100 TB side.)
+    assert(countIn(p, "Exchange hashpartitioning\\(doc_id") == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("sequence packing: one exchange, reused by the window cumsum") {
+    val docs = Seq((1L, "s", "a b"), (2L, "s", "c")).toDF("doc_id", "source", "text")
+    val p = plan(graft.operators.TextAnalysis.packSequences(
+      docs, "doc_id", "source", "text", chunkTokens = 8))
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p)
+  }
 }
