@@ -968,6 +968,15 @@ object SparkEntry {
         .orderBy(col("stream"), col("doc_id"))
     }),
 
+    // ---- SemDeDup: within-cluster semantic dedup ---------------------
+    // Keep-the-outlier pruning ordered by centroid similarity; exact-
+    // integer centroid quantization makes the order engine-portable.
+    "q88_semdedup" -> ((s, dir) => {
+      Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", tau = 0.3, maxClusterSize = 2000)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- duplicate clusters: connected components over LSH pairs ----
     // q21's candidate pairs → min-label connected components; DuckDB
     // replays the clustering with a recursive CTE over the same pairs.
@@ -2443,6 +2452,35 @@ object SparkEntry {
         | CAST((end_tok - n_tokens) // 2048 AS BIGINT) AS first_chunk,
         | CAST((end_tok - 1) // 2048 AS BIGINT) AS last_chunk
         |FROM c ORDER BY stream, doc_id""".stripMargin,
+
+    // SemDeDup replay: centroids from exact integer quantization sums
+    // (order-independent), centroid-similarity order with id tie-break,
+    // unrounded pair cosines against tau (q34's precision convention).
+    "q88_semdedup" ->
+      """WITH ex AS (SELECT vec_id, label AS cluster,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  QUALIFY COUNT(*) OVER (PARTITION BY label) <= 2000),
+        |dim AS (SELECT cluster, i,
+        |  SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
+        | FROM (SELECT cluster, unnest(v) AS x,
+        |    unnest(range(len(v))) AS i FROM ex)
+        | GROUP BY cluster, i),
+        |cents AS (SELECT cluster,
+        |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
+        | FROM dim GROUP BY cluster),
+        |sc AS (SELECT e.vec_id, e.cluster, e.v,
+        |  round(list_cosine_similarity(e.v, c.cv), 4) + 0.0 AS r
+        | FROM ex e JOIN cents c USING (cluster)),
+        |vict AS (SELECT b.vec_id, COUNT(*) AS nd
+        | FROM sc a JOIN sc b ON a.cluster = b.cluster
+        |  AND (a.r < b.r OR (a.r = b.r AND a.vec_id < b.vec_id))
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.3
+        | GROUP BY b.vec_id)
+        |SELECT s.vec_id, s.cluster, s.r AS cent_sim,
+        | CAST(COALESCE(v.nd, 0) AS BIGINT) AS n_earlier_dups,
+        | (v.nd IS NULL) AS kept
+        |FROM sc s LEFT JOIN vict v USING (vec_id)
+        |ORDER BY s.vec_id""".stripMargin,
 
     "q34_embed_neardup" ->
       """WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

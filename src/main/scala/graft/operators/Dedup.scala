@@ -401,4 +401,70 @@ object Dedup {
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup of an embedding corpus
+    * — cluster, then inside each cluster drop every vector that has an
+    * EARLIER-ORDERED neighbor with cosine ≥ `tau`, where the order is
+    * ascending similarity-to-centroid (the paper's keep-the-outlier
+    * policy: the member farthest from the centroid survives its ε-ball,
+    * preserving diversity).
+    *
+    * `clusterCol` is any precomputed coarse assignment (a label, an
+    * [[graft.operators.Ann.ivfCluster]] argmin, an LSH bucket) — same
+    * convention as [[graft.operators.Ann.ivfTopK]]. The within-cluster
+    * pair join is the quadratic step and is confined to clusters, with
+    * `maxClusterSize` dropping degenerate ones — identical scale shape
+    * to the LSH bucket join.
+    *
+    * Determinism across engines (the oracle property): centroids are
+    * computed over floor(x·10⁴) integer quantizations — integer sums are
+    * exact and order-independent, unlike float aggregation, so the
+    * centroid (and the similarity ORDER it induces) is bit-identical in
+    * any engine; per-pair cosines are sequential per-row arithmetic.
+    * Ordering ties break by id.
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               clusterCol: String, tau: Double,
+               maxClusterSize: Int = 0): DataFrame = {
+    val ex0 = vectors.select(col(idCol).as("vec_id"),
+      col(clusterCol).as("cluster"), toDoubleVec(col(vecCol)).as("v"))
+    val ex = if (maxClusterSize > 0) {
+      val w = Window.partitionBy(col("cluster"))
+      ex0.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") <= maxClusterSize).drop("__n")
+    } else ex0
+
+    // exact-integer centroid: per (cluster, dim) sum of floor(x*1e4)
+    val cents = ex
+      .select(col("cluster"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy(col("cluster"), col("p"))
+      .agg(sum(floor(col("x") * 10000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("s").cast("double") / (col("n") * 10000.0))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        s => s.getField("m")).as("cv"))
+
+    // similarity to centroid (rounded: the deterministic order key)
+    val scored = ex.join(broadcast(cents), Seq("cluster"))
+      .withColumn("r",
+        round(cosineSimPre(col("v"), col("cv"),
+          l2Norm(col("v")), l2Norm(col("cv"))), 4) + lit(0.0))
+      .select(col("vec_id"), col("cluster"), col("v"), col("r"))
+
+    val a = scored.as("a"); val b = scored.as("b")
+    val earlier = col("a.r") < col("b.r") ||
+      (col("a.r") === col("b.r") && col("a.vec_id") < col("b.vec_id"))
+    val victims = a.join(b,
+        col("a.cluster") === col("b.cluster") && earlier &&
+          cosineSimPre(col("a.v"), col("b.v"),
+            l2Norm(col("a.v")), l2Norm(col("b.v"))) >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"))
+
+    scored.join(victims, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("r").as("cent_sim"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        col("n_earlier_dups").isNull.as("kept"))
+  }
 }

@@ -81,6 +81,54 @@ class TextOpsSpec extends SparkSpecBase {
     assert(r2.getAs[String]("redacted") == "clean text with version 1.2 and price 3.4")
   }
 
+  test("semDedup: kept set is tau-separated; every drop has an earlier witness") {
+    import graft.operators.Dedup
+    val tau = 0.9
+    // cluster 0: three near-collinear vectors + one orthogonal;
+    // cluster 1: an exact-duplicate pair
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.98f, 0.1f, 0.0f)),
+      (3L, 0, Seq(0.95f, 0.2f, 0.0f)),
+      (4L, 0, Seq(0.0f, 0.0f, 1.0f)),
+      (5L, 1, Seq(0.5f, 0.5f, 0.5f)),
+      (6L, 1, Seq(0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.semDedup(vecs, "vec_id", "embedding", "label", tau)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Double]("cent_sim"), r.getAs[Long]("n_earlier_dups"),
+        r.getAs[Boolean]("kept"))).sortBy(_._1)
+    assert(out.length == 6)
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val raw = Seq(1L -> (0, Seq(1.0f, 0.0f, 0.0f)), 2L -> (0, Seq(0.98f, 0.1f, 0.0f)),
+      3L -> (0, Seq(0.95f, 0.2f, 0.0f)), 4L -> (0, Seq(0.0f, 0.0f, 1.0f)),
+      5L -> (1, Seq(0.5f, 0.5f, 0.5f)), 6L -> (1, Seq(0.5f, 0.5f, 0.5f))).toMap
+
+    // kept vectors are pairwise tau-separated within each cluster
+    val kept = out.filter(_._5)
+    for (Seq(x, y) <- kept.toSeq.combinations(2) if x._2 == y._2)
+      assert(cos(raw(x._1)._2, raw(y._1)._2) < tau,
+        s"kept pair ${x._1},${y._1} violates tau separation")
+    // every dropped vector has an earlier-ordered similar witness
+    val order = out.map(r => r._1 -> (r._3, r._1)).toMap
+    for (d <- out.filter(!_._5)) {
+      val witnesses = out.filter(o => o._2 == d._2 && o._1 != d._1 &&
+        (o._3 < d._3 || (o._3 == d._3 && o._1 < d._1)) &&
+        cos(raw(o._1)._2, raw(d._1)._2) >= tau)
+      assert(witnesses.nonEmpty, s"dropped ${d._1} has no earlier witness")
+      assert(d._4 == witnesses.length.toLong)
+    }
+    // the orthogonal vector always survives
+    assert(out.find(_._1 == 4L).get._5)
+    // exact duplicates: exactly one of the pair survives
+    assert(out.filter(r => r._1 == 5L || r._1 == 6L).count(_._5) == 1)
+  }
+
   test("packSequences: contiguous offsets, chunk spans, straddling docs") {
     val docs = Seq(
       (1L, "s", "a b c d"),        // 4 tokens: [0,4)   chunk 0
