@@ -968,6 +968,40 @@ object SparkEntry {
         .orderBy(col("stream"), col("doc_id"))
     }),
 
+    // ---- composed prep pipeline v2: the round-7 ops chained ----------
+    // decontaminate (drop overlap ≥ 5%) → stratified sample → PII scrub
+    // (salted as in q86) → sequence packing on the REDACTED text. One
+    // oracle over the whole chain proves the stages compose: offsets
+    // downstream shift if any upstream stage keeps/drops/rewrites
+    // differently.
+    "q89_prep_pipeline2" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val clean = TextAnalysis.decontaminate(train, bench, "doc_id",
+          "text", "text", shingleN = 3, threshold = 0.05)
+        .filter(!col("contaminated")).select("doc_id")
+      val sampled = TextAnalysis.stratifiedSample(
+        train.join(clean, "doc_id"), "doc_id", "lang",
+        rates = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.25),
+        defaultRate = 0.1)
+      val salted = sampled.select(col("doc_id"), col("source"),
+        concat(col("text"),
+          lit(" user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" +4420"),
+          lpad(pmod(col("doc_id"), lit(100000000)).cast("string"), 8, "0"),
+          lit(" 10."), (pmod(col("doc_id"), lit(200)) + 1).cast("string"),
+          lit("."), (pmod(col("doc_id") * 7, lit(200)) + 1).cast("string"),
+          lit("."), (pmod(col("doc_id") * 13, lit(200)) + 1).cast("string"))
+          .as("text"))
+      val scrubbed = TextAnalysis.piiScrub(salted, "doc_id", "text")
+        .join(salted.select("doc_id", "source"), "doc_id")
+        .withColumnRenamed("redacted", "text")
+      TextAnalysis.packSequences(scrubbed, "doc_id", "source", "text",
+          chunkTokens = 2048)
+        .orderBy(col("stream"), col("doc_id"))
+    }),
+
     // ---- SemDeDup: within-cluster semantic dedup ---------------------
     // Keep-the-outlier pruning ordered by centroid similarity; exact-
     // integer centroid quantization makes the order engine-portable.
@@ -2444,6 +2478,63 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |    AS n_tokens
         | FROM documents),
+        |c AS (SELECT stream, doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM n)
+        |SELECT stream, doc_id, n_tokens, end_tok,
+        | end_tok - n_tokens AS start_tok,
+        | CAST((end_tok - n_tokens) // 2048 AS BIGINT) AS first_chunk,
+        | CAST((end_tok - 1) // 2048 AS BIGINT) AS last_chunk
+        |FROM c ORDER BY stream, doc_id""".stripMargin,
+
+    // Composed prep replay: the q84 decontamination CTEs feed the q85
+    // sample slot, the q86 salt+scrub, then the q87 cumsum layout.
+    "q89_prep_pipeline2" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+        | FROM documents),
+        |shr AS (SELECT doc_id,
+        |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+        |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS s FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+        |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
+        |agg AS (SELECT t.doc_id, COUNT(*) AS n_sh,
+        |   SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+        |  FROM hs t LEFT JOIN bench b ON t.h = b.h
+        |  WHERE t.doc_id % 20 <> 0 GROUP BY t.doc_id),
+        |keep AS (SELECT d.doc_id FROM
+        |  (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |  LEFT JOIN agg a USING (doc_id)
+        |  WHERE CASE WHEN COALESCE(a.n_sh, 0) > 0
+        |    THEN CAST(a.n_ov AS DOUBLE) / a.n_sh ELSE 0.0 END < 0.05),
+        |samp AS (SELECT d.doc_id, d.source, d.text
+        | FROM documents d JOIN keep USING (doc_id)
+        | WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(
+        |      string_split(CAST(d.doc_id AS VARCHAR) || '|' || d.lang, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) % 10000
+        |  < (CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+        |     WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000.0),
+        |red AS (SELECT doc_id, source,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |   text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com +4420'
+        |    || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+        |    || ' 10.' || CAST(doc_id % 200 + 1 AS VARCHAR)
+        |    || '.' || CAST((doc_id * 7) % 200 + 1 AS VARCHAR)
+        |    || '.' || CAST((doc_id * 13) % 200 + 1 AS VARCHAR),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+[0-9]{8,15}', '<PHONE>', 'g') AS rt
+        | FROM samp),
+        |n AS (SELECT source AS stream, doc_id,
+        |  CAST(len(string_split_regex(trim(rt), '\s+')) AS BIGINT)
+        |    AS n_tokens FROM red),
         |c AS (SELECT stream, doc_id, n_tokens,
         |  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM n)
