@@ -121,6 +121,50 @@ class QueuePublisherSpec extends AnyFunSuite {
     pub.shutdown()
   }
 
+  test("retry backoff doubles after a full window of nacks, capped, and " +
+      "resets on recovery") {
+    val sendTimes = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
+    @volatile var pubRef: QueuePublisher[String] = null
+    val refuse = new java.util.concurrent.atomic.AtomicInteger(0)
+    // refuse the first 3 deliveries of f0, then accept everything
+    val refuse9 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val tr = new ConfirmTransport[String] {
+      def send(frame: String, corr: String): Unit = {
+        sendTimes.add((corr, System.nanoTime()))
+        if (corr.startsWith("c0:") && refuse.getAndIncrement() < 3) pubRef.nack(corr)
+        else if (corr.startsWith("c9:") && refuse9.getAndSet(false)) pubRef.nack(corr)
+        else pubRef.ack(corr)
+      }
+    }
+    // maxInTransit=1 → each nack completes "a full window at this
+    // delay", so the delay doubles for SUBSEQUENT retries (reference
+    // semantics: the schedule uses the pre-update delay): 40, 40, 80 ms
+    val pub = new QueuePublisher[String](tr, maxBatches = 2, maxInTransit = 1,
+      initialDelayMs = 40L, maximumDelayMs = 100000L)
+    pubRef = pub
+    val done = new CountDownLatch(1)
+    pub.submit(Seq(("f0", "c0"), ("f1", "c1")), "b1", () => done.countDown())
+    assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS))
+
+    val f0 = sendTimes.asScala.filter(_._1 == "c0:b1").map(_._2)
+    assert(f0.size == 4, s"f0 must be sent 1 + 3 retries, saw ${f0.size}")
+    val gaps = f0.sliding(2).map { case Seq(a, b) => (b - a) / 1000000L }.toSeq
+    assert(gaps(0) >= 40 && gaps(1) >= 40 && gaps(2) >= 80,
+      s"backoff must escalate 40/40/80: $gaps")
+    // recovery reset: the successful ack of f0's last retry reset the
+    // delay, so a FRESH failure (c9, nacked once) retries after the
+    // INITIAL delay again, not the escalated one
+    val done2 = new CountDownLatch(1)
+    pub.submit(Seq(("f9", "c9")), "b2", () => done2.countDown())
+    assert(done2.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val f9 = sendTimes.asScala.filter(_._1 == "c9:b2").map(_._2)
+    assert(f9.size == 2, s"f9 must be sent once + one retry, saw ${f9.size}")
+    val gap9 = (f9(1) - f9(0)) / 1000000L
+    assert(gap9 >= 40 && gap9 < 160,
+      s"delay must reset to the initial 40ms after recovery, saw ${gap9}ms")
+    pub.shutdown()
+  }
+
   test("shutdown rejects further submits") {
     val pub = new QueuePublisher[String](new FakeTransport)
     pub.shutdown()
