@@ -140,7 +140,7 @@ class QueuePublisherSpec extends AnyFunSuite {
     // delay", so the delay doubles for SUBSEQUENT retries (reference
     // semantics: the schedule uses the pre-update delay): 40, 40, 80 ms
     val pub = new QueuePublisher[String](tr, maxBatches = 2, maxInTransit = 1,
-      initialDelayMs = 40L, maximumDelayMs = 100000L)
+      initialDelayMs = 60L, maximumDelayMs = 100000L)
     pubRef = pub
     val done = new CountDownLatch(1)
     pub.submit(Seq(("f0", "c0"), ("f1", "c1")), "b1", () => done.countDown())
@@ -149,8 +149,8 @@ class QueuePublisherSpec extends AnyFunSuite {
     val f0 = sendTimes.asScala.filter(_._1 == "c0:b1").map(_._2)
     assert(f0.size == 4, s"f0 must be sent 1 + 3 retries, saw ${f0.size}")
     val gaps = f0.sliding(2).map { case Seq(a, b) => (b - a) / 1000000L }.toSeq
-    assert(gaps(0) >= 40 && gaps(1) >= 40 && gaps(2) >= 80,
-      s"backoff must escalate 40/40/80: $gaps")
+    assert(gaps(0) >= 60 && gaps(1) >= 60 && gaps(2) >= 120,
+      s"backoff must escalate 60/60/120: $gaps")
     // recovery reset: the successful ack of f0's last retry reset the
     // delay, so a FRESH failure (c9, nacked once) retries after the
     // INITIAL delay again, not the escalated one
@@ -160,8 +160,12 @@ class QueuePublisherSpec extends AnyFunSuite {
     val f9 = sendTimes.asScala.filter(_._1 == "c9:b2").map(_._2)
     assert(f9.size == 2, s"f9 must be sent once + one retry, saw ${f9.size}")
     val gap9 = (f9(1) - f9(0)) / 1000000L
-    assert(gap9 >= 40 && gap9 < 160,
-      s"delay must reset to the initial 40ms after recovery, saw ${gap9}ms")
+    // without the reset the next scheduled delay would be 240ms (the
+    // escalation had reached 60→120→240); < 240 discriminates while
+    // leaving 180ms of slack for a loaded scheduler firing the 60ms
+    // retry late
+    assert(gap9 >= 60 && gap9 < 240,
+      s"delay must reset to the initial 60ms after recovery, saw ${gap9}ms")
     pub.shutdown()
   }
 
