@@ -57,9 +57,11 @@ object Bench {
 
     // Drop cached relations/broadcast debris between queries so later
     // queries measure the engine, not accumulated storage pressure.
-    // Operator-persisted DataFrames (the LSH signature tables) are NOT
-    // in the catalog cache — release them synchronously here rather than
-    // leaving them to the async ContextCleaner.
+    // Dataset.persist registers with the shared CacheManager, so
+    // clearCache() releases the operator-persisted DataFrames (the LSH
+    // signature tables) too; the explicit blocking unpersist of any
+    // remaining RDD-level persists keeps the release synchronous instead
+    // of racing the async ContextCleaner into the next lane.
     def dropCaches(): Unit =
       try {
         spark.catalog.clearCache()

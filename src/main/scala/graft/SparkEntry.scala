@@ -2414,9 +2414,10 @@ object SparkEntry {
         |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
         |    AS s FROM toks),
         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
-        |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |hs AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh)),
         |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
         |agg AS (SELECT t.doc_id, COUNT(*) AS n_shingles,
         |   SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
@@ -2444,8 +2445,8 @@ object SparkEntry {
         |    (h, c) -> (h * 31 + c) % 2147483647) % 10000 AS slot
         | FROM documents)
         |SELECT doc_id, lang, source FROM k
-        |WHERE slot < (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
-        |  WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000.0
+        |WHERE slot < (CASE lang WHEN 'en' THEN 9000 WHEN 'de' THEN 5000
+        |  WHEN 'zh' THEN 2500 ELSE 1000 END)
         |ORDER BY doc_id""".stripMargin,
 
     // PII-scrub replay: identical RE2/Java-compatible patterns over the
@@ -2499,9 +2500,10 @@ object SparkEntry {
         |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
         |    AS s FROM toks),
         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
-        |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |hs AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh)),
         |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
         |agg AS (SELECT t.doc_id, COUNT(*) AS n_sh,
         |   SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
@@ -2519,8 +2521,8 @@ object SparkEntry {
         |      string_split(CAST(d.doc_id AS VARCHAR) || '|' || d.lang, ''),
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 2147483647) % 10000
-        |  < (CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
-        |     WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000.0),
+        |  < (CASE d.lang WHEN 'en' THEN 9000 WHEN 'de' THEN 5000
+        |     WHEN 'zh' THEN 2500 ELSE 1000 END)),
         |red AS (SELECT doc_id, source,
         |  regexp_replace(regexp_replace(regexp_replace(
         |   text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com +4420'

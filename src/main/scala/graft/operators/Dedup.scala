@@ -158,15 +158,21 @@ object Dedup {
         perms.tail.zipWithIndex.map { case ((a, b), i) =>
           min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s${i + 1}")
         }: _*)
-      // computed once, reused by 3 consumers. persist, NOT localCheckpoint:
-      // truncating the lineage here made the ContextCleaner unregister the
-      // checkpoint job's stage accumulators while late task-end events
-      // still referenced them — every bench run of q21 logged a page of
-      // benign-but-noisy "non-existent accumulator" DAGScheduler errors
-      // (round-5 verdict). persist gives the same compute-once property
-      // with the lineage intact; callers release it via unpersist or
-      // catalog-wide cache drops.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // computed once, reused by 3 consumers (bucket explode + both pair
+      // joins). localCheckpoint, measured against the alternatives at
+      // sf0.1 in the full bench sequence (round 8): lazy MEMORY_AND_DISK
+      // persist +25%, eagerly materialized MEMORY_ONLY persist +33% —
+      // rescanning the InMemoryRelation's compressed columnar batches
+      // three times costs more than re-reading the checkpointed row
+      // partitions, and eager materialization doesn't help because the
+      // consumers never actually raced (one action, shared cached
+      // stages). The round-5 "non-existent accumulator" ContextCleaner
+      // noise that motivated round 7's persist swap is instead fixed at
+      // the release site: Bench.dropCaches unpersists every persistent
+      // RDD with blocking=true, so checkpoint cleanup runs synchronously
+      // between lanes, not on the async cleaner thread mid-run (round-8
+      // bench tails: clean).
+      .localCheckpoint(false)
   }
 
   /** LSH band buckets (doc_id, band, bucket) from a signature table. */

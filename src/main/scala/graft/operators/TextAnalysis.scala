@@ -216,10 +216,18 @@ object TextAnalysis {
                        defaultRate: Double = 1.0): DataFrame = {
     val slot = pmod(charPolyHash(
       concat(col(idCol).cast("string"), lit("|"), col(strataCol))), lit(10000L))
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
-    }
-    docs.filter(slot < rate * 10000.0)
+    // Integer thresholds, resolved on the driver: comparing the slot to
+    // `rate * 10000.0` in IEEE double matches an exact-DECIMAL oracle
+    // only when the product happens to round exactly — an arbitrary rate
+    // would admit/drop boundary slots differently across engines. A
+    // per-stratum Long threshold makes the comparison integer-exact on
+    // both sides (the oracle SQL carries the same integer literals).
+    def thresholdOf(v: Double): Long = math.round(v * 10000.0)
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdOf(defaultRate))) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(thresholdOf(v))).otherwise(acc)
+      }
+    docs.filter(slot < threshold)
   }
 
   /** PII scrubbing: count and redact emails, IPv4 addresses, and
@@ -258,7 +266,13 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, idCol: String, groupCol: String,
                     textCol: String, chunkTokens: Int): DataFrame = {
+    // ROWS frame pinned explicitly: the default frame for an ordered
+    // window is RANGE, which sums ORDER-BY *peers* together — under a
+    // duplicated doc_id the cumsum would silently diverge from the
+    // oracle's ROWS UNBOUNDED PRECEDING. ROWS keeps per-row semantics
+    // regardless of key uniqueness.
     val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(groupCol).as("stream"), col(idCol).as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("end_tok", sum(col("n_tokens")).over(w))

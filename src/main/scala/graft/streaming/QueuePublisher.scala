@@ -81,6 +81,15 @@ final class QueuePublisher[T](
              onComplete: () => Unit = () => ()): Boolean = {
     require(!batchId.contains(":") && frames.forall(!_._2.contains(":")),
       "correlation/batch ids must not contain ':'")
+    // MessageBatch validation (reference: MessageBatch.java ctor throws on
+    // both). An empty batch would register (0, cb) in batchWaiting with no
+    // frame ever sent — the callback never fires and the batchId wedges
+    // forever. Duplicate correlationIds overwrite in `waiting`, so during
+    // nack recovery waiting.isEmpty could go true while a frame is still
+    // unconfirmed, reopening the in-transit window early.
+    require(frames.nonEmpty, "batch must contain at least one frame")
+    require(frames.map(_._2).distinct.size == frames.size,
+      "correlationIds within a batch must be unique")
     if (finished) throw new IllegalStateException("publisher has been shut down")
     if (batchWaiting.containsKey(batchId) ||
         queue.asScala.exists(_.batchId == batchId)) return false

@@ -27,18 +27,30 @@ import java.util.Properties
   *    commit plays the role of the manifest pointer rename, so
   *    readers never see a torn fold across history/live/audit.
   *
-  * Both sinks fold the SAME batch to the SAME state (asserted in
-  * `PipelineSpec`), so the choice is an ops decision, not a semantics
-  * one.
+  * Both sinks fold the SAME batch to the SAME state on BOTH temporal
+  * axes (asserted in `PipelineSpec`), so the choice is an ops
+  * decision, not a semantics one.
   */
 trait StarSink {
-  /** Fold one micro-batch into persisted state (S8/W1/W2 contract:
-    * incremental in touched keys, idempotent on replay, atomic swap).
+  /** Fold one micro-batch into persisted valid-axis state (S8/W1/W2
+    * contract: incremental in touched keys, idempotent on replay,
+    * atomic swap). Tables: "history" | "live" | "audit".
     */
   def fold(batch: DataFrame, batchId: Long, cfg: StarPipeline.Config): Unit
 
-  /** Read a state table ("history" | "live" | "audit") as of the last
-    * committed fold; None before the first fold.
+  /** Fold one micro-batch into persisted BITEMPORAL state — the
+    * stored-time axis the reference's audit contract requires
+    * (ref informdb/AuditCore.java:32-35: superseded rows get
+    * validUntil AND storedUntil stamped; records once stored-closed
+    * are immutable). Tables: "bt_messages" | "bt_table". Same
+    * incremental / idempotent / atomic contract as [[fold]].
+    */
+  def foldBitemporal(batch: DataFrame, batchId: Long,
+                     cfg: StarPipeline.Config): Unit
+
+  /** Read a state table ("history" | "live" | "audit" |
+    * "bt_messages" | "bt_table") as of the last committed fold; None
+    * before the first fold of the owning axis.
     */
   def read(spark: SparkSession, cfg: StarPipeline.Config,
            table: String): Option[DataFrame]
@@ -48,6 +60,9 @@ trait StarSink {
 object ManifestStarSink extends StarSink {
   def fold(batch: DataFrame, batchId: Long, cfg: StarPipeline.Config): Unit =
     StarPipeline.foldBatch(batch, batchId, cfg)
+  def foldBitemporal(batch: DataFrame, batchId: Long,
+                     cfg: StarPipeline.Config): Unit =
+    StarPipeline.foldBatchBitemporal(batch, batchId, cfg)
   def read(spark: SparkSession, cfg: StarPipeline.Config,
            table: String): Option[DataFrame] =
     StarPipeline.readState(spark, cfg, table)
@@ -60,12 +75,18 @@ object ManifestStarSink extends StarSink {
   *
   * Data path per fold — no driver-side row loop anywhere:
   *   1. probe the batch's touched buckets (≤ nBuckets small longs);
-  *   2. `spark.read.jdbc` the touched buckets of HISTORY, one
+  *   2. `spark.read.jdbc` the touched buckets of the prior state, one
   *      predicate per bucket → one parallel JDBC partition each, the
   *      bucket filter pushed down to the DB's index;
-  *   3. kernel fold (identical to the manifest path);
-  *   4. stage history/live/audit touched-bucket rows to `*_STAGE`
-  *      tables via Spark's parallel JDBC writer (executors write);
+  *   3. kernel fold (identical to the manifest path — valid axis via
+  *      [[BitemporalKernel.applyBatch]], both axes via
+  *      [[BitemporalKernel.applyBitemporal]]);
+  *   4. stage per-table touched-bucket rows to `*_STAGE` tables via
+  *      Spark's parallel JDBC writer (executors write). Stage tables
+  *      are created ONCE (first batch) and TRUNCATE-and-append
+  *      thereafter — `mode("overwrite")` would DROP/CREATE per batch,
+  *      i.e. DDL plus implicit commits outside the main transaction
+  *      on every fold;
   *   5. ONE driver transaction: per table an anti-join DELETE (rows
   *      of touched buckets absent from the new fold — covers run
   *      coalescing and emptied buckets) + a MERGE upsert from stage,
@@ -81,19 +102,28 @@ object ManifestStarSink extends StarSink {
   * columns are forced to VARCHAR (Spark's Derby dialect would pick
   * CLOB, which Derby refuses to compare in MERGE ... ON).
   *
+  * Bitemporal MERGE identities: `bt_messages` rows are keyed by the
+  * message identity (key, validFrom, tie) — the log only ever grows;
+  * `bt_table` rows by (key, validFrom, tie, stored_from_us) — a
+  * version RECORD opened at a stored stamp. Closing a record is a
+  * MATCHED update of stored_until_us; a changed version closes its
+  * old record and opens a new one at the batch stamp, so no identity
+  * is ever rewritten — the immutability the stored axis promises.
+  *
   * @param url  JDBC url (e.g. `jdbc:derby:/path/db;create=true`).
   * @param star table-name prefix for this star, e.g. "conditions" →
-  *             CONDITIONS_HISTORY / _LIVE / _AUDIT (+ _STAGE twins).
+  *             CONDITIONS_HISTORY / _LIVE / _AUDIT /
+  *             _BT_MESSAGES / _BT_TABLE (+ _STAGE twins).
   */
 final class JdbcStarSink(url: String, star: String,
                          driver: String =
                            "org.apache.derby.jdbc.EmbeddedDriver")
     extends StarSink {
 
-  private val Tables = Seq("history", "live", "audit")
   private def target(t: String) = s"${star.toUpperCase}_${t.toUpperCase}"
   private def stage(t: String) = target(t) + "_STAGE"
   private val progressTable = s"${star.toUpperCase}_PROGRESS"
+  private val btProgressTable = s"${star.toUpperCase}_BT_PROGRESS"
 
   private def props: Properties = {
     val p = new Properties()
@@ -122,20 +152,96 @@ final class JdbcStarSink(url: String, star: String,
       s"""(S.${q(k)} = $t.${q(k)} OR (S.${q(k)} IS NULL AND $t.${q(k)} IS NULL))""")
       .mkString(" AND ")
 
-  def fold(batch0: DataFrame, batchId: Long,
-           cfg: StarPipeline.Config): Unit = {
-    val spark = batch0.sparkSession
-    // replay of an already-committed batch: exact no-op (W2)
-    val done = withConn { c =>
-      tableExists(c, progressTable) && {
+  /** True iff `batchId` is already committed under `progressTbl`. */
+  private def alreadyCommitted(progressTbl: String, batchId: Long): Boolean =
+    withConn { c =>
+      tableExists(c, progressTbl) && {
         val rs = c.createStatement().executeQuery(
-          s"""SELECT MAX("batch_id") FROM $progressTable""")
+          s"""SELECT MAX("batch_id") FROM $progressTbl""")
         try rs.next() && rs.getLong(1) >= batchId && !rs.wasNull()
         finally rs.close()
       }
     }
-    if (done) return
 
+  /** Touched buckets of target table `t`, one pushed-down predicate
+    * per bucket (one parallel JDBC partition each); None before the
+    * table exists.
+    */
+  private def readTouched(spark: SparkSession, t: String,
+                          touched: Array[Long]): Option[DataFrame] =
+    if (!withConn(tableExists(_, target(t)))) None
+    else Some(spark.read.jdbc(url, target(t),
+        touched.map(k => s"""${q("__bucket")} = $k"""), props)
+      .drop("__bucket"))
+
+  /** Stage `df` into `stage(t)`: CREATE (with VARCHAR hints) on first
+    * use, TRUNCATE + parallel append thereafter — no DDL per batch.
+    */
+  private def stageTable(t: String, df: DataFrame): Unit = {
+    def varcharHints: String =
+      df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType =>
+          s"`${f.name}` VARCHAR(1024)"
+      }.mkString(", ")
+    val exists = withConn { c =>
+      val e = tableExists(c, stage(t))
+      if (e) c.createStatement().executeUpdate(s"TRUNCATE TABLE ${stage(t)}")
+      e
+    }
+    if (exists) df.write.mode("append").jdbc(url, stage(t), props)
+    else df.write.mode("errorifexists")
+      .option("createTableColumnTypes", varcharHints)
+      .jdbc(url, stage(t), props)
+  }
+
+  /** The shared swap: one driver transaction of per-table anti-join
+    * DELETE + MERGE from stage, plus the progress mark, committed
+    * together. `tables` maps table base-name → (staged columns, MERGE
+    * identity keys).
+    */
+  private def swapIn(tables: Seq[(String, Seq[String], Seq[String])],
+                     touched: Array[Long], progressTbl: String,
+                     batchId: Long): Unit =
+    withConn { c =>
+      c.setAutoCommit(false)
+      val st = c.createStatement()
+      val inList = touched.mkString(", ")
+      tables.foreach { case (t, cols, keys) =>
+        val tgt = target(t)
+        if (!tableExists(c, tgt))
+          st.executeUpdate(
+            s"CREATE TABLE $tgt AS SELECT * FROM ${stage(t)} WITH NO DATA")
+        st.executeUpdate(
+          s"""DELETE FROM $tgt WHERE ${q("__bucket")} IN ($inList)
+             |AND NOT EXISTS (SELECT 1 FROM ${stage(t)} S
+             |  WHERE ${keyEq(tgt, keys)})""".stripMargin)
+        val setCols = cols.filterNot(keys.contains)
+        st.executeUpdate(
+          s"""MERGE INTO $tgt T USING ${stage(t)} S
+             |ON ${keyEq("T", keys)}
+             |WHEN MATCHED THEN UPDATE SET
+             |  ${setCols.map(p => s"${q(p)} = S.${q(p)}").mkString(", ")}
+             |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+             |  VALUES (${cols.map(p => s"S.${q(p)}").mkString(", ")})"""
+            .stripMargin)
+      }
+      if (!tableExists(c, progressTbl))
+        st.executeUpdate(
+          s"""CREATE TABLE $progressTbl ("batch_id" BIGINT)""")
+      st.executeUpdate(
+        s"""INSERT INTO $progressTbl ("batch_id") VALUES ($batchId)""")
+      c.commit()
+    }
+
+  /** Shared fold skeleton for both axes: replay guard → pin batch →
+    * touched-bucket probe → axis-specific kernel fold → stage →
+    * one-transaction swap.
+    */
+  private def foldWith(batch0: DataFrame, batchId: Long,
+                       cfg: StarPipeline.Config, progressTbl: String)(
+      compute: (DataFrame, Array[Long]) =>
+        Seq[(String, DataFrame, Seq[String])]): Unit = {
+    if (alreadyCommitted(progressTbl, batchId)) return
     val batch = batch0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -145,70 +251,49 @@ final class JdbcStarSink(url: String, star: String,
         .collect().map(_.getLong(0)).sorted
       if (touched.isEmpty) return
 
-      // touched-bucket history, one pushed-down predicate per bucket
-      val history = if (!withConn(tableExists(_, target("history"))))
-        batch.limit(0)
-      else spark.read.jdbc(url, target("history"),
-          touched.map(k => s"""${q("__bucket")} = $k"""), props)
-        .drop("__bucket")
-
-      val r = BitemporalKernel.applyBatch(history, batch, cfg.keyCols,
-        cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
-
-      val outputs = Map(
-        "history" -> r.history, "live" -> r.live, "audit" -> r.audit)
-      // force comparable VARCHARs for every string column (incl. keys)
-      def varcharHints(df: DataFrame): String =
-        df.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.StringType =>
-            s"`${f.name}` VARCHAR(1024)"
-        }.mkString(", ")
-
-      val staged = outputs.map { case (t, df0) =>
+      val outputs = compute(batch, touched)
+      val staged = outputs.map { case (t, df0, keys) =>
         val df = df0.withColumn("__bucket", bucket)
-        df.write.mode("overwrite")
-          .option("createTableColumnTypes", varcharHints(df))
-          .jdbc(url, stage(t), props)
-        t -> df.columns.toSeq
+        stageTable(t, df)
+        (t, df.columns.toSeq, keys)
       }
-
-      withConn { c =>
-        c.setAutoCommit(false)
-        val st = c.createStatement()
-        val inList = touched.mkString(", ")
-        staged.foreach { case (t, cols) =>
-          val tgt = target(t)
-          if (!tableExists(c, tgt))
-            st.executeUpdate(
-              s"CREATE TABLE $tgt AS SELECT * FROM ${stage(t)} WITH NO DATA")
-          // MERGE identity per table: live is one row per key; history
-          // and audit are one row per version (key, validFrom, tie)
-          val keys =
-            if (t == "live") cfg.keyCols
-            else cfg.keyCols ++ Seq(cfg.validFromUsCol, cfg.tieCol)
-          st.executeUpdate(
-            s"""DELETE FROM $tgt WHERE ${q("__bucket")} IN ($inList)
-               |AND NOT EXISTS (SELECT 1 FROM ${stage(t)} S
-               |  WHERE ${keyEq(tgt, keys)})""".stripMargin)
-          val setCols = cols.filterNot(keys.contains)
-          st.executeUpdate(
-            s"""MERGE INTO $tgt T USING ${stage(t)} S
-               |ON ${keyEq("T", keys)}
-               |WHEN MATCHED THEN UPDATE SET
-               |  ${setCols.map(p => s"${q(p)} = S.${q(p)}").mkString(", ")}
-               |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
-               |  VALUES (${cols.map(p => s"S.${q(p)}").mkString(", ")})"""
-              .stripMargin)
-        }
-        if (!tableExists(c, progressTable))
-          st.executeUpdate(
-            s"""CREATE TABLE $progressTable ("batch_id" BIGINT)""")
-        st.executeUpdate(
-          s"""INSERT INTO $progressTable ("batch_id") VALUES ($batchId)""")
-        c.commit()
-      }
+      swapIn(staged, touched, progressTbl, batchId)
     } finally batch.unpersist(false)
   }
+
+  def fold(batch0: DataFrame, batchId: Long,
+           cfg: StarPipeline.Config): Unit =
+    foldWith(batch0, batchId, cfg, progressTable) { (batch, touched) =>
+      val spark = batch.sparkSession
+      val history = readTouched(spark, "history", touched)
+        .getOrElse(batch.limit(0))
+      val r = BitemporalKernel.applyBatch(history, batch, cfg.keyCols,
+        cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
+      // MERGE identity per table: live is one row per key; history
+      // and audit are one row per version (key, validFrom, tie)
+      val versionKeys = cfg.keyCols ++ Seq(cfg.validFromUsCol, cfg.tieCol)
+      Seq(("history", r.history, versionKeys),
+        ("live", r.live, cfg.keyCols),
+        ("audit", r.audit, versionKeys))
+    }
+
+  def foldBitemporal(batch0: DataFrame, batchId: Long,
+                     cfg: StarPipeline.Config): Unit =
+    foldWith(batch0, batchId, cfg, btProgressTable) { (batch, touched) =>
+      val spark = batch.sparkSession
+      val empty = BitemporalKernel.emptyBitemporal(batch, cfg.keyCols,
+        cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
+      val prev = BitemporalKernel.BitemporalState(
+        messages = readTouched(spark, "bt_messages", touched)
+          .getOrElse(empty.messages),
+        table = readTouched(spark, "bt_table", touched)
+          .getOrElse(empty.table))
+      val r = BitemporalKernel.applyBitemporal(prev, batch, cfg.keyCols,
+        cfg.validFromUsCol, cfg.tieCol, cfg.storedFromUsCol, cfg.payloadCols)
+      val msgKeys = cfg.keyCols ++ Seq(cfg.validFromUsCol, cfg.tieCol)
+      Seq(("bt_messages", r.messages, msgKeys),
+        ("bt_table", r.table, msgKeys :+ "stored_from_us"))
+    }
 
   def read(spark: SparkSession, cfg: StarPipeline.Config,
            table: String): Option[DataFrame] =

@@ -147,6 +147,74 @@ class PipelineSpec extends SparkSpecBase {
     assert(dump(jdbc, "history") == before)
   }
 
+  test("S8 JDBC sink bitemporal fold == manifest bitemporal fold, " +
+    "bit for bit; stage tables see no DDL after the first batch") {
+    import graft.streaming.{JdbcStarSink, ManifestStarSink, StarSink}
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("derby_home_bt").toString)
+    val jdbc: StarSink = new graft.streaming.JdbcStarSink(
+      "jdbc:derby:memory:starsinkbt;create=true", "conditions")
+    val manifest: StarSink = ManifestStarSink
+    val cfg = StarPipeline.Config(
+      Files.createTempDirectory("star_jdbc_bt").toString,
+      Seq("key"), "ts_us", "msg_id", Seq("state", "value"), nBuckets = 8,
+      storedFromUsCol = "stored_us")
+
+    // the q70 shape: out-of-order valid times across batches, so the
+    // stored axis must close batch-1 records when batch 2's late
+    // arrivals rewrite valid-time history (incl. an F6 no-op repeat
+    // that must cause no stored churn)
+    def batch(b: Long) = ((1L to 6L).map { k =>
+      StarMsg(k, 1000L * ((b * 3 + k) % 7 + 1), b * 100 + k,
+        s"s$b", b.toDouble)
+    } :+ StarMsg(1L, 500L * b, 900 + b, "x", 0.5)).toDF()
+      .withColumn("stored_us", lit(b))
+
+    (1L to 3L).foreach { b =>
+      jdbc.foldBitemporal(batch(b), b, cfg)
+      manifest.foldBitemporal(batch(b), b, cfg)
+    }
+
+    def snap(s: StarSink, t: String) = s.read(spark, cfg, t).get
+      .select("key", "ts_us", "msg_id", "state", "value",
+        "valid_until_us", "stored_from_us", "stored_until_us")
+      .as[(Long, Long, Long, String, Double, Option[Long], Option[Long],
+        Option[Long])].collect().toSeq.sorted
+    assert(snap(jdbc, "bt_table") == snap(manifest, "bt_table"),
+      "bt_table diverged between sinks")
+    assert(snap(jdbc, "bt_table").nonEmpty)
+    def msgs(s: StarSink) = s.read(spark, cfg, "bt_messages").get
+      .select("key", "ts_us", "msg_id", "state", "value")
+      .as[(Long, Long, Long, String, Double)].collect().toSeq.sorted
+    assert(msgs(jdbc) == msgs(manifest), "bt_messages diverged")
+
+    // replay of a committed batch: progress mark short-circuits (W2)
+    val before = snap(jdbc, "bt_table")
+    jdbc.foldBitemporal(batch(2), 2L, cfg)
+    assert(snap(jdbc, "bt_table") == before)
+
+    // staging hygiene: Derby assigns a fresh TABLEID on CREATE, so a
+    // DROP/CREATE-per-batch stage write would change it between folds.
+    // It must be stable from the first batch onward (truncate+append).
+    def stageIds(): Map[String, String] = {
+      val c = java.sql.DriverManager
+        .getConnection("jdbc:derby:memory:starsinkbt")
+      try {
+        val rs = c.createStatement().executeQuery(
+          """SELECT TABLENAME, TABLEID FROM SYS.SYSTABLES
+            |WHERE TABLENAME LIKE '%_STAGE'""".stripMargin)
+        val b = Map.newBuilder[String, String]
+        while (rs.next()) b += rs.getString(1) -> rs.getString(2)
+        b.result()
+      } finally c.close()
+    }
+    val idsBefore = stageIds()
+    assert(idsBefore.keySet.exists(_.contains("BT_TABLE")))
+    jdbc.foldBitemporal(batch(4), 4L, cfg)
+    assert(stageIds() == idsBefore,
+      "stage tables were re-created (DDL per batch) instead of truncated")
+  }
+
   test("W6 compaction: cold split preserves history, folds stay identical") {
     def mkDir() = Files.createTempDirectory("star_compact").toString
     val dirA = mkDir(); val dirB = mkDir()

@@ -50,6 +50,24 @@ class QueuePublisherSpec extends AnyFunSuite {
     pub.shutdown()
   }
 
+  test("batch validation: empty batch and duplicate correlationIds throw") {
+    val tr = new FakeTransport
+    val pub = new QueuePublisher[String](tr, maxBatches = 2, maxInTransit = 1)
+    // ref MessageBatch.java ctor: an empty batch would wedge its batchId
+    // forever (no frame → no confirm → callback never fires)
+    intercept[IllegalArgumentException] { pub.submit(Seq.empty, "empty") }
+    // duplicate correlationIds overwrite in the waiting map, reopening
+    // the in-transit window before every frame is confirmed
+    intercept[IllegalArgumentException] {
+      pub.submit(Seq(("a", "c1"), ("b", "c1")), "dup-corr")
+    }
+    // neither rejected submit may leave state behind: the ids stay usable
+    assert(pub.submit(Seq(("x", "c1")), "empty"))
+    assert(awaitUntil()(tr.sent.size == 1))
+    pub.ack("c1:empty")
+    pub.shutdown()
+  }
+
   test("duplicate batchId in progress is dropped") {
     val tr = new FakeTransport
     val pub = new QueuePublisher[String](tr, maxBatches = 2, maxInTransit = 1)
