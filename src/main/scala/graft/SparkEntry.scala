@@ -934,6 +934,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- incremental decontamination: persisted benchmark index -----
+    // The continuous-ingest shape: the benchmark's hash set is built
+    // ONCE to a parquet index, then two training batches fold against
+    // it independently. The union of the folds must equal the one-shot
+    // q84 run — the oracle IS the one-shot SQL.
+    "q91_decontaminate_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("bench_idx").toString
+      TextAnalysis.buildBenchmarkIndex(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
+        shingleN = 3, indexDir = idx)
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val fold = (p: Column) => TextAnalysis.decontaminateIncremental(
+        s, idx, train.filter(p), "doc_id", "text",
+        shingleN = 3, threshold = 0.05)
+      fold(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(fold(pmod(col("doc_id"), lit(2)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- stratified sampling: deterministic per-language rates ------
     "q85_stratified_sample" -> ((s, dir) => {
       TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id",
@@ -1008,6 +1029,24 @@ object SparkEntry {
     "q88_semdedup" -> ((s, dir) => {
       Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           "label", tau = 0.3, maxClusterSize = 2000)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- SemDeDup over TRAINED clusters: the full paper pipeline ----
+    // Lloyd's spherical k-means (portable: lowest-id init, rounded-
+    // cosine assignment, exact-integer centroid means) → argmax
+    // assignment → within-cluster SemDeDup prune. The oracle replays
+    // BOTH training iterations and the prune — no externally-supplied
+    // cluster structure anywhere.
+    "q90_semdedup_trained" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val cents = Ann.ivfTrainPortable(em, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val assigned = em.withColumn("cluster",
+        Ann.cosineCluster(toDoubleVec(col("embedding")), cents)
+          .cast("long"))
+      Dedup.semDedup(assigned, "vec_id", "embedding", "cluster",
+          tau = 0.3)
         .orderBy(col("vec_id"))
     }),
 
@@ -2435,6 +2474,41 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // Incremental decontamination: per-doc results are independent of
+    // batching, so the two-fold union replays as the ONE-SHOT check —
+    // the q84 SQL verbatim. A batching-dependent divergence (e.g. state
+    // leaking between folds) would hash-mismatch here.
+    "q91_decontaminate_incr" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+        | FROM documents),
+        |shr AS (SELECT doc_id,
+        |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+        |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS s FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+        |hs AS (SELECT DISTINCT doc_id, h FROM (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh)),
+        |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
+        |agg AS (SELECT t.doc_id, COUNT(*) AS n_shingles,
+        |   SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        |  FROM hs t LEFT JOIN bench b ON t.h = b.h
+        |  WHERE t.doc_id % 20 <> 0 GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+        | CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+        | CASE WHEN COALESCE(a.n_shingles, 0) > 0
+        |   THEN CAST(a.n_overlap AS DOUBLE) / a.n_shingles ELSE 0.0 END
+        |   AS overlap_frac,
+        | (CASE WHEN COALESCE(a.n_shingles, 0) > 0
+        |   THEN CAST(a.n_overlap AS DOUBLE) / a.n_shingles ELSE 0.0 END
+        |   >= 0.05) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // Stratified-sample replay: poly-hash of (doc_id || '|' || lang).
     "q85_stratified_sample" ->
       """WITH k AS (SELECT doc_id, lang, source,
@@ -2574,6 +2648,64 @@ object SparkEntry {
         | (v.nd IS NULL) AS kept
         |FROM sc s LEFT JOIN vict v USING (vec_id)
         |ORDER BY s.vec_id""".stripMargin,
+
+    // Trained-cluster SemDeDup replay: both Lloyd's iterations unrolled
+    // as CTE chains (assignment = rounded-cosine argmax with cid
+    // tie-break; update = exact-integer per-dim means with empty-cluster
+    // carryover), then the q88 prune over the final assignment. Every
+    // arithmetic step follows the established cross-engine conventions,
+    // so the whole train→assign→dedup pipeline hash-matches.
+    "q90_semdedup_trained" -> {
+      val iters = 2
+      def assign(centsCte: String, out: String) =
+        s"""$out AS (SELECT vec_id, v, cid FROM (
+           |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) + 0.0
+           |      DESC, c.cid) AS rn
+           |  FROM ex e CROSS JOIN $centsCte c) WHERE rn = 1)""".stripMargin
+      def update(prevCents: String, asg: String, out: String) =
+        s"""${out}n AS (SELECT cid,
+           |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
+           | FROM (SELECT cid, i,
+           |    SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
+           |   FROM (SELECT cid, unnest(v) AS x,
+           |      unnest(range(len(v))) AS i FROM $asg)
+           |   GROUP BY cid, i) GROUP BY cid),
+           |$out AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+           | FROM $prevCents p LEFT JOIN ${out}n nn USING (cid))"""
+          .stripMargin
+      val loop = (1 to iters).map(i =>
+        assign(s"c${i - 1}", s"a$i") + ",\n" +
+          update(s"c${i - 1}", s"a$i", s"c$i")).mkString(",\n")
+      s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |  v AS cv FROM (SELECT vec_id, v FROM ex ORDER BY vec_id LIMIT 8)),
+         |$loop,
+         |${assign(s"c$iters", "af")},
+         |dimq AS (SELECT cid, i,
+         |  SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
+         | FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i
+         |   FROM af) GROUP BY cid, i),
+         |scents AS (SELECT cid,
+         |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
+         | FROM dimq GROUP BY cid),
+         |sc AS (SELECT e.vec_id, e.cid, e.v,
+         |  round(list_cosine_similarity(e.v, c.cv), 4) + 0.0 AS r
+         | FROM af e JOIN scents c USING (cid)),
+         |vict AS (SELECT b.vec_id, COUNT(*) AS nd
+         | FROM sc a JOIN sc b ON a.cid = b.cid
+         |  AND (a.r < b.r OR (a.r = b.r AND a.vec_id < b.vec_id))
+         |  AND list_cosine_similarity(a.v, b.v) >= 0.3
+         | GROUP BY b.vec_id)
+         |SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cluster,
+         | s.r AS cent_sim,
+         | CAST(COALESCE(v.nd, 0) AS BIGINT) AS n_earlier_dups,
+         | (v.nd IS NULL) AS kept
+         |FROM sc s LEFT JOIN vict v USING (vec_id)
+         |ORDER BY s.vec_id""".stripMargin
+    },
 
     "q34_embed_neardup" ->
       """WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

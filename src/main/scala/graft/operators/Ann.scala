@@ -98,6 +98,65 @@ object Ann {
     cents
   }
 
+  /** Nearest-centroid id by ROUNDED cosine similarity (spherical
+    * k-means assignment, the SemDeDup paper's setting) — argmax over k
+    * literal centroids, lowest index breaking exact ties. Rounding to 4
+    * decimals before the argmax is what makes the assignment
+    * engine-portable (the repo's q23/q34 precision convention): the
+    * unrounded IEEE sums agree between engines in practice, the rounded
+    * comparison makes the ORDER they induce deterministic.
+    */
+  def cosineCluster(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val vn = l2Norm(v)
+    val sims = cents.map { c =>
+      val cl = typedLit(c)
+      round(cosineSimPre(v, cl, vn, l2Norm(cl)), 4) + lit(0.0)
+    }
+    val maxS = greatest(sims: _*)
+    cents.indices.map(i => when(sims(i) === maxS, lit(i)))
+      .reduce((a, b) => coalesce(a, b))
+  }
+
+  /** ENGINE-PORTABLE Lloyd's training (spherical): like
+    * [[ivfTrainCentroids]] but every step is replayable bit-for-bit by
+    * an ANSI-SQL oracle, so a trained-clustering pipeline (train →
+    * assign → dedup) can be oracle-checked end-to-end:
+    *
+    *   - init: the k lowest-id vectors (no hash function dependency);
+    *   - assignment: [[cosineCluster]] — rounded-cosine argmax;
+    *   - update: per (cluster, dim) mean over floor(x·10⁴) integer
+    *     quantizations — integer sums are exact and order-independent,
+    *     so the centroid doubles come out identical in any engine
+    *     (same trick as [[Dedup.semDedup]]'s ordering centroids);
+    *   - empty clusters keep their previous centroid.
+    *
+    * Same scale shape as [[ivfTrainCentroids]]: the vector set never
+    * leaves the cluster; only the k×dim centroid matrix round-trips
+    * through the driver per iteration.
+    */
+  def ivfTrainPortable(vectors: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int = 2): Seq[Seq[Double]] = {
+    val v = vectors.select(col(idCol).as("__id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    var cents: Seq[Seq[Double]] = v.orderBy(col("__id")).limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val byCluster = v
+        .select(cosineCluster(col("v"), cents).as("c"),
+          posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("c"), col("p"))
+        .agg(sum(floor(col("x") * 10000).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("s").cast("double") / (col("n") * 10000.0))
+        .groupBy(col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          s => s.getField("m")).as("cent"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.indices.map(i => byCluster.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   /** IVF ANN with trained centroids: assign both sides to their nearest
     * coarse centroid, then the existing cluster-pruned equi-join. At rest
     * the candidate side would be written partitioned by this cluster id —

@@ -186,13 +186,25 @@ object TextAnalysis {
                     textCol: String, benchTextCol: String,
                     shingleN: Int = 5, threshold: Double = 0.1): DataFrame = {
     import graft.functions.ShingleHash
+    val benchSh = benchmark.select(explode(array_distinct(
+        ShingleHash.shingleHashes(col(benchTextCol), shingleN))).as("h"))
+      .distinct()
+    overlapCheck(docs, benchSh, idCol, textCol, shingleN, threshold)
+  }
+
+  /** The shared decontamination core: per-doc distinct-shingle counts
+    * vs an already-hashed benchmark set (`benchHashes`: one `h` column,
+    * distinct). Broadcast membership join + one pre-reduced agg.
+    */
+  private def overlapCheck(docs: DataFrame, benchHashes: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int, threshold: Double): DataFrame = {
+    import graft.functions.ShingleHash
     val docSh = docs.select(col(idCol).as("doc_id"),
       explode_outer(array_distinct(
         ShingleHash.shingleHashes(col(textCol), shingleN))).as("h"))
-    val benchSh = benchmark.select(explode(array_distinct(
-        ShingleHash.shingleHashes(col(benchTextCol), shingleN))).as("h"))
-      .distinct().withColumn("__hit", lit(1L))
-    docSh.join(broadcast(benchSh), Seq("h"), "left")
+    docSh.join(broadcast(benchHashes.withColumn("__hit", lit(1L))),
+        Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("h")).as("n_shingles"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
@@ -202,6 +214,40 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
+
+  /** Persist a benchmark's distinct shingle-hash set ONCE — the state
+    * a continuous-ingest pipeline holds between training batches. The
+    * batch-mode [[decontaminate]] re-hashes the benchmark per run; at
+    * one fold per micro-batch that rescan dominates (the benchmark is
+    * fixed, the training stream is not). Index cost is O(benchmark),
+    * paid once; the index itself is eval-sized (a distinct long per
+    * shingle), so readers broadcast it.
+    */
+  def buildBenchmarkIndex(benchmark: DataFrame, benchTextCol: String,
+                          shingleN: Int, indexDir: String): Unit = {
+    import graft.functions.ShingleHash
+    benchmark.select(explode(array_distinct(
+        ShingleHash.shingleHashes(col(benchTextCol), shingleN))).as("h"))
+      .distinct()
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Incremental decontamination: check ONE new training batch against
+    * a persisted [[buildBenchmarkIndex]] hash set. Per-doc results are
+    * independent, so folding a corpus batch-by-batch and unioning
+    * yields EXACTLY the one-shot [[decontaminate]] result (q91 proves
+    * the equivalence against the one-shot oracle) — while each fold
+    * costs O(batch): nothing re-reads the benchmark text, and the
+    * broadcast never shuffles the training side (same plan shape as
+    * q84, locked in `PlanShapeSpec`).
+    */
+  def decontaminateIncremental(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 5,
+                               threshold: Double = 0.1): DataFrame =
+    overlapCheck(batch, spark.read.parquet(indexDir), idCol, textCol,
+      shingleN, threshold)
 
   /** Deterministic stratified sampling: keep a per-stratum fraction of
     * documents, decided by a portable hash of (id, stratum) — stable

@@ -63,9 +63,12 @@ object ManifestStarSink extends StarSink {
   def foldBitemporal(batch: DataFrame, batchId: Long,
                      cfg: StarPipeline.Config): Unit =
     StarPipeline.foldBatchBitemporal(batch, batchId, cfg)
+  // readFull (hot ∪ cold): the sink contract is "the state as of the
+  // last fold", which after a compaction spans both tiers; before any
+  // compaction the cold side is absent and this is readState exactly.
   def read(spark: SparkSession, cfg: StarPipeline.Config,
            table: String): Option[DataFrame] =
-    StarPipeline.readState(spark, cfg, table)
+    StarPipeline.readFull(spark, cfg, table)
 }
 
 /** JDBC MERGE sink: maintains the star in an RDBMS (the reference's
@@ -113,17 +116,78 @@ object ManifestStarSink extends StarSink {
   * @param url  JDBC url (e.g. `jdbc:derby:/path/db;create=true`).
   * @param star table-name prefix for this star, e.g. "conditions" →
   *             CONDITIONS_HISTORY / _LIVE / _AUDIT /
-  *             _BT_MESSAGES / _BT_TABLE (+ _STAGE twins).
+  *             _BT_MESSAGES / _BT_TABLE (+ _STAGE twins). Empty
+  *             (default) derives the prefix per fold from the config's
+  *             `stateDir` last path segment — ONE sink instance then
+  *             hosts every family of a multi-star pipeline
+  *             ([[WirePipeline]] folds adt/labs/conditions/… through a
+  *             single sink, each family landing in its own table set,
+  *             exactly as the reference's controllers share one
+  *             postgres star).
   */
-final class JdbcStarSink(url: String, star: String,
+object JdbcStarSink {
+  /** Spark's Derby dialect maps StringType → CLOB, which Derby refuses
+    * to compare in MERGE ... ON — and, subtler, appends of NULL string
+    * values die even against our VARCHAR stage tables, because
+    * `savePartition`'s `setNull` passes the DIALECT's jdbc type id
+    * (CLOB) regardless of the actual column type. The
+    * `createTableColumnTypes` hints fix creation but not that null
+    * path, so register (once per JVM) a derby dialect that answers
+    * VARCHAR for strings; everything else falls through to the
+    * defaults. Postgres and other URLs are untouched (`canHandle`).
+    */
+  private val dialectRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[streaming] def ensureDerbyDialect(): Unit =
+    if (dialectRegistered.compareAndSet(false, true))
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+        DerbyVarcharDialect)
+
+  private object DerbyVarcharDialect
+      extends org.apache.spark.sql.jdbc.JdbcDialect {
+    import org.apache.spark.sql.jdbc.JdbcType
+    import org.apache.spark.sql.types._
+    override def canHandle(url: String): Boolean =
+      url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case StringType =>
+        Some(JdbcType("VARCHAR(1024)", java.sql.Types.VARCHAR))
+      // Derby has no BIT/BYTE; these mirror Spark's DerbyDialect, which
+      // this registration shadows for the write path
+      case BooleanType =>
+        Some(JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
+      case ByteType =>
+        Some(JdbcType("SMALLINT", java.sql.Types.SMALLINT))
+      case _ => None
+    }
+  }
+}
+
+final class JdbcStarSink(url: String, star: String = "",
                          driver: String =
                            "org.apache.derby.jdbc.EmbeddedDriver")
     extends StarSink {
 
-  private def target(t: String) = s"${star.toUpperCase}_${t.toUpperCase}"
-  private def stage(t: String) = target(t) + "_STAGE"
-  private val progressTable = s"${star.toUpperCase}_PROGRESS"
-  private val btProgressTable = s"${star.toUpperCase}_BT_PROGRESS"
+  if (url.startsWith("jdbc:derby")) JdbcStarSink.ensureDerbyDialect()
+
+  /** Table-name prefix for this fold: the fixed constructor prefix, or
+    * (family mode) the config's stateDir leaf, sanitized to a SQL
+    * identifier. "state/condition_visits" → CONDITION_VISITS.
+    */
+  private def prefix(cfg: StarPipeline.Config): String =
+    (if (star.nonEmpty) star
+     else cfg.stateDir.replaceAll("[/\\\\]+$", "")
+       .split("[/\\\\]").last)
+      .replaceAll("[^A-Za-z0-9_]", "_").toUpperCase
+
+  private def target(cfg: StarPipeline.Config, t: String) =
+    s"${prefix(cfg)}_${t.toUpperCase}"
+  private def stage(cfg: StarPipeline.Config, t: String) =
+    target(cfg, t) + "_STAGE"
+  private def progressTable(cfg: StarPipeline.Config) =
+    s"${prefix(cfg)}_PROGRESS"
+  private def btProgressTable(cfg: StarPipeline.Config) =
+    s"${prefix(cfg)}_BT_PROGRESS"
 
   private def props: Properties = {
     val p = new Properties()
@@ -167,31 +231,35 @@ final class JdbcStarSink(url: String, star: String,
     * per bucket (one parallel JDBC partition each); None before the
     * table exists.
     */
-  private def readTouched(spark: SparkSession, t: String,
+  private def readTouched(spark: SparkSession, cfg: StarPipeline.Config,
+                          t: String,
                           touched: Array[Long]): Option[DataFrame] =
-    if (!withConn(tableExists(_, target(t)))) None
-    else Some(spark.read.jdbc(url, target(t),
+    if (!withConn(tableExists(_, target(cfg, t)))) None
+    else Some(spark.read.jdbc(url, target(cfg, t),
         touched.map(k => s"""${q("__bucket")} = $k"""), props)
       .drop("__bucket"))
 
-  /** Stage `df` into `stage(t)`: CREATE (with VARCHAR hints) on first
-    * use, TRUNCATE + parallel append thereafter — no DDL per batch.
+  /** Stage `df` into the family's stage table: CREATE (with VARCHAR
+    * hints) on first use, TRUNCATE + parallel append thereafter — no
+    * DDL per batch.
     */
-  private def stageTable(t: String, df: DataFrame): Unit = {
+  private def stageTable(cfg: StarPipeline.Config, t: String,
+                         df: DataFrame): Unit = {
     def varcharHints: String =
       df.schema.fields.collect {
         case f if f.dataType == org.apache.spark.sql.types.StringType =>
           s"`${f.name}` VARCHAR(1024)"
       }.mkString(", ")
     val exists = withConn { c =>
-      val e = tableExists(c, stage(t))
-      if (e) c.createStatement().executeUpdate(s"TRUNCATE TABLE ${stage(t)}")
+      val e = tableExists(c, stage(cfg, t))
+      if (e) c.createStatement()
+        .executeUpdate(s"TRUNCATE TABLE ${stage(cfg, t)}")
       e
     }
-    if (exists) df.write.mode("append").jdbc(url, stage(t), props)
+    if (exists) df.write.mode("append").jdbc(url, stage(cfg, t), props)
     else df.write.mode("errorifexists")
       .option("createTableColumnTypes", varcharHints)
-      .jdbc(url, stage(t), props)
+      .jdbc(url, stage(cfg, t), props)
   }
 
   /** The shared swap: one driver transaction of per-table anti-join
@@ -199,7 +267,8 @@ final class JdbcStarSink(url: String, star: String,
     * together. `tables` maps table base-name → (staged columns, MERGE
     * identity keys).
     */
-  private def swapIn(tables: Seq[(String, Seq[String], Seq[String])],
+  private def swapIn(cfg: StarPipeline.Config,
+                     tables: Seq[(String, Seq[String], Seq[String])],
                      touched: Array[Long], progressTbl: String,
                      batchId: Long): Unit =
     withConn { c =>
@@ -207,17 +276,17 @@ final class JdbcStarSink(url: String, star: String,
       val st = c.createStatement()
       val inList = touched.mkString(", ")
       tables.foreach { case (t, cols, keys) =>
-        val tgt = target(t)
+        val tgt = target(cfg, t)
         if (!tableExists(c, tgt))
           st.executeUpdate(
-            s"CREATE TABLE $tgt AS SELECT * FROM ${stage(t)} WITH NO DATA")
+            s"CREATE TABLE $tgt AS SELECT * FROM ${stage(cfg, t)} WITH NO DATA")
         st.executeUpdate(
           s"""DELETE FROM $tgt WHERE ${q("__bucket")} IN ($inList)
-             |AND NOT EXISTS (SELECT 1 FROM ${stage(t)} S
+             |AND NOT EXISTS (SELECT 1 FROM ${stage(cfg, t)} S
              |  WHERE ${keyEq(tgt, keys)})""".stripMargin)
         val setCols = cols.filterNot(keys.contains)
         st.executeUpdate(
-          s"""MERGE INTO $tgt T USING ${stage(t)} S
+          s"""MERGE INTO $tgt T USING ${stage(cfg, t)} S
              |ON ${keyEq("T", keys)}
              |WHEN MATCHED THEN UPDATE SET
              |  ${setCols.map(p => s"${q(p)} = S.${q(p)}").mkString(", ")}
@@ -254,18 +323,18 @@ final class JdbcStarSink(url: String, star: String,
       val outputs = compute(batch, touched)
       val staged = outputs.map { case (t, df0, keys) =>
         val df = df0.withColumn("__bucket", bucket)
-        stageTable(t, df)
+        stageTable(cfg, t, df)
         (t, df.columns.toSeq, keys)
       }
-      swapIn(staged, touched, progressTbl, batchId)
+      swapIn(cfg, staged, touched, progressTbl, batchId)
     } finally batch.unpersist(false)
   }
 
   def fold(batch0: DataFrame, batchId: Long,
            cfg: StarPipeline.Config): Unit =
-    foldWith(batch0, batchId, cfg, progressTable) { (batch, touched) =>
+    foldWith(batch0, batchId, cfg, progressTable(cfg)) { (batch, touched) =>
       val spark = batch.sparkSession
-      val history = readTouched(spark, "history", touched)
+      val history = readTouched(spark, cfg, "history", touched)
         .getOrElse(batch.limit(0))
       val r = BitemporalKernel.applyBatch(history, batch, cfg.keyCols,
         cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
@@ -279,14 +348,14 @@ final class JdbcStarSink(url: String, star: String,
 
   def foldBitemporal(batch0: DataFrame, batchId: Long,
                      cfg: StarPipeline.Config): Unit =
-    foldWith(batch0, batchId, cfg, btProgressTable) { (batch, touched) =>
+    foldWith(batch0, batchId, cfg, btProgressTable(cfg)) { (batch, touched) =>
       val spark = batch.sparkSession
       val empty = BitemporalKernel.emptyBitemporal(batch, cfg.keyCols,
         cfg.validFromUsCol, cfg.tieCol, cfg.payloadCols)
       val prev = BitemporalKernel.BitemporalState(
-        messages = readTouched(spark, "bt_messages", touched)
+        messages = readTouched(spark, cfg, "bt_messages", touched)
           .getOrElse(empty.messages),
-        table = readTouched(spark, "bt_table", touched)
+        table = readTouched(spark, cfg, "bt_table", touched)
           .getOrElse(empty.table))
       val r = BitemporalKernel.applyBitemporal(prev, batch, cfg.keyCols,
         cfg.validFromUsCol, cfg.tieCol, cfg.storedFromUsCol, cfg.payloadCols)
@@ -297,6 +366,7 @@ final class JdbcStarSink(url: String, star: String,
 
   def read(spark: SparkSession, cfg: StarPipeline.Config,
            table: String): Option[DataFrame] =
-    if (!withConn(tableExists(_, target(table)))) None
-    else Some(spark.read.jdbc(url, target(table), props).drop("__bucket"))
+    if (!withConn(tableExists(_, target(cfg, table)))) None
+    else Some(spark.read.jdbc(url, target(cfg, table), props)
+      .drop("__bucket"))
 }

@@ -58,13 +58,14 @@ object WirePipeline {
   def start(raw: DataFrame, rawCol: String, stateRoot: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-            bitemporal: Boolean = false): StreamingQuery =
+            bitemporal: Boolean = false,
+            sink: StarSink = ManifestStarSink): StreamingQuery =
     raw.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, rawCol, stateRoot, bitemporal)
+        foldBatch(batch, batchId, rawCol, stateRoot, bitemporal, sink)
       }
       .start()
 
@@ -91,16 +92,22 @@ object WirePipeline {
   def replayDeadLetters(spark: org.apache.spark.sql.SparkSession,
                         stateRoot: String, rawCol: String, source: String,
                         batches: Seq[Long], newBatchId: Long,
-                        repair: DataFrame => DataFrame = identity): Unit = {
+                        repair: DataFrame => DataFrame = identity,
+                        sink: StarSink = ManifestStarSink): Unit = {
     val dirs = batches.map(b => s"$stateRoot/dead/$source/batch=$b")
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
     if (dirs.isEmpty) return
     val dead = spark.read.parquet(dirs: _*)
     // replay into the SAME table family the stream folds into — a
     // bitemporal pipeline's repaired frames must appear in
-    // readBelief/storedAsOf, not in a diverging valid-time-only set
+    // readBelief/storedAsOf, not in a diverging valid-time-only set.
+    // The manifest probe answers for the parquet store; a JDBC sink has
+    // no manifests, so ask it whether any family's stored-axis table
+    // exists (the adt star folds on every pipeline shape).
+    val bt = isBitemporal(stateRoot) ||
+      sink.read(spark, adtCfg(stateRoot), "bt_messages").isDefined
     foldBatch(repair(dead).select(col(rawCol)), newBatchId, rawCol,
-      stateRoot, bitemporal = isBitemporal(stateRoot))
+      stateRoot, bitemporal = bt, sink = sink)
   }
 
   /** One micro-batch through the whole front end (also callable on a
@@ -116,7 +123,8 @@ object WirePipeline {
     *   [[StarPipeline.readBitemporal]] + `storedAsOf`.
     */
   def foldBatch(batch: DataFrame, batchId: Long, rawCol: String,
-                stateRoot: String, bitemporal: Boolean = false): Unit = {
+                stateRoot: String, bitemporal: Boolean = false,
+                sink: StarSink = ManifestStarSink): Unit = {
     // every family channel is a separate action over this batch — cache
     // it once so ten funnels don't re-read the source ten times. Spread
     // a narrow batch over the executors first: the family parsers are
@@ -128,7 +136,7 @@ object WirePipeline {
     val cached = spread.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liftCodegenCap(batch.sparkSession)
-    try foldRouted(cached, batchId, rawCol, stateRoot, bitemporal)
+    try foldRouted(cached, batchId, rawCol, stateRoot, bitemporal, sink)
     finally cached.unpersist()
   }
 
@@ -148,7 +156,8 @@ object WirePipeline {
       spark.conf.set("spark.sql.codegen.maxFields", "2000")
 
   private def foldRouted(batch: DataFrame, batchId: Long, rawCol: String,
-                         stateRoot: String, bitemporal: Boolean): Unit = {
+                         stateRoot: String, bitemporal: Boolean,
+                         sink: StarSink): Unit = {
     val r = Hl7Wire.route(batch, rawCol)
 
     // Each parsed family channel feeds at least two actions (its guard's
@@ -161,10 +170,11 @@ object WirePipeline {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       mats += p; p
     }
-    // valid-time fold, or the stored-stamped bitemporal twin
+    // valid-time fold, or the stored-stamped bitemporal twin — through
+    // the deployment's StarSink (parquet+manifest or RDBMS MERGE)
     def foldStar(msgs: DataFrame, cfgC: StarPipeline.Config): Unit =
-      if (!bitemporal) StarPipeline.foldBatch(msgs, batchId, cfgC)
-      else StarPipeline.foldBatchBitemporal(
+      if (!bitemporal) sink.fold(msgs, batchId, cfgC)
+      else sink.foldBitemporal(
         msgs.withColumn("storedFromUs", lit(batchId)), batchId, cfgC)
     try {
 
@@ -520,23 +530,26 @@ object WirePipeline {
     StarPipeline.readBitemporal(spark, s"$stateRoot/$family")
 
   private def btHistory(spark: org.apache.spark.sql.SparkSession,
-                        c: StarPipeline.Config): Option[DataFrame] =
-    StarPipeline.readFull(spark, c, "bt_messages")
+                        c: StarPipeline.Config,
+                        sink: StarSink): Option[DataFrame] =
+    sink.read(spark, c, "bt_messages")
 
   private def btLive(spark: org.apache.spark.sql.SparkSession,
-                     c: StarPipeline.Config): Option[DataFrame] =
-    StarPipeline.readBitemporal(spark, c).map(
+                     c: StarPipeline.Config,
+                     sink: StarSink): Option[DataFrame] =
+    sink.read(spark, c, "bt_table").map(
       _.filter(col("stored_until_us").isNull && col("valid_until_us").isNull)
         .drop("valid_until_us", "stored_from_us", "stored_until_us"))
 
   def derived(spark: org.apache.spark.sql.SparkSession, stateRoot: String,
               pendingWindowUs: Long = 72L * 3600L * 1000000L,
-              bitemporal: Boolean = false)
+              bitemporal: Boolean = false,
+              sink: StarSink = ManifestStarSink)
       : Option[DerivedState] = {
     val c = adtCfg(stateRoot)
     val hist =
-      if (bitemporal) btHistory(spark, c)
-      else StarPipeline.readFull(spark, c, "history")
+      if (bitemporal) btHistory(spark, c, sink)
+      else sink.read(spark, c, "history")
     hist.map { h =>
       val ops = Hl7Wire.adtOps(h)
 
@@ -591,8 +604,8 @@ object WirePipeline {
       // person demographics: live ADT state minus A29 deletes (O3/O11).
       // The A29 row is an op marker, not demographic state — a person
       // whose NEWEST version is the delete itself is deleted.
-      val live = (if (bitemporal) btLive(spark, c)
-        else StarPipeline.readState(spark, c, "live"))
+      val live = (if (bitemporal) btLive(spark, c, sink)
+        else sink.read(spark, c, "live"))
         .getOrElse(h.limit(0))
         .filter(col("msgType") =!= "DeletePersonInformation")
       val demographics = graft.kernel.BitemporalKernel.deleteIfNewer(
@@ -611,12 +624,13 @@ object WirePipeline {
     */
   def liveConditions(spark: org.apache.spark.sql.SparkSession,
                      stateRoot: String,
-                     bitemporal: Boolean = false): Option[DataFrame] = {
+                     bitemporal: Boolean = false,
+                     sink: StarSink = ManifestStarSink): Option[DataFrame] = {
     val c = cfg(stateRoot, "conditions",
       Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
       Seq("status", "severity", "onsetDate", "comment", "action"))
-    (if (bitemporal) btLive(spark, c)
-     else StarPipeline.readState(spark, c, "live"))
+    (if (bitemporal) btLive(spark, c, sink)
+     else sink.read(spark, c, "live"))
       .map(_.filter(coalesce(col("action") =!= "DE", lit(true))))
   }
 
@@ -631,12 +645,13 @@ object WirePipeline {
     */
   def conditionVisits(spark: org.apache.spark.sql.SparkSession,
                       stateRoot: String,
-                      bitemporal: Boolean = false): Option[DataFrame] = {
+                      bitemporal: Boolean = false,
+                      sink: StarSink = ManifestStarSink): Option[DataFrame] = {
     val c = cfg(stateRoot, "condition_visits",
       Seq("mrn", "conditionTypeId", "internalId", "visitNumber"),
       "updatedTimeUs", Seq("linked"))
-    (if (bitemporal) btLive(spark, c)
-     else StarPipeline.readState(spark, c, "live"))
+    (if (bitemporal) btLive(spark, c, sink)
+     else sink.read(spark, c, "live"))
       .map(_.select(col("mrn"), col("conditionTypeId"),
         col("internalId"), col("visitNumber")))
   }

@@ -132,6 +132,45 @@ class DedupAnnSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("SemDeDup over TRAINED clusters equals the label-supplied path " +
+    "on a separable corpus") {
+    import graft.operators.Ann
+    import graft.functions.GraftFunctions.toDoubleVec
+    // three well-separated direction groups in R^4 (group = id % 3, so
+    // the lowest-id init picks one seed per group and spherical Lloyd's
+    // converges to the label partition); small within-group jitter
+    // creates real near-dups for the prune to find
+    val vecs = (0L until 18L).map { id =>
+      val g = (id % 3).toInt
+      val base = Array.fill(4)(0.05)
+      base(g) = 1.0
+      base((g + 1) % 3) += 0.001 * (id / 3) // jitter breaks exact ties
+      (id, base.toSeq, g)
+    }.toDF("vec_id", "embedding", "label")
+
+    val cents = Ann.ivfTrainPortable(vecs, "vec_id", "embedding",
+      k = 3, iters = 2)
+    val assigned = vecs.withColumn("cluster",
+      Ann.cosineCluster(toDoubleVec(col("embedding")), cents).cast("long"))
+
+    // the trained assignment IS the label partition (init seeds 0,1,2
+    // land one per group, so cluster ids equal labels here)
+    assert(assigned.filter(col("cluster") =!= col("label")).count() == 0)
+
+    // and the prune over trained clusters == the prune over labels,
+    // row for row (same keep/drop decisions, same ordering keys)
+    def prune(clusterCol: String) =
+      Dedup.semDedup(assigned, "vec_id", "embedding", clusterCol,
+          tau = 0.995)
+        .select("vec_id", "cent_sim", "n_earlier_dups", "kept")
+        .as[(Long, Double, Long, Boolean)].collect().toSeq.sorted
+    val trained = prune("cluster")
+    assert(trained == prune("label"))
+    // the tight jitter makes real victims: something was pruned, and
+    // per group the farthest-from-centroid member survived
+    assert(trained.exists(!_._4) && trained.count(_._4) >= 3)
+  }
+
   test("dup spans: only cross-document windows flag, at the right offsets") {
     val boiler = "terms of use apply to this site" // 7 tokens
     val docs = Seq(

@@ -183,6 +183,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("incremental decontamination keeps the q84 shape: broadcast " +
+    "index, one training-side exchange") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e f")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("bench_idx_plan").toString
+    graft.operators.TextAnalysis.buildBenchmarkIndex(bench, "text", 3, idx)
+    val p = plan(graft.operators.TextAnalysis.decontaminateIncremental(
+      spark, idx, docs, "doc_id", "text", shingleN = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // batch side: exactly the per-doc agg exchange — and the benchmark
+    // side now has NO distinct exchange at all (hashed once at index
+    // build; the fold just scans the persisted longs into a broadcast)
+    assert(countIn(p, "Exchange hashpartitioning\\(doc_id") == 1, p)
+    assert(countIn(p, "Exchange hashpartitioning\\(h") == 0, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("sequence packing: one exchange, reused by the window cumsum") {
     val docs = Seq((1L, "s", "a b"), (2L, "s", "c")).toDF("doc_id", "source", "text")
     val p = plan(graft.operators.TextAnalysis.packSequences(

@@ -36,6 +36,46 @@ class TextOpsSpec extends SparkSpecBase {
       !d3.getAs[Boolean]("contaminated"))
   }
 
+  test("incremental decontamination: persisted index, batch folds union " +
+    "to the one-shot result") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four"),
+      (3L, "xy zz"),
+      (4L, "gamma delta epsilon zeta eta theta"),
+      (5L, "five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "gamma delta epsilon zeta eta"),
+      (101L, "seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("bench_idx_spec").toString
+    TextAnalysis.buildBenchmarkIndex(bench, "text", shingleN = 3,
+      indexDir = idx)
+
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_shingles", "n_overlap", "overlap_frac",
+        "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq.sorted
+
+    // two folds over the index == one-shot decontaminate, row for row
+    val oneShot = snap(TextAnalysis.decontaminate(docs, bench, "doc_id",
+      "text", "text", shingleN = 3, threshold = 0.4))
+    val folded = snap(
+      TextAnalysis.decontaminateIncremental(spark, idx,
+          docs.filter(col("doc_id") <= 2), "doc_id", "text",
+          shingleN = 3, threshold = 0.4)
+        .unionByName(TextAnalysis.decontaminateIncremental(spark, idx,
+          docs.filter(col("doc_id") > 2), "doc_id", "text",
+          shingleN = 3, threshold = 0.4)))
+    assert(folded == oneShot && folded.size == 5)
+    // the folds found real contamination (not vacuous equality):
+    // d1 2/4 vs bench-100, d4 3/4 vs bench-100, d5 2/4 vs bench-101
+    assert(folded.count(_._5) == 3)
+  }
+
   test("stratifiedSample: deterministic, rate-monotone, boundary rates") {
     val docs = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

@@ -385,4 +385,96 @@ class WirePipelineSpec extends SparkSpecBase {
       .collect().toSeq == Seq("W1"))
     assert(belief1.filter(col("valid_until_us").isNull).count() == 1)
   }
+
+  test("conditions vertical through the JDBC StarSink: fold + link table + " +
+    "gate watermark match the manifest sink; replay is a no-op") {
+    import graft.streaming.{JdbcStarSink, ManifestStarSink, StarSink}
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("derby_home_wire").toString)
+    // ONE sink instance hosts every family (prefix derived per config)
+    val jdbc: StarSink = new JdbcStarSink(
+      "jdbc:derby:memory:wiresink;create=true")
+    val manifest: StarSink = ManifestStarSink
+    val roots: Map[String, (StarSink, String)] = Map(
+      "jdbc" -> (jdbc, Files.createTempDirectory("wire_jdbc").toString),
+      "manifest" ->
+        (manifest, Files.createTempDirectory("wire_mani").toString))
+
+    val batch1 = Seq(
+      // problem with a visit → conditions fold + condition_visits link
+      "MSH|^~\\&|EPIC|Problem List|||20240101100000|X|PPR^PC1|W1|P|2.4\r" +
+        "PID|1||M3^^^MRN^MRN\r" + pv1("V1") + "\r" +
+        "PRB|AD|20240101100000|C1^Asthma^I10UK|700|||20240101100000",
+      // allergy with a visit (one valid IAM, one invalid-action nack)
+      "MSH|^~\\&|EPIC|UCLH|||20240101110000||ADT^A60|W2|P|2.4\r" +
+        "EVN|A60|20240101110000\r" + "PID|1||M4^^^MRN^MRN\r" + pv1("V2") +
+        "\r" + "IAM|1|DA^Drug|1^PENICILLIN^ALG|SV^Severe|RASH|A|771^EPIC" +
+        "||||20230115||20240101110000||||Active\r" +
+        "IAM|2|DA^Drug|2^ASPIRIN^ALG||R|Q|772^EPIC",
+      // infections: Jan 2 advances the gate watermark, Jan 1 rejected
+      "MSH|^~\\&|EPIC|UCLH|||20240103120000||ADT^A05|W3|P|2.4\r" +
+        "EVN|A05|20240103120000\r" + "PID|1||M5^^^MRN^MRN\r" +
+        "ZIF|Covid^20240102000000~Flu^20240101000000").toDF("raw")
+    val batch2 = Seq(
+      // pre-watermark infection rejected ACROSS batches; newer lands
+      "MSH|^~\\&|EPIC|UCLH|||20240104120000||ADT^A05|W4|P|2.4\r" +
+        "EVN|A05|20240104120000\r" + "PID|1||M6^^^MRN^MRN\r" +
+        "ZIF|RSV^20240101060000~Strep^20240103000000",
+      // DE tombstone for M3's problem, new visit V3 still links
+      "MSH|^~\\&|EPIC|Problem List|||20240102100000|X|PPR^PC1|W5|P|2.4\r" +
+        "PID|1||M3^^^MRN^MRN\r" + pv1("V3") + "\r" +
+        "PRB|DE|20240102100000|C1^Asthma^I10UK|700|||20240101100000")
+      .toDF("raw")
+
+    roots.values.foreach { case (s, root) =>
+      WirePipeline.foldBatch(batch1, 1L, "raw", root, sink = s)
+      WirePipeline.foldBatch(batch2, 2L, "raw", root, sink = s)
+    }
+
+    def condCfg(root: String) = StarPipeline.Config(s"$root/conditions",
+      Seq("mrn", "conditionTypeId", "internalId"), "updatedTimeUs",
+      "sourceMessageId",
+      Seq("status", "severity", "onsetDate", "comment", "action"),
+      nBuckets = 8)
+    def rawLive(name: String) = { val (s, root) = roots(name)
+      s.read(spark, condCfg(root), "live").get
+        .select("mrn", "conditionTypeId", "internalId", "updatedTimeUs",
+          "action")
+        .as[(String, String, String, Long, Option[String])]
+        .collect().toSeq.sorted }
+    def current(name: String) = { val (s, root) = roots(name)
+      WirePipeline.liveConditions(spark, root, sink = s).get
+        .select("conditionTypeId").as[String].collect().toSet }
+    def links(name: String) = { val (s, root) = roots(name)
+      WirePipeline.conditionVisits(spark, root, sink = s).get
+        .select("mrn", "conditionTypeId", "internalId", "visitNumber")
+        .as[(String, String, String, String)].collect().toSet }
+    def watermark(name: String) = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${roots(name)._2}/conditions/_INF_PROGRESS")))
+      .trim.toLong
+
+    // full raw state (incl. the DE tombstone version) matches
+    assert(rawLive("jdbc") == rawLive("manifest"))
+    assert(rawLive("jdbc").nonEmpty)
+    // the DE-filtered current view agrees and drops the tombstone
+    assert(current("jdbc") == current("manifest"))
+    assert(!current("jdbc").contains("I10UK:C1") &&
+      current("jdbc").contains("INFECTION:Strep") &&
+      !current("jdbc").contains("INFECTION:RSV"))
+    // insert-once link set identical (incl. the tombstone's V3 link)
+    assert(links("jdbc") == links("manifest"))
+    assert(links("jdbc") == Set(
+      ("M3", "I10UK:C1", "700", "V1"),
+      ("M4", "ALLERGY:PENICILLIN", "771", "V2"),
+      ("M3", "I10UK:C1", "700", "V3")))
+    // the serial-gate watermark advanced identically on both paths
+    assert(watermark("jdbc") == watermark("manifest"))
+    assert(watermark("jdbc") == 1704240000000000L)
+
+    // W2: replaying a committed batch through the JDBC deployment is an
+    // exact no-op per family (progress marks short-circuit)
+    val before = (rawLive("jdbc"), links("jdbc"))
+    WirePipeline.foldBatch(batch2, 2L, "raw", roots("jdbc")._2, sink = jdbc)
+    assert((rawLive("jdbc"), links("jdbc")) == before)
+  }
 }
