@@ -21,7 +21,10 @@ object Bench {
     // round 7: decontamination (broadcast-join + one-agg shape) and
     // sequence packing (per-stream window) — trendlines for the new
     // text-prep operators
-    "q84_decontaminate", "q87_pack_sequences")
+    "q84_decontaminate", "q87_pack_sequences",
+    // round 8: DSIR importance weights — the two-pass distribution-
+    // build + broadcast-bucket-scoring shape
+    "q92_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1982,6 +1982,52 @@ object SparkEntry {
           col("internalId").as("internal_id"),
           col("visitNumber").as("visit_id"), col("status"))
         .orderBy(col("mrn"), col("condition_type"), col("visit_id"))
+    }),
+
+    // ---- DSIR importance weights: hashed-n-gram data selection -------
+    // Target domain = the English documents; every doc scored by how
+    // en-like its hashed unigram+bigram features are. Exact-integer
+    // likelihood-ratio sum (see TextAnalysis.dsirWeights) so the oracle
+    // replays the score bit-for-bit.
+    "q92_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.dsirWeights(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+          threshold = 0.45)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-domain caps + blocklist: URL/host curation --------------
+    // Blocklist two sources outright; cap the rest at 10 docs each,
+    // chosen by portable hash order.
+    "q93_domain_cap" -> ((s, dir) => {
+      TextAnalysis.domainCap(t(s, dir, "documents"), "doc_id", "source",
+          maxPerDomain = 10, blocklist = Seq("src7", "src13"))
+        .select(col("doc_id"), col("source"), col("keep_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus-trained LM quality buckets (CCNet shape) -------------
+    "q94_lm_quality" -> ((s, dir) => {
+      TextAnalysis.lmQualityScore(t(s, dir, "documents"), "doc_id",
+          "text", headMin = 0.0334, midMin = 0.0333)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE pair counts: the tokenizer-training merge table ---------
+    "q95_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("pair"))
+    }),
+
+    // ---- exact mixture rebalancing: hit a target language mix --------
+    // en 50% / fr 20% / de 15% / es 10% / zh 5%, exact integer caps.
+    "q96_mix_to_target" -> ((s, dir) => {
+      TextAnalysis.mixToTarget(t(s, dir, "documents"), "doc_id", "lang",
+          targetShare10k = Map("en" -> 5000L, "fr" -> 2000L,
+            "de" -> 1500L, "es" -> 1000L, "zh" -> 500L))
+        .select(col("doc_id"), col("lang"), col("mix_rank"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3530,6 +3576,117 @@ object SparkEntry {
         | COALESCE(f.fc, 0) AS fac_count
         |FROM bed_states b LEFT JOIN fac_count f
         |  USING (department_id, room, bed, csn)
-        |ORDER BY level, department_id, room, bed, csn""".stripMargin
+        |ORDER BY level, department_id, room, bed, csn""".stripMargin,
+
+    // DSIR replay: unigram+bigram poly-hashes % 1024 buckets; raw (p)
+    // and target (q, lang='en') bucket counts; per-feature contribution
+    // ((q+1)*1e6) // (p+1) in integer division; per-doc exact-int sums.
+    "q92_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, tok AS s FROM toks
+        | UNION ALL
+        | SELECT doc_id,
+        |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS s FROM toks),
+        |feats AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) % 65536 AS b
+        | FROM grams WHERE s IS NOT NULL),
+        |p AS (SELECT b, COUNT(*) AS pc FROM feats GROUP BY b),
+        |q AS (SELECT b, COUNT(*) AS qc FROM feats f
+        |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY b),
+        |bt AS (SELECT p.b,
+        |  ((COALESCE(q.qc, 0) + 1) * 1000000) // (p.pc + 1) AS contrib
+        | FROM p LEFT JOIN q ON p.b = q.b),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(contrib) AS cs
+        | FROM feats JOIN bt USING (b) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        | CAST(cs AS BIGINT) AS contrib_sum,
+        | CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE)
+        |   AS dsir_score,
+        | (CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE) >= 0.45)
+        |   AS selected
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Domain-cap replay: blocklist filter, then per-source row_number
+    // ordered by poly-hash(doc_id|source) with doc_id tie-break.
+    "q93_domain_cap" ->
+      """WITH k AS (SELECT doc_id, source,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(
+        |      string_split(CAST(doc_id AS VARCHAR) || '|' || source, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS hk
+        | FROM documents WHERE source NOT IN ('src7', 'src13')),
+        |r AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+        |  PARTITION BY source ORDER BY hk, doc_id) AS keep_rank FROM k)
+        |SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
+        |FROM r WHERE keep_rank <= 10 ORDER BY doc_id""".stripMargin,
+
+    // LM-quality replay: distinct (doc, token) counts, unigram frequency
+    // table from the same pre-reduced stream, exact-int mean relative
+    // frequency; bucket thresholds as literal constants.
+    "q94_lm_quality" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM toks
+        | GROUP BY doc_id, tok),
+        |f AS (SELECT tok, SUM(k) AS c FROM dt GROUP BY tok),
+        |tt AS (SELECT SUM(k) AS t_total FROM dt),
+        |agg AS (SELECT doc_id, SUM(k) AS n_tokens, SUM(k * c) AS freq_sum
+        | FROM dt JOIN f USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(freq_sum AS BIGINT) AS freq_sum,
+        | CAST(freq_sum AS DOUBLE) /
+        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+        |     AS DOUBLE) AS mean_rel_freq,
+        | CASE WHEN CAST(freq_sum AS DOUBLE) /
+        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+        |     AS DOUBLE) >= 0.0334 THEN 'head'
+        |  WHEN CAST(freq_sum AS DOUBLE) /
+        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+        |     AS DOUBLE) >= 0.0333 THEN 'middle'
+        |  ELSE 'tail' END AS lm_bucket
+        |FROM agg, tt ORDER BY doc_id""".stripMargin,
+
+    // BPE-pair replay: word-frequency table, adjacent 2-char substrings
+    // per word (skipping 1-char words), frequency-weighted pair counts.
+    "q95_bpe_pairs" ->
+      """WITH w AS (SELECT tok, COUNT(*) AS wc FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents) GROUP BY tok),
+        |px AS (SELECT substr(tok, CAST(i AS INT) + 1, 2) AS pair, wc
+        | FROM (SELECT tok, wc, unnest(range(len(tok) - 1)) AS i
+        |   FROM w WHERE len(tok) >= 2))
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+        |FROM px GROUP BY pair ORDER BY pair""".stripMargin,
+
+    // Mixture-rebalancing replay: integer cap arithmetic (N = the
+    // largest total hitting every share; k_s = N*share//10000), then
+    // per-stratum hash-ranked selection.
+    "q96_mix_to_target" ->
+      """WITH tgt AS (SELECT * FROM (VALUES ('en', 5000), ('fr', 2000),
+        |  ('de', 1500), ('es', 1000), ('zh', 500)) t(lang, share10k)),
+        |c AS (SELECT lang, COUNT(*) AS cs FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, cs, share10k FROM c JOIN tgt USING (lang)),
+        |n AS (SELECT MIN((cs * 10000) // share10k) AS nn FROM j),
+        |caps AS (SELECT lang, (nn * share10k) // 10000 AS k FROM j, n),
+        |r AS (SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(doc_id AS VARCHAR) || '|' || lang, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647), doc_id) AS mix_rank
+        | FROM documents)
+        |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+        |FROM r JOIN caps USING (lang)
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
   )
 }

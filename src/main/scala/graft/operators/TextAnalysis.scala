@@ -299,6 +299,198 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * represent every document as hashed n-gram features (unigrams +
+    * bigrams hashed into `nBuckets` buckets), estimate a feature
+    * distribution for the raw corpus (p) and for a target/domain corpus
+    * (q), and score each document by how target-like its features are.
+    *
+    * Engine-portable determinism twist: the published score is
+    * `Σ_f log((q_b+1)/(p_b+1))` — but `log` is not guaranteed to round
+    * identically across engines, so the oracle could never hash-match.
+    * We use the linear likelihood-ratio sum instead, kept in EXACT
+    * integer arithmetic: each feature occurrence contributes
+    * `((q_b + 1) * scale) div (p_b + 1)` (integer division), and the
+    * per-doc score is `contrib_sum / (n_feats * scale)` — an exact-int
+    * over exact-int division, bit-identical in any engine. The linear
+    * form overweights very-high-ratio features relative to the log form;
+    * the induced ranking is what selection uses and is preserved for the
+    * dominant mid-ratio mass.
+    *
+    * Scale shape (the DSIR shape): two passes over the corpus. Pass 1
+    * aggregates the exploded feature stream down to `nBuckets` rows
+    * (partial aggregation pre-reduces map-side, so the exchange carries
+    * ≤ nBuckets rows per task). Pass 2 joins the feature stream against
+    * the BROADCAST bucket table (nBuckets rows — trivially broadcastable
+    * at any corpus size) and pre-reduces into the per-doc aggregate.
+    * The 100 TB side is never shuffled un-aggregated.
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int = 1024,
+                  scale: Long = 1000000L,
+                  threshold: Double = 0.5): DataFrame = {
+    import graft.functions.ShingleHash
+    def feats(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+          explode(concat(ShingleHash.shingleHashes(col(textCol), 1),
+            ShingleHash.shingleHashes(col(textCol), 2))).as("h"))
+        .select(col("doc_id"), pmod(col("h"), lit(nBuckets.toLong)).as("b"))
+    val raw = feats(docs)
+    val p = raw.groupBy("b").agg(count(lit(1)).as("p_cnt"))
+    val q = feats(target).groupBy("b").agg(count(lit(1)).as("q_cnt"))
+    // every doc feature's bucket is present in p (p is built from the
+    // same stream), so the left join covers all probe keys; unseen-in-
+    // target buckets smooth to q_cnt = 0.
+    val buckets = p.join(q, Seq("b"), "left")
+      .select(col("b"),
+        expr(s"((coalesce(q_cnt, 0L) + 1L) * ${scale}L) div (p_cnt + 1L)")
+          .as("contrib"))
+    raw.join(broadcast(buckets), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("contrib").as("contrib_sum"))
+      .withColumn("dsir_score", col("contrib_sum").cast("double") /
+        (col("n_feats") * lit(scale)).cast("double"))
+      .withColumn("selected", col("dsir_score") >= threshold)
+  }
+
+  /** Per-domain document caps with a blocklist (the C4 / RefinedWeb URL
+    * curation shape): drop blocklisted domains outright, then keep at
+    * most `maxPerDomain` documents per domain so no single host
+    * dominates the training mix. The kept subset is chosen by portable
+    * hash order (hash(id|domain), then id) — a deterministic uniform
+    * subsample, stable across runs, engines, and retries, like
+    * [[stratifiedSample]].
+    *
+    * One shuffle (the per-domain window). Hot domains are exactly the
+    * point of the cap — a skewed domain's partition carries at most the
+    * rows that survive AQE skew-split, and the window only materializes
+    * rank ≤ cap before the filter prunes.
+    */
+  def domainCap(docs: DataFrame, idCol: String, domainCol: String,
+                maxPerDomain: Int,
+                blocklist: Seq[String] = Seq.empty): DataFrame = {
+    val kept =
+      if (blocklist.isEmpty) docs
+      else docs.filter(!col(domainCol).isin(blocklist: _*))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(charPolyHash(concat(col(idCol).cast("string"), lit("|"),
+        col(domainCol))), col(idCol))
+    kept.withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= maxPerDomain)
+  }
+
+  /** Exact deterministic mixture rebalancing: downsample strata so the
+    * output hits target domain proportions EXACTLY (the data-mixing
+    * step of DoReMi / Pile-style corpus assembly, applied as exact
+    * integer caps instead of expected-value sampling rates).
+    *
+    * `targets` maps stratum → share in parts-per-10000. The largest
+    * achievable output size is `N = min_s (c_s * 10000) div share_s`
+    * (the binding stratum is kept whole-ish); each stratum keeps its
+    * first `k_s = (N * share_s) div 10000` documents in portable-hash
+    * order (hash(id|stratum), then id — the [[domainCap]] order).
+    * All cap arithmetic is exact integer division, so the kept set is
+    * bit-reproducible in any engine; strata absent from `targets` are
+    * dropped.
+    *
+    * Scale shape: the caps derive from a strata-sized aggregate
+    * (≤ |strata| rows — broadcast), composed IN-PLAN (no driver
+    * collect); the corpus pays one per-stratum window shuffle, and the
+    * rank filter prunes to the cap before anything downstream.
+    */
+  def mixToTarget(docs: DataFrame, idCol: String, strataCol: String,
+                  targetShare10k: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targetShare10k.toSeq.toDF(strataCol, "share10k")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("cs"))
+    val j = counts.join(broadcast(tgt), strataCol)
+    val n = j.agg(min(expr("(cs * 10000L) div share10k")).as("nn"))
+    val caps = j.crossJoin(broadcast(n))
+      .select(col(strataCol), expr("(nn * share10k) div 10000L").as("k"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(charPolyHash(concat(col(idCol).cast("string"), lit("|"),
+        col(strataCol))), col(idCol))
+    docs.join(broadcast(caps), Seq(strataCol))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .filter(col("mix_rank") <= col("k"))
+      .drop("k")
+  }
+
+  /** Corpus-trained LM quality scoring (the CCNet head/middle/tail
+    * shape, Wenzek et al. 2020): train a unigram model on the corpus
+    * itself, score each document by how typical its tokens are, and
+    * bucket documents for mixture weighting. CCNet scores with a 5-gram
+    * KenLM perplexity; the portable variant scores with the unigram
+    * model's MEAN RELATIVE TOKEN FREQUENCY — `Σ_t count(t) / (n · T)`
+    * (T = total corpus token occurrences) — which is exact-integer /
+    * exact-integer, so the score and the bucket boundaries replay
+    * bit-identically in any engine (a log-prob would not; see
+    * [[dsirWeights]]).
+    *
+    * Scale shape: pre-reduce the token stream to distinct (doc, token)
+    * pairs with counts FIRST (one shuffle), derive the frequency table
+    * from that same pre-reduced stream (second, smaller agg), then join
+    * stream ⨝ freq on token. The Zipfian hot tokens ("the") are skewed
+    * join keys — AQE skew-join splits them; the pre-reduction means the
+    * skewed stream carries one row per (doc, hot-token), not one per
+    * occurrence.
+    */
+  def lmQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                     headMin: Double, midMin: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val docTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    val freq = docTok.groupBy("tok").agg(sum("k").as("c"))
+    val total = docTok.agg(sum("k").as("t_total"))
+    docTok.join(freq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_tokens"),
+        sum(col("k") * col("c")).as("freq_sum"))
+      .crossJoin(broadcast(total))
+      .withColumn("mean_rel_freq", col("freq_sum").cast("double") /
+        (col("n_tokens") * col("t_total")).cast("double"))
+      .withColumn("lm_bucket",
+        when(col("mean_rel_freq") >= headMin, "head")
+          .when(col("mean_rel_freq") >= midMin, "middle")
+          .otherwise("tail"))
+      .drop("t_total")
+  }
+
+  /** BPE pair counting — the distributed step of tokenizer training
+    * (Sennrich et al. 2016): compress the corpus to a word-frequency
+    * table (the standard BPE preprocessing — all later merge iterations
+    * are O(vocab), not O(corpus)), then count adjacent symbol pairs
+    * weighted by word frequency. This implements the character-level
+    * first iteration: the returned (pair, pair_count) table is the
+    * training state from which the top merge is chosen.
+    *
+    * Scale shape: ONE pass over the corpus (explode → word-count agg,
+    * map-side pre-reduced); everything after operates on the vocab-sized
+    * word table. The per-word pair generation is an in-row array
+    * transform — no second corpus scan, no shuffle beyond the two aggs.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // guard length >= 2 BEFORE sequence(): sequence(1, 0) would step
+    // DOWNWARD ([1, 0]) and fabricate pairs from 1-char words
+    words.filter(length(col("w")) >= 2)
+      .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"),
+        col("wc"))
+      .groupBy("pair").agg(sum("wc").as("pair_count"))
+  }
+
+  /** The merge BPE would apply next: max pair_count, ties to the
+    * lexicographically smallest pair. Driver-side sort+limit is fine —
+    * the pair table is vocab-sized state, not corpus-sized.
+    */
+  def bestMerge(pairCounts: DataFrame): DataFrame =
+    pairCounts.orderBy(col("pair_count").desc, col("pair").asc).limit(1)
+
   /** Sequence packing (concat-and-chunk): lay documents end-to-end per
     * `groupCol` stream in `idCol` order and record which fixed-size
     * token windows each document spans — the GPT-style pretraining

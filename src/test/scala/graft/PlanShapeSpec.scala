@@ -208,4 +208,23 @@ class PlanShapeSpec extends SparkSpecBase {
       docs, "doc_id", "source", "text", chunkTokens = 8))
     assert(countIn(p, "Exchange hashpartitioning") == 1, p)
   }
+
+  test("DSIR scoring joins the bucket table as a broadcast — the " +
+      "corpus-sized feature stream is never sort-merge joined") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.dsirWeights(
+      docs, docs, "doc_id", "text", nBuckets = 1024))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the feature stream shuffles only into aggregates (bucket counts,
+    // per-doc score) — never as a join side
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("BPE pair counting: one corpus pass — word agg + pair agg are " +
+      "the only exchanges, pair generation is in-row") {
+    val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.bpePairCounts(docs, "text"))
+    assert(countIn(p, "Exchange hashpartitioning") == 2, p)
+    assert(countIn(p, "SortMergeJoin") == 0, p)
+  }
 }

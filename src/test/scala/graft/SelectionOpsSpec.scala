@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-8 data-selection ops: DSIR importance weights, per-domain
+  * caps, corpus-trained LM quality buckets, BPE pair counting.
+  */
+class SelectionOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dsirWeights: exact-integer likelihood-ratio scores") {
+    // 6 distinct feature strings, verified collision-free mod 65536.
+    val docs = Seq(
+      (1L, "aa bb"), // all features in target → every contrib 1.0
+      (2L, "xx yy")  // disjoint from target → smoothing prior 0.5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(docs,
+        docs.filter(col("doc_id") === 1L), "doc_id", "text",
+        nBuckets = 65536, threshold = 0.75)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val d1 = out(0)
+    // 3 features (aa, bb, "aa bb"); each: ((1+1)*1e6) div (1+1) = 1e6
+    assert(d1.getAs[Long]("n_feats") == 3 &&
+      d1.getAs[Long]("contrib_sum") == 3000000L &&
+      d1.getAs[Double]("dsir_score") == 1.0 &&
+      d1.getAs[Boolean]("selected"))
+    val d2 = out(1)
+    // each: ((0+1)*1e6) div (1+1) = 500000 — the add-1 smoothing prior
+    assert(d2.getAs[Long]("contrib_sum") == 1500000L &&
+      d2.getAs[Double]("dsir_score") == 0.5 &&
+      !d2.getAs[Boolean]("selected"))
+  }
+
+  test("domainCap: blocklist drops, cap holds, selection is " +
+      "order-independent") {
+    val docs = Seq(
+      (1L, "d1"), (2L, "d1"), (3L, "d1"), (4L, "d1"),
+      (5L, "d2"),
+      (6L, "spam")
+    ).toDF("doc_id", "source")
+    val out = TextAnalysis.domainCap(docs, "doc_id", "source",
+      maxPerDomain = 2, blocklist = Seq("spam"))
+    val rows = out.orderBy("doc_id")
+      .select("doc_id", "source", "keep_rank").collect()
+    assert(!rows.exists(_.getAs[String]("source") == "spam"))
+    assert(rows.count(_.getAs[String]("source") == "d1") == 2)
+    val d2 = rows.filter(_.getAs[String]("source") == "d2")
+    assert(d2.length == 1 && d2.head.getAs[Long]("keep_rank") == 1L)
+    assert(rows.forall(_.getAs[Long]("keep_rank") <= 2L))
+    // hash-ordered selection: reversing input order and repartitioning
+    // must keep the SAME docs
+    val shuffled = TextAnalysis.domainCap(
+      docs.orderBy(col("doc_id").desc).repartition(7), "doc_id", "source",
+      maxPerDomain = 2, blocklist = Seq("spam"))
+      .orderBy("doc_id").select("doc_id", "source", "keep_rank").collect()
+    assert(shuffled.toSeq == rows.toSeq)
+  }
+
+  test("lmQualityScore: exact mean relative frequency and buckets") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // freq: a=3, b=1, c=1; T=5
+    // doc1: n=3, freq_sum=2*3+1=7,  mean=7/15 ≈ 0.4667 → head
+    // doc2: n=2, freq_sum=3+1=4,    mean=4/10 = 0.4    → tail
+    val out = TextAnalysis.lmQualityScore(docs, "doc_id", "text",
+        headMin = 0.45, midMin = 0.41)
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_tokens") == 3 &&
+      d1.getAs[Long]("freq_sum") == 7 &&
+      d1.getAs[Double]("mean_rel_freq") == 7.0 / 15.0 &&
+      d1.getAs[String]("lm_bucket") == "head")
+    val d2 = out(1)
+    assert(d2.getAs[Long]("freq_sum") == 4 &&
+      d2.getAs[Double]("mean_rel_freq") == 0.4 &&
+      d2.getAs[String]("lm_bucket") == "tail")
+  }
+
+  test("bpePairCounts: frequency-weighted adjacent pairs; 1-char words " +
+      "contribute nothing") {
+    val docs = Seq((1L, "abab ab x"), (2L, "ab")).toDF("doc_id", "text")
+    // words: abab×1 (pairs ab, ba, ab), ab×2 (pair ab), x×1 (none)
+    val counts = TextAnalysis.bpePairCounts(docs, "text")
+      .orderBy("pair").collect()
+    assert(counts.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("ab", 4L), ("ba", 1L)))
+    val best = TextAnalysis.bestMerge(
+      TextAnalysis.bpePairCounts(docs, "text")).collect()
+    assert(best.length == 1 && best.head.getString(0) == "ab" &&
+      best.head.getLong(1) == 4L)
+  }
+
+  test("mixToTarget: exact integer caps hit the target mix; untargeted " +
+      "strata drop; selection is order-independent") {
+    // a×6, b×4, c×1; targets a=50% b=50% → N = min(12, 8) = 8 → 4+4
+    val docs = ((1L to 6L).map((_, "a")) ++ (7L to 10L).map((_, "b")) :+
+        (11L, "c"))
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.mixToTarget(docs, "doc_id", "lang",
+      Map("a" -> 5000L, "b" -> 5000L))
+    val rows = out.select("doc_id", "lang", "mix_rank")
+      .orderBy("doc_id").collect()
+    assert(rows.count(_.getAs[String]("lang") == "a") == 4)
+    assert(rows.count(_.getAs[String]("lang") == "b") == 4)
+    assert(!rows.exists(_.getAs[String]("lang") == "c"))
+    assert(rows.forall(_.getAs[Long]("mix_rank") <= 4L))
+    val shuffled = TextAnalysis.mixToTarget(
+        docs.orderBy(col("doc_id").desc).repartition(5), "doc_id", "lang",
+        Map("a" -> 5000L, "b" -> 5000L))
+      .select("doc_id", "lang", "mix_rank").orderBy("doc_id").collect()
+    assert(shuffled.toSeq == rows.toSeq)
+  }
+
+  test("bestMerge tie-break: equal counts resolve to the " +
+      "lexicographically smallest pair") {
+    val pairs = Seq(("ce", 5L), ("cd", 5L), ("aa", 3L))
+      .toDF("pair", "pair_count")
+    val best = TextAnalysis.bestMerge(pairs).collect()
+    assert(best.head.getString(0) == "cd")
+  }
+}
