@@ -2020,6 +2020,33 @@ object SparkEntry {
         .orderBy(col("pair"))
     }),
 
+    // ---- full BPE training: the ordered merge table ------------------
+    // Driver-loop over vocab-sized state (corpus scanned once); greedy
+    // argmax merges with deterministic tie-breaks. Rows-only check: the
+    // iterative rewrite is not expressible as one SQL statement, but
+    // the per-step pair counts ARE oracle-checked via q95's replay of
+    // step 1.
+    "q98_bpe_train" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", numMerges = 20)
+        .orderBy(col("step"))
+    }),
+
+    // ---- product quantization: train → encode → ADC search -----------
+    // The memory-compression ANN path (Jégou et al. 2011): 4 subspaces
+    // × 8 codes trained with the portable Lloyd's, vectors compressed
+    // to 4 codes, search by asymmetric distance over code lookups. The
+    // oracle replays ALL FOUR sub-quantizer trainings, the encoding,
+    // and the ADC ranking.
+    "q97_pq_search" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val cbs = Ann.pqTrainCodebooks(em, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)
+      val codes = Ann.pqEncode(em, "vec_id", "embedding", cbs)
+      Ann.pqSearch(em.filter(pmod(col("vec_id"), lit(50)) === 0), codes,
+          "vec_id", "embedding", cbs, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- exact mixture rebalancing: hit a target language mix --------
     // en 50% / fr 20% / de 15% / es 10% / zh 5%, exact integer caps.
     "q96_mix_to_target" -> ((s, dir) => {
@@ -3666,6 +3693,82 @@ object SparkEntry {
         |   FROM w WHERE len(tok) >= 2))
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
         |FROM px GROUP BY pair ORDER BY pair""".stripMargin,
+
+    // PQ replay: per-subspace portable Lloyd's (rounded-L2 argmin
+    // assignment, exact-integer centroid means — the q90 pattern ×4),
+    // encode = final assignment per subspace, ADC = distance-table
+    // joins summed in subspace order. Programmatically unrolled.
+    "q97_pq_search" -> {
+      val m = 4; val sub = 16; val k = 8; val iters = 2
+      def sq(e: String, c: String) =
+        s"round(list_sum(list_transform(range(len($e)), " +
+          s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
+      def assign(mi: Int, centsCte: String, out: String) =
+        s"""$out AS (SELECT vec_id, v, cid FROM (
+           |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${sq("e.v", "c.cv")} ASC, c.cid) AS rn
+           |  FROM s$mi e CROSS JOIN $centsCte c) WHERE rn = 1)""".stripMargin
+      def update(prevCents: String, asg: String, out: String) =
+        s"""${out}n AS (SELECT cid,
+           |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
+           | FROM (SELECT cid, i,
+           |    SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
+           |   FROM (SELECT cid, unnest(v) AS x,
+           |      unnest(range(len(v))) AS i FROM $asg)
+           |   GROUP BY cid, i) GROUP BY cid),
+           |$out AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+           | FROM $prevCents p LEFT JOIN ${out}n nn USING (cid))"""
+          .stripMargin
+      val subCtes = (0 until m).map(mi =>
+        s"s$mi AS (SELECT vec_id, v[${mi * sub + 1}:${(mi + 1) * sub}]" +
+          s" AS v FROM ex)").mkString(",\n")
+      val initCtes = (0 until m).map(mi =>
+        s"""c${mi}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+           |  AS cid, v AS cv
+           | FROM (SELECT vec_id, v FROM s$mi ORDER BY vec_id LIMIT $k))"""
+          .stripMargin).mkString(",\n")
+      val loops = (0 until m).map { mi =>
+        (1 to iters).map(i =>
+          assign(mi, s"c${mi}_${i - 1}", s"a${mi}_$i") + ",\n" +
+            update(s"c${mi}_${i - 1}", s"a${mi}_$i", s"c${mi}_$i"))
+          .mkString(",\n")
+      }.mkString(",\n")
+      val finals = (0 until m).map(mi =>
+        assign(mi, s"c${mi}_$iters", s"af$mi")).mkString(",\n")
+      val codesJoin = (1 until m)
+        .map(mi => s"JOIN af$mi a$mi USING (vec_id)").mkString(" ")
+      val qdCtes = (0 until m).map(mi =>
+        s"""qs$mi AS (SELECT vec_id AS query_id, v FROM s$mi
+           |  WHERE vec_id % 50 = 0),
+           |qd$mi AS (SELECT q.query_id, c.cid, ${sq("q.v", "c.cv")} AS d
+           | FROM qs$mi q CROSS JOIN c${mi}_$iters c)""".stripMargin)
+        .mkString(",\n")
+      val qdJoins = (1 until m).map(mi =>
+        s"JOIN qd$mi ON qd$mi.cid = cd.k$mi" +
+          s" AND qd$mi.query_id = qd0.query_id").mkString("\n ")
+      s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |$subCtes,
+         |$initCtes,
+         |$loops,
+         |$finals,
+         |codes AS (SELECT a0.vec_id,
+         |  ${(0 until m).map(mi => s"a$mi.cid AS k$mi").mkString(", ")}
+         | FROM af0 a0 $codesJoin),
+         |$qdCtes,
+         |scored AS (SELECT qd0.query_id, cd.vec_id AS neighbor_id,
+         |  round(${(0 until m).map(mi => s"qd$mi.d").mkString(" + ")}, 4)
+         |    + 0.0 AS adist
+         | FROM codes cd
+         | JOIN qd0 ON qd0.cid = cd.k0
+         | $qdJoins
+         | WHERE qd0.query_id <> cd.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY adist, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // Mixture-rebalancing replay: integer cap arithmetic (N = the
     // largest total hitting every share; k_s = N*share//10000), then

@@ -138,11 +138,25 @@ object Ann {
                        k: Int, iters: Int = 2): Seq[Seq[Double]] = {
     val v = vectors.select(col(idCol).as("__id"),
       toDoubleVec(col(vecCol)).as("v"))
-    var cents: Seq[Seq[Double]] = v.orderBy(col("__id")).limit(k)
+    val init: Seq[Seq[Double]] = v.orderBy(col("__id")).limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    lloydPortable(v, init, iters, cosineCluster)
+  }
+
+  /** The shared engine-portable Lloyd's loop: assignment is pluggable
+    * (rounded-cosine argmax for spherical IVF, rounded-L2 argmin for
+    * PQ sub-quantizers); the update step is the exact floor(x·10⁴)
+    * integer-mean trick in both cases. `vs` must have columns
+    * (__id, v); only the k×dim centroid matrix round-trips through the
+    * driver per iteration.
+    */
+  private def lloydPortable(vs: DataFrame, init: Seq[Seq[Double]],
+      iters: Int,
+      assign: (Column, Seq[Seq[Double]]) => Column): Seq[Seq[Double]] = {
+    var cents = init
     for (_ <- 1 to iters) {
-      val byCluster = v
-        .select(cosineCluster(col("v"), cents).as("c"),
+      val byCluster = vs
+        .select(assign(col("v"), cents).as("c"),
           posexplode(col("v")).as(Seq("p", "x")))
         .groupBy(col("c"), col("p"))
         .agg(sum(floor(col("x") * 10000).cast("long")).as("s"),
@@ -291,6 +305,101 @@ object Ann {
       .withColumn("sim",
         cosineSimPre(col("qv"), col("v"), col("qn"), col("norm")))
     topK(scored, k)
+  }
+
+  // -------------------------------------------------- product quantization
+
+  /** Rounded squared-L2 distance to a literal centroid — 4-decimal
+    * rounding (+0.0 normalizes -0.0) makes the ORDER the distances
+    * induce engine-portable (the repo's q23/q90 precision convention).
+    */
+  private def sqDistR(v: Column, c: Seq[Double]): Column =
+    round(aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x), 4) + lit(0.0)
+
+  /** Nearest sub-centroid by rounded squared-L2 — argmin over k literal
+    * centroids, lowest index breaking exact ties (the L2 counterpart of
+    * [[cosineCluster]]).
+    */
+  def pqCluster(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val dists = cents.map(sqDistR(v, _))
+    val minD = least(dists: _*)
+    cents.indices.map(i => when(dists(i) === minD, lit(i)))
+      .reduce((a, b) => coalesce(a, b))
+  }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011): split
+    * the dim-D space into `m` contiguous subspaces of D/m dims and run
+    * the engine-portable Lloyd's ([[lloydPortable]], rounded-L2
+    * assignment, exact-integer means, k-lowest-id init) independently
+    * in each. Returns codebooks(mi)(cid) = sub-centroid.
+    *
+    * Scale: m × iters narrow aggregate passes; only m·k×(D/m) centroid
+    * doubles ever reach the driver.
+    */
+  def pqTrainCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int,
+                       iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val v0 = vectors.select(col(idCol).as("__id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    val dim = v0.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val vs = v0.select(col("__id"),
+        slice(col("v"), mi * sub + 1, sub).as("v"))
+      val init: Seq[Seq[Double]] = vs.orderBy(col("__id")).limit(k)
+        .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+      lloydPortable(vs, init, iters, pqCluster)
+    }
+  }
+
+  /** PQ-encode vectors: each row compresses to m small codes (nearest
+    * sub-centroid per subspace). THIS is the 100 TB artifact — a
+    * 64-dim float vector (256 bytes) becomes m codes (m bytes at
+    * k ≤ 256), a 64× compression; the search scan reads codes only,
+    * never the vectors. Zero shuffle, fully codegen'd argmins.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sub = codebooks.head.head.length
+    df.select(col(idCol).as("emb_id"),
+      array(codebooks.zipWithIndex.map { case (cb, mi) =>
+        pqCluster(slice(toDoubleVec(col(vecCol)), mi * sub + 1, sub), cb)
+      }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes one k-entry distance table per subspace (query
+    * subvector → every sub-centroid), then a candidate's approximate
+    * distance is m table lookups summed in subspace order. The query
+    * side (tables included) broadcasts; the code scan is a narrow
+    * projection — the only shuffle is the per-query top-k window.
+    */
+  def pqSearch(queries: DataFrame, codes: DataFrame, idCol: String,
+               vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+               k: Int): DataFrame = {
+    val sub = codebooks.head.head.length
+    val q0 = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("qv"))
+    val qdt = codebooks.zipWithIndex.foldLeft(q0) { case (df, (cb, mi)) =>
+      df.withColumn(s"__qdt_$mi",
+        array(cb.map(c => sqDistR(slice(col("qv"), mi * sub + 1, sub), c)): _*))
+    }.drop("qv")
+    // fixed subspace order (0..m-1): the oracle sums in the same order,
+    // so the rounded totals are bit-identical
+    val adist = codebooks.indices.map(mi =>
+        element_at(col(s"__qdt_$mi"), col("codes").getItem(mi) + 1))
+      .reduce(_ + _)
+    val scored = broadcast(qdt)
+      .join(codes, col("query_id") =!= col("emb_id"))
+      .withColumn("adist", round(adist, 4) + lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("emb_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("emb_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adist"))
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {

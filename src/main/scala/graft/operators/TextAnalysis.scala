@@ -491,6 +491,74 @@ object TextAnalysis {
   def bestMerge(pairCounts: DataFrame): DataFrame =
     pairCounts.orderBy(col("pair_count").desc, col("pair").asc).limit(1)
 
+  /** Full BPE training (Sennrich et al. 2016): symbolize the
+    * word-frequency table at character level, then apply `numMerges`
+    * greedy merges — each step counts adjacent symbol pairs weighted by
+    * word frequency, merges the argmax (ties: smallest (left, right)
+    * pair), and rewrites the symbol sequences left-to-right
+    * non-overlapping (the standard greedy application; "aaaa" under
+    * (a,a) becomes [aa, aa]). Returns the ordered merge table
+    * (step, left, right, merged, pair_count) — the trained tokenizer.
+    *
+    * Scale shape: the corpus is scanned ONCE (into the vocab-sized
+    * word-frequency table); every iteration is one aggregate over the
+    * vocab plus a one-row driver argmax. State between iterations is
+    * the persisted symbolized vocab — O(vocab), never O(corpus).
+    * Stops early when no pair remains.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // localCheckpoint (eager), not persist: each step's rewrite nests
+    // another array fold into the logical plan — after ~10 chained
+    // steps the accumulated plan OOMs analysis/codegen. Checkpointing
+    // truncates lineage so every step plans against a flat scan.
+    var words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      // (?!^) splits BETWEEN characters without a leading empty token;
+      // Spark's split keeps TRAILING empties (limit -1 semantics), so
+      // strip them or every word grows a phantom "" symbol
+      .select(filter(split(col("w"), "(?!^)"), s => length(s) > 0)
+        .as("syms"), col("wc"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, String, Long)]()
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"), col("wc"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (best.head.getAs[String]("a"),
+          best.head.getAs[String]("b"), best.head.getAs[Long]("cnt"))
+        merges += ((step, a, b, a + b, cnt))
+        // left-to-right greedy merge as an in-row array fold: the freshly
+        // merged symbol becomes the fold's new tail, so overlapping
+        // occurrences are consumed exactly like the reference algorithm
+        val applied = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        words = words.select(applied.as("syms"), col("wc"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
   /** Sequence packing (concat-and-chunk): lay documents end-to-end per
     * `groupCol` stream in `idCol` order and record which fixed-size
     * token windows each document spans — the GPT-style pretraining

@@ -119,4 +119,29 @@ class SelectionOpsSpec extends SparkSpecBase {
     val best = TextAnalysis.bestMerge(pairs).collect()
     assert(best.head.getString(0) == "cd")
   }
+
+  test("bpeTrain: greedy merge sequence on a hand-computed corpus; " +
+      "stops when no pairs remain") {
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    // words abab×2, ab×1 → (a,b)=2·2+1=5; then (ab,ab)=2; then done
+    val m = TextAnalysis.bpeTrain(docs, "text", numMerges = 5)
+      .orderBy("step").collect()
+    assert(m.length == 2)
+    assert((m(0).getAs[String]("left"), m(0).getAs[String]("right"),
+      m(0).getAs[String]("merged"), m(0).getAs[Long]("pair_count")) ==
+      ("a", "b", "ab", 5L))
+    assert((m(1).getAs[String]("left"), m(1).getAs[String]("right"),
+      m(1).getAs[String]("merged"), m(1).getAs[Long]("pair_count")) ==
+      ("ab", "ab", "abab", 2L))
+  }
+
+  test("bpeTrain: left-to-right non-overlapping application (aaaa " +
+      "under (a,a) → [aa, aa])") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, "text", numMerges = 5)
+      .orderBy("step").collect()
+    assert(m.map(r => (r.getAs[String]("merged"),
+      r.getAs[Long]("pair_count"))).toSeq ==
+      Seq(("aa", 3L), ("aaaa", 1L)))
+  }
 }
