@@ -402,6 +402,102 @@ object Ann {
         col("rank").cast("long").as("rank"), col("adist"))
   }
 
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Train the coarse quantizer for an IVF-PQ index: full-dimension
+    * engine-portable Lloyd's with rounded-L2 argmin assignment (the
+    * [[pqCluster]] geometry — IVF-PQ is an L2 structure, unlike the
+    * spherical [[ivfTrainPortable]]).
+    */
+  def ivfPqTrainCoarse(vectors: DataFrame, idCol: String, vecCol: String,
+                       kc: Int, iters: Int = 2): Seq[Seq[Double]] = {
+    val v = vectors.select(col(idCol).as("__id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    val init: Seq[Seq[Double]] = v.orderBy(col("__id")).limit(kc)
+      .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    lloydPortable(v, init, iters, pqCluster)
+  }
+
+  /** Residual of each vector against its coarse centroid — the vector
+    * the PQ codebooks are trained on and encode. In-plan (the centroid
+    * matrix is a literal indexed by the assignment), zero shuffle.
+    * Output: (emb_id, coarse, rv).
+    */
+  def ivfPqResiduals(df: DataFrame, idCol: String, vecCol: String,
+                     coarse: Seq[Seq[Double]]): DataFrame = {
+    val cl = typedLit(coarse)
+    df.select(col(idCol).as("emb_id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("coarse", pqCluster(col("v"), coarse))
+      .withColumn("rv",
+        zip_with(col("v"), element_at(cl, col("coarse") + 1),
+          (x, c) => x - c))
+      .select(col("emb_id"), col("coarse"), col("rv"))
+  }
+
+  /** Build the IVF-PQ index (Jégou et al. 2011 §IV): train the coarse
+    * quantizer, PQ-train on the RESIDUALS, and encode every vector as
+    * (coarse list id, m sub-codes). At rest this table is written
+    * partitioned by `coarse` — a probe prunes to nProbe partitions AND
+    * reads only code bytes: the two cuts that make billion-scale search
+    * feasible, composed.
+    */
+  def ivfPqBuild(vectors: DataFrame, idCol: String, vecCol: String,
+                 kc: Int, m: Int, k: Int, iters: Int = 2)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
+    val coarse = ivfPqTrainCoarse(vectors, idCol, vecCol, kc, iters)
+    val res = ivfPqResiduals(vectors, idCol, vecCol, coarse)
+    val codebooks = pqTrainCodebooks(res, "emb_id", "rv", m, k, iters)
+    val sub = codebooks.head.head.length
+    val codes = res.select(col("emb_id"), col("coarse"),
+      array(codebooks.zipWithIndex.map { case (cb, mi) =>
+        pqCluster(slice(col("rv"), mi * sub + 1, sub), cb)
+      }: _*).as("codes"))
+    (coarse, codebooks, codes)
+  }
+
+  /** IVF-PQ search: each query probes its `nProbe` nearest coarse
+    * lists (rounded-L2 order, centroid id tie-break), computes one
+    * distance table per (probe, subspace) from its RESIDUAL against
+    * that list's centroid, and ADC-scores only the probed lists'
+    * codes. The query side (probes + tables) broadcasts; candidates
+    * join on the coarse id — partition-prunable at rest — and a vector
+    * lives in exactly one list, so multi-probe never double-counts.
+    */
+  def ivfPqSearch(queries: DataFrame, codes: DataFrame, idCol: String,
+                  vecCol: String, coarse: Seq[Seq[Double]],
+                  codebooks: Seq[Seq[Seq[Double]]], nProbe: Int,
+                  k: Int): DataFrame = {
+    val sub = codebooks.head.head.length
+    val cl = typedLit(coarse)
+    val probeArr = slice(array_sort(array(coarse.indices.map(i =>
+        struct(sqDistR(col("qv"), coarse(i)).as("d"),
+          lit(i).as("cid"))): _*)),
+      1, nProbe)
+    val q0 = queries.select(col(idCol).as("query_id"),
+        toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("probe", explode(transform(probeArr, _.getField("cid"))))
+      .withColumn("qr",
+        zip_with(col("qv"), element_at(cl, col("probe") + 1),
+          (x, c) => x - c))
+    val qdt = codebooks.zipWithIndex.foldLeft(q0) { case (df, (cb, mi)) =>
+      df.withColumn(s"__qdt_$mi",
+        array(cb.map(c => sqDistR(slice(col("qr"), mi * sub + 1, sub), c)): _*))
+    }.drop("qv", "qr")
+    val adist = codebooks.indices.map(mi =>
+        element_at(col(s"__qdt_$mi"), col("codes").getItem(mi) + 1))
+      .reduce(_ + _)
+    val scored = broadcast(qdt)
+      .join(codes, col("probe") === col("coarse") &&
+        col("query_id") =!= col("emb_id"))
+      .withColumn("adist", round(adist, 4) + lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("emb_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("emb_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adist"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     // Rank on the ROUNDED similarity (+0.0 normalizes IEEE -0.0): a
     // near-tie at a rank boundary must resolve identically in Spark and

@@ -40,4 +40,25 @@ class PqSpec extends SparkSpecBase {
     assert(res.take(3).forall(_.getAs[Double]("adist") == 0.0))
     assert(res(3).getAs[Double]("adist") > 0.0)
   }
+
+  test("IVF-PQ: coarse lists separate groups, residual codes agree, " +
+      "multi-probe never double-counts") {
+    val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2)
+    assert(coarse.length == 2)
+    val idx = codes.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    // group members share a coarse list; the two groups differ
+    assert(idx(0L)._1 == idx(2L)._1 && idx(1L)._1 == idx(3L)._1)
+    assert(idx(0L)._1 != idx(1L)._1)
+    val res = Ann.ivfPqSearch(corpus.filter(col("vec_id") === 0L), codes,
+        "vec_id", "embedding", coarse, cbs, nProbe = 2, k = 7)
+      .orderBy("rank").collect()
+    // probing both lists sees every other vector exactly once
+    assert(res.map(_.getAs[Long]("neighbor_id")).distinct.length == 7)
+    // same-group neighbors (zero residual distance to the query's own
+    // list) rank before any cross-list candidate
+    assert(res.take(3).map(_.getAs[Long]("neighbor_id")).toSeq ==
+      Seq(2L, 4L, 6L))
+  }
 }
