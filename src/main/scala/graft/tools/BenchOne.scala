@@ -27,12 +27,12 @@ object BenchOne {
     // warmup as in Bench
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val fn = graft.SparkEntry.queries(name)
-    for (i <- 0 until reps) {
+    for (nm <- name.split(","); fn = graft.SparkEntry.queries(nm);
+         i <- 0 until reps) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench-one] $name rep$i: $dt%.2f s ($n rows)")
+      System.err.println(f"[bench-one] $nm rep$i: $dt%.2f s ($n rows)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
