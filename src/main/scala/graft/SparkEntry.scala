@@ -2020,6 +2020,36 @@ object SparkEntry {
         .orderBy(col("pair"))
     }),
 
+    // ---- composed curation pipeline v3: the round-8 ops chained ------
+    // domain caps → exact mixture → DSIR gate (target = the mix's en
+    // docs) → LM-quality tail drop (model trained on the SURVIVING
+    // corpus) → sequence packing. One oracle over the chain: every
+    // stage's keep-set feeds the next stage's statistics, so a drift
+    // anywhere shifts every downstream offset.
+    "q100_curation_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val capped = TextAnalysis.domainCap(d, "doc_id", "source",
+          maxPerDomain = 15, blocklist = Seq("src7", "src13"))
+        .select("doc_id", "lang", "source", "text")
+      val mixed = TextAnalysis.mixToTarget(capped, "doc_id", "lang",
+          targetShare10k = Map("en" -> 5000L, "fr" -> 2000L,
+            "de" -> 1500L, "es" -> 1000L, "zh" -> 500L))
+        .select("doc_id", "lang", "source", "text")
+      val scored = TextAnalysis.dsirWeights(mixed,
+        mixed.filter(col("lang") === "en"), "doc_id", "text",
+        nBuckets = 65536, threshold = 0.48)
+      val sel = mixed.join(
+        scored.filter(col("selected")).select("doc_id"), "doc_id")
+      val lm = TextAnalysis.lmQualityScore(sel, "doc_id", "text",
+        headMin = 1.0, midMin = 0.0332)
+      val kept = sel.join(
+        lm.filter(col("mean_rel_freq") >= 0.0332).select("doc_id"),
+        "doc_id")
+      TextAnalysis.packSequences(kept, "doc_id", "source", "text",
+          chunkTokens = 2048)
+        .orderBy(col("stream"), col("doc_id"))
+    }),
+
     // ---- full BPE training: the ordered merge table ------------------
     // Driver-loop over vocab-sized state (corpus scanned once); greedy
     // argmax merges with deterministic tie-breaks. Rows-only check: the
@@ -3784,6 +3814,87 @@ object SparkEntry {
          |   ORDER BY adist, neighbor_id) AS rank FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // Curation-chain replay: q93's cap → q96's mix (counts from the
+    // capped set) → q92's DSIR (distributions from the mixed set) →
+    // q94's LM score (frequencies from the DSIR survivors) → q87's
+    // pack. Exact-integer at every gate.
+    "q100_curation_pipeline" ->
+      """WITH capped AS (SELECT doc_id, lang, source, text FROM (
+        |  SELECT d.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(doc_id AS VARCHAR) || '|' || source, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647), doc_id) AS rk
+        |  FROM documents d WHERE source NOT IN ('src7', 'src13'))
+        | WHERE rk <= 15),
+        |tgt AS (SELECT * FROM (VALUES ('en', 5000), ('fr', 2000),
+        |  ('de', 1500), ('es', 1000), ('zh', 500)) t(lang, share10k)),
+        |c AS (SELECT lang, COUNT(*) AS cs FROM capped GROUP BY lang),
+        |j AS (SELECT c.lang, cs, share10k FROM c JOIN tgt USING (lang)),
+        |n AS (SELECT MIN((cs * 10000) // share10k) AS nn FROM j),
+        |caps AS (SELECT lang, (nn * share10k) // 10000 AS k
+        | FROM j, n),
+        |mixed AS (SELECT doc_id, lang, source, text FROM (
+        |  SELECT d.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(doc_id AS VARCHAR) || '|' || lang, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647), doc_id) AS mr
+        |  FROM capped d) r JOIN caps USING (lang) WHERE mr <= k),
+        |toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+        | FROM mixed),
+        |grams AS (
+        | SELECT doc_id, tok AS s FROM toks
+        | UNION ALL
+        | SELECT doc_id,
+        |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS s FROM toks),
+        |feats AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) % 65536 AS b
+        | FROM grams WHERE s IS NOT NULL),
+        |p AS (SELECT b, COUNT(*) AS pc FROM feats GROUP BY b),
+        |q AS (SELECT b, COUNT(*) AS qc FROM feats f
+        |  JOIN mixed d USING (doc_id) WHERE d.lang = 'en' GROUP BY b),
+        |bt AS (SELECT p.b,
+        |  ((COALESCE(q.qc, 0) + 1) * 1000000) // (p.pc + 1) AS contrib
+        | FROM p LEFT JOIN q ON p.b = q.b),
+        |ds AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(contrib) AS cs2
+        | FROM feats JOIN bt USING (b) GROUP BY doc_id),
+        |sel AS (SELECT m.doc_id, m.lang, m.source, m.text
+        | FROM mixed m JOIN ds USING (doc_id)
+        | WHERE CAST(cs2 AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE)
+        |   >= 0.48),
+        |t2 AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM sel),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS kk FROM t2
+        | GROUP BY doc_id, tok),
+        |f AS (SELECT tok, SUM(kk) AS cc FROM dt GROUP BY tok),
+        |tt AS (SELECT SUM(kk) AS t_total FROM dt),
+        |lm AS (SELECT doc_id, SUM(kk) AS nn2, SUM(kk * cc) AS fs
+        | FROM dt JOIN f USING (tok) GROUP BY doc_id),
+        |kept AS (SELECT s2.* FROM sel s2 JOIN lm USING (doc_id), tt
+        | WHERE CAST(fs AS DOUBLE) /
+        |   CAST(CAST(nn2 AS BIGINT) * CAST(t_total AS BIGINT) AS DOUBLE)
+        |   >= 0.0332),
+        |n3 AS (SELECT source AS stream, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM kept),
+        |c3 AS (SELECT stream, doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM n3)
+        |SELECT stream, doc_id, n_tokens, end_tok,
+        | end_tok - n_tokens AS start_tok,
+        | CAST((end_tok - n_tokens) // 2048 AS BIGINT) AS first_chunk,
+        | CAST((end_tok - 1) // 2048 AS BIGINT) AS last_chunk
+        |FROM c3 ORDER BY stream, doc_id""".stripMargin,
 
     // IVF-PQ replay: the q97 machinery plus coarse training, residual
     // derivation, probe selection, and per-probe residual tables.
