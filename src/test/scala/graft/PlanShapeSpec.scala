@@ -227,4 +227,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "Exchange hashpartitioning") == 2, p)
     assert(countIn(p, "SortMergeJoin") == 0, p)
   }
+
+  test("PQ encode is a zero-shuffle per-row projection — the 100 TB " +
+      "compression pass never exchanges") {
+    val vs = Seq((0L, Seq(0f, 0f, 1f, 1f)), (1L, Seq(1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cbs = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(1.0, 1.0), Seq(0.0, 0.0)))
+    val p = plan(graft.operators.Ann.pqEncode(vs, "vec_id", "embedding", cbs))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("mixToTarget: the caps side reaches the corpus as a broadcast " +
+      "(strata-sized), never a sort-merge join") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "lang")
+    val p = plan(graft.operators.TextAnalysis.mixToTarget(
+      docs, "doc_id", "lang", Map("a" -> 5000L, "b" -> 5000L)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
