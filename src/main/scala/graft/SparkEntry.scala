@@ -1997,6 +1997,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- incremental DSIR: frozen importance model, batch scoring ----
+    // The bucket table is persisted once; two training batches score
+    // against it independently and union to the one-shot q92 result —
+    // the oracle IS the q92 SQL.
+    "q101_dsir_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("dsir_idx").toString
+      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+        indexDir = idx)
+      val fold = (p: Column) => TextAnalysis.dsirScoreIncremental(
+        s, idx, d.filter(p), "doc_id", "text", nBuckets = 65536,
+        threshold = 0.45)
+      fold(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(fold(pmod(col("doc_id"), lit(2)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-domain caps + blocklist: URL/host curation --------------
     // Blocklist two sources outright; cap the rest at 10 docs each,
     // chosen by portable hash order.
@@ -2106,6 +2125,44 @@ object SparkEntry {
   // ===================================================================
   // DuckDB oracles. Same column names, same determinism rules.
   // ===================================================================
+
+  /** DSIR replay — shared by q92 (one-shot) and q101 (persisted index,
+    * two batch folds whose union must equal the one-shot run): unigram
+    * +bigram poly-hashes % 65536 buckets; raw (p) and target (q,
+    * lang='en') bucket counts; per-feature contribution
+    * ((q+1)*1e6) // (p+1) in integer division; per-doc exact-int sums.
+    */
+  private val DsirOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+      | FROM documents),
+      |grams AS (
+      | SELECT doc_id, tok AS s FROM toks
+      | UNION ALL
+      | SELECT doc_id,
+      |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+      |    AS s FROM toks),
+      |feats AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 2147483647) % 65536 AS b
+      | FROM grams WHERE s IS NOT NULL),
+      |p AS (SELECT b, COUNT(*) AS pc FROM feats GROUP BY b),
+      |q AS (SELECT b, COUNT(*) AS qc FROM feats f
+      |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY b),
+      |bt AS (SELECT p.b,
+      |  ((COALESCE(q.qc, 0) + 1) * 1000000) // (p.pc + 1) AS contrib
+      | FROM p LEFT JOIN q ON p.b = q.b),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(contrib) AS cs
+      | FROM feats JOIN bt USING (b) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+      | CAST(cs AS BIGINT) AS contrib_sum,
+      | CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE)
+      |   AS dsir_score,
+      | (CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE) >= 0.45)
+      |   AS selected
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of the bitemporal belief semantics: fold batches
     * 1..cutoff in valid-time order per cutoff — shared by q43 (in-memory
@@ -3650,40 +3707,14 @@ object SparkEntry {
         |  USING (department_id, room, bed, csn)
         |ORDER BY level, department_id, room, bed, csn""".stripMargin,
 
-    // DSIR replay: unigram+bigram poly-hashes % 1024 buckets; raw (p)
-    // and target (q, lang='en') bucket counts; per-feature contribution
-    // ((q+1)*1e6) // (p+1) in integer division; per-doc exact-int sums.
-    "q92_dsir_weights" ->
-      """WITH toks AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
-        | FROM documents),
-        |grams AS (
-        | SELECT doc_id, tok AS s FROM toks
-        | UNION ALL
-        | SELECT doc_id,
-        |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
-        |    AS s FROM toks),
-        |feats AS (SELECT doc_id,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |    (h, c) -> (h * 31 + c) % 2147483647) % 65536 AS b
-        | FROM grams WHERE s IS NOT NULL),
-        |p AS (SELECT b, COUNT(*) AS pc FROM feats GROUP BY b),
-        |q AS (SELECT b, COUNT(*) AS qc FROM feats f
-        |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY b),
-        |bt AS (SELECT p.b,
-        |  ((COALESCE(q.qc, 0) + 1) * 1000000) // (p.pc + 1) AS contrib
-        | FROM p LEFT JOIN q ON p.b = q.b),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(contrib) AS cs
-        | FROM feats JOIN bt USING (b) GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-        | CAST(cs AS BIGINT) AS contrib_sum,
-        | CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE)
-        |   AS dsir_score,
-        | (CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE) >= 0.45)
-        |   AS selected
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    // DSIR replay: see DsirOracleSql (shared with q101).
+    "q92_dsir_weights" -> DsirOracleSql,
+
+    // Incremental DSIR: per-doc scores are independent of batching and
+    // the index freezes the same distributions the one-shot run
+    // estimates, so the two-fold union replays as the ONE-SHOT check —
+    // the q92 SQL verbatim.
+    "q101_dsir_incr" -> DsirOracleSql,
 
     // Domain-cap replay: blocklist filter, then per-source row_number
     // ordered by poly-hash(doc_id|source) with doc_id tie-break.

@@ -330,29 +330,75 @@ object TextAnalysis {
                   textCol: String, nBuckets: Int = 1024,
                   scale: Long = 1000000L,
                   threshold: Double = 0.5): DataFrame = {
+    val raw = dsirFeats(docs, idCol, textCol, nBuckets)
+    dsirScore(raw,
+      dsirBuckets(raw, dsirFeats(target, idCol, textCol, nBuckets), scale),
+      scale, threshold)
+  }
+
+  /** Hashed unigram+bigram feature stream: (doc_id, bucket). */
+  private def dsirFeats(df: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int): DataFrame = {
     import graft.functions.ShingleHash
-    def feats(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("doc_id"),
-          explode(concat(ShingleHash.shingleHashes(col(textCol), 1),
-            ShingleHash.shingleHashes(col(textCol), 2))).as("h"))
-        .select(col("doc_id"), pmod(col("h"), lit(nBuckets.toLong)).as("b"))
-    val raw = feats(docs)
+    df.select(col(idCol).as("doc_id"),
+        explode(concat(ShingleHash.shingleHashes(col(textCol), 1),
+          ShingleHash.shingleHashes(col(textCol), 2))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(nBuckets.toLong)).as("b"))
+  }
+
+  /** Bucket table with per-feature contributions. Every doc feature's
+    * bucket is present in p (p is built from the same stream), so the
+    * left join covers all probe keys; unseen-in-target buckets smooth
+    * to q_cnt = 0.
+    */
+  private def dsirBuckets(raw: DataFrame, targetFeats: DataFrame,
+                          scale: Long): DataFrame = {
     val p = raw.groupBy("b").agg(count(lit(1)).as("p_cnt"))
-    val q = feats(target).groupBy("b").agg(count(lit(1)).as("q_cnt"))
-    // every doc feature's bucket is present in p (p is built from the
-    // same stream), so the left join covers all probe keys; unseen-in-
-    // target buckets smooth to q_cnt = 0.
-    val buckets = p.join(q, Seq("b"), "left")
+    val q = targetFeats.groupBy("b").agg(count(lit(1)).as("q_cnt"))
+    p.join(q, Seq("b"), "left")
       .select(col("b"),
         expr(s"((coalesce(q_cnt, 0L) + 1L) * ${scale}L) div (p_cnt + 1L)")
           .as("contrib"))
-    raw.join(broadcast(buckets), Seq("b"))
+  }
+
+  private def dsirScore(feats: DataFrame, buckets: DataFrame, scale: Long,
+                        threshold: Double): DataFrame =
+    feats.join(broadcast(buckets), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("contrib").as("contrib_sum"))
       .withColumn("dsir_score", col("contrib_sum").cast("double") /
         (col("n_feats") * lit(scale)).cast("double"))
       .withColumn("selected", col("dsir_score") >= threshold)
-  }
+
+  /** Persist the DSIR bucket table ONCE — the frozen importance model a
+    * continuous-ingest pipeline scores new training batches against
+    * (the [[buildBenchmarkIndex]] pattern). The reference distributions
+    * p and q are estimated from the corpora given HERE; later batches
+    * are scored against the frozen ratios, which is how production
+    * importance resampling works (re-estimating per batch would drift
+    * the score as data arrives).
+    */
+  def buildDsirIndex(docs: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, nBuckets: Int, scale: Long,
+                     indexDir: String): Unit =
+    dsirBuckets(dsirFeats(docs, idCol, textCol, nBuckets),
+      dsirFeats(target, idCol, textCol, nBuckets), scale)
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Score ONE new batch against a persisted [[buildDsirIndex]] —
+    * O(batch) per fold, nothing re-reads the reference corpora, the
+    * bucket table broadcasts (≤ nBuckets rows). Per-doc scores are
+    * independent, so batch folds union to the one-shot
+    * [[dsirWeights]] result when the index was built from the same
+    * corpora (q101 proves it against the q92 oracle).
+    */
+  def dsirScoreIncremental(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, batch: DataFrame,
+                           idCol: String, textCol: String, nBuckets: Int,
+                           scale: Long = 1000000L,
+                           threshold: Double = 0.5): DataFrame =
+    dsirScore(dsirFeats(batch, idCol, textCol, nBuckets),
+      spark.read.parquet(indexDir), scale, threshold)
 
   /** Per-domain document caps with a blocklist (the C4 / RefinedWeb URL
     * curation shape): drop blocklisted domains outright, then keep at

@@ -33,6 +33,28 @@ class SelectionOpsSpec extends SparkSpecBase {
       !d2.getAs[Boolean]("selected"))
   }
 
+  test("incremental DSIR: frozen index, batch folds union to the " +
+      "one-shot result") {
+    val docs = Seq((1L, "aa bb"), (2L, "xx yy"), (3L, "aa bb cc"),
+      (4L, "zz ww")).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 2 === 1)
+    val oneShot = TextAnalysis.dsirWeights(docs, target, "doc_id",
+        "text", nBuckets = 65536, threshold = 0.75)
+      .orderBy("doc_id").collect()
+    val idx = java.nio.file.Files
+      .createTempDirectory("dsir_idx_spec").toString
+    TextAnalysis.buildDsirIndex(docs, target, "doc_id", "text",
+      nBuckets = 65536, scale = 1000000L, indexDir = idx)
+    val fold = (p: org.apache.spark.sql.Column) =>
+      TextAnalysis.dsirScoreIncremental(spark, idx,
+        docs.filter(p), "doc_id", "text", nBuckets = 65536,
+        threshold = 0.75)
+    val folded = fold(col("doc_id") <= 2)
+      .unionByName(fold(col("doc_id") > 2))
+      .orderBy("doc_id").collect()
+    assert(folded.toSeq == oneShot.toSeq)
+  }
+
   test("domainCap: blocklist drops, cap holds, selection is " +
       "order-independent") {
     val docs = Seq(
