@@ -2111,6 +2111,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- persisted IVF-PQ index: append-only codes, pruned probes ----
+    // Same build as q99; codes split into two appended batches, then
+    // the query partition-prunes to each query's probed lists — result
+    // must equal the in-memory search (oracle = q99's verbatim).
+    "q102_ivfpq_persisted" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val (coarse, cbs, codes) = Ann.ivfPqBuild(em, "vec_id", "embedding",
+        kc = 4, m = 4, k = 8, iters = 2)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ivfpq_idx").toString
+      Ann.ivfPqIndexAppend(
+        codes.filter(pmod(col("emb_id"), lit(2)) === 0), idx, 1L)
+      Ann.ivfPqIndexAppend(
+        codes.filter(pmod(col("emb_id"), lit(2)) === 1), idx, 2L)
+      Ann.ivfPqIndexQuery(s, idx,
+          em.filter(pmod(col("vec_id"), lit(50)) === 0),
+          "vec_id", "embedding", coarse, cbs, nProbe = 2, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- exact mixture rebalancing: hit a target language mix --------
     // en 50% / fr 20% / de 15% / es 10% / zh 5%, exact integer caps.
     "q96_mix_to_target" -> ((s, dir) => {
@@ -2163,6 +2183,103 @@ object SparkEntry {
       | (CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE) >= 0.45)
       |   AS selected
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** IVF-PQ replay — shared by q99 (in-memory) and q102 (persisted,
+    * two-batch append + partition-pruned query): the q97 machinery
+    * plus coarse training, residual derivation, probe selection, and
+    * per-probe residual tables. Programmatically unrolled.
+    */
+  private val IvfPqOracleSql: String = {
+      val kc = 4; val m = 4; val sub = 16; val k = 8; val iters = 2
+      val nProbe = 2
+      def sq(e: String, c: String) =
+        s"round(list_sum(list_transform(range(len($e)), " +
+          s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
+      def assign(src: String, cents: String, out: String) =
+        s"""$out AS (SELECT vec_id, v, cid FROM (
+           |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${sq("e.v", "c.cv")} ASC, c.cid) AS rn
+           |  FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      def update(prev: String, asg: String, out: String) =
+        s"""${out}n AS (SELECT cid,
+           |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
+           | FROM (SELECT cid, i,
+           |    SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
+           |   FROM (SELECT cid, unnest(v) AS x,
+           |      unnest(range(len(v))) AS i FROM $asg)
+           |   GROUP BY cid, i) GROUP BY cid),
+           |$out AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+           | FROM $prev p LEFT JOIN ${out}n nn USING (cid))"""
+          .stripMargin
+      def initCte(src: String, kk: Int, out: String) =
+        s"""$out AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+           |  AS cid, v AS cv
+           | FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $kk))"""
+          .stripMargin
+      def lloyd(src: String, kk: Int, pfx: String) =
+        (initCte(src, kk, s"${pfx}_0") +:
+          (1 to iters).flatMap(i => Seq(
+            assign(src, s"${pfx}_${i - 1}", s"${pfx}a_$i"),
+            update(s"${pfx}_${i - 1}", s"${pfx}a_$i", s"${pfx}_$i"))))
+          .mkString(",\n")
+      val subCtes = (0 until m).map(mi =>
+        s"rs$mi AS (SELECT vec_id, rv[${mi * sub + 1}:${(mi + 1) * sub}]" +
+          s" AS v FROM res)").mkString(",\n")
+      val subTrains = (0 until m).map(mi =>
+        lloyd(s"rs$mi", k, s"c$mi")).mkString(",\n")
+      val finals = (0 until m).map(mi =>
+        assign(s"rs$mi", s"c${mi}_$iters", s"af$mi")).mkString(",\n")
+      val codesJoin = (1 until m)
+        .map(mi => s"JOIN af$mi a$mi USING (vec_id)").mkString(" ")
+      val qdCtes = (0 until m).map(mi =>
+        s"""qrs$mi AS (SELECT query_id, probe,
+           |  qr[${mi * sub + 1}:${(mi + 1) * sub}] AS v FROM qres),
+           |qd$mi AS (SELECT q.query_id, q.probe, c.cid,
+           |  ${sq("q.v", "c.cv")} AS d
+           | FROM qrs$mi q CROSS JOIN c${mi}_$iters c)""".stripMargin)
+        .mkString(",\n")
+      val qdJoins = (1 until m).map(mi =>
+        s"JOIN qd$mi ON qd$mi.query_id = qd0.query_id" +
+          s" AND qd$mi.probe = qd0.probe AND qd$mi.cid = cd.k$mi")
+        .mkString("\n ")
+      s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |${lloyd("ex", kc, "cc")},
+         |${assign("ex", s"cc_$iters", "caf")},
+         |res AS (SELECT a.vec_id, a.cid AS coarse,
+         |  list_transform(range(len(a.v)), j -> a.v[j+1] - c.cv[j+1])
+         |    AS rv
+         | FROM caf a JOIN cc_$iters c USING (cid)),
+         |$subCtes,
+         |$subTrains,
+         |$finals,
+         |codes AS (SELECT a0.vec_id, r.coarse,
+         |  ${(0 until m).map(mi => s"a$mi.cid AS k$mi").mkString(", ")}
+         | FROM af0 a0 $codesJoin JOIN res r USING (vec_id)),
+         |qp AS (SELECT query_id, cid AS probe, cv FROM (
+         |  SELECT e.vec_id AS query_id, c.cid, c.cv, row_number() OVER (
+         |    PARTITION BY e.vec_id ORDER BY ${sq("e.v", "c.cv")} ASC,
+         |      c.cid) AS rn
+         |  FROM ex e CROSS JOIN cc_$iters c WHERE e.vec_id % 50 = 0)
+         | WHERE rn <= $nProbe),
+         |qres AS (SELECT q.query_id, q.probe,
+         |  list_transform(range(len(e.v)), j -> e.v[j+1] - q.cv[j+1])
+         |    AS qr
+         | FROM qp q JOIN ex e ON e.vec_id = q.query_id),
+         |$qdCtes,
+         |scored AS (SELECT qd0.query_id, cd.vec_id AS neighbor_id,
+         |  round(${(0 until m).map(mi => s"qd$mi.d").mkString(" + ")}, 4)
+         |    + 0.0 AS adist
+         | FROM codes cd
+         | JOIN qd0 ON qd0.probe = cd.coarse AND qd0.cid = cd.k0
+         | $qdJoins
+         | WHERE qd0.query_id <> cd.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY adist, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB replay of the bitemporal belief semantics: fold batches
     * 1..cutoff in valid-time order per cutoff — shared by q43 (in-memory
@@ -3927,99 +4044,13 @@ object SparkEntry {
         | CAST((end_tok - 1) // 2048 AS BIGINT) AS last_chunk
         |FROM c3 ORDER BY stream, doc_id""".stripMargin,
 
-    // IVF-PQ replay: the q97 machinery plus coarse training, residual
-    // derivation, probe selection, and per-probe residual tables.
-    "q99_ivfpq_search" -> {
-      val kc = 4; val m = 4; val sub = 16; val k = 8; val iters = 2
-      val nProbe = 2
-      def sq(e: String, c: String) =
-        s"round(list_sum(list_transform(range(len($e)), " +
-          s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
-      def assign(src: String, cents: String, out: String) =
-        s"""$out AS (SELECT vec_id, v, cid FROM (
-           |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
-           |    PARTITION BY e.vec_id
-           |    ORDER BY ${sq("e.v", "c.cv")} ASC, c.cid) AS rn
-           |  FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-      def update(prev: String, asg: String, out: String) =
-        s"""${out}n AS (SELECT cid,
-           |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
-           | FROM (SELECT cid, i,
-           |    SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
-           |   FROM (SELECT cid, unnest(v) AS x,
-           |      unnest(range(len(v))) AS i FROM $asg)
-           |   GROUP BY cid, i) GROUP BY cid),
-           |$out AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
-           | FROM $prev p LEFT JOIN ${out}n nn USING (cid))"""
-          .stripMargin
-      def initCte(src: String, kk: Int, out: String) =
-        s"""$out AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
-           |  AS cid, v AS cv
-           | FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $kk))"""
-          .stripMargin
-      def lloyd(src: String, kk: Int, pfx: String) =
-        (initCte(src, kk, s"${pfx}_0") +:
-          (1 to iters).flatMap(i => Seq(
-            assign(src, s"${pfx}_${i - 1}", s"${pfx}a_$i"),
-            update(s"${pfx}_${i - 1}", s"${pfx}a_$i", s"${pfx}_$i"))))
-          .mkString(",\n")
-      val subCtes = (0 until m).map(mi =>
-        s"rs$mi AS (SELECT vec_id, rv[${mi * sub + 1}:${(mi + 1) * sub}]" +
-          s" AS v FROM res)").mkString(",\n")
-      val subTrains = (0 until m).map(mi =>
-        lloyd(s"rs$mi", k, s"c$mi")).mkString(",\n")
-      val finals = (0 until m).map(mi =>
-        assign(s"rs$mi", s"c${mi}_$iters", s"af$mi")).mkString(",\n")
-      val codesJoin = (1 until m)
-        .map(mi => s"JOIN af$mi a$mi USING (vec_id)").mkString(" ")
-      val qdCtes = (0 until m).map(mi =>
-        s"""qrs$mi AS (SELECT query_id, probe,
-           |  qr[${mi * sub + 1}:${(mi + 1) * sub}] AS v FROM qres),
-           |qd$mi AS (SELECT q.query_id, q.probe, c.cid,
-           |  ${sq("q.v", "c.cv")} AS d
-           | FROM qrs$mi q CROSS JOIN c${mi}_$iters c)""".stripMargin)
-        .mkString(",\n")
-      val qdJoins = (1 until m).map(mi =>
-        s"JOIN qd$mi ON qd$mi.query_id = qd0.query_id" +
-          s" AND qd$mi.probe = qd0.probe AND qd$mi.cid = cd.k$mi")
-        .mkString("\n ")
-      s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |${lloyd("ex", kc, "cc")},
-         |${assign("ex", s"cc_$iters", "caf")},
-         |res AS (SELECT a.vec_id, a.cid AS coarse,
-         |  list_transform(range(len(a.v)), j -> a.v[j+1] - c.cv[j+1])
-         |    AS rv
-         | FROM caf a JOIN cc_$iters c USING (cid)),
-         |$subCtes,
-         |$subTrains,
-         |$finals,
-         |codes AS (SELECT a0.vec_id, r.coarse,
-         |  ${(0 until m).map(mi => s"a$mi.cid AS k$mi").mkString(", ")}
-         | FROM af0 a0 $codesJoin JOIN res r USING (vec_id)),
-         |qp AS (SELECT query_id, cid AS probe, cv FROM (
-         |  SELECT e.vec_id AS query_id, c.cid, c.cv, row_number() OVER (
-         |    PARTITION BY e.vec_id ORDER BY ${sq("e.v", "c.cv")} ASC,
-         |      c.cid) AS rn
-         |  FROM ex e CROSS JOIN cc_$iters c WHERE e.vec_id % 50 = 0)
-         | WHERE rn <= $nProbe),
-         |qres AS (SELECT q.query_id, q.probe,
-         |  list_transform(range(len(e.v)), j -> e.v[j+1] - q.cv[j+1])
-         |    AS qr
-         | FROM qp q JOIN ex e ON e.vec_id = q.query_id),
-         |$qdCtes,
-         |scored AS (SELECT qd0.query_id, cd.vec_id AS neighbor_id,
-         |  round(${(0 until m).map(mi => s"qd$mi.d").mkString(" + ")}, 4)
-         |    + 0.0 AS adist
-         | FROM codes cd
-         | JOIN qd0 ON qd0.probe = cd.coarse AND qd0.cid = cd.k0
-         | $qdJoins
-         | WHERE qd0.query_id <> cd.vec_id)
-         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |   ORDER BY adist, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+    // IVF-PQ replay: see IvfPqOracleSql (shared with q102).
+    "q99_ivfpq_search" -> IvfPqOracleSql,
+
+    // Persisted IVF-PQ index: codebooks are frozen at build and per-row
+    // codes are batching-independent, so the two-batch append + pruned
+    // query replays as the in-memory q99 check verbatim.
+    "q102_ivfpq_persisted" -> IvfPqOracleSql,
 
     // Mixture-rebalancing replay: integer cap arithmetic (N = the
     // largest total hitting every share; k_s = N*share//10000), then

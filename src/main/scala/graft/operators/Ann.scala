@@ -510,6 +510,43 @@ object Ann {
         col("rank").cast("long").as("rank"), col("adist"))
   }
 
+  /** Append one micro-batch of PQ codes to a PERSISTED IVF-PQ index:
+    * written partitioned by the coarse list id
+    * (`indexDir/batch=N/coarse=c/`), append-only like
+    * [[ivfIndexAppend]] — but each row is CODES, not vectors: the
+    * at-rest artifact is both partition-prunable AND ~64× smaller.
+    * Codebooks are frozen at build time (standard PQ practice —
+    * retraining means re-encoding).
+    */
+  def ivfPqIndexAppend(codes: DataFrame, indexDir: String,
+                       batchId: Long): Unit =
+    codes.write.mode("overwrite").partitionBy("coarse")
+      .parquet(s"$indexDir/batch=$batchId")
+
+  /** ADC top-k over the persisted code index. The union of every
+    * query's nProbe lists collects to the driver (bounded by kc, the
+    * coarse centroid count) and filters the scan as a LITERAL
+    * predicate, so partition pruning is certain — only the probed
+    * `coarse=` directories are read, across every batch. Scoring is
+    * [[ivfPqSearch]] over the pruned scan.
+    */
+  def ivfPqIndexQuery(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, queries: DataFrame, idCol: String,
+                      vecCol: String, coarse: Seq[Seq[Double]],
+                      codebooks: Seq[Seq[Seq[Double]]], nProbe: Int,
+                      k: Int): DataFrame = {
+    val probeArr = slice(array_sort(array(coarse.indices.map(i =>
+        struct(sqDistR(toDoubleVec(col(vecCol)), coarse(i)).as("d"),
+          lit(i).as("cid"))): _*)),
+      1, nProbe)
+    val probeSet = queries
+      .select(explode(transform(probeArr, _.getField("cid"))).as("p"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("coarse").isin(probeSet: _*))
+    ivfPqSearch(queries, idx, idCol, vecCol, coarse, codebooks, nProbe, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     // Rank on the ROUNDED similarity (+0.0 normalizes IEEE -0.0): a
     // near-tie at a rank boundary must resolve identically in Spark and

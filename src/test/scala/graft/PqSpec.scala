@@ -61,4 +61,29 @@ class PqSpec extends SparkSpecBase {
     assert(res.take(3).map(_.getAs[Long]("neighbor_id")).toSeq ==
       Seq(2L, 4L, 6L))
   }
+
+  test("persisted IVF-PQ index: probes partition-prune the code scan; " +
+      "appends compose to the in-memory result") {
+    import org.apache.spark.sql.functions._
+    val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2)
+    val mem = Ann.ivfPqSearch(corpus.filter(col("vec_id") === 0L), codes,
+        "vec_id", "embedding", coarse, cbs, nProbe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivfpq_idx_spec").toString
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") < 4), idx, 1L)
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") >= 4), idx, 2L)
+    val q = corpus.filter(col("vec_id") === 0L)
+    val persisted = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id",
+        "embedding", coarse, cbs, nProbe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(persisted == mem && mem.nonEmpty)
+    // the probe set reaches the scan as a partition filter
+    val p = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id", "embedding",
+      coarse, cbs, nProbe = 1, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("coarse"), p)
+    assert(!p.contains("PartitionFilters: []"), p)
+  }
 }
