@@ -157,6 +157,18 @@ class SelectionOpsSpec extends SparkSpecBase {
       ("ab", "ab", "abab", 2L))
   }
 
+  test("bpeTrain: multibyte (CJK) symbolization merges whole " +
+      "characters, never bytes") {
+    val docs = Seq((1L, "你好 你好 好")).toDF("doc_id", "text")
+    // words 你好×2 (pair (你,好)), 好×1 (no pair)
+    val m = TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+      .orderBy("step").collect()
+    assert(m.length == 1)
+    assert((m(0).getAs[String]("left"), m(0).getAs[String]("right"),
+      m(0).getAs[String]("merged"), m(0).getAs[Long]("pair_count")) ==
+      ("你", "好", "你好", 2L))
+  }
+
   test("bpeTrain: left-to-right non-overlapping application (aaaa " +
       "under (a,a) → [aa, aa])") {
     val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
