@@ -2033,6 +2033,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- bigram-LM quality buckets (the n-gram family of q94) --------
+    "q103_lm_bigram" -> ((s, dir) => {
+      TextAnalysis.lmBigramScore(t(s, dir, "documents"), "doc_id",
+          "text", headMin = 0.0350, midMin = 0.0340)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE pair counts: the tokenizer-training merge table ---------
     "q95_bpe_pairs" -> ((s, dir) => {
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text")
@@ -3874,6 +3881,43 @@ object SparkEntry {
         |     AS DOUBLE) >= 0.0333 THEN 'middle'
         |  ELSE 'tail' END AS lm_bucket
         |FROM agg, tt ORDER BY doc_id""".stripMargin,
+
+    // Bigram-LM replay: adjacent-pair stream via lead(), bigram and
+    // prefix counts from the same stream, exact-integer conditional-
+    // probability ratios.
+    "q103_lm_bigram" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+        | FROM documents),
+        |bg AS (SELECT doc_id, tok AS w1,
+        |  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        | FROM toks),
+        |bgn AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgn GROUP BY w1, w2),
+        |uc AS (SELECT w1, COUNT(*) AS c1 FROM bgn GROUP BY w1),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_pairs,
+        |  SUM((c2 * 10000) // c1) AS rsum
+        | FROM bgn JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        | GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        | CAST(COALESCE(a.rsum, 0) AS BIGINT) AS rsum,
+        | CASE WHEN COALESCE(a.n_pairs, 0) > 0
+        |  THEN CAST(a.rsum AS DOUBLE) /
+        |    CAST(CAST(a.n_pairs AS BIGINT) * 10000 AS DOUBLE)
+        |  ELSE 0.0 END AS bigram_score,
+        | CASE WHEN (CASE WHEN COALESCE(a.n_pairs, 0) > 0
+        |    THEN CAST(a.rsum AS DOUBLE) /
+        |      CAST(CAST(a.n_pairs AS BIGINT) * 10000 AS DOUBLE)
+        |    ELSE 0.0 END) >= 0.0350 THEN 'head'
+        |  WHEN (CASE WHEN COALESCE(a.n_pairs, 0) > 0
+        |    THEN CAST(a.rsum AS DOUBLE) /
+        |      CAST(CAST(a.n_pairs AS BIGINT) * 10000 AS DOUBLE)
+        |    ELSE 0.0 END) >= 0.0340 THEN 'middle'
+        |  ELSE 'tail' END AS lm_bucket
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // BPE-pair replay: word-frequency table, adjacent 2-char substrings
     // per word (skipping 1-char words), frequency-weighted pair counts.

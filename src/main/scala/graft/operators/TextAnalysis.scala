@@ -504,6 +504,54 @@ object TextAnalysis {
       .drop("t_total")
   }
 
+  /** Bigram-LM quality scoring — the n-gram upgrade of
+    * [[lmQualityScore]] (CCNet's KenLM is an n-gram model; this is the
+    * 2-gram member of the family with the same engine-portable
+    * arithmetic): train bigram/prefix counts on the corpus itself,
+    * score each document by the mean conditional-probability ratio of
+    * its adjacent token pairs — each pair contributes
+    * `(count(w1 w2) · 10⁴) div count(w1 ·)` (exact integer division),
+    * the doc score is `rsum / (n_pairs · 10⁴)`. Exact-int over
+    * exact-int, so scores and buckets replay bit-for-bit.
+    *
+    * Scale shape: bigrams are generated IN-ROW (adjacent-pair array
+    * transform, no window/no self-join), pre-reduced to distinct
+    * (doc, w1, w2) triples before joining the count tables; the count
+    * tables derive from the same pre-reduced stream. Docs with no
+    * bigram (single-token) score 0 → tail.
+    */
+  def lmBigramScore(docs: DataFrame, idCol: String, textCol: String,
+                    headMin: Double, midMin: Double): DataFrame = {
+    val pairs = let(tokens(col(textCol))) { toks =>
+      when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    val bgn = docs.select(col(idCol).as("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docPair = bgn.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("k"))
+    val bc = docPair.groupBy("w1", "w2").agg(sum("k").as("c2"))
+    val uc = docPair.groupBy("w1").agg(sum("k").as("c1"))
+    val agg = docPair.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_pairs"),
+        sum(col("k") * expr("(c2 * 10000L) div c1")).as("rsum"))
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("rsum"), lit(0L)).as("rsum"))
+      .withColumn("bigram_score",
+        when(col("n_pairs") > 0, col("rsum").cast("double") /
+          (col("n_pairs") * lit(10000L)).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("lm_bucket",
+        when(col("bigram_score") >= headMin, "head")
+          .when(col("bigram_score") >= midMin, "middle")
+          .otherwise("tail"))
+  }
+
   /** BPE pair counting — the distributed step of tokenizer training
     * (Sennrich et al. 2016): compress the corpus to a word-frequency
     * table (the standard BPE preprocessing — all later merge iterations

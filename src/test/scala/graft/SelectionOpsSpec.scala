@@ -99,6 +99,26 @@ class SelectionOpsSpec extends SparkSpecBase {
       d2.getAs[String]("lm_bucket") == "tail")
   }
 
+  test("lmBigramScore: exact conditional-probability ratios; " +
+      "single-token docs score 0 → tail") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // bc: (a,b)=2 (b,a)=1 (a,c)=1; prefix counts: a=3, b=1
+    // doc1: 2×((2·10⁴)div 3 = 6666) + (1·10⁴)div 1 = 23332 / 3·10⁴
+    // doc2: (1·10⁴)div 3 = 3333 / 10⁴; doc3: no pairs
+    val out = TextAnalysis.lmBigramScore(docs, "doc_id", "text",
+        headMin = 0.7, midMin = 0.2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("rsum") == 23332L &&
+      out(0).getAs[Double]("bigram_score") == 23332.0 / 30000.0 &&
+      out(0).getAs[String]("lm_bucket") == "head")
+    assert(out(1).getAs[Long]("rsum") == 3333L &&
+      out(1).getAs[String]("lm_bucket") == "middle")
+    assert(out(2).getAs[Long]("n_pairs") == 0L &&
+      out(2).getAs[Double]("bigram_score") == 0.0 &&
+      out(2).getAs[String]("lm_bucket") == "tail")
+  }
+
   test("bpePairCounts: frequency-weighted adjacent pairs; 1-char words " +
       "contribute nothing") {
     val docs = Seq((1L, "abab ab x"), (2L, "ab")).toDF("doc_id", "text")
