@@ -458,9 +458,16 @@ object TextAnalysis {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(charPolyHash(concat(col(idCol).cast("string"), lit("|"),
         col(strataCol))), col(idCol))
+    // LITERAL rank bound first: rank <= column blocks Spark's
+    // WindowGroupLimit pushdown (the partial per-map-partition top-k
+    // BEFORE the exchange — what keeps a hot stratum from sorting its
+    // full row set in one task). max(k) is one strata-sized driver
+    // scalar; the exact per-stratum filter still applies after.
+    val maxK = Option(caps.agg(max(col("k"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     docs.join(broadcast(caps), Seq(strataCol))
       .withColumn("mix_rank", row_number().over(w).cast("long"))
-      .filter(col("mix_rank") <= col("k"))
+      .filter(col("mix_rank") <= lit(maxK) && col("mix_rank") <= col("k"))
       .drop("k")
   }
 

@@ -246,4 +246,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("capped windows push a partial top-k BEFORE the exchange " +
+      "(WindowGroupLimit) — a hot domain/stratum never full-sorts in " +
+      "one task") {
+    val docs = Seq((1L, "d1"), (2L, "d1"), (3L, "d2"))
+      .toDF("doc_id", "source")
+    val pCap = plan(graft.operators.TextAnalysis.domainCap(
+      docs, "doc_id", "source", maxPerDomain = 2))
+    assert(pCap.contains("WindowGroupLimit"), pCap)
+    val pMix = plan(graft.operators.TextAnalysis.mixToTarget(
+      docs.withColumnRenamed("source", "lang"), "doc_id", "lang",
+      Map("d1" -> 5000L, "d2" -> 5000L)))
+    assert(pMix.contains("WindowGroupLimit"), pMix)
+  }
 }
