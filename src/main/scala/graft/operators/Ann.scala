@@ -58,6 +58,9 @@ object Ann {
     * first, id as the deterministic tie-break.
     */
   def ivfCluster(v: Column, cents: Seq[Seq[Double]]): Column = {
+    // degenerate k=1: every vector assigns to the only centroid —
+    // short-circuit before least(), which requires >= 2 arguments
+    if (cents.length == 1) return lit(0)
     val dists = cents.map(c =>
       aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x))
@@ -68,8 +71,8 @@ object Ann {
   }
 
   /** Train IVF coarse centroids with Lloyd's iterations. The vector set
-    * never leaves the cluster: each iteration is one assignment
-    * projection + one (cluster, position) average — two narrow aggs at
+    * never leaves the cluster: each iteration is ONE flat aggregate
+    * (assignment as the grouping key, per-dimension sums + count) at
     * any scale. Only the k×dim centroid matrix (tiny by definition)
     * round-trips through the driver, which is what lets the next
     * iteration inline the centroids as literals in a codegen'd argmin.
@@ -83,15 +86,28 @@ object Ann {
       .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(k).select("v").collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
+    val dim = cents.headOption.map(_.length).getOrElse(return cents)
+    // update = ONE flat aggregate with per-dimension sum columns — the
+    // same no-posexplode shape as lloydPortable (CollapseProject would
+    // inline the k×dim assignment expression past a Generate and
+    // re-evaluate it per exploded row; as the grouping key of a flat
+    // HashAggregate it runs once per vector — measured 2-4× on sf0.1)
     for (_ <- 1 to iters) {
+      val sums = (0 until dim).map(p =>
+        sum(element_at(col("v"), p + 1)).as(s"s$p"))
       val byCluster = v
-        .select(ivfCluster(col("v"), cents).as("c"),
-          posexplode(col("v")).as(Seq("p", "x")))
-        .groupBy(col("c"), col("p")).agg(avg(col("x")).as("m"))
+        .select(ivfCluster(col("v"), cents).as("c"), col("v"))
         .groupBy(col("c"))
-        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
-          s => s.getField("m")).as("cent"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect().map { r =>
+          val cBoxed = r.get(r.fieldIndex("c"))
+          require(cBoxed != null, "null cluster assignment in Lloyd's " +
+            "update — input has a null/NaN element or a length-mismatched " +
+            "vector; clean the vector column before training")
+          val n = r.getAs[Long]("n")
+          cBoxed.asInstanceOf[Int] -> (0 until dim)
+            .map(p => r.getAs[Double](s"s$p") / n)
+        }.toMap
       // empty clusters keep their previous centroid
       cents = cents.indices.map(i => byCluster.getOrElse(i, cents(i)))
     }
@@ -107,6 +123,7 @@ object Ann {
     * comparison makes the ORDER they induce deterministic.
     */
   def cosineCluster(v: Column, cents: Seq[Seq[Double]]): Column = {
+    if (cents.length == 1) return lit(0) // see ivfCluster
     val vn = l2Norm(v)
     val sims = cents.map { c =>
       val cl = typedLit(c)
@@ -171,8 +188,16 @@ object Ann {
         .groupBy(col("c"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect().map { r =>
+          // read the cluster id BOXED: a null assignment (null/NaN
+          // vector element or a length-mismatched vector makes every
+          // when() miss) would otherwise unbox to 0 and silently fold
+          // the bad rows into cluster 0's centroid sums
+          val cBoxed = r.get(r.fieldIndex("c"))
+          require(cBoxed != null, "null cluster assignment in Lloyd's " +
+            "update — input has a null/NaN element or a length-mismatched " +
+            "vector; clean the vector column before training")
           val n = r.getAs[Long]("n")
-          r.getAs[Int]("c") -> (0 until dim)
+          cBoxed.asInstanceOf[Int] -> (0 until dim)
             .map(p => r.getAs[Long](s"s$p").toDouble / (n * 10000.0))
         }.toMap
       cents = cents.indices.map(i => byCluster.getOrElse(i, cents(i)))
@@ -330,6 +355,7 @@ object Ann {
     * [[cosineCluster]]).
     */
   def pqCluster(v: Column, cents: Seq[Seq[Double]]): Column = {
+    if (cents.length == 1) return lit(0) // see ivfCluster
     val dists = cents.map(sqDistR(v, _))
     val minD = least(dists: _*)
     cents.indices.map(i => when(dists(i) === minD, lit(i)))

@@ -440,32 +440,55 @@ object TextAnalysis {
     * bit-reproducible in any engine; strata absent from `targets` are
     * dropped.
     *
-    * Scale shape: the caps derive from a strata-sized aggregate
-    * (≤ |strata| rows — broadcast), composed IN-PLAN (no driver
-    * collect); the corpus pays one per-stratum window shuffle, and the
-    * rank filter prunes to the cap before anything downstream.
+    * Scale shape: the caps derive from ONE strata-count aggregate
+    * (pre-reduced map-side to ≤ |strata| rows) that collects to the
+    * driver — NOTE: this is an EAGER job at DataFrame-construction
+    * time, by design: the per-stratum caps and the global max cap
+    * become LITERALS in the returned plan, and a literal rank bound is
+    * what re-enables Spark's WindowGroupLimit pushdown (the partial
+    * per-map-partition top-k BEFORE the exchange — what keeps a hot
+    * stratum from sorting its full row set in one task). The corpus
+    * then pays exactly one per-stratum window shuffle at execution;
+    * nothing rescans it for the caps.
     */
   def mixToTarget(docs: DataFrame, idCol: String, strataCol: String,
                   targetShare10k: Map[String, Long]): DataFrame = {
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("cs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
+    mixApplyCaps(docs, idCol, strataCol,
+      deriveCaps(counts, targetShare10k))
+  }
+
+  /** Exact integer cap derivation (driver-side, |strata|-sized input):
+    * N = min_s (c_s·10⁴) div share_s over strata present in BOTH the
+    * corpus and the target map; k_s = (N·share_s) div 10⁴.
+    */
+  private[operators] def deriveCaps(counts: Map[String, Long],
+      targetShare10k: Map[String, Long]): Map[String, Long] = {
+    val present = targetShare10k.filter { case (s, sh) =>
+      sh > 0 && counts.contains(s) }
+    if (present.isEmpty) Map.empty
+    else {
+      val n = present.map { case (s, sh) => counts(s) * 10000L / sh }.min
+      present.map { case (s, sh) => s -> n * sh / 10000L }
+    }
+  }
+
+  /** The shared cap application: per-stratum portable-hash window with
+    * a LITERAL global rank bound (max cap) ahead of the exact
+    * per-stratum literal cap — see [[mixToTarget]] for why literal.
+    */
+  private def mixApplyCaps(docs: DataFrame, idCol: String,
+      strataCol: String, caps: Map[String, Long]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tgt = targetShare10k.toSeq.toDF(strataCol, "share10k")
-    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("cs"))
-    val j = counts.join(broadcast(tgt), strataCol)
-    val n = j.agg(min(expr("(cs * 10000L) div share10k")).as("nn"))
-    val caps = j.crossJoin(broadcast(n))
-      .select(col(strataCol), expr("(nn * share10k) div 10000L").as("k"))
+    val capsDf = caps.toSeq.sortBy(_._1).toDF(strataCol, "k")
+    val maxK = if (caps.isEmpty) 0L else caps.values.max
     val w = Window.partitionBy(col(strataCol))
       .orderBy(charPolyHash(concat(col(idCol).cast("string"), lit("|"),
         col(strataCol))), col(idCol))
-    // LITERAL rank bound first: rank <= column blocks Spark's
-    // WindowGroupLimit pushdown (the partial per-map-partition top-k
-    // BEFORE the exchange — what keeps a hot stratum from sorting its
-    // full row set in one task). max(k) is one strata-sized driver
-    // scalar; the exact per-stratum filter still applies after.
-    val maxK = Option(caps.agg(max(col("k"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    docs.join(broadcast(caps), Seq(strataCol))
+    docs.join(broadcast(capsDf), Seq(strataCol))
       .withColumn("mix_rank", row_number().over(w).cast("long"))
       .filter(col("mix_rank") <= lit(maxK) && col("mix_rank") <= col("k"))
       .drop("k")
@@ -489,6 +512,17 @@ object TextAnalysis {
     * join keys — AQE skew-join splits them; the pre-reduction means the
     * skewed stream carries one row per (doc, hot-token), not one per
     * occurrence.
+    *
+    * Overflow bound (the exact-int products live in Long, and this
+    * session is non-ANSI — an overflow would WRAP silently, not error):
+    * `freq_sum = Σ_t k·c ≤ maxDocTokens · T` and the denominator
+    * `n_tokens · T` has the same bound, where T is total corpus token
+    * occurrences. With documents capped at 10⁵ tokens (the [[stats]]
+    * quality ceiling), Long (9.2·10¹⁸) is provably sufficient for
+    * corpora up to T ≈ 9.2·10¹³ tokens — roughly 400 TB of English
+    * text, comfortably past the 100 TB design point. Beyond that (or
+    * with uncapped mega-documents) compute the two products in
+    * DecimalType before the final division.
     */
   def lmQualityScore(docs: DataFrame, idCol: String, textCol: String,
                      headMin: Double, midMin: Double): DataFrame = {
