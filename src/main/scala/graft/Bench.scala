@@ -58,6 +58,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+
     // Drop cached relations/broadcast debris between queries so later
     // queries measure the engine, not accumulated storage pressure.
     // Dataset.persist registers with the shared CacheManager, so
@@ -80,6 +81,35 @@ object Bench {
       try body catch { case e: Throwable =>
         System.err.println(s"[bench] section $label failed: $e") }
 
+    // Noise defense: this machine is co-tenant, and two straight rounds
+    // had a lane spike 3-6× purely from neighbor load (r7 q01/q05, r8
+    // w1/w4 — each later reproduced clean in isolation). Run every lane
+    // `reps` times and report the MIN: the minimum over a few runs is
+    // the best available estimate of the lane's uncontended cost, which
+    // is the quantity the round-over-round trendline tracks. Cost is
+    // ~2× bench wall-clock — well under the cycles burned classifying a
+    // phantom regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+
+    /** Min over `reps` runs. STATEFUL lanes (the fold lanes mutate
+      * on-disk state) use the rep index to fold a fresh equivalent
+      * batch per rep (new batch id, shifted timestamps) — equal work
+      * per rep, state grows only by the small batch between reps.
+      * Caches dropped between reps so each measures the engine cold;
+      * a failed rep contributes nothing, all-failed reports -1.
+      */
+    def timeMinRep(body: Int => Unit): Double = {
+      val ts = (1 to reps).map { i =>
+        val t = time(body(i))
+        if (i < reps) dropCaches()
+        t
+      }.filter(_ >= 0)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
+
+    /** Min over `reps` timed runs of the SAME body (idempotent lanes). */
+    def timeMin(body: => Unit): Double = timeMinRep(_ => body)
+
     // JIT/codegen/IO warmup (untimed) so per-query numbers measure the
     // engine, not first-query JVM startup costs.
     time { spark.range(0, 1000000).selectExpr("sum(id)").collect() }
@@ -88,7 +118,7 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (name <- headline; fn <- SparkEntry.queries.get(name)) {
       System.err.println(s"[bench] running $name")
-      results(name) = time { fn(spark, sfDir).count() }
+      results(name) = timeMin { fn(spark, sfDir).count() }
       System.err.println(f"[bench] $name: ${results(name)}%.2f s")
       dropCaches()
     }
@@ -98,7 +128,7 @@ object Bench {
     // extraction, DTM parse, trigger routing) — messages/s is the
     // ingest-front-end headline (reference envelope is ~10-100 msg/s
     // sustained; BASELINE.md).
-    results("w2_wire_parse") = time {
+    results("w2_wire_parse") = timeMin {
       val q44 = SparkEntry.queries("q44_hl7_wire")
       require(q44(spark, sfDir).count() > 0)
     }
@@ -108,7 +138,7 @@ object Bench {
     // isolate merge + sensitivity re-parenting): a BOUNDED 10k-message
     // run so lab-builder perf regressions show in the headline without
     // tying the bench to the SF row count.
-    results("w4_lab_wire") = time {
+    results("w4_lab_wire") = timeMin {
       import org.apache.spark.sql.functions._
       val k = col("id").cast("string")
       val raw = concat_ws("\r",
@@ -139,7 +169,7 @@ object Bench {
 
     // Waveform ingest: generate + collate 540k samples (30 locs × 300 Hz
     // × 60 s, 40 samples/msg) into ≤3000-sample rows.
-    results("w1_waveform_collate") = time {
+    results("w1_waveform_collate") = timeMin {
       import spark.implicits._
       implicit val s: SparkSession = spark
       val msgs = graft.sources.WaveformGenerator
@@ -171,18 +201,24 @@ object Bench {
       val e = SparkEntry.eventsUs(spark, sfDir)
         .select("user_id", "ts_us", "event_id", "event_type", "value")
       graft.streaming.StarPipeline.foldBatch(e, 1L, cfg) // state build
-      val small = e.filter(pmod(xxhash64(col("user_id")), lit(50)) === 0)
-        .withColumn("ts_us", col("ts_us") + 86400L * 1000000L)
-        .withColumn("event_id", col("event_id") + 100000000L)
-      results("w3_incremental_fold") =
-        time { graft.streaming.StarPipeline.foldBatch(small, 2L, cfg) }
+      // per-rep fresh equivalent batch: shifting ts and event_id per rep
+      // keeps every rep a REAL fold (same ts/event_id would lag-dedup to
+      // a cheap no-op and distort the min); day ranges are disjoint
+      // between the w3 and w3b rep families so their key overlaps never
+      // collide on (key, ts, event_id).
+      def small(rep: Int) =
+        e.filter(pmod(xxhash64(col("user_id")), lit(50)) === 0)
+          .withColumn("ts_us", col("ts_us") + rep * 86400L * 1000000L)
+          .withColumn("event_id", col("event_id") + rep * 100000000L)
+      results("w3_incremental_fold") = timeMinRep { rep =>
+        graft.streaming.StarPipeline.foldBatch(small(rep), 100L + rep, cfg) }
       // keys of bucket 0 only (same hash the pipeline buckets by)
-      val oneBucket = e
+      def oneBucket(rep: Int) = e
         .filter(pmod(xxhash64(col("user_id")), lit(64)) === 0)
-        .withColumn("ts_us", col("ts_us") + 2 * 86400L * 1000000L)
-        .withColumn("event_id", col("event_id") + 200000000L)
-      results("w3b_bucket_local_fold") =
-        time { graft.streaming.StarPipeline.foldBatch(oneBucket, 3L, cfg) }
+        .withColumn("ts_us", col("ts_us") + (100 + rep) * 86400L * 1000000L)
+        .withColumn("event_id", col("event_id") + (100 + rep) * 100000000L)
+      results("w3b_bucket_local_fold") = timeMinRep { rep =>
+        graft.streaming.StarPipeline.foldBatch(oneBucket(rep), 200L + rep, cfg) }
 
       val rootB = java.nio.file.Files
         .createTempDirectory("bench_btfold").toString
@@ -191,9 +227,10 @@ object Bench {
         storedFromUsCol = "stored_us")
       val eb = e.withColumn("stored_us", lit(1700000000000000L))
       graft.streaming.StarPipeline.foldBatchBitemporal(eb, 1L, cfgB)
-      val smallB = small.withColumn("stored_us", lit(1700000100000000L))
-      results("w5_bitemporal_fold") =
-        time { graft.streaming.StarPipeline.foldBatchBitemporal(smallB, 2L, cfgB) }
+      results("w5_bitemporal_fold") = timeMinRep { rep =>
+        graft.streaming.StarPipeline.foldBatchBitemporal(
+          small(rep).withColumn("stored_us",
+            lit(1700000100000000L) + rep * 1000000L), 100L + rep, cfgB) }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
