@@ -2077,14 +2077,38 @@ object SparkEntry {
     }),
 
     // ---- full BPE training: the ordered merge table ------------------
-    // Driver-loop over vocab-sized state (corpus scanned once); greedy
-    // argmax merges with deterministic tie-breaks. Rows-only check: the
-    // iterative rewrite is not expressible as one SQL statement, but
-    // the per-step pair counts ARE oracle-checked via q95's replay of
-    // step 1.
+    // Driver-local merge loop over the vocab-sized word table (corpus
+    // scanned once); greedy argmax merges with deterministic
+    // tie-breaks. Oracle: the merge loop unrolled as 20 materialized
+    // CTE steps (pair count → argmax → gaps-and-islands greedy rewrite
+    // per step) — every merge row is hash-checked.
     "q98_bpe_train" -> ((s, dir) => {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", numMerges = 20)
         .orderBy(col("step"))
+    }),
+
+    // ---- BPE encode: the 100 TB tokenizer application pass -----------
+    // Train 20 merges on the corpus, then encode every document with
+    // the trained table (sequential-in-order application). The oracle
+    // replays the training chain and reads each word's FINAL vocab
+    // state — encode-consistency with training, end to end.
+    "q104_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+      TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- real BPE token counts (tokenCounts' trained mode) -----------
+    "q106_bpe_token_counts" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+      TextAnalysis.tokenCounts(d, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
     }),
 
     // ---- product quantization: train → encode → ADC search -----------
@@ -2159,6 +2183,100 @@ object SparkEntry {
     * lang='en') bucket counts; per-feature contribution
     * ((q+1)*1e6) // (p+1) in integer division; per-doc exact-int sums.
     */
+  /** BPE training-loop replay, shared by q98 (merge table), q104
+    * (encode) and q106 (token counts): the greedy merge loop unrolled
+    * as `steps` CTE stages over a POSITIONAL symbol table
+    * v{s}(wid, wc, pos, sym). Per stage: adjacent pairs (p) → weighted
+    * argmax with (cnt DESC, left, right) tie-break (m) → match
+    * positions (mt) → gaps-and-islands to pick every other match in a
+    * run (ap — overlapping matches only arise in a^n runs, where the
+    * left-to-right greedy fold keeps the 1st, 3rd, ... occurrence) →
+    * rewrite + renumber (v). Every CTE is MATERIALIZED: each stage
+    * references its predecessor 3×, and DuckDB would otherwise inline
+    * the chain into 3^steps duplicated scans. An empty m{s} (corpus
+    * exhausted) yields empty mt/ap and an unchanged v — matching the
+    * Spark loop's early stop.
+    */
+  private val BpeSteps = 20
+
+  private def bpeChainSql(steps: Int): String = {
+    def stage(s: Int): String =
+      s"""p$s AS MATERIALIZED (SELECT a.wid, a.wc, a.pos, a.sym AS x, b.sym AS y
+         | FROM v${s - 1} a JOIN v${s - 1} b
+         |   ON a.wid = b.wid AND b.pos = a.pos + 1),
+         |m$s AS MATERIALIZED (SELECT x AS a, y AS b, SUM(wc) AS cnt
+         | FROM p$s GROUP BY x, y ORDER BY cnt DESC, a, b LIMIT 1),
+         |mt$s AS MATERIALIZED (SELECT p.wid, p.pos FROM p$s p JOIN m$s m
+         |  ON p.x = m.a AND p.y = m.b),
+         |ap$s AS MATERIALIZED (SELECT wid, pos FROM (
+         |  SELECT wid, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY pos) AS rn
+         |  FROM (SELECT wid, pos,
+         |      pos - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS grp
+         |    FROM mt$s)) WHERE rn % 2 = 1),
+         |v$s AS MATERIALIZED (SELECT wid, wc,
+         |   ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym
+         | FROM (SELECT t.wid, t.wc, t.pos,
+         |     CASE WHEN ap.pos IS NOT NULL
+         |       THEN (SELECT a || b FROM m$s) ELSE t.sym END AS sym
+         |   FROM v${s - 1} t
+         |   LEFT JOIN ap$s ap ON t.wid = ap.wid AND t.pos = ap.pos
+         |   WHERE NOT EXISTS (SELECT 1 FROM ap$s a2
+         |     WHERE a2.wid = t.wid AND a2.pos = t.pos - 1)))""".stripMargin
+    s"""w AS MATERIALIZED (SELECT tok, COUNT(*) AS wc FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents) GROUP BY tok),
+       |v0 AS MATERIALIZED (SELECT tok AS wid, wc,
+       |    CAST(i AS BIGINT) + 1 AS pos,
+       |    substr(tok, CAST(i AS INT) + 1, 1) AS sym
+       |  FROM (SELECT tok, wc, unnest(range(len(tok))) AS i FROM w)),
+       |${(1 to steps).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  private val BpeTrainOracleSql: String = {
+    val sel = (1 to BpeSteps).map(s =>
+      s"""SELECT $s AS step, a AS "left", b AS "right", a || b AS merged,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM m$s""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeChainSql(BpeSteps)}\n$sel ORDER BY step"
+  }
+
+  /** Encode replay: a training-corpus word's encoding IS its final
+    * vocab state (sequential-in-order application — the same rewrites
+    * the chain applied), so join each document token to v{steps} and
+    * renumber globally per document.
+    */
+  private val BpeEncodeOracleSql: String =
+    s"""WITH ${bpeChainSql(BpeSteps)},
+       |toks AS (SELECT doc_id,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |   unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS widx
+       | FROM documents),
+       |enc AS (SELECT t.doc_id, t.widx, v.pos AS spos, v.sym
+       | FROM toks t JOIN v$BpeSteps v ON v.wid = t.tok)
+       |SELECT doc_id,
+       | ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx, spos) - 1
+       |   AS pos,
+       | sym AS token
+       |FROM enc ORDER BY doc_id, pos""".stripMargin
+
+  private val BpeTokenCountsOracleSql: String =
+    s"""WITH ${bpeChainSql(BpeSteps)},
+       |toks AS (SELECT doc_id,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       | FROM documents),
+       |cnts AS (SELECT t.doc_id, COUNT(v.pos) AS bpe
+       | FROM toks t JOIN v$BpeSteps v ON v.wid = t.tok GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       | CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+       |   AS n_words,
+       | CAST(greatest(len(string_split_regex(trim(d.text), '\\s+')),
+       |   CAST(ceil(CAST(len(d.text) AS DOUBLE) / 4.0) AS BIGINT))
+       |   AS BIGINT) AS est_bpe_tokens,
+       | CAST(COALESCE(c.bpe, 0) AS BIGINT) AS bpe_tokens
+       |FROM documents d LEFT JOIN cnts c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private val DsirOracleSql: String =
     """WITH toks AS (SELECT doc_id,
       |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
@@ -3930,6 +4048,12 @@ object SparkEntry {
         |   FROM w WHERE len(tok) >= 2))
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
         |FROM px GROUP BY pair ORDER BY pair""".stripMargin,
+
+    // BPE replays: see bpeChainSql — the merge loop unrolled as
+    // materialized CTE stages (pair counts → argmax → greedy rewrite).
+    "q98_bpe_train" -> BpeTrainOracleSql,
+    "q104_bpe_encode" -> BpeEncodeOracleSql,
+    "q106_bpe_token_counts" -> BpeTokenCountsOracleSql,
 
     // PQ replay: per-subspace portable Lloyd's (rounded-L2 argmin
     // assignment, exact-integer centroid means — the q90 pattern ×4),

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native BPE application: encode one word into its subword symbols
+  * under a trained, ORDERED merge table.
+  *
+  * Semantics are sequential-in-training-order (Sennrich et al. 2016's
+  * `apply_bpe`): symbolize the word at character level, then for each
+  * merge step s = 1..N in order, rewrite (left_s, right_s) → merged_s
+  * left-to-right non-overlapping. This is EXACTLY the rewrite the
+  * training loop applied to the vocabulary, so encoding a word that
+  * appeared in the training corpus reproduces the trained vocab state
+  * bit-for-bit (the q104 oracle replays precisely that equivalence).
+  *
+  * Implementation does NOT scan all N merges per word — that would be
+  * O(N·len) with N up to ~50k. Sequential application is equivalent to:
+  * repeatedly apply the LOWEST-ranked merge whose pair is currently
+  * present in the word AND whose rank exceeds the last applied rank
+  * (between two applied steps the word doesn't change, so every skipped
+  * rank's pair was absent; ranks below the cursor are never revisited —
+  * a later merge can only create a pair for an EARLIER rank if two
+  * distinct merges produce the same symbol string, which the rank-map
+  * keyed on (left, right) pairs still resolves to the sequential
+  * result). Cost: O(applications · pairs-in-word).
+  *
+  * A `CodegenFallback` expression, deliberately: the per-word merge
+  * loop is imperative, and a fallback expression still avoids the Row
+  * conversion + closure-serialization overhead of a Scala UDF. Keep it
+  * out of inner per-element hot paths; one call per word is the
+  * intended shape.
+  */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_apply"
+
+  // rank map: pair -> 1-based training step. If the same pair were ever
+  // learned twice (impossible in a well-formed merge table — once merged
+  // the pair no longer exists in the vocab), the FIRST rank wins.
+  @transient private lazy val ranks: java.util.HashMap[(String, String), Int] = {
+    val m = new java.util.HashMap[(String, String), Int](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, i) =>
+      if (!m.containsKey(p)) m.put(p, i + 1)
+    }
+    m
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    // symbolize by code point (whole characters — a surrogate pair is
+    // one symbol, never split)
+    var syms = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        buf += word.substring(i, i + n)
+        i += n
+      }
+      buf
+    }
+    var lastRank = 0
+    var continue = syms.length >= 2 && !ranks.isEmpty
+    while (continue) {
+      // lowest rank above the cursor among pairs present in the word
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.get((syms(j), syms(j + 1)))
+        if (r != null && r > lastRank && r < bestRank) bestRank = r
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val (a, b) = merges(bestRank - 1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == a && syms(k + 1) == b) {
+            out += (a + b); k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out
+        lastRank = bestRank
+        if (syms.length < 2) continue = false
+      }
+    }
+    new GenericArrayData(syms.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
+object BpeOps {
+  /** Column API: apply an ordered merge table to one word (string) →
+    * array of BPE symbols. `merges` ships inside the expression — at
+    * executor side it is part of the serialized plan, deserialized once
+    * per task like any literal.
+    */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeApply(ColumnBridge.expression(word), merges))
+}

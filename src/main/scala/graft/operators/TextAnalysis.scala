@@ -160,13 +160,51 @@ object TextAnalysis {
   /** Token-count estimator: whitespace tokens plus a BPE-ish subword
     * estimate (ceil(chars/4) lower-bounded by word count) — the standard
     * cheap proxy for LLM token budgeting.
+    *
+    * Pass a trained merge table (`merges`, in training order — collect
+    * [[bpeTrain]]'s (left, right) columns ordered by step) to add
+    * `bpe_tokens`: the REAL tokenizer count from applying the merges
+    * per word ([[bpeEncode]] semantics), replacing the heuristic for
+    * budget-exact pipelines. Still zero-shuffle per-row work.
     */
-  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)] = Nil): DataFrame = {
+    val base = Seq(
       col(idCol).as("doc_id"),
       size(tokens(col(textCol))).as("n_words"),
       greatest(size(tokens(col(textCol))).cast("long"),
         ceil(length(col(textCol)).cast("double") / 4.0)).as("est_bpe_tokens"))
+    val real =
+      if (merges.isEmpty) Nil
+      else Seq(aggregate(
+        transform(tokens(col(textCol)),
+          w => size(graft.functions.BpeOps.bpeApply(w, merges)).cast("long")),
+        lit(0L), (acc, n) => acc + n).as("bpe_tokens"))
+    docs.select(base ++ real: _*)
+  }
+
+  /** BPE encode at corpus scale: apply a trained, ORDERED merge table
+    * ([[bpeTrain]]'s output) to every document — the actual 100 TB
+    * tokenizer pass of a training-data pipeline. Emits one row per
+    * emitted symbol: (doc_id, pos, token) with `pos` the 0-based global
+    * token index within the document (words in order, symbols in order
+    * within each word).
+    *
+    * Scale shape: pure per-row rewrite — the merge table rides inside
+    * the [[graft.functions.BpeApply]] expression (vocab-sized, part of
+    * the serialized plan), the corpus never shuffles; the only
+    * wide-looking op is the explode, which is a Generate, not an
+    * Exchange. Encoding a training-corpus word reproduces the trained
+    * vocab state exactly (sequential-in-order application — the q104
+    * oracle replays the training chain's final state per word).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(flatten(transform(tokens(col(textCol)),
+          w => graft.functions.BpeOps.bpeApply(w, merges)))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
 
   /** Test-set decontamination: flag training documents whose shingle
     * overlap with a benchmark/eval corpus exceeds `threshold` (the
@@ -630,19 +668,152 @@ object TextAnalysis {
     * word-frequency table at character level, then apply `numMerges`
     * greedy merges — each step counts adjacent symbol pairs weighted by
     * word frequency, merges the argmax (ties: smallest (left, right)
-    * pair), and rewrites the symbol sequences left-to-right
-    * non-overlapping (the standard greedy application; "aaaa" under
-    * (a,a) becomes [aa, aa]). Returns the ordered merge table
-    * (step, left, right, merged, pair_count) — the trained tokenizer.
+    * pair by binary UTF-8 order), and rewrites the symbol sequences
+    * left-to-right non-overlapping (the standard greedy application;
+    * "aaaa" under (a,a) becomes [aa, aa]). Returns the ordered merge
+    * table (step, left, right, merged, pair_count) — the trained
+    * tokenizer.
     *
-    * Scale shape: the corpus is scanned ONCE (into the vocab-sized
-    * word-frequency table); every iteration is one aggregate over the
-    * vocab plus a one-row driver argmax. State between iterations is
-    * the persisted symbolized vocab — O(vocab), never O(corpus).
-    * Stops early when no pair remains.
+    * Scale shape: the corpus is scanned ONCE (one explode →
+    * map-side-pre-reduced word-count aggregate); everything after
+    * operates on the VOCAB-sized word-frequency table. When the vocab
+    * fits on the driver (`driverVocabLimit` rows — natural-language
+    * vocabularies are ≤ millions of words at ANY corpus size, so this
+    * is the production path even at 100 TB) the merge loop runs
+    * driver-local over an incrementally-maintained pair index:
+    * a real 30k-50k-merge tokenizer trains in seconds instead of
+    * numMerges sequential Spark jobs of ~100 ms scheduler floor each.
+    * Vocabularies beyond the limit fall back to the distributed
+    * per-merge aggregate loop ([[bpeTrainDistributed]]); both paths
+    * produce IDENTICAL merge tables (same argmax, same tie-breaks —
+    * spec-asserted).
     */
-  def bpeTrain(docs: DataFrame, textCol: String,
-               numMerges: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               driverVocabLimit: Long = 4000000L): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // one job: if the vocab fits, this IS the complete word table
+    val head = words.limit(
+      math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt).collect()
+    if (head.length <= driverVocabLimit)
+      bpeMergeLoopLocal(spark,
+        head.map(r => r.getString(0) -> r.getAs[Long]("wc")), numMerges)
+    else bpeTrainDistributed(docs, textCol, numMerges)
+  }
+
+  /** The driver-local merge loop over a collected word-frequency table
+    * (vocab-sized by construction). Maintains an incrementally-updated
+    * adjacent-pair count + membership index: each merge touches only
+    * the words that contain the merged pair, so the loop is
+    * O(numMerges · touched-word symbols), not O(numMerges · vocab).
+    * Argmax ties break on (left, right) by binary UTF-8 byte order —
+    * exactly Spark's string ordering, so the output is bit-identical
+    * to the distributed loop's.
+    */
+  private[operators] def bpeMergeLoopLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: Array[(String, Long)], numMerges: Int): DataFrame = {
+    import spark.implicits._
+    import scala.collection.mutable
+    // same symbolization as the distributed loop: split BETWEEN
+    // characters, drop empties (Java split keeps no leading empty for
+    // (?!^) but an empty word yields [""])
+    val syms: Array[Array[String]] =
+      vocab.map(_._1.split("(?!^)").filter(_.nonEmpty))
+    val wcs: Array[Long] = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val members = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def index(i: Int): Unit = {
+      val s = syms(i); val wc = wcs(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + wc
+        members.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    def unindex(i: Int): Unit = {
+      val s = syms(i); val wc = wcs(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts(p) - wc
+        if (c == 0L) { counts.remove(p); members.remove(p) }
+        else counts(p) = c
+        j += 1
+      }
+      j = 0
+      while (j < s.length - 1) {
+        members.get((s(j), s(j + 1))).foreach(_.remove(i)); j += 1
+      }
+    }
+    (0 until syms.length).foreach(index)
+
+    // binary UTF-8 comparison == Spark's UTF8String ordering (Java
+    // String.compareTo is UTF-16 code-unit order, which differs above
+    // the BMP — don't use it here)
+    def utf8Cmp(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+    def pairLt(x: (String, String), y: (String, String)): Boolean = {
+      val c = utf8Cmp(x._1, y._1)
+      c < 0 || (c == 0 && utf8Cmp(x._2, y._2) < 0)
+    }
+    // left-to-right greedy non-overlap (the merged symbol can never
+    // re-match as `a` within the same pass — a+b != a since b != "")
+    def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+          out += (a + b); j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      var best: (String, String) = null
+      var bestC = 0L
+      for ((p, c) <- counts)
+        if (best == null || c > bestC || (c == bestC && pairLt(p, best))) {
+          best = p; bestC = c
+        }
+      if (best == null) done = true
+      else {
+        val (a, b) = best
+        merges += ((step, a, b, a + b, bestC))
+        for (i <- members(best).toArray) {
+          unindex(i)
+          syms(i) = applyMerge(syms(i), a, b)
+          index(i)
+        }
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** The distributed merge loop: one vocab-sized aggregate + one-row
+    * driver argmax + eager localCheckpoint PER MERGE. Correct at any
+    * vocab size, but each step pays the ~100 ms job-scheduling floor —
+    * use [[bpeTrain]], which dispatches here only when the vocabulary
+    * exceeds driver memory.
+    */
+  def bpeTrainDistributed(docs: DataFrame, textCol: String,
+                          numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // localCheckpoint (eager), not persist: each step's rewrite nests

@@ -238,6 +238,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "Exchange") == 0, p)
   }
 
+  test("BPE encode is a zero-shuffle per-row rewrite — the 100 TB " +
+      "tokenizer pass never exchanges; the merge table rides in-plan") {
+    val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.bpeEncode(
+      docs, "doc_id", "text", Seq("a" -> "b", "ab" -> "ab")))
+    assert(countIn(p, "Exchange") == 0, p)
+    val pc = plan(graft.operators.TextAnalysis.tokenCounts(
+      docs, "doc_id", "text", Seq("a" -> "b")))
+    assert(countIn(pc, "Exchange") == 0, pc)
+  }
+
   test("mixToTarget: the caps side reaches the corpus as a broadcast " +
       "(strata-sized), never a sort-merge join") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "lang")

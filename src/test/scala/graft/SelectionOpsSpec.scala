@@ -198,4 +198,77 @@ class SelectionOpsSpec extends SparkSpecBase {
       r.getAs[Long]("pair_count"))).toSeq ==
       Seq(("aa", 3L), ("aaaa", 1L)))
   }
+
+  test("bpeTrain: driver-local merge loop is bit-identical to the " +
+      "distributed loop on a shared corpus, including exhaustion") {
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the bat and the cat"), (3L, "matter of that cat"),
+      (4L, "aaaa abab 你好 banana bandana")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect().map(r => (r.getAs[Int]("step"),
+        r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count"))).toSeq
+    for (n <- Seq(1, 7, 500)) { // 500 exhausts every pair
+      val local = rows(TextAnalysis.bpeTrain(docs, "text", numMerges = n))
+      val dist = rows(TextAnalysis.bpeTrainDistributed(docs, "text",
+        numMerges = n))
+      assert(local == dist, s"numMerges=$n: local=$local dist=$dist")
+    }
+    // and the fallback dispatch itself: a limit-0 driver vocab forces
+    // the distributed path through the public entry point
+    val viaFallback = rows(TextAnalysis.bpeTrain(docs, "text",
+      numMerges = 3, driverVocabLimit = 1L))
+    assert(viaFallback ==
+      rows(TextAnalysis.bpeTrainDistributed(docs, "text", numMerges = 3)))
+  }
+
+  test("bpeEncode: sequential-in-order application — training-corpus " +
+      "words reproduce the trained vocab state; unseen words encode " +
+      "greedily left-to-right") {
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 5)
+      .orderBy("step").collect()
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    assert(merges == Seq("a" -> "b", "ab" -> "ab"))
+    // corpus doc: abab → [abab], ab → [ab]; global pos across words
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("token"))).toSeq
+    assert(enc == Seq((0L, "abab"), (1L, "abab"), (2L, "ab")))
+    // unseen word, odd repeat: ababab → (a,b)³ → [ab,ab,ab] →
+    // (ab,ab) left-to-right non-overlap → [abab, ab]
+    val unseen = Seq((9L, "ababab")).toDF("doc_id", "text")
+    val enc2 = TextAnalysis.bpeEncode(unseen, "doc_id", "text", merges)
+      .orderBy("pos").collect().map(_.getAs[String]("token")).toSeq
+    assert(enc2 == Seq("abab", "ab"))
+  }
+
+  test("bpeEncode: merges apply in TRAINING order — a later merge " +
+      "does not resurrect an earlier one (sequential semantics, not " +
+      "rescan-from-scratch)") {
+    // merge table [(a,bc), (b,c)] — step 1's pair only EXISTS after
+    // step 2's rewrite. Sequential: (a,bc) absent at step 1, (b,c)
+    // applies at step 2 → [a, bc]; a rescan-from-scratch encoder would
+    // wrongly continue to [abc].
+    val merges = Seq("a" -> "bc", "b" -> "c")
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("pos").collect().map(_.getAs[String]("token")).toSeq
+    assert(enc == Seq("a", "bc"))
+  }
+
+  test("tokenCounts: trained-merge mode adds exact bpe_tokens") {
+    val docs = Seq((1L, "abab abab ab"), (2L, "xy"), (3L, "ababab"))
+      .toDF("doc_id", "text")
+    val merges = Seq("a" -> "b", "ab" -> "ab")
+    val out = TextAnalysis.tokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("n_words"), r.getAs[Long]("bpe_tokens")))
+      .toSeq
+    // doc1: [abab][abab][ab] → 3; doc2: [x][y] → 2; doc3: [abab,ab] → 2
+    assert(out == Seq((3, 3L), (1, 2L), (1, 2L)))
+    // no-merges mode keeps the legacy 3-column schema
+    assert(!TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .columns.contains("bpe_tokens"))
+  }
 }
