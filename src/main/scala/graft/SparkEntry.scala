@@ -2170,6 +2170,28 @@ object SparkEntry {
             "de" -> 1500L, "es" -> 1000L, "zh" -> 500L))
         .select(col("doc_id"), col("lang"), col("mix_rank"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- persisted-index mixture: two ingest folds, one selection ----
+    // Append the corpus in two batches to the skinny mixture index
+    // (doc_id, stratum, frozen hash), then re-derive the selection from
+    // the index alone — must equal the one-shot q96 result (verbatim
+    // oracle). The 100 TB property: the re-selection never touches the
+    // text column, only the index.
+    "q105_mix_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("mix_idx").toString
+      TextAnalysis.mixIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "lang",
+        idx, 1L)
+      TextAnalysis.mixIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "lang",
+        idx, 2L)
+      TextAnalysis.mixSelectFromIndex(s, idx, "lang",
+          targetShare10k = Map("en" -> 5000L, "fr" -> 2000L,
+            "de" -> 1500L, "es" -> 1000L, "zh" -> 500L))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2276,6 +2298,30 @@ object SparkEntry {
        | CAST(COALESCE(c.bpe, 0) AS BIGINT) AS bpe_tokens
        |FROM documents d LEFT JOIN cnts c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Mixture replay — shared by q96 (one-shot) and q105 (persisted
+    * index, two batch folds whose selection must equal the one-shot
+    * run): exact integer caps from strata counts, portable-hash rank
+    * order.
+    */
+  private val MixOracleSql: String =
+    """WITH tgt AS (SELECT * FROM (VALUES ('en', 5000), ('fr', 2000),
+      |  ('de', 1500), ('es', 1000), ('zh', 500)) t(lang, share10k)),
+      |c AS (SELECT lang, COUNT(*) AS cs FROM documents GROUP BY lang),
+      |j AS (SELECT c.lang, cs, share10k FROM c JOIN tgt USING (lang)),
+      |n AS (SELECT MIN((cs * 10000) // share10k) AS nn FROM j),
+      |caps AS (SELECT lang, (nn * share10k) // 10000 AS k FROM j, n),
+      |r AS (SELECT doc_id, lang,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(
+      |        string_split(CAST(doc_id AS VARCHAR) || '|' || lang, ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 2147483647), doc_id) AS mix_rank
+      | FROM documents)
+      |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+      |FROM r JOIN caps USING (lang)
+      |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
 
   private val DsirOracleSql: String =
     """WITH toks AS (SELECT doc_id,
@@ -4223,23 +4269,11 @@ object SparkEntry {
     // Mixture-rebalancing replay: integer cap arithmetic (N = the
     // largest total hitting every share; k_s = N*share//10000), then
     // per-stratum hash-ranked selection.
-    "q96_mix_to_target" ->
-      """WITH tgt AS (SELECT * FROM (VALUES ('en', 5000), ('fr', 2000),
-        |  ('de', 1500), ('es', 1000), ('zh', 500)) t(lang, share10k)),
-        |c AS (SELECT lang, COUNT(*) AS cs FROM documents GROUP BY lang),
-        |j AS (SELECT c.lang, cs, share10k FROM c JOIN tgt USING (lang)),
-        |n AS (SELECT MIN((cs * 10000) // share10k) AS nn FROM j),
-        |caps AS (SELECT lang, (nn * share10k) // 10000 AS k FROM j, n),
-        |r AS (SELECT doc_id, lang,
-        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(
-        |        string_split(CAST(doc_id AS VARCHAR) || '|' || lang, ''),
-        |        c -> CAST(ascii(c) AS BIGINT))),
-        |      (h, c) -> (h * 31 + c) % 2147483647), doc_id) AS mix_rank
-        | FROM documents)
-        |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
-        |FROM r JOIN caps USING (lang)
-        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+    "q96_mix_to_target" -> MixOracleSql,
+
+    // persisted-index mixture: folding batches then selecting must
+    // equal the one-shot q96 selection — same oracle, verbatim
+    "q105_mix_incremental" -> MixOracleSql
   )
+
 }

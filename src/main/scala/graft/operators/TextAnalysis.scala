@@ -532,6 +532,52 @@ object TextAnalysis {
       .drop("k")
   }
 
+  /** Append one ingest batch to a PERSISTED mixture index — the
+    * continuous-ingest variant of [[mixToTarget]] (the
+    * [[buildDsirIndex]] / [[buildBenchmarkIndex]] pattern, but for a
+    * selection whose caps depend on GLOBAL strata counts). The index
+    * row is skinny on purpose: (doc id, stratum, frozen sort hash) —
+    * the 100 TB text column never lands in it, so re-deriving the
+    * selection after new data arrives costs O(index), not O(corpus).
+    * Append-only like the star pipeline's batches.
+    */
+  def mixIndexAppend(batch: DataFrame, idCol: String, strataCol: String,
+                     indexDir: String, batchId: Long): Unit =
+    batch.select(col(idCol).as("doc_id"),
+        col(strataCol).as("stratum"),
+        charPolyHash(concat(col(idCol).cast("string"), lit("|"),
+          col(strataCol))).as("h"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Re-derive the exact mixture selection from the persisted index:
+    * strata counts come from the index (strata-sized aggregate over
+    * skinny rows), caps re-derive with the same exact-integer
+    * arithmetic, and the per-stratum window ranks the index rows by
+    * their FROZEN sort hash. Because the kept set is a pure function
+    * of (all ids seen so far, targets), folding batches then selecting
+    * equals the one-shot [[mixToTarget]] over the union — q105 proves
+    * it against the q96 oracle. Returns (doc_id, `strataCol`,
+    * mix_rank); join back on doc_id to fetch the kept documents.
+    */
+  def mixSelectFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, strataCol: String,
+                         targetShare10k: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    val idx = spark.read.parquet(indexDir)
+      .select("doc_id", "stratum", "h")
+    val counts = idx.groupBy("stratum").agg(count(lit(1)).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
+    val caps = deriveCaps(counts, targetShare10k)
+    val capsDf = caps.toSeq.sortBy(_._1).toDF("stratum", "k")
+    val maxK = if (caps.isEmpty) 0L else caps.values.max
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("h"), col("doc_id"))
+    idx.join(broadcast(capsDf), Seq("stratum"))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .filter(col("mix_rank") <= lit(maxK) && col("mix_rank") <= col("k"))
+      .select(col("doc_id"), col("stratum").as(strataCol), col("mix_rank"))
+  }
+
   /** Corpus-trained LM quality scoring (the CCNet head/middle/tail
     * shape, Wenzek et al. 2020): train a unigram model on the corpus
     * itself, score each document by how typical its tokens are, and

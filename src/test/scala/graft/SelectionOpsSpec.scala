@@ -257,6 +257,28 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(enc == Seq("a", "bc"))
   }
 
+  test("mixture index: batch folds + select-from-index equals the " +
+      "one-shot mixToTarget selection") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "fr" else "en", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val targets = Map("en" -> 7000L, "fr" -> 3000L)
+    val idx = java.nio.file.Files
+      .createTempDirectory("mix_idx_spec").toString
+    TextAnalysis.mixIndexAppend(docs.filter(col("doc_id") <= 25),
+      "doc_id", "lang", idx, 1L)
+    TextAnalysis.mixIndexAppend(docs.filter(col("doc_id") > 25),
+      "doc_id", "lang", idx, 2L)
+    val incr = TextAnalysis.mixSelectFromIndex(spark, idx, "lang", targets)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("lang"), r.getAs[Long]("mix_rank"))).toSet
+    val oneShot = TextAnalysis.mixToTarget(docs, "doc_id", "lang", targets)
+      .select("doc_id", "lang", "mix_rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("lang"), r.getAs[Long]("mix_rank"))).toSet
+    assert(incr == oneShot && incr.nonEmpty)
+  }
+
   test("tokenCounts: trained-merge mode adds exact bpe_tokens") {
     val docs = Seq((1L, "abab abab ab"), (2L, "xy"), (3L, "ababab"))
       .toDF("doc_id", "text")
