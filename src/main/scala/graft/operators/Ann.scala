@@ -286,6 +286,98 @@ object Ann {
     topK(scored, k)
   }
 
+  // ----------------------------------------------- persisted-index layers
+
+  /** Both persisted vector indexes ([[ivfIndexAppend]],
+    * [[ivfPqIndexAppend]]) are append-only `batch=N` parquet layers. An
+    * optional `_LAYERS` manifest at the index root lists the LIVE
+    * layers: readers prefer it when present (falling back to a plain
+    * directory scan for pre-manifest indexes), appends register their
+    * new layer in it, and [[compactVectorIndex]] swaps it atomically —
+    * the same tmp + ATOMIC_MOVE pointer discipline as the star
+    * pipeline's manifest. Single-maintainer contract (one compactor /
+    * appender at a time), like the star pipeline's batches.
+    */
+  private def layersPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_LAYERS")
+
+  private def readLayers(indexDir: String): Option[Seq[String]] = {
+    val p = layersPath(indexDir)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq)
+    else None
+  }
+
+  private def writeLayers(indexDir: String, layers: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(indexDir, "_LAYERS.tmp")
+    java.nio.file.Files.write(tmp, layers.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, layersPath(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def existingBatchDirs(indexDir: String): Seq[String] = {
+    val d = new java.io.File(indexDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles.filter(f => f.isDirectory &&
+      f.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+  }
+
+  private def registerLayer(indexDir: String, name: String): Unit =
+    writeLayers(indexDir,
+      ((readLayers(indexDir).getOrElse(existingBatchDirs(indexDir))
+        .filterNot(_ == name)) :+ name))
+
+  /** Manifest-aware index scan: live layers only (with `batch` and the
+    * cluster/coarse partition columns recovered via basePath); plain
+    * recursive scan for pre-manifest indexes.
+    */
+  private def readIndexLayers(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String): DataFrame =
+    readLayers(indexDir) match {
+      case Some(layers) if layers.nonEmpty =>
+        spark.read.option("basePath", indexDir)
+          .parquet(layers.map(l => s"$indexDir/$l"): _*)
+      case _ => spark.read.parquet(indexDir)
+    }
+
+  /** Compact a persisted vector index: rewrite every live layer into
+    * ONE `batch=` layer (partition-preserving — `partitionCol` is
+    * "cluster" for the IVF index, "coarse" for IVF-PQ), swap the
+    * `_LAYERS` manifest atomically, then delete the superseded
+    * directories. At one append per micro-batch the layer count —
+    * and with it the per-probe file count — grows without bound; this
+    * is the same small-files problem the star pipeline's `compact`
+    * solves for its buckets. Queries before and after are equal by
+    * construction (same rows, same partition values); a crash between
+    * manifest swap and directory deletion leaves orphan dirs INVISIBLE
+    * to readers, GC'd by the next compaction.
+    */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, partitionCol: String): Unit = {
+    val layers = readLayers(indexDir).getOrElse(existingBatchDirs(indexDir))
+    if (layers.length <= 1) return
+    val ids = layers.map(_.stripPrefix("batch=")).flatMap(_.toLongOption)
+    val dest = s"batch=${if (ids.isEmpty) 1L else ids.max + 1}"
+    spark.read.option("basePath", indexDir)
+      .parquet(layers.map(l => s"$indexDir/$l"): _*)
+      .drop("batch")
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(s"$indexDir/$dest")
+    writeLayers(indexDir, Seq(dest))
+    // GC superseded layers AND any orphan batch dir a previous crashed
+    // compaction left behind (anything not in the new manifest)
+    existingBatchDirs(indexDir).filterNot(_ == dest).foreach { l =>
+      val root = java.nio.file.Paths.get(indexDir, l)
+      java.nio.file.Files.walk(root).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Append one micro-batch of vectors to a PERSISTED IVF index — the
     * vector-store scale path. Each batch is written partitioned by its
     * coarse-cluster assignment (`indexDir/batch=N/cluster=c/`), with the
@@ -303,13 +395,15 @@ object Ann {
     */
   def ivfIndexAppend(batch: DataFrame, idCol: String, vecCol: String,
                      cluster: Column, indexDir: String,
-                     batchId: Long): Unit =
+                     batchId: Long): Unit = {
     batch.select(col(idCol).as("emb_id"),
         toDoubleVec(col(vecCol)).as("v"),
         cluster.cast("long").as("cluster"))
       .withColumn("norm", l2Norm(col("v")))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/batch=$batchId")
+    registerLayer(indexDir, s"batch=$batchId")
+  }
 
   /** Top-k over the persisted index: each query probes the clusters in
     * its `probesCol` array. The distinct probe set collects to the
@@ -326,7 +420,7 @@ object Ann {
       .withColumn("qn", l2Norm(col("qv")))
     val probeSet = q0.select(explode(col("__probes")).as("p"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val idx = spark.read.parquet(indexDir)
+    val idx = readIndexLayers(spark, indexDir)
       .filter(col("cluster").isin(probeSet: _*))
     val q = broadcast(q0
       .select(col("query_id"), col("qv"), col("qn"),
@@ -545,9 +639,11 @@ object Ann {
     * retraining means re-encoding).
     */
   def ivfPqIndexAppend(codes: DataFrame, indexDir: String,
-                       batchId: Long): Unit =
+                       batchId: Long): Unit = {
     codes.write.mode("overwrite").partitionBy("coarse")
       .parquet(s"$indexDir/batch=$batchId")
+    registerLayer(indexDir, s"batch=$batchId")
+  }
 
   /** ADC top-k over the persisted code index. The union of every
     * query's nProbe lists collects to the driver (bounded by kc, the
@@ -568,7 +664,7 @@ object Ann {
     val probeSet = queries
       .select(explode(transform(probeArr, _.getField("cid"))).as("p"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val idx = spark.read.parquet(indexDir)
+    val idx = readIndexLayers(spark, indexDir)
       .filter(col("coarse").isin(probeSet: _*))
     ivfPqSearch(queries, idx, idCol, vecCol, coarse, codebooks, nProbe, k)
   }

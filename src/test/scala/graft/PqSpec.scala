@@ -86,4 +86,39 @@ class PqSpec extends SparkSpecBase {
     assert(p.contains("PartitionFilters") && p.contains("coarse"), p)
     assert(!p.contains("PartitionFilters: []"), p)
   }
+
+  test("index compaction: query equality before/after, one live layer, " +
+      "bounded file count, pruning preserved") {
+    import org.apache.spark.sql.functions._
+    val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivfpq_idx_compact").toString
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") < 3), idx, 1L)
+    Ann.ivfPqIndexAppend(
+      codes.filter(col("emb_id") >= 3 && col("emb_id") < 6), idx, 2L)
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") >= 6), idx, 3L)
+    val q = corpus.filter(col("vec_id") === 0L)
+    def run() = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id", "embedding",
+        coarse, cbs, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val before = run()
+    Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
+    val after = run()
+    assert(after == before && before.nonEmpty)
+    // exactly one live batch dir remains on disk (superseded layers GC'd)
+    val dirs = new java.io.File(idx).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).toSeq
+    assert(dirs.map(_.getName) == Seq("batch=4"), dirs.mkString(","))
+    // partition pruning survives compaction
+    val p = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id", "embedding",
+      coarse, cbs, nProbe = 1, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("coarse"), p)
+    assert(!p.contains("PartitionFilters: []"), p)
+    // compacting a single-layer index is a no-op
+    Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
+    assert(run() == before)
+  }
 }
