@@ -24,7 +24,10 @@ object Bench {
     "q84_decontaminate", "q87_pack_sequences",
     // round 8: DSIR importance weights — the two-pass distribution-
     // build + broadcast-bucket-scoring shape
-    "q92_dsir_weights")
+    "q92_dsir_weights",
+    // round 9: the BPE tokenizer application pass (train 20 merges +
+    // zero-shuffle per-row encode) — the corpus-scan-bound shape
+    "q104_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

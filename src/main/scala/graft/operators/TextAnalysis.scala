@@ -770,6 +770,10 @@ object TextAnalysis {
     val wcs: Array[Long] = vocab.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
     val members = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // pairs whose count changed in the current merge step — DISTINCT
+    // across all touched words, so the heap refresh below is bounded by
+    // the pair-space, not by touched words × word length
+    val changed = mutable.HashSet.empty[(String, String)]
 
     def index(i: Int): Unit = {
       val s = syms(i); val wc = wcs(i); var j = 0
@@ -777,6 +781,7 @@ object TextAnalysis {
         val p = (s(j), s(j + 1))
         counts(p) = counts.getOrElse(p, 0L) + wc
         members.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        changed += p
         j += 1
       }
     }
@@ -787,6 +792,7 @@ object TextAnalysis {
         val c = counts(p) - wc
         if (c == 0L) { counts.remove(p); members.remove(p) }
         else counts(p) = c
+        changed += p
         j += 1
       }
       j = 0
@@ -810,10 +816,6 @@ object TextAnalysis {
       }
       a.length - b.length
     }
-    def pairLt(x: (String, String), y: (String, String)): Boolean = {
-      val c = utf8Cmp(x._1, y._1)
-      c < 0 || (c == 0 && utf8Cmp(x._2, y._2) < 0)
-    }
     // left-to-right greedy non-overlap (the merged symbol can never
     // re-match as `a` within the same pass — a+b != a since b != "")
     def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
@@ -827,24 +829,52 @@ object TextAnalysis {
       out.toArray
     }
 
+    // Argmax via a lazy-deletion max-heap instead of an O(#pairs) scan
+    // per step (a 30k-merge tokenizer over a grown pair table would
+    // spend most of its time scanning). Ordering: higher count first,
+    // then SMALLER (left, right) — matching the distributed loop's
+    // (cnt DESC, a ASC, b ASC). Entries go stale when a count changes;
+    // a popped entry is valid iff it equals the CURRENT count (a pair
+    // whose count drifted and returned to an old entry's value is
+    // still a correct argmax — only value equality matters). A merged
+    // pair never recurs: every multi-char symbol is produced by
+    // exactly one merge, so a consumed adjacency cannot re-form.
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+                  y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = utf8Cmp(y._2, x._2) // reversed: smaller pair = greater
+          if (a != 0) a else utf8Cmp(y._3, x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
       var best: (String, String) = null
       var bestC = 0L
-      for ((p, c) <- counts)
-        if (best == null || c > bestC || (c == bestC && pairLt(p, best))) {
-          best = p; bestC = c
-        }
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (counts.getOrElse((a, b), 0L) == c) { best = (a, b); bestC = c }
+      }
       if (best == null) done = true
       else {
         val (a, b) = best
         merges += ((step, a, b, a + b, bestC))
+        changed.clear()
         for (i <- members(best).toArray) {
           unindex(i)
           syms(i) = applyMerge(syms(i), a, b)
           index(i)
+        }
+        changed.foreach { p =>
+          counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
         }
         step += 1
       }
