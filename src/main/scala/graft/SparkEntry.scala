@@ -2111,6 +2111,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- BPE encode to token IDS: the pretraining artifact -----------
+    // train → deterministic vocab (base alphabet in UTF-8 order, then
+    // merges in training order — the GPT-2 layout) → id sequences.
+    "q107_bpe_encode_ids" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+      val vocab = TextAnalysis.bpeVocab(d, "text", merges)
+      TextAnalysis.bpeEncodeIds(d, "doc_id", "text", merges, vocab)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- count-min sketch: heavy hitters without a vocab agg ---------
+    // The sketch (4×256 counters from the portable poly-hash) is the
+    // at-rest artifact; the query reads every distinct token's true
+    // count next to its sketch estimate (est >= true by construction).
+    "q108_cm_sketch" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sk = operators.Sketches.countMinSketch(d, "text",
+        depth = 4, width = 256)
+      val truth = d.select(explode(
+          graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+      operators.Sketches.cmEstimate(sk, truth, "token",
+          depth = 4, width = 256)
+        .join(truth, col("item") === col("token"))
+        .select(col("token"), col("true_cnt"), col("est_cnt"))
+        .orderBy(col("token"))
+    }),
+
+    // ---- KMV distinct sketch: per-source distinct-token estimates ----
+    "q109_kmv_distinct" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("source"), explode(
+        graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      operators.Sketches.kmvDistinct(toks, "source", "token", k = 8)
+        .orderBy(col("grp"))
+    }),
+
     // ---- product quantization: train → encode → ADC search -----------
     // The memory-compression ANN path (Jégou et al. 2011): 4 subspaces
     // × 8 codes trained with the portable Lloyd's, vectors compressed
@@ -2281,6 +2321,90 @@ object SparkEntry {
        |   AS pos,
        | sym AS token
        |FROM enc ORDER BY doc_id, pos""".stripMargin
+
+  /** Vocab + id replay (the GPT-2 layout): base alphabet = distinct v0
+    * symbols id'd in binary order; merged tokens follow at
+    * |Σ| + step - 1; encode ids = the q104 encoding joined to the
+    * vocab.
+    */
+  private val BpeEncodeIdsOracleSql: String = {
+    val mergedSel = (1 to BpeSteps).map(s =>
+      s"SELECT $s AS step, a || b AS token FROM m$s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql(BpeSteps)},
+       |chars AS (SELECT DISTINCT sym AS token FROM v0),
+       |base AS (SELECT ROW_NUMBER() OVER (ORDER BY token) - 1
+       |   AS token_id, token FROM chars),
+       |nb AS (SELECT COUNT(*) AS n FROM chars),
+       |mrg AS (SELECT nb.n + step - 1 AS token_id, token
+       | FROM ($mergedSel) m, nb),
+       |voc AS (SELECT * FROM base UNION ALL SELECT * FROM mrg),
+       |toks AS (SELECT doc_id,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |   unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS widx
+       | FROM documents),
+       |enc AS (SELECT t.doc_id, t.widx, v.pos AS spos, v.sym
+       | FROM toks t JOIN v$BpeSteps v ON v.wid = t.tok)
+       |SELECT doc_id,
+       | ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx, spos) - 1
+       |   AS pos,
+       | CAST(voc.token_id AS BIGINT) AS token_id
+       |FROM enc JOIN voc ON voc.token = enc.sym
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  /** Portable char poly-hash replay (the DSIR/mixture convention);
+    * `mult` selects the polynomial base (the sketch rows use distinct
+    * primes — see `Sketches.RowMults`).
+    */
+  private def polyHashSql(s: String, mult: Long = 31L): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''),
+       |    c -> CAST(ascii(c) AS BIGINT))),
+       |  (h, c) -> (h * $mult + c) % 2147483647)""".stripMargin
+
+  /** Count-min replay: 4 hash rows (distinct polynomial bases) × 256
+    * buckets, est = min over the probed counters.
+    */
+  private val CmSketchOracleSql: String = {
+    val mults = Seq(31L, 37L, 41L, 43L)
+    def cells(src: String) = mults.zipWithIndex.map { case (m, i) =>
+      s"""SELECT t, $i AS r,
+         |   ${polyHashSql("t", m)} % 256 AS bucket FROM $src"""
+        .stripMargin }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS t
+       | FROM documents),
+       |tc AS (SELECT t, COUNT(*) AS true_cnt FROM toks GROUP BY t),
+       |cells AS (${cells("toks")}),
+       |cm AS (SELECT r, bucket, COUNT(*) AS cnt FROM cells
+       | GROUP BY r, bucket),
+       |probe AS (${cells("tc")}),
+       |est AS (SELECT t, MIN(COALESCE(cm.cnt, 0)) AS est_cnt
+       | FROM probe LEFT JOIN cm USING (r, bucket) GROUP BY t)
+       |SELECT tc.t AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
+       | CAST(est_cnt AS BIGINT) AS est_cnt
+       |FROM tc JOIN est ON tc.t = est.t ORDER BY token""".stripMargin
+  }
+
+  /** KMV replay: k = 8 smallest distinct hashes per source. */
+  private val KmvOracleSql: String =
+    s"""WITH toks AS (SELECT source AS grp,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS token
+       | FROM documents),
+       |hs AS (SELECT DISTINCT grp,
+       |   ${polyHashSql("token || '|kmv-salt'")} AS h
+       | FROM toks),
+       |rk AS (SELECT grp, h,
+       |   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hs),
+       |agg AS (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS kth_min
+       | FROM rk WHERE rn <= 8 GROUP BY grp)
+       |SELECT grp, CAST(n_kept AS BIGINT) AS n_kept,
+       | CAST(kth_min AS BIGINT) AS kth_min,
+       | CAST(CASE WHEN n_kept < 8 THEN n_kept
+       |   ELSE (7 * CAST(2147483647 AS BIGINT)) // kth_min END
+       |   AS BIGINT) AS est_distinct
+       |FROM agg ORDER BY grp""".stripMargin
 
   private val BpeTokenCountsOracleSql: String =
     s"""WITH ${bpeChainSql(BpeSteps)},
@@ -4100,6 +4224,9 @@ object SparkEntry {
     "q98_bpe_train" -> BpeTrainOracleSql,
     "q104_bpe_encode" -> BpeEncodeOracleSql,
     "q106_bpe_token_counts" -> BpeTokenCountsOracleSql,
+    "q107_bpe_encode_ids" -> BpeEncodeIdsOracleSql,
+    "q108_cm_sketch" -> CmSketchOracleSql,
+    "q109_kmv_distinct" -> KmvOracleSql,
 
     // PQ replay: per-subspace portable Lloyd's (rounded-L2 argmin
     // assignment, exact-integer centroid means — the q90 pattern ×4),

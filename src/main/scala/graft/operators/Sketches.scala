@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deterministic mergeable sketches for corpus statistics at 100 TB —
+  * the summaries a training-data pipeline consults without paying a
+  * full-vocabulary aggregation (frequent n-grams, approximate distinct
+  * counts per domain).
+  *
+  * Everything here is built from the portable char poly-hash, so every
+  * sketch (and every estimate read off it) is bit-replayable by the
+  * ANSI-SQL oracle — unlike `approx_count_distinct`/datasketches
+  * whose binary registers are engine-specific.
+  *
+  * Scale shape: a sketch IS a pre-reduced aggregate — the exploded
+  * stream collapses map-side onto the sketch's fixed-size key space
+  * (depth×width or k rows), so the one exchange carries bounded rows
+  * per task no matter the corpus size. Sketches of disjoint batches
+  * merge by addition (CM) / min-union (KMV), which is what makes them
+  * streamable.
+  */
+object Sketches {
+
+  /** Per-row polynomial multipliers. A row-SALT (hashing "i|t") would
+    * NOT give independent rows: for same-length tokens the prefix
+    * contributes the same additive term in every row, so two tokens
+    * colliding in one row collide in all of them. Distinct polynomial
+    * bases give genuinely different hash functions from the same
+    * portable family, each replayable in SQL.
+    */
+  private[operators] val RowMults =
+    Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+
+  /** Row bucket hash: h_i(t) = polyhash_{mult_i}(t) mod width. */
+  private def bucketOf(t: Column, row: Int, width: Int): Column =
+    pmod(charPolyHash(t, RowMults(row)), lit(width.toLong))
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    * token stream: d hash rows × w counters; every token occurrence
+    * increments one counter per row. Returns the sketch TABLE
+    * (row, bucket, cnt) — at most d·w rows, the at-rest artifact.
+    * Estimates are upper bounds: est(t) = min_i cnt[i][h_i(t)] ≥
+    * true(t), with overestimate ≤ εN at the usual (ε, δ) for
+    * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+    */
+  def countMinSketch(docs: DataFrame, textCol: String, depth: Int,
+                     width: Int): DataFrame = {
+    require(depth <= RowMults.length, s"depth <= ${RowMults.length}")
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .select(posexplode(array((0 until depth)
+        .map(i => bucketOf(col("t"), i, width)): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate a set of items against a CM sketch: each item
+    * probes its d counters (missing counter = 0) and takes the min.
+    * The sketch side broadcasts (≤ d·w rows by construction); the
+    * items side can be any size. Output: (item, est_cnt).
+    */
+  def cmEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+                 depth: Int, width: Int): DataFrame = {
+    require(depth <= RowMults.length, s"depth <= ${RowMults.length}")
+    items.select(col(itemCol).as("item"),
+        posexplode(array((0 until depth)
+          .map(i => bucketOf(col(itemCol), i, width)): _*))
+          .as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  /** Merge CM sketches of disjoint batches: counters add. This is
+    * what makes the sketch streamable — per-batch sketches fold into
+    * the running one without revisiting any batch.
+    */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "bucket")
+      .agg(sum("cnt").as("cnt"))
+
+  /** KMV (k-minimum-values) distinct-count sketch per group: keep the
+    * k smallest hash values of the group's distinct items; estimate
+    * |distinct| as (k-1)·M div h_(k) when the sketch saturates
+    * (M = hash-space size, h_(k) = k-th minimum), else the exact kept
+    * count (Bar-Yossef et al. 2002). Output:
+    * (group, n_kept, kth_min, est_distinct) — exact integer
+    * arithmetic, oracle-replayable; the polyhash's modulus is the
+    * hash space (M = 2147483647).
+    *
+    * Scale shape: distinct pre-reduces map-side onto (group, hash);
+    * the per-group k-minima come from a LITERAL-bounded rank window —
+    * WindowGroupLimit pushes the partial top-k before the exchange,
+    * so a hot group never full-sorts its distinct stream in one task.
+    * Never an unbounded per-group collect. Sketches of disjoint
+    * batches merge by min-union (re-rank the unioned minima).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, itemCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, "kmvDistinct needs k >= 2") // also: k-th smallest
+    // distinct non-negative hash is then >= 1, so the division below
+    // cannot hit zero
+    val M = 2147483647L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    // salt suffix lengthens the hashed string so the poly-hash wraps
+    // the modulus: the raw hash of a short token is bounded by
+    // 31^len — far from uniform over [0, M), which would inflate the
+    // estimate by orders of magnitude (measured: 4794 for a true 31)
+    df.select(col(groupCol).as("grp"),
+        charPolyHash(concat(col(itemCol), lit("|kmv-salt"))).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"((${k - 1}L * ${M}L) div kth_min)")))
+  }
+}

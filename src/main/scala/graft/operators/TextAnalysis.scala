@@ -941,6 +941,50 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
 
+  /** Tokenizer vocabulary with deterministic ids (the GPT-2 layout:
+    * base alphabet first, then merged tokens in training order):
+    * base symbols are the distinct single characters of the corpus's
+    * words, id'd 0..|Σ|-1 in binary UTF-8 order; the merge table's
+    * tokens follow at |Σ| + step - 1. Every token [[bpeEncode]] can
+    * emit is covered (encode output symbols are base chars or merge
+    * products; a merge product is unique — each multi-char symbol is
+    * produced by exactly one merge). Output: (token_id, token).
+    *
+    * Scale: one corpus pass pre-reduced to the alphabet (distinct
+    * chars — dozens to thousands of rows); the id window runs over
+    * that alphabet-sized table.
+    */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .select(explode(filter(split(col("w"), "(?!^)"),
+        s => length(s) > 0)).as("token"))
+      .distinct()
+    val w = Window.orderBy(col("token"))
+    val base = chars.select(
+      (row_number().over(w) - 1).cast("long").as("token_id"), col("token"))
+    val nBase = chars.count()
+    val merged = merges.zipWithIndex.map { case ((a, b), i) =>
+      (nBase + i, a + b) }.toDF("token_id", "token")
+    base.unionByName(merged)
+  }
+
+  /** BPE encode to token IDS: [[bpeEncode]]'s symbol stream joined to
+    * the [[bpeVocab]] id table (vocab-sized — broadcast). Output:
+    * (doc_id, pos, token_id). THE artifact a pretraining pipeline
+    * materializes at 100 TB; compose with [[packSequences]] for the
+    * batch layout.
+    */
+  def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)],
+                   vocab: DataFrame): DataFrame =
+    bpeEncode(docs, idCol, textCol, merges)
+      .join(broadcast(vocab), Seq("token"))
+      .select(col("doc_id"), col("pos"), col("token_id"))
+
   /** Sequence packing (concat-and-chunk): lay documents end-to-end per
     * `groupCol` stream in `idCol` order and record which fixed-size
     * token windows each document spans — the GPT-style pretraining

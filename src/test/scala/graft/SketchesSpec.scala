@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Count-min and KMV sketches: estimator invariants, batch-merge
+  * equivalence, scale-shape locks.
+  */
+class SketchesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "a", "the cat sat on the mat"),
+    (2L, "a", "the bat and the cat flew"),
+    (3L, "b", "entirely different words here now"),
+    (4L, "b", "words repeat words repeat words")
+  ).toDF("doc_id", "src", "text")
+
+  test("count-min: estimate is an upper bound that equals the true " +
+      "count when no bucket collides") {
+    val sk = Sketches.countMinSketch(corpus, "text", depth = 4, width = 256)
+    val truth = corpus.select(explode(split(trim($"text"), "\\s+"))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val est = Sketches.cmEstimate(sk, truth, "token", depth = 4, width = 256)
+      .join(truth, $"item" === $"token")
+      .select($"token", $"true_cnt", $"est_cnt").collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("true_cnt"),
+        r.toString) }
+    // 17 distinct tokens into 4×256 counters: no collisions expected
+    assert(est.forall(r =>
+      r.getAs[Long]("est_cnt") == r.getAs[Long]("true_cnt")))
+  }
+
+  test("count-min: sketches of disjoint batches merge to the one-shot " +
+      "sketch (counters add)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("row"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).toSet
+    val one = rows(Sketches.countMinSketch(corpus, "text", 4, 64))
+    val merged = rows(Sketches.cmMerge(
+      Sketches.countMinSketch(corpus.filter($"doc_id" <= 2), "text", 4, 64),
+      Sketches.countMinSketch(corpus.filter($"doc_id" > 2), "text", 4, 64)))
+    assert(merged == one && one.nonEmpty)
+  }
+
+  test("KMV: exact below saturation; plausible at saturation; hot " +
+      "groups rank through WindowGroupLimit") {
+    val toks = corpus.select($"src",
+      explode(split(trim($"text"), "\\s+")).as("token"))
+    // k larger than any group's distinct count → exact
+    val exact = Sketches.kmvDistinct(toks, "src", "token", k = 64)
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[Long]("est_distinct")).toMap
+    val truth = toks.distinct().groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == truth)
+    // saturated: a 1000-distinct synthetic group, k=32 → within 30%
+    val big = spark.range(1000)
+      .select(lit("g").as("src"), concat(lit("tok"), $"id").as("token"))
+    val est = Sketches.kmvDistinct(big, "src", "token", k = 32)
+      .head().getAs[Long]("est_distinct")
+    assert(est > 700 && est < 1300, s"est=$est")
+    // scale lock: the k-minima come from a pushed-down partial top-k
+    val p = Sketches.kmvDistinct(toks, "src", "token", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}
