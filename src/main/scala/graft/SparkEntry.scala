@@ -2212,6 +2212,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- composed INCREMENTAL curation: the continuous-ingest story --
+    // Build the three frozen/persisted states once (benchmark shingle
+    // index, DSIR importance model, mixture index), then fold the
+    // corpus in TWO batches — each fold costs O(batch): incremental
+    // decontamination gate → incremental DSIR gate → mixture-index
+    // append — and derive the final selection from the index alone.
+    // One oracle over the whole chain: the one-shot replay of
+    // decon → DSIR → mixture over the union. Any state leak between
+    // folds, any index drift, any gate divergence shifts the kept set.
+    "q110_incremental_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mk = () => java.nio.file.Files
+        .createTempDirectory("curation_idx").toString
+      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
+      TextAnalysis.buildBenchmarkIndex(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
+        shingleN = 3, indexDir = benchIdx)
+      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+        indexDir = dsirIdx)
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      def fold(p: Column, batchId: Long): Unit = {
+        val b = train.filter(p)
+        val clean = b.join(
+          TextAnalysis.decontaminateIncremental(s, benchIdx, b,
+              "doc_id", "text", shingleN = 3, threshold = 0.05)
+            .filter(!col("contaminated")).select("doc_id"), "doc_id")
+        val sel = clean.join(
+          TextAnalysis.dsirScoreIncremental(s, dsirIdx, clean,
+              "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+              threshold = 0.45)
+            .filter(col("selected")).select("doc_id"), "doc_id")
+        TextAnalysis.mixIndexAppend(sel, "doc_id", "lang", mixIdx, batchId)
+      }
+      fold(pmod(col("doc_id"), lit(2)) === 1, 1L)
+      fold(pmod(col("doc_id"), lit(2)) === 0, 2L)
+      // en-heavy targets: the DSIR gate (target = en) skews the
+      // survivor mix by design, so the final mixture asks for the
+      // shape the gate produces
+      TextAnalysis.mixSelectFromIndex(s, mixIdx, "lang",
+          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
+            "de" -> 500L))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- persisted-index mixture: two ingest folds, one selection ----
     // Append the corpus in two batches to the skinny mixture index
     // (doc_id, stratum, frozen hash), then re-derive the selection from
@@ -4400,7 +4445,76 @@ object SparkEntry {
 
     // persisted-index mixture: folding batches then selecting must
     // equal the one-shot q96 selection — same oracle, verbatim
-    "q105_mix_incremental" -> MixOracleSql
+    "q105_mix_incremental" -> MixOracleSql,
+
+    // Composed incremental curation: one-shot replay of the chain —
+    // decon gate (q84 core, 3-shingles, 5%) → DSIR gate (q92 core,
+    // frozen model from the full corpus, 0.45) → exact mixture over
+    // the survivors (q96 core with survivor counts).
+    "q110_incremental_curation" ->
+      """WITH dtk AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+        | FROM documents),
+        |shr AS (SELECT doc_id,
+        |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+        |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS s FROM dtk),
+        |hs AS (SELECT DISTINCT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS h
+        | FROM shr WHERE s IS NOT NULL),
+        |bh AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
+        |dagg AS (SELECT t.doc_id, COUNT(*) AS n_sh,
+        |   SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+        |  FROM hs t LEFT JOIN bh b ON t.h = b.h
+        |  WHERE t.doc_id % 20 <> 0 GROUP BY t.doc_id),
+        |kept1 AS (SELECT d.doc_id, d.lang FROM documents d
+        |  LEFT JOIN dagg a USING (doc_id)
+        |  WHERE d.doc_id % 20 <> 0 AND NOT (
+        |    CASE WHEN COALESCE(a.n_sh, 0) > 0
+        |      THEN CAST(a.n_ov AS DOUBLE) / a.n_sh ELSE 0.0 END >= 0.05)),
+        |grams AS (
+        | SELECT doc_id, tok AS s FROM dtk
+        | UNION ALL
+        | SELECT doc_id,
+        |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS s FROM dtk),
+        |feats AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) % 65536 AS b
+        | FROM grams WHERE s IS NOT NULL),
+        |p AS (SELECT b, COUNT(*) AS pc FROM feats GROUP BY b),
+        |q AS (SELECT b, COUNT(*) AS qc FROM feats f
+        |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY b),
+        |bt AS (SELECT p.b,
+        |  ((COALESCE(q.qc, 0) + 1) * 1000000) // (p.pc + 1) AS contrib
+        | FROM p LEFT JOIN q ON p.b = q.b),
+        |sagg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(contrib) AS cs
+        | FROM feats JOIN bt USING (b) GROUP BY doc_id),
+        |kept2 AS (SELECT k.doc_id, k.lang FROM kept1 k
+        |  JOIN sagg s USING (doc_id)
+        |  WHERE CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE)
+        |    >= 0.45),
+        |tgt AS (SELECT * FROM (VALUES ('en', 8000), ('es', 1500),
+        |  ('de', 500)) t(lang, share10k)),
+        |c AS (SELECT lang, COUNT(*) AS cs FROM kept2 GROUP BY lang),
+        |j AS (SELECT c.lang, cs, share10k FROM c JOIN tgt USING (lang)),
+        |n AS (SELECT MIN((cs * 10000) // share10k) AS nn FROM j),
+        |caps AS (SELECT lang, (nn * share10k) // 10000 AS k FROM j, n),
+        |r AS (SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(CAST(doc_id AS VARCHAR) || '|' || lang, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647), doc_id) AS mix_rank
+        | FROM kept2)
+        |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+        |FROM r JOIN caps USING (lang)
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
   )
 
 }
