@@ -2124,6 +2124,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- tokenize-and-pack: the end-to-end pretraining layout --------
+    // train → REAL per-doc token counts (in-row BpeApply, zero extra
+    // scan) → concat-and-chunk packing on those counts. Chunk budget
+    // 512 REAL tokens, not the chars/4 heuristic.
+    "q111_tokenize_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+      val bpeCount = aggregate(
+        transform(tokens(col("text")),
+          w => size(graft.functions.BpeOps.bpeApply(w, merges)).cast("long")),
+        lit(0L), (acc, n) => acc + n)
+      TextAnalysis.packSequencesByCount(d, "doc_id", "source", bpeCount,
+          chunkTokens = 512)
+        .orderBy(col("stream"), col("doc_id"))
+    }),
+
     // ---- count-min sketch: heavy hitters without a vocab agg ---------
     // The sketch (4×256 counters from the portable poly-hash) is the
     // at-rest artifact; the query reads every distinct token's true
@@ -2233,21 +2251,14 @@ object SparkEntry {
         "doc_id", "text", nBuckets = 65536, scale = 1000000L,
         indexDir = dsirIdx)
       val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      def fold(p: Column, batchId: Long): Unit = {
-        val b = train.filter(p)
-        val clean = b.join(
-          TextAnalysis.decontaminateIncremental(s, benchIdx, b,
-              "doc_id", "text", shingleN = 3, threshold = 0.05)
-            .filter(!col("contaminated")).select("doc_id"), "doc_id")
-        val sel = clean.join(
-          TextAnalysis.dsirScoreIncremental(s, dsirIdx, clean,
-              "doc_id", "text", nBuckets = 65536, scale = 1000000L,
-              threshold = 0.45)
-            .filter(col("selected")).select("doc_id"), "doc_id")
-        TextAnalysis.mixIndexAppend(sel, "doc_id", "lang", mixIdx, batchId)
-      }
-      fold(pmod(col("doc_id"), lit(2)) === 1, 1L)
-      fold(pmod(col("doc_id"), lit(2)) === 0, 2L)
+      // the same foldBatch the Structured Streaming front end runs
+      // per micro-batch (streaming/CurationStream)
+      val cfg = graft.streaming.CurationStream.Config(
+        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang")
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
       // en-heavy targets: the DSIR gate (target = en) skews the
       // survivor mix by design, so the final mixture asks for the
       // shape the gate produces
@@ -2450,6 +2461,29 @@ object SparkEntry {
        |   ELSE (7 * CAST(2147483647 AS BIGINT)) // kth_min END
        |   AS BIGINT) AS est_distinct
        |FROM agg ORDER BY grp""".stripMargin
+
+  /** Tokenize-and-pack replay: real per-doc BPE counts from the chain
+    * (the q106 machinery), then the q87 cumsum layout on a 512-token
+    * chunk budget.
+    */
+  private val TokenizePackOracleSql: String =
+    s"""WITH ${bpeChainSql(BpeSteps)},
+       |toks AS (SELECT doc_id,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       | FROM documents),
+       |cnts AS (SELECT t.doc_id, COUNT(v.pos) AS bpe
+       | FROM toks t JOIN v$BpeSteps v ON v.wid = t.tok GROUP BY t.doc_id),
+       |n AS (SELECT d.source AS stream, d.doc_id,
+       |  CAST(COALESCE(c.bpe, 0) AS BIGINT) AS n_tokens
+       | FROM documents d LEFT JOIN cnts c ON d.doc_id = c.doc_id),
+       |cum AS (SELECT stream, doc_id, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM n)
+       |SELECT stream, doc_id, n_tokens, end_tok,
+       | end_tok - n_tokens AS start_tok,
+       | CAST((end_tok - n_tokens) // 512 AS BIGINT) AS first_chunk,
+       | CAST((end_tok - 1) // 512 AS BIGINT) AS last_chunk
+       |FROM cum ORDER BY stream, doc_id""".stripMargin
 
   private val BpeTokenCountsOracleSql: String =
     s"""WITH ${bpeChainSql(BpeSteps)},
@@ -4272,6 +4306,7 @@ object SparkEntry {
     "q107_bpe_encode_ids" -> BpeEncodeIdsOracleSql,
     "q108_cm_sketch" -> CmSketchOracleSql,
     "q109_kmv_distinct" -> KmvOracleSql,
+    "q111_tokenize_pack" -> TokenizePackOracleSql,
 
     // PQ replay: per-subspace portable Lloyd's (rounded-L2 argmin
     // assignment, exact-integer centroid means — the q90 pattern ×4),

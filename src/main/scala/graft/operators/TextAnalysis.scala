@@ -997,7 +997,20 @@ object TextAnalysis {
     * oracle-replayable at any parallelism.
     */
   def packSequences(docs: DataFrame, idCol: String, groupCol: String,
-                    textCol: String, chunkTokens: Int): DataFrame = {
+                    textCol: String, chunkTokens: Int): DataFrame =
+    packSequencesByCount(docs, idCol, groupCol,
+      size(tokens(col(textCol))).cast("long"), chunkTokens)
+
+  /** [[packSequences]] generalized over the per-doc length measure:
+    * `countCol` is any Column evaluating to the document's token count
+    * — whitespace tokens for the classic layout, or the REAL tokenizer
+    * count (`size of the [[bpeEncode]] stream`, or
+    * [[tokenCounts]]' `bpe_tokens`) for budget-exact pretraining
+    * batches. Same one-shuffle exact-integer cumsum.
+    */
+  def packSequencesByCount(docs: DataFrame, idCol: String,
+                           groupCol: String, countCol: Column,
+                           chunkTokens: Int): DataFrame = {
     // ROWS frame pinned explicitly: the default frame for an ordered
     // window is RANGE, which sums ORDER-BY *peers* together — under a
     // duplicated doc_id the cumsum would silently diverge from the
@@ -1006,7 +1019,7 @@ object TextAnalysis {
     val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(groupCol).as("stream"), col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        countCol.as("n_tokens"))
       .withColumn("end_tok", sum(col("n_tokens")).over(w))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
       .withColumn("first_chunk", floor(col("start_tok") / chunkTokens))
