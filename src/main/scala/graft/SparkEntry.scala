@@ -2252,17 +2252,21 @@ object SparkEntry {
         indexDir = dsirIdx)
       val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
       // the same foldBatch the Structured Streaming front end runs
-      // per micro-batch (streaming/CurationStream)
+      // per micro-batch (streaming/CurationStream); the DSIR cut is a
+      // TOP-FRACTION over the persisted score index (importance
+      // resampling selects by rank — an absolute score threshold does
+      // not survive a corpus change)
       val cfg = graft.streaming.CurationStream.Config(
-        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang")
+        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
+        keepFrac10k = 4000L)
       graft.streaming.CurationStream.foldBatch(
         train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
       graft.streaming.CurationStream.foldBatch(
         train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
-      // en-heavy targets: the DSIR gate (target = en) skews the
+      // en-heavy targets: the DSIR cut (target = en) skews the
       // survivor mix by design, so the final mixture asks for the
-      // shape the gate produces
-      TextAnalysis.mixSelectFromIndex(s, mixIdx, "lang",
+      // shape the cut produces
+      graft.streaming.CurationStream.select(s, cfg,
           targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
             "de" -> 500L))
         .orderBy(col("doc_id"))
@@ -4483,9 +4487,11 @@ object SparkEntry {
     "q105_mix_incremental" -> MixOracleSql,
 
     // Composed incremental curation: one-shot replay of the chain —
-    // decon gate (q84 core, 3-shingles, 5%) → DSIR gate (q92 core,
-    // frozen model from the full corpus, 0.45) → exact mixture over
-    // the survivors (q96 core with survivor counts).
+    // decon gate (q84 core, 3-shingles, 5%) → DSIR top-40% cut by
+    // importance score (q92 core, frozen model from the full corpus;
+    // scores are exact-int ÷ exact-int so the doubles — and the order
+    // they induce — are identical in both engines) → exact mixture
+    // over the survivors (q96 core with survivor counts).
     "q110_incremental_curation" ->
       """WITH dtk AS (SELECT doc_id,
         |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
@@ -4529,10 +4535,14 @@ object SparkEntry {
         | FROM p LEFT JOIN q ON p.b = q.b),
         |sagg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(contrib) AS cs
         | FROM feats JOIN bt USING (b) GROUP BY doc_id),
-        |kept2 AS (SELECT k.doc_id, k.lang FROM kept1 k
-        |  JOIN sagg s USING (doc_id)
-        |  WHERE CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE)
-        |    >= 0.45),
+        |scored AS (SELECT k.doc_id, k.lang,
+        |   CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE) AS sc
+        |  FROM kept1 k JOIN sagg s USING (doc_id)),
+        |keepn AS (SELECT (COUNT(*) * 4000) // 10000 AS kp FROM scored),
+        |kept2 AS (SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS ir
+        |  FROM scored), keepn WHERE ir <= kp),
         |tgt AS (SELECT * FROM (VALUES ('en', 8000), ('es', 1500),
         |  ('de', 500)) t(lang, share10k)),
         |c AS (SELECT lang, COUNT(*) AS cs FROM kept2 GROUP BY lang),

@@ -502,7 +502,7 @@ object TextAnalysis {
     * N = min_s (c_s·10⁴) div share_s over strata present in BOTH the
     * corpus and the target map; k_s = (N·share_s) div 10⁴.
     */
-  private[operators] def deriveCaps(counts: Map[String, Long],
+  private[graft] def deriveCaps(counts: Map[String, Long],
       targetShare10k: Map[String, Long]): Map[String, Long] = {
     val present = targetShare10k.filter { case (s, sh) =>
       sh > 0 && counts.contains(s) }

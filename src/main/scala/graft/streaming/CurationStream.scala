@@ -25,17 +25,29 @@ import graft.operators.TextAnalysis
   */
 object CurationStream {
 
-  /** Locations of the three persisted states + gate parameters. */
-  case class Config(benchIdx: String, dsirIdx: String, mixIdx: String,
+  /** Locations of the three persisted states + gate parameters.
+    * `keepFrac10k` is the DSIR resampling fraction in parts-per-10000:
+    * the SELECTION keeps the top fraction by importance score — a
+    * fixed absolute score threshold would not survive a corpus change
+    * (the exact-int score's scale shifts with the feature
+    * distributions; measured: one corpus's maximum below another's
+    * minimum), while a top-fraction is what importance RESAMPLING
+    * does in the first place (Xie et al. 2023 sample by rank, not by
+    * absolute score).
+    */
+  case class Config(benchIdx: String, dsirIdx: String, curIdx: String,
                     idCol: String, textCol: String, strataCol: String,
                     shingleN: Int = 3, deconThreshold: Double = 0.05,
                     nBuckets: Int = 65536, scale: Long = 1000000L,
-                    dsirThreshold: Double = 0.45)
+                    keepFrac10k: Long = 4000L)
 
-  /** Fold ONE micro-batch through the gates into the mixture index —
-    * O(batch): both gates broadcast their persisted state, nothing
-    * rescans earlier batches. Shared by the streaming front end and
-    * the batch path (q110 calls this shape inline).
+  /** Fold ONE micro-batch into the curation index — O(batch): the
+    * decontamination gate and the DSIR scoring broadcast their
+    * persisted state, nothing rescans earlier batches. Per-doc work
+    * (gating, scoring, the frozen sort hash) happens HERE; decisions
+    * that need global context (the top-fraction importance cut, the
+    * mixture caps) happen in [[select]] over the skinny index. Index
+    * row: (doc_id, stratum, h, n_feats, contrib_sum).
     */
   def foldBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val s = batch.sparkSession
@@ -44,14 +56,54 @@ object CurationStream {
           cfg.idCol, cfg.textCol, cfg.shingleN, cfg.deconThreshold)
         .filter(!col("contaminated")).select(col("doc_id").as(cfg.idCol)),
       cfg.idCol)
-    val sel = clean.join(
-      TextAnalysis.dsirScoreIncremental(s, cfg.dsirIdx, clean,
-          cfg.idCol, cfg.textCol, cfg.nBuckets, cfg.scale,
-          cfg.dsirThreshold)
-        .filter(col("selected")).select(col("doc_id").as(cfg.idCol)),
-      cfg.idCol)
-    TextAnalysis.mixIndexAppend(sel, cfg.idCol, cfg.strataCol,
-      cfg.mixIdx, batchId)
+    val scored = TextAnalysis.dsirScoreIncremental(s, cfg.dsirIdx,
+      clean, cfg.idCol, cfg.textCol, cfg.nBuckets, cfg.scale)
+    clean.select(col(cfg.idCol).as("doc_id"),
+        col(cfg.strataCol).as("stratum"),
+        graft.functions.GraftFunctions.charPolyHash(
+          concat(col(cfg.idCol).cast("string"), lit("|"),
+            col(cfg.strataCol))).as("h"))
+      .join(scored.select(col("doc_id"), col("n_feats"),
+        col("contrib_sum")), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"${cfg.curIdx}/batch=$batchId")
+  }
+
+  /** Derive the current selection from the curation index alone —
+    * never rescans the corpus: rank every surviving doc by importance
+    * score (identical doubles in any engine: exact-int ÷ exact-int)
+    * with doc_id tie-break, keep the top `keepFrac10k` fraction
+    * (exact integer count), then the exact mixture over the kept set.
+    * Returns (doc_id, `strataCol`, mix_rank).
+    */
+  def select(spark: org.apache.spark.sql.SparkSession, cfg: Config,
+             targetShare10k: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = spark.read.parquet(cfg.curIdx)
+      .select(col("doc_id"), col("stratum"), col("h"),
+        (col("contrib_sum").cast("double") /
+          (col("n_feats") * lit(cfg.scale)).cast("double"))
+          .as("dsir_score"))
+    val total = idx.count()
+    val keep = total * cfg.keepFrac10k / 10000L
+    val byScore = Window.orderBy(col("dsir_score").desc, col("doc_id"))
+    // single-partition rank over the SKINNY index (score + id only):
+    // acceptable ≤ ~10⁹ rows; beyond that, replace with a two-pass
+    // quantile cut on the same ordering
+    val kept = idx.withColumn("imp_rank", row_number().over(byScore))
+      .filter(col("imp_rank") <= lit(keep))
+    val counts = kept.groupBy("stratum").agg(count(lit(1)).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
+    val caps = TextAnalysis.deriveCaps(counts, targetShare10k)
+    import spark.implicits._
+    val capsDf = caps.toSeq.sortBy(_._1).toDF("stratum", "k")
+    val maxK = if (caps.isEmpty) 0L else caps.values.max
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("h"), col("doc_id"))
+    kept.join(broadcast(capsDf), Seq("stratum"))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .filter(col("mix_rank") <= lit(maxK) && col("mix_rank") <= col("k"))
+      .select(col("doc_id"), col("stratum").as(cfg.strataCol),
+        col("mix_rank"))
   }
 
   /** Start the streaming fold over a document stream. */

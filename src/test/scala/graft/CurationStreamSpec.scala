@@ -31,16 +31,15 @@ class CurationStreamSpec extends SparkSpecBase {
     TextAnalysis.buildDsirIndex(docs, docs.filter($"lang" === "en"),
       "doc_id", "text", nBuckets = 65536, scale = 1000000L,
       indexDir = dsirIdx)
-    def cfgFor(mixIdx: String) = CurationStream.Config(
-      benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
-      deconThreshold = 0.3, dsirThreshold = 0.4)
+    def cfgFor(curIdx: String) = CurationStream.Config(
+      benchIdx, dsirIdx, curIdx, "doc_id", "text", "lang",
+      deconThreshold = 0.3, keepFrac10k = 6000L)
     val targets = Map("en" -> 7000L, "fr" -> 3000L)
 
     // one-shot: the whole training set in a single fold
     val oneIdx = mk()
     CurationStream.foldBatch(train, 0L, cfgFor(oneIdx))
-    val oneShot = TextAnalysis.mixSelectFromIndex(spark, oneIdx,
-        "lang", targets)
+    val oneShot = CurationStream.select(spark, cfgFor(oneIdx), targets)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSet
     assert(oneShot.nonEmpty)
@@ -57,8 +56,7 @@ class CurationStreamSpec extends SparkSpecBase {
       input.addData(g.toSeq); q.processAllAvailable()
     }
     q.stop()
-    val streamed = TextAnalysis.mixSelectFromIndex(spark, mixIdx,
-        "lang", targets)
+    val streamed = CurationStream.select(spark, cfgFor(mixIdx), targets)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSet
     assert(streamed == oneShot)
@@ -67,8 +65,7 @@ class CurationStreamSpec extends SparkSpecBase {
     // under the SAME batch id overwrites its layer — selection unchanged
     CurationStream.foldBatch(rows.take(16).toSeq.toDF(), 0L,
       cfgFor(mixIdx))
-    val replayed = TextAnalysis.mixSelectFromIndex(spark, mixIdx,
-        "lang", targets)
+    val replayed = CurationStream.select(spark, cfgFor(mixIdx), targets)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSet
     assert(replayed == oneShot)
