@@ -1063,6 +1063,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- cluster representatives: keep the best dup, not the first --
+    "q112_cluster_representatives" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 8,
+        estThreshold = 0.125, maxBucketSize = 100, portable = true)
+      val clusters = Dedup.dupClusters(pairs, "doc_a", "doc_b")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+      val quality = TextAnalysis.stats(d, "doc_id", "text")
+        .select(col("doc_id"), col("n_distinct"))
+      Dedup.clusterRepresentatives(
+          clusters.join(quality, Seq("doc_id")),
+          "doc_id", "cluster_id", "n_distinct")
+        .orderBy(col("cluster_id"))
+    }),
+
+    // ---- deterministic train/val/test split -------------------------
+    "q113_split_assign" -> ((s, dir) => {
+      TextAnalysis.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 8000L, "val" -> 1000L, "test" -> 1000L))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- CCNet bucket resampling: quality-tiered keep rates ---------
+    // The step CCNet actually ships: score with the corpus-trained LM,
+    // bucket head/middle/tail, then keep each bucket at its own rate
+    // (head kept whole, tail decimated) via the deterministic
+    // stratified sampler. Two existing operators composed under one
+    // oracle.
+    "q114_ccnet_resample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = TextAnalysis.lmQualityScore(d, "doc_id", "text",
+        headMin = 0.0334, midMin = 0.0333)
+      TextAnalysis.stratifiedSample(
+          d.join(lm.select(col("doc_id"), col("lm_bucket")), Seq("doc_id")),
+          "doc_id", "lm_bucket",
+          rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.05))
+        .select(col("doc_id"), col("lang"), col("lm_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- S2 funnel: coding-system routing round-trip ----------------
     // Render each order as a wire message whose identifying markers
     // (MSH-3/MSH-4/OBR-3.2/OBR-4.3/OBR-4.4) rotate by o_orderkey%7; the
@@ -2530,6 +2573,49 @@ object SparkEntry {
       |FROM r JOIN caps USING (lang)
       |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
 
+  /** The q56 MinHash-LSH → connected-components chain (through the
+    * recursive `walk` CTE), shared by q56 and q112. The enclosing
+    * query must open with `WITH RECURSIVE`.
+    */
+  private val DupClustersChainSql: String = {
+    val perms = Dedup.minhashPerms(64, 42L)
+    val aList = perms.map(_._1).mkString(", ")
+    val bList = perms.map(_._2).mkString(", ")
+    s"""toks AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
+       | FROM documents),
+       |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
+       |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+       |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+       |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
+       |  unnest(range(64)) AS j),
+       |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
+       | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
+       |bnd AS (SELECT doc_id, j // 8 AS band,
+       |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
+       | FROM sigj GROUP BY doc_id, band),
+       |cap AS (SELECT doc_id, band, bucket FROM bnd
+       | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
+       |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM cap x JOIN cap y ON x.band = y.band AND x.bucket = y.bucket
+       |  AND x.doc_id < y.doc_id),
+       |sc AS (SELECT p.doc_a, p.doc_b,
+       |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+       | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
+       | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+       | GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM sc WHERE est_jaccard >= 0.125),
+       |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       | UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(node, r) AS (SELECT s, s FROM ed
+       | UNION SELECT e.d, w.r FROM walk w JOIN ed e ON e.s = w.node)"""
+      .stripMargin
+  }
+
   private val DsirOracleSql: String =
     """WITH toks AS (SELECT doc_id,
       |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
@@ -3880,46 +3966,30 @@ object SparkEntry {
 
     // q21's LSH pair replay + a recursive CTE for min-id connected
     // components — the oracle for the distributed label-propagation op.
-    "q56_dup_clusters" -> {
-      val perms = Dedup.minhashPerms(64, 42L)
-      val aList = perms.map(_._1).mkString(", ")
-      val bList = perms.map(_._2).mkString(", ")
-      s"""WITH RECURSIVE toks AS (SELECT doc_id,
-         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-         |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
-         | FROM documents),
-         |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
-         |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
-         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
-         |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-         |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
-         |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
-         |  unnest(range(64)) AS j),
-         |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
-         | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
-         |bnd AS (SELECT doc_id, j // 8 AS band,
-         |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
-         | FROM sigj GROUP BY doc_id, band),
-         |cap AS (SELECT doc_id, band, bucket FROM bnd
-         | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
-         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         | FROM cap x JOIN cap y ON x.band = y.band AND x.bucket = y.bucket
-         |  AND x.doc_id < y.doc_id),
-         |sc AS (SELECT p.doc_a, p.doc_b,
-         |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
-         | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
-         | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
-         | GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b FROM sc WHERE est_jaccard >= 0.125),
-         |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         | UNION SELECT doc_b, doc_a FROM pairs),
-         |walk(node, r) AS (SELECT s, s FROM ed
-         | UNION SELECT e.d, w.r FROM walk w JOIN ed e ON e.s = w.node)
+    "q56_dup_clusters" ->
+      s"""WITH RECURSIVE $DupClustersChainSql
          |SELECT CAST(node AS BIGINT) AS doc_id,
          | CAST(MIN(r) AS BIGINT) AS cluster_id
-         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
-    },
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Cluster representatives: the q56 chain, then keep the
+    // best-quality member per cluster (n_distinct DESC, doc_id ASC).
+    "q112_cluster_representatives" ->
+      s"""WITH RECURSIVE $DupClustersChainSql,
+         |cl AS (SELECT CAST(node AS BIGINT) AS doc_id,
+         |   CAST(MIN(r) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |nd AS (SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+         |  FROM toks GROUP BY doc_id),
+         |mem AS (SELECT cl.doc_id, cl.cluster_id, nd.n_distinct,
+         |   ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |     ORDER BY nd.n_distinct DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN nd USING (doc_id))
+         |SELECT cluster_id,
+         | CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         |   AS keep_id,
+         | CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM mem GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q57_wire_funnel" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS order_key,
@@ -4311,6 +4381,47 @@ object SparkEntry {
     "q108_cm_sketch" -> CmSketchOracleSql,
     "q109_kmv_distinct" -> KmvOracleSql,
     "q111_tokenize_pack" -> TokenizePackOracleSql,
+
+    // CCNet resample replay: the q94 scoring chain -> bucket -> the
+    // q85 slot predicate keyed on (doc_id || '|' || bucket).
+    "q114_ccnet_resample" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         | FROM documents),
+         |dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM toks
+         | GROUP BY doc_id, tok),
+         |f AS (SELECT tok, SUM(k) AS c FROM dt GROUP BY tok),
+         |tt AS (SELECT SUM(k) AS t_total FROM dt),
+         |agg AS (SELECT doc_id, SUM(k) AS n_tokens, SUM(k * c) AS freq_sum
+         | FROM dt JOIN f USING (tok) GROUP BY doc_id),
+         |bk AS (SELECT doc_id,
+         |  CASE WHEN CAST(freq_sum AS DOUBLE) /
+         |    CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+         |      AS DOUBLE) >= 0.0334 THEN 'head'
+         |   WHEN CAST(freq_sum AS DOUBLE) /
+         |    CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+         |      AS DOUBLE) >= 0.0333 THEN 'middle'
+         |   ELSE 'tail' END AS lm_bucket
+         | FROM agg, tt),
+         |sl AS (SELECT d.doc_id, d.lang, bk.lm_bucket,
+         |  ${polyHashSql("CAST(d.doc_id AS VARCHAR) || '|' || bk.lm_bucket")}
+         |    % 10000 AS slot
+         | FROM documents d JOIN bk USING (doc_id))
+         |SELECT doc_id, lang, lm_bucket FROM sl
+         |WHERE slot < (CASE lm_bucket WHEN 'head' THEN 10000
+         |  WHEN 'middle' THEN 5000 ELSE 500 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Split replay: cumulative hash-slot ranges over the portable
+    // poly-hash of (doc_id || '|split').
+    "q113_split_assign" ->
+      s"""SELECT doc_id, lang,
+         | CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")}
+         |     % 10000 < 8000 THEN 'train'
+         |   WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")}
+         |     % 10000 < 9000 THEN 'val'
+         |   ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // PQ replay: per-subspace portable Lloyd's (rounded-L2 argmin
     // assignment, exact-integer centroid means — the q90 pattern ×4),

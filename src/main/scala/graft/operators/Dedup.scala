@@ -408,6 +408,31 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** One representative per duplicate cluster — keep-the-BEST, not
+    * keep-the-first: real pipelines keep the highest-quality member of
+    * each near-dup cluster (longest, least boilerplate), not an
+    * arbitrary id. `members` carries (idCol, clusterCol, qualityCol);
+    * the winner is (quality DESC, id ASC) — deterministic, so the
+    * kept set is reproducible. Output:
+    * (cluster_id, keep_id, n_members). Docs in no cluster (never in a
+    * candidate pair) are implicitly their own representatives.
+    *
+    * One window shuffle over the cluster-membership table (pair-found
+    * docs only — a sliver of the corpus); WindowGroupLimit applies
+    * via the rank-1 filter shape.
+    */
+  def clusterRepresentatives(members: DataFrame, idCol: String,
+                             clusterCol: String,
+                             qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    members
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(clusterCol).as("cluster_id"))
+      .agg(min(when(col("__rn") === 1, col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup of an embedding corpus
     * — cluster, then inside each cluster drop every vector that has an
     * EARLIER-ORDERED neighbor with cosine ≥ `tau`, where the order is

@@ -314,6 +314,30 @@ object TextAnalysis {
     docs.filter(slot < threshold)
   }
 
+  /** Leakage-free deterministic train/val/test split: each document is
+    * assigned by the portable hash of its id alone — stable across
+    * runs, engines, retries, AND corpus growth (a doc's split never
+    * changes when other docs arrive, the property that keeps eval sets
+    * uncontaminated forever). `splits` lists (name, share) in
+    * parts-per-10000, assigned in order over cumulative hash-slot
+    * ranges; shares must sum to ≤ 10000 (any remainder falls to the
+    * LAST split). Zero shuffle — one codegen'd per-row expression.
+    */
+  def assignSplit(docs: DataFrame, idCol: String,
+                  splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 10000L,
+      "split shares are parts-per-10000 and must sum to <= 10000")
+    val slot = pmod(charPolyHash(
+      concat(col(idCol).cast("string"), lit("|split"))), lit(10000L))
+    val bounds = splits.scanLeft(0L)(_ + _._2).tail
+    val expr = splits.zip(bounds).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), bound), acc) =>
+          when(slot < bound, name).otherwise(acc)
+      }
+    docs.withColumn("split", expr)
+  }
+
   /** PII scrubbing: count and redact emails, IPv4 addresses, and
     * international-format phone numbers. Pure per-row regex work (zero
     * shuffle, codegen'd); patterns are restricted to syntax with

@@ -279,6 +279,44 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(incr == oneShot && incr.nonEmpty)
   }
 
+  test("clusterRepresentatives: best-quality member wins, id breaks " +
+      "ties") {
+    val members = Seq(
+      (1L, 10L, 5), (2L, 10L, 9), (3L, 10L, 9), // cluster 10: 2 & 3 tie on 9
+      (7L, 20L, 4)
+    ).toDF("doc_id", "cluster_id", "n_distinct")
+    val reps = graft.operators.Dedup.clusterRepresentatives(
+        members, "doc_id", "cluster_id", "n_distinct")
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"))).toSeq
+    assert(reps == Seq((10L, 2L, 3L), (20L, 7L, 1L)))
+  }
+
+  test("assignSplit: deterministic, corpus-growth-stable, remainder " +
+      "falls to the last split") {
+    val splits = Seq("train" -> 8000L, "val" -> 1000L, "test" -> 1000L)
+    val small = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val big = (1L to 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.assignSplit(df, "doc_id", splits)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("split")).toMap
+    val a = m(small); val b = m(big)
+    // a doc's split never changes as the corpus grows
+    assert(a.forall { case (id, sp) => b(id) == sp })
+    assert(b.values.toSet == Set("train", "val", "test"))
+    // shares summing under 10000: remainder lands on the LAST split
+    val c = TextAnalysis.assignSplit(big, "doc_id",
+        Seq("train" -> 100L, "holdout" -> 100L))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c.getOrElse("holdout", 0L) > c.getOrElse("train", 0L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.assignSplit(big, "doc_id", Seq("a" -> 9000L, "b" -> 2000L))
+    }
+  }
+
   test("tokenCounts: trained-merge mode adds exact bpe_tokens") {
     val docs = Seq((1L, "abab abab ab"), (2L, "xy"), (3L, "ababab"))
       .toDF("doc_id", "text")
