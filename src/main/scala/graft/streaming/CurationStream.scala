@@ -85,11 +85,12 @@ object CurationStream {
           .as("dsir_score"))
     val total = idx.count()
     val keep = total * cfg.keepFrac10k / 10000L
-    val byScore = Window.orderBy(col("dsir_score").desc, col("doc_id"))
-    // single-partition rank over the SKINNY index (score + id only):
-    // acceptable ≤ ~10⁹ rows; beyond that, replace with a two-pass
-    // quantile cut on the same ordering
-    val kept = idx.withColumn("imp_rank", row_number().over(byScore))
+    // DISTRIBUTED global rank (range sort + zipWithIndex): a
+    // row_number over an unpartitioned window would pull the whole
+    // index through one task — the index is skinny but still
+    // corpus-cardinality rows
+    val kept = graft.operators.Ranking.globalRowNumber(idx,
+        Seq(col("dsir_score").desc, col("doc_id")), "imp_rank")
       .filter(col("imp_rank") <= lit(keep))
     val counts = kept.groupBy("stratum").agg(count(lit(1)).as("cs"))
       .collect().map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
