@@ -26,8 +26,10 @@ object Bench {
     // build + broadcast-bucket-scoring shape
     "q92_dsir_weights",
     // round 9: the BPE tokenizer application pass (train 20 merges +
-    // zero-shuffle per-row encode) — the corpus-scan-bound shape
-    "q104_bpe_encode")
+    // zero-shuffle per-row encode) — the corpus-scan-bound shape;
+    // and the composed incremental curation chain (three persisted
+    // indexes + distributed global rank + mixture)
+    "q104_bpe_encode", "q110_incremental_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

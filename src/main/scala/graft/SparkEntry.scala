@@ -2289,7 +2289,7 @@ object SparkEntry {
       val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
       TextAnalysis.buildBenchmarkIndex(
         d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
-        shingleN = 3, indexDir = benchIdx)
+        shingleN = 5, indexDir = benchIdx)
       TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
         "doc_id", "text", nBuckets = 65536, scale = 1000000L,
         indexDir = dsirIdx)
@@ -4598,7 +4598,9 @@ object SparkEntry {
     "q105_mix_incremental" -> MixOracleSql,
 
     // Composed incremental curation: one-shot replay of the chain —
-    // decon gate (q84 core, 3-shingles, 5%) → DSIR top-40% cut by
+    // decon gate (q84 core, 5-shingles, 5% — 3-shingles over the
+    // synthetic corpus's 31-word vocab overlap corpus-wide and gate
+    // out everything at sf0.1) → DSIR top-40% cut by
     // importance score (q92 core, frozen model from the full corpus;
     // scores are exact-int ÷ exact-int so the doubles — and the order
     // they induce — are identical in both engines) → exact mixture
@@ -4611,6 +4613,8 @@ object SparkEntry {
         |shr AS (SELECT doc_id,
         |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
         |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
+        |      || ' ' || lead(tok, 3) OVER (PARTITION BY doc_id ORDER BY i)
+        |      || ' ' || lead(tok, 4) OVER (PARTITION BY doc_id ORDER BY i)
         |    AS s FROM dtk),
         |hs AS (SELECT DISTINCT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -37,7 +37,7 @@ object CurationStream {
     */
   case class Config(benchIdx: String, dsirIdx: String, curIdx: String,
                     idCol: String, textCol: String, strataCol: String,
-                    shingleN: Int = 3, deconThreshold: Double = 0.05,
+                    shingleN: Int = 5, deconThreshold: Double = 0.05,
                     nBuckets: Int = 65536, scale: Long = 1000000L,
                     keepFrac10k: Long = 4000L)
 

@@ -26,7 +26,7 @@ class CurationStreamSpec extends SparkSpecBase {
     val train = docs.filter($"doc_id" =!= 46L)
 
     val benchIdx = mk(); val dsirIdx = mk()
-    TextAnalysis.buildBenchmarkIndex(bench, "text", shingleN = 3,
+    TextAnalysis.buildBenchmarkIndex(bench, "text", shingleN = 5,
       indexDir = benchIdx)
     TextAnalysis.buildDsirIndex(docs, docs.filter($"lang" === "en"),
       "doc_id", "text", nBuckets = 65536, scale = 1000000L,
