@@ -2263,6 +2263,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- ANN recall@k: the metric that justifies index parameters ----
+    // IVF-PQ (2 probes, 4×8 codes) scored against exact rounded-L2
+    // ground truth per evaluation query. Oracle replays BOTH sides and
+    // the per-query hit counts. NOTE the synthetic embeddings are
+    // i.i.d. random — near-orthogonal, no cluster structure — which is
+    // ANN's adversarial case, so absolute recall here is LOW by
+    // construction (that is precisely what the harness is for: it
+    // exposes when an index's parameters don't fit the data; PqSpec
+    // shows the same index at recall 1.0 on separable data).
+    "q115_ann_recall" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val (coarse, cbs, codes) = Ann.ivfPqBuild(em, "vec_id", "embedding",
+        kc = 4, m = 4, k = 8, iters = 2)
+      val queries = em.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val approx = Ann.ivfPqSearch(queries, codes, "vec_id", "embedding",
+        coarse, cbs, nProbe = 2, k = 5)
+      val exact = Ann.bruteForceTopKL2(queries, em, "vec_id", "embedding",
+        k = 5)
+      Ann.recallAtK(approx, exact, k = 5).orderBy(col("query_id"))
+    }),
+
     // ---- exact mixture rebalancing: hit a target language mix --------
     // en 50% / fr 20% / de 15% / es 10% / zh 5%, exact integer caps.
     "q96_mix_to_target" -> ((s, dir) => {
@@ -2653,7 +2674,7 @@ object SparkEntry {
     * plus coarse training, residual derivation, probe selection, and
     * per-probe residual tables. Programmatically unrolled.
     */
-  private val IvfPqOracleSql: String = {
+  private val (ivfPqChainSql, ivfPqOracleSql): (String, String) = {
       val kc = 4; val m = 4; val sub = 16; val k = 8; val iters = 2
       val nProbe = 2
       def sq(e: String, c: String) =
@@ -2707,7 +2728,7 @@ object SparkEntry {
         s"JOIN qd$mi ON qd$mi.query_id = qd0.query_id" +
           s" AND qd$mi.probe = qd0.probe AND qd$mi.cid = cd.k$mi")
         .mkString("\n ")
-      s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      val body = s"""ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |${lloyd("ex", kc, "cc")},
          |${assign("ex", s"cc_$iters", "caf")},
@@ -2738,11 +2759,14 @@ object SparkEntry {
          | FROM codes cd
          | JOIN qd0 ON qd0.probe = cd.coarse AND qd0.cid = cd.k0
          | $qdJoins
-         | WHERE qd0.query_id <> cd.vec_id)
-         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |   ORDER BY adist, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         | WHERE qd0.query_id <> cd.vec_id)""".stripMargin
+      val chain = body
+      (chain,
+        s"""WITH $chain
+           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |   ORDER BY adist, neighbor_id) AS rank FROM scored)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
   }
 
   /** DuckDB replay of the bitemporal belief semantics: fold batches
@@ -4581,12 +4605,39 @@ object SparkEntry {
         |FROM c3 ORDER BY stream, doc_id""".stripMargin,
 
     // IVF-PQ replay: see IvfPqOracleSql (shared with q102).
-    "q99_ivfpq_search" -> IvfPqOracleSql,
+    "q99_ivfpq_search" -> ivfPqOracleSql,
+
+    // Recall replay: the shared IVF-PQ chain's `scored` vs an exact
+    // rounded-L2 full scan, per-query intersection counts.
+    "q115_ann_recall" -> {
+      def sq(e: String, c: String) =
+        s"round(list_sum(list_transform(range(len($e)), " +
+          s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
+      s"""WITH $ivfPqChainSql,
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS rank FROM scored)
+         | WHERE rank <= 5),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sq("q.v", "e.v")} ASC, e.vec_id) AS rank
+         |  FROM ex q JOIN ex e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0) WHERE rank <= 5),
+         |hits AS (SELECT a.query_id, COUNT(*) AS n_hit
+         | FROM approx a JOIN exact x ON a.query_id = x.query_id
+         |   AND a.neighbor_id = x.neighbor_id GROUP BY a.query_id)
+         |SELECT qq.query_id, CAST(5 AS BIGINT) AS k,
+         | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM exact) qq
+         |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
+    },
 
     // Persisted IVF-PQ index: codebooks are frozen at build and per-row
     // codes are batching-independent, so the two-batch append + pruned
     // query replays as the in-memory q99 check verbatim.
-    "q102_ivfpq_persisted" -> IvfPqOracleSql,
+    "q102_ivfpq_persisted" -> ivfPqOracleSql,
 
     // Mixture-rebalancing replay: integer cap arithmetic (N = the
     // largest total hitting every share; k_s = N*share//10000), then

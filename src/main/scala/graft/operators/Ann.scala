@@ -669,6 +669,49 @@ object Ann {
     ivfPqSearch(queries, idx, idCol, vecCol, coarse, codebooks, nProbe, k)
   }
 
+  /** Exact squared-L2 top-k over the full candidate set (rounded
+    * distances, id tie-break — the q97/q99 ordering convention): the
+    * ground-truth side of ANN quality evaluation. Full scan by
+    * definition; run it on an evaluation SAMPLE of queries, never the
+    * serving path.
+    */
+  def bruteForceTopKL2(queries: DataFrame, candidates: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        round(graft.functions.VectorOps.vecSqDist(col("qv"), col("cv")), 4)
+          + lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("dist"))
+  }
+
+  /** Recall@k of an approximate result set against exact ground truth
+    * (both with (query_id, neighbor_id) rows): per query,
+    * |approx ∩ exact| / k. THE metric that justifies an ANN index's
+    * probe/code parameters — an index nobody measures is an index
+    * nobody can trust at 100 TB. Exact-integer hit counts; queries
+    * with no approximate results score 0.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     // Rank on the ROUNDED similarity (+0.0 normalizes IEEE -0.0): a
     // near-tie at a rank boundary must resolve identically in Spark and

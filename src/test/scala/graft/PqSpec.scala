@@ -87,6 +87,29 @@ class PqSpec extends SparkSpecBase {
     assert(!p.contains("PartitionFilters: []"), p)
   }
 
+  test("recall@k: perfect on separable data; hand-counted hits; " +
+      "queries with zero approximate results score 0") {
+    import org.apache.spark.sql.functions._
+    val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2)
+    val q = corpus.filter(col("vec_id") < 2)
+    val approx = Ann.ivfPqSearch(q, codes, "vec_id", "embedding",
+      coarse, cbs, nProbe = 1, k = 3)
+    val exact = Ann.bruteForceTopKL2(q, corpus, "vec_id", "embedding", 3)
+    val rec = Ann.recallAtK(approx, exact, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    // two well-separated groups: the probed list IS the true group
+    assert(rec == Map(0L -> 1.0, 1L -> 1.0))
+    // hand case incl. a query the approx side missed entirely
+    val a = Seq((1L, 10L), (1L, 11L), (2L, 30L)).toDF("query_id", "neighbor_id")
+    val x = Seq((1L, 10L), (1L, 99L), (2L, 31L), (3L, 50L))
+      .toDF("query_id", "neighbor_id")
+    val r2 = Ann.recallAtK(a, x, k = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall"))).toSet
+    assert(r2 == Set((1L, 1L, 0.5), (2L, 0L, 0.0), (3L, 0L, 0.0)))
+  }
+
   test("index compaction: query equality before/after, one live layer, " +
       "bounded file count, pruning preserved") {
     import org.apache.spark.sql.functions._
