@@ -2130,6 +2130,23 @@ object SparkEntry {
         .orderBy(col("step"))
     }),
 
+    // ---- incremental tokenizer training: persisted word index --------
+    // Fold the corpus into the word-frequency index in two batches,
+    // then train from the index — must equal the one-shot q98 merge
+    // table (verbatim oracle): counts are additive, and the merge loop
+    // is a pure function of the summed vocab.
+    "q116_bpe_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("word_idx").toString
+      TextAnalysis.wordIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text", idx, 1L)
+      TextAnalysis.wordIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "text", idx, 2L)
+      TextAnalysis.bpeTrainFromIndex(s, idx, numMerges = 20)
+        .orderBy(col("step"))
+    }),
+
     // ---- BPE encode: the 100 TB tokenizer application pass -----------
     // Train 20 merges on the corpus, then encode every document with
     // the trained table (sequential-in-order application). The oracle
@@ -4399,6 +4416,8 @@ object SparkEntry {
     // BPE replays: see bpeChainSql — the merge loop unrolled as
     // materialized CTE stages (pair counts → argmax → greedy rewrite).
     "q98_bpe_train" -> BpeTrainOracleSql,
+    // incremental word-index training == the one-shot merge table
+    "q116_bpe_incremental" -> BpeTrainOracleSql,
     "q104_bpe_encode" -> BpeEncodeOracleSql,
     "q106_bpe_token_counts" -> BpeTokenCountsOracleSql,
     "q107_bpe_encode_ids" -> BpeEncodeIdsOracleSql,

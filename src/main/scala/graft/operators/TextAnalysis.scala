@@ -906,6 +906,37 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
 
+  /** Append one ingest batch's word counts to a PERSISTED word-
+    * frequency index — the tokenizer-training state a continuous
+    * pipeline accumulates (the [[buildBenchmarkIndex]] pattern): each
+    * fold is one O(batch) pre-reduced aggregate; nothing rescans
+    * earlier batches. Per-batch partial counts sum at read time, so
+    * training from the index equals training one-shot on the union
+    * (q116 proves it against q98's oracle verbatim).
+    */
+  def wordIndexAppend(batch: DataFrame, textCol: String,
+                      indexDir: String, batchId: Long): Unit =
+    batch.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Train the tokenizer from the persisted word index: sum the
+    * per-batch partial counts (vocab-sized agg) and run the same merge
+    * loop — driver-local when the vocab fits, distributed otherwise.
+    */
+  def bpeTrainFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, numMerges: Int,
+                        driverVocabLimit: Long = 4000000L): DataFrame = {
+    val words = spark.read.parquet(indexDir)
+      .groupBy("w").agg(sum("wc").as("wc"))
+    val head = words.limit(
+      math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt).collect()
+    if (head.length <= driverVocabLimit)
+      bpeMergeLoopLocal(spark,
+        head.map(r => r.getString(0) -> r.getAs[Long]("wc")), numMerges)
+    else bpeTrainDistributedWords(words, numMerges)
+  }
+
   /** The distributed merge loop: one vocab-sized aggregate + one-row
     * driver argmax + eager localCheckpoint PER MERGE. Correct at any
     * vocab size, but each step pays the ~100 ms job-scheduling floor —
@@ -913,15 +944,25 @@ object TextAnalysis {
     * exceeds driver memory.
     */
   def bpeTrainDistributed(docs: DataFrame, textCol: String,
-                          numMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
+                          numMerges: Int): DataFrame =
+    bpeTrainDistributedWords(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc")),
+      numMerges)
+
+  /** The distributed loop over an already-built word-frequency table
+    * (columns (w, wc)) — the seam the persisted word index trains
+    * through when the vocabulary exceeds the driver.
+    */
+  def bpeTrainDistributedWords(wordCounts: DataFrame,
+                               numMerges: Int): DataFrame = {
+    val spark = wordCounts.sparkSession
     import spark.implicits._
     // localCheckpoint (eager), not persist: each step's rewrite nests
     // another array fold into the logical plan — after ~10 chained
     // steps the accumulated plan OOMs analysis/codegen. Checkpointing
     // truncates lineage so every step plans against a flat scan.
-    var words = docs.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var words = wordCounts
       // (?!^) splits BETWEEN characters without a leading empty token;
       // Spark's split keeps TRAILING empties (limit -1 semantics), so
       // strip them or every word grows a phantom "" symbol
