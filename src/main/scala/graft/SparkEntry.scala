@@ -1826,6 +1826,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("win_idx"))
     }),
 
+    // ---- duplicated-span REMOVAL: cut the boilerplate, keep the doc --
+    "q117_cut_dup_spans" -> ((s, dir) => {
+      Dedup.cutDupSpans(
+          t(s, dir, "documents")
+            .withColumn("doc_id", col("doc_id").cast("long")),
+          "doc_id", "text", windowTokens = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Gopher repetition filters over the documents corpus --------
     "q77_repetition" -> ((s, dir) => {
       graft.operators.TextAnalysis.repetitionStats(
@@ -4454,6 +4463,42 @@ object SparkEntry {
          |WHERE slot < (CASE lm_bucket WHEN 'head' THEN 10000
          |  WHEN 'middle' THEN 5000 ELSE 500 END)
          |ORDER BY doc_id""".stripMargin,
+
+    // Span-cut replay: the q80 window-hash chain -> flagged window
+    // starts -> positional anti-join of covered token indices ->
+    // rejoin the survivors in order.
+    "q117_cut_dup_spans" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |wins AS (SELECT doc_id,
+        |  unnest(range(1, len(ws) - 6)) - 1 AS win_idx,
+        |  unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> array_to_string(ws[i:i + 7], ' '))) AS win
+        | FROM base WHERE len(ws) >= 8),
+        |hashed AS (SELECT doc_id, win_idx,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(win, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS window_hash
+        | FROM wins),
+        |shared AS (SELECT window_hash FROM hashed
+        | GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1),
+        |flg AS (SELECT DISTINCT h.doc_id, h.win_idx
+        | FROM hashed h JOIN shared s USING (window_hash)),
+        |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ws[CAST(i AS INT) + 1] AS tok
+        | FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM base)),
+        |kept AS (SELECT t.doc_id, t.i, t.tok FROM toks t
+        | WHERE NOT EXISTS (SELECT 1 FROM flg f
+        |   WHERE f.doc_id = t.doc_id AND t.i >= f.win_idx
+        |     AND t.i < f.win_idx + 8)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY i) AS clean_text
+        | FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+        | CAST(len(b.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+        | COALESCE(a.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Split replay: cumulative hash-slot ranges over the portable
     // poly-hash of (doc_id || '|split').

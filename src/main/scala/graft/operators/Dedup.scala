@@ -53,6 +53,38 @@ object Dedup {
         col("h").as("window_hash"), col("n_docs"))
   }
 
+  /** Remove cross-document duplicated spans — the CUT half of
+    * exact-substring dedup (Lee et al. 2022 drop the repeated
+    * substring, not the document): tokens covered by any
+    * [[dupSpans]]-flagged window (a `windowTokens`-token window whose
+    * hash occurs in MORE than one document) are deleted and the
+    * remaining tokens rejoined. Output per doc:
+    * (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: the window-hash aggregation is [[dupSpans]]'s (one
+    * pre-reduced hash agg + flag-back join); the cut itself is an
+    * in-row positional filter against the doc's OWN flagged-window
+    * starts (collected per doc — boilerplate-span counts per doc are
+    * small by construction; a doc that is ALL flagged windows is just
+    * deleted text).
+    */
+  def cutDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                  windowTokens: Int): DataFrame = {
+    val flagged = dupSpans(docs, idCol, textCol, windowTokens)
+      .groupBy("doc_id").agg(collect_set(col("win_idx")).as("starts"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !exists(coalesce(col("starts"),
+            array().cast("array<long>")),
+          s => i >= s && i < s + windowTokens)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** Candidate doc pairs by exact token-n-gram Jaccard over an inverted
     * shingle index. O(sum over shingles of df²) — bound the input or use
     * minhashLsh for the scale path.

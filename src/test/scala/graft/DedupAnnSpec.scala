@@ -187,4 +187,24 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(got == Set((1L, 2L, 3L), (2L, 0L, 3L), (4L, 4L, 3L),
       (4L, 15L, 3L)))
   }
+
+  test("cutDupSpans removes exactly the covered tokens and rejoins " +
+      "the rest; untouched docs pass through verbatim") {
+    val boiler = "terms of use apply to this site" // 7 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon zeta eta"),
+      (3L, "totally unrelated text with no shared windows here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cutDupSpans(docs, "doc_id", "text", windowTokens = 7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+      .toSeq
+    assert(got == Seq(
+      (1L, 10L, 7L, "alpha beta gamma"),
+      (2L, 11L, 7L, "delta epsilon zeta eta"),
+      (3L, 10L, 0L,
+        "totally unrelated text with no shared windows here at all")))
+  }
 }

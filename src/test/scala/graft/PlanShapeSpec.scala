@@ -249,6 +249,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(pc, "Exchange") == 0, pc)
   }
 
+  test("BPE id encoding joins the vocab as a broadcast — the corpus " +
+      "side never sort-merges against a vocab-sized table") {
+    val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
+    val merges = Seq("a" -> "b")
+    val vocab = graft.operators.TextAnalysis.bpeVocab(docs, "text", merges)
+    val p = plan(graft.operators.TextAnalysis.bpeEncodeIds(
+      docs, "doc_id", "text", merges, vocab))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("mixToTarget: the caps side reaches the corpus as a broadcast " +
       "(strata-sized), never a sort-merge join") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "lang")
