@@ -1080,6 +1080,13 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // ---- table profiling: per-column stats + KMV distinct -----------
+    "q118_profile" -> ((s, dir) => {
+      operators.Profile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source"), kmvK = 64)
+        .orderBy(col("column"))
+    }),
+
     // ---- deterministic train/val/test split -------------------------
     "q113_split_assign" -> ((s, dir) => {
       TextAnalysis.assignSplit(t(s, dir, "documents"), "doc_id",
@@ -4499,6 +4506,32 @@ object SparkEntry {
         | COALESCE(a.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Profile replay: string-cast per-column stream; nulls/min/max
+    // directly, distinct via the salted KMV estimate (k = 64).
+    "q118_profile" -> {
+      val u = Seq("doc_id", "lang", "source").map(c =>
+        s"SELECT '$c' AS \"column\", CAST($c AS VARCHAR) AS v FROM documents")
+        .mkString("\nUNION ALL\n")
+      s"""WITH u AS ($u),
+         |base AS (SELECT "column", COUNT(*) AS n_rows,
+         |  SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+         |  MIN(v) AS min_v, MAX(v) AS max_v FROM u GROUP BY "column"),
+         |hs AS (SELECT DISTINCT "column",
+         |   ${polyHashSql("v || '|kmv-salt'")} AS h
+         | FROM u WHERE v IS NOT NULL),
+         |rk AS (SELECT "column", h, ROW_NUMBER() OVER (
+         |   PARTITION BY "column" ORDER BY h) AS rn FROM hs),
+         |agg AS (SELECT "column", COUNT(*) AS n_kept, MAX(h) AS kth_min
+         | FROM rk WHERE rn <= 64 GROUP BY "column")
+         |SELECT b."column", CAST(n_rows AS BIGINT) AS n_rows,
+         | CAST(n_null AS BIGINT) AS n_null, min_v, max_v,
+         | CAST(COALESCE(CASE WHEN a.n_kept < 64 THEN a.n_kept
+         |   ELSE (63 * CAST(2147483647 AS BIGINT)) // a.kth_min END, 0)
+         |   AS BIGINT) AS est_distinct
+         |FROM base b LEFT JOIN agg a USING ("column")
+         |ORDER BY b."column"""".stripMargin
+    },
 
     // Split replay: cumulative hash-slot ranges over the portable
     // poly-hash of (doc_id || '|split').

@@ -222,6 +222,30 @@ class SelectionOpsSpec extends SparkSpecBase {
       rows(TextAnalysis.bpeTrainDistributed(docs, "text", numMerges = 3)))
   }
 
+  test("bpeTrain PROPERTY: local == distributed on seeded random " +
+      "corpora (mixed ASCII/CJK, repeats, 1-char words)") {
+    val alphabet = "abcdefg你好世界xyz".toCharArray
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(6))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      // repeat some words so counts differ and ties arise
+      val docs = (1L to 20L).map(i =>
+        (i, Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" ")))
+        .toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("step").collect().map(r => (r.getAs[Int]("step"),
+          r.getAs[String]("left"), r.getAs[String]("right"),
+          r.getAs[Long]("pair_count"))).toSeq
+      val local = rows(TextAnalysis.bpeTrain(docs, "text", numMerges = 6))
+      val dist = rows(TextAnalysis.bpeTrainDistributed(docs, "text",
+        numMerges = 6))
+      assert(local == dist, s"seed=$seed: local=$local dist=$dist")
+      assert(local.nonEmpty)
+    }
+  }
+
   test("bpeEncode: sequential-in-order application — training-corpus " +
       "words reproduce the trained vocab state; unseen words encode " +
       "greedily left-to-right") {

@@ -46,6 +46,18 @@ class SketchesSpec extends SparkSpecBase {
     assert(merged == one && one.nonEmpty)
   }
 
+  test("profile: per-column nulls/min/max exact, distinct exact below " +
+      "KMV saturation") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
+      (3L, null), (3L, "b")).toDF("id", "s")
+    val p = graft.operators.Profile.profile(df, Seq("id", "s"), kmvK = 16)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_null"), r.getAs[String]("min_v"),
+        r.getAs[String]("max_v"), r.getAs[Long]("est_distinct"))).toMap
+    assert(p("id") == ((4L, 0L, "1", "3", 3L)))
+    assert(p("s") == ((4L, 1L, "a", "b", 2L)))
+  }
+
   test("KMV: exact below saturation; plausible at saturation; hot " +
       "groups rank through WindowGroupLimit") {
     val toks = corpus.select($"src",
