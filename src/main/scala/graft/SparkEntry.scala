@@ -1080,6 +1080,31 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // ---- skew-salted join: result-identical to the plain join --------
+    // orders ⋈ customer salted 8 ways on custkey (the hot-key lever
+    // AQE can't always reach); the oracle replays the UNSALTED join —
+    // equality IS the correctness claim.
+    "q119_salted_join" -> ((s, dir) => {
+      operators.SkewJoin.saltedJoin(
+          t(s, dir, "orders"),
+          t(s, dir, "customer")
+            .withColumnRenamed("c_custkey", "o_custkey"),
+          "o_custkey", saltBy = col("o_orderkey"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- exact per-group quantiles (nearest-rank) --------------------
+    "q120_group_quantiles" -> ((s, dir) => {
+      operators.Profile.groupQuantiles(
+          t(s, dir, "documents").select(col("lang"),
+            length(col("text")).cast("long").as("len")),
+          "lang", "len", q10k = Seq(5000L, 9000L, 9900L))
+        .orderBy(col("grp"), col("q10k"))
+    }),
+
     // ---- table profiling: per-column stats + KMV distinct -----------
     "q118_profile" -> ((s, dir) => {
       operators.Profile.profile(t(s, dir, "documents"),
@@ -4506,6 +4531,27 @@ object SparkEntry {
         | COALESCE(a.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Salted-join replay: the PLAIN join — salting must be invisible
+    // in the result multiset.
+    "q119_salted_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Nearest-rank quantile replay: exact integer ceil((n·q)/10⁴).
+    "q120_group_quantiles" ->
+      """WITH v AS (SELECT lang AS grp, CAST(len(text) AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (SELECT grp, len,
+        |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY len) AS rn,
+        |  COUNT(*) OVER (PARTITION BY grp) AS n FROM v),
+        |qs AS (SELECT unnest([5000, 9000, 9900]) AS q10k)
+        |SELECT grp, CAST(q10k AS BIGINT) AS q10k, len AS value
+        |FROM r JOIN qs ON rn = greatest(1, (n * q10k + 9999) // 10000)
+        |ORDER BY grp, q10k""".stripMargin,
 
     // Profile replay: string-cast per-column stream; nulls/min/max
     // directly, distinct via the salted KMV estimate (k = 64).

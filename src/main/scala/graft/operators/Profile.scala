@@ -17,6 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Exact rank-based per-group quantiles: for each q, the value at
+    * 1-based rank max(1, ceil(q·n)) under ascending value order —
+    * the "nearest-rank" definition, exact integers all the way, so
+    * (unlike interpolating percentile_cont in IEEE arithmetic) the
+    * replay is engine-portable. One window shuffle on the group key;
+    * ranks and counts share it. Output: (group, q10k, quantile value)
+    * with q given in parts-per-10000.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     q10k: Seq[Long]): DataFrame = {
+    require(q10k.nonEmpty && q10k.forall(q => q > 0 && q <= 10000),
+      "quantiles are parts-per-10000 in (0, 10000]")
+    // row_number's rank ASSIGNMENT among equal values is arbitrary,
+    // but the VALUE at any rank is determined by the multiset alone —
+    // which is all the output exposes, so no tie-break column needed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+    val ranked = df.select(col(groupCol).as("grp"), col(valCol).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+    q10k.map { q =>
+      // exact integer ceil division: ceil(n·q / 10⁴) without IEEE
+      ranked.filter(col("rn") ===
+          greatest(lit(1L), expr(s"(n * ${q}L + 9999L) div 10000L")))
+        .select(col("grp"), lit(q).as("q10k"), col("v").as("value"))
+    }.reduce(_ unionByName _)
+  }
+
   def profile(df: DataFrame, cols: Seq[String],
               kmvK: Int = 64): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

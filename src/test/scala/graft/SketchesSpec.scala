@@ -58,6 +58,36 @@ class SketchesSpec extends SparkSpecBase {
     assert(p("s") == ((4L, 1L, "a", "b", 2L)))
   }
 
+  test("saltedJoin: result multiset identical to the plain join, at " +
+      "every salt count incl. 1") {
+    val big = Seq((1L, 10), (1L, 11), (1L, 12), (2L, 20), (3L, 30))
+      .toDF("k", "payload")
+    val small = Seq((1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "dim") // key 1 has TWO small rows; key 3 no match
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "dim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = rows(big.join(small, Seq("k")))
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = rows(graft.operators.SkewJoin.saltedJoin(
+        big, small, "k", col("payload"), salts))
+      assert(salted == plain && plain.nonEmpty, s"salts=$salts")
+    }
+  }
+
+  test("groupQuantiles: nearest-rank values on a hand corpus") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L)).toDF("g", "v")
+    val q = graft.operators.Profile.groupQuantiles(df, "g", "v",
+        q10k = Seq(5000L, 10000L))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("q10k"),
+        r.getAs[Long]("value"))).toSet
+    // a: n=4 → ceil(0.5·4)=2 → 2; ceil(1.0·4)=4 → 4; b singleton → 10
+    assert(q == Set(("a", 5000L, 2L), ("a", 10000L, 4L),
+      ("b", 5000L, 10L), ("b", 10000L, 10L)))
+  }
+
   test("KMV: exact below saturation; plausible at saturation; hot " +
       "groups rank through WindowGroupLimit") {
     val toks = corpus.select($"src",
