@@ -249,6 +249,37 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(pc, "Exchange") == 0, pc)
   }
 
+  test("bucketed tables join WITHOUT an exchange — the co-located " +
+      "big-big join SCALING.md promises") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("bucket_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bspec LOCATION '$wh'")
+    try {
+      spark.range(0, 10000)
+        .select(col("id").as("k"), (col("id") * 2).as("a"))
+        .write.bucketBy(8, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("bspec.left_t")
+      spark.range(0, 10000)
+        .select(col("id").as("k"), (col("id") * 3).as("b"))
+        .write.bucketBy(8, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("bspec.right_t")
+      val joined = spark.table("bspec.left_t")
+        .join(spark.table("bspec.right_t"), Seq("k"))
+        .filter(col("a") + col("b") >= 0)
+      // force a sort-merge join (no broadcast) to prove the bucketing
+      // carries the partitioning: zero Exchange in the whole plan
+      val p = spark.table("bspec.left_t").hint("merge")
+        .join(spark.table("bspec.right_t").hint("merge"), Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(countIn(p, "Exchange") == 0, p)
+      assert(joined.count() == 10000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec.left_t")
+      spark.sql("DROP TABLE IF EXISTS bspec.right_t")
+      spark.sql("DROP DATABASE IF EXISTS bspec")
+    }
+  }
+
   test("BPE id encoding joins the vocab as a broadcast — the corpus " +
       "side never sort-merges against a vocab-sized table") {
     val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
