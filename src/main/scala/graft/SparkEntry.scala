@@ -1080,6 +1080,20 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // ---- text → vector → search, end to end --------------------------
+    // Feature-hash the documents into 32-dim signed-count vectors, then
+    // brute-force cosine top-3 over them — the text corpus entering the
+    // ANN stack with no precomputed embeddings. Zero-norm docs (signs
+    // cancelled every bucket) are excluded from both sides.
+    "q121_hash_embed_search" -> ((s, dir) => {
+      val emb = operators.Embed.hashEmbed(
+          t(s, dir, "documents"), "doc_id", "text", dim = 32)
+        .filter(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0)
+      Ann.bruteForceTopK(emb.filter(pmod(col("doc_id"), lit(50)) === 0),
+          emb, "doc_id", "emb", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- skew-salted join: result-identical to the plain join --------
     // orders ⋈ customer salted 8 ways on custkey (the hot-key lever
     // AQE can't always reach); the oracle replays the UNSALTED join —
@@ -4531,6 +4545,36 @@ object SparkEntry {
         | COALESCE(a.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN agg a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Hash-embed + search replay: signed bucket counts -> dense list
+    // -> rounded cosine top-3 (the q23 ranking convention).
+    "q121_hash_embed_search" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         | FROM documents),
+         |f AS (SELECT doc_id,
+         |   ${polyHashSql("tok")} % 32 AS b,
+         |   CASE WHEN ${polyHashSql("tok || '|sign'")} % 2 = 0
+         |     THEN 1 ELSE -1 END AS sgn
+         | FROM toks),
+         |agg AS (SELECT doc_id, b, SUM(sgn) AS c FROM f
+         | GROUP BY doc_id, b),
+         |dense AS (SELECT d.doc_id, i.b, COALESCE(a.c, 0) AS c
+         | FROM (SELECT DISTINCT doc_id FROM documents) d
+         | CROSS JOIN (SELECT unnest(range(32)) AS b) i
+         | LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = i.b),
+         |v AS (SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+         | FROM dense GROUP BY doc_id
+         | HAVING SUM(c * c) > 0),
+         |sx AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.v, c.v), 4) + 0.0 AS sim
+         | FROM v q JOIN v c ON q.doc_id <> c.doc_id
+         | WHERE q.doc_id % 50 = 0),
+         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         | FROM sx)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Salted-join replay: the PLAIN join — salting must be invisible
     // in the result multiset.

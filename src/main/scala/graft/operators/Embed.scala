@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text → vector via feature hashing (Weinberger et al. 2009, the
+  * "hashing trick"): each token hashes to a bucket in [0, dim) with a
+  * ±1 sign hash; a document's vector is the signed bucket-count
+  * vector. A real (if simple) embedder — it preserves cosine
+  * similarity of bag-of-words profiles — and the missing link between
+  * the text corpus and the ANN stack: embed → index → search runs end
+  * to end from raw text (q121).
+  *
+  * Engine-portable by construction: the vector is EXACT INTEGER
+  * counts (carried as doubles), both hashes are the portable
+  * poly-hash, and normalization is deferred to the consumer (the ANN
+  * cosine divides by norms anyway). Zero shuffle beyond one
+  * pre-reduced (doc, bucket) aggregate; assembly to the dense array
+  * is an in-row map lookup.
+  */
+object Embed {
+
+  /** (idCol, `emb` array<double> of length dim). Neural embedders
+    * plug in at the same seam ([[Multimodal]]'s batched
+    * mapPartitions); this one needs no model artifact.
+    */
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
+                dim: Int): DataFrame = {
+    require(dim >= 2, "dim >= 2")
+    val feats = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        pmod(charPolyHash(col("tok")), lit(dim.toLong)).as("b"),
+        when(pmod(charPolyHash(concat(col("tok"), lit("|sign"))),
+          lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "b").agg(sum("sgn").as("c"))
+    feats.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim.toLong - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+          .as("emb"))
+  }
+}

@@ -58,6 +58,32 @@ class SketchesSpec extends SparkSpecBase {
     assert(p("s") == ((4L, 1L, "a", "b", 2L)))
   }
 
+  test("hashEmbed: bag-of-words cosine geometry — similar docs close, " +
+      "disjoint docs near-orthogonal; deterministic across runs") {
+    import graft.functions.GraftFunctions.cosineSim
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat today"), // near-dup of 1
+      (3L, "völlig andere wörter überall hier")) // disjoint vocab
+      .toDF("doc_id", "text")
+    val e = graft.operators.Embed.hashEmbed(docs, "doc_id", "text", 64)
+    assert(e.select(size($"emb")).distinct().head().getInt(0) == 64)
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(p => p * p).sum) *
+        math.sqrt(y.map(p => p * p).sum))
+    }
+    assert(cos(1L, 2L) > 0.8, cos(1L, 2L).toString)
+    assert(math.abs(cos(1L, 3L)) < 0.5, cos(1L, 3L).toString)
+    // deterministic: a second invocation is bit-identical
+    val e2 = graft.operators.Embed.hashEmbed(docs, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(e2 == vecs)
+  }
+
   test("saltedJoin: result multiset identical to the plain join, at " +
       "every salt count incl. 1") {
     val big = Seq((1L, 10), (1L, 11), (1L, 12), (2L, 20), (3L, 30))
