@@ -289,49 +289,110 @@ object Ann {
   // ----------------------------------------------- persisted-index layers
 
   /** Both persisted vector indexes ([[ivfIndexAppend]],
-    * [[ivfPqIndexAppend]]) are append-only `batch=N` parquet layers. An
-    * optional `_LAYERS` manifest at the index root lists the LIVE
-    * layers: readers prefer it when present (falling back to a plain
-    * directory scan for pre-manifest indexes), appends register their
-    * new layer in it, and [[compactVectorIndex]] swaps it atomically —
-    * the same tmp + ATOMIC_MOVE pointer discipline as the star
-    * pipeline's manifest. Single-maintainer contract (one compactor /
-    * appender at a time), like the star pipeline's batches.
+    * [[ivfPqIndexAppend]]) are append-only parquet layers: appends
+    * write `batch=N`, [[compactVectorIndex]] writes `compact=M` — a
+    * SEPARATE namespace, so a monotonically-numbered appender
+    * (streaming micro-batch ids) can never collide with — and
+    * silently replace — a compacted layer holding the whole index.
+    * An optional `_LAYERS` manifest at the index root lists the LIVE
+    * layers plus `#key=value` metadata lines: readers prefer it when
+    * present (falling back to a plain directory scan for pre-manifest
+    * indexes), appends register their new layer in it, and compaction
+    * swaps it atomically — the same tmp + ATOMIC_MOVE pointer
+    * discipline as the star pipeline's manifest. Compaction records
+    * `#absorbed=<max batch id folded>`: an append may overwrite its
+    * OWN still-live `batch=` layer (the idempotent replay-after-crash
+    * path) but must otherwise use an id ABOVE the absorbed high-water
+    * mark — replaying a batch that compaction already folded in would
+    * duplicate its rows, so it fails loudly instead. Single-maintainer
+    * contract (one compactor / appender at a time), like the star
+    * pipeline's batches.
     */
   private def layersPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "_LAYERS")
 
-  private def readLayers(indexDir: String): Option[Seq[String]] = {
+  /** (metadata, live layers) from the manifest, if present. */
+  private def readManifest(indexDir: String)
+      : Option[(Map[String, String], Seq[String])] = {
     val p = layersPath(indexDir)
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p),
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).toSeq)
-    else None
+        .split("\n").filter(_.nonEmpty).toSeq
+      val (meta, layers) = lines.partition(_.startsWith("#"))
+      Some((meta.map(_.stripPrefix("#").split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap, layers))
+    }
   }
 
-  private def writeLayers(indexDir: String, layers: Seq[String]): Unit = {
+  private def readLayers(indexDir: String): Option[Seq[String]] =
+    readManifest(indexDir).map(_._2)
+
+  /** Highest batch id ever folded into a compact layer (0 = none). */
+  private def absorbedHighWater(indexDir: String): Long =
+    readManifest(indexDir).flatMap(_._1.get("absorbed"))
+      .flatMap(_.toLongOption).getOrElse(0L)
+
+  private def writeManifest(indexDir: String, meta: Map[String, String],
+                            layers: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(indexDir, "_LAYERS.tmp")
-    java.nio.file.Files.write(tmp, layers.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val body = (meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
+      layers).mkString("\n")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, layersPath(indexDir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def existingBatchDirs(indexDir: String): Seq[String] = {
+  private def existingLayerDirs(indexDir: String): Seq[String] = {
     val d = new java.io.File(indexDir)
     if (!d.isDirectory) Seq.empty
     else d.listFiles.filter(f => f.isDirectory &&
-      f.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+        (f.getName.startsWith("batch=") ||
+          f.getName.startsWith("compact=")))
+      .map(_.getName).sorted.toSeq
   }
 
-  private def registerLayer(indexDir: String, name: String): Unit =
-    writeLayers(indexDir,
-      ((readLayers(indexDir).getOrElse(existingBatchDirs(indexDir))
-        .filterNot(_ == name)) :+ name))
+  private def liveLayers(indexDir: String): Seq[String] =
+    readLayers(indexDir).getOrElse(existingLayerDirs(indexDir))
 
-  /** Manifest-aware index scan: live layers only (with `batch` and the
+  private def registerLayer(indexDir: String, name: String): Unit = {
+    val (meta, layers) = readManifest(indexDir)
+      .getOrElse((Map.empty[String, String], existingLayerDirs(indexDir)))
+    writeManifest(indexDir, meta, layers.filterNot(_ == name) :+ name)
+  }
+
+  /** Fail an append that would resurrect a compacted-away batch id
+    * (duplicate rows); overwriting one's own still-live layer is the
+    * idempotent replay path and passes.
+    */
+  private def requireAppendable(indexDir: String, batchId: Long): Unit = {
+    if (liveLayers(indexDir).contains(s"batch=$batchId")) return
+    val hw = absorbedHighWater(indexDir)
+    require(batchId > hw,
+      s"batch id $batchId was already folded into a compact= layer of " +
+        s"$indexDir (absorbed high-water $hw) — appending it again " +
+        "would duplicate its rows; use a fresh id above the high-water")
+  }
+
+  /** Union the given layers, partition columns recovered via basePath,
+    * with the layer-id column (`batch` / `compact`) dropped. The two
+    * namespaces are read as separate groups: mixed `batch=`/`compact=`
+    * fragments under one basePath would conflict in partition
+    * discovery.
+    */
+  private def readLayerGroup(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String,
+                             layers: Seq[String]): DataFrame =
+    layers.groupBy(_.takeWhile(_ != '=')).toSeq.sortBy(_._1)
+      .map { case (pfx, ls) =>
+        spark.read.option("basePath", indexDir)
+          .parquet(ls.sorted.map(l => s"$indexDir/$l"): _*).drop(pfx)
+      }.reduce(_ unionByName _)
+
+  /** Manifest-aware index scan: live layers only (with the
     * cluster/coarse partition columns recovered via basePath); plain
     * recursive scan for pre-manifest indexes.
     */
@@ -339,38 +400,45 @@ object Ann {
                               indexDir: String): DataFrame =
     readLayers(indexDir) match {
       case Some(layers) if layers.nonEmpty =>
-        spark.read.option("basePath", indexDir)
-          .parquet(layers.map(l => s"$indexDir/$l"): _*)
-      case _ => spark.read.parquet(indexDir)
+        readLayerGroup(spark, indexDir, layers)
+      case _ => spark.read.parquet(indexDir).drop("batch")
     }
 
   /** Compact a persisted vector index: rewrite every live layer into
-    * ONE `batch=` layer (partition-preserving — `partitionCol` is
+    * ONE `compact=` layer (partition-preserving — `partitionCol` is
     * "cluster" for the IVF index, "coarse" for IVF-PQ), swap the
-    * `_LAYERS` manifest atomically, then delete the superseded
-    * directories. At one append per micro-batch the layer count —
-    * and with it the per-probe file count — grows without bound; this
-    * is the same small-files problem the star pipeline's `compact`
-    * solves for its buckets. Queries before and after are equal by
-    * construction (same rows, same partition values); a crash between
-    * manifest swap and directory deletion leaves orphan dirs INVISIBLE
-    * to readers, GC'd by the next compaction.
+    * `_LAYERS` manifest atomically (recording the absorbed batch-id
+    * high-water mark), then delete the superseded directories. At one
+    * append per micro-batch the layer count — and with it the
+    * per-probe file count — grows without bound; this is the same
+    * small-files problem the star pipeline's `compact` solves for its
+    * buckets. Queries before and after are equal by construction
+    * (same rows, same partition values); a crash between manifest
+    * swap and directory deletion leaves orphan dirs INVISIBLE to
+    * readers, GC'd by the next compaction. The `compact=` namespace
+    * is disjoint from append ids on purpose: a later `batch=N` append
+    * can never land on — and overwrite — the layer holding the whole
+    * index.
     */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, partitionCol: String): Unit = {
-    val layers = readLayers(indexDir).getOrElse(existingBatchDirs(indexDir))
+    val layers = liveLayers(indexDir)
     if (layers.length <= 1) return
-    val ids = layers.map(_.stripPrefix("batch=")).flatMap(_.toLongOption)
-    val dest = s"batch=${if (ids.isEmpty) 1L else ids.max + 1}"
-    spark.read.option("basePath", indexDir)
-      .parquet(layers.map(l => s"$indexDir/$l"): _*)
-      .drop("batch")
+    val absorbed = (absorbedHighWater(indexDir) +:
+      layers.filter(_.startsWith("batch="))
+        .flatMap(_.stripPrefix("batch=").toLongOption)).max
+    // dest id clears every compact dir ON DISK (crash orphans included)
+    val dest = s"compact=${existingLayerDirs(indexDir)
+      .filter(_.startsWith("compact="))
+      .flatMap(_.stripPrefix("compact=").toLongOption)
+      .maxOption.getOrElse(0L) + 1}"
+    readLayerGroup(spark, indexDir, layers)
       .write.mode("overwrite").partitionBy(partitionCol)
       .parquet(s"$indexDir/$dest")
-    writeLayers(indexDir, Seq(dest))
-    // GC superseded layers AND any orphan batch dir a previous crashed
+    writeManifest(indexDir, Map("absorbed" -> absorbed.toString), Seq(dest))
+    // GC superseded layers AND any orphan dir a previous crashed
     // compaction left behind (anything not in the new manifest)
-    existingBatchDirs(indexDir).filterNot(_ == dest).foreach { l =>
+    existingLayerDirs(indexDir).filterNot(_ == dest).foreach { l =>
       val root = java.nio.file.Paths.get(indexDir, l)
       java.nio.file.Files.walk(root).sorted(
           java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -396,6 +464,7 @@ object Ann {
   def ivfIndexAppend(batch: DataFrame, idCol: String, vecCol: String,
                      cluster: Column, indexDir: String,
                      batchId: Long): Unit = {
+    requireAppendable(indexDir, batchId)
     batch.select(col(idCol).as("emb_id"),
         toDoubleVec(col(vecCol)).as("v"),
         cluster.cast("long").as("cluster"))
@@ -640,6 +709,7 @@ object Ann {
     */
   def ivfPqIndexAppend(codes: DataFrame, indexDir: String,
                        batchId: Long): Unit = {
+    requireAppendable(indexDir, batchId)
     codes.write.mode("overwrite").partitionBy("coarse")
       .parquet(s"$indexDir/batch=$batchId")
     registerLayer(indexDir, s"batch=$batchId")

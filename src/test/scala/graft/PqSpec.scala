@@ -130,10 +130,13 @@ class PqSpec extends SparkSpecBase {
     Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
     val after = run()
     assert(after == before && before.nonEmpty)
-    // exactly one live batch dir remains on disk (superseded layers GC'd)
+    // exactly one live layer dir remains on disk (superseded layers
+    // GC'd) — in the compact= namespace, DISJOINT from append ids, so
+    // a later monotonic batch= append can never overwrite it
     val dirs = new java.io.File(idx).listFiles
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).toSeq
-    assert(dirs.map(_.getName) == Seq("batch=4"), dirs.mkString(","))
+      .filter(f => f.isDirectory && (f.getName.startsWith("batch=") ||
+        f.getName.startsWith("compact="))).toSeq
+    assert(dirs.map(_.getName) == Seq("compact=1"), dirs.mkString(","))
     // partition pruning survives compaction
     val p = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id", "embedding",
       coarse, cbs, nProbe = 1, k = 3)
@@ -143,5 +146,47 @@ class PqSpec extends SparkSpecBase {
     // compacting a single-layer index is a no-op
     Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
     assert(run() == before)
+  }
+
+  test("append after compact: the monotonic next batch id lands beside " +
+      "the compacted layer (no overwrite), absorbed ids are refused, " +
+      "own-layer replay stays idempotent") {
+    import org.apache.spark.sql.functions._
+    val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivfpq_idx_appcompact").toString
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") < 3), idx, 1L)
+    Ann.ivfPqIndexAppend(
+      codes.filter(col("emb_id") >= 3 && col("emb_id") < 6), idx, 2L)
+    Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
+    // the round-8 data-loss path: a monotonically-numbered appender's
+    // NEXT id (3) previously collided with the compacted layer
+    // (batch=3 = max live + 1) and replaced the whole index
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") >= 6), idx, 3L)
+    val q = corpus.filter(col("vec_id") === 0L)
+    def run() = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id", "embedding",
+        coarse, cbs, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val inMem = Ann.ivfPqSearch(q, codes, "vec_id", "embedding",
+        coarse, cbs, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(run() == inMem && inMem.nonEmpty)
+    // replaying an absorbed batch id would duplicate its rows: refused
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfPqIndexAppend(codes.filter(col("emb_id") < 3), idx, 2L)
+    }
+    assert(e.getMessage.contains("high-water"))
+    // replaying a still-LIVE layer overwrites itself — idempotent
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") >= 6), idx, 3L)
+    assert(run() == inMem)
+    // second compaction folds (compact=1, batch=3) into compact=2
+    Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
+    assert(run() == inMem)
+    val dirs = new java.io.File(idx).listFiles.filter(_.isDirectory)
+      .map(_.getName).toSeq
+    assert(dirs == Seq("compact=2"), dirs.mkString(","))
   }
 }
