@@ -2284,6 +2284,50 @@ object SparkEntry {
         .orderBy(col("grp"))
     }),
 
+    // ---- PERSISTED CM sketch index: two batch folds, estimate from
+    // the at-rest layers — counters add, so the folded estimate equals
+    // the one-shot q108 result (verbatim oracle). The 100 TB property:
+    // each fold writes ≤ depth·width rows and nothing rescans earlier
+    // batches.
+    "q124_cm_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("cm_idx").toString
+      operators.Sketches.cmSketchAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text",
+        depth = 4, width = 256, idx, 1L)
+      operators.Sketches.cmSketchAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "text",
+        depth = 4, width = 256, idx, 2L)
+      val sk = operators.Sketches.cmFromIndex(s, idx)
+      val truth = d.select(explode(
+          graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+      operators.Sketches.cmEstimate(sk, truth, "token",
+          depth = 4, width = 256)
+        .join(truth, col("item") === col("token"))
+        .select(col("token"), col("true_cnt"), col("est_cnt"))
+        .orderBy(col("token"))
+    }),
+
+    // ---- PERSISTED KMV index: min-union of per-batch minima layers
+    // recovers the one-shot q109 estimates exactly (verbatim oracle).
+    "q125_kmv_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("kmv_idx").toString
+      def toks(part: DataFrame) = part.select(col("source"), explode(
+        graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      operators.Sketches.kmvAppend(
+        toks(d.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        "source", "token", k = 8, idx, 1L)
+      operators.Sketches.kmvAppend(
+        toks(d.filter(pmod(col("doc_id"), lit(2)) === 1)),
+        "source", "token", k = 8, idx, 2L)
+      operators.Sketches.kmvFromIndex(s, idx, k = 8)
+        .orderBy(col("grp"))
+    }),
+
     // ---- product quantization: train → encode → ADC search -----------
     // The memory-compression ANN path (Jégou et al. 2011): 4 subspaces
     // × 8 codes trained with the portable Lloyd's, vectors compressed
@@ -2332,6 +2376,37 @@ object SparkEntry {
       Ann.ivfPqIndexQuery(s, idx,
           em.filter(pmod(col("vec_id"), lit(50)) === 0),
           "vec_id", "embedding", coarse, cbs, nProbe = 2, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the retrieval vertical, end to end from RAW TEXT -----------
+    // hashEmbed (32-dim signed counts) → IVF-PQ build (4 coarse lists,
+    // 4×8 codes on residuals) → THREE index appends with a COMPACTION
+    // between the second and third — the append-after-compact path
+    // that silently destroyed the index before round 10's compact=
+    // namespace fix — → partition-pruned ADC query. One oracle replays
+    // embed, both trainings, encode, probes, and the ranking; any
+    // compaction row loss or duplication shifts the top-k.
+    "q122_text_retrieval" -> ((s, dir) => {
+      val emb = operators.Embed.hashEmbed(
+          t(s, dir, "documents"), "doc_id", "text", dim = 32)
+        // one materialization: the build makes m·iters + encode passes
+        // over the vectors; without this each re-runs the embed aggs
+        .localCheckpoint(true)
+      val (coarse, cbs, codes) = Ann.ivfPqBuild(emb, "doc_id", "emb",
+        kc = 4, m = 4, k = 8, iters = 2)
+      val idx = java.nio.file.Files
+        .createTempDirectory("text_retr_idx").toString
+      Ann.ivfPqIndexAppend(
+        codes.filter(pmod(col("emb_id"), lit(3)) === 0), idx, 1L)
+      Ann.ivfPqIndexAppend(
+        codes.filter(pmod(col("emb_id"), lit(3)) === 1), idx, 2L)
+      Ann.compactVectorIndex(s, idx, partitionCol = "coarse")
+      Ann.ivfPqIndexAppend(
+        codes.filter(pmod(col("emb_id"), lit(3)) === 2), idx, 3L)
+      Ann.ivfPqIndexQuery(s, idx,
+          emb.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "emb", coarse, cbs, nProbe = 2, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2746,9 +2821,16 @@ object SparkEntry {
     * plus coarse training, residual derivation, probe selection, and
     * per-probe residual tables. Programmatically unrolled.
     */
-  private val (ivfPqChainSql, ivfPqOracleSql): (String, String) = {
-      val kc = 4; val m = 4; val sub = 16; val k = 8; val iters = 2
-      val nProbe = 2
+  /** The IVF-PQ replay chain (coarse Lloyd's → residuals → m
+    * sub-quantizer trainings → codes → per-probe residual distance
+    * tables → ADC `scored`), parameterized over the vector SOURCE
+    * (`preCtes` + the `ex` body — synthetic embeddings for q99/q102,
+    * the hashEmbed chain for q122) and the geometry. Queries are the
+    * `vec_id % 50 = 0` rows throughout.
+    */
+  private def ivfPqChain(preCtes: String, exSql: String, kc: Int, m: Int,
+                         sub: Int, k: Int, iters: Int,
+                         nProbe: Int): String = {
       def sq(e: String, c: String) =
         s"round(list_sum(list_transform(range(len($e)), " +
           s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
@@ -2800,8 +2882,7 @@ object SparkEntry {
         s"JOIN qd$mi ON qd$mi.query_id = qd0.query_id" +
           s" AND qd$mi.probe = qd0.probe AND qd$mi.cid = cd.k$mi")
         .mkString("\n ")
-      val body = s"""ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
+      val body = s"""${preCtes}ex AS ($exSql),
          |${lloyd("ex", kc, "cc")},
          |${assign("ex", s"cc_$iters", "caf")},
          |res AS (SELECT a.vec_id, a.cid AS coarse,
@@ -2832,13 +2913,49 @@ object SparkEntry {
          | JOIN qd0 ON qd0.probe = cd.coarse AND qd0.cid = cd.k0
          | $qdJoins
          | WHERE qd0.query_id <> cd.vec_id)""".stripMargin
-      val chain = body
-      (chain,
-        s"""WITH $chain
-           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
-           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-           |   ORDER BY adist, neighbor_id) AS rank FROM scored)
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      body
+  }
+
+  private def ivfPqTopKSql(chain: String): String =
+    s"""WITH $chain
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY adist, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val ivfPqChainSql: String = ivfPqChain("",
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+    kc = 4, m = 4, sub = 16, k = 8, iters = 2, nProbe = 2)
+
+  private val ivfPqOracleSql: String = ivfPqTopKSql(ivfPqChainSql)
+
+  /** q122: the full retrieval vertical from RAW TEXT — the q121 embed
+    * chain as the `ex` source of the IVF-PQ replay (dim 32 → sub 8).
+    * Zero vectors (null-text / sign-cancelled docs) stay in: IVF-PQ is
+    * an L2 structure and [[graft.operators.Embed.hashEmbed]] emits one
+    * row per doc by contract.
+    */
+  private val TextRetrievalOracleSql: String = {
+    val embedPre =
+      s"""toksq AS (SELECT doc_id,
+         |   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         | FROM documents),
+         |fq AS (SELECT doc_id,
+         |   ${polyHashSql("tok")} % 32 AS b,
+         |   CASE WHEN ${polyHashSql("tok || '|sign'")} % 2 = 0
+         |     THEN 1 ELSE -1 END AS sgn
+         | FROM toksq),
+         |aggq AS (SELECT doc_id, b, SUM(sgn) AS c FROM fq
+         | GROUP BY doc_id, b),
+         |denseq AS (SELECT d.doc_id, i.b, COALESCE(a.c, 0) AS c
+         | FROM (SELECT DISTINCT doc_id FROM documents) d
+         | CROSS JOIN (SELECT unnest(range(32)) AS b) i
+         | LEFT JOIN aggq a ON a.doc_id = d.doc_id AND a.b = i.b),
+         |""".stripMargin
+    ivfPqTopKSql(ivfPqChain(embedPre,
+      "SELECT doc_id AS vec_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v" +
+        " FROM denseq GROUP BY doc_id",
+      kc = 4, m = 4, sub = 8, k = 8, iters = 2, nProbe = 2))
   }
 
   /** DuckDB replay of the bitemporal belief semantics: fold batches
@@ -4478,6 +4595,10 @@ object SparkEntry {
     "q107_bpe_encode_ids" -> BpeEncodeIdsOracleSql,
     "q108_cm_sketch" -> CmSketchOracleSql,
     "q109_kmv_distinct" -> KmvOracleSql,
+    // persisted sketch folds: merge laws make two-batch fold-union ==
+    // one-shot, so the oracles are the one-shot replays VERBATIM
+    "q124_cm_incremental" -> CmSketchOracleSql,
+    "q125_kmv_incremental" -> KmvOracleSql,
     "q111_tokenize_pack" -> TokenizePackOracleSql,
 
     // CCNet resample replay: the q94 scoring chain -> bucket -> the
@@ -4825,6 +4946,12 @@ object SparkEntry {
     // codes are batching-independent, so the two-batch append + pruned
     // query replays as the in-memory q99 check verbatim.
     "q102_ivfpq_persisted" -> ivfPqOracleSql,
+
+    // Text → retrieval vertical: the q121 embed chain feeding the
+    // shared IVF-PQ replay (sub=8 for dim 32); the persisted index's
+    // append → compact → append lifecycle must be invisible in the
+    // top-k.
+    "q122_text_retrieval" -> TextRetrievalOracleSql,
 
     // Mixture-rebalancing replay: integer cap arithmetic (N = the
     // largest total hitting every share; k_s = N*share//10000), then

@@ -26,9 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (between two applied steps the word doesn't change, so every skipped
   * rank's pair was absent; ranks below the cursor are never revisited —
   * a later merge can only create a pair for an EARLIER rank if two
-  * distinct merges produce the same symbol string, which the rank-map
-  * keyed on (left, right) pairs still resolves to the sequential
-  * result). Cost: O(applications · pairs-in-word).
+  * distinct merges produce the same symbol string — theoretically
+  * possible in BPE, never observed in randomized testing, and
+  * [[graft.operators.TextAnalysis.bpeVocab]] dedups such products on
+  * first occurrence for the same reason — which the rank-map keyed on
+  * (left, right) pairs still resolves to the sequential result).
+  * Cost: O(applications · pairs-in-word).
   *
   * A `CodegenFallback` expression, deliberately: the per-word merge
   * loop is imperative, and a fallback expression still avoids the Row

@@ -21,9 +21,15 @@ import graft.functions.GraftFunctions._
   */
 object Embed {
 
-  /** (idCol, `emb` array<double> of length dim). Neural embedders
-    * plug in at the same seam ([[Multimodal]]'s batched
-    * mapPartitions); this one needs no model artifact.
+  /** (idCol, `emb` array<double> of length dim) — one row per DISTINCT
+    * input id, always: a doc whose text is null or tokenless (explode
+    * of its token array emits no feature rows) comes back as the ZERO
+    * vector rather than vanishing — a silent row drop here would
+    * shrink every downstream join with no signal. Callers that want
+    * such docs out filter on the norm (as q121 does for
+    * sign-cancelled zero vectors anyway). Neural embedders plug in at
+    * the same seam ([[Multimodal]]'s batched mapPartitions); this one
+    * needs no model artifact.
     */
   def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
                 dim: Int): DataFrame = {
@@ -35,9 +41,13 @@ object Embed {
         when(pmod(charPolyHash(concat(col("tok"), lit("|sign"))),
           lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)).as("sgn"))
       .groupBy("doc_id", "b").agg(sum("sgn").as("c"))
-    feats.groupBy("doc_id")
+    val maps = feats.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
         .as("m"))
+    // left join from the distinct id set: element_at on the missing
+    // map is null, so absent buckets AND absent docs coalesce to 0.0
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(maps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         transform(sequence(lit(0L), lit(dim.toLong - 1)),
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))

@@ -29,21 +29,35 @@ object Profile {
                      q10k: Seq[Long]): DataFrame = {
     require(q10k.nonEmpty && q10k.forall(q => q > 0 && q <= 10000),
       "quantiles are parts-per-10000 in (0, 10000]")
+    // nulls are excluded BEFORE ranking: a null is not a quantile
+    // value, and Spark's asc-nulls-first default would both return
+    // null "values" and shift real values' ranks (an engine whose sort
+    // puts nulls last — e.g. the SQL oracle — would then diverge);
+    // ranks and n are over the non-null multiset
+    //
     // row_number's rank ASSIGNMENT among equal values is arbitrary,
     // but the VALUE at any rank is determined by the multiset alone —
     // which is all the output exposes, so no tie-break column needed
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("v"))
     val ranked = df.select(col(groupCol).as("grp"), col(valCol).as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
-    q10k.map { q =>
-      // exact integer ceil division: ceil(n·q / 10⁴) without IEEE
-      ranked.filter(col("rn") ===
-          greatest(lit(1L), expr(s"(n * ${q}L + 9999L) div 10000L")))
-        .select(col("grp"), lit(q).as("q10k"), col("v").as("value"))
-    }.reduce(_ unionByName _)
+    // ONE ranked pass for ANY number of quantiles: each ranked row
+    // tests its rank against the m requested targets (a narrow
+    // codegen'd explode+filter) instead of re-running the sort+window
+    // once per quantile — at a 100 TB fact the window cost is paid
+    // once, not m times. Exact integer ceil division:
+    // ceil(n·q / 10⁴) without IEEE.
+    ranked
+      .select(col("grp"), col("v"),
+        explode(typedLit(q10k.sorted)).as("q10k"),
+        col("rn"), col("n"))
+      .filter(col("rn") ===
+        greatest(lit(1L), expr("(n * q10k + 9999L) div 10000L")))
+      .select(col("grp"), col("q10k"), col("v").as("value"))
   }
 
   def profile(df: DataFrame, cols: Seq[String],

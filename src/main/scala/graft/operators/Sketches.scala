@@ -80,6 +80,57 @@ object Sketches {
     a.unionByName(b).groupBy("row", "bucket")
       .agg(sum("cnt").as("cnt"))
 
+  // ------------------------------------------------ persisted sketch index
+
+  /** Append one batch's CM sketch as a layer of a PERSISTED sketch
+    * index — the corpus-stats state a continuous-ingest pipeline holds
+    * (the [[graft.operators.TextAnalysis.buildBenchmarkIndex]] /
+    * mixIndexAppend pattern, for sketches): each fold costs O(batch)
+    * and writes ≤ depth·width skinny rows; nothing rescans earlier
+    * batches, and the at-rest index is bounded by layers × depth ×
+    * width regardless of corpus size. Because counters add
+    * ([[cmMerge]]), estimating from the folded layers equals the
+    * one-shot sketch of the union — q124 proves it against q108's
+    * verbatim oracle.
+    */
+  def cmSketchAppend(batch: DataFrame, textCol: String, depth: Int,
+                     width: Int, indexDir: String, batchId: Long): Unit =
+    countMinSketch(batch, textCol, depth, width)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** The merged at-rest sketch: layer counters summed per (row,
+    * bucket) — ≤ depth·width result rows, broadcastable to
+    * [[cmEstimate]] like the one-shot sketch.
+    */
+  def cmFromIndex(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).groupBy("row", "bucket")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Append one batch's per-group KMV minima as a layer: the k
+    * smallest distinct item hashes per group THIS batch contributes.
+    * KMV merges by min-union (re-rank the unioned minima, keep k):
+    * every global k-minimum is a distinct hash in some batch where it
+    * ranks at most its global rank ≤ k, so the union of per-batch
+    * minima CONTAINS the global minima and [[kmvFromIndex]] recovers
+    * the one-shot [[kmvDistinct]] result exactly — q125 proves it
+    * against q109's verbatim oracle. Layer size is bounded by
+    * groups × k rows.
+    */
+  def kmvAppend(batch: DataFrame, groupCol: String, itemCol: String,
+                k: Int, indexDir: String, batchId: Long): Unit =
+    kmvMinima(batch, groupCol, itemCol, k)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Estimate from the persisted minima layers: distinct the unioned
+    * (grp, h) minima (the same item in two batches contributes one
+    * hash), re-rank, keep k, estimate — identical arithmetic to the
+    * one-shot path.
+    */
+  def kmvFromIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String, k: Int): DataFrame =
+    kmvEstimate(spark.read.parquet(indexDir).select("grp", "h"), k)
+
   /** KMV (k-minimum-values) distinct-count sketch per group: keep the
     * k smallest hash values of the group's distinct items; estimate
     * |distinct| as (k-1)·M div h_(k) when the sketch saturates
@@ -97,11 +148,17 @@ object Sketches {
     * batches merge by min-union (re-rank the unioned minima).
     */
   def kmvDistinct(df: DataFrame, groupCol: String, itemCol: String,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    kmvEstimate(kmvMinima(df, groupCol, itemCol, k), k)
+
+  /** The k smallest distinct item hashes per group — the sketch's
+    * mergeable state: (grp, h) rows, ≤ k per group.
+    */
+  private[operators] def kmvMinima(df: DataFrame, groupCol: String,
+                                   itemCol: String, k: Int): DataFrame = {
     require(k >= 2, "kmvDistinct needs k >= 2") // also: k-th smallest
     // distinct non-negative hash is then >= 1, so the division below
     // cannot hit zero
-    val M = 2147483647L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("h"))
     // salt suffix lengthens the hashed string so the poly-hash wraps
@@ -111,6 +168,21 @@ object Sketches {
     df.select(col(groupCol).as("grp"),
         charPolyHash(concat(col(itemCol), lit("|kmv-salt"))).as("h"))
       .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("grp", "h")
+  }
+
+  /** (grp, n_kept, kth_min, est_distinct) from minima rows. Re-ranks
+    * its input, so unioned multi-layer minima (possibly > k per group,
+    * possibly duplicated across layers) estimate identically to
+    * single-shot minima.
+    */
+  private def kmvEstimate(minima: DataFrame, k: Int): DataFrame = {
+    val M = 2147483647L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    minima.select(col("grp"), col("h")).distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy("grp")

@@ -1012,8 +1012,14 @@ object TextAnalysis {
     * words, id'd 0..|Σ|-1 in binary UTF-8 order; the merge table's
     * tokens follow at |Σ| + step - 1. Every token [[bpeEncode]] can
     * emit is covered (encode output symbols are base chars or merge
-    * products; a merge product is unique — each multi-char symbol is
-    * produced by exactly one merge). Output: (token_id, token).
+    * products). Two DISTINCT merges composing the same symbol string
+    * — e.g. (a,bc)→abc and (ab,c)→abc, both learnable when ab and bc
+    * were created by earlier steps — are theoretically possible in
+    * BPE (the case [[graft.functions.BpeApply]]'s rank-cursor note
+    * defends against; randomized testing has not produced one), so
+    * the token column is deduplicated on FIRST occurrence here: a
+    * duplicate product would otherwise fan out every id-join row in
+    * [[bpeEncodeIds]]. Output: (token_id, token), token unique.
     *
     * Scale: one corpus pass pre-reduced to the alphabet (distinct
     * chars — dozens to thousands of rows); the id window runs over
@@ -1032,8 +1038,13 @@ object TextAnalysis {
     val base = chars.select(
       (row_number().over(w) - 1).cast("long").as("token_id"), col("token"))
     val nBase = chars.count()
-    val merged = merges.zipWithIndex.map { case ((a, b), i) =>
-      (nBase + i, a + b) }.toDF("token_id", "token")
+    // dedup merge products on first occurrence (driver-local — the
+    // merge table is vocab-sized); ids keep the |Σ|+step-1 layout,
+    // with a gap where a duplicate product was dropped
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val merged = merges.zipWithIndex.flatMap { case ((a, b), i) =>
+      if (seen.add(a + b)) Some((nBase + i, a + b)) else None
+    }.toDF("token_id", "token")
     base.unionByName(merged)
   }
 

@@ -89,9 +89,16 @@ object CurationStream {
     // row_number over an unpartitioned window would pull the whole
     // index through one task — the index is skinny but still
     // corpus-cardinality rows
+    // materialize the kept set ONCE: two downstream actions consume it
+    // (the strata-count collect and the returned selection), and each
+    // would otherwise re-run the full range-partitioned total sort +
+    // zipWithIndex over the corpus-cardinality index. localCheckpoint
+    // (executor-block-stored) truncates the lineage at the ranked
+    // sliver — keepFrac of the index, the smallest thing to pin.
     val kept = graft.operators.Ranking.globalRowNumber(idx,
         Seq(col("dsir_score").desc, col("doc_id")), "imp_rank")
       .filter(col("imp_rank") <= lit(keep))
+      .localCheckpoint(true)
     val counts = kept.groupBy("stratum").agg(count(lit(1)).as("cs"))
       .collect().map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
     val caps = TextAnalysis.deriveCaps(counts, targetShare10k)

@@ -313,4 +313,19 @@ class PlanShapeSpec extends SparkSpecBase {
       Map("d1" -> 5000L, "d2" -> 5000L)))
     assert(pMix.contains("WindowGroupLimit"), pMix)
   }
+
+  test("groupQuantiles ranks ONCE for any number of quantiles: the " +
+      "Window count and the exchange count do not grow with m") {
+    val vals = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L))
+      .toDF("lang", "len")
+    def shape(qs: Seq[Long]) = {
+      val p = plan(graft.operators.Profile.groupQuantiles(
+        vals, "lang", "len", qs))
+      (countIn(p, "Window"), countIn(p, "Exchange hashpartitioning"))
+    }
+    val one = shape(Seq(5000L))
+    val many = shape(Seq(100L, 2500L, 5000L, 7500L, 9000L, 9900L, 9999L))
+    assert(one == many, s"$one vs $many")
+    assert(one._2 == 1, s"windows share one exchange: $one")
+  }
 }

@@ -355,4 +355,21 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(!TextAnalysis.tokenCounts(docs, "doc_id", "text")
       .columns.contains("bpe_tokens"))
   }
+
+  test("bpeVocab: two distinct merges composing the same symbol " +
+      "string dedup to the FIRST merge's id — a duplicate token would " +
+      "fan out every bpeEncodeIds join row") {
+    val docs = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    // (a,b)→ab, (ab,c)→abc, (b,c)→bc, (a,bc)→abc: the 4th composes
+    // the same string as the 2nd
+    val merges = Seq(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc"))
+    val v = TextAnalysis.bpeVocab(docs, "text", merges)
+      .collect().map(r => r.getAs[String]("token") ->
+        r.getAs[Long]("token_id")).toSeq
+    assert(v.map(_._1).distinct.length == v.length, v.toString)
+    // base Σ = {a,b,c} → ids 0,1,2; merge step ids follow at 3+step-1,
+    // with a GAP at the dropped duplicate (id 6 unused)
+    assert(v.toMap == Map("a" -> 0L, "b" -> 1L, "c" -> 2L,
+      "ab" -> 3L, "abc" -> 4L, "bc" -> 5L), v.toString)
+  }
 }

@@ -102,6 +102,45 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("persisted sketch index: two-batch folds estimate EXACTLY like " +
+      "the one-shot sketch (CM counters add; KMV minima min-union)") {
+    val docs = Seq((1L, "s1", "a b c a"), (2L, "s1", "b d e f g"),
+        (3L, "s2", "x y z"), (4L, "s2", "x q r s t u v w"))
+      .toDF("doc_id", "src", "text")
+    val b1 = docs.filter($"doc_id" % 2 === 0)
+    val b2 = docs.filter($"doc_id" % 2 === 1)
+    // CM: fold two layers, estimate == one-shot
+    val cmIdx = java.nio.file.Files.createTempDirectory("cm_idx").toString
+    Sketches.cmSketchAppend(b1, "text", 3, 16, cmIdx, 1L)
+    Sketches.cmSketchAppend(b2, "text", 3, 16, cmIdx, 2L)
+    val items = docs.select(explode(split(trim($"text"), "\\s+"))
+      .as("token")).distinct()
+    def est(sk: org.apache.spark.sql.DataFrame) =
+      Sketches.cmEstimate(sk, items, "token", 3, 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = est(Sketches.countMinSketch(docs, "text", 3, 16))
+    assert(est(Sketches.cmFromIndex(spark, cmIdx)) == oneShot)
+    // an item in BOTH batches is counted additively
+    assert(oneShot("x") >= 2L)
+    // KMV: min-union of per-batch minima == one-shot (k small enough
+    // to saturate on s2, exercising the estimate branch too)
+    val toks = docs.select($"src", explode(split(trim($"text"), "\\s+"))
+      .as("token"))
+    val kmvIdx = java.nio.file.Files.createTempDirectory("kmv_idx").toString
+    Sketches.kmvAppend(toks.filter($"src" === "s1"), "src", "token", 4,
+      kmvIdx, 1L)
+    // s2 tokens split across layers, with overlap ("x" in both)
+    Sketches.kmvAppend(toks.filter($"src" === "s2" && $"doc_id" === 3),
+      "src", "token", 4, kmvIdx, 2L)
+    Sketches.kmvAppend(toks.filter($"src" === "s2" && $"doc_id" === 4),
+      "src", "token", 4, kmvIdx, 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows(Sketches.kmvFromIndex(spark, kmvIdx, 4)) ==
+      rows(Sketches.kmvDistinct(toks, "src", "token", 4)))
+  }
+
   test("groupQuantiles: nearest-rank values on a hand corpus") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L)).toDF("g", "v")
@@ -112,6 +151,32 @@ class SketchesSpec extends SparkSpecBase {
     // a: n=4 → ceil(0.5·4)=2 → 2; ceil(1.0·4)=4 → 4; b singleton → 10
     assert(q == Set(("a", 5000L, 2L), ("a", 10000L, 4L),
       ("b", 5000L, 10L), ("b", 10000L, 10L)))
+  }
+
+  test("groupQuantiles: null values are excluded — never returned as " +
+      "quantile 'values', never shifting real values' ranks") {
+    val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)),
+        ("a", None), ("a", Some(3L)), ("a", Some(4L)), ("b", None))
+      .toDF("g", "v")
+    val q = graft.operators.Profile.groupQuantiles(df, "g", "v",
+        q10k = Seq(2500L, 10000L))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("q10k"),
+        r.getAs[Long]("value"))).toSet
+    // a: non-null multiset {1,2,3,4} → ceil(.25·4)=1 → 1; max → 4.
+    // nulls-counted-in-n would give n=6 → ceil(.25·6)=2 → 2 and a
+    // null max; all-null group b vanishes rather than emitting nulls
+    assert(q == Set(("a", 2500L, 1L), ("a", 10000L, 4L)))
+  }
+
+  test("hashEmbed: null-text / tokenless docs come back as ZERO " +
+      "vectors, not silently dropped") {
+    val docs = Seq((1L, "the cat"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val e = graft.operators.Embed.hashEmbed(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(e.keySet == Set(1L, 2L))
+    assert(e(2L) == Seq.fill(8)(0.0))
+    assert(e(1L).map(math.abs).sum > 0)
   }
 
   test("KMV: exact below saturation; plausible at saturation; hot " +
