@@ -921,6 +921,39 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal: REAL audio codec — WAV encode→decode round-trip
+    // Deterministic constant-amplitude 16-bit mono PCM WAVs generated
+    // per event (rate, sample count and amplitude are pure functions
+    // of event_id), decoded back through the REAL javax.sound.sampled
+    // codec on the same mapPartitions seam as q83. The oracle predicts
+    // the parsed sample rate, frame count and dominant amplitude-
+    // histogram bin from event_id alone — header AND frame parsing
+    // both have to be right for anything to line up.
+    "q123_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(50)) === 1)
+        .select(col("event_id").cast("long").as("media_id"),
+          (lit(4000) + pmod(col("event_id"), lit(4)) * 2000).cast("int")
+            .as("rate"),
+          (lit(50) + pmod(col("event_id"), lit(100))).cast("int").as("n"),
+          (pmod(col("event_id") * 37, lit(65536)) - 32768).cast("int")
+            .as("amp"))
+        .as[(Long, Int, Int, Int)]
+        .map { case (id, rate, n, amp) => Multimodal.MediaRow(
+          id, "audio", Multimodal.encodeWav(rate, Array.fill(n)(amp.toShort)),
+          "audio/wav") }
+      Multimodal
+        .decodeFeatures(media, Multimodal.WavCodec, parallelism = Some(8))
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("sample_rate"),
+          col("n_frames").cast("long").as("n_samples"),
+          (array_position(col("feature"), array_max(col("feature"))) - 1)
+            .cast("long").as("top_bin"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- decontamination: shingle overlap vs a benchmark set --------
     // Benchmark stand-in = every 20th document; the remaining docs are
     // "training data" checked for 3-gram membership overlap (GPT-3
@@ -3409,6 +3442,17 @@ object SparkEntry {
          | CAST(8 + event_id % 7 AS BIGINT) AS height,
          | CAST((event_id % 256) // 32 AS BIGINT) AS top_bin
          |FROM e WHERE event_id % 50 = 0 ORDER BY media_id""".stripMargin,
+
+    // WAV decode replay: constant-amplitude PCM — every sample lands
+    // in one histogram bin, so top_bin = (amp+32768) // 8192 with
+    // amp = (event_id·37) % 65536 − 32768.
+    "q123_wav_decode" ->
+      s"""WITH e AS ($EventsUsSql)
+         |SELECT CAST(event_id AS BIGINT) AS media_id,
+         | CAST(4000 + (event_id % 4) * 2000 AS BIGINT) AS sample_rate,
+         | CAST(50 + event_id % 100 AS BIGINT) AS n_samples,
+         | CAST(((event_id * 37) % 65536) // 8192 AS BIGINT) AS top_bin
+         |FROM e WHERE event_id % 50 = 1 ORDER BY media_id""".stripMargin,
 
     // Decontamination replay: the same trigram shingles + poly-hash as
     // the Spark side (q21's hs CTE pattern), benchmark = doc_id%20=0.

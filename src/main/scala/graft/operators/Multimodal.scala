@@ -88,6 +88,67 @@ object Multimodal {
       }
   }
 
+  /** Real audio decode via `javax.sound.sampled` (pure JVM — WAV/PCM):
+    * parses the RIFF header for the sample rate and channel count,
+    * reads the PCM frames, and emits an 8-bin amplitude histogram
+    * (normalized to the sample count) as the feature vector. Mapping
+    * onto the shared schema: width = sample rate in Hz, height =
+    * channels, n_frames = samples per channel. 16-bit mono PCM only
+    * (the q123 fixture contract); undecodable payloads fail the task —
+    * dead-letter upstream, as with [[ImageIoCodec]].
+    */
+  object WavCodec extends Codec {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"media ${r.media_id}: expected 16-bit mono PCM, got $fmt")
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        require(n > 0, s"media ${r.media_id}: empty WAV payload")
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val s =
+            if (fmt.isBigEndian)
+              (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+            else
+              (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+          hist((s + 32768) >> 13) += 1
+          i += 1
+        }
+        MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
+          math.round(fmt.getSampleRate), fmt.getChannels, n,
+          hist.map(_ / n.toFloat))
+      }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV bytes (pure-JVM encode via
+    * `javax.sound.sampled`) — the fixture generator for [[WavCodec]]:
+    * sample rate, sample count, and the dominant histogram bin are
+    * exact functions of the arguments, so an oracle can predict the
+    * decode output without seeing the bytes.
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic solid-gray PNG bytes (pure-JVM encode) — the fixture
     * generator for [[ImageIoCodec]]: dimensions and the histogram bin
     * are exact functions of the arguments, so an oracle can predict the

@@ -103,6 +103,35 @@ class OperatorSpec extends SparkSpecBase {
       f.n_bytes != f.width.toLong * f.height * 3))
   }
 
+  test("WavCodec: real javax.sound.sampled round-trip — header (rate, " +
+      "channels) and frame parse (count, amplitude histogram) recovered " +
+      "from encoded RIFF bytes") {
+    val rows = Seq(
+      // constant amplitudes land every sample in one predictable bin
+      Multimodal.MediaRow(1, "audio",
+        Multimodal.encodeWav(8000, Array.fill(100)(0.toShort)),
+        "audio/wav"), // 0 + 32768 = 32768 → bin 4
+      Multimodal.MediaRow(2, "audio",
+        Multimodal.encodeWav(44100, Array.fill(7)(Short.MinValue)),
+        "audio/wav"), // bin 0
+      // mixed: 3 samples high, 2 low → top bin 7
+      Multimodal.MediaRow(3, "audio",
+        Multimodal.encodeWav(16000,
+          Array[Short](32000, 32001, 32002, -5, -6)),
+        "audio/wav")).toDS()
+    val feats = Multimodal
+      .decodeFeatures(rows, Multimodal.WavCodec, parallelism = Some(2))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.width, f.height, f.n_frames)).toSeq ==
+      Seq((8000, 1, 100), (44100, 1, 7), (16000, 1, 5)))
+    assert(feats.map(f =>
+      f.feature.indexOf(f.feature.max)).toSeq == Seq(4, 0, 7))
+    // -5/-6 sit just below the s=0 boundary → bin 3
+    assert(feats(2).feature(7) == 0.6f && feats(2).feature(3) == 0.4f)
+    // payload really is a RIFF container, not raw PCM
+    assert(feats.forall(f => f.n_bytes > f.n_frames * 2))
+  }
+
   test("O4 chained merges in one batch match serial replay") {
     val pointers = Seq(("A", "A"), ("B", "B"), ("C", "C"), ("D", "D"))
       .toDF("mrn", "live_mrn")
