@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,31 +34,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * (left, right) pairs still resolves to the sequential result).
   * Cost: O(applications · pairs-in-word).
   *
-  * A `CodegenFallback` expression, deliberately: the per-word merge
+  * `CodegenFallback` expressions, deliberately: the per-word merge
   * loop is imperative, and a fallback expression still avoids the Row
   * conversion + closure-serialization overhead of a Scala UDF. Keep it
   * out of inner per-element hot paths; one call per word is the
   * intended shape.
+  *
+  * Two transports for the merge table: [[BpeApply]] ships it INSIDE
+  * the serialized expression (simple, fine for test-scale tables —
+  * but a production 50k-merge table is ~1-2 MB of plan payload
+  * re-deserialized with every task), [[BpeApplyBroadcast]] ships a
+  * `Broadcast` handle (the table crosses the wire once per executor
+  * via TorrentBroadcast and is shared by every task on it — the
+  * production transport; measured in `tools/BpeProbe`, recorded in
+  * SCALING.md). Bit-identical outputs, spec-locked.
   */
-case class BpeApply(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "bpe_apply"
-
-  // rank map: pair -> 1-based training step. If the same pair were ever
-  // learned twice (impossible in a well-formed merge table — once merged
-  // the pair no longer exists in the vocab), the FIRST rank wins.
-  @transient private lazy val ranks: java.util.HashMap[(String, String), Int] = {
+object BpeApply {
+  /** rank map: pair -> 1-based training step. If the same pair were
+    * ever learned twice (impossible in a well-formed merge table —
+    * once merged the pair no longer exists in the vocab), the FIRST
+    * rank wins.
+    */
+  private[functions] def buildRanks(merges: IndexedSeq[(String, String)])
+      : java.util.HashMap[(String, String), Int] = {
     val m = new java.util.HashMap[(String, String), Int](merges.size * 2)
-    merges.zipWithIndex.foreach { case (p, i) =>
-      if (!m.containsKey(p)) m.put(p, i + 1)
+    var i = 0
+    while (i < merges.length) {
+      if (!m.containsKey(merges(i))) m.put(merges(i), i + 1)
+      i += 1
     }
     m
   }
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val word = input.asInstanceOf[UTF8String].toString
+  /** The shared rank-cursor merge loop (see class doc). */
+  private[functions] def encodeWord(word: String,
+      merges: IndexedSeq[(String, String)],
+      ranks: java.util.HashMap[(String, String), Int]): GenericArrayData = {
     // symbolize by code point (whole characters — a surrogate pair is
     // one symbol, never split)
     var syms = {
@@ -99,17 +111,64 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     }
     new GenericArrayData(syms.map(UTF8String.fromString).toArray[Any])
   }
+}
+
+/** Merge table inside the serialized expression — see [[BpeApply$]]. */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_apply"
+
+  @transient private lazy val idx = merges.toIndexedSeq
+  @transient private lazy val ranks = BpeApply.buildRanks(idx)
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpeApply.encodeWord(input.asInstanceOf[UTF8String].toString, idx, ranks)
 
   override protected def withNewChildInternal(newChild: Expression): BpeApply =
     copy(child = newChild)
+}
+
+/** Merge table behind a `Broadcast` handle — the production transport
+  * for real vocabularies: the serialized expression carries only the
+  * handle; executors fetch the table once (TorrentBroadcast) and every
+  * task shares the deserialized ranks. Same loop, bit-identical output
+  * to [[BpeApply]].
+  */
+case class BpeApplyBroadcast(child: Expression,
+    bc: Broadcast[Array[(String, String)]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_apply_bc"
+
+  @transient private lazy val idx: IndexedSeq[(String, String)] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(bc.value)
+  @transient private lazy val ranks = BpeApply.buildRanks(idx)
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpeApply.encodeWord(input.asInstanceOf[UTF8String].toString, idx, ranks)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeApplyBroadcast = copy(child = newChild)
 }
 
 object BpeOps {
   /** Column API: apply an ordered merge table to one word (string) →
     * array of BPE symbols. `merges` ships inside the expression — at
     * executor side it is part of the serialized plan, deserialized once
-    * per task like any literal.
+    * per task like any literal. For production-sized tables prefer
+    * [[bpeApplyBc]].
     */
   def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeApply(ColumnBridge.expression(word), merges))
+
+  /** [[bpeApply]] with the merge table behind a broadcast variable:
+    * `bc = spark.sparkContext.broadcast(merges.toArray)`. The plan
+    * payload shrinks to the handle and the table is deserialized once
+    * per executor, not once per task.
+    */
+  def bpeApplyBc(word: Column, bc: Broadcast[Array[(String, String)]]): Column =
+    ColumnBridge.column(BpeApplyBroadcast(ColumnBridge.expression(word), bc))
 }

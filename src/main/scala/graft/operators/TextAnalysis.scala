@@ -200,9 +200,27 @@ object TextAnalysis {
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeWith(docs, idCol, textCol,
+      w => graft.functions.BpeOps.bpeApply(w, merges))
+
+  /** [[bpeEncode]] with the merge table behind a BROADCAST variable —
+    * the transport for production vocabularies: a 50k-merge table is
+    * ~1 MB that [[graft.functions.BpeApply]] would re-deserialize with
+    * every task's plan; behind TorrentBroadcast it crosses the wire
+    * once per executor and is shared by all its tasks (numbers in
+    * SCALING.md, probe in `tools/BpeProbe`). Output is bit-identical
+    * to [[bpeEncode]] (spec-locked).
+    */
+  def bpeEncodeBc(docs: DataFrame, idCol: String, textCol: String,
+                  bc: org.apache.spark.broadcast.Broadcast[
+                    Array[(String, String)]]): DataFrame =
+    bpeEncodeWith(docs, idCol, textCol,
+      w => graft.functions.BpeOps.bpeApplyBc(w, bc))
+
+  private def bpeEncodeWith(docs: DataFrame, idCol: String,
+      textCol: String, apply: Column => Column): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        posexplode(flatten(transform(tokens(col(textCol)),
-          w => graft.functions.BpeOps.bpeApply(w, merges)))))
+        posexplode(flatten(transform(tokens(col(textCol)), apply))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("token"))
 

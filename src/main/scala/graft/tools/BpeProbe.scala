@@ -35,6 +35,43 @@ object BpeProbe {
     val n = merges.count()
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[bpe-probe] $n merges over $nWords distinct words: $dt%.2f s")
+
+    // ---- encode-transport probe: inline merge table vs broadcast ----
+    // Production vocabularies are ~30-50k merges; the sf corpora can't
+    // train that many, so pad the REAL trained table (applied per
+    // word) with synthetic never-matching merges (realistic payload
+    // bytes, identical applied work either way).
+    val trained = merges.orderBy("step")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val target = 50000
+    val padded = trained ++ (trained.size until target).map(i =>
+      (f"§L$i%05d", f"§R$i%05d"))
+    import org.apache.spark.sql.functions._
+    def planBytes(c: org.apache.spark.sql.Column): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c))
+      oos.close(); bos.size()
+    }
+    val inlineCol = graft.functions.BpeOps.bpeApply(col("text"), padded)
+    val bc = spark.sparkContext.broadcast(padded.toArray)
+    val bcCol = graft.functions.BpeOps.bpeApplyBc(col("text"), bc)
+    println(s"[bpe-probe] serialized expression: " +
+      s"inline=${planBytes(inlineCol)} B, broadcast=${planBytes(bcCol)} B")
+    def time(label: String, c: org.apache.spark.sql.Column): Long = {
+      val t = System.nanoTime()
+      val cnt = docs.select(explode(c)).count()
+      println(f"[bpe-probe] $label encode: " +
+        f"${(System.nanoTime() - t) / 1e9}%.2f s ($cnt symbols)")
+      cnt
+    }
+    val a = time("inline   ", inlineCol)  // warm: first run pays startup
+    val b = time("broadcast", bcCol)
+    val a2 = time("inline   ", inlineCol)
+    val b2 = time("broadcast", bcCol)
+    require(a == b && a2 == b2, s"symbol counts diverged: $a vs $b")
     spark.stop()
   }
 }

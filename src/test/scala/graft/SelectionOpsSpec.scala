@@ -356,6 +356,23 @@ class SelectionOpsSpec extends SparkSpecBase {
       .columns.contains("bpe_tokens"))
   }
 
+  test("bpeEncodeBc: broadcast-transport encode is bit-identical to " +
+      "the inline-expression encode") {
+    val docs = Seq((1L, "low lower lowest"), (2L, "newer newest new"),
+      (3L, "wider wide widest low")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 12)
+      .orderBy("step").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(merges.nonEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val inline = rows(TextAnalysis.bpeEncode(docs, "doc_id", "text", merges))
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val viaBc = rows(TextAnalysis.bpeEncodeBc(docs, "doc_id", "text", bc))
+    assert(viaBc == inline && inline.nonEmpty)
+  }
+
   test("bpeVocab: two distinct merges composing the same symbol " +
       "string dedup to the FIRST merge's id — a duplicate token would " +
       "fan out every bpeEncodeIds join row") {
