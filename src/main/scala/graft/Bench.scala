@@ -29,7 +29,11 @@ object Bench {
     // zero-shuffle per-row encode) — the corpus-scan-bound shape;
     // and the composed incremental curation chain (three persisted
     // indexes + distributed global rank + mixture)
-    "q104_bpe_encode", "q110_incremental_curation")
+    "q104_bpe_encode", "q110_incremental_curation",
+    // round 10: the retrieval vertical (embed → IVF-PQ build → append/
+    // compact/append → pruned query) and the FULL curation recipe
+    // (span + near-dup-representative gates over persisted state)
+    "q122_text_retrieval", "q126_curation_full")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2516,6 +2516,84 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the FULL curation recipe, incrementally folded --------------
+    // q110's chain grown to the production shape (Lee et al. 2022 +
+    // RefinedWeb): decon gate → duplicated-SPAN gate (drop docs >50%
+    // shared 8-token windows) → near-dup REPRESENTATIVE gate
+    // (MinHash-LSH clusters keep their best member) → DSIR
+    // top-fraction → exact mixture. Folded in TWO batches, every gate
+    // decision derived from persisted index state at select time —
+    // which is exactly what makes the fold equal the one-shot replay
+    // regardless of batch boundaries (the oracle IS that one-shot).
+    "q126_curation_full" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mk = () => java.nio.file.Files
+        .createTempDirectory("curation_full").toString
+      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
+      TextAnalysis.buildBenchmarkIndex(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
+        shingleN = 5, indexDir = benchIdx)
+      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+        indexDir = dsirIdx)
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val cfg = graft.streaming.CurationStream.Config(
+        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
+        keepFrac10k = 4000L,
+        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
+      graft.streaming.CurationStream.select(s, cfg,
+          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
+            "de" -> 500L))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the same FULL chain driven through the ACTUAL Structured
+    // Streaming front end: a MemoryStream feeds CurationStream.start,
+    // micro-batches fold via foreachBatch (batch ids become layer
+    // ids), then the selection derives from the indexes — under the
+    // SAME one-shot oracle as q126. This is the claim "micro-batch
+    // boundaries are irrelevant" checked by the real streaming engine,
+    // not a batch stand-in.
+    "q127_curation_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val mk = () => java.nio.file.Files
+        .createTempDirectory("curation_stream").toString
+      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
+      TextAnalysis.buildBenchmarkIndex(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
+        shingleN = 5, indexDir = benchIdx)
+      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+        indexDir = dsirIdx)
+      val cfg = graft.streaming.CurationStream.Config(
+        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
+        keepFrac10k = 4000L,
+        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
+      // test-scale collect: the sf corpus is the fixture feeding the
+      // MemoryStream, not a production pattern
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)](s)
+      val q = graft.streaming.CurationStream.start(
+        ms.toDF().toDF("doc_id", "text", "lang"), cfg, mk())
+      ms.addData(train.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      ms.addData(train.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.CurationStream.select(s, cfg,
+          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
+            "de" -> 500L))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- persisted-index mixture: two ingest folds, one selection ----
     // Append the corpus in two batches to the skinny mixture index
     // (doc_id, stratum, frozen hash), then re-derive the selection from
@@ -2778,44 +2856,156 @@ object SparkEntry {
     * recursive `walk` CTE), shared by q56 and q112. The enclosing
     * query must open with `WITH RECURSIVE`.
     */
-  private val DupClustersChainSql: String = {
+  /** MinHash-LSH → candidate pairs → connected components, replayed
+    * in SQL (2-gram shingles, 64 portable perms, 8 bands, bucket cap
+    * 100, est ≥ 0.125), parameterized over the doc source (`src` must
+    * provide doc_id + text) and a CTE-name prefix `p` so the chain
+    * composes into larger oracles without name collisions.
+    */
+  private def dupClustersChain(src: String, p: String): String = {
     val perms = Dedup.minhashPerms(64, 42L)
     val aList = perms.map(_._1).mkString(", ")
     val bList = perms.map(_._2).mkString(", ")
-    s"""toks AS (SELECT doc_id,
+    s"""${p}toks AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
+       | FROM $src),
+       |${p}shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
+       |  (PARTITION BY doc_id ORDER BY i) AS s FROM ${p}toks),
+       |${p}sh AS (SELECT DISTINCT doc_id, s FROM ${p}shr
+       | WHERE s IS NOT NULL),
+       |${p}hs AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM ${p}sh),
+       |${p}pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
+       |  unnest(range(64)) AS j),
+       |${p}sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
+       | FROM ${p}hs CROSS JOIN ${p}pm GROUP BY doc_id, j),
+       |${p}bnd AS (SELECT doc_id, j // 8 AS band,
+       |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
+       | FROM ${p}sigj GROUP BY doc_id, band),
+       |${p}cap AS (SELECT doc_id, band, bucket FROM ${p}bnd
+       | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
+       |${p}pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM ${p}cap x JOIN ${p}cap y ON x.band = y.band
+       |  AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |${p}sc AS (SELECT p.doc_a, p.doc_b,
+       |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+       | FROM ${p}pr p JOIN ${p}sigj sa ON sa.doc_id = p.doc_a
+       | JOIN ${p}sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+       | GROUP BY 1, 2),
+       |${p}pairs AS (SELECT doc_a, doc_b FROM ${p}sc
+       | WHERE est_jaccard >= 0.125),
+       |${p}ed AS (SELECT doc_a AS s, doc_b AS d FROM ${p}pairs
+       | UNION SELECT doc_b, doc_a FROM ${p}pairs),
+       |${p}walk(node, r) AS (SELECT s, s FROM ${p}ed
+       | UNION SELECT e.d, w.r FROM ${p}walk w JOIN ${p}ed e
+       |  ON e.s = w.node)"""
+      .stripMargin
+  }
+
+  private val DupClustersChainSql: String = dupClustersChain("documents", "")
+
+  /** One-shot replay of the FULL curation recipe (q126 batch folds,
+    * q127 streamed folds — fold-vs-one-shot equivalence IS the claim):
+    * decon gate (q110's kept1) → duplicated-span gate (8-token
+    * windows, drop > 50% shared) → near-dup representative gate
+    * (MinHash-LSH clusters keep their (n_distinct DESC, id) best) →
+    * DSIR top-fraction → exact mixture.
+    */
+  private val CurationFullOracleSql: String =
+    s"""WITH RECURSIVE dtk AS (SELECT doc_id,
        |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
        |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
        | FROM documents),
-       |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
-       |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
-       |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
-       |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
-       |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
-       |  unnest(range(64)) AS j),
-       |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
-       | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
-       |bnd AS (SELECT doc_id, j // 8 AS band,
-       |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
-       | FROM sigj GROUP BY doc_id, band),
-       |cap AS (SELECT doc_id, band, bucket FROM bnd
-       | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
-       |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       | FROM cap x JOIN cap y ON x.band = y.band AND x.bucket = y.bucket
-       |  AND x.doc_id < y.doc_id),
-       |sc AS (SELECT p.doc_a, p.doc_b,
-       |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
-       | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
-       | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
-       | GROUP BY 1, 2),
-       |pairs AS (SELECT doc_a, doc_b FROM sc WHERE est_jaccard >= 0.125),
-       |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-       | UNION SELECT doc_b, doc_a FROM pairs),
-       |walk(node, r) AS (SELECT s, s FROM ed
-       | UNION SELECT e.d, w.r FROM walk w JOIN ed e ON e.s = w.node)"""
-      .stripMargin
-  }
+       |dshr AS (SELECT doc_id,
+       |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+       |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
+       |      || ' ' || lead(tok, 3) OVER (PARTITION BY doc_id ORDER BY i)
+       |      || ' ' || lead(tok, 4) OVER (PARTITION BY doc_id ORDER BY i)
+       |    AS s FROM dtk),
+       |dhs AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h
+       | FROM dshr WHERE s IS NOT NULL),
+       |bh AS (SELECT DISTINCT h FROM dhs WHERE doc_id % 20 = 0),
+       |dagg AS (SELECT t.doc_id, COUNT(*) AS n_sh,
+       |   SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+       |  FROM dhs t LEFT JOIN bh b ON t.h = b.h
+       |  WHERE t.doc_id % 20 <> 0 GROUP BY t.doc_id),
+       |kept1 AS (SELECT d.doc_id, d.lang FROM documents d
+       |  LEFT JOIN dagg a USING (doc_id)
+       |  WHERE d.doc_id % 20 <> 0 AND NOT (
+       |    CASE WHEN COALESCE(a.n_sh, 0) > 0
+       |      THEN CAST(a.n_ov AS DOUBLE) / a.n_sh ELSE 0.0 END >= 0.05)),
+       |ksrc AS (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN kept1 USING (doc_id)),
+       |sbase AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS ws FROM ksrc),
+       |swins AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(ws) - 6),
+       |    i -> array_to_string(ws[i:i + 7], ' '))) AS win
+       | FROM sbase WHERE len(ws) >= 8),
+       |shashed AS (SELECT doc_id, ${polyHashSql("win")} AS wh
+       | FROM swins),
+       |sshared AS (SELECT wh FROM shashed GROUP BY 1
+       | HAVING COUNT(DISTINCT doc_id) > 1),
+       |sfrac AS (SELECT doc_id, COUNT(*) AS n_win,
+       |  SUM(CASE WHEN wh IN (SELECT wh FROM sshared)
+       |    THEN 1 ELSE 0 END) AS n_dup
+       | FROM shashed GROUP BY doc_id),
+       |spandrop AS (SELECT doc_id FROM sfrac
+       | WHERE n_dup * 10000 > n_win * 5000),
+       |${dupClustersChain("ksrc", "nd")},
+       |ndq AS (SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+       | FROM ndtoks GROUP BY doc_id),
+       |ndcl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+       | FROM ndwalk GROUP BY node),
+       |ndmem AS (SELECT c.doc_id, ROW_NUMBER() OVER (
+       |   PARTITION BY c.cluster_id
+       |   ORDER BY q.n_distinct DESC, c.doc_id) AS rn
+       | FROM ndcl c JOIN ndq q USING (doc_id)),
+       |nddrop AS (SELECT doc_id FROM ndmem WHERE rn <> 1),
+       |kept2 AS (SELECT doc_id, lang FROM kept1
+       | WHERE doc_id NOT IN (SELECT doc_id FROM spandrop)
+       |   AND doc_id NOT IN (SELECT doc_id FROM nddrop)),
+       |grams AS (
+       | SELECT doc_id, tok AS s FROM dtk
+       | UNION ALL
+       | SELECT doc_id,
+       |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+       |    AS s FROM dtk),
+       |feats AS (SELECT doc_id, ${polyHashSql("s")} % 65536 AS b
+       | FROM grams WHERE s IS NOT NULL),
+       |p AS (SELECT b, COUNT(*) AS pc FROM feats GROUP BY b),
+       |q AS (SELECT b, COUNT(*) AS qc FROM feats f
+       |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY b),
+       |bt AS (SELECT p.b,
+       |  ((COALESCE(q.qc, 0) + 1) * 1000000) // (p.pc + 1) AS contrib
+       | FROM p LEFT JOIN q ON p.b = q.b),
+       |sagg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(contrib) AS cs
+       | FROM feats JOIN bt USING (b) GROUP BY doc_id),
+       |scored AS (SELECT k.doc_id, k.lang,
+       |   CAST(cs AS DOUBLE) / CAST(n_feats * 1000000 AS DOUBLE) AS sc
+       |  FROM kept2 k JOIN sagg s USING (doc_id)),
+       |keepn AS (SELECT (COUNT(*) * 4000) // 10000 AS kp FROM scored),
+       |kept3 AS (SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS ir
+       |  FROM scored), keepn WHERE ir <= kp),
+       |tgt AS (SELECT * FROM (VALUES ('en', 8000), ('es', 1500),
+       |  ('de', 500)) t(lang, share10k)),
+       |c AS (SELECT lang, COUNT(*) AS cs FROM kept3 GROUP BY lang),
+       |j AS (SELECT c.lang, cs, share10k FROM c JOIN tgt USING (lang)),
+       |n AS (SELECT MIN((cs * 10000) // share10k) AS nn FROM j),
+       |caps AS (SELECT lang, (nn * share10k) // 10000 AS k FROM j, n),
+       |r AS (SELECT doc_id, lang,
+       |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+       |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|' || lang")},
+       |    doc_id) AS mix_rank
+       | FROM kept3)
+       |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+       |FROM r JOIN caps USING (lang)
+       |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
 
   private val DsirOracleSql: String =
     """WITH toks AS (SELECT doc_id,
@@ -5005,6 +5195,12 @@ object SparkEntry {
     // persisted-index mixture: folding batches then selecting must
     // equal the one-shot q96 selection — same oracle, verbatim
     "q105_mix_incremental" -> MixOracleSql,
+
+    // Full curation recipe: batch folds (q126) and the Structured
+    // Streaming front end (q127) against the SAME one-shot replay —
+    // fold/stream boundary irrelevance is the oracle's claim.
+    "q126_curation_full" -> CurationFullOracleSql,
+    "q127_curation_streamed" -> CurationFullOracleSql,
 
     // Composed incremental curation: one-shot replay of the chain —
     // decon gate (q84 core, 5-shingles, 5% — 3-shingles over the

@@ -5,16 +5,25 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.TextAnalysis
 
-/** Structured-Streaming front end for the incremental curation chain
-  * (the q110 pipeline): each micro-batch of documents is gated by the
-  * PERSISTED benchmark shingle index and frozen DSIR importance model,
-  * and its survivors are appended to the persisted mixture index; the
-  * current selection is [[TextAnalysis.mixSelectFromIndex]] at any
-  * point. Per-doc gates are independent and the mixture selection is a
-  * pure function of the index, so the streamed fold equals the
-  * one-shot batch result regardless of micro-batch boundaries
-  * (`CurationStreamSpec`; q110 proves the same equivalence against
-  * the DuckDB oracle in two-batch form).
+/** Structured-Streaming front end for the incremental curation chain:
+  * each micro-batch of documents is gated by the PERSISTED benchmark
+  * shingle index and frozen DSIR importance model, contributes its
+  * per-doc state (span-window hashes, minhash signatures/buckets,
+  * DSIR scores) to append-only indexes, and the selection derives
+  * from the indexes alone. With the optional gates enabled the chain
+  * is the FULL production curation recipe (Lee et al. 2022 +
+  * RefinedWeb): decon → duplicated-span gate → near-dup
+  * representative gate → DSIR top-fraction → exact mixture
+  * (q126 batch-folded, q127 through the actual streaming query;
+  * q110 remains the gate-free chain).
+  *
+  * The design invariant: per-batch folds write only PER-DOC pure
+  * state; every decision needing global context (which window hashes
+  * are shared, which docs pair into clusters, the top-fraction cut,
+  * the mixture caps) happens in [[select]] over the merged index —
+  * so the streamed fold equals the one-shot batch result regardless
+  * of micro-batch boundaries (`CurationStreamSpec`; q126/q127 prove
+  * the same equivalence against the one-shot DuckDB replay).
   *
   * `foreachBatch`, not a stateful operator, on purpose: the gates join
   * against at-rest parquet state and the fold WRITES parquet — the
@@ -39,7 +48,23 @@ object CurationStream {
                     idCol: String, textCol: String, strataCol: String,
                     shingleN: Int = 5, deconThreshold: Double = 0.05,
                     nBuckets: Int = 65536, scale: Long = 1000000L,
-                    keepFrac10k: Long = 4000L)
+                    keepFrac10k: Long = 4000L,
+                    // ---- full-recipe gates (None disables; the v1
+                    // decon → DSIR → mixture chain is unchanged) ----
+                    // duplicated-span gate (Lee et al. 2022 shape):
+                    // drop docs whose fraction of `spanWindow`-token
+                    // windows shared with ANOTHER doc exceeds
+                    // spanMaxDupFrac10k (parts-per-10000)
+                    spanIdx: Option[String] = None,
+                    spanWindow: Int = 8,
+                    spanMaxDupFrac10k: Long = 5000L,
+                    // near-dup representative gate (RefinedWeb shape):
+                    // MinHash-LSH clusters keep only their best-quality
+                    // member (n_distinct DESC, id ASC)
+                    nearDupIdx: Option[String] = None,
+                    ndShingleN: Int = 2, ndNumPerm: Int = 64,
+                    ndBands: Int = 8, ndMinMatches: Int = 8,
+                    ndMaxBucket: Int = 100)
 
   /** Fold ONE micro-batch into the curation index — O(batch): the
     * decontamination gate and the DSIR scoring broadcast their
@@ -50,12 +75,47 @@ object CurationStream {
     * row: (doc_id, stratum, h, n_feats, contrib_sum).
     */
   def foldBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
+    import graft.functions.GraftFunctions.{charPolyHash, shingles, tokens}
     val s = batch.sparkSession
     val clean = batch.join(
       TextAnalysis.decontaminateIncremental(s, cfg.benchIdx, batch,
           cfg.idCol, cfg.textCol, cfg.shingleN, cfg.deconThreshold)
         .filter(!col("contaminated")).select(col("doc_id").as(cfg.idCol)),
       cfg.idCol)
+    // span-hash layer: one (doc, window position, hash) row per
+    // window — per-row work, O(batch); which hashes are SHARED is a
+    // global question answered in [[select]] over the index (like
+    // exact-substring dedup, the state is inherently O(corpus tokens),
+    // but hash-only: ~8 B per token vs the text bytes)
+    cfg.spanIdx.foreach { dir =>
+      clean.select(col(cfg.idCol).as("doc_id"),
+          posexplode_outer(
+            shingles(tokens(col(cfg.textCol)), cfg.spanWindow))
+            .as(Seq("win_idx", "win")))
+        .filter(col("win").isNotNull)
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          charPolyHash(col("win")).as("wh"))
+        .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    }
+    // near-dup layers: per-doc minhash signature + quality (sig/) and
+    // LSH band buckets (bucket/) — per-doc pure, O(batch); pairs,
+    // clusters and representatives derive from the merged index in
+    // [[select]], so a cross-batch near-dup pair is found no matter
+    // which fold saw which member
+    cfg.nearDupIdx.foreach { dir =>
+      val sigs = graft.operators.Dedup.minhashSignatures(clean,
+        cfg.idCol, cfg.textCol, cfg.ndShingleN, cfg.ndNumPerm,
+        seed = 42L, portable = true)
+      val sigArr = array((0 until cfg.ndNumPerm).map(i => col(s"s$i")): _*)
+      sigs.select(col("doc_id"), sigArr.as("sig"))
+        .join(clean.select(col(cfg.idCol).as("doc_id"),
+          size(array_distinct(tokens(col(cfg.textCol)))).cast("long")
+            .as("n_distinct")), Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/sig/batch=$batchId")
+      graft.operators.Dedup.bandBuckets(sigs, cfg.ndNumPerm,
+          cfg.ndBands, portable = true)
+        .write.mode("overwrite").parquet(s"$dir/bucket/batch=$batchId")
+    }
     val scored = TextAnalysis.dsirScoreIncremental(s, cfg.dsirIdx,
       clean, cfg.idCol, cfg.textCol, cfg.nBuckets, cfg.scale)
     clean.select(col(cfg.idCol).as("doc_id"),
@@ -78,11 +138,19 @@ object CurationStream {
   def select(spark: org.apache.spark.sql.SparkSession, cfg: Config,
              targetShare10k: Map[String, Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = spark.read.parquet(cfg.curIdx)
+    val idx0 = spark.read.parquet(cfg.curIdx)
       .select(col("doc_id"), col("stratum"), col("h"),
         (col("contrib_sum").cast("double") /
           (col("n_feats") * lit(cfg.scale)).cast("double"))
           .as("dsir_score"))
+    // gates are pure functions of the MERGED index state, so the
+    // surviving set — and everything ranked after it — is independent
+    // of how the corpus was split into batches
+    val idx1 = cfg.spanIdx.fold(idx0)(dir =>
+      idx0.join(spanDropSet(spark, dir, cfg), Seq("doc_id"), "left_anti"))
+    val idx = cfg.nearDupIdx.fold(idx1)(dir =>
+      idx1.join(nearDupDropSet(spark, dir, cfg), Seq("doc_id"),
+        "left_anti"))
     val total = idx.count()
     val keep = total * cfg.keepFrac10k / 10000L
     // DISTRIBUTED global rank (range sort + zipWithIndex): a
@@ -112,6 +180,75 @@ object CurationStream {
       .filter(col("mix_rank") <= lit(maxK) && col("mix_rank") <= col("k"))
       .select(col("doc_id"), col("stratum").as(cfg.strataCol),
         col("mix_rank"))
+  }
+
+  /** Docs whose duplicated-window fraction exceeds the cap — derived
+    * from the span-hash index alone: shared hashes (in >1 doc) flag
+    * their positions; one aggregate computes per-doc totals and
+    * flagged counts; the exact-integer fraction compare needs no IEEE.
+    * Scale: the hash agg and flag-back join are [[graft.operators.
+    * Dedup.dupSpans]]'s pre-reduced shape, run over hash rows (never
+    * the text).
+    */
+  def spanDropSet(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, cfg: Config): DataFrame = {
+    val sp = spark.read.parquet(dir).select("doc_id", "win_idx", "wh")
+    val shared = sp.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+    sp.join(shared.select(col("wh"), lit(1L).as("f")), Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("f"), lit(0L))).as("n_dup"))
+      .filter(col("n_dup") * lit(10000L) >
+        col("n_win") * lit(cfg.spanMaxDupFrac10k))
+      .select("doc_id")
+  }
+
+  /** Non-representative members of near-dup clusters — derived from
+    * the persisted bucket/signature layers: capped bucket self-join →
+    * unique candidate pairs → exact-integer signature-match filter
+    * (matches ≥ ndMinMatches ⇔ est_jaccard ≥ ndMinMatches/ndNumPerm)
+    * → connected components → keep the (n_distinct DESC, id ASC) best
+    * per cluster, drop the rest. Docs in no cluster never appear in
+    * the drop set. Scale: [[graft.operators.Dedup.minhashLsh]]'s
+    * bucketed-candidates shape over skinny index rows; the bucket cap
+    * is applied over the MERGED index so batch boundaries cannot
+    * change which buckets are degenerate.
+    */
+  def nearDupDropSet(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, cfg: Config): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = spark.read.parquet(s"$dir/sig")
+    val buckets = spark.read.parquet(s"$dir/bucket")
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val capped = buckets.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= cfg.ndMaxBucket).drop("__n")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = size(filter(
+      zip_with(col("sa"), col("sb"), (x, y) => x === y), m => m))
+    val pairs = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        "doc_b")
+      .filter(matches >= cfg.ndMinMatches)
+      .select("doc_a", "doc_b")
+    val clusters = graft.operators.Dedup.dupClusters(pairs, "doc_a",
+      "doc_b")
+    val reps = graft.operators.Dedup.clusterRepresentatives(
+      clusters.join(sig.select(col("doc_id"), col("n_distinct")),
+        Seq("doc_id")),
+      "doc_id", "cluster_id", "n_distinct")
+    clusters.join(reps.select(col("cluster_id"), col("keep_id")),
+        Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
   }
 
   /** Start the streaming fold over a document stream. */

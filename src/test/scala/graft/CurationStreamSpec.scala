@@ -70,4 +70,80 @@ class CurationStreamSpec extends SparkSpecBase {
       .toSet
     assert(replayed == oneShot)
   }
+
+  test("FULL recipe (span + near-dup representative gates): streamed " +
+      "micro-batch folds equal the one-shot fold; each gate fires on " +
+      "its designed victim") {
+    val boiler = (1 to 12).map(i => s"shared boiler plate tokens " +
+      s"run on and on $i").mkString(" ")
+    val docs = (
+      // unique docs, en + fr — every token carries the doc's own id,
+      // so cross-doc shingle sets are DISJOINT (no incidental pairs)
+      (1L to 20L).map(i => CurDoc(i, "en",
+        s"u$i v$i w$i x$i y$i z$i a$i b$i c$i d$i e$i f$i")) ++
+      (21L to 30L).map(i => CurDoc(i, "fr",
+        s"g$i h$i i$i j$i k$i l$i m$i n$i o$i p$i q$i r$i")) ++
+      // near-dup pair, 8 tokens each (no second 8-token window → the
+      // span gate CANNOT fire on them): 42 repeats a token at the
+      // middle position, so the single window differs, the bigram
+      // overlap stays high, and 42's n_distinct is lower → 41 is the
+      // cluster representative
+      Seq(CurDoc(41L, "en",
+          "alpha beta gamma delta epsilon zeta eta theta"),
+        CurDoc(42L, "en",
+          "alpha beta gamma delta alpha zeta eta theta"),
+        // span victims: two docs sharing one long boilerplate run
+        // (>50% of their windows), plus distinct heads — they also
+        // near-dup-cluster with each other (44's head has one more
+        // distinct token, so 43 is the non-representative)
+        CurDoc(43L, "en", s"head fourty three $boiler"),
+        CurDoc(44L, "en", s"other head fourty four $boiler")))
+      .toDF("doc_id", "lang", "text")
+    val benchIdx = mk(); val dsirIdx = mk()
+    TextAnalysis.buildBenchmarkIndex(docs.limit(0), "text", 5, benchIdx)
+    TextAnalysis.buildDsirIndex(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", 65536, 1000000L, dsirIdx)
+    // 32 bands of 2 rows: candidate recall stays near-1 down to
+    // moderate Jaccard, so the designed pair (J ≈ 0.56 bigram) is
+    // found deterministically; the est-match filter still applies
+    def cfgFor(curIdx: String) = CurationStream.Config(
+      benchIdx, dsirIdx, curIdx, "doc_id", "text", "lang",
+      keepFrac10k = 10000L,
+      spanIdx = Some(mk()), nearDupIdx = Some(mk()), ndBands = 32)
+    val targets = Map("en" -> 6563L, "fr" -> 3125L)
+
+    val oneIdx = mk(); val oneCfg = cfgFor(oneIdx)
+    CurationStream.foldBatch(docs, 0L, oneCfg)
+    // each gate's drop set, exactly: the span gate kills both
+    // boilerplate twins; the representative gate kills the
+    // lower-quality member of each near-dup cluster ({41,42} → 42,
+    // {43,44} → 43)
+    assert(CurationStream.spanDropSet(spark, oneCfg.spanIdx.get, oneCfg)
+      .collect().map(_.getLong(0)).toSet == Set(43L, 44L))
+    assert(CurationStream
+      .nearDupDropSet(spark, oneCfg.nearDupIdx.get, oneCfg)
+      .collect().map(_.getLong(0)).toSet == Set(42L, 43L))
+    val oneShot = CurationStream.select(spark, oneCfg, targets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(oneShot.nonEmpty)
+    val keptIds = oneShot.map(_._1)
+    // no gated doc survives into the selection
+    assert((keptIds & Set(42L, 43L, 44L)).isEmpty)
+
+    // streamed in adversarial splits: the near-dup PAIR and the span
+    // twins land in DIFFERENT micro-batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[CurDoc](spark)
+    val mixIdx = mk(); val cfg = cfgFor(mixIdx)
+    val q = CurationStream.start(input.toDF(), cfg, mk())
+    val rows = docs.as[CurDoc].collect().sortBy(_.doc_id)
+    Seq(rows.filter(_.doc_id % 2 == 1), rows.filter(_.doc_id % 2 == 0))
+      .foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = CurationStream.select(spark, cfg, targets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == oneShot)
+  }
 }
