@@ -1159,6 +1159,48 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // ---- PERSISTED profile index: ANALYZE under continuous ingest ---
+    // Two batch folds of per-column stats + KMV minima layers; the
+    // merged profile equals the one-shot q118 result (verbatim
+    // oracle) by the component merge laws (counts add, min/max
+    // compose, minima min-union).
+    "q128_profile_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("profile_idx").toString
+      operators.Profile.profileAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        Seq("doc_id", "lang", "source"), kmvK = 64, idx, 1L)
+      operators.Profile.profileAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        Seq("doc_id", "lang", "source"), kmvK = 64, idx, 2L)
+      operators.Profile.profileFromIndex(s, idx, kmvK = 64)
+        .orderBy(col("column"))
+    }),
+
+    // ---- PERSISTED unigram-LM index + incremental scoring -----------
+    // Model counts folded in two batches (additive), then the corpus
+    // scored in two batches against the merged index — union equals
+    // the one-shot self-trained q94 run (verbatim oracle): the CCNet
+    // frozen-reference-model read path, proven on the self-corpus
+    // where the one-shot ground truth exists.
+    "q129_lm_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("lm_idx").toString
+      TextAnalysis.lmIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text", idx, 1L)
+      TextAnalysis.lmIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "text", idx, 2L)
+      TextAnalysis.lmScoreIncremental(s, idx,
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
+          headMin = 0.0334, midMin = 0.0333)
+        .unionByName(TextAnalysis.lmScoreIncremental(s, idx,
+          d.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text",
+          headMin = 0.0334, midMin = 0.0333))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deterministic train/val/test split -------------------------
     "q113_split_assign" -> ((s, dir) => {
       TextAnalysis.assignSplit(t(s, dir, "documents"), "doc_id",
@@ -3007,6 +3049,54 @@ object SparkEntry {
        |FROM r JOIN caps USING (lang)
        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
 
+  private val LmQualityOracleSql: String =
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM toks
+        | GROUP BY doc_id, tok),
+        |f AS (SELECT tok, SUM(k) AS c FROM dt GROUP BY tok),
+        |tt AS (SELECT SUM(k) AS t_total FROM dt),
+        |agg AS (SELECT doc_id, SUM(k) AS n_tokens, SUM(k * c) AS freq_sum
+        | FROM dt JOIN f USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(freq_sum AS BIGINT) AS freq_sum,
+        | CAST(freq_sum AS DOUBLE) /
+        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+        |     AS DOUBLE) AS mean_rel_freq,
+        | CASE WHEN CAST(freq_sum AS DOUBLE) /
+        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+        |     AS DOUBLE) >= 0.0334 THEN 'head'
+        |  WHEN CAST(freq_sum AS DOUBLE) /
+        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+        |     AS DOUBLE) >= 0.0333 THEN 'middle'
+        |  ELSE 'tail' END AS lm_bucket
+        |FROM agg, tt ORDER BY doc_id""".stripMargin
+
+  private val ProfileOracleSql: String = {
+      val u = Seq("doc_id", "lang", "source").map(c =>
+        s"SELECT '$c' AS \"column\", CAST($c AS VARCHAR) AS v FROM documents")
+        .mkString("\nUNION ALL\n")
+      s"""WITH u AS ($u),
+         |base AS (SELECT "column", COUNT(*) AS n_rows,
+         |  SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+         |  MIN(v) AS min_v, MAX(v) AS max_v FROM u GROUP BY "column"),
+         |hs AS (SELECT DISTINCT "column",
+         |   ${polyHashSql("v || '|kmv-salt'")} AS h
+         | FROM u WHERE v IS NOT NULL),
+         |rk AS (SELECT "column", h, ROW_NUMBER() OVER (
+         |   PARTITION BY "column" ORDER BY h) AS rn FROM hs),
+         |agg AS (SELECT "column", COUNT(*) AS n_kept, MAX(h) AS kth_min
+         | FROM rk WHERE rn <= 64 GROUP BY "column")
+         |SELECT b."column", CAST(n_rows AS BIGINT) AS n_rows,
+         | CAST(n_null AS BIGINT) AS n_null, min_v, max_v,
+         | CAST(COALESCE(CASE WHEN a.n_kept < 64 THEN a.n_kept
+         |   ELSE (63 * CAST(2147483647 AS BIGINT)) // a.kth_min END, 0)
+         |   AS BIGINT) AS est_distinct
+         |FROM base b LEFT JOIN agg a USING ("column")
+         |ORDER BY b."column"""".stripMargin
+  }
+
   private val DsirOracleSql: String =
     """WITH toks AS (SELECT doc_id,
       |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
@@ -4746,29 +4836,12 @@ object SparkEntry {
     // LM-quality replay: distinct (doc, token) counts, unigram frequency
     // table from the same pre-reduced stream, exact-int mean relative
     // frequency; bucket thresholds as literal constants.
-    "q94_lm_quality" ->
-      """WITH toks AS (SELECT doc_id,
-        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
-        | FROM documents),
-        |dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM toks
-        | GROUP BY doc_id, tok),
-        |f AS (SELECT tok, SUM(k) AS c FROM dt GROUP BY tok),
-        |tt AS (SELECT SUM(k) AS t_total FROM dt),
-        |agg AS (SELECT doc_id, SUM(k) AS n_tokens, SUM(k * c) AS freq_sum
-        | FROM dt JOIN f USING (tok) GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        | CAST(freq_sum AS BIGINT) AS freq_sum,
-        | CAST(freq_sum AS DOUBLE) /
-        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
-        |     AS DOUBLE) AS mean_rel_freq,
-        | CASE WHEN CAST(freq_sum AS DOUBLE) /
-        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
-        |     AS DOUBLE) >= 0.0334 THEN 'head'
-        |  WHEN CAST(freq_sum AS DOUBLE) /
-        |   CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
-        |     AS DOUBLE) >= 0.0333 THEN 'middle'
-        |  ELSE 'tail' END AS lm_bucket
-        |FROM agg, tt ORDER BY doc_id""".stripMargin,
+    "q94_lm_quality" -> LmQualityOracleSql,
+
+    // Persisted-LM fold: model counts additive + per-doc-pure scoring
+    // => two-batch model fold + two-batch scoring union equals the
+    // one-shot self-trained run VERBATIM.
+    "q129_lm_incremental" -> LmQualityOracleSql,
 
     // Bigram-LM replay: adjacent-pair stream via lead(), bigram and
     // prefix counts from the same stream, exact-integer conditional-
@@ -4954,29 +5027,11 @@ object SparkEntry {
 
     // Profile replay: string-cast per-column stream; nulls/min/max
     // directly, distinct via the salted KMV estimate (k = 64).
-    "q118_profile" -> {
-      val u = Seq("doc_id", "lang", "source").map(c =>
-        s"SELECT '$c' AS \"column\", CAST($c AS VARCHAR) AS v FROM documents")
-        .mkString("\nUNION ALL\n")
-      s"""WITH u AS ($u),
-         |base AS (SELECT "column", COUNT(*) AS n_rows,
-         |  SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
-         |  MIN(v) AS min_v, MAX(v) AS max_v FROM u GROUP BY "column"),
-         |hs AS (SELECT DISTINCT "column",
-         |   ${polyHashSql("v || '|kmv-salt'")} AS h
-         | FROM u WHERE v IS NOT NULL),
-         |rk AS (SELECT "column", h, ROW_NUMBER() OVER (
-         |   PARTITION BY "column" ORDER BY h) AS rn FROM hs),
-         |agg AS (SELECT "column", COUNT(*) AS n_kept, MAX(h) AS kth_min
-         | FROM rk WHERE rn <= 64 GROUP BY "column")
-         |SELECT b."column", CAST(n_rows AS BIGINT) AS n_rows,
-         | CAST(n_null AS BIGINT) AS n_null, min_v, max_v,
-         | CAST(COALESCE(CASE WHEN a.n_kept < 64 THEN a.n_kept
-         |   ELSE (63 * CAST(2147483647 AS BIGINT)) // a.kth_min END, 0)
-         |   AS BIGINT) AS est_distinct
-         |FROM base b LEFT JOIN agg a USING ("column")
-         |ORDER BY b."column"""".stripMargin
-    },
+    "q118_profile" -> ProfileOracleSql,
+
+    // Persisted-profile fold: counts add, min/max compose, KMV minima
+    // min-union => folded profile == one-shot VERBATIM.
+    "q128_profile_incremental" -> ProfileOracleSql,
 
     // Split replay: cumulative hash-slot ranges over the portable
     // poly-hash of (doc_id || '|split').

@@ -63,9 +63,7 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
               kmvK: Int = 64): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val stream = cols.map(c =>
-        df.select(lit(c).as("column"), col(c).cast("string").as("v")))
-      .reduce(_ unionByName _)
+    val stream = colStream(df, cols)
     val base = stream.groupBy("column")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
@@ -73,9 +71,63 @@ object Profile {
     val distincts = Sketches.kmvDistinct(
         stream.filter(col("v").isNotNull), "column", "v", kmvK)
       .select(col("grp").as("column"), col("est_distinct"))
+    assemble(base, distincts)
+  }
+
+  private def colStream(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map(c =>
+        df.select(lit(c).as("column"), col(c).cast("string").as("v")))
+      .reduce(_ unionByName _)
+
+  private def assemble(base: DataFrame, distincts: DataFrame): DataFrame =
     base.join(distincts, Seq("column"), "left")
       .select(col("column"), col("n_rows"), col("n_null"),
         col("min_v"), col("max_v"),
         coalesce(col("est_distinct"), lit(0L)).as("est_distinct"))
+
+  // ------------------------------------------------ persisted profile index
+
+  /** Fold one ingest batch's per-column stats into a PERSISTED profile
+    * index: a `stats/` layer (one pre-reduced row per column: counts,
+    * nulls, binary min/max) and a `kmv/` layer (the batch's k-minimum
+    * distinct-value hashes per column). Every component obeys a merge
+    * law — counts add, min/max compose, KMV minima min-union — so
+    * [[profileFromIndex]] over the folded layers equals the one-shot
+    * [[profile]] of the union EXACTLY (q128 proves it against q118's
+    * verbatim oracle). This is "ANALYZE under continuous ingest":
+    * per-fold cost is O(batch), the at-rest index is bounded by
+    * layers × (columns + columns·k) rows, and the 100 TB table is
+    * never rescanned to refresh its stats.
+    */
+  def profileAppend(batch: DataFrame, cols: Seq[String], kmvK: Int,
+                    indexDir: String, batchId: Long): Unit = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val stream = colStream(batch, cols)
+    stream.groupBy("column")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats/batch=$batchId")
+    Sketches.kmvMinima(stream.filter(col("v").isNotNull),
+        "column", "v", kmvK)
+      .write.mode("overwrite").parquet(s"$indexDir/kmv/batch=$batchId")
+  }
+
+  /** The merged table profile from the at-rest index: layer stats
+    * re-aggregate (sum/sum/min/max — a string's global binary min is
+    * the min of per-batch mins), layer minima re-rank through the
+    * shared KMV estimate path.
+    */
+  def profileFromIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, kmvK: Int): DataFrame = {
+    val base = spark.read.parquet(s"$indexDir/stats")
+      .groupBy("column")
+      .agg(sum("n_rows").as("n_rows"), sum("n_null").as("n_null"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+    val distincts = Sketches.kmvEstimate(
+        spark.read.parquet(s"$indexDir/kmv").select(
+          col("grp"), col("h")), kmvK)
+      .select(col("grp").as("column"), col("est_distinct"))
+    assemble(base, distincts)
   }
 }

@@ -149,7 +149,9 @@ object Sketches {
     */
   def kmvDistinct(df: DataFrame, groupCol: String, itemCol: String,
                   k: Int): DataFrame =
-    kmvEstimate(kmvMinima(df, groupCol, itemCol, k), k)
+    // the one-shot minima are exactly the k smallest distinct hashes
+    // already — finalize with a plain aggregate, no second rank window
+    kmvFinalize(kmvMinima(df, groupCol, itemCol, k), k)
 
   /** The k smallest distinct item hashes per group — the sketch's
     * mergeable state: (grp, h) rows, ≤ k per group.
@@ -173,19 +175,26 @@ object Sketches {
       .select("grp", "h")
   }
 
-  /** (grp, n_kept, kth_min, est_distinct) from minima rows. Re-ranks
-    * its input, so unioned multi-layer minima (possibly > k per group,
-    * possibly duplicated across layers) estimate identically to
-    * single-shot minima.
+  /** Re-rank unioned multi-layer minima (possibly > k per group,
+    * possibly duplicated across layers) back down to the k smallest,
+    * then finalize — estimates identically to single-shot minima.
     */
-  private def kmvEstimate(minima: DataFrame, k: Int): DataFrame = {
-    val M = 2147483647L
+  private[operators] def kmvEstimate(minima: DataFrame,
+                                     k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("h"))
-    minima.select(col("grp"), col("h")).distinct()
+    kmvFinalize(minima.select(col("grp"), col("h")).distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .groupBy("grp")
+      .select("grp", "h"), k)
+  }
+
+  /** (grp, n_kept, kth_min, est_distinct) from EXACT minima rows
+    * (≤ k distinct per group): one plain aggregate.
+    */
+  private def kmvFinalize(minima: DataFrame, k: Int): DataFrame = {
+    val M = 2147483647L
+    minima.groupBy("grp")
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept"))

@@ -671,6 +671,58 @@ object TextAnalysis {
       .drop("t_total")
   }
 
+  /** Fold one ingest batch's token counts into a PERSISTED unigram-LM
+    * index — the model half of [[lmQualityScore]] under continuous
+    * ingest: counts are additive, so the folded index equals the
+    * one-shot frequency table of the union (and CCNet's actual shape —
+    * a FROZEN reference-corpus model scoring new data — is the same
+    * read path with the folds stopped). O(batch) per fold, vocab-sized
+    * layers.
+    */
+  def lmIndexAppend(batch: DataFrame, textCol: String, indexDir: String,
+                    batchId: Long): Unit =
+    batch.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Score one batch of documents against the persisted LM index with
+    * [[lmQualityScore]]'s exact arithmetic (mean relative token
+    * frequency, exact-int products). Per-doc scores depend only on
+    * the doc and the model, so scoring batch-by-batch and unioning
+    * equals the one-shot run whenever the index holds the same
+    * corpus — q129 proves fold-model + fold-scoring against q94's
+    * verbatim oracle. The vocab-sized frequency table broadcasts; the
+    * batch side never shuffles its token stream beyond the per-doc
+    * pre-reduction.
+    */
+  def lmScoreIncremental(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         headMin: Double, midMin: Double): DataFrame = {
+    val freq = spark.read.parquet(indexDir)
+      .groupBy("tok").agg(sum("c").as("c"))
+    val total = freq.agg(sum("c").as("t_total"))
+    val docTok = batch.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    // LEFT join: a token the model never saw scores 0 but still
+    // counts in n_tokens (the frozen-reference-model case; when the
+    // index holds the scored corpus itself, every token matches and
+    // this is exactly lmQualityScore's inner join)
+    docTok.join(broadcast(freq), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_tokens"),
+        sum(col("k") * coalesce(col("c"), lit(0L))).as("freq_sum"))
+      .crossJoin(broadcast(total))
+      .withColumn("mean_rel_freq", col("freq_sum").cast("double") /
+        (col("n_tokens") * col("t_total")).cast("double"))
+      .withColumn("lm_bucket",
+        when(col("mean_rel_freq") >= headMin, "head")
+          .when(col("mean_rel_freq") >= midMin, "middle")
+          .otherwise("tail"))
+      .drop("t_total")
+  }
+
   /** Bigram-LM quality scoring — the n-gram upgrade of
     * [[lmQualityScore]] (CCNet's KenLM is an n-gram model; this is the
     * 2-gram member of the family with the same engine-portable

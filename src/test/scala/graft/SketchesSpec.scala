@@ -141,6 +141,57 @@ class SketchesSpec extends SparkSpecBase {
       rows(Sketches.kmvDistinct(toks, "src", "token", 4)))
   }
 
+  test("persisted profile index: folded layers equal the one-shot " +
+      "profile, including a batch where a column is all-null") {
+    val docs = Seq((1L, Some("en"), "w1"), (2L, None, "w2"),
+        (3L, Some("fr"), "w1"), (4L, None, "w3"))
+      .toDF("id", "lang", "src")
+    val idx = java.nio.file.Files.createTempDirectory("prof_idx").toString
+    // batch 2 has only null langs — its kmv layer has no lang rows
+    graft.operators.Profile.profileAppend(
+      docs.filter($"id" <= 2), Seq("id", "lang", "src"), 64, idx, 1L)
+    graft.operators.Profile.profileAppend(
+      docs.filter($"id" > 2), Seq("id", "lang", "src"), 64, idx, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSet
+    val oneShot = rows(graft.operators.Profile.profile(
+      docs, Seq("id", "lang", "src"), 64))
+    assert(rows(graft.operators.Profile.profileFromIndex(spark, idx, 64))
+      == oneShot)
+    val byCol = oneShot.map(t => t._1 -> t).toMap
+    assert(byCol("lang")._3 == 2L && byCol("lang")._6 == 2L)
+    assert(byCol("src")._6 == 3L) // w1 deduped across batches
+  }
+
+  test("lmScoreIncremental: folded model + batched scoring equal the " +
+      "one-shot self-trained lmQualityScore; unseen tokens score 0 " +
+      "but count against a frozen model") {
+    val docs = Seq((1L, "the the cat"), (2L, "the dog"), (3L, "rare"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("lm_idx").toString
+    graft.operators.TextAnalysis.lmIndexAppend(docs.filter($"doc_id" <= 2), "text", idx, 1L)
+    graft.operators.TextAnalysis.lmIndexAppend(docs.filter($"doc_id" > 2), "text", idx, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSet
+    val oneShot = rows(graft.operators.TextAnalysis.lmQualityScore(
+      docs, "doc_id", "text", 0.2, 0.1))
+    val folded = rows(
+      graft.operators.TextAnalysis.lmScoreIncremental(spark, idx,
+          docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.2, 0.1)
+        .unionByName(graft.operators.TextAnalysis.lmScoreIncremental(spark, idx,
+          docs.filter($"doc_id" % 2 === 0), "doc_id", "text", 0.2, 0.1)))
+    assert(folded == oneShot && oneShot.nonEmpty)
+    // frozen-model path: a doc with a token the model never saw
+    val unseen = graft.operators.TextAnalysis.lmScoreIncremental(spark, idx,
+        Seq((9L, "the martian")).toDF("doc_id", "text"),
+        "doc_id", "text", 0.2, 0.1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    // n_tokens counts both words; freq_sum only the seen one (the=3)
+    assert(unseen == ((2L, 3L)))
+  }
+
   test("groupQuantiles: nearest-rank values on a hand corpus") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L)).toDF("g", "v")
