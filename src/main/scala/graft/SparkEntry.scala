@@ -276,6 +276,25 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
 
+    // ---- PERSISTED exact-dedup index: two ingest folds --------------
+    // Min-id and dup-count both merge (min composes, counts add), so
+    // the folded dedup table equals the one-shot q19 result (verbatim
+    // oracle) — exact dedup under continuous ingest, O(batch) folds.
+    "q130_exact_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("exact_idx").toString
+      Dedup.exactIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        idx, 1L)
+      Dedup.exactIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        idx, 2L)
+      Dedup.exactFromIndex(s, idx)
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
     // ---- dedup: token-bigram Jaccard (bounded candidate set) --------
     "q20_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccard(t(s, dir, "documents").filter(col("doc_id") < 400),
@@ -3457,6 +3476,12 @@ object SparkEntry {
          |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     "q19_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // Persisted exact-dedup fold: min composes and counts add, so the
+    // two-batch fold replays as the one-shot q19 VERBATIM.
+    "q130_exact_dedup_incremental" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 

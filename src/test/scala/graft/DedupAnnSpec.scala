@@ -17,6 +17,24 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(r.filter($"n_dups" === 2).agg(max("keep_id")).as[Long].head() < 500)
   }
 
+  test("persisted exact-dedup index: cross-batch duplicates merge to " +
+      "the one-shot dedup table (min composes, counts add)") {
+    val withDups = docs.select("doc_id", "text")
+      .union(docs.filter($"doc_id" < 5).select($"doc_id" + 10000, $"text"))
+    val idx = java.nio.file.Files.createTempDirectory("exact_idx").toString
+    // the duplicate pairs land in DIFFERENT layers (originals < 5,
+    // copies >= 10000) — the merge must still find them
+    Dedup.exactIndexAppend(withDups.filter($"doc_id" < 5000),
+      "doc_id", "text", idx, 1L)
+    Dedup.exactIndexAppend(withDups.filter($"doc_id" >= 5000),
+      "doc_id", "text", idx, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("keep_id", "n_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Dedup.exactFromIndex(spark, idx)) ==
+      rows(Dedup.exact(withDups, "doc_id", "text")))
+  }
+
   test("minhash estimate tracks exact jaccard for near-identical docs") {
     // doc + itself with one token changed → jaccard ≈ high
     val base = docs.filter($"doc_id" < 30).select($"doc_id", $"text")
