@@ -314,6 +314,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(pMix.contains("WindowGroupLimit"), pMix)
   }
 
+  test("lmScoreIncremental joins the persisted model as a broadcast — " +
+      "the 100 TB batch side never shuffles on the Zipf-hot token key") {
+    val docs = Seq((1L, "the cat"), (2L, "the dog")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("lm_idx").toString
+    graft.operators.TextAnalysis.lmIndexAppend(docs, "text", idx, 1L)
+    val p = plan(graft.operators.TextAnalysis.lmScoreIncremental(
+      spark, idx, docs, "doc_id", "text", 0.2, 0.1))
+    // the model attaches via broadcast (LeftOuter BuildRight) — the
+    // batch side's only exchanges are its (doc_id, tok) pre-reduction
+    // and the per-doc agg; a sort-merge join on tok would shuffle the
+    // corpus token stream on the Zipf-hot key
+    assert(countIn(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("hashEmbed: two pre-reduced aggregates and the id left-join — " +
+      "no exchange keyed on the raw token stream") {
+    val docs = Seq((1L, "the cat"), (2L, "the dog")).toDF("doc_id", "text")
+    val p = plan(graft.operators.Embed.hashEmbed(docs, "doc_id", "text", 8))
+    // (doc,bucket) agg and per-doc map agg share doc-keyed exchanges;
+    // the token explosion itself is never a shuffle key
+    assert(countIn(p, "Exchange hashpartitioning\\(tok") == 0, p)
+    assert(countIn(p, "Exchange hashpartitioning\\(b[,#]") == 0, p)
+  }
+
   test("groupQuantiles ranks ONCE for any number of quantiles: the " +
       "Window count and the exchange count do not grow with m") {
     val vals = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L))

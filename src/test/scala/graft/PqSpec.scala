@@ -182,6 +182,14 @@ class PqSpec extends SparkSpecBase {
     // replaying a still-LIVE layer overwrites itself — idempotent
     Ann.ivfPqIndexAppend(codes.filter(col("emb_id") >= 6), idx, 3L)
     assert(run() == inMem)
+    // MIXED-namespace scan (compact=1 live beside batch=3): partition
+    // pruning must hold on BOTH layer groups — no scan may read all
+    // coarse lists
+    val pMixed = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id",
+        "embedding", coarse, cbs, nProbe = 1, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(pMixed.contains("PartitionFilters") &&
+      !pMixed.contains("PartitionFilters: []"), pMixed)
     // second compaction folds (compact=1, batch=3) into compact=2
     Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
     assert(run() == inMem)
