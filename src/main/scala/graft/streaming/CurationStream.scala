@@ -154,9 +154,13 @@ object CurationStream {
     // of how the corpus was split into batches
     val idx1 = cfg.spanIdx.fold(idx0)(dir =>
       idx0.join(spanDropSet(spark, dir, cfg), Seq("doc_id"), "left_anti"))
+    // materialized once: the gated index feeds the keep-count AND the
+    // global rank below — without this every action re-runs the gate
+    // joins (and the span aggregation) over the full index
     val idx = cfg.nearDupIdx.fold(idx1)(dir =>
       idx1.join(nearDupDropSet(spark, dir, cfg), Seq("doc_id"),
         "left_anti"))
+      .localCheckpoint(false)
     val total = idx.count()
     val keep = total * cfg.keepFrac10k / 10000L
     // DISTRIBUTED global rank (range sort + zipWithIndex): a
