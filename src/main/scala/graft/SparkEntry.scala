@@ -1171,6 +1171,28 @@ object SparkEntry {
         .orderBy(col("grp"), col("q10k"))
     }),
 
+    // ---- PERSISTED histogram index: exact quantiles at ingest -------
+    // Per-batch (group, value, count) layers — counts add, so the
+    // merged histogram is the union's exact frequency table and the
+    // nearest-rank quantiles from it equal the one-shot q120 result
+    // (verbatim oracle). Repeated quantile queries then read
+    // histogram-sized rows, never the fact table.
+    "q132_quantiles_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("hist_idx").toString
+      operators.Profile.histAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "len",
+        idx, 1L)
+      operators.Profile.histAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "lang", "len",
+        idx, 2L)
+      operators.Profile.groupQuantilesFromIndex(s, idx,
+          q10k = Seq(5000L, 9000L, 9900L))
+        .orderBy(col("grp"), col("q10k"))
+    }),
+
     // ---- table profiling: per-column stats + KMV distinct -----------
     "q118_profile" -> ((s, dir) => {
       operators.Profile.profile(t(s, dir, "documents"),
@@ -2473,6 +2495,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- IVF-PQ with refinement: ADC top-R → exact re-rank ----------
+    // The standard recall-recovery step: approximate distances pick 20
+    // candidates per query, their TRUE vectors re-rank the top 5
+    // exactly — quantization error only matters below the rerank
+    // horizon. Oracle replays the whole chain plus the exact re-rank.
+    "q131_ivfpq_refined" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val (coarse, cbs, codes) = Ann.ivfPqBuild(em, "vec_id", "embedding",
+        kc = 4, m = 4, k = 8, iters = 2)
+      Ann.ivfPqSearchRefined(em.filter(pmod(col("vec_id"), lit(50)) === 0),
+          codes, em, "vec_id", "embedding", coarse, cbs, nProbe = 2,
+          rerank = 20, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- the retrieval vertical, end to end from RAW TEXT -----------
     // hashEmbed (32-dim signed counts) → IVF-PQ build (4 coarse lists,
     // 4×8 codes on residuals) → THREE index appends with a COMPACTION
@@ -3114,6 +3151,41 @@ object SparkEntry {
          |   AS BIGINT) AS est_distinct
          |FROM base b LEFT JOIN agg a USING ("column")
          |ORDER BY b."column"""".stripMargin
+  }
+
+  private val GroupQuantilesOracleSql: String =
+    """WITH v AS (SELECT lang AS grp, CAST(len(text) AS BIGINT) AS len
+      |  FROM documents),
+      |r AS (SELECT grp, len,
+      |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY len) AS rn,
+      |  COUNT(*) OVER (PARTITION BY grp) AS n FROM v),
+      |qs AS (SELECT unnest([5000, 9000, 9900]) AS q10k)
+      |SELECT grp, CAST(q10k AS BIGINT) AS q10k, len AS value
+      |FROM r JOIN qs ON rn = greatest(1, (n * q10k + 9999) // 10000)
+      |ORDER BY grp, q10k""".stripMargin
+
+  /** ADC top-20 candidates exactly re-ranked over the true vectors —
+    * the q131 refinement replay on top of the shared IVF-PQ chain.
+    * Lazy: `ivfPqChainSql` is declared later in this object and a
+    * strict val here would interpolate null.
+    */
+  private lazy val IvfPqRefinedOracleSql: String = {
+    def sq(e: String, c: String) =
+      s"round(list_sum(list_transform(range(len($e)), " +
+        s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
+    s"""WITH $ivfPqChainSql,
+       |adcr AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist, neighbor_id) AS rk FROM scored)
+       | WHERE rk <= 20),
+       |ref AS (SELECT a.query_id, a.neighbor_id,
+       |  ${sq("q.v", "c.v")} AS dist
+       | FROM adcr a JOIN ex q ON q.vec_id = a.query_id
+       | JOIN ex c ON c.vec_id = a.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY dist, neighbor_id) AS rank FROM ref)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   private val DsirOracleSql: String =
@@ -5039,16 +5111,11 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // Nearest-rank quantile replay: exact integer ceil((n·q)/10⁴).
-    "q120_group_quantiles" ->
-      """WITH v AS (SELECT lang AS grp, CAST(len(text) AS BIGINT) AS len
-        |  FROM documents),
-        |r AS (SELECT grp, len,
-        |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY len) AS rn,
-        |  COUNT(*) OVER (PARTITION BY grp) AS n FROM v),
-        |qs AS (SELECT unnest([5000, 9000, 9900]) AS q10k)
-        |SELECT grp, CAST(q10k AS BIGINT) AS q10k, len AS value
-        |FROM r JOIN qs ON rn = greatest(1, (n * q10k + 9999) // 10000)
-        |ORDER BY grp, q10k""".stripMargin,
+    "q120_group_quantiles" -> GroupQuantilesOracleSql,
+
+    // Persisted-histogram fold: counts add, so the folded quantiles
+    // replay as the one-shot q120 VERBATIM.
+    "q132_quantiles_incremental" -> GroupQuantilesOracleSql,
 
     // Profile replay: string-cast per-column stream; nulls/min/max
     // directly, distinct via the salted KMV estimate (k = 64).
@@ -5260,6 +5327,9 @@ object SparkEntry {
     // codes are batching-independent, so the two-batch append + pruned
     // query replays as the in-memory q99 check verbatim.
     "q102_ivfpq_persisted" -> ivfPqOracleSql,
+
+    // ADC top-R → exact re-rank over true vectors.
+    "q131_ivfpq_refined" -> IvfPqRefinedOracleSql,
 
     // Text → retrieval vertical: the q121 embed chain feeding the
     // shared IVF-PQ replay (sub=8 for dim 32); the persisted index's

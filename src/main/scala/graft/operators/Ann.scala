@@ -699,6 +699,43 @@ object Ann {
         col("rank").cast("long").as("rank"), col("adist"))
   }
 
+  /** IVF-PQ with REFINEMENT (the standard recall-recovery step, Jégou
+    * et al. 2011 §V.A): take the top `rerank` candidates by
+    * approximate ADC distance, fetch their TRUE vectors, and re-rank
+    * exactly — quantization error then only matters below the rerank
+    * horizon, not at the top-k boundary. Scale shape: the candidate
+    * set is queries × rerank rows (tiny); the vector fetch is an
+    * equi-join against the vector table (a point-lookup pattern — at
+    * rest, bucket the vector table by id); the exact distances touch
+    * rerank vectors per query instead of the whole corpus. Output:
+    * (query_id, neighbor_id, rank, dist) under the rounded-L2 order
+    * with id tie-break.
+    */
+  def ivfPqSearchRefined(queries: DataFrame, codes: DataFrame,
+                         vectors: DataFrame, idCol: String, vecCol: String,
+                         coarse: Seq[Seq[Double]],
+                         codebooks: Seq[Seq[Seq[Double]]], nProbe: Int,
+                         rerank: Int, k: Int): DataFrame = {
+    require(rerank >= k, "rerank horizon must cover k")
+    val cand = ivfPqSearch(queries, codes, idCol, vecCol, coarse,
+      codebooks, nProbe, rerank).select("query_id", "neighbor_id")
+    val vs = vectors.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("cv"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("qv"))
+    val scored = cand.join(vs, Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("dist",
+        round(graft.functions.VectorOps.vecSqDist(col("qv"), col("cv")), 4)
+          + lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("dist"))
+  }
+
   /** Append one micro-batch of PQ codes to a PERSISTED IVF-PQ index:
     * written partitioned by the coarse list id
     * (`indexDir/batch=N/coarse=c/`), append-only like

@@ -60,6 +60,57 @@ object Profile {
       .select(col("grp"), col("q10k"), col("v").as("value"))
   }
 
+  /** Fold one ingest batch's per-group value histogram into a
+    * PERSISTED index: one (group, value, count) row per distinct
+    * value the batch contributes — counts add across layers, so the
+    * merged histogram is the union's exact value-frequency table and
+    * [[groupQuantilesFromIndex]] recovers the one-shot
+    * [[groupQuantiles]] EXACTLY (q132 against q120's verbatim
+    * oracle). Exact quantiles under continuous ingest: O(batch)
+    * folds, at-rest state bounded by distinct (group, value) pairs —
+    * for discrete measures (lengths, counts, scores in fixed-point)
+    * that is tiny regardless of corpus size, and repeated quantile
+    * queries read the histogram, never the fact table. Nulls are
+    * excluded, as in the one-shot path.
+    */
+  def histAppend(df: DataFrame, groupCol: String, valCol: String,
+                 indexDir: String, batchId: Long): Unit =
+    df.select(col(groupCol).as("grp"), col(valCol).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Nearest-rank quantiles from the merged histogram: per group, the
+    * value v covers ranks (cum − cnt, cum] of the ascending value
+    * order, so the q-quantile is the v whose range contains
+    * max(1, ceil(n·q/10⁴)) — one cumulative window over
+    * histogram-sized rows (vs corpus-sized in the one-shot path),
+    * every comparison exact-integer.
+    */
+  def groupQuantilesFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              q10k: Seq[Long]): DataFrame = {
+    require(q10k.nonEmpty && q10k.forall(q => q > 0 && q <= 10000),
+      "quantiles are parts-per-10000 in (0, 10000]")
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val cumW = grpW.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    spark.read.parquet(indexDir)
+      .groupBy("grp", "v").agg(sum("cnt").as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(grpW))
+      .select(col("grp"), col("v"), col("cnt"), col("cum"), col("n"),
+        explode(typedLit(q10k.sorted)).as("q10k"))
+      .withColumn("target",
+        greatest(lit(1L), expr("(n * q10k + 9999L) div 10000L")))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
+      .select(col("grp"), col("q10k"), col("v").as("value"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String],
               kmvK: Int = 64): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -148,6 +148,28 @@ class PqSpec extends SparkSpecBase {
     assert(run() == before)
   }
 
+  test("refinement: exact re-rank of the ADC top-R — recall at least " +
+      "the plain ADC search's, perfect on separable data") {
+    import org.apache.spark.sql.functions._
+    val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2)
+    val q = corpus.filter(col("vec_id") < 2)
+    val exact = Ann.bruteForceTopKL2(q, corpus, "vec_id", "embedding", 3)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Ann.recallAtK(approx, exact, k = 3)
+        .agg(avg("recall")).head().getDouble(0)
+    val plain = recall(Ann.ivfPqSearch(q, codes, "vec_id", "embedding",
+      coarse, cbs, nProbe = 1, k = 3))
+    val refined = recall(Ann.ivfPqSearchRefined(q, codes, corpus,
+      "vec_id", "embedding", coarse, cbs, nProbe = 1, rerank = 6, k = 3))
+    assert(refined >= plain && refined == 1.0, s"$plain -> $refined")
+    // rerank horizon must cover k
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqSearchRefined(q, codes, corpus, "vec_id", "embedding",
+        coarse, cbs, nProbe = 1, rerank = 2, k = 3)
+    }
+  }
+
   test("append after compact: the monotonic next batch id lands beside " +
       "the compacted layer (no overwrite), absorbed ids are refused, " +
       "own-layer replay stays idempotent") {

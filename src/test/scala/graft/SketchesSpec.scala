@@ -192,6 +192,27 @@ class SketchesSpec extends SparkSpecBase {
     assert(unseen == ((2L, 3L)))
   }
 
+  test("persisted histogram index: folded quantiles equal the one-shot " +
+      "groupQuantiles, with tied values split across batches") {
+    // value 2 appears in BOTH batches — the histogram must merge its
+    // counts before the rank arithmetic
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 2L, 1L),
+        ("a", 3L, 2L), ("a", 9L, 1L), ("b", 5L, 1L))
+      .toDF("g", "v", "batch")
+    val idx = java.nio.file.Files.createTempDirectory("hist_idx").toString
+    graft.operators.Profile.histAppend(
+      df.filter($"batch" === 1), "g", "v", idx, 1L)
+    graft.operators.Profile.histAppend(
+      df.filter($"batch" === 2), "g", "v", idx, 2L)
+    val qs = Seq(2000L, 5000L, 10000L)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getAs[Long]("q10k"),
+        r.getAs[Long]("value"))).toSet
+    assert(rows(graft.operators.Profile.groupQuantilesFromIndex(
+        spark, idx, qs)) ==
+      rows(graft.operators.Profile.groupQuantiles(df, "g", "v", qs)))
+  }
+
   test("groupQuantiles: nearest-rank values on a hand corpus") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L)).toDF("g", "v")
