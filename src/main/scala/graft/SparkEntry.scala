@@ -2355,6 +2355,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- MATERIALIZED packed batches: the artifact a trainer reads --
+    // train → encode to ids → lay docs end-to-end per language stream
+    // → emit one row per 512-token chunk with the comma-joined id
+    // sequence. The oracle replays the whole chain through the packed
+    // id strings — any offset slip or ordering wobble scrambles them.
+    "q133_pack_emit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+      val vocab = TextAnalysis.bpeVocab(d, "text", merges)
+      val enc = TextAnalysis.bpeEncodeIds(d, "doc_id", "text", merges,
+        vocab)
+      TextAnalysis.emitPackedChunks(enc,
+          d.select(col("doc_id"), col("lang").as("stream")),
+          chunkTokens = 512)
+        .orderBy(col("stream"), col("chunk_idx"))
+    }),
+
+    // ---- deterministic epoch shuffle + round-robin sharding ---------
+    "q134_shuffle_shard" -> ((s, dir) => {
+      TextAnalysis.shardAssign(t(s, dir, "documents"), "doc_id",
+          numShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- tokenize-and-pack: the end-to-end pretraining layout --------
     // train → REAL per-doc token counts (in-row BpeApply, zero extra
     // scan) → concat-and-chunk packing on those counts. Chunk budget
@@ -4997,6 +5023,37 @@ object SparkEntry {
     "q104_bpe_encode" -> BpeEncodeOracleSql,
     "q106_bpe_token_counts" -> BpeTokenCountsOracleSql,
     "q107_bpe_encode_ids" -> BpeEncodeIdsOracleSql,
+
+    // Packed-batch materialization: the id-encode replay laid
+    // end-to-end per language stream, grouped into 512-token chunks.
+    "q133_pack_emit" ->
+      s"""WITH enc AS (SELECT * FROM ($BpeEncodeIdsOracleSql) t),
+         |cnts AS (SELECT doc_id, COUNT(*) AS n FROM enc
+         | GROUP BY doc_id),
+         |offs AS (SELECT d.doc_id, d.lang AS stream,
+         |  SUM(c.n) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+         |    ROWS UNBOUNDED PRECEDING) - c.n AS start_tok
+         | FROM documents d JOIN cnts c USING (doc_id)),
+         |g AS (SELECT o.stream, o.start_tok + e.pos AS gpos, e.token_id
+         | FROM enc e JOIN offs o USING (doc_id))
+         |SELECT stream, CAST(gpos // 512 AS BIGINT) AS chunk_idx,
+         | CAST(COUNT(*) AS BIGINT) AS n_in_chunk,
+         | string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY gpos)
+         |   AS token_ids
+         |FROM g GROUP BY stream, chunk_idx
+         |ORDER BY stream, chunk_idx""".stripMargin,
+
+    // Shuffle-shard replay: global rank under the salted portable
+    // hash, shards dealt round-robin by rank.
+    "q134_shuffle_shard" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${polyHashSql("CAST(doc_id AS VARCHAR) || '|shuffle'")} AS hh
+         | FROM documents),
+         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hh, doc_id)
+         |  AS shuffle_pos FROM h)
+         |SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+         | CAST((shuffle_pos - 1) % 8 AS BIGINT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q108_cm_sketch" -> CmSketchOracleSql,
     "q109_kmv_distinct" -> KmvOracleSql,
     // persisted sketch folds: merge laws make two-batch fold-union ==

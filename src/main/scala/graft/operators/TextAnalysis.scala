@@ -1147,6 +1147,63 @@ object TextAnalysis {
     packSequencesByCount(docs, idCol, groupCol,
       size(tokens(col(textCol))).cast("long"), chunkTokens)
 
+  /** MATERIALIZE the packed training batches: given the token-id
+    * stream ([[bpeEncodeIds]]'s (doc_id, pos, token_id)) and each
+    * doc's stream assignment, lay documents end-to-end per stream in
+    * doc-id order and emit one row per fixed-size chunk — the actual
+    * artifact a pretraining run reads. Output: (stream, chunk_idx,
+    * n_in_chunk, token_ids) with token_ids a comma-joined id string
+    * in stream order (the last chunk may be partial; the trainer pads
+    * or drops it). Docs contributing zero tokens occupy zero width.
+    *
+    * Scale shape: the layout offsets are [[packSequencesByCount]]'s
+    * one-window exact cumsum over doc-sized rows; the only other
+    * shuffle is the (stream, chunk) grouping of the id stream —
+    * chunk rows are fixed-size by construction, so no group ever
+    * exceeds `chunkTokens` ids (no hot-key risk).
+    */
+  def emitPackedChunks(encIds: DataFrame, docStreams: DataFrame,
+                       chunkTokens: Int): DataFrame = {
+    val counts = encIds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = docStreams.join(counts, Seq("doc_id"))
+      .withColumn("end_tok", sum(col("n")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n"))
+    encIds.join(offs, Seq("doc_id"))
+      .select(col("stream"),
+        (col("start_tok") + col("pos")).as("gpos"), col("token_id"))
+      .withColumn("chunk_idx", floor(col("gpos") / chunkTokens))
+      .groupBy("stream", "chunk_idx")
+      .agg(count(lit(1)).as("n_in_chunk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("gpos"), col("token_id")))),
+          s => s.getField("token_id").cast("string")), ",")
+          .as("token_ids"))
+  }
+
+  /** Deterministic global shuffle + shard assignment — the epoch-0
+    * data order a reproducible pretraining run needs: order docs by a
+    * portable salted hash of the id (id tie-break — a total order),
+    * then deal shards round-robin by rank so shard sizes differ by at
+    * most one. Same-id docs land identically on every run, cluster,
+    * and engine; the rank is [[graft.operators.Ranking]]'s
+    * distributed global row number, never a single-task window.
+    * Output: (doc_id, shuffle_pos, shard).
+    */
+  def shardAssign(docs: DataFrame, idCol: String,
+                  numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards >= 1")
+    val keyed = docs.select(col(idCol).as("doc_id"))
+      .withColumn("__h", charPolyHash(
+        concat(col("doc_id").cast("string"), lit("|shuffle"))))
+    graft.operators.Ranking
+      .globalRowNumber(keyed, Seq(col("__h"), col("doc_id")),
+        "shuffle_pos")
+      .select(col("doc_id"), col("shuffle_pos"),
+        pmod(col("shuffle_pos") - 1, lit(numShards.toLong)).as("shard"))
+  }
+
   /** [[packSequences]] generalized over the per-doc length measure:
     * `countCol` is any Column evaluating to the document's token count
     * — whitespace tokens for the classic layout, or the REAL tokenizer

@@ -389,4 +389,37 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(v.toMap == Map("a" -> 0L, "b" -> 1L, "c" -> 2L,
       "ab" -> 3L, "abc" -> 4L, "bc" -> 5L), v.toString)
   }
+
+  test("emitPackedChunks: docs laid end-to-end per stream, chunk " +
+      "boundary straddled mid-doc, zero-token docs occupy no width, " +
+      "partial tail chunk emitted as-is") {
+    // doc 1: ids 10,11,12 · doc 2: NO tokens · doc 3: ids 30,31 —
+    // chunk size 4 → chunk 0 = [10,11,12,30], chunk 1 = [31]
+    val enc = Seq((1L, 0L, 10L), (1L, 1L, 11L), (1L, 2L, 12L),
+        (3L, 0L, 30L), (3L, 1L, 31L))
+      .toDF("doc_id", "pos", "token_id")
+    val streams = Seq((1L, "s"), (2L, "s"), (3L, "s"), (4L, "t"))
+      .toDF("doc_id", "stream")
+    val out = TextAnalysis.emitPackedChunks(enc, streams, chunkTokens = 4)
+      .orderBy("stream", "chunk_idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(out == Seq(("s", 0L, 4L, "10,11,12,30"), ("s", 1L, 1L, "31")))
+  }
+
+  test("shardAssign: a permutation (positions 1..n), round-robin " +
+      "shards balanced within one, deterministic, and id-stable " +
+      "ordering decoupled from insertion order") {
+    val docs = (1L to 23L).map(i => Tuple1(i)).toDF("doc_id")
+    val a = TextAnalysis.shardAssign(docs, "doc_id", numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.map(_._2).sorted.toSeq == (1L to 23L))
+    val sizes = a.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1 && sizes.sum == 23)
+    // determinism incl. under a different input order
+    val b = TextAnalysis.shardAssign(docs.orderBy($"doc_id".desc),
+        "doc_id", numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+  }
 }
