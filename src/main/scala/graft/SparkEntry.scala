@@ -2718,6 +2718,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the curation FUNNEL: per-stage counts off the full chain ---
+    // Same folds as q126; the report is the observability surface a
+    // production pipeline alarms on (a gate suddenly eating 40% of a
+    // batch is a data bug long before eval notices).
+    "q135_curation_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mk = () => java.nio.file.Files
+        .createTempDirectory("curation_report").toString
+      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
+      TextAnalysis.buildBenchmarkIndex(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
+        shingleN = 5, indexDir = benchIdx)
+      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+        indexDir = dsirIdx)
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val cfg = graft.streaming.CurationStream.Config(
+        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
+        keepFrac10k = 4000L,
+        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
+      graft.streaming.CurationStream.selectReport(s, cfg,
+          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
+            "de" -> 500L))
+        .orderBy(col("stage"))
+    }),
+
     // ---- persisted-index mixture: two ingest folds, one selection ----
     // Append the corpus in two batches to the skinny mixture index
     // (doc_id, stratum, frozen hash), then re-derive the selection from
@@ -3038,7 +3068,7 @@ object SparkEntry {
     * (MinHash-LSH clusters keep their (n_distinct DESC, id) best) →
     * DSIR top-fraction → exact mixture.
     */
-  private val CurationFullOracleSql: String =
+  private val CurationFullChainSql: String =
     s"""WITH RECURSIVE dtk AS (SELECT doc_id,
        |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
        |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
@@ -3126,10 +3156,29 @@ object SparkEntry {
        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
        |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|' || lang")},
        |    doc_id) AS mix_rank
-       | FROM kept3)
-       |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
-       |FROM r JOIN caps USING (lang)
-       |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+       | FROM kept3)""".stripMargin
+
+  // NOTE: the chain is ALREADY margin-stripped — concatenate the
+  // tails without re-applying stripMargin over it (a second pass eats
+  // one pipe of every `|| ' ' ||` continuation line).
+  private val CurationFullOracleSql: String =
+    CurationFullChainSql + "\n" +
+      """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+        |FROM r JOIN caps USING (lang)
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+
+  /** The q135 funnel report: per-stage counts off the same chain. */
+  private val CurationReportOracleSql: String =
+    CurationFullChainSql + "\n" +
+      """SELECT stage, CAST(n AS BIGINT) AS n FROM (
+        | SELECT 'a_indexed' AS stage, COUNT(*) AS n FROM kept1
+        | UNION ALL SELECT 'b_span_drop', COUNT(*) FROM spandrop
+        | UNION ALL SELECT 'c_neardup_drop', COUNT(*) FROM nddrop
+        | UNION ALL SELECT 'd_gated', COUNT(*) FROM kept2
+        | UNION ALL SELECT 'e_dsir_kept', COUNT(*) FROM kept3
+        | UNION ALL SELECT 'f_selected', COUNT(*)
+        |  FROM r JOIN caps USING (lang) WHERE mix_rank <= k)
+        |ORDER BY stage""".stripMargin
 
   private val LmQualityOracleSql: String =
       """WITH toks AS (SELECT doc_id,
@@ -5408,6 +5457,7 @@ object SparkEntry {
     // fold/stream boundary irrelevance is the oracle's claim.
     "q126_curation_full" -> CurationFullOracleSql,
     "q127_curation_streamed" -> CurationFullOracleSql,
+    "q135_curation_report" -> CurationReportOracleSql,
 
     // Composed incremental curation: one-shot replay of the chain —
     // decon gate (q84 core, 5-shingles, 5% — 3-shingles over the

@@ -192,6 +192,39 @@ object CurationStream {
         col("mix_rank"))
   }
 
+  /** The curation FUNNEL — per-stage counts, the observability
+    * surface a production pipeline alarms on (a gate suddenly eating
+    * 40% of a batch is a data bug long before eval notices). Stages:
+    * a_indexed (post-decon docs in the index), b_span_drop /
+    * c_neardup_drop (each gate's drop-set size — a doc both gates
+    * reject counts in both), d_gated (survivors), e_dsir_kept (the
+    * top-fraction), f_selected (after mixture caps). Recomputes the
+    * gate sets (report use is occasional; persist the drop sets if
+    * alarming every batch).
+    */
+  def selectReport(spark: org.apache.spark.sql.SparkSession, cfg: Config,
+                   targetShare10k: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    val idx0 = spark.read.parquet(cfg.curIdx).select("doc_id")
+    val nIndexed = idx0.count()
+    val nSpan = cfg.spanIdx
+      .map(d => spanDropSet(spark, d, cfg).count()).getOrElse(0L)
+    val nNd = cfg.nearDupIdx
+      .map(d => nearDupDropSet(spark, d, cfg).count()).getOrElse(0L)
+    val gated0 = cfg.spanIdx.fold(idx0)(d =>
+      idx0.join(spanDropSet(spark, d, cfg), Seq("doc_id"), "left_anti"))
+    val gated = cfg.nearDupIdx.fold(gated0)(d =>
+      gated0.join(nearDupDropSet(spark, d, cfg), Seq("doc_id"),
+        "left_anti"))
+    val nGated = gated.count()
+    val nKept = nGated * cfg.keepFrac10k / 10000L
+    val nSel = select(spark, cfg, targetShare10k).count()
+    Seq(("a_indexed", nIndexed), ("b_span_drop", nSpan),
+      ("c_neardup_drop", nNd), ("d_gated", nGated),
+      ("e_dsir_kept", nKept), ("f_selected", nSel))
+      .toDF("stage", "n")
+  }
+
   /** Docs whose duplicated-window fraction exceeds the cap — derived
     * from the span-hash index alone: shared hashes (in >1 doc) flag
     * their positions; one aggregate computes per-doc totals and
