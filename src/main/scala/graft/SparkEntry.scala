@@ -2521,6 +2521,41 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- STREAMED retrieval ingest: vectors through the ACTUAL
+    // Structured-Streaming front end (MemoryStream → foreachBatch
+    // encode-with-frozen-quantizers → layer append), compacted after
+    // the stream, then the pruned query — per-vector codes are
+    // batching-independent, so the result replays as the one-shot
+    // q99/q102 search verbatim.
+    "q137_retrieval_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val em = t(s, dir, "embeddings")
+      val (coarse, cbs, _) = Ann.ivfPqBuild(em, "vec_id", "embedding",
+        kc = 4, m = 4, k = 8, iters = 2)
+      val mk = () => java.nio.file.Files
+        .createTempDirectory("retr_stream").toString
+      val idx = mk()
+      val cfg = graft.streaming.RetrievalStream.Config(idx, "vec_id",
+        "embedding", coarse, cbs)
+      // test-scale collect: the sf corpus feeds the MemoryStream
+      val rows = em.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](s)
+      val q = graft.streaming.RetrievalStream.start(
+        ms.toDF().toDF("vec_id", "embedding"), cfg, mk())
+      ms.addData(rows.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      Ann.compactVectorIndex(s, idx, partitionCol = "coarse")
+      Ann.ivfPqIndexQuery(s, idx,
+          em.filter(pmod(col("vec_id"), lit(50)) === 0),
+          "vec_id", "embedding", coarse, cbs, nProbe = 2, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- SAMPLE-TRAINED IVF-PQ: quantizers from id%2, encode all ----
     // The 100 TB practice — Lloyd's converges on a representative
     // sample; training passes scan half the corpus here (trainMod× in
@@ -5470,6 +5505,9 @@ object SparkEntry {
 
     // Sample-trained quantizers, full encode.
     "q136_ivfpq_sampled" -> IvfPqSampledOracleSql,
+
+    // Streamed ingest + compaction: invisible in the search result.
+    "q137_retrieval_streamed" -> ivfPqOracleSql,
 
     // Text → retrieval vertical: the q121 embed chain feeding the
     // shared IVF-PQ replay (sub=8 for dim 32); the persisted index's
