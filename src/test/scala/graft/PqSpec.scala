@@ -148,6 +148,36 @@ class PqSpec extends SparkSpecBase {
     assert(run() == before)
   }
 
+  test("RetrievalStream: batch folds equal the one-shot encode; " +
+      "re-folding a micro-batch id overwrites its own layer " +
+      "(crash-replay idempotent)") {
+    import org.apache.spark.sql.functions._
+    val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2)
+    val idx = java.nio.file.Files
+      .createTempDirectory("retr_stream_spec").toString
+    val cfg = graft.streaming.RetrievalStream.Config(idx, "vec_id",
+      "embedding", coarse, cbs)
+    val b0 = corpus.filter(col("vec_id") < 4)
+    val b1 = corpus.filter(col("vec_id") >= 4)
+    graft.streaming.RetrievalStream.foldBatch(b0, 0L, cfg)
+    graft.streaming.RetrievalStream.foldBatch(b1, 1L, cfg)
+    val q = corpus.filter(col("vec_id") === 0L)
+    def run() = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id",
+        "embedding", coarse, cbs, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = run()
+    val oneShot = Ann.ivfPqSearch(q, codes, "vec_id", "embedding",
+        coarse, cbs, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == oneShot && oneShot.nonEmpty)
+    // crash replay: micro-batch 1 re-folds under the same id
+    graft.streaming.RetrievalStream.foldBatch(b1, 1L, cfg)
+    assert(run() == oneShot)
+  }
+
   test("sampled training: trainMod=1 is bit-identical to the full " +
       "build; trainMod=2 trains on the half-sample and still searches " +
       "separable data perfectly") {
