@@ -2556,6 +2556,46 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- BLOOM-gated decontamination: bounded-state membership ------
+    // The q84 check against a fixed-size bloom (3 hash rows × 64k
+    // bits) instead of the exact benchmark hash set: no false
+    // negatives (every exact-contaminated doc still flags), state ≤ m
+    // positions no matter how many eval sets fold in. Oracle replays
+    // the bit positions and the all-k membership test per shingle.
+    "q138_bloom_decon" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.bloomDecontaminate(
+          d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", "text", shingleN = 3, kHashes = 3,
+          mBits = 65536, threshold = 0.05)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PERSISTED bloom index: two benchmark folds, probe the merged
+    // bit set. Blooms merge by bit-OR (position union), so the folded
+    // probe equals the one-shot q138 run — verbatim oracle.
+    "q139_bloom_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("bloom_idx").toString
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      def sh(b: DataFrame) = b.select(explode(array_distinct(
+        shingles(tokens(col("text")), 3))).as("s"))
+      graft.operators.Sketches.bloomAppend(
+        sh(bench.filter(pmod(col("doc_id"), lit(40)) === 0)), "s",
+        kHashes = 3, mBits = 65536, idx, 1L)
+      graft.operators.Sketches.bloomAppend(
+        sh(bench.filter(pmod(col("doc_id"), lit(40)) =!= 0)), "s",
+        kHashes = 3, mBits = 65536, idx, 2L)
+      TextAnalysis.bloomDecontaminateAgainst(
+          d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          graft.operators.Sketches.bloomFromIndex(s, idx),
+          "doc_id", "text", shingleN = 3, kHashes = 3, mBits = 65536,
+          threshold = 0.05)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- SAMPLE-TRAINED IVF-PQ: quantizers from id%2, encode all ----
     // The 100 TB practice — Lloyd's converges on a representative
     // sample; training passes scan half the corpus here (trainMod× in
@@ -2951,6 +2991,49 @@ object SparkEntry {
   /** Count-min replay: 4 hash rows (distinct polynomial bases) × 256
     * buckets, est = min over the probed counters.
     */
+  /** Bloom-gated decontamination replay: distinct benchmark 3-shingle
+    * strings → 3 poly-hash rows (31/37/41) mod 64k = the set-bit
+    * positions; a training shingle "maybe"-hits iff all 3 of its
+    * positions are set. Shared by q138 (one-shot) and q139 (two folded
+    * layers — bit-OR merge makes them identical by construction).
+    */
+  private val BloomDeconOracleSql: String = {
+    val mults = Seq(31L, 37L, 41L)
+    val setPos = mults.map(m =>
+      s"SELECT DISTINCT ${polyHashSql("s", m)} % 65536 AS pos FROM bsh")
+      .mkString("\nUNION\n")
+    val allK = mults.map(m =>
+      s"(${polyHashSql("s", m)} % 65536) IN (SELECT pos FROM bloom)")
+      .mkString("\n  AND ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
+       | FROM documents),
+       |shr AS (SELECT doc_id,
+       |  tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+       |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
+       |    AS s FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+       |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+       |bloom AS ($setPos),
+       |hit AS (SELECT doc_id, CASE WHEN $allK
+       |   THEN 1 ELSE 0 END AS in_bloom
+       |  FROM sh WHERE doc_id % 20 <> 0),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_shingles,
+       |   SUM(in_bloom) AS n_bloom FROM hit GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       | CAST(COALESCE(a.n_bloom, 0) AS BIGINT) AS n_bloom,
+       | CASE WHEN COALESCE(a.n_shingles, 0) > 0
+       |   THEN CAST(a.n_bloom AS DOUBLE) / a.n_shingles ELSE 0.0 END
+       |   AS bloom_frac,
+       | (CASE WHEN COALESCE(a.n_shingles, 0) > 0
+       |   THEN CAST(a.n_bloom AS DOUBLE) / a.n_shingles ELSE 0.0 END
+       |   >= 0.05) AS flagged
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+       |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   private val CmSketchOracleSql: String = {
     val mults = Seq(31L, 37L, 41L, 43L)
     def cells(src: String) = mults.zipWithIndex.map { case (m, i) =>
@@ -5508,6 +5591,12 @@ object SparkEntry {
 
     // Streamed ingest + compaction: invisible in the search result.
     "q137_retrieval_streamed" -> ivfPqOracleSql,
+
+    // Bloom membership gate: positions + all-k test replayed exactly.
+    "q138_bloom_decon" -> BloomDeconOracleSql,
+
+    // Folded bloom layers OR into the one-shot bit set — same SQL.
+    "q139_bloom_incremental" -> BloomDeconOracleSql,
 
     // Text → retrieval vertical: the q121 embed chain feeding the
     // shared IVF-PQ replay (sub=8 for dim 32); the persisted index's

@@ -34,7 +34,7 @@ object Sketches {
     Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
 
   /** Row bucket hash: h_i(t) = polyhash_{mult_i}(t) mod width. */
-  private def bucketOf(t: Column, row: Int, width: Int): Column =
+  private[operators] def bucketOf(t: Column, row: Int, width: Int): Column =
     pmod(charPolyHash(t, RowMults(row)), lit(width.toLong))
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
@@ -130,6 +130,78 @@ object Sketches {
   def kmvFromIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String, k: Int): DataFrame =
     kmvEstimate(spark.read.parquet(indexDir).select("grp", "h"), k)
+
+  // --------------------------------------------------- Bloom membership
+
+  /** Bloom filter (Bloom 1970) over a set of items: k independent
+    * poly-hash rows each set one of m bit positions per item; a probe
+    * is "maybe present" iff ALL k of its positions are set — no false
+    * negatives, false positives at ~(1-e^{-kn/m})^k. Completes the
+    * sketch family: CM answers "how often", KMV "how many distinct",
+    * Bloom "have we seen it" — the membership gate a 100 TB
+    * decontamination / revisit check consults in O(1) per probe with
+    * state BOUNDED BY m regardless of how many items were inserted
+    * (unlike the exact hash index, which grows with the benchmark).
+    *
+    * Representation: the SET of set-bit positions as a skinny
+    * (pos: long) table, ≤ m rows — the relational form of the bit
+    * array. It broadcasts to probes, merges with other blooms by plain
+    * union-distinct (bitwise OR), and is bit-replayable by the ANSI
+    * oracle; a deployment squeezing the last bytes would pack it into
+    * long words, but at m = 64k the table IS ≤ 64k skinny rows.
+    *
+    * Scale shape: one explode → fixed-size distinct. The k hash rows
+    * reuse [[RowMults]] (genuinely independent functions, same
+    * portable family as CM — see the RowMults note).
+    */
+  def bloomBuild(items: DataFrame, itemCol: String, kHashes: Int,
+                 mBits: Int): DataFrame = {
+    require(kHashes <= RowMults.length, s"kHashes <= ${RowMults.length}")
+    items.select(explode(array((0 until kHashes)
+        .map(i => bucketOf(col(itemCol), i, mBits)): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Probe items against a bloom: (item, might_contain) — true iff all
+    * k positions are set. The bloom side broadcasts (≤ m rows by
+    * construction); the probe side can be any size and never shuffles
+    * except the final per-item regroup (pre-reduced, k rows/item).
+    */
+  def bloomMightContain(bloom: DataFrame, items: DataFrame,
+                        itemCol: String, kHashes: Int,
+                        mBits: Int): DataFrame = {
+    require(kHashes <= RowMults.length, s"kHashes <= ${RowMults.length}")
+    items.select(col(itemCol).as("item"),
+        explode(array((0 until kHashes)
+          .map(i => bucketOf(col(itemCol), i, mBits)): _*)).as("pos"))
+      .join(broadcast(bloom.withColumn("__set", lit(1))), Seq("pos"), "left")
+      .groupBy("item")
+      .agg((count(col("__set")) === kHashes).as("might_contain"))
+  }
+
+  /** Merge blooms built with the same (k, m): set-bit union — exactly
+    * the bit array's OR, so folding disjoint batches equals the
+    * one-shot build (no approximation in the merge itself).
+    */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Append one batch's bloom as a layer of a persisted membership
+    * index (the [[cmSketchAppend]] pattern): O(batch) per fold, layer
+    * ≤ m skinny rows, nothing rescans earlier batches.
+    */
+  def bloomAppend(batch: DataFrame, itemCol: String, kHashes: Int,
+                  mBits: Int, indexDir: String, batchId: Long): Unit =
+    bloomBuild(batch, itemCol, kHashes, mBits)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** The merged at-rest bloom: distinct positions across layers — the
+    * OR of the per-batch bit arrays, ≤ m rows, broadcastable to
+    * [[bloomMightContain]] like a one-shot build.
+    */
+  def bloomFromIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).select("pos").distinct()
 
   /** KMV (k-minimum-values) distinct-count sketch per group: keep the
     * k smallest hash values of the group's distinct items; estimate

@@ -305,6 +305,72 @@ object TextAnalysis {
     overlapCheck(batch, spark.read.parquet(indexDir), idCol, textCol,
       shingleN, threshold)
 
+  /** Bloom-gated decontamination: the [[decontaminate]] check against
+    * a BOUNDED-size membership sketch instead of the exact benchmark
+    * hash set ([[graft.operators.Sketches.bloomBuild]] over the
+    * benchmark's distinct shingle strings). Same output shape as q84
+    * (per-doc shingle totals / hits / fraction / flag), but hits are
+    * "maybe" hits: the bloom admits no false negatives, so every
+    * exact-contaminated doc is flagged here too (flag_bloom ⊇
+    * flag_exact), with extra flags at the bloom's false-positive rate.
+    *
+    * Why a 100 TB pipeline wants this: the exact index grows with the
+    * benchmark suite (every eval set added forever); the bloom is ≤ m
+    * positions NO MATTER how many benchmarks fold in
+    * ([[graft.operators.Sketches.bloomAppend]] merges by bit-OR), so
+    * the broadcast stays fixed-size for the life of the pipeline. Use
+    * the exact index when the suite is small, the bloom once it isn't.
+    *
+    * Scale shape mirrors [[decontaminate]]: the bloom broadcasts; the
+    * training side explodes k positions per distinct shingle (k× the
+    * exact path's stream, still zero-shuffle until the pre-reduced
+    * per-doc regroup).
+    */
+  def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         benchTextCol: String, shingleN: Int = 5,
+                         kHashes: Int = 3, mBits: Int = 65536,
+                         threshold: Double = 0.1): DataFrame = {
+    val bloom = Sketches.bloomBuild(
+      benchmark.select(explode(array_distinct(
+        shingles(tokens(col(benchTextCol)), shingleN))).as("s")),
+      "s", kHashes, mBits)
+    bloomDecontaminateAgainst(docs, bloom, idCol, textCol, shingleN,
+      kHashes, mBits, threshold)
+  }
+
+  /** The probe half, against an already-built bloom (one-shot or
+    * [[graft.operators.Sketches.bloomFromIndex]] — the folded layers
+    * OR into the same bit set, so incremental equals one-shot
+    * exactly).
+    */
+  def bloomDecontaminateAgainst(docs: DataFrame, bloom: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleN: Int, kHashes: Int, mBits: Int,
+                                threshold: Double): DataFrame = {
+    val docSh = docs.select(col(idCol).as("doc_id"),
+      explode_outer(array_distinct(
+        shingles(tokens(col(textCol)), shingleN))).as("s"))
+    // k position rows per distinct (doc, shingle); a shingle is a
+    // bloom hit iff ALL k of its positions are set
+    val pos = docSh.select(col("doc_id"), col("s"),
+      explode_outer(when(col("s").isNotNull, array((0 until kHashes)
+        .map(i => Sketches.bucketOf(col("s"), i, mBits)): _*))).as("pos"))
+    val perShingle = pos
+      .join(broadcast(bloom.withColumn("__set", lit(1))), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("s"))
+      .agg((count(col("__set")) === kHashes).as("in_bloom"))
+    perShingle.groupBy(col("doc_id"))
+      .agg(count(col("s")).as("n_shingles"),
+        coalesce(sum(when(col("s").isNotNull && col("in_bloom"), 1L)),
+          lit(0L)).as("n_bloom"))
+      .withColumn("bloom_frac",
+        when(col("n_shingles") > 0,
+          col("n_bloom").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", col("bloom_frac") >= threshold)
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum fraction of
     * documents, decided by a portable hash of (id, stratum) — stable
     * across runs, clusters, and engines (no RNG state, no

@@ -183,6 +183,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("bloom decontamination broadcasts the bit-position set; the " +
+      "training side shuffles only its two pre-reduced aggs") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e f")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.bloomDecontaminate(
+      docs, bench, "doc_id", "text", "text", shingleN = 3,
+      kHashes = 3, mBits = 1024))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // training-side exchanges: the per-(doc, shingle) all-k regroup
+    // and the per-doc rollup — both carried partial-aggregated; the
+    // bloom's own distinct feeds the broadcast (bounded by m)
+    assert(countIn(p, "Exchange hashpartitioning\\(doc_id") == 2, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("incremental decontamination keeps the q84 shape: broadcast " +
     "index, one training-side exchange") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")

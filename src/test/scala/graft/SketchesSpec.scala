@@ -46,6 +46,74 @@ class SketchesSpec extends SparkSpecBase {
     assert(merged == one && one.nonEmpty)
   }
 
+  test("bloom: no false negatives; a saturated filter shows false " +
+      "positives but never drops a member") {
+    val members = (0 until 40).map(i => s"member_$i").toDF("item")
+    val probes = ((0 until 40).map(i => s"member_$i") ++
+      (0 until 200).map(i => s"absent_$i")).toDF("item")
+    // roomy filter: members all hit, absent items essentially never
+    val roomy = Sketches.bloomBuild(members, "item", kHashes = 3,
+      mBits = 65536)
+    val rm = Sketches.bloomMightContain(roomy, probes, "item", 3, 65536)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert((0 until 40).forall(i => rm(s"member_$i")))
+    // tiny filter (64 bits, 40×3 insertions): saturation forces false
+    // positives — but membership still never misses
+    val tiny = Sketches.bloomBuild(members, "item", kHashes = 3,
+      mBits = 64)
+    val tm = Sketches.bloomMightContain(tiny, probes, "item", 3, 64)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert((0 until 40).forall(i => tm(s"member_$i")))
+    assert((0 until 200).exists(i => tm(s"absent_$i")))
+  }
+
+  test("bloom: merging disjoint batches ORs to the one-shot bit set; " +
+      "persisted layers fold to the same positions") {
+    def pos(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val items = (0 until 60).map(i => s"it_$i").toDF("item")
+    val one = pos(Sketches.bloomBuild(items, "item", 4, 1024))
+    val merged = pos(Sketches.bloomMerge(
+      Sketches.bloomBuild(items.filter(length($"item") === 4), "item", 4, 1024),
+      Sketches.bloomBuild(items.filter(length($"item") =!= 4), "item", 4, 1024)))
+    assert(merged == one && one.nonEmpty)
+    val idx = java.nio.file.Files.createTempDirectory("bloom_spec").toString
+    Sketches.bloomAppend(items.filter(length($"item") === 4), "item",
+      4, 1024, idx, 1L)
+    Sketches.bloomAppend(items.filter(length($"item") =!= 4), "item",
+      4, 1024, idx, 2L)
+    assert(pos(Sketches.bloomFromIndex(spark, idx)) == one)
+  }
+
+  test("bloom decontamination: per-doc hits dominate the exact check " +
+      "(flag_bloom superset of flag_exact), empty docs score zero") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),          // = benchmark doc: full hit
+      (2L, "w1 w2 w3 x1 x2 x3 x4"),       // partial overlap
+      (3L, "y1 y2 y3 y4 y5"),             // clean
+      (4L, "z1 z2")                       // too short: zero shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val bl = TextAnalysis.bloomDecontaminate(docs, bench, "doc_id",
+        "text", "text", shingleN = 3, kHashes = 3, mBits = 65536,
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_bloom"), r.getAs[Boolean]("flagged"))).toMap
+    val exact = TextAnalysis.decontaminate(docs, bench, "doc_id",
+        "text", "text", shingleN = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_overlap"),
+        r.getAs[Boolean]("contaminated"))).toMap
+    // no false negatives: bloom hit count >= exact overlap, doc-wise
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      assert(bl(id)._2 >= exact(id)._1, s"doc $id")
+      assert(!exact(id)._2 || bl(id)._3, s"doc $id flag")
+    }
+    assert(bl(1L) == ((4L, 4L, true)))
+    assert(bl(4L) == ((0L, 0L, false)))
+    assert(bl(3L)._2 == 0L) // roomy filter: clean doc stays clean
+  }
+
   test("profile: per-column nulls/min/max exact, distinct exact below " +
       "KMV saturation") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
