@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.kernel.BitemporalKernel
-import graft.operators.{Ann, Dedup, EntityUpserts, IdentityMerge, LocationMeta, Multimodal, Temporal, TextAnalysis}
+import graft.operators.{Ann, Dedup, EntityUpserts, IdentityMerge, Lexical, LocationMeta, Multimodal, Temporal, TextAnalysis}
 
 /** Driver contract (see SURVEY.md §7 + TESTDATA.md).
   *
@@ -2596,6 +2596,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- BM25 lexical retrieval: inverted index + exact-rational ----
+    // idf/saturation (no log — the DSIR determinism convention), the
+    // sparse half of the retrieval story next to q122's dense half.
+    // Queries are each 97th doc's first three tokens; top-5 per query,
+    // ties on doc_id. Oracle replays postings, df, and the integer
+    // scoring pipeline verbatim.
+    "q140_bm25_search" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (postings, doclens) =
+        Lexical.buildPostings(d, "doc_id", "text")
+      val queries = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(tokens(col("text")), 1, 3).as("terms"))
+      Lexical.bm25Search(postings, doclens, queries, "query_id",
+          "terms", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- PERSISTED postings index: two doc-disjoint folds, score ----
+    // from the merged layers. tf/df/N/T all ADD across disjoint
+    // batches, so the layered union IS the one-shot table — verbatim
+    // q140 oracle.
+    "q141_bm25_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("bm25_idx").toString
+      Lexical.postingsAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        idx, 1L)
+      Lexical.postingsAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        idx, 2L)
+      val queries = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(tokens(col("text")), 1, 3).as("terms"))
+      Lexical.bm25SearchIndex(s, idx, queries, "query_id", "terms",
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- SAMPLE-TRAINED IVF-PQ: quantizers from id%2, encode all ----
     // The 100 TB practice — Lloyd's converges on a representative
     // sample; training passes scan half the corpus here (trainMod× in
@@ -3033,6 +3073,43 @@ object SparkEntry {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
        |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  /** BM25 replay: postings/df/doclens from the token stream, the
+    * exact-integer idf/saturation pipeline (no log — see
+    * [[graft.operators.Lexical]]), top-5 per query with doc_id
+    * tie-break. Shared by q140 (one-shot) and q141 (two doc-disjoint
+    * persisted folds — tf/df/N/T all add, so the merged layers equal
+    * the one-shot table by construction).
+    */
+  private val Bm25OracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
+      | FROM documents),
+      |dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dls),
+      |post AS (SELECT tok, doc_id, COUNT(*) AS tf
+      |  FROM toks GROUP BY tok, doc_id),
+      |q AS (SELECT doc_id AS query_id, tok FROM toks
+      |  WHERE doc_id % 97 = 0 AND i < 3 GROUP BY doc_id, tok),
+      |tdf AS (SELECT tok, COUNT(*) AS df FROM post
+      |  WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+      |scored AS (SELECT q.query_id, p.doc_id,
+      |  SUM((((2 * (s.n - f.df) + 1) * 10000) // (2 * f.df + 1)) *
+      |      ((22 * p.tf * 100000000) // ((10 * p.tf + 3) * 10000 +
+      |        9 * ((d.dl * 10000) //
+      |             GREATEST(s.t // s.n, 1))))) AS score
+      | FROM post p JOIN q ON p.tok = q.tok
+      | JOIN tdf f ON p.tok = f.tok
+      | JOIN dls d ON p.doc_id = d.doc_id
+      | CROSS JOIN stats s
+      | GROUP BY q.query_id, p.doc_id),
+      |rk AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+      |   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      | FROM scored)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+      | CAST(score AS BIGINT) AS score
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val CmSketchOracleSql: String = {
     val mults = Seq(31L, 37L, 41L, 43L)
@@ -5597,6 +5674,12 @@ object SparkEntry {
 
     // Folded bloom layers OR into the one-shot bit set — same SQL.
     "q139_bloom_incremental" -> BloomDeconOracleSql,
+
+    // BM25 lexical retrieval: integer idf/saturation replayed exactly.
+    "q140_bm25_search" -> Bm25OracleSql,
+
+    // Folded postings layers ARE the one-shot table — same SQL.
+    "q141_bm25_incremental" -> Bm25OracleSql,
 
     // Text → retrieval vertical: the q121 embed chain feeding the
     // shared IVF-PQ replay (sub=8 for dim 32); the persisted index's

@@ -199,6 +199,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("bm25: query terms reach the postings as a broadcast; top-k " +
+      "pushes a WindowGroupLimit; nothing sort-merges") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val (post, dls) = graft.operators.Lexical.buildPostings(
+      docs, "doc_id", "text")
+    val qs = Seq((1L, Seq("a", "b"))).toDF("query_id", "terms")
+    val p = plan(graft.operators.Lexical.bm25Search(post, dls, qs,
+      "query_id", "terms", 5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-query top-k: partial top-k before the final rank filter
+    assert(p.contains("WindowGroupLimit"), p)
+    // the (query, doc) score sum pre-reduces map-side
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("incremental decontamination keeps the q84 shape: broadcast " +
     "index, one training-side exchange") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
