@@ -2636,6 +2636,34 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- HEAVY HITTERS: bounded-state top-k frequent tokens ---------
+    // Exact top-C candidates (TakeOrdered, C=12) + CM-estimated
+    // counts (4×256, the q108 sketch), top-5 by (est desc, item).
+    // Oracle replays candidates, cells, probes, and the final rank.
+    "q142_heavy_hitters" -> ((s, dir) => {
+      graft.operators.Sketches.heavyHitters(t(s, dir, "documents"),
+          "text", c = 12, k = 5, depth = 4, width = 256)
+        .orderBy(col("rank"))
+    }),
+
+    // ---- PERSISTED heavy-hitter state: two folds, answer from the ----
+    // index. Candidate layers union; CM layers add (== one-shot
+    // sketch); the oracle replays the per-batch top-C sets.
+    "q143_hh_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("hh_idx").toString
+      graft.operators.Sketches.heavyHittersAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text",
+        c = 12, depth = 4, width = 256, idx, 1L)
+      graft.operators.Sketches.heavyHittersAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "text",
+        c = 12, depth = 4, width = 256, idx, 2L)
+      graft.operators.Sketches.heavyHittersFromIndex(s, idx, k = 5,
+          depth = 4, width = 256)
+        .orderBy(col("rank"))
+    }),
+
     // ---- SAMPLE-TRAINED IVF-PQ: quantizers from id%2, encode all ----
     // The 100 TB practice — Lloyd's converges on a representative
     // sample; training passes scan half the corpus here (trainMod× in
@@ -3110,6 +3138,43 @@ object SparkEntry {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
       | CAST(score AS BIGINT) AS score
       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Heavy-hitter replay, parameterized over the per-batch doc
+    * predicates (one-shot = a single TRUE batch): per-batch exact
+    * top-12 candidate CTEs → candidate union → CM cells over the FULL
+    * stream (folded counters add, so this IS the merged index) → min
+    * probe → top-5 by (est desc, item).
+    */
+  private def heavyHittersOracleSql(batchPreds: Seq[String]): String = {
+    val mults = Seq(31L, 37L, 41L, 43L)
+    def cells(src: String) = mults.zipWithIndex.map { case (m, i) =>
+      s"""SELECT t, $i AS r,
+         |   ${polyHashSql("t", m)} % 256 AS bucket FROM $src"""
+        .stripMargin }.mkString("\nUNION ALL\n")
+    val candCtes = batchPreds.zipWithIndex.map { case (pred, i) =>
+      s"""cand$i AS (SELECT t AS item FROM (
+         |  SELECT t, COUNT(*) AS cnt FROM toks WHERE $pred
+         |  GROUP BY t ORDER BY cnt DESC, t LIMIT 12))""".stripMargin
+    }.mkString(",\n")
+    val candUnion = batchPreds.indices
+      .map(i => s"SELECT item FROM cand$i").mkString(" UNION ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS t
+       | FROM documents),
+       |$candCtes,
+       |cand AS ($candUnion),
+       |cells AS (${cells("toks")}),
+       |cm AS (SELECT r, bucket, COUNT(*) AS cnt FROM cells
+       | GROUP BY r, bucket),
+       |probe AS (${cells("(SELECT item AS t FROM cand)")}),
+       |est AS (SELECT t AS item, MIN(COALESCE(cm.cnt, 0)) AS est_cnt
+       | FROM probe LEFT JOIN cm USING (r, bucket) GROUP BY t),
+       |rk AS (SELECT item, est_cnt, ROW_NUMBER() OVER (
+       |   ORDER BY est_cnt DESC, item) AS rank FROM est)
+       |SELECT CAST(rank AS BIGINT) AS rank, item,
+       | CAST(est_cnt AS BIGINT) AS est_cnt
+       |FROM rk WHERE rank <= 5 ORDER BY rank""".stripMargin
+  }
 
   private val CmSketchOracleSql: String = {
     val mults = Seq(31L, 37L, 41L, 43L)
@@ -5680,6 +5745,13 @@ object SparkEntry {
 
     // Folded postings layers ARE the one-shot table — same SQL.
     "q141_bm25_incremental" -> Bm25OracleSql,
+
+    // Heavy hitters: candidates + CM probes + rank replayed exactly.
+    "q142_heavy_hitters" -> heavyHittersOracleSql(Seq("TRUE")),
+
+    // Folded state: per-batch top-C sets replayed, CM counters add.
+    "q143_hh_incremental" -> heavyHittersOracleSql(
+      Seq("doc_id % 2 = 0", "doc_id % 2 = 1")),
 
     // Text → retrieval vertical: the q121 embed chain feeding the
     // shared IVF-PQ replay (sub=8 for dim 32); the persisted index's

@@ -203,6 +203,84 @@ object Sketches {
                      indexDir: String): DataFrame =
     spark.read.parquet(indexDir).select("pos").distinct()
 
+  // ------------------------------------------- heavy hitters (frequent items)
+
+  /** Top-k most frequent tokens with BOUNDED state — the mergeable
+    * candidate-tracking pattern behind SpaceSaving / Misra-Gries
+    * (Metwally et al. 2005; Misra & Gries 1982), cast onto the CM
+    * sketch: per batch, keep the EXACT top-C tokens of that batch
+    * (the candidates) and fold the batch's counts into the CM index;
+    * at read time, probe the merged sketch for every candidate ever
+    * seen and keep the top-k by estimated count. State per layer is
+    * C candidate rows + d·w counters — never vocabulary-sized, which
+    * is the point: the exact global top-k needs a vocabulary-scale
+    * aggregation + ranking every time it's asked, this answers from
+    * bounded at-rest state under continuous ingest.
+    *
+    * Recall guarantee (the standard one): an item is a candidate iff
+    * it ranks top-C in AT LEAST ONE batch, and an item with global
+    * share > 1/C must have share > 1/C in some batch (pigeonhole), so
+    * true heavy hitters always make the candidate set. CM estimates
+    * are upper bounds (overestimate ≤ εN w.h.p.), so collisions can
+    * inflate a candidate's rank but never hide it.
+    *
+    * Scale shape: the per-batch top-C is orderBy+limit ⇒
+    * TakeOrderedAndProject — per-partition partial top-C, a C-row
+    * sliver merged on the driver, never a single-task full sort of
+    * the vocabulary; estimation broadcasts the ≤ d·w sketch.
+    */
+  def topCandidates(batch: DataFrame, textCol: String,
+                    c: Int): DataFrame =
+    batch.select(explode(tokens(col(textCol))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(c)
+      .select("item")
+
+  /** One-shot heavy hitters: candidates and sketch from the same
+    * stream. Output (rank, item, est_cnt); ties break on item.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, c: Int, k: Int,
+                   depth: Int, width: Int): DataFrame =
+    hhTopK(cmEstimate(countMinSketch(docs, textCol, depth, width),
+      topCandidates(docs, textCol, c), "item", depth, width), k)
+
+  /** Append one batch's heavy-hitter state (candidate layer + CM
+    * layer) — O(batch) per fold, the [[cmSketchAppend]] pattern.
+    */
+  def heavyHittersAppend(batch: DataFrame, textCol: String, c: Int,
+                         depth: Int, width: Int, indexDir: String,
+                         batchId: Long): Unit = {
+    cmSketchAppend(batch, textCol, depth, width, s"$indexDir/cm",
+      batchId)
+    topCandidates(batch, textCol, c)
+      .write.mode("overwrite").parquet(s"$indexDir/cand/batch=$batchId")
+  }
+
+  /** Heavy hitters from the at-rest index: the union of per-batch
+    * candidates probed against the layer-summed sketch (which equals
+    * the one-shot sketch of the union — counters add). With C at
+    * least the batch vocabulary this is EXACTLY the one-shot result;
+    * in general the candidate set is the union of per-batch top-Cs
+    * (the recall guarantee above).
+    */
+  def heavyHittersFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, k: Int, depth: Int,
+                            width: Int): DataFrame =
+    hhTopK(cmEstimate(cmFromIndex(spark, s"$indexDir/cm"),
+      spark.read.parquet(s"$indexDir/cand").select("item").distinct(),
+      "item", depth, width), k)
+
+  /** Rank the estimated candidates down to k: TakeOrdered the ≤
+    * |candidates| estimate rows, then number the k survivors.
+    */
+  private def hhTopK(est: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est_cnt").desc, col("item"))
+    est.orderBy(col("est_cnt").desc, col("item")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("item"), col("est_cnt"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group: keep the
     * k smallest hash values of the group's distinct items; estimate
     * |distinct| as (k-1)·M div h_(k) when the sketch saturates

@@ -215,6 +215,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("heavy hitters: per-batch top-C is a TakeOrdered (no " +
+      "single-task vocabulary sort); the sketch probes as a broadcast") {
+    val docs = Seq((1L, "a b a"), (2L, "b c d")).toDF("doc_id", "text")
+    val p1 = plan(graft.operators.Sketches.topCandidates(docs, "text", 4))
+    assert(p1.contains("TakeOrderedAndProject"), p1)
+    val p2 = plan(graft.operators.Sketches.heavyHitters(docs, "text",
+      c = 4, k = 2, depth = 3, width = 64))
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
+  }
+
   test("incremental decontamination keeps the q84 shape: broadcast " +
     "index, one training-side exchange") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")

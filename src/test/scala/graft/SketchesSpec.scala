@@ -114,6 +114,59 @@ class SketchesSpec extends SparkSpecBase {
     assert(bl(3L)._2 == 0L) // roomy filter: clean doc stays clean
   }
 
+  test("heavy hitters: skewed stream recovers the true top-k; " +
+      "estimates never undercount") {
+    // zipf-ish: hot_0 x 64, hot_1 x 32, ..., plus a 40-token tail
+    val docs = ((0 until 4).flatMap(i =>
+      Seq.fill(64 >> i)(s"hot_$i")) ++
+      (0 until 40).map(i => s"tail_$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hh = Sketches.heavyHitters(docs, "text", c = 8, k = 4,
+        depth = 4, width = 4096)
+      .orderBy($"rank").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // roomy sketch: the four hot tokens in true order
+    assert(hh.map(_._1).toSeq ==
+      Seq("hot_0", "hot_1", "hot_2", "hot_3"))
+    val truth = Map("hot_0" -> 64L, "hot_1" -> 32L, "hot_2" -> 16L,
+      "hot_3" -> 8L)
+    hh.foreach { case (t, est) => assert(est >= truth(t), t) }
+  }
+
+  test("heavy hitters: a batch-local heavy item survives the fold " +
+      "(candidate union), and roomy C makes folded == one-shot") {
+    // batch 1 (even ids): 'burst' dominates; batch 2 (odd ids): noise
+    // crowds it out of ANY global-per-batch count — but it was top-C
+    // of batch 1, so it stays a candidate in the folded index
+    val docs = (Seq.fill(10)("burst") ++ (0 until 6).map(i => s"a_$i"))
+      .zipWithIndex.map { case (t, i) => (i * 2L, t) } ++
+      (0 until 30).map(i => (i * 2 + 1L, s"noise_${i % 10}"))
+    val df = docs.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("hh_spec")
+      .toString
+    Sketches.heavyHittersAppend(df.filter($"doc_id" % 2 === 0), "text",
+      c = 4, depth = 4, width = 4096, idx, 1L)
+    Sketches.heavyHittersAppend(df.filter($"doc_id" % 2 === 1), "text",
+      c = 4, depth = 4, width = 4096, idx, 2L)
+    val folded = Sketches.heavyHittersFromIndex(spark, idx, k = 3,
+        depth = 4, width = 4096)
+      .orderBy($"rank").collect().map(r => r.getString(1))
+    assert(folded.head == "burst", folded.toSeq)
+    // roomy C (>= vocab of each batch): folded == one-shot verbatim
+    val idx2 = java.nio.file.Files.createTempDirectory("hh_spec2")
+      .toString
+    Sketches.heavyHittersAppend(df.filter($"doc_id" % 2 === 0), "text",
+      c = 64, depth = 4, width = 4096, idx2, 1L)
+    Sketches.heavyHittersAppend(df.filter($"doc_id" % 2 === 1), "text",
+      c = 64, depth = 4, width = 4096, idx2, 2L)
+    val a = Sketches.heavyHittersFromIndex(spark, idx2, k = 5,
+      depth = 4, width = 4096).orderBy($"rank").collect().toSeq
+    val b = Sketches.heavyHitters(df, "text", c = 64, k = 5,
+      depth = 4, width = 4096).orderBy($"rank").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("profile: per-column nulls/min/max exact, distinct exact below " +
       "KMV saturation") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
