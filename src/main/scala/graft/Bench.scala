@@ -33,7 +33,11 @@ object Bench {
     // round 10: the retrieval vertical (embed → IVF-PQ build → append/
     // compact/append → pruned query) and the FULL curation recipe
     // (span + near-dup-representative gates over persisted state)
-    "q122_text_retrieval", "q126_curation_full")
+    "q122_text_retrieval", "q126_curation_full",
+    // round 10 second wave: sparse retrieval (inverted index + BM25,
+    // one postings pass) and bounded-state frequent items (TakeOrdered
+    // candidates + CM probes)
+    "q140_bm25_search", "q142_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
