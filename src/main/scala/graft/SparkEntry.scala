@@ -2664,6 +2664,33 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- BOTTOM-K SAMPLE: a fixed-budget uniform corpus sample ------
+    // The 20 docs with the smallest portable hash tags — exactly K
+    // held no matter the corpus size (vs fraction sampling). Oracle
+    // replays the tag + rank.
+    "q144_bottomk_sample" -> ((s, dir) => {
+      TextAnalysis.bottomKSample(t(s, dir, "documents"), "doc_id",
+          k = 20)
+        .orderBy(col("h"), col("doc_id"))
+    }),
+
+    // ---- PERSISTED sample state: two folds min-union to the same ----
+    // bottom-K (every global minimum ranks <= K in its own batch) —
+    // verbatim q144 oracle.
+    "q145_bottomk_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("bk_idx").toString
+      TextAnalysis.bottomKAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", 20,
+        idx, 1L)
+      TextAnalysis.bottomKAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", 20,
+        idx, 2L)
+      TextAnalysis.bottomKFromIndex(s, idx, k = 20)
+        .orderBy(col("h"), col("doc_id"))
+    }),
+
     // ---- SAMPLE-TRAINED IVF-PQ: quantizers from id%2, encode all ----
     // The 100 TB practice — Lloyd's converges on a representative
     // sample; training passes scan half the corpus here (trainMod× in
@@ -3175,6 +3202,17 @@ object SparkEntry {
        | CAST(est_cnt AS BIGINT) AS est_cnt
        |FROM rk WHERE rank <= 5 ORDER BY rank""".stripMargin
   }
+
+  /** Bottom-k sample replay: salted portable tag per doc, rank by
+    * (tag, doc_id), keep 20. Shared by q144 (one-shot) and q145 (two
+    * folded layers — min-union makes them identical by construction).
+    */
+  private val BottomKOracleSql: String =
+    s"""WITH tags AS (SELECT doc_id,
+       |  ${polyHashSql("(CAST(doc_id AS VARCHAR) || '|sample-salt')")}
+       |    AS h FROM documents)
+       |SELECT doc_id, CAST(h AS BIGINT) AS h
+       |FROM tags ORDER BY h, doc_id LIMIT 20""".stripMargin
 
   private val CmSketchOracleSql: String = {
     val mults = Seq(31L, 37L, 41L, 43L)
@@ -5752,6 +5790,12 @@ object SparkEntry {
     // Folded state: per-batch top-C sets replayed, CM counters add.
     "q143_hh_incremental" -> heavyHittersOracleSql(
       Seq("doc_id % 2 = 0", "doc_id % 2 = 1")),
+
+    // Bottom-k sample: tag + rank replayed exactly.
+    "q144_bottomk_sample" -> BottomKOracleSql,
+
+    // Min-union of folded layers IS the one-shot bottom-k — same SQL.
+    "q145_bottomk_incremental" -> BottomKOracleSql,
 
     // Text → retrieval vertical: the q121 embed chain feeding the
     // shared IVF-PQ replay (sub=8 for dim 32); the persisted index's

@@ -398,6 +398,55 @@ object TextAnalysis {
     docs.filter(slot < threshold)
   }
 
+  /** Fixed-budget uniform corpus sample: the K documents with the
+    * smallest portable hash tag (bottom-k sampling — Cohen & Kaplan
+    * 2007's mergeable summary, with the deterministic hash as the
+    * random tag). Unlike [[stratifiedSample]]'s keep-fraction (whose
+    * kept COUNT grows with the corpus), this holds a sample of
+    * exactly K no matter how large ingest gets — the fixed-budget
+    * inspection / spot-eval sample a 100 TB pipeline keeps warm. A
+    * doc's tag never changes, so the sample evolves ONLY by new docs
+    * with smaller tags displacing the largest — stable, reproducible,
+    * engine-portable. Ties break on doc_id (distinct ids ⇒ total
+    * order). Output (doc_id, h), sorted by (h, doc_id) — no explicit
+    * rank column: a global row_number window after the limit makes
+    * Catalyst merge the two sorts into a whole-corpus SinglePartition
+    * sort, destroying the TakeOrdered shape, and the (h, doc_id)
+    * total order already carries the ranking.
+    *
+    * The salt suffix lengthens the hashed string so the poly-hash
+    * wraps the modulus (the [[graft.operators.Sketches.kmvMinima]]
+    * trap: short-string hashes are bounded by 31^len and nowhere near
+    * uniform).
+    *
+    * Scale shape: orderBy+limit ⇒ TakeOrderedAndProject — per-
+    * partition bottom-K slivers merged on the driver; the corpus
+    * never globally sorts. Folds merge by min-union (re-rank the
+    * unioned layer minima, keep K) — every global bottom-K tag ranks
+    * ≤ K in its own batch, so the union always contains the one-shot
+    * sample: incremental == one-shot EXACTLY.
+    */
+  def bottomKSample(docs: DataFrame, idCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        charPolyHash(concat(col(idCol).cast("string"),
+          lit("|sample-salt"))).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(k)
+
+  /** Append one batch's bottom-K layer (O(batch), K skinny rows). */
+  def bottomKAppend(batch: DataFrame, idCol: String, k: Int,
+                    indexDir: String, batchId: Long): Unit =
+    bottomKSample(batch, idCol, k)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** The sample from the at-rest layers: min-union (distinct the
+    * unioned minima, re-rank, keep K) — identical to the one-shot
+    * sample of the union for doc-disjoint batches.
+    */
+  def bottomKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, k: Int): DataFrame =
+    spark.read.parquet(indexDir).select("doc_id", "h").distinct()
+      .orderBy(col("h"), col("doc_id")).limit(k)
+
   /** Leakage-free deterministic train/val/test split: each document is
     * assigned by the portable hash of its id alone — stable across
     * runs, engines, retries, AND corpus growth (a doc's split never

@@ -226,6 +226,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p2.contains("SortMergeJoin"), p2)
   }
 
+  test("bottom-k sample is a TakeOrdered — the corpus never globally " +
+      "sorts for a fixed-budget sample") {
+    val docs = (0L until 8L).map(i => (i, "x")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.bottomKSample(
+      docs, "doc_id", 3))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("incremental decontamination keeps the q84 shape: broadcast " +
     "index, one training-side exchange") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")

@@ -422,4 +422,40 @@ class SelectionOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
   }
+
+  test("bottomKSample: exactly K, sorted by tag; folded layers " +
+      "min-union to the one-shot sample verbatim") {
+    val docs = (0L until 60L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    val one = TextAnalysis.bottomKSample(docs, "doc_id", 10)
+      .orderBy($"h", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.length == 10)
+    assert(one.map(_._2).toSeq == one.map(_._2).sorted.toSeq)
+    val idx = java.nio.file.Files.createTempDirectory("bk_spec")
+      .toString
+    TextAnalysis.bottomKAppend(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", 10, idx, 1L)
+    TextAnalysis.bottomKAppend(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", 10, idx, 2L)
+    val folded = TextAnalysis.bottomKFromIndex(spark, idx, 10)
+      .orderBy($"h", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(folded.toSeq == one.toSeq)
+  }
+
+  test("bottomKSample: ingest can only DISPLACE members (an old doc " +
+      "never enters because others arrived); k > corpus keeps all") {
+    val small = (0L until 40L).map(i => (i, "")).toDF("doc_id", "text")
+    val grown = (0L until 80L).map(i => (i, "")).toDF("doc_id", "text")
+    val sSmall = TextAnalysis.bottomKSample(small, "doc_id", 8)
+      .collect().map(_.getLong(0)).toSet
+    val sGrown = TextAnalysis.bottomKSample(grown, "doc_id", 8)
+      .collect().map(_.getLong(0)).toSet
+    // every grown-sample member from the ORIGINAL corpus was already
+    // a member before growth
+    assert(sGrown.filter(_ < 40L).subsetOf(sSmall))
+    assert(TextAnalysis.bottomKSample(small, "doc_id", 100)
+      .count() == 40L)
+  }
 }
