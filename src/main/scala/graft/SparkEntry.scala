@@ -2859,6 +2859,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the FULL recipe with the BLOOM decon gate: the q126 chain,
+    // but the benchmark state is two folded bloom layers instead of
+    // the exact shingle-hash index — the gate's broadcast stays ≤ m
+    // bits no matter how many eval sets fold in, and everything the
+    // exact gate drops, this drops too (plus false positives at the
+    // bloom's rate, replayed exactly by the oracle).
+    "q146_curation_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mk = () => java.nio.file.Files
+        .createTempDirectory("curation_bloom").toString
+      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      def sh5(b: DataFrame) = b.select(explode(array_distinct(
+        shingles(tokens(col("text")), 5))).as("s"))
+      graft.operators.Sketches.bloomAppend(
+        sh5(bench.filter(pmod(col("doc_id"), lit(40)) === 0)), "s",
+        kHashes = 3, mBits = 65536, benchIdx, 1L)
+      graft.operators.Sketches.bloomAppend(
+        sh5(bench.filter(pmod(col("doc_id"), lit(40)) =!= 0)), "s",
+        kHashes = 3, mBits = 65536, benchIdx, 2L)
+      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+        indexDir = dsirIdx)
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val cfg = graft.streaming.CurationStream.Config(
+        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
+        keepFrac10k = 4000L, deconBloom = true,
+        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
+      graft.streaming.CurationStream.select(s, cfg,
+          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
+            "de" -> 500L))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the same FULL chain driven through the ACTUAL Structured
     // Streaming front end: a MemoryStream feeds CurationStream.start,
     // micro-batches fold via foreachBatch (batch ids become layer
@@ -3380,7 +3418,7 @@ object SparkEntry {
     * (MinHash-LSH clusters keep their (n_distinct DESC, id) best) →
     * DSIR top-fraction → exact mixture.
     */
-  private val CurationFullChainSql: String =
+  private val CurationChainHeadSql: String =
     s"""WITH RECURSIVE dtk AS (SELECT doc_id,
        |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
        |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
@@ -3390,8 +3428,13 @@ object SparkEntry {
        |      || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
        |      || ' ' || lead(tok, 3) OVER (PARTITION BY doc_id ORDER BY i)
        |      || ' ' || lead(tok, 4) OVER (PARTITION BY doc_id ORDER BY i)
-       |    AS s FROM dtk),
-       |dhs AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h
+       |    AS s FROM dtk)""".stripMargin
+
+  /** The exact-index decon gate (q110/q126/q127/q135): benchmark
+    * 5-shingle hash set, per-doc overlap fraction. Ends at `kept1`.
+    */
+  private val CurationExactDeconSql: String =
+    s"""dhs AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h
        | FROM dshr WHERE s IS NOT NULL),
        |bh AS (SELECT DISTINCT h FROM dhs WHERE doc_id % 20 = 0),
        |dagg AS (SELECT t.doc_id, COUNT(*) AS n_sh,
@@ -3402,8 +3445,41 @@ object SparkEntry {
        |  LEFT JOIN dagg a USING (doc_id)
        |  WHERE d.doc_id % 20 <> 0 AND NOT (
        |    CASE WHEN COALESCE(a.n_sh, 0) > 0
-       |      THEN CAST(a.n_ov AS DOUBLE) / a.n_sh ELSE 0.0 END >= 0.05)),
-       |ksrc AS (SELECT d.doc_id, d.text FROM documents d
+       |      THEN CAST(a.n_ov AS DOUBLE) / a.n_sh ELSE 0.0 END >= 0.05))"""
+      .stripMargin
+
+  /** The BLOOM decon gate (q146): the same shingle stream, hits
+    * decided by the 3-row × 64k-bit membership test (the q138 replay
+    * at shingleN = 5). flag_bloom ⊇ flag_exact, so this kept1 ⊆ the
+    * exact chain's — bounded gate state, never a false negative.
+    * Ends at `kept1`.
+    */
+  private val CurationBloomDeconSql: String = {
+    val mults = Seq(31L, 37L, 41L)
+    val setPos = mults.map(m =>
+      s"SELECT DISTINCT ${polyHashSql("s", m)} % 65536 AS pos FROM bsh5")
+      .mkString("\nUNION\n")
+    val allK = mults.map(m =>
+      s"(${polyHashSql("s", m)} % 65536) IN (SELECT pos FROM bloom5)")
+      .mkString("\n  AND ")
+    s"""dsh AS (SELECT DISTINCT doc_id, s FROM dshr WHERE s IS NOT NULL),
+       |bsh5 AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 20 = 0),
+       |bloom5 AS ($setPos),
+       |hit AS (SELECT doc_id, CASE WHEN $allK
+       |   THEN 1 ELSE 0 END AS ib
+       |  FROM dsh WHERE doc_id % 20 <> 0),
+       |bagg AS (SELECT doc_id, COUNT(*) AS n_sh,
+       |   SUM(ib) AS n_ov FROM hit GROUP BY doc_id),
+       |kept1 AS (SELECT d.doc_id, d.lang FROM documents d
+       |  LEFT JOIN bagg a USING (doc_id)
+       |  WHERE d.doc_id % 20 <> 0 AND NOT (
+       |    CASE WHEN COALESCE(a.n_sh, 0) > 0
+       |      THEN CAST(a.n_ov AS DOUBLE) / a.n_sh ELSE 0.0 END >= 0.05))"""
+      .stripMargin
+  }
+
+  private val CurationChainTailSql: String =
+    s"""ksrc AS (SELECT d.doc_id, d.text FROM documents d
        |  JOIN kept1 USING (doc_id)),
        |sbase AS (SELECT doc_id,
        |  string_split_regex(trim(text), '\\s+') AS ws FROM ksrc),
@@ -3470,11 +3546,34 @@ object SparkEntry {
        |    doc_id) AS mix_rank
        | FROM kept3)""".stripMargin
 
+  /** Assemble head + decon block + tail. Each part is pre-margin-
+    * stripped — never re-apply stripMargin over the assembled chain
+    * (a second pass eats one pipe of every `|| ' ' ||` line).
+    */
+  private def curationChainSql(deconBlock: String): String =
+    CurationChainHeadSql + ",\n" + deconBlock + ",\n" +
+      CurationChainTailSql
+
+  private val CurationFullChainSql: String =
+    curationChainSql(CurationExactDeconSql)
+
+  private val CurationBloomChainSql: String =
+    curationChainSql(CurationBloomDeconSql)
+
   // NOTE: the chain is ALREADY margin-stripped — concatenate the
   // tails without re-applying stripMargin over it (a second pass eats
   // one pipe of every `|| ' ' ||` continuation line).
   private val CurationFullOracleSql: String =
     CurationFullChainSql + "\n" +
+      """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+        |FROM r JOIN caps USING (lang)
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+
+  /** q146: the q126 chain with the decon gate swapped to the bloom
+    * membership test — same final selection shape.
+    */
+  private val CurationBloomOracleSql: String =
+    CurationBloomChainSql + "\n" +
       """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
@@ -5816,6 +5915,10 @@ object SparkEntry {
     // Streaming front end (q127) against the SAME one-shot replay —
     // fold/stream boundary irrelevance is the oracle's claim.
     "q126_curation_full" -> CurationFullOracleSql,
+
+    // The full recipe behind the BLOOM decon gate — membership test
+    // replayed inside the chain.
+    "q146_curation_bloom" -> CurationBloomOracleSql,
     "q127_curation_streamed" -> CurationFullOracleSql,
     "q135_curation_report" -> CurationReportOracleSql,
 

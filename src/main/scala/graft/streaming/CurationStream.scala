@@ -49,6 +49,17 @@ object CurationStream {
                     shingleN: Int = 5, deconThreshold: Double = 0.05,
                     nBuckets: Int = 65536, scale: Long = 1000000L,
                     keepFrac10k: Long = 4000L,
+                    // decon gate backing state: false → `benchIdx` is
+                    // the EXACT benchmark shingle-hash index (grows
+                    // with the eval suite); true → `benchIdx` holds
+                    // BLOOM layers ([[graft.operators.Sketches
+                    // .bloomAppend]] over benchmark shingle strings) —
+                    // the gate's broadcast stays ≤ mBits positions no
+                    // matter how many benchmarks fold in, at the cost
+                    // of false-positive drops (never false negatives:
+                    // everything the exact gate drops, this drops too)
+                    deconBloom: Boolean = false,
+                    bloomKHashes: Int = 3, bloomMBits: Int = 65536,
                     // ---- full-recipe gates (None disables; the v1
                     // decon → DSIR → mixture chain is unchanged) ----
                     // duplicated-span gate (Lee et al. 2022 shape):
@@ -82,11 +93,19 @@ object CurationStream {
     // layer, sig layer ×2, bucket layer, score + index write) and
     // would otherwise re-run per consumer — measured 10.5 s → 6.4 s
     // on the two sf0.1 folds (tools/CurationProbe)
-    val clean = batch.join(
-      TextAnalysis.decontaminateIncremental(s, cfg.benchIdx, batch,
-          cfg.idCol, cfg.textCol, cfg.shingleN, cfg.deconThreshold)
-        .filter(!col("contaminated")).select(col("doc_id").as(cfg.idCol)),
-      cfg.idCol)
+    val deconSurvivors =
+      if (cfg.deconBloom)
+        TextAnalysis.bloomDecontaminateAgainst(batch,
+            graft.operators.Sketches.bloomFromIndex(s, cfg.benchIdx),
+            cfg.idCol, cfg.textCol, cfg.shingleN, cfg.bloomKHashes,
+            cfg.bloomMBits, cfg.deconThreshold)
+          .filter(!col("flagged")).select(col("doc_id").as(cfg.idCol))
+      else
+        TextAnalysis.decontaminateIncremental(s, cfg.benchIdx, batch,
+            cfg.idCol, cfg.textCol, cfg.shingleN, cfg.deconThreshold)
+          .filter(!col("contaminated"))
+          .select(col("doc_id").as(cfg.idCol))
+    val clean = batch.join(deconSurvivors, cfg.idCol)
       .localCheckpoint(false)
     // span-hash layer: one (doc, window position, hash) row per
     // window — per-row work, O(batch); which hashes are SHARED is a

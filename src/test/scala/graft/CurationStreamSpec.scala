@@ -146,4 +146,50 @@ class CurationStreamSpec extends SparkSpecBase {
       .toSet
     assert(streamed == oneShot)
   }
+
+  test("BLOOM decon gate: batch boundaries do not change the " +
+      "selection; the exact gate's drops are a subset of the bloom's") {
+    val docs = ((1L to 30L).map(i => CurDoc(i, "en", s"alpha beta doc $i")) ++
+      (31L to 45L).map(i => CurDoc(i, "fr", s"gamma delta doc $i")) ++
+      Seq(CurDoc(46L, "en", "bench mark text one two"),
+        CurDoc(47L, "en", "bench mark text one two three")))
+      .toDF("doc_id", "lang", "text")
+    val bench = docs.filter($"doc_id" === 46L)
+    val train = docs.filter($"doc_id" =!= 46L)
+    val benchIdx = mk(); val dsirIdx = mk()
+    import graft.functions.GraftFunctions.{shingles, tokens}
+    // two bloom layers over benchmark 5-shingles (bit-OR fold)
+    val sh5 = bench.select(explode(array_distinct(
+      shingles(tokens($"text"), 5))).as("s"))
+    graft.operators.Sketches.bloomAppend(sh5.limit(2), "s", 3, 65536,
+      benchIdx, 1L)
+    graft.operators.Sketches.bloomAppend(sh5, "s", 3, 65536,
+      benchIdx, 2L)
+    TextAnalysis.buildDsirIndex(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+      indexDir = dsirIdx)
+    def cfgFor(curIdx: String) = CurationStream.Config(
+      benchIdx, dsirIdx, curIdx, "doc_id", "text", "lang",
+      deconThreshold = 0.3, keepFrac10k = 6000L, deconBloom = true)
+    val targets = Map("en" -> 7000L, "fr" -> 3000L)
+    val oneIdx = mk()
+    CurationStream.foldBatch(train, 0L, cfgFor(oneIdx))
+    val oneShot = CurationStream.select(spark, cfgFor(oneIdx), targets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(oneShot.nonEmpty)
+    // no false negatives: the contaminated doc is still dropped
+    assert(!oneShot.exists(_._1 == 47L))
+    // two folds → same selection (the gate is per-doc pure against
+    // the frozen bloom; batch boundaries are irrelevant)
+    val twoIdx = mk()
+    CurationStream.foldBatch(train.filter($"doc_id" % 2 === 1), 1L,
+      cfgFor(twoIdx))
+    CurationStream.foldBatch(train.filter($"doc_id" % 2 === 0), 2L,
+      cfgFor(twoIdx))
+    val folded = CurationStream.select(spark, cfgFor(twoIdx), targets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(folded == oneShot)
+  }
 }
