@@ -2772,6 +2772,18 @@ object SparkEntry {
       Ann.recallAtK(approx, exact, k = 5).orderBy(col("query_id"))
     }),
 
+    // ---- k-NN classification eval: does the embedding carry label ----
+    // structure? Held-out queries (vec_id % 50) labeled by the
+    // majority of their 5 exact nearest neighbors from the rest.
+    // Oracle replays distances, votes, and tie-breaks.
+    "q147_knn_classify" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Ann.knnClassify(em.filter(pmod(col("vec_id"), lit(50)) === 0),
+          em.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // ---- exact mixture rebalancing: hit a target language mix --------
     // en 50% / fr 20% / de 15% / es 10% / zh 5%, exact integer caps.
     "q96_mix_to_target" -> ((s, dir) => {
@@ -5870,6 +5882,35 @@ object SparkEntry {
 
     // Streamed ingest + compaction: invisible in the search result.
     "q137_retrieval_streamed" -> ivfPqOracleSql,
+
+    // k-NN classification: exact distances, votes, tie-breaks.
+    "q147_knn_classify" -> {
+      def sq(e: String, c: String) =
+        s"round(list_sum(list_transform(range(len($e)), " +
+          s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS tl,
+         |  CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         | WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, label AS nl,
+         |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+         | WHERE vec_id % 50 <> 0),
+         |nn AS (SELECT query_id, nl FROM (
+         |  SELECT query_id, nl, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${sq("qv", "cv")} ASC, neighbor_id) AS rank
+         |  FROM q, c) WHERE rank <= 5),
+         |v AS (SELECT query_id, nl, COUNT(*) AS votes FROM nn
+         | GROUP BY query_id, nl),
+         |p AS (SELECT query_id, nl, votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, nl) AS rn FROM v) WHERE rn = 1)
+         |SELECT p.query_id, CAST(q.tl AS BIGINT) AS true_label,
+         | CAST(p.nl AS BIGINT) AS pred_label,
+         | CAST(p.votes AS BIGINT) AS votes,
+         | (p.nl = q.tl) AS correct
+         |FROM p JOIN q USING (query_id)
+         |ORDER BY p.query_id""".stripMargin
+    },
 
     // Bloom membership gate: positions + all-k test replayed exactly.
     "q138_bloom_decon" -> BloomDeconOracleSql,

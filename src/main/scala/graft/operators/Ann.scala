@@ -848,6 +848,35 @@ object Ann {
       .withColumn("recall", col("n_hit").cast("double") / k)
   }
 
+  /** k-NN majority-vote classification eval (Cover & Hart 1967) — the
+    * second standard embedding-quality probe next to [[recallAtK]]:
+    * each held-out query takes the majority label of its k EXACT
+    * nearest neighbors (vote ties: count DESC, label ASC), compared
+    * to its true label. Like the recall harness this is an EVALUATION
+    * pass over a query sample — the brute-force scan buys exactness,
+    * and the metric tells you whether the embedding carries label
+    * structure at all before anyone trusts ANN answers built on it.
+    * Output: (query_id, true_label, pred_label, votes, correct).
+    */
+  def knnClassify(queries: DataFrame, candidates: DataFrame,
+                  idCol: String, vecCol: String, labelCol: String,
+                  k: Int): DataFrame = {
+    val nn = bruteForceTopKL2(queries, candidates, idCol, vecCol, k)
+    val votes = nn.join(candidates.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("nl")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nl"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("nl").as("pred_label"), col("votes"),
+        (col("nl") === col("true_label")).as("correct"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     // Rank on the ROUNDED similarity (+0.0 normalizes IEEE -0.0): a
     // near-tie at a rank boundary must resolve identically in Spark and

@@ -274,4 +274,34 @@ class PqSpec extends SparkSpecBase {
       .map(_.getName).toSeq
     assert(dirs == Seq("compact=2"), dirs.mkString(","))
   }
+
+  test("knnClassify: separable clusters classify perfectly; vote " +
+      "ties break on the smaller label") {
+    import graft.operators.Ann
+    // two clusters around (0,0) and (10,10), labels 0 / 1; the 0.25
+    // steps are binary-exact and MIRRORED so a (5,5) probe sits at
+    // exactly equal distance from the i-th member of each cluster
+    val pts = ((0 until 6).map(i =>
+        (i.toLong, Array(0f - i * 0.25f, 0f), 0)) ++
+      (0 until 6).map(i =>
+        (100L + i, Array(10f + i * 0.25f, 10f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val queries = pts.filter($"vec_id".isin(0L, 100L))
+    val cands = pts.filter(!$"vec_id".isin(0L, 100L))
+    val out = Ann.knnClassify(queries, cands, "vec_id", "embedding",
+        "label", k = 3)
+      .orderBy($"query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((0L, 0L, 0L, 3L, true),
+      (100L, 1L, 1L, 3L, true)))
+    // 2-2 vote tie at k=4 for a mid-point query: label 0 wins the
+    // (votes DESC, label ASC) tie-break
+    val mid = Seq((500L, Array(5f, 5f), 1)).toDF("vec_id", "embedding",
+      "label")
+    val tied = Ann.knnClassify(mid, cands, "vec_id", "embedding",
+        "label", k = 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(tied.toSeq == Seq((0L, 2L, false)))
+  }
 }
