@@ -2636,6 +2636,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- HYBRID RETRIEVAL: BM25 ⊕ dense ranks via RRF ---------------
+    // The q140 sparse ranks and the q121-style dense cosine ranks over
+    // the SAME query docs (every 97th), fused by exact-integer
+    // reciprocal rank (10⁸ div (60 + r)). The modern hybrid-search
+    // composition — each side covers the other's misses. Self-hit
+    // conventions differ by design: BM25 treats the query as a bag of
+    // terms (the query doc can match itself), the dense side is
+    // query-by-example (self excluded) — both replayed exactly.
+    "q148_hybrid_rrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (postings, doclens) =
+        Lexical.buildPostings(d, "doc_id", "text")
+      val queries = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(tokens(col("text")), 1, 3).as("terms"))
+      val sparse = Lexical.bm25Search(postings, doclens, queries,
+          "query_id", "terms", k = 5)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = operators.Embed.hashEmbed(d, "doc_id", "text",
+          dim = 32)
+        .filter(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0)
+      val dense = Ann.bruteForceTopK(
+          emb.filter(pmod(col("doc_id"), lit(97)) === 0), emb,
+          "doc_id", "emb", k = 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Lexical.rrfFuse(sparse, dense, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- HEAVY HITTERS: bounded-state top-k frequent tokens ---------
     // Exact top-C candidates (TakeOrdered, C=12) + CM-estimated
     // counts (4×256, the q108 sketch), top-5 by (est desc, item).
@@ -3186,8 +3216,11 @@ object SparkEntry {
     * persisted folds — tf/df/N/T all add, so the merged layers equal
     * the one-shot table by construction).
     */
-  private val Bm25OracleSql: String =
-    """WITH toks AS (SELECT doc_id,
+  /** The BM25 CTE block (toks → scored), shared by q140/q141 and the
+    * hybrid-fusion replay (q148). No leading WITH.
+    */
+  private val Bm25CtesSql: String =
+    """toks AS (SELECT doc_id,
       |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
       |  unnest(range(len(string_split_regex(trim(text), '\s+')))) AS i
       | FROM documents),
@@ -3208,13 +3241,62 @@ object SparkEntry {
       | JOIN tdf f ON p.tok = f.tok
       | JOIN dls d ON p.doc_id = d.doc_id
       | CROSS JOIN stats s
-      | GROUP BY q.query_id, p.doc_id),
-      |rk AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
-      |   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-      | FROM scored)
-      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-      | CAST(score AS BIGINT) AS score
-      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      | GROUP BY q.query_id, p.doc_id)""".stripMargin
+
+  private val Bm25OracleSql: String =
+    "WITH " + Bm25CtesSql + ",\n" +
+      """rk AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+        |   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        | FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        | CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q148 hybrid replay: BM25 top-5 (the q140 chain) fused with dense
+    * hashEmbed cosine top-5 (the q121 chain at the same % 97 query
+    * set) by exact-integer reciprocal rank: 10⁸ // (60 + rank) summed
+    * across the two lists.
+    */
+  private val HybridRrfOracleSql: String =
+    "WITH " + Bm25CtesSql + ",\n" +
+      s"""brk AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored) WHERE rank <= 5),
+         |ef AS (SELECT doc_id,
+         |   ${polyHashSql("tok")} % 32 AS b,
+         |   CASE WHEN ${polyHashSql("tok || '|sign'")} % 2 = 0
+         |     THEN 1 ELSE -1 END AS sgn
+         | FROM toks),
+         |eagg AS (SELECT doc_id, b, SUM(sgn) AS c FROM ef
+         | GROUP BY doc_id, b),
+         |edense AS (SELECT d.doc_id, i.b, COALESCE(a.c, 0) AS c
+         | FROM (SELECT DISTINCT doc_id FROM documents) d
+         | CROSS JOIN (SELECT unnest(range(32)) AS b) i
+         | LEFT JOIN eagg a ON a.doc_id = d.doc_id AND a.b = i.b),
+         |ev AS (SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+         | FROM edense GROUP BY doc_id
+         | HAVING SUM(c * c) > 0),
+         |esx AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         |  round(list_cosine_similarity(q.v, c.v), 4) + 0.0 AS sim
+         | FROM ev q JOIN ev c ON q.doc_id <> c.doc_id
+         | WHERE q.doc_id % 97 = 0),
+         |drk AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+         |  FROM esx) WHERE rank <= 5),
+         |u AS (SELECT query_id, doc_id,
+         |   100000000 // (60 + rank) AS s FROM brk
+         | UNION ALL SELECT query_id, doc_id,
+         |   100000000 // (60 + rank) FROM drk),
+         |fs AS (SELECT query_id, doc_id, SUM(s) AS rrf
+         | FROM u GROUP BY query_id, doc_id),
+         |fr AS (SELECT query_id, doc_id, rrf, ROW_NUMBER() OVER (
+         |   PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+         | FROM fs)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         | CAST(rrf AS BIGINT) AS rrf_score
+         |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Heavy-hitter replay, parameterized over the per-batch doc
     * predicates (one-shot = a single TRUE batch): per-batch exact
@@ -5923,6 +6005,9 @@ object SparkEntry {
 
     // Folded postings layers ARE the one-shot table — same SQL.
     "q141_bm25_incremental" -> Bm25OracleSql,
+
+    // Hybrid RRF: both rank lists + the integer fusion replayed.
+    "q148_hybrid_rrf" -> HybridRrfOracleSql,
 
     // Heavy hitters: candidates + CM probes + rank replayed exactly.
     "q142_heavy_hitters" -> heavyHittersOracleSql(Seq("TRUE")),

@@ -109,6 +109,36 @@ object Lexical {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * ranked result lists — the standard hybrid-retrieval combiner
+    * (sparse BM25 + dense embedding ranks): each list contributes
+    * `10⁸ div (c0 + rank)` per (query, doc) and the fused ranking
+    * sorts by the summed score. Exact integers throughout (published
+    * RRF is Σ 1/(60+r); the scaled integer division is the same
+    * ordering, engine-replayable — the DSIR convention). Fusion
+    * consumes ALREADY-RANKED lists, so its cost is rows ≈
+    * queries × k per side regardless of corpus size; it is agnostic
+    * to how the ranks were produced. Both inputs: (query_id, doc_id,
+    * rank). Output: (query_id, rank, doc_id, rrf_score); ties break
+    * on doc_id.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              c0: Int = 60): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val contrib = (df: DataFrame) =>
+      df.select(col("query_id"), col("doc_id"),
+        expr(s"100000000 div (${c0}L + CAST(rank AS BIGINT))").as("s"))
+    val fused = contrib(a).unionByName(contrib(b))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"))
+  }
+
   /** Append one batch's postings + doclens as a layer of a persisted
     * index (the [[Sketches.bloomAppend]] pattern): O(batch) per fold,
     * nothing rescans earlier batches. Batches MUST be doc-disjoint

@@ -70,6 +70,29 @@ class LexicalSpec extends SparkSpecBase {
     }
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank sums; overlap wins; " +
+      "equal scores tie-break on doc_id; k caps per query") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id",
+      "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id",
+      "rank")
+    val out = Lexical.rrfFuse(a, b, k = 5)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // doc 11 appears in both lists: 10^8 div 62 + 10^8 div 61
+    assert(out.toSeq == Seq(
+      (1, 11L, 100000000L / 62 + 100000000L / 61),
+      (2, 10L, 100000000L / 61),
+      (3, 12L, 100000000L / 62)))
+    // two rank-1-only docs score equally: smaller doc_id first
+    val t1 = Seq((1L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq((1L, 15L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = Lexical.rrfFuse(t1, t2, k = 5).orderBy($"rank")
+      .collect().map(_.getLong(2))
+    assert(tied.toSeq == Seq(15L, 20L))
+    assert(Lexical.rrfFuse(a, b, k = 1).count() == 1L)
+  }
+
   test("bm25: doc-disjoint persisted folds score IDENTICALLY to the " +
       "one-shot build (tf/df/N/T all add)") {
     val idx = java.nio.file.Files.createTempDirectory("bm25_spec")
