@@ -2636,6 +2636,41 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- STREAMED postings ingest: the sparse-retrieval q137 --------
+    // Documents arrive through the ACTUAL Structured-Streaming engine
+    // (MemoryStream → foreachBatch → layer per micro-batch); the
+    // at-rest index then answers the q140 search VERBATIM — posting
+    // rows are per-doc pure, tf/df/N/T add, batch boundaries are
+    // irrelevant.
+    "q149_bm25_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val mk = () => java.nio.file.Files
+        .createTempDirectory("bm25_stream").toString
+      val idx = mk()
+      // test-scale collect: the sf corpus is the fixture feeding the
+      // MemoryStream, not a production pattern
+      val docs = d.select(col("doc_id").cast("long"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.LexicalStream.start(
+        ms.toDF().toDF("doc_id", "text"),
+        graft.streaming.LexicalStream.Config(idx, "doc_id", "text"),
+        mk())
+      ms.addData(docs.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      ms.addData(docs.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val queries = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          slice(tokens(col("text")), 1, 3).as("terms"))
+      Lexical.bm25SearchIndex(s, idx, queries, "query_id", "terms",
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- HYBRID RETRIEVAL: BM25 ⊕ dense ranks via RRF ---------------
     // The q140 sparse ranks and the q121-style dense cosine ranks over
     // the SAME query docs (every 97th), fused by exact-integer
@@ -6008,6 +6043,9 @@ object SparkEntry {
 
     // Hybrid RRF: both rank lists + the integer fusion replayed.
     "q148_hybrid_rrf" -> HybridRrfOracleSql,
+
+    // Streamed postings ingest answers as the one-shot — same SQL.
+    "q149_bm25_streamed" -> Bm25OracleSql,
 
     // Heavy hitters: candidates + CM probes + rank replayed exactly.
     "q142_heavy_hitters" -> heavyHittersOracleSql(Seq("TRUE")),

@@ -110,5 +110,13 @@ class LexicalSpec extends SparkSpecBase {
     val oneShot = Lexical.bm25Search(p, dl, qs, "query_id", "terms", 5)
       .orderBy($"query_id", $"rank").collect().toSeq
     assert(folded == oneShot && oneShot.nonEmpty)
+    // crash-replay idempotence: re-appending a batch under the SAME
+    // layer id overwrites its own layer — search unchanged
+    Lexical.postingsAppend(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", idx, 1L)
+    val replayed = Lexical.bm25SearchIndex(spark, idx, qs, "query_id",
+        "terms", 5)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(replayed == oneShot)
   }
 }
