@@ -58,12 +58,17 @@ object Lexical {
     */
   def buildPostings(docs: DataFrame, idCol: String,
                     textCol: String): (DataFrame, DataFrame) = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // null-text docs are excluded entirely (no postings, no doclens
+    // row, not in N/avgdl) — the same semantics as deriving both
+    // tables from the token stream, and what the SQL replay's unnest
+    // produces; they'd otherwise contribute a null dl to doclens
+    val src = docs.filter(col(textCol).isNotNull)
+    val toks = src.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"),
       explode(tokens(col(textCol))).as("token"))
     val postings = toks.groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    val doclens = docs.select(col(idCol).as("doc_id"),
+    val doclens = src.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     (postings, doclens)
   }
@@ -94,7 +99,11 @@ object Lexical {
     val scored = matched
       .join(broadcast(qt), Seq("token"))
       .crossJoin(broadcast(stats))
-      .withColumn("avgdl", greatest(expr("t div n"), lit(1L)))
+      // greatest(n, 1): an empty doclens table gives n = 0 and t =
+      // null — without the guard ANSI mode raises divide-by-zero
+      // instead of returning the (empty) result
+      .withColumn("avgdl",
+        greatest(expr("t div greatest(n, 1L)"), lit(1L)))
       .withColumn("dlr10k", expr("(dl * 10000) div avgdl"))
       .withColumn("idf10k",
         expr("((2 * (n - df) + 1) * 10000) div (2 * df + 1)"))

@@ -427,7 +427,11 @@ object TextAnalysis {
     * sample: incremental == one-shot EXACTLY.
     */
   def bottomKSample(docs: DataFrame, idCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    // null ids are excluded: a null id hashes to a null tag, and
+    // asc-nulls-first ordering would let every null-id row hijack a
+    // sample slot (and break the doc_id tie-break)
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         charPolyHash(concat(col(idCol).cast("string"),
           lit("|sample-salt"))).as("h"))
       .orderBy(col("h"), col("doc_id")).limit(k)
