@@ -2974,6 +2974,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- RELEASE MANIFEST: the engine's final artifact map ----------
+    // Curation selection (the q126 chain) → leakage-free split
+    // assignment (q113 semantics over the SELECTED set) → epoch-0
+    // round-robin sharding of the train split (q134 semantics).
+    // One row per released doc: (doc_id, lang, split, shard) with
+    // shard = -1 off the train split — what a pretraining run reads
+    // to know exactly which doc goes where, reproducibly on any
+    // engine. One oracle over the whole chain.
+    "q150_release_manifest" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mk = () => java.nio.file.Files
+        .createTempDirectory("release_mf").toString
+      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
+      TextAnalysis.buildBenchmarkIndex(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
+        shingleN = 5, indexDir = benchIdx)
+      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+        indexDir = dsirIdx)
+      val train0 = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val cfg = graft.streaming.CurationStream.Config(
+        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
+        keepFrac10k = 4000L,
+        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
+      graft.streaming.CurationStream.foldBatch(
+        train0.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
+      graft.streaming.CurationStream.foldBatch(
+        train0.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
+      val selected = graft.streaming.CurationStream.select(s, cfg,
+        targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
+          "de" -> 500L))
+      val withSplit = TextAnalysis.assignSplit(selected, "doc_id",
+        splits = Seq(("train", 8000L), ("val", 1000L),
+          ("test", 1000L)))
+      val sharded = TextAnalysis.shardAssign(
+        withSplit.filter(col("split") === "train"), "doc_id",
+        numShards = 4)
+      withSplit
+        .join(sharded.select(col("doc_id"), col("shard")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("split"),
+          coalesce(col("shard"), lit(-1L)).as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the same FULL chain driven through the ACTUAL Structured
     // Streaming front end: a MemoryStream feeds CurationStream.start,
     // micro-batches fold via foreachBatch (batch ids become layer
@@ -3706,6 +3751,31 @@ object SparkEntry {
       """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+
+  /** q150: selection (the q126 chain) → split hash ranges (the q113
+    * replay over the selected set) → train-split round-robin shards
+    * (the q134 replay).
+    */
+  private val ReleaseManifestOracleSql: String =
+    CurationFullChainSql + ",\n" +
+      s"""sel AS (SELECT doc_id, lang FROM r JOIN caps USING (lang)
+         | WHERE mix_rank <= k),
+         |sp AS (SELECT doc_id, lang,
+         |  CASE WHEN ph % 10000 < 8000 THEN 'train'
+         |    WHEN ph % 10000 < 9000 THEN 'val'
+         |    ELSE 'test' END AS split
+         | FROM (SELECT doc_id, lang,
+         |   ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")} AS ph
+         |  FROM sel)),
+         |th AS (SELECT doc_id,
+         |  ${polyHashSql("CAST(doc_id AS VARCHAR) || '|shuffle'")} AS hh
+         | FROM sp WHERE split = 'train'),
+         |tr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hh, doc_id)
+         |  AS pos FROM th)
+         |SELECT s.doc_id, s.lang, s.split,
+         | CAST(COALESCE((t.pos - 1) % 4, -1) AS BIGINT) AS shard
+         |FROM sp s LEFT JOIN tr t USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin
 
   /** The q135 funnel report: per-stage counts off the same chain. */
   private val CurationReportOracleSql: String =
@@ -6083,6 +6153,9 @@ object SparkEntry {
     // The full recipe behind the BLOOM decon gate — membership test
     // replayed inside the chain.
     "q146_curation_bloom" -> CurationBloomOracleSql,
+
+    // Selection → split → train shards, one replay end-to-end.
+    "q150_release_manifest" -> ReleaseManifestOracleSql,
     "q127_curation_streamed" -> CurationFullOracleSql,
     "q135_curation_report" -> CurationReportOracleSql,
 
