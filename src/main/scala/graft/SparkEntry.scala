@@ -28,6 +28,58 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared full-recipe curation fixture (q126/q127/q135/q146/q150):
+    * benchmark state (exact shingle index, or two folded bloom layers
+    * when `deconBloom`), frozen DSIR model, gate/mixture dirs, and —
+    * unless the caller streams the folds itself (q127) — the training
+    * half folded in two batches. ONE definition on purpose: every
+    * parameter here (shingleN 5, keepFrac 4000, %20 benchmark split,
+    * %2 fold split) is replayed by the shared oracle chain, and a
+    * per-query copy that drifted would silently test a different
+    * chain than its oracle.
+    */
+  private def curationFixture(s: SparkSession, dir: String,
+                              deconBloom: Boolean = false,
+                              fold: Boolean = true)
+      : graft.streaming.CurationStream.Config = {
+    val d = t(s, dir, "documents")
+    val mk = () => java.nio.file.Files
+      .createTempDirectory("curation_fx").toString
+    val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
+    val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+    if (deconBloom) {
+      def sh5(b: DataFrame) = b.select(explode(array_distinct(
+        shingles(tokens(col("text")), 5))).as("s"))
+      graft.operators.Sketches.bloomAppend(
+        sh5(bench.filter(pmod(col("doc_id"), lit(40)) === 0)), "s",
+        kHashes = 3, mBits = 65536, benchIdx, 1L)
+      graft.operators.Sketches.bloomAppend(
+        sh5(bench.filter(pmod(col("doc_id"), lit(40)) =!= 0)), "s",
+        kHashes = 3, mBits = 65536, benchIdx, 2L)
+    } else
+      TextAnalysis.buildBenchmarkIndex(bench, "text", shingleN = 5,
+        indexDir = benchIdx)
+    TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
+      "doc_id", "text", nBuckets = 65536, scale = 1000000L,
+      indexDir = dsirIdx)
+    val cfg = graft.streaming.CurationStream.Config(
+      benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
+      keepFrac10k = 4000L, deconBloom = deconBloom,
+      spanIdx = Some(mk()), nearDupIdx = Some(mk()))
+    if (fold) {
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
+      graft.streaming.CurationStream.foldBatch(
+        train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
+    }
+    cfg
+  }
+
+  /** The q126-family mixture targets — matched by the oracle chain. */
+  private val CurationTargets: Map[String, Long] =
+    Map("en" -> 8000L, "es" -> 1500L, "de" -> 500L)
+
   /** events with epoch-µs event time (canonical temporal form). The
     * events parquet carries TIMESTAMP(NANOS), which Spark only reads with
     * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench) — as
@@ -2911,28 +2963,8 @@ object SparkEntry {
     // which is exactly what makes the fold equal the one-shot replay
     // regardless of batch boundaries (the oracle IS that one-shot).
     "q126_curation_full" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val mk = () => java.nio.file.Files
-        .createTempDirectory("curation_full").toString
-      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
-      TextAnalysis.buildBenchmarkIndex(
-        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
-        shingleN = 5, indexDir = benchIdx)
-      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
-        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
-        indexDir = dsirIdx)
-      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      val cfg = graft.streaming.CurationStream.Config(
-        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
-        keepFrac10k = 4000L,
-        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
-      graft.streaming.CurationStream.foldBatch(
-        train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
-      graft.streaming.CurationStream.foldBatch(
-        train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
-      graft.streaming.CurationStream.select(s, cfg,
-          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
-            "de" -> 500L))
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir), CurationTargets)
         .orderBy(col("doc_id"))
     }),
 
@@ -2943,34 +2975,8 @@ object SparkEntry {
     // exact gate drops, this drops too (plus false positives at the
     // bloom's rate, replayed exactly by the oracle).
     "q146_curation_bloom" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val mk = () => java.nio.file.Files
-        .createTempDirectory("curation_bloom").toString
-      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
-      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
-      def sh5(b: DataFrame) = b.select(explode(array_distinct(
-        shingles(tokens(col("text")), 5))).as("s"))
-      graft.operators.Sketches.bloomAppend(
-        sh5(bench.filter(pmod(col("doc_id"), lit(40)) === 0)), "s",
-        kHashes = 3, mBits = 65536, benchIdx, 1L)
-      graft.operators.Sketches.bloomAppend(
-        sh5(bench.filter(pmod(col("doc_id"), lit(40)) =!= 0)), "s",
-        kHashes = 3, mBits = 65536, benchIdx, 2L)
-      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
-        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
-        indexDir = dsirIdx)
-      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      val cfg = graft.streaming.CurationStream.Config(
-        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
-        keepFrac10k = 4000L, deconBloom = true,
-        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
-      graft.streaming.CurationStream.foldBatch(
-        train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
-      graft.streaming.CurationStream.foldBatch(
-        train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
-      graft.streaming.CurationStream.select(s, cfg,
-          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
-            "de" -> 500L))
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir, deconBloom = true), CurationTargets)
         .orderBy(col("doc_id"))
     }),
 
@@ -2983,28 +2989,8 @@ object SparkEntry {
     // to know exactly which doc goes where, reproducibly on any
     // engine. One oracle over the whole chain.
     "q150_release_manifest" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val mk = () => java.nio.file.Files
-        .createTempDirectory("release_mf").toString
-      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
-      TextAnalysis.buildBenchmarkIndex(
-        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
-        shingleN = 5, indexDir = benchIdx)
-      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
-        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
-        indexDir = dsirIdx)
-      val train0 = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      val cfg = graft.streaming.CurationStream.Config(
-        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
-        keepFrac10k = 4000L,
-        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
-      graft.streaming.CurationStream.foldBatch(
-        train0.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
-      graft.streaming.CurationStream.foldBatch(
-        train0.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
-      val selected = graft.streaming.CurationStream.select(s, cfg,
-        targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
-          "de" -> 500L))
+      val selected = graft.streaming.CurationStream.select(s,
+        curationFixture(s, dir), CurationTargets)
       val withSplit = TextAnalysis.assignSplit(selected, "doc_id",
         splits = Seq(("train", 8000L), ("val", 1000L),
           ("test", 1000L)))
@@ -3029,19 +3015,7 @@ object SparkEntry {
     "q127_curation_streamed" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "documents")
-      val mk = () => java.nio.file.Files
-        .createTempDirectory("curation_stream").toString
-      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
-      TextAnalysis.buildBenchmarkIndex(
-        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
-        shingleN = 5, indexDir = benchIdx)
-      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
-        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
-        indexDir = dsirIdx)
-      val cfg = graft.streaming.CurationStream.Config(
-        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
-        keepFrac10k = 4000L,
-        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
+      val cfg = curationFixture(s, dir, fold = false)
       // test-scale collect: the sf corpus is the fixture feeding the
       // MemoryStream, not a production pattern
       val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
@@ -3050,15 +3024,15 @@ object SparkEntry {
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, String)](s)
       val q = graft.streaming.CurationStream.start(
-        ms.toDF().toDF("doc_id", "text", "lang"), cfg, mk())
+        ms.toDF().toDF("doc_id", "text", "lang"), cfg,
+        java.nio.file.Files.createTempDirectory("curation_ck")
+          .toString)
       ms.addData(train.filter(_._1 % 2 == 1).toSeq)
       q.processAllAvailable()
       ms.addData(train.filter(_._1 % 2 == 0).toSeq)
       q.processAllAvailable()
       q.stop()
-      graft.streaming.CurationStream.select(s, cfg,
-          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
-            "de" -> 500L))
+      graft.streaming.CurationStream.select(s, cfg, CurationTargets)
         .orderBy(col("doc_id"))
     }),
 
@@ -3067,28 +3041,8 @@ object SparkEntry {
     // production pipeline alarms on (a gate suddenly eating 40% of a
     // batch is a data bug long before eval notices).
     "q135_curation_report" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val mk = () => java.nio.file.Files
-        .createTempDirectory("curation_report").toString
-      val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
-      TextAnalysis.buildBenchmarkIndex(
-        d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
-        shingleN = 5, indexDir = benchIdx)
-      TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
-        "doc_id", "text", nBuckets = 65536, scale = 1000000L,
-        indexDir = dsirIdx)
-      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      val cfg = graft.streaming.CurationStream.Config(
-        benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
-        keepFrac10k = 4000L,
-        spanIdx = Some(mk()), nearDupIdx = Some(mk()))
-      graft.streaming.CurationStream.foldBatch(
-        train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
-      graft.streaming.CurationStream.foldBatch(
-        train.filter(pmod(col("doc_id"), lit(2)) === 0), 2L, cfg)
-      graft.streaming.CurationStream.selectReport(s, cfg,
-          targetShare10k = Map("en" -> 8000L, "es" -> 1500L,
-            "de" -> 500L))
+      graft.streaming.CurationStream.selectReport(s,
+          curationFixture(s, dir), CurationTargets)
         .orderBy(col("stage"))
     }),
 
@@ -3840,7 +3794,7 @@ object SparkEntry {
 
   private val GroupQuantilesOracleSql: String =
     """WITH v AS (SELECT lang AS grp, CAST(len(text) AS BIGINT) AS len
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |r AS (SELECT grp, len,
       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY len) AS rn,
       |  COUNT(*) OVER (PARTITION BY grp) AS n FROM v),

@@ -61,7 +61,12 @@ object Lexical {
     // null-text docs are excluded entirely (no postings, no doclens
     // row, not in N/avgdl) — the same semantics as deriving both
     // tables from the token stream, and what the SQL replay's unnest
-    // produces; they'd otherwise contribute a null dl to doclens
+    // produces; they'd otherwise contribute a null dl to doclens.
+    // doclens is a SEPARATE projection of the source on purpose: it
+    // is a column-pruned text scan (id + token count only), while
+    // deriving it from postings would pay the (token, doc) shuffle a
+    // second time; in the persisted path (postingsAppend) both land
+    // at rest and searches never rescan the corpus at all
     val src = docs.filter(col(textCol).isNotNull)
     val toks = src.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"),
@@ -115,7 +120,8 @@ object Lexical {
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
@@ -144,8 +150,8 @@ object Lexical {
       .orderBy(col("rrf_score").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("rrf_score"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("rrf_score"))
   }
 
   /** Append one batch's postings + doclens as a layer of a persisted

@@ -278,7 +278,8 @@ object Sketches {
       .orderBy(col("est_cnt").desc, col("item"))
     est.orderBy(col("est_cnt").desc, col("item")).limit(k)
       .withColumn("rank", row_number().over(w))
-      .select(col("rank"), col("item"), col("est_cnt"))
+      .select(col("rank").cast("long").as("rank"), col("item"),
+        col("est_cnt"))
   }
 
   /** KMV (k-minimum-values) distinct-count sketch per group: keep the

@@ -112,14 +112,18 @@ object CurationStream {
     // global question answered in [[select]] over the index (like
     // exact-substring dedup, the state is inherently O(corpus tokens),
     // but hash-only: ~8 B per token vs the text bytes)
+    // one (doc, hash) row per window OCCURRENCE (duplicates kept —
+    // n_win counts occurrences); no position column: the gate only
+    // drops whole docs, so storing win_idx would double the
+    // O(corpus-tokens) at-rest state for a column no reader uses
+    // (span CUTTING, which needs positions, is Dedup.cutDupSpans)
     cfg.spanIdx.foreach { dir =>
       clean.select(col(cfg.idCol).as("doc_id"),
-          posexplode_outer(
+          explode_outer(
             shingles(tokens(col(cfg.textCol)), cfg.spanWindow))
-            .as(Seq("win_idx", "win")))
+            .as("win"))
         .filter(col("win").isNotNull)
-        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
-          charPolyHash(col("win")).as("wh"))
+        .select(col("doc_id"), charPolyHash(col("win")).as("wh"))
         .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
     // near-dup layers: per-doc minhash signature + quality (sig/) and
@@ -161,7 +165,21 @@ object CurationStream {
     * Returns (doc_id, `strataCol`, mix_rank).
     */
   def select(spark: org.apache.spark.sql.SparkSession, cfg: Config,
-             targetShare10k: Map[String, Long]): DataFrame = {
+             targetShare10k: Map[String, Long]): DataFrame =
+    selectWithDrops(spark, cfg, targetShare10k,
+      cfg.spanIdx.map(dir => spanDropSet(spark, dir, cfg)),
+      cfg.nearDupIdx.map(dir => nearDupDropSet(spark, dir, cfg)))
+
+  /** [[select]] with the gate drop sets supplied by the caller —
+    * [[selectReport]] computes each set once and reuses it for the
+    * stage counts AND the final selection instead of re-running the
+    * LSH candidate chain per consumer.
+    */
+  private def selectWithDrops(spark: org.apache.spark.sql.SparkSession,
+                              cfg: Config,
+                              targetShare10k: Map[String, Long],
+                              spanDrop: Option[DataFrame],
+                              ndDrop: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val idx0 = spark.read.parquet(cfg.curIdx)
       .select(col("doc_id"), col("stratum"), col("h"),
@@ -171,14 +189,13 @@ object CurationStream {
     // gates are pure functions of the MERGED index state, so the
     // surviving set — and everything ranked after it — is independent
     // of how the corpus was split into batches
-    val idx1 = cfg.spanIdx.fold(idx0)(dir =>
-      idx0.join(spanDropSet(spark, dir, cfg), Seq("doc_id"), "left_anti"))
+    val idx1 = spanDrop.fold(idx0)(ds =>
+      idx0.join(ds, Seq("doc_id"), "left_anti"))
     // materialized once: the gated index feeds the keep-count AND the
     // global rank below — without this every action re-runs the gate
     // joins (and the span aggregation) over the full index
-    val idx = cfg.nearDupIdx.fold(idx1)(dir =>
-      idx1.join(nearDupDropSet(spark, dir, cfg), Seq("doc_id"),
-        "left_anti"))
+    val idx = ndDrop.fold(idx1)(ds =>
+      idx1.join(ds, Seq("doc_id"), "left_anti"))
       .localCheckpoint(false)
     val total = idx.count()
     val keep = total * cfg.keepFrac10k / 10000L
@@ -226,18 +243,24 @@ object CurationStream {
     import spark.implicits._
     val idx0 = spark.read.parquet(cfg.curIdx).select("doc_id")
     val nIndexed = idx0.count()
-    val nSpan = cfg.spanIdx
-      .map(d => spanDropSet(spark, d, cfg).count()).getOrElse(0L)
-    val nNd = cfg.nearDupIdx
-      .map(d => nearDupDropSet(spark, d, cfg).count()).getOrElse(0L)
-    val gated0 = cfg.spanIdx.fold(idx0)(d =>
-      idx0.join(spanDropSet(spark, d, cfg), Seq("doc_id"), "left_anti"))
-    val gated = cfg.nearDupIdx.fold(gated0)(d =>
-      gated0.join(nearDupDropSet(spark, d, cfg), Seq("doc_id"),
-        "left_anti"))
+    // each drop set is computed ONCE (pinned by localCheckpoint) and
+    // feeds its stage count, the gated count, AND the final selection
+    // — the LSH candidate chain + components loop must not re-run per
+    // consumer
+    val spanDrop = cfg.spanIdx
+      .map(d => spanDropSet(spark, d, cfg).localCheckpoint(false))
+    val ndDrop = cfg.nearDupIdx
+      .map(d => nearDupDropSet(spark, d, cfg).localCheckpoint(false))
+    val nSpan = spanDrop.map(_.count()).getOrElse(0L)
+    val nNd = ndDrop.map(_.count()).getOrElse(0L)
+    val gated0 = spanDrop.fold(idx0)(ds =>
+      idx0.join(ds, Seq("doc_id"), "left_anti"))
+    val gated = ndDrop.fold(gated0)(ds =>
+      gated0.join(ds, Seq("doc_id"), "left_anti"))
     val nGated = gated.count()
     val nKept = nGated * cfg.keepFrac10k / 10000L
-    val nSel = select(spark, cfg, targetShare10k).count()
+    val nSel = selectWithDrops(spark, cfg, targetShare10k, spanDrop,
+      ndDrop).count()
     Seq(("a_indexed", nIndexed), ("b_span_drop", nSpan),
       ("c_neardup_drop", nNd), ("d_gated", nGated),
       ("e_dsir_kept", nKept), ("f_selected", nSel))
@@ -254,7 +277,7 @@ object CurationStream {
     */
   def spanDropSet(spark: org.apache.spark.sql.SparkSession,
                           dir: String, cfg: Config): DataFrame = {
-    val sp = spark.read.parquet(dir).select("doc_id", "win_idx", "wh")
+    val sp = spark.read.parquet(dir).select("doc_id", "wh")
     val shared = sp.groupBy("wh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)

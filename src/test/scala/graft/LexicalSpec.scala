@@ -24,8 +24,8 @@ class LexicalSpec extends SparkSpecBase {
     Lexical.bm25Search(p, dl, qs.toDF("query_id", "terms"),
         "query_id", "terms", k)
       .orderBy(col("query_id"), col("rank"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt,
+        r.getLong(2), r.getLong(3)))
   }
 
   test("bm25: tf wins within a term; shorter docs outrank longer at " +
@@ -78,7 +78,7 @@ class LexicalSpec extends SparkSpecBase {
       "rank")
     val out = Lexical.rrfFuse(a, b, k = 5)
       .orderBy($"rank").collect()
-      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(1).toInt, r.getLong(2), r.getLong(3)))
     // doc 11 appears in both lists: 10^8 div 62 + 10^8 div 61
     assert(out.toSeq == Seq(
       (1, 11L, 100000000L / 62 + 100000000L / 61),
