@@ -53,4 +53,52 @@ object Embed {
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
           .as("emb"))
   }
+
+  /** Contrastive training triples for an embedder: (anchor, positive,
+    * negative) where positives are MinHash-LSH near-dup pairs (the
+    * q21 candidate machinery — genuinely similar text) and each
+    * anchor's negative is drawn by a DETERMINISTIC random pick: all
+    * doc ids sorted into a ring by a salted portable hash, and the
+    * anchor takes its ring-successor (its successor's successor when
+    * that collides with the positive — never the anchor itself for
+    * N ≥ 2). No RNG state: the triples are reproducible across runs,
+    * engines, and retries, which is what makes a regenerated training
+    * set diff-able against the last one.
+    *
+    * Scale shape: positives ride the bucketed LSH candidate chain
+    * (never all-pairs); the ring is ONE distributed sort of the
+    * skinny (id, tag) table ([[Ranking.globalRowNumber]]) plus
+    * id-keyed equi-joins; N rides a 1-row broadcast.
+    */
+  def contrastiveTriples(docs: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int, numPerm: Int,
+                         bands: Int, estThreshold: Double,
+                         maxBucketSize: Int): DataFrame = {
+    val pos = Dedup.minhashLsh(docs, idCol, textCol,
+        shingleN = shingleN, numPerm = numPerm, bands = bands,
+        estThreshold = estThreshold, maxBucketSize = maxBucketSize,
+        portable = true)
+      .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
+        col("est_jaccard"))
+    val ring = Ranking.globalRowNumber(
+        docs.select(col(idCol).as("doc_id"),
+          charPolyHash(concat(col(idCol).cast("string"),
+            lit("|neg"))).as("nh")),
+        Seq(col("nh"), col("doc_id")), "pos")
+      .select("doc_id", "pos")
+    val nDf = ring.agg(count(lit(1)).as("nn"))
+    val r = ring.crossJoin(broadcast(nDf))
+    def succ(off: Int, out: String) =
+      r.select(col("doc_id").as("anchor"),
+          (pmod(col("pos") + lit(off - 1), col("nn")) + 1).as("tpos"))
+        .join(ring.select(col("pos").as("tpos"),
+          col("doc_id").as(out)), Seq("tpos"))
+        .select("anchor", out)
+    pos.join(succ(1, "neg1"), Seq("anchor"))
+      .join(succ(2, "neg2"), Seq("anchor"))
+      .select(col("anchor"), col("positive"),
+        when(col("neg1") === col("positive"), col("neg2"))
+          .otherwise(col("neg1")).as("negative"),
+        col("est_jaccard"))
+  }
 }

@@ -167,6 +167,34 @@ class SketchesSpec extends SparkSpecBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("contrastiveTriples: near-dup positives, ring negatives never " +
+      "equal anchor or positive, fully deterministic") {
+    import graft.operators.Embed
+    // docs 1/2 are identical — signatures equal, every band collides,
+    // so the positive pair survives ANY seed; 3-6 are distinct filler
+    // so the ring has room
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four"),
+      (4L, "five six seven eight"),
+      (5L, "nine ten eleven twelve"),
+      (6L, "thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    def run() = Embed.contrastiveTriples(docs, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 8, estThreshold = 0.25,
+        maxBucketSize = 100)
+      .orderBy($"anchor", $"positive").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run()
+    assert(out.nonEmpty)
+    assert(out.exists(t => t._1 == 1L && t._2 == 2L))
+    out.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"($a, $p, $n)")
+    }
+    assert(run().toSeq == out.toSeq) // no RNG anywhere
+  }
+
   test("profile: per-column nulls/min/max exact, distinct exact below " +
       "KMV saturation") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
