@@ -3391,6 +3391,50 @@ object SparkEntry {
        |SELECT doc_id, CAST(h AS BIGINT) AS h
        |FROM tags ORDER BY h, doc_id LIMIT 20""".stripMargin
 
+  /** The shared MinHash-LSH replay chain — 2-shingle portable hashes,
+    * 64 seed-42 perms, 8-band buckets, optional 100-cap, unique
+    * pairs, signature-match scores. ONE definition for q21/q54/q151
+    * so the chain can never drift per-oracle (the curationFixture
+    * rule applied to SQL). No leading WITH; ends at `sc` with
+    * (doc_a, doc_b, est_jaccard).
+    */
+  private def minhashLshChainSql(capped: Boolean): String = {
+    val perms = Dedup.minhashPerms(64, 42L)
+    val aList = perms.map(_._1).mkString(", ")
+    val bList = perms.map(_._2).mkString(", ")
+    val pairSrc = if (capped) "cap" else "bnd"
+    val capCte = if (capped)
+      """cap AS (SELECT doc_id, band, bucket FROM bnd
+        | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
+        |""".stripMargin
+    else ""
+    s"""toks AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
+       | FROM documents),
+       |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
+       |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
+       |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
+       |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
+       |  unnest(range(64)) AS j),
+       |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
+       | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
+       |bnd AS (SELECT doc_id, j // 8 AS band,
+       |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
+       | FROM sigj GROUP BY doc_id, band),
+       |${capCte}pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       | FROM $pairSrc x JOIN $pairSrc y ON x.band = y.band
+       |  AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |sc AS (SELECT p.doc_a, p.doc_b,
+       |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+       | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
+       | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+       | GROUP BY 1, 2)""".stripMargin
+  }
+
   private val CmSketchOracleSql: String = {
     val mults = Seq(31L, 37L, 41L, 43L)
     def cells(src: String) = mults.zipWithIndex.map { case (m, i) =>
@@ -4276,75 +4320,19 @@ object SparkEntry {
     // permutation constants (minhashPerms is the single source of truth
     // for both engines) make every signature value exact integer
     // arithmetic DuckDB reproduces bit-for-bit.
-    "q21_minhash_lsh" -> {
-      val perms = Dedup.minhashPerms(64, 42L)
-      val aList = perms.map(_._1).mkString(", ")
-      val bList = perms.map(_._2).mkString(", ")
-      s"""WITH toks AS (SELECT doc_id,
-         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-         |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
-         | FROM documents),
-         |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
-         |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
-         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
-         |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-         |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
-         |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
-         |  unnest(range(64)) AS j),
-         |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
-         | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
-         |bnd AS (SELECT doc_id, j // 8 AS band,
-         |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
-         | FROM sigj GROUP BY doc_id, band),
-         |cap AS (SELECT doc_id, band, bucket FROM bnd
-         | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
-         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         | FROM cap x JOIN cap y ON x.band = y.band AND x.bucket = y.bucket
-         |  AND x.doc_id < y.doc_id),
-         |sc AS (SELECT p.doc_a, p.doc_b,
-         |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
-         | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
-         | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
-         | GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, est_jaccard FROM sc WHERE est_jaccard >= 0.125
-         |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 500""".stripMargin
-    },
+    "q21_minhash_lsh" ->
+      ("WITH " + minhashLshChainSql(capped = true) + "\n" +
+        """SELECT doc_a, doc_b, est_jaccard FROM sc WHERE est_jaccard >= 0.125
+          |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 500"""
+          .stripMargin),
 
     // Same LSH replay as q21 but uncapped over the full corpus: the
     // batch-incremental fold must reproduce the from-scratch pair set.
-    "q54_incremental_dedup" -> {
-      val perms = Dedup.minhashPerms(64, 42L)
-      val aList = perms.map(_._1).mkString(", ")
-      val bList = perms.map(_._2).mkString(", ")
-      s"""WITH toks AS (SELECT doc_id,
-         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-         |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
-         | FROM documents),
-         |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
-         |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
-         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
-         |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-         |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
-         |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
-         |  unnest(range(64)) AS j),
-         |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
-         | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
-         |bnd AS (SELECT doc_id, j // 8 AS band,
-         |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
-         | FROM sigj GROUP BY doc_id, band),
-         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         | FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
-         |  AND x.doc_id < y.doc_id),
-         |sc AS (SELECT p.doc_a, p.doc_b,
-         |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
-         | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
-         | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
-         | GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, est_jaccard FROM sc WHERE est_jaccard >= 0.125
-         |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 500""".stripMargin
-    },
+    "q54_incremental_dedup" ->
+      ("WITH " + minhashLshChainSql(capped = false) + "\n" +
+        """SELECT doc_a, doc_b, est_jaccard FROM sc WHERE est_jaccard >= 0.125
+          |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 500"""
+          .stripMargin),
 
     // SimHash replay: 31-bit portable signature, per-bit vote sums.
     "q22_simhash" ->
@@ -6082,55 +6070,30 @@ object SparkEntry {
     // Streamed postings ingest answers as the one-shot — same SQL.
     "q149_bm25_streamed" -> Bm25OracleSql,
 
-    // Contrastive triples: the q21 LSH chain (capped, 0.25) for
-    // positives + the salted hash ring successor for negatives.
-    "q151_contrastive_triples" -> {
-      val perms = Dedup.minhashPerms(64, 42L)
-      val aList = perms.map(_._1).mkString(", ")
-      val bList = perms.map(_._2).mkString(", ")
-      s"""WITH toks AS (SELECT doc_id,
-         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-         |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
-         | FROM documents),
-         |shr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER
-         |  (PARTITION BY doc_id ORDER BY i) AS s FROM toks),
-         |sh AS (SELECT DISTINCT doc_id, s FROM shr WHERE s IS NOT NULL),
-         |hs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-         |    (h, c) -> (h * 31 + c) % 2147483647) AS h FROM sh),
-         |pm AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
-         |  unnest(range(64)) AS j),
-         |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
-         | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
-         |bnd AS (SELECT doc_id, j // 8 AS band,
-         |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
-         | FROM sigj GROUP BY doc_id, band),
-         |cap AS (SELECT doc_id, band, bucket FROM bnd
-         | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
-         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         | FROM cap x JOIN cap y ON x.band = y.band AND x.bucket = y.bucket
-         |  AND x.doc_id < y.doc_id),
-         |sc AS (SELECT p.doc_a AS anchor, p.doc_b AS positive,
-         |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
-         | FROM pr p JOIN sigj sa ON sa.doc_id = p.doc_a
-         | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
-         | GROUP BY 1, 2),
-         |pos AS (SELECT anchor, positive, est_jaccard FROM sc
-         | WHERE est_jaccard >= 0.25),
-         |ring AS (SELECT doc_id,
-         |  ROW_NUMBER() OVER (ORDER BY
-         |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|neg'")},
-         |    doc_id) AS pos, COUNT(*) OVER () AS nn FROM documents),
-         |s1 AS (SELECT r.doc_id AS anchor, r2.doc_id AS neg1
-         | FROM ring r JOIN ring r2 ON r2.pos = r.pos % r.nn + 1),
-         |s2 AS (SELECT r.doc_id AS anchor, r2.doc_id AS neg2
-         | FROM ring r JOIN ring r2 ON r2.pos = (r.pos + 1) % r.nn + 1)
-         |SELECT p.anchor, p.positive,
-         | CASE WHEN s1.neg1 = p.positive THEN s2.neg2 ELSE s1.neg1 END
-         |   AS negative, p.est_jaccard
-         |FROM pos p JOIN s1 USING (anchor) JOIN s2 USING (anchor)
-         |ORDER BY p.anchor, p.positive""".stripMargin
-    },
+    // Contrastive triples: the shared LSH chain (capped, 0.25) for
+    // positives + the salted hash ring successor for negatives (ring
+    // over non-null-text docs — what the positive side can pair);
+    // degenerate negative==anchor rows (2-doc corpora) are dropped.
+    "q151_contrastive_triples" ->
+      ("WITH " + minhashLshChainSql(capped = true) + ",\n" +
+        s"""pos AS (SELECT doc_a AS anchor, doc_b AS positive,
+           |  est_jaccard FROM sc WHERE est_jaccard >= 0.25),
+           |ring AS (SELECT doc_id,
+           |  ROW_NUMBER() OVER (ORDER BY
+           |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|neg'")},
+           |    doc_id) AS pos, COUNT(*) OVER () AS nn
+           | FROM documents WHERE text IS NOT NULL),
+           |s1 AS (SELECT r.doc_id AS anchor, r2.doc_id AS neg1
+           | FROM ring r JOIN ring r2 ON r2.pos = r.pos % r.nn + 1),
+           |s2 AS (SELECT r.doc_id AS anchor, r2.doc_id AS neg2
+           | FROM ring r JOIN ring r2 ON r2.pos = (r.pos + 1) % r.nn + 1)
+           |SELECT p.anchor, p.positive,
+           | CASE WHEN s1.neg1 = p.positive THEN s2.neg2 ELSE s1.neg1 END
+           |   AS negative, p.est_jaccard
+           |FROM pos p JOIN s1 USING (anchor) JOIN s2 USING (anchor)
+           |WHERE (CASE WHEN s1.neg1 = p.positive THEN s2.neg2
+           |   ELSE s1.neg1 END) <> p.anchor
+           |ORDER BY p.anchor, p.positive""".stripMargin),
 
     // Heavy hitters: candidates + CM probes + rank replayed exactly.
     "q142_heavy_hitters" -> heavyHittersOracleSql(Seq("TRUE")),

@@ -57,13 +57,16 @@ object Embed {
   /** Contrastive training triples for an embedder: (anchor, positive,
     * negative) where positives are MinHash-LSH near-dup pairs (the
     * q21 candidate machinery — genuinely similar text) and each
-    * anchor's negative is drawn by a DETERMINISTIC random pick: all
-    * doc ids sorted into a ring by a salted portable hash, and the
-    * anchor takes its ring-successor (its successor's successor when
-    * that collides with the positive — never the anchor itself for
-    * N ≥ 2). No RNG state: the triples are reproducible across runs,
-    * engines, and retries, which is what makes a regenerated training
-    * set diff-able against the last one.
+    * anchor's negative is drawn by a DETERMINISTIC random pick: the
+    * ids of all EMBEDDABLE docs (non-null text — mirroring what the
+    * positive side can pair) sorted into a ring by a salted portable
+    * hash, and the anchor takes its ring-successor (its successor's
+    * successor when that collides with the positive). On a degenerate
+    * 2-doc corpus even the fallback wraps to the anchor itself — such
+    * triples are dropped rather than emitted (N ≥ 3 always yields a
+    * valid negative). No RNG state: the triples are reproducible
+    * across runs, engines, and retries, which is what makes a
+    * regenerated training set diff-able against the last one.
     *
     * Scale shape: positives ride the bucketed LSH candidate chain
     * (never all-pairs); the ring is ONE distributed sort of the
@@ -80,12 +83,17 @@ object Embed {
         portable = true)
       .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
         col("est_jaccard"))
+    // pinned once: the ring feeds both successor joins AND the count
+    // — without the checkpoint each consumer re-runs the distributed
+    // global sort (the CurationStream.select lesson)
     val ring = Ranking.globalRowNumber(
-        docs.select(col(idCol).as("doc_id"),
-          charPolyHash(concat(col(idCol).cast("string"),
-            lit("|neg"))).as("nh")),
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("doc_id"),
+            charPolyHash(concat(col(idCol).cast("string"),
+              lit("|neg"))).as("nh")),
         Seq(col("nh"), col("doc_id")), "pos")
       .select("doc_id", "pos")
+      .localCheckpoint(false)
     val nDf = ring.agg(count(lit(1)).as("nn"))
     val r = ring.crossJoin(broadcast(nDf))
     def succ(off: Int, out: String) =
@@ -100,5 +108,6 @@ object Embed {
         when(col("neg1") === col("positive"), col("neg2"))
           .otherwise(col("neg1")).as("negative"),
         col("est_jaccard"))
+      .filter(col("negative") =!= col("anchor"))
   }
 }

@@ -193,6 +193,12 @@ class SketchesSpec extends SparkSpecBase {
       assert(n != a && n != p, s"($a, $p, $n)")
     }
     assert(run().toSeq == out.toSeq) // no RNG anywhere
+    // degenerate 2-doc corpus: the only possible negative IS the
+    // anchor — such triples are dropped, not emitted
+    val two = docs.filter($"doc_id" <= 2L)
+    assert(Embed.contrastiveTriples(two, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 8, estThreshold = 0.25,
+      maxBucketSize = 100).count() == 0L)
   }
 
   test("profile: per-column nulls/min/max exact, distinct exact below " +
