@@ -3077,6 +3077,77 @@ object SparkEntry {
           targetShare10k = Map("en" -> 5000L, "fr" -> 2000L,
             "de" -> 1500L, "es" -> 1000L, "zh" -> 500L))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus-frequency BOILERPLATE removal (RefinedWeb repeated-
+    // line rule on token windows): 3-token windows appearing in MORE
+    // than 5 distinct docs are template chrome — cut from every doc.
+    "q152_cut_boilerplate" -> ((s, dir) => {
+      Dedup.cutBoilerplate(
+          t(s, dir, "documents")
+            .withColumn("doc_id", col("doc_id").cast("long")),
+          "doc_id", "text", windowTokens = 3, minDf = 5L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PERSISTED boilerplate-frequency state: two doc-disjoint ----
+    // folds write per-batch distinct-df partials (they ADD across
+    // disjoint batches), the cut reads the summed index — verbatim
+    // q152 oracle.
+    "q153_boilerplate_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("bp_idx").toString
+      Dedup.boilerplateIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        windowTokens = 3, idx, 1L)
+      Dedup.boilerplateIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        windowTokens = 3, idx, 2L)
+      Dedup.cutBoilerplateFromIndex(s, idx, d, "doc_id", "text",
+          windowTokens = 3, minDf = 5L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE DECODE round-trip: the tokenizer lifecycle closes ------
+    // Mark word boundaries (the SentencePiece ▁ convention), train,
+    // build the id vocab, encode to ids, decode BACK — the oracle is
+    // simply the whitespace-normalized source text, so a defect
+    // anywhere in train/vocab/encode/decode breaks the hash.
+    "q154_bpe_decode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextAnalysis.markWords(col("text")).as("text"))
+      val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 30)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+      val vocab = TextAnalysis.bpeVocab(d, "text", merges)
+      val enc = TextAnalysis.bpeEncodeIds(d, "doc_id", "text", merges,
+        vocab)
+      TextAnalysis.bpeDecode(enc, vocab).orderBy(col("doc_id"))
+    }),
+
+    // ---- INT8-quantized brute-force search: the 4×-smaller scan -----
+    // Per-vector symmetric floor quantization packed to a byte per
+    // dim, exact integer dots over the packed binaries (native
+    // codegen'd expression), q23's query set and ranking convention.
+    "q155_quantized_search" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Ann.quantizedTopK(em.filter(col("vec_id") < 8), em,
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- temperature-balanced mixture (τ = 1/2, the mT5 rule) -------
+    // Source weights = floor(sqrt(source token count)) — exact-integer
+    // caps from a 120-doc budget, deterministic per-source hash-rank
+    // selection.
+    "q156_temperature_mix" -> ((s, dir) => {
+      TextAnalysis.temperatureMix(t(s, dir, "documents"), "doc_id",
+          "source", "text", budgetDocs = 120L)
+        .select(col("doc_id"), col("source"), col("mix_rank"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -6214,7 +6285,101 @@ object SparkEntry {
         | FROM kept2)
         |SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
-        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin,
+
+    // Boilerplate-cut replay (q117's chain with a 3-token window and
+    // the df > 5 corpus-frequency bar) — shared VERBATIM by q153: the
+    // per-batch distinct-df partials of doc-disjoint folds ADD, so
+    // cutting from the summed index equals the one-shot cut.
+    "q152_cut_boilerplate" -> CutBoilerplateOracleSql,
+    "q153_boilerplate_incremental" -> CutBoilerplateOracleSql,
+
+    // Decode round-trip: the oracle never replays the tokenizer — the
+    // LAW is decode(encodeIds(mark(text))) == whitespace-normalized
+    // text, so the expected output is just the normalized source.
+    "q154_bpe_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | array_to_string(string_split_regex(trim(text), '\s+'), ' ')
+        |   AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Int8-quantization replay: per-vector floor(x·127 / max|x|)
+    // quantization (every step IEEE-exact), integer dots carried as
+    // exact doubles, the q23 rounded-cosine ranking convention.
+    "q155_quantized_search" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |  list_transform(v, x -> floor((x * 127) /
+        |    list_max(list_transform(v, y -> abs(y))))) AS q
+        | FROM base
+        | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+        |n AS (SELECT vec_id, q,
+        |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+        |sx AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  round(list_dot_product(a.q, b.q) / (a.nrm * b.nrm), 4) + 0.0
+        |    AS sim
+        | FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        | WHERE a.vec_id < 8),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM sx)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Temperature-mix replay: per-source token sums -> integer
+    // sqrt weights -> budget caps -> the q96 hash-rank selection.
+    "q156_temperature_mix" ->
+      s"""WITH tk AS (SELECT source,
+         |  SUM(len(string_split_regex(trim(text), '\\s+'))) AS t
+         | FROM documents GROUP BY source),
+         |w AS (SELECT source,
+         |  CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS w FROM tk),
+         |sw AS (SELECT SUM(w) AS s FROM w),
+         |caps AS (SELECT source, (120 * w) // s AS k FROM w, sw),
+         |r AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+         |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|' || source")},
+         |    doc_id) AS mix_rank
+         | FROM documents)
+         |SELECT doc_id, source, CAST(mix_rank AS BIGINT) AS mix_rank
+         |FROM r JOIN caps USING (source)
+         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared by q152 (one-shot) and q153 (persisted-index folds). */
+  private val CutBoilerplateOracleSql: String =
+    """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |wins AS (SELECT doc_id,
+      |  unnest(range(1, len(ws) - 1)) - 1 AS win_idx,
+      |  unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> array_to_string(ws[i:i + 2], ' '))) AS win
+      | FROM base WHERE len(ws) >= 3),
+      |hashed AS (SELECT doc_id, win_idx,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(win, ''),
+      |      c -> CAST(ascii(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 2147483647) AS window_hash
+      | FROM wins),
+      |shared AS (SELECT window_hash FROM hashed
+      | GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 5),
+      |flg AS (SELECT DISTINCT h.doc_id, h.win_idx
+      | FROM hashed h JOIN shared s USING (window_hash)),
+      |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |  ws[CAST(i AS INT) + 1] AS tok
+      | FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM base)),
+      |kept AS (SELECT t.doc_id, t.i, t.tok FROM toks t
+      | WHERE NOT EXISTS (SELECT 1 FROM flg f
+      |   WHERE f.doc_id = t.doc_id AND t.i >= f.win_idx
+      |     AND t.i < f.win_idx + 3)),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |  string_agg(tok, ' ' ORDER BY i) AS clean_text
+      | FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+      | CAST(len(b.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+      | COALESCE(a.clean_text, '') AS clean_text
+      |FROM base b LEFT JOIN agg a USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
 
 }

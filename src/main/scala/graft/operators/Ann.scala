@@ -286,6 +286,58 @@ object Ann {
     topK(scored, k)
   }
 
+  // --------------------------------------------- int8 scalar quantization
+
+  /** Int8 scalar quantization (the faiss `SQ8`-style storage path):
+    * per-vector symmetric scale — `q_i = floor(x_i·127 / max|x|)` ∈
+    * [-127, 127] — packed to ONE byte per dimension
+    * ([[graft.functions.Int8Ops.int8Pack]]). At 100 TB of float32
+    * embeddings this is the 4× scan-rate/storage win a brute-force
+    * rerank pass actually ships; cosine similarity needs no
+    * dequantization at all (the per-vector scale cancels in the
+    * ratio, up to quantization error). Engine-portable: cast-to-double,
+    * multiply, divide, floor — every step IEEE-correctly-rounded, so
+    * the quantized integers replay bit-identically in the oracle.
+    * Zero vectors (max|x| = 0) are dropped — they have no direction to
+    * quantize (the [[Embed.hashEmbed]] / q121 convention).
+    * Output: (emb_id, qvec: binary, qnorm: double = sqrt(qvec·qvec)).
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    import graft.functions.Int8Ops
+    val dv = toDoubleVec(col(vecCol))
+    val amax = array_max(transform(dv, x => abs(x)))
+    val q = transform(dv, x => floor(x * lit(127.0) / col("__amax")))
+    vecs.withColumn("__amax", amax)
+      .filter(col("__amax") > 0.0)
+      .select(col(idCol).as("emb_id"), Int8Ops.int8Pack(q).as("qvec"))
+      .withColumn("qnorm", sqrt(Int8Ops.int8Dot(col("qvec"), col("qvec"))))
+  }
+
+  /** Brute-force cosine top-k over int8-quantized vectors — the
+    * [[bruteForceTopK]] scan at a quarter of the bytes: queries
+    * quantize and broadcast, candidates stream through one generated
+    * integer-dot loop per pair ([[graft.functions.Int8Dot]], exact
+    * 64-bit arithmetic), similarity is the integer dot over the
+    * precomputed quantized norms, rounded to 4 decimals (the q23/q121
+    * ranking convention — ties break on neighbor_id). Output:
+    * (query_id, neighbor_id, rank, sim).
+    */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.Int8Ops
+    val q = broadcast(quantizeInt8(queries, idCol, vecCol)
+      .select(col("emb_id").as("query_id"), col("qvec").as("qv"),
+        col("qnorm").as("qn")))
+    val c = quantizeInt8(candidates, idCol, vecCol)
+      .select(col("emb_id").as("neighbor_id"), col("qvec").as("cv"),
+        col("qnorm").as("cn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Int8Ops.int8Dot(col("qv"), col("cv"))
+        .cast("double") / (col("qn") * col("cn")))
+    topK(scored, k)
+  }
+
   // ----------------------------------------------- persisted-index layers
 
   /** Both persisted vector indexes ([[ivfIndexAppend]],
@@ -401,7 +453,15 @@ object Ann {
     readLayers(indexDir) match {
       case Some(layers) if layers.nonEmpty =>
         readLayerGroup(spark, indexDir, layers)
-      case _ => spark.read.parquet(indexDir).drop("batch")
+      case _ =>
+        // no (or empty) manifest: scan the directory for layer dirs and
+        // read them namespace-by-namespace — a raw recursive read would
+        // fail partition discovery if batch= and compact= dirs coexist
+        // (e.g. a manifest lost after compaction) and couldn't drop the
+        // compact column
+        val dirs = existingLayerDirs(indexDir)
+        if (dirs.nonEmpty) readLayerGroup(spark, indexDir, dirs)
+        else spark.read.parquet(indexDir).drop("batch")
     }
 
   /** Compact a persisted vector index: rewrite every live layer into

@@ -98,11 +98,23 @@ object Dedup {
     * deleted text).
     */
   def cutDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                  windowTokens: Int): DataFrame = {
-    val flagged = dupSpans(docs, idCol, textCol, windowTokens)
+                  windowTokens: Int): DataFrame =
+    cutFlaggedSpans(docs, idCol, textCol, windowTokens,
+      dupSpans(docs, idCol, textCol, windowTokens))
+
+  /** The shared positional cut: delete every token covered by a flagged
+    * window start and rejoin the survivors. `flagged` carries
+    * (doc_id, win_idx) rows (extra columns ignored); the cut is an
+    * in-row filter against the doc's OWN flagged starts (collected per
+    * doc — flagged-span counts per doc are small by construction).
+    */
+  private def cutFlaggedSpans(docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int,
+      flagged: DataFrame): DataFrame = {
+    val starts = flagged
       .groupBy("doc_id").agg(collect_set(col("win_idx")).as("starts"))
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .join(flagged, Seq("doc_id"), "left")
+      .join(starts, Seq("doc_id"), "left")
       .withColumn("kept", filter(col("toks"), (_, i) =>
         !exists(coalesce(col("starts"),
             array().cast("array<long>")),
@@ -112,6 +124,94 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast("long")
           .as("n_removed"),
         array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  // ------------------------------------------- corpus-frequency boilerplate
+
+  /** Per-doc window hashes — the shared front of [[dupSpans]] and the
+    * boilerplate family: every `windowTokens`-token window as a
+    * (doc_id, win_idx, h) row, hashed with the portable poly-hash.
+    * Pure per-row array expressions, zero shuffle.
+    */
+  private def windowHashes(docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode_outer(shingles(tokens(col(textCol)), windowTokens))
+          .as(Seq("win_idx", "win")))
+      .filter(col("win").isNotNull)
+      .withColumn("h", charPolyHash(col("win")))
+
+  /** Corpus-frequency boilerplate detection — RefinedWeb's repeated-
+    * line removal (Penedo et al. 2023 §3.3) generalized to token
+    * windows: a window whose hash occurs in MORE than `minDf` distinct
+    * documents is template chrome (navigation, license headers,
+    * cookie banners), not content, and gets cut from EVERY document —
+    * unlike [[dupSpans]]' pairwise `>1` flag, the threshold here is a
+    * corpus-level document-frequency bar. Output: (doc_id, win_idx,
+    * window_hash, n_docs) for every flagged window occurrence.
+    *
+    * Scale shape: identical to [[dupSpans]] — windows are per-row
+    * expressions; one pre-reduced hash aggregate (partial
+    * countDistinct per map side) plus the flag-back join, both keyed
+    * on the window hash. The higher the bar, the SMALLER the flagged
+    * set — at production thresholds (df > hundreds) it is a sliver.
+    */
+  def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int, minDf: Long): DataFrame = {
+    require(minDf >= 1, "minDf >= 1")
+    val wins = windowHashes(docs, idCol, textCol, windowTokens)
+    val shared = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > minDf)
+    wins.join(shared, Seq("h"))
+      .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+        col("h").as("window_hash"), col("n_docs"))
+  }
+
+  /** Cut corpus-frequency boilerplate: tokens covered by any
+    * [[boilerplateSpans]]-flagged window are deleted and the remaining
+    * tokens rejoined. Output per doc: (doc_id, n_tokens, n_removed,
+    * clean_text) — [[cutDupSpans]]' shape with the df bar.
+    */
+  def cutBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int, minDf: Long): DataFrame =
+    cutFlaggedSpans(docs, idCol, textCol, windowTokens,
+      boilerplateSpans(docs, idCol, textCol, windowTokens, minDf))
+
+  /** Fold one ingest batch into a PERSISTED boilerplate-frequency
+    * index (the [[exactIndexAppend]] pattern): one pre-reduced
+    * (h, n_docs) row per distinct window hash this batch contributes.
+    * Batches MUST be doc-disjoint — per-batch DISTINCT doc counts then
+    * ADD to the global document frequency, so cutting from the folded
+    * index equals the one-shot [[cutBoilerplate]] of the union
+    * exactly. O(batch) per fold; nothing rescans earlier batches.
+    */
+  def boilerplateIndexAppend(batch: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int, indexDir: String,
+      batchId: Long): Unit =
+    windowHashes(batch, idCol, textCol, windowTokens)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Cut boilerplate against the persisted frequency index: sum the
+    * per-batch partial dfs, keep hashes above the bar (a SLIVER at
+    * real thresholds — broadcast), flag the docs' own windows against
+    * it, cut positionally. The corpus being cut never shuffles its
+    * window stream; the only exchanges are the index-side aggregate
+    * (index-sized) and the per-doc starts collection (flagged rows
+    * only).
+    */
+  def cutBoilerplateFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minDf: Long): DataFrame = {
+    require(minDf >= 1, "minDf >= 1")
+    val bad = spark.read.parquet(indexDir)
+      .groupBy("h").agg(sum("n_docs").as("n_docs"))
+      .filter(col("n_docs") > minDf)
+      .select("h")
+    val flagged = windowHashes(docs, idCol, textCol, windowTokens)
+      .join(broadcast(bad), Seq("h"))
+    cutFlaggedSpans(docs, idCol, textCol, windowTokens, flagged)
   }
 
   /** Candidate doc pairs by exact token-n-gram Jaccard over an inverted

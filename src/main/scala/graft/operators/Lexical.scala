@@ -29,10 +29,14 @@ import graft.functions.GraftFunctions._
   * with `dlr10k = (dl·10⁴) div max(avgdl, 1)` and `avgdl = T div N` —
   * every step an integer op any ANSI engine replays bit-identically.
   *
-  * Overflow bounds (documented, not enforced): `idf10k ≤ (2N+1)·10⁴`
-  * and `sat10k ≤ 2.2·10⁴`, so a term score fits a long while
-  * `N ≲ 2·10¹⁰` documents — a 100 TB corpus at 5 KB/doc. `dl·10⁴`
-  * requires `dl ≲ 9·10¹⁴` tokens/doc.
+  * Overflow bounds: `idf10k ≤ (2N+1)·10⁴` and `sat10k ≤ 2.2·10⁴`, so a
+  * term score fits a long while `N ≲ 2·10¹⁰` documents — a 100 TB
+  * corpus at 5 KB/doc. ENFORCED: [[bm25Search]] folds a `raise_error`
+  * branch into the idf expression (evaluated against the 1-row stats
+  * broadcast, so the check is per-posting-sliver-row on an
+  * already-loaded constant — free), failing loudly instead of wrapping
+  * silently under non-ANSI arithmetic. `dl·10⁴` requires `dl ≲ 9·10¹⁴`
+  * tokens/doc — unreachable (a doc would exceed the corpus).
   *
   * Scale shape: ONE pass over the postings table. Query terms (small
   * by definition) broadcast onto postings; the matched sliver —
@@ -110,8 +114,15 @@ object Lexical {
       .withColumn("avgdl",
         greatest(expr("t div greatest(n, 1L)"), lit(1L)))
       .withColumn("dlr10k", expr("(dl * 10000) div avgdl"))
-      .withColumn("idf10k",
-        expr("((2 * (n - df) + 1) * 10000) div (2 * df + 1)"))
+      // loud guard on the documented long-overflow bound (see object
+      // scaladoc): beyond 2e10 docs the scaled integer score would wrap
+      // silently under non-ANSI arithmetic and mis-rank
+      .withColumn("idf10k", expr(
+        "CASE WHEN n > 20000000000 THEN CAST(raise_error(" +
+          "'bm25Search: corpus size exceeds the exact-integer score " +
+          "bound (2e10 docs); rescale idf10k before trusting rankings')" +
+          " AS BIGINT) " +
+          "ELSE ((2 * (n - df) + 1) * 10000) div (2 * df + 1) END"))
       .withColumn("sat10k", expr(
         "(22 * tf * 100000000) div ((10 * tf + 3) * 10000 + 9 * dlr10k)"))
       .groupBy(col("query_id"), col("doc_id"))

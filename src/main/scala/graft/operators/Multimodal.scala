@@ -106,6 +106,13 @@ object Multimodal {
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
           s"media ${r.media_id}: expected 16-bit mono PCM, got $fmt")
         val data = ais.readAllBytes()
+        // defense-in-depth: AudioInputStream frame-aligns reads (frame
+        // size 2), so an odd count should be unreachable — but the
+        // decode loop below would silently drop a trailing byte if a
+        // JDK ever surfaced one, violating the fail-loudly contract
+        require(data.length % 2 == 0,
+          s"media ${r.media_id}: odd PCM byte count (${data.length}) — " +
+            "malformed 16-bit frame stream")
         val n = data.length / 2
         require(n > 0, s"media ${r.media_id}: empty WAV payload")
         val hist = new Array[Long](8)

@@ -659,6 +659,41 @@ object TextAnalysis {
       deriveCaps(counts, targetShare10k))
   }
 
+  /** Temperature-balanced mixture (τ = 1/2): the multilingual /
+    * multi-source balancing rule of mT5 (Xue et al. 2021) and XLM-R
+    * (Conneau et al. 2020) — sample strata proportionally to p_s^τ
+    * instead of p_s, upweighting small sources so the head domain
+    * doesn't drown the tail. τ = 1/2 computes as w_s =
+    * floor(sqrt(token_s)): IEEE sqrt is correctly rounded by both
+    * engines, so the integer weight — and with it every cap below —
+    * replays exactly (arbitrary pow(p, τ) would not; τ = 1/2 is also
+    * mT5's actual reported sweet spot neighborhood). Caps: k_s =
+    * (budgetDocs · w_s) div Σw; selection is [[mixToTarget]]'s
+    * deterministic per-stratum hash rank. `budgetDocs · w_s` stays in
+    * long range while budget · sqrt(corpus tokens) < 2⁶³ — a 10⁹-doc
+    * budget over a 10¹⁵-token corpus is ~3·10¹⁶, nine orders inside.
+    *
+    * Scale shape: one pre-reduced (stratum, token-sum) aggregate
+    * collected driver-side (|strata| rows — languages/domains number
+    * dozens to thousands); the selection window is per-stratum with a
+    * LITERAL global rank bound, exactly [[mixToTarget]]'s shape.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, strataCol: String,
+                     textCol: String, budgetDocs: Long): DataFrame = {
+    require(budgetDocs >= 0, "budgetDocs >= 0")
+    val stats = docs.groupBy(strataCol)
+      .agg(sum(size(tokens(col(textCol))).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+    val w = stats.map { case (s, t) =>
+      s -> math.floor(math.sqrt(t.toDouble)).toLong }
+    val sumW = w.values.sum
+    val caps =
+      if (sumW == 0L) Map.empty[String, Long]
+      else w.map { case (s, ws) => s -> budgetDocs * ws / sumW }
+    mixApplyCaps(docs, idCol, strataCol, caps.filter(_._2 > 0))
+  }
+
   /** Exact integer cap derivation (driver-side, |strata|-sized input):
     * N = min_s (c_s·10⁴) div share_s over strata present in BOTH the
     * corpus and the target map; k_s = (N·share_s) div 10⁴.
@@ -1250,6 +1285,48 @@ object TextAnalysis {
       .join(broadcast(vocab), Seq("token"))
       .select(col("doc_id"), col("pos"), col("token_id"))
 
+  /** Word-boundary marking — the SentencePiece convention (Kudo &
+    * Richardson 2018): prefix every word with `marker` BEFORE
+    * training/encoding, so the tokenizer's symbol stream carries the
+    * boundaries and [[bpeDecode]] can restore the original spacing
+    * exactly (plain within-word BPE loses them: "a b"/"ab" encode to
+    * the same flattened stream). Merges may freely absorb the marker
+    * ((▁,t)→▁t — how real vocabularies learn word-initial tokens);
+    * since the marker only ever occurs word-initially, it stays
+    * word-initial in every merge product, so decode's
+    * marker-to-space substitution is exact. The marker must not occur
+    * in the corpus text (caller's contract — pick any private-use
+    * codepoint for corpora that contain U+2581).
+    */
+  def markWords(textCol: Column, marker: String = "▁"): Column =
+    array_join(transform(tokens(textCol),
+      w => concat(lit(marker), w)), " ")
+
+  /** BPE DECODE — the inverse of [[bpeEncodeIds]] over a
+    * [[markWords]]-marked corpus: token ids back to text. Join the id
+    * stream to the vocab (vocab-sized — broadcast), reassemble each
+    * document in position order, then turn the word-boundary markers
+    * back into spaces. Round-trip law (oracle-checked end-to-end by
+    * q154): decode(encodeIds(mark(text))) == whitespace-normalized
+    * text — any defect anywhere in train/vocab/encode/decode breaks
+    * the equality. Output: (doc_id, decoded); docs with zero tokens
+    * produce no row (they have no id stream to decode).
+    *
+    * Scale shape: one broadcast join + one per-doc aggregation — the
+    * id stream shuffles ONCE (the unavoidable re-materialization
+    * grouping; rows are (doc, pos, id) triples, far narrower than the
+    * decoded text it becomes); the in-group sort is doc-length-bounded.
+    */
+  def bpeDecode(encIds: DataFrame, vocab: DataFrame,
+                marker: String = "▁"): DataFrame =
+    encIds.join(broadcast(vocab), Seq("token_id"))
+      .groupBy("doc_id")
+      .agg(ltrim(regexp_replace(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")), ""),
+        java.util.regex.Pattern.quote(marker), " ")).as("decoded"))
+
   /** Sequence packing (concat-and-chunk): lay documents end-to-end per
     * `groupCol` stream in `idCol` order and record which fixed-size
     * token windows each document spans — the GPT-style pretraining
@@ -1292,7 +1369,9 @@ object TextAnalysis {
     encIds.join(offs, Seq("doc_id"))
       .select(col("stream"),
         (col("start_tok") + col("pos")).as("gpos"), col("token_id"))
-      .withColumn("chunk_idx", floor(col("gpos") / chunkTokens))
+      // integer `div`, not IEEE floor(/): identical to the oracle's
+      // `gpos // chunk` at ANY gpos, not just below 2^53
+      .withColumn("chunk_idx", expr(s"gpos div ${chunkTokens}L"))
       .groupBy("stream", "chunk_idx")
       .agg(count(lit(1)).as("n_in_chunk"),
         array_join(transform(

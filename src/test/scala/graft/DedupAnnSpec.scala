@@ -206,6 +206,82 @@ class DedupAnnSpec extends SparkSpecBase {
       (4L, 15L, 3L)))
   }
 
+  test("boilerplate: only windows above the df bar flag; the cut " +
+      "removes them; doc-disjoint persisted folds equal the one-shot") {
+    val bp = "click here now" // 3 tokens, in 6 docs (df 6 > 5)
+    val low = "terms of use"  // 3 tokens, in 3 docs (df 3 — under the bar)
+    val docs = ((1L to 6L).map(i => (i, s"alpha$i beta$i $bp tail$i")) ++
+      Seq((7L, s"$low solo seven"), (8L, s"$low eight"),
+        (9L, s"$low nine"), (10L, "nothing shared at all")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.boilerplateSpans(docs, "doc_id", "text",
+        windowTokens = 3, minDf = 5L)
+      .select("doc_id", "win_idx", "n_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == (1L to 6L).map(i => (i, 2L, 6L)).toSet)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+        .toSeq
+    val oneShot = rows(Dedup.cutBoilerplate(docs, "doc_id", "text",
+      windowTokens = 3, minDf = 5L))
+    assert(oneShot.take(2) == Seq(
+      (1L, 6L, 3L, "alpha1 beta1 tail1"),
+      (2L, 6L, 3L, "alpha2 beta2 tail2")))
+    // below-bar spans and unshared docs pass through verbatim
+    assert(oneShot.drop(6) == Seq(
+      (7L, 5L, 0L, "terms of use solo seven"),
+      (8L, 4L, 0L, "terms of use eight"),
+      (9L, 4L, 0L, "terms of use nine"),
+      (10L, 4L, 0L, "nothing shared at all")))
+    // persisted frequency index: per-batch DISTINCT dfs add across
+    // doc-disjoint folds, so the cut from the index is the one-shot cut
+    val idx = java.nio.file.Files
+      .createTempDirectory("bp_idx_spec").toString
+    Dedup.boilerplateIndexAppend(docs.filter(col("doc_id") <= 4L),
+      "doc_id", "text", windowTokens = 3, idx, 1L)
+    Dedup.boilerplateIndexAppend(docs.filter(col("doc_id") > 4L),
+      "doc_id", "text", windowTokens = 3, idx, 2L)
+    assert(rows(Dedup.cutBoilerplateFromIndex(spark, idx, docs,
+      "doc_id", "text", windowTokens = 3, minDf = 5L)) == oneShot)
+  }
+
+  test("int8 pack/dot: exact hand values; length mismatch → null; " +
+      "out-of-range value fails loudly") {
+    import graft.functions.Int8Ops._
+    val d = Seq((Seq(1L, -2L, 127L), Seq(-128L, 3L, 2L)))
+      .toDF("a", "b")
+    val dot = d.select(int8Dot(int8Pack(col("a")), int8Pack(col("b"))))
+      .collect().head.getLong(0)
+    assert(dot == 1L * -128 + -2L * 3 + 127L * 2) // 120
+    val mm = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(int8Dot(int8Pack(col("a")), int8Pack(col("b"))))
+      .collect().head
+    assert(mm.isNullAt(0))
+    val e = intercept[Exception] {
+      Seq(Seq(128L)).toDF("a").select(int8Pack(col("a"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("quantizedTopK: hand-computed quantized cosine, q23 ranking " +
+      "convention, zero vectors dropped") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // q: quantizes to [127, 0]
+      (1L, Seq(0.5f, 0.5f)),   // [127, 127] — sim to q = 0.7071
+      (2L, Seq(-1.0f, 0.0f)),  // [-127, 0]  — sim to q = -1.0
+      (3L, Seq(0.0f, 2.0f)),   // [0, 127]   — sim to q = 0.0
+      (4L, Seq(0.0f, 0.0f)))   // zero vector: dropped entirely
+      .toDF("vec_id", "embedding")
+    val got = Ann.quantizedTopK(vecs.filter(col("vec_id") === 0L), vecs,
+        "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._3)
+    assert(got == Seq((0L, 1L, 1L, 0.7071), (0L, 3L, 2L, 0.0),
+      (0L, 2L, 3L, -1.0)))
+  }
+
   test("cutDupSpans removes exactly the covered tokens and rejoins " +
       "the rest; untouched docs pass through verbatim") {
     val boiler = "terms of use apply to this site" // 7 tokens

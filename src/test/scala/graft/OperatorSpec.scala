@@ -132,6 +132,24 @@ class OperatorSpec extends SparkSpecBase {
     assert(feats.forall(f => f.n_bytes > f.n_frames * 2))
   }
 
+  test("WavCodec: payloads outside the 16-bit mono contract (stereo) " +
+      "fail loudly instead of decoding garbage") {
+    // (an odd PCM byte count is guarded too, but unreachable through
+    // javax.sound: AudioInputStream frame-aligns its reads)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](40)), fmt, 10L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decodeBatch(Iterator(
+        Multimodal.MediaRow(9, "audio", bos.toByteArray, "audio/wav")))
+        .toList
+    }
+    assert(e.getMessage.contains("expected 16-bit mono PCM"), e.getMessage)
+  }
+
   test("O4 chained merges in one batch match serial replay") {
     val pointers = Seq(("A", "A"), ("B", "B"), ("C", "C"), ("D", "D"))
       .toDF("mrn", "live_mrn")

@@ -148,6 +148,31 @@ class PqSpec extends SparkSpecBase {
     assert(run() == before)
   }
 
+  test("manifest loss on a compacted index: the directory-scan " +
+      "fallback reads batch= and compact= namespaces separately — " +
+      "query unchanged (a raw recursive read would fail partition " +
+      "discovery on the mixed namespaces)") {
+    import org.apache.spark.sql.functions._
+    val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
+      "embedding", kc = 2, m = 2, k = 2, iters = 2)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivfpq_idx_manifest_loss").toString
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") < 3), idx, 1L)
+    Ann.ivfPqIndexAppend(
+      codes.filter(col("emb_id") >= 3 && col("emb_id") < 6), idx, 2L)
+    Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
+    // a fresh append after compaction: batch= and compact= dirs coexist
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") >= 6), idx, 4L)
+    val q = corpus.filter(col("vec_id") === 0L)
+    def run() = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id", "embedding",
+        coarse, cbs, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val withManifest = run()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_LAYERS"))
+    assert(run() == withManifest && withManifest.nonEmpty)
+  }
+
   test("RetrievalStream: batch folds equal the one-shot encode; " +
       "re-folding a micro-batch id overwrites its own layer " +
       "(crash-replay idempotent)") {

@@ -154,6 +154,51 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(shuffled.toSeq == rows.toSeq)
   }
 
+  test("temperatureMix: isqrt token weights upweight small sources; " +
+      "caps are exact; selection is order-independent") {
+    // A: 16 docs × 4 tokens = 64 → w=8; B: 4 docs × 4 tokens = 16 →
+    // w=4. Σw=12, budget 6 → capA = 48 div 12 = 4, capB = 24 div 12 =
+    // 2 (proportional-to-tokens would give B 1.2 docs — temperature
+    // lifts the tail source's share from 20% to 33%).
+    val docs = ((1L to 16L).map(i => (i, "A", s"w$i x$i y$i z$i")) ++
+      (17L to 20L).map(i => (i, "B", s"w$i x$i y$i z$i")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.temperatureMix(docs, "doc_id", "source",
+        "text", budgetDocs = 6L)
+      .select("doc_id", "source", "mix_rank").orderBy("doc_id").collect()
+    assert(out.count(_.getAs[String]("source") == "A") == 4)
+    assert(out.count(_.getAs[String]("source") == "B") == 2)
+    val shuffled = TextAnalysis.temperatureMix(
+        docs.orderBy(col("doc_id").desc).repartition(5), "doc_id",
+        "source", "text", budgetDocs = 6L)
+      .select("doc_id", "source", "mix_rank").orderBy("doc_id").collect()
+    assert(shuffled.toSeq == out.toSeq)
+    // a budget beyond the corpus selects everything (caps exceed sizes)
+    assert(TextAnalysis.temperatureMix(docs, "doc_id", "source", "text",
+      budgetDocs = 1000L).count() == 20L)
+  }
+
+  test("bpeDecode round-trips a markWords-marked encode: original " +
+      "spacing restored (whitespace-normalized), multibyte intact") {
+    val docs = Seq((1L, "  the cat   sat  "), (2L, "低 low lower"),
+      (3L, "the the the")).toDF("doc_id", "text")
+    val marked = docs.select(col("doc_id"),
+      TextAnalysis.markWords(col("text")).as("text"))
+    val merges = TextAnalysis.bpeTrain(marked, "text", numMerges = 10)
+      .orderBy("step").collect()
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    // the marker is absorbed into merge products (how real vocabs
+    // learn word-initial tokens) — decode must still be exact
+    assert(merges.exists { case (a, b) => (a + b).contains("▁") })
+    val vocab = TextAnalysis.bpeVocab(marked, "text", merges)
+    val enc = TextAnalysis.bpeEncodeIds(marked, "doc_id", "text",
+      merges, vocab)
+    val dec = TextAnalysis.bpeDecode(enc, vocab)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(dec == Seq((1L, "the cat sat"), (2L, "低 low lower"),
+      (3L, "the the the")))
+  }
+
   test("bestMerge tie-break: equal counts resolve to the " +
       "lexicographically smallest pair") {
     val pairs = Seq(("ce", 5L), ("cd", 5L), ("aa", 3L))
