@@ -37,7 +37,12 @@ object Bench {
     // round 10 second wave: sparse retrieval (inverted index + BM25,
     // one postings pass) and bounded-state frequent items (TakeOrdered
     // candidates + CM probes)
-    "q140_bm25_search", "q142_heavy_hitters")
+    "q140_bm25_search", "q142_heavy_hitters",
+    // round 11: corpus-frequency boilerplate cut (pre-reduced window-
+    // hash DF agg + broadcast flag-back), int8-quantized brute scan
+    // (byte-packed codes, native integer dot), and the multi-rule
+    // quality funnel (zero-shuffle per-row projection)
+    "q152_cut_boilerplate", "q155_quantized_search", "q157_quality_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3148,6 +3148,51 @@ object SparkEntry {
           "source", "text", budgetDocs = 120L)
         .select(col("doc_id"), col("source"), col("mix_rank"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- composite QUALITY FUNNEL (Gopher/C4 heuristic rules) -------
+    // Per-doc rule booleans + the conjunction: length, mean token
+    // length, stopword ratio (exact-integer compares), the q77
+    // repetition thresholds, and the q45 lang-id gate. Thresholds
+    // chosen to discriminate on this corpus (not all-pass).
+    "q157_quality_funnel" -> ((s, dir) => {
+      TextAnalysis.qualityFunnel(
+          t(s, dir, "documents")
+            .withColumn("doc_id", col("doc_id").cast("long")),
+          "doc_id", "text", langs = Seq("en"),
+          minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-stratum quality percentile cut (FineWeb per-dump shape):
+    // within each source keep the top 40% by the q94 LM quality score
+    // — a global cut would let one high-scoring source crowd out the
+    // rest.
+    "q158_stratified_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = TextAnalysis.lmQualityScore(d, "doc_id", "text",
+          headMin = 0.0334, midMin = 0.0333)
+        .select(col("doc_id"), col("mean_rel_freq"))
+      TextAnalysis.stratifiedQualityCut(
+          d.select(col("doc_id"), col("source"))
+            .join(scored, Seq("doc_id")),
+          "doc_id", "source", "mean_rel_freq", keepFrac10k = 4000L)
+        .select(col("doc_id"), col("source"), col("q_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- IVF-SQ8: cluster-pruned search over int8 codes -------------
+    // q78's probe convention (own label + the next, wrapped) with the
+    // q155 quantized-cosine scoring — the probed-list byte-per-dim scan.
+    "q159_ivf_sq8" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val qs = em.filter(col("vec_id") < 8)
+        .withColumn("probes", array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      Ann.ivfQuantizedTopK(qs, em, "vec_id", "embedding", "label",
+          "probes", k = 3)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -6344,7 +6389,137 @@ object SparkEntry {
          | FROM documents)
          |SELECT doc_id, source, CAST(mix_rank AS BIGINT) AS mix_rank
          |FROM r JOIN caps USING (source)
-         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin,
+
+    // Quality-funnel replay: the q77 repetition chain + the q45
+    // lang-id chain + exact-integer length/stop/avg-length compares,
+    // conjoined.
+    "q157_quality_funnel" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  trim(text) AS t FROM documents),
+        |base AS (SELECT doc_id,
+        |  list_filter(string_split(t, chr(10)), x -> len(trim(x)) > 0) AS ls,
+        |  list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS ws
+        | FROM d),
+        |lw AS (SELECT doc_id, len(ls) AS nl, len(ws) AS nw,
+        |  COALESCE(list_sum(list_transform(ls, x -> len(x))), 0) AS lc,
+        |  COALESCE(list_sum(list_transform(list_distinct(ls),
+        |    x -> len(x))), 0) AS dlc,
+        |  len(list_distinct(ls)) AS dnl,
+        |  COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS wc,
+        |  len(list_filter(ws, x -> list_contains(
+        |    ['the','a','of','and','to','in'], x))) AS nstop,
+        |  ws FROM base),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, nw),
+        |  i -> ws[i] || ' ' || ws[i + 1])) AS g FROM lw WHERE nw >= 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |b2 AS (SELECT doc_id, c, len(g) - 1 AS l FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, len(g) - 1 DESC, g DESC) AS rn FROM c2)
+        | WHERE rn = 1),
+        |g5 AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3),
+        |  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+        |    ws[i + 3] || ' ' || ws[i + 4])) AS g FROM lw WHERE nw >= 5),
+        |c5 AS (SELECT doc_id,
+        |  SUM(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS dup
+        | FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
+        | GROUP BY 1),
+        |rep AS (SELECT lw.doc_id,
+        |  (CASE WHEN nl > 0 THEN CAST(nl - dnl AS DOUBLE) / nl
+        |    ELSE 0.0 END) <= 0.30 AND
+        |  (CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / lc
+        |    ELSE 0.0 END) <= 0.20 AND
+        |  (CASE WHEN b2.c IS NOT NULL AND wc > 0
+        |    THEN CAST(b2.c * b2.l AS DOUBLE) / wc
+        |    ELSE 0.0 END) <= 0.20 AND
+        |  (CASE WHEN wc > 0 THEN least(1.0,
+        |      CAST(COALESCE(c5.dup, 0) AS DOUBLE) / wc)
+        |    ELSE 0.0 END) <= 0.15 AS r_rep
+        | FROM lw LEFT JOIN b2 ON lw.doc_id = b2.doc_id
+        |   LEFT JOIN c5 ON lw.doc_id = c5.doc_id),
+        |lex(lang, words) AS (VALUES
+        |  ('de', ['der','die','das','und','ist','ein','nicht','mit']),
+        |  ('en', ['the','and','of','to','is','in','that','it']),
+        |  ('es', ['el','la','los','las','es','una','que','por']),
+        |  ('fr', ['le','la','et','les','des','un','une','est']),
+        |  ('zh', ['的','是','了','在','我','有','和','不'])),
+        |tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        | FROM documents),
+        |sc AS (SELECT tk.doc_id, lex.lang,
+        |  SUM(CASE WHEN list_contains(lex.words, tk.t) THEN 1 ELSE 0 END)
+        |    AS score
+        | FROM tk CROSS JOIN lex GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang, score, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc),
+        |lg AS (SELECT doc_id,
+        |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess
+        | FROM best WHERE rn = 1),
+        |rules AS (SELECT lw.doc_id,
+        |  CAST(nw AS BIGINT) AS n_tokens, lg.lang_guess,
+        |  nw >= 20 AND nw <= 100000 AS r_len,
+        |  wc * 10 >= nw * 39 AND wc * 10 <= nw * 100 AS r_avg_len,
+        |  nstop * 10000 <= nw * 1500 AS r_stop,
+        |  rep.r_rep AS r_rep,
+        |  lg.lang_guess = 'en' AS r_lang
+        | FROM lw JOIN rep ON lw.doc_id = rep.doc_id
+        |   JOIN lg ON lw.doc_id = lg.doc_id)
+        |SELECT doc_id, n_tokens, lang_guess, r_len, r_avg_len, r_stop,
+        | r_rep, r_lang,
+        | r_len AND r_avg_len AND r_stop AND r_rep AND r_lang AS keep
+        |FROM rules ORDER BY doc_id""".stripMargin,
+
+    // Per-source percentile replay: q94's LM score chain -> per-source
+    // counts -> exact-integer caps -> (score DESC, doc_id) rank.
+    "q158_stratified_quality" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM toks
+        | GROUP BY doc_id, tok),
+        |f AS (SELECT tok, SUM(k) AS c FROM dt GROUP BY tok),
+        |tt AS (SELECT SUM(k) AS t_total FROM dt),
+        |agg AS (SELECT doc_id, SUM(k) AS n_tokens, SUM(k * c) AS freq_sum
+        | FROM dt JOIN f USING (tok) GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, d.source,
+        |  CAST(freq_sum AS DOUBLE) /
+        |    CAST(CAST(n_tokens AS BIGINT) * CAST(t_total AS BIGINT)
+        |      AS DOUBLE) AS score
+        | FROM documents d JOIN agg USING (doc_id), tt),
+        |cnt AS (SELECT source, COUNT(*) AS cs FROM sc GROUP BY source),
+        |caps AS (SELECT source, (cs * 4000) // 10000 AS k FROM cnt),
+        |r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id) AS q_rank
+        | FROM sc)
+        |SELECT doc_id, source, CAST(q_rank AS BIGINT) AS q_rank
+        |FROM r JOIN caps USING (source)
+        |WHERE q_rank <= k ORDER BY doc_id""".stripMargin,
+
+    // IVF-SQ8 replay: q78's probe convention over the q155 quantized
+    // lists — prune to probed labels, quantized-cosine rank.
+    "q159_ivf_sq8" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  CAST(label AS BIGINT) AS label FROM embeddings),
+        |qv AS (SELECT vec_id, label,
+        |  list_transform(v, x -> floor((x * 127) /
+        |    list_max(list_transform(v, y -> abs(y))))) AS q
+        | FROM base
+        | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+        |n AS (SELECT vec_id, label, q,
+        |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+        |p AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
+        |  unnest([label, (label + 1) %
+        |    (SELECT MAX(label) + 1 FROM embeddings)]) AS probe
+        | FROM n WHERE vec_id < 8),
+        |sx AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0 AS sim
+        | FROM p JOIN n c ON probe = c.label AND query_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM sx)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 
   /** Shared by q152 (one-shot) and q153 (persisted-index folds). */

@@ -302,15 +302,16 @@ object Ann {
     * quantize (the [[Embed.hashEmbed]] / q121 convention).
     * Output: (emb_id, qvec: binary, qnorm: double = sqrt(qvec·qvec)).
     */
-  def quantizeInt8(vecs: DataFrame, idCol: String,
-                   vecCol: String): DataFrame = {
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String,
+                   keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.Int8Ops
     val dv = toDoubleVec(col(vecCol))
     val amax = array_max(transform(dv, x => abs(x)))
     val q = transform(dv, x => floor(x * lit(127.0) / col("__amax")))
     vecs.withColumn("__amax", amax)
       .filter(col("__amax") > 0.0)
-      .select(col(idCol).as("emb_id"), Int8Ops.int8Pack(q).as("qvec"))
+      .select(col(idCol).as("emb_id") +: keep.map(col) :+
+        Int8Ops.int8Pack(q).as("qvec"): _*)
       .withColumn("qnorm", sqrt(Int8Ops.int8Dot(col("qvec"), col("qvec"))))
   }
 
@@ -333,6 +334,39 @@ object Ann {
       .select(col("emb_id").as("neighbor_id"), col("qvec").as("cv"),
         col("qnorm").as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Int8Ops.int8Dot(col("qv"), col("cv"))
+        .cast("double") / (col("qn") * col("cn")))
+    topK(scored, k)
+  }
+
+  /** IVF-SQ8 — the faiss `IndexIVFScalarQuantizer` shape: candidates
+    * prune to the query's probed coarse clusters ([[ivfTopK]]'s
+    * contract: any precomputed/trained cluster-id column; queries
+    * carry a `probesCol` array of cluster ids), and the scan inside
+    * each probed list reads int8-packed codes — at 100 TB the probed
+    * fraction of the corpus at ONE byte per dimension, vs the full
+    * float32 corpus for [[bruteForceTopK]]. The probe join is an
+    * equi-join on the cluster id (broadcastable; partition-prunable
+    * when the codes are at rest); similarity is the [[quantizedTopK]]
+    * integer-dot cosine. Output: (query_id, neighbor_id, rank, sim).
+    */
+  def ivfQuantizedTopK(queries: DataFrame, candidates: DataFrame,
+                       idCol: String, vecCol: String, clusterCol: String,
+                       probesCol: String, k: Int): DataFrame = {
+    import graft.functions.Int8Ops
+    val q = broadcast(
+      quantizeInt8(queries, idCol, vecCol, keep = Seq(probesCol))
+        .select(col("emb_id").as("query_id"),
+          explode(col(probesCol)).as("probe"),
+          col("qvec").as("qv"), col("qnorm").as("qn")))
+    val c = quantizeInt8(candidates, idCol, vecCol,
+        keep = Seq(clusterCol))
+      .select(col("emb_id").as("neighbor_id"),
+        col(clusterCol).cast("long").as("ccl"),
+        col("qvec").as("cv"), col("qnorm").as("cn"))
+    val scored = q.join(c,
+        col("probe") === col("ccl") &&
+          col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Int8Ops.int8Dot(col("qv"), col("cv"))
         .cast("double") / (col("qn") * col("cn")))
     topK(scored, k)

@@ -67,8 +67,27 @@ object TextAnalysis {
     * All fractions are exact-integer / exact-integer divisions →
     * bit-deterministic doubles.
     */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = trim(col(textCol))
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        repetitionStruct(col(textCol)).as("__s"))
+      .select(col("doc_id"), col("__s.*"))
+      .withColumn("repetition_pass", repetitionPass(
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("top_2gram_char_frac"), col("dup_5gram_char_frac"))
+        .cast("long"))
+
+  /** The paper's pass thresholds, shared by [[repetitionStats]] and
+    * [[qualityFunnel]]'s repetition rule.
+    */
+  private[operators] def repetitionPass(dupLine: Column, dupLineChar: Column,
+      top2: Column, dup5: Column): Column =
+    dupLine <= 0.30 && dupLineChar <= 0.20 && top2 <= 0.20 && dup5 <= 0.15
+
+  /** The repetition-signal struct as a per-row Column (shared by
+    * [[repetitionStats]] and [[qualityFunnel]]).
+    */
+  private[operators] def repetitionStruct(textCol: Column): Column = {
+    val t = trim(textCol)
     val stats = let(filter(split(t, "\n"), l => length(trim(l)) > 0)) { lines =>
       let(filter(split(t, "\\s+"), w => length(w) > 0)) { words =>
         val nl = size(lines)
@@ -116,13 +135,63 @@ object TextAnalysis {
           dup5.as("dup_5gram_char_frac"))
       }
     }
-    docs.select(col(idCol).as("doc_id"), stats.as("__s"))
-      .select(col("doc_id"), col("__s.*"))
-      .withColumn("repetition_pass",
-        (col("dup_line_frac") <= 0.30 &&
-          col("dup_line_char_frac") <= 0.20 &&
-          col("top_2gram_char_frac") <= 0.20 &&
-          col("dup_5gram_char_frac") <= 0.15).cast("long"))
+    stats
+  }
+
+  /** Composite quality FUNNEL — the multi-rule heuristic gate every
+    * production corpus runs before any model-based filter (Gopher's
+    * MassiveText rules, Rae et al. 2021 §A1.1; C4's heuristics,
+    * Raffel et al. 2020 §2.2): each rule is reported per-doc (the
+    * observability a pipeline alarms on — [[graft.streaming
+    * .CurationStream.selectReport]]'s per-rule analog), `keep` is
+    * their conjunction. Rules:
+    *
+    *   - `r_len`      token count within [minTokens, maxTokens]
+    *   - `r_avg_len`  mean token length within [minAvgLen10, maxAvgLen10]
+    *     tenths of a char (Gopher: 3–10 chars) — compared as
+    *     `wordChars·10 ⋛ nTokens·bound`, exact integers
+    *   - `r_stop`     stopword ratio ≤ maxStop10k parts-per-10⁴
+    *     (`nStop·10⁴ ≤ nTokens·maxStop10k`, exact integers; the
+    *     [[stats]] quality-flag convention — direction is corpus
+    *     policy, the synthetic corpus treats filler-heavy docs as low
+    *     quality)
+    *   - `r_rep`      [[repetitionStats]]' pass thresholds
+    *   - `r_lang`     [[langId]] guess ∈ `langs`
+    *
+    * One per-row projection, zero shuffle; every comparison either
+    * exact-integer or the q77-proven exact-ratio doubles, so the whole
+    * funnel replays in the oracle.
+    */
+  def qualityFunnel(docs: DataFrame, idCol: String, textCol: String,
+                    langs: Seq[String],
+                    minTokens: Long = 5L, maxTokens: Long = 100000L,
+                    maxStop10k: Long = 5000L,
+                    minAvgLen10: Long = 30L, maxAvgLen10: Long = 100L,
+                    stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t)))
+          .cast("long").as("__nstop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("__wc"),
+        repetitionStruct(col(textCol)).as("__r"),
+        langId(col(textCol)).as("lang_guess"))
+      .withColumn("r_len",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("r_avg_len",
+        col("__wc") * 10L >= col("n_tokens") * minAvgLen10 &&
+          col("__wc") * 10L <= col("n_tokens") * maxAvgLen10)
+      .withColumn("r_stop",
+        col("__nstop") * 10000L <= col("n_tokens") * maxStop10k)
+      .withColumn("r_rep", repetitionPass(
+        col("__r.dup_line_frac"), col("__r.dup_line_char_frac"),
+        col("__r.top_2gram_char_frac"), col("__r.dup_5gram_char_frac")))
+      .withColumn("r_lang", col("lang_guess").isInCollection(langs))
+      .withColumn("keep", col("r_len") && col("r_avg_len") &&
+        col("r_stop") && col("r_rep") && col("r_lang"))
+      .select("doc_id", "n_tokens", "lang_guess", "r_len", "r_avg_len",
+        "r_stop", "r_rep", "r_lang", "keep")
   }
 
   /** Character n-gram profile based language ID heuristic. Scores each
@@ -657,6 +726,46 @@ object TextAnalysis {
       .map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
     mixApplyCaps(docs, idCol, strataCol,
       deriveCaps(counts, targetShare10k))
+  }
+
+  /** Per-stratum top-fraction quality cut — the FineWeb/CCNet
+    * per-dump filtering shape (Penedo et al. 2024 filter each
+    * CommonCrawl dump independently; Wenzek et al. 2020 bucket per
+    * language): within each stratum keep the best `keepFrac10k`/10⁴
+    * fraction by `scoreCol`, ranked (score DESC, id ASC). A GLOBAL
+    * top-fraction (the q110 DSIR cut) would let one high-scoring
+    * stratum crowd out the rest; the per-stratum cut holds every
+    * stratum to the same bar. Keep counts are exact integers:
+    * k_s = (c_s·keepFrac10k) div 10⁴.
+    *
+    * Scale shape: strata counts are ONE pre-reduced aggregate
+    * collected driver-side (|strata| rows — domains/dumps number
+    * dozens to thousands); the cut is a per-stratum window with a
+    * LITERAL global rank bound (WindowGroupLimit pushes a partial
+    * top-maxK before the exchange) — unlike the global cut, no
+    * distributed total rank is needed: per-stratum windows scale out
+    * on the stratum key.
+    */
+  def stratifiedQualityCut(docs: DataFrame, idCol: String,
+      strataCol: String, scoreCol: String,
+      keepFrac10k: Long): DataFrame = {
+    require(keepFrac10k >= 0 && keepFrac10k <= 10000L,
+      "keepFrac10k in [0, 10000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("cs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
+    val caps = counts.map { case (s, c) =>
+      s -> c * keepFrac10k / 10000L }.filter(_._2 > 0)
+    val capsDf = caps.toSeq.sortBy(_._1).toDF(strataCol, "k")
+    val maxK = if (caps.isEmpty) 0L else caps.values.max
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.join(broadcast(capsDf), Seq(strataCol))
+      .withColumn("q_rank", row_number().over(w).cast("long"))
+      .filter(col("q_rank") <= lit(maxK) && col("q_rank") <= col("k"))
+      .drop("k")
   }
 
   /** Temperature-balanced mixture (τ = 1/2): the multilingual /

@@ -282,6 +282,32 @@ class DedupAnnSpec extends SparkSpecBase {
       (0L, 2L, 3L, -1.0)))
   }
 
+  test("ivfQuantizedTopK: probes prune candidates to the listed " +
+      "clusters; within a probed cluster ranking equals the " +
+      "unpruned quantized scan") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.1f), 0),
+      (1L, Seq(0.9f, 0.2f), 0),
+      (2L, Seq(0.8f, 0.3f), 0),
+      (3L, Seq(-1.0f, 0.1f), 1),
+      (4L, Seq(-0.9f, 0.2f), 1),
+      (5L, Seq(0.1f, 1.0f), 2)) // cluster 2: NOT probed below
+      .toDF("vec_id", "embedding", "label")
+    val qs = vecs.filter(col("vec_id") === 0L)
+      .withColumn("probes", array(lit(0L), lit(1L)))
+    val got = Ann.ivfQuantizedTopK(qs, vecs, "vec_id", "embedding",
+        "label", "probes", k = 10)
+      .select("neighbor_id", "rank")
+      .as[(Long, Long)].collect().toMap
+    // cluster-2 member never appears; probed members all rank
+    assert(!got.contains(5L) && got.keySet == Set(1L, 2L, 3L, 4L))
+    // the probed subset ranks exactly as the unpruned quantized scan
+    val brute = Ann.quantizedTopK(qs, vecs.filter(col("label") < 2),
+        "vec_id", "embedding", k = 10)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == brute)
+  }
+
   test("cutDupSpans removes exactly the covered tokens and rejoins " +
       "the rest; untouched docs pass through verbatim") {
     val boiler = "terms of use apply to this site" // 7 tokens

@@ -404,4 +404,78 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(one == many, s"$one vs $many")
     assert(one._2 == 1, s"windows share one exchange: $one")
   }
+
+  test("quantizedTopK: the scan stays a broadcast-driven generated " +
+      "int8 loop — native dot in the plan, partial top-k preserved, " +
+      "no sort-merge join") {
+    val emb = (0L to 50L).map(i => (i, Array.fill(4)(i.toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Ann.quantizedTopK(
+      emb.limit(2), emb, "vec_id", "embedding", k = 3))
+    assert(p.contains("int8_dot"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cutBoilerplateFromIndex: the above-bar hash sliver reaches the " +
+      "corpus windows as a broadcast — the window stream never " +
+      "shuffles on the hash key") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bp_plan").toString
+    graft.operators.Dedup.boilerplateIndexAppend(docs, "doc_id", "text",
+      3, idx, 1L)
+    val p = plan(graft.operators.Dedup.cutBoilerplateFromIndex(
+      spark, idx, docs, "doc_id", "text", 3, 1L))
+    assert(countIn(p, "BroadcastHashJoin") >= 1, p)
+    // exactly ONE h-keyed exchange — the INDEX-side partial-sum
+    // aggregate (index-sized, unavoidable); the corpus window stream
+    // itself joins the broadcast sliver and never exchanges on h
+    assert(countIn(p, "Exchange hashpartitioning\\(h#") == 1, p)
+  }
+
+  test("qualityFunnel is a zero-shuffle per-row projection") {
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.qualityFunnel(
+      docs, "doc_id", "text", langs = Seq("en")))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("stratifiedQualityCut: literal-bounded per-stratum window " +
+      "(partial top-k pushed), caps broadcast, no single-partition " +
+      "window") {
+    val docs = (1L to 60L).map(i => (i, s"s${i % 3}", i.toDouble))
+      .toDF("doc_id", "src", "score")
+    val p = plan(graft.operators.TextAnalysis.stratifiedQualityCut(
+      docs, "doc_id", "src", "score", keepFrac10k = 2000L))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("ivfQuantizedTopK: the probe join is a broadcast equi-join on " +
+      "the cluster id (prunable), scoring is the native int8 dot") {
+    val vecs = (0L to 50L).map(i =>
+      (i, Array.fill(4)(i.toFloat + 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val qs = vecs.filter(col("vec_id") < 2)
+      .withColumn("probes", array(col("label").cast("long")))
+    val p = plan(graft.operators.Ann.ivfQuantizedTopK(
+      qs, vecs, "vec_id", "embedding", "label", "probes", k = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("int8_dot"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bpeDecode: vocab attaches as a broadcast; the id stream pays " +
+      "exactly ONE exchange (the per-doc reassembly)") {
+    val enc = Seq((1L, 0L, 0L), (1L, 1L, 1L), (2L, 0L, 0L))
+      .toDF("doc_id", "pos", "token_id")
+    val vocab = Seq((0L, "▁a"), (1L, "b")).toDF("token_id", "token")
+    val p = plan(graft.operators.TextAnalysis.bpeDecode(enc, vocab))
+    assert(countIn(p, "BroadcastHashJoin") == 1, p)
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -199,6 +199,56 @@ class SelectionOpsSpec extends SparkSpecBase {
       (3L, "the the the")))
   }
 
+  test("qualityFunnel: each rule fails independently on a crafted doc; " +
+      "keep is the conjunction") {
+    val enTail = "the cat is in that hat and it sat on to of a mat"
+    val docs = Seq(
+      (1L, enTail),                                    // passes all
+      (2L, "the cat"),                                 // r_len (2 < 3 tokens)
+      (3L, "b c d e f g h i j k " + enTail),           // r_avg_len (avg < 2.0)
+      (4L, "the the the the of of to to " + enTail),   // r_stop (> 50%)
+      (5L, ("is that " * 12) + enTail),                // r_rep (top 2-gram)
+      (6L, "uno dos tres cuatro cinco seis"))          // r_lang ('und')
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFunnel(docs, "doc_id", "text",
+        langs = Seq("en"), minTokens = 3L, maxTokens = 100L,
+        maxStop10k = 5000L, minAvgLen10 = 20L, maxAvgLen10 = 100L)
+      .orderBy("doc_id")
+      .select("r_len", "r_avg_len", "r_stop", "r_rep", "r_lang", "keep")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out(0) == (true, true, true, true, true, true), out(0))
+    assert(!out(1)._1 && !out(1)._6, out(1))   // too short
+    assert(!out(2)._2 && !out(2)._6, out(2))   // avg token length too low
+    assert(!out(3)._3 && !out(3)._6, out(3))   // stopword-saturated
+    assert(!out(4)._4 && !out(4)._6, out(4))   // repetition-dominated
+    assert(!out(5)._5 && !out(5)._6, out(5))   // not the allowed language
+    // every rule passes somewhere and fails somewhere — discriminating
+    for (i <- 0 until 5)
+      assert(out.exists(_.productElement(i) == true) &&
+        out.exists(_.productElement(i) == false), s"rule $i")
+  }
+
+  test("stratifiedQualityCut: per-stratum exact caps, (score DESC, id) " +
+      "rank, order-independent; empty fraction selects nothing") {
+    // A: 5 docs scores 50..10, keep 40% -> 2 (scores 50, 40);
+    // B: 2 docs, keep 40% -> 0 (cap floor) — B disappears entirely
+    val docs = (Seq((1L, "A", 50.0), (2L, "A", 40.0), (3L, "A", 30.0),
+      (4L, "A", 20.0), (5L, "A", 10.0), (6L, "B", 9.0), (7L, "B", 8.0)))
+      .toDF("doc_id", "src", "score")
+    val out = TextAnalysis.stratifiedQualityCut(docs, "doc_id", "src",
+        "score", keepFrac10k = 4000L)
+      .select("doc_id", "q_rank").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 2L)))
+    val shuffled = TextAnalysis.stratifiedQualityCut(
+        docs.orderBy(col("doc_id").desc).repartition(5), "doc_id", "src",
+        "score", keepFrac10k = 4000L)
+      .select("doc_id", "q_rank").as[(Long, Long)].collect().toSet
+    assert(shuffled == out)
+    assert(TextAnalysis.stratifiedQualityCut(docs, "doc_id", "src",
+      "score", keepFrac10k = 0L).count() == 0L)
+  }
+
   test("bestMerge tie-break: equal counts resolve to the " +
       "lexicographically smallest pair") {
     val pairs = Seq(("ce", 5L), ("cd", 5L), ("aa", 3L))
