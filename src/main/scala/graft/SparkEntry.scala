@@ -40,7 +40,8 @@ object SparkEntry {
     */
   private def curationFixture(s: SparkSession, dir: String,
                               deconBloom: Boolean = false,
-                              fold: Boolean = true)
+                              fold: Boolean = true,
+                              funnel: Boolean = false)
       : graft.streaming.CurationStream.Config = {
     val d = t(s, dir, "documents")
     val mk = () => java.nio.file.Files
@@ -65,7 +66,8 @@ object SparkEntry {
     val cfg = graft.streaming.CurationStream.Config(
       benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
       keepFrac10k = 4000L, deconBloom = deconBloom,
-      spanIdx = Some(mk()), nearDupIdx = Some(mk()))
+      spanIdx = Some(mk()), nearDupIdx = Some(mk()),
+      funnelLangs = if (funnel) Some(Seq("en")) else None)
     if (fold) {
       val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
       graft.streaming.CurationStream.foldBatch(
@@ -3193,6 +3195,56 @@ object SparkEntry {
       Ann.ivfQuantizedTopK(qs, em, "vec_id", "embedding", "label",
           "probes", k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- PERSISTED IVF-SQ8 index: two appended code layers + a ------
+    // compaction, then the pruned quantized query — per-vector codes
+    // are batching-independent, so the result equals the in-memory
+    // q159 search (verbatim oracle), compaction included.
+    "q160_sq8_persisted" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val idx = java.nio.file.Files
+        .createTempDirectory("sq8_idx").toString
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", col("label"), idx, 1L)
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", col("label"), idx, 2L)
+      Ann.compactVectorIndex(s, idx, partitionCol = "cluster")
+      val qs = em.filter(col("vec_id") < 8)
+        .withColumn("probes", array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      Ann.sq8IndexQuery(s, idx, qs, "vec_id", "embedding", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the FULL recipe with the QUALITY FUNNEL run first: the ----
+    // q126 chain gains the cheapest gate in the production order
+    // (per-row heuristics before any stateful gate); the funnel is
+    // per-doc pure so batch folds still equal the one-shot replay.
+    "q162_curation_funnel_gated" -> ((s, dir) => {
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir, funnel = true), CurationTargets)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- tokenizer artifact round-trip: train → SAVE → LOAD → encode
+    // — the frozen at-rest tokenizer (the production vocab.json/
+    // merges.txt pair as parquet) must encode bit-identically to the
+    // in-memory one (verbatim q107 oracle).
+    "q161_tokenizer_artifact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val trained = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
+      val mergesSeq = trained.orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+      val tokDir = java.nio.file.Files
+        .createTempDirectory("tok_artifact").toString
+      TextAnalysis.saveTokenizer(trained,
+        TextAnalysis.bpeVocab(d, "text", mergesSeq), tokDir)
+      val (merges, vocab) = TextAnalysis.loadTokenizer(s, tokDir)
+      TextAnalysis.bpeEncodeIds(d, "doc_id", "text", merges, vocab)
+        .orderBy(col("doc_id"), col("pos"))
     })
   )
 
@@ -3730,9 +3782,11 @@ object SparkEntry {
        |    AS s FROM dtk)""".stripMargin
 
   /** The exact-index decon gate (q110/q126/q127/q135): benchmark
-    * 5-shingle hash set, per-doc overlap fraction. Ends at `kept1`.
+    * 5-shingle hash set, per-doc overlap fraction. Ends at `kept1`;
+    * `extraKept1Pred` injects an additional survivor condition (the
+    * q162 funnel membership).
     */
-  private val CurationExactDeconSql: String =
+  private def curationExactDeconSql(extraKept1Pred: String = ""): String =
     s"""dhs AS (SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h
        | FROM dshr WHERE s IS NOT NULL),
        |bh AS (SELECT DISTINCT h FROM dhs WHERE doc_id % 20 = 0),
@@ -3742,10 +3796,87 @@ object SparkEntry {
        |  WHERE t.doc_id % 20 <> 0 GROUP BY t.doc_id),
        |kept1 AS (SELECT d.doc_id, d.lang FROM documents d
        |  LEFT JOIN dagg a USING (doc_id)
-       |  WHERE d.doc_id % 20 <> 0 AND NOT (
+       |  WHERE d.doc_id % 20 <> 0 $extraKept1Pred AND NOT (
        |    CASE WHEN COALESCE(a.n_sh, 0) > 0
        |      THEN CAST(a.n_ov AS DOUBLE) / a.n_sh ELSE 0.0 END >= 0.05))"""
       .stripMargin
+
+  private val CurationExactDeconSql: String = curationExactDeconSql()
+
+  /** The q157 quality-funnel rules with `f`-prefixed CTE names (no
+    * collisions inside the shared recursive chain), ending at `fkeep`
+    * — the funnel-surviving doc set the q162 chain's kept1 restricts
+    * to. Thresholds match the q162 fixture (minTokens 20, stop 15%,
+    * avg token length ≥ 3.9 chars, q77 repetition bars, lang en).
+    */
+  private val CurationFunnelSql: String =
+    """fbase AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  list_filter(string_split(trim(text), chr(10)),
+      |    x -> len(trim(x)) > 0) AS ls,
+      |  list_filter(string_split_regex(trim(text), '\s+'),
+      |    x -> len(x) > 0) AS ws
+      | FROM documents),
+      |flw AS (SELECT doc_id, len(ls) AS nl, len(ws) AS nw,
+      |  COALESCE(list_sum(list_transform(ls, x -> len(x))), 0) AS lc,
+      |  COALESCE(list_sum(list_transform(list_distinct(ls),
+      |    x -> len(x))), 0) AS dlc,
+      |  len(list_distinct(ls)) AS dnl,
+      |  COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS wc,
+      |  len(list_filter(ws, x -> list_contains(
+      |    ['the','a','of','and','to','in'], x))) AS nstop,
+      |  ws FROM fbase),
+      |fg2 AS (SELECT doc_id, unnest(list_transform(range(1, nw),
+      |  i -> ws[i] || ' ' || ws[i + 1])) AS g FROM flw WHERE nw >= 2),
+      |fc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM fg2 GROUP BY 1, 2),
+      |fb2 AS (SELECT doc_id, c, len(g) - 1 AS l FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY c DESC, len(g) - 1 DESC, g DESC) AS rn FROM fc2)
+      | WHERE rn = 1),
+      |fg5 AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3),
+      |  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+      |    ws[i + 3] || ' ' || ws[i + 4])) AS g FROM flw WHERE nw >= 5),
+      |fc5 AS (SELECT doc_id,
+      |  SUM(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS dup
+      | FROM (SELECT doc_id, g, COUNT(*) AS c FROM fg5 GROUP BY 1, 2)
+      | GROUP BY 1),
+      |frep AS (SELECT flw.doc_id,
+      |  (CASE WHEN nl > 0 THEN CAST(nl - dnl AS DOUBLE) / nl
+      |    ELSE 0.0 END) <= 0.30 AND
+      |  (CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / lc
+      |    ELSE 0.0 END) <= 0.20 AND
+      |  (CASE WHEN fb2.c IS NOT NULL AND wc > 0
+      |    THEN CAST(fb2.c * fb2.l AS DOUBLE) / wc
+      |    ELSE 0.0 END) <= 0.20 AND
+      |  (CASE WHEN wc > 0 THEN least(1.0,
+      |      CAST(COALESCE(fc5.dup, 0) AS DOUBLE) / wc)
+      |    ELSE 0.0 END) <= 0.15 AS r_rep
+      | FROM flw LEFT JOIN fb2 ON flw.doc_id = fb2.doc_id
+      |   LEFT JOIN fc5 ON flw.doc_id = fc5.doc_id),
+      |flex(lang, words) AS (VALUES
+      |  ('de', ['der','die','das','und','ist','ein','nicht','mit']),
+      |  ('en', ['the','and','of','to','is','in','that','it']),
+      |  ('es', ['el','la','los','las','es','una','que','por']),
+      |  ('fr', ['le','la','et','les','des','un','une','est']),
+      |  ('zh', ['的','是','了','在','我','有','和','不'])),
+      |ftk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      | FROM documents),
+      |fsc AS (SELECT ftk.doc_id, flex.lang,
+      |  SUM(CASE WHEN list_contains(flex.words, ftk.t) THEN 1 ELSE 0 END)
+      |    AS score
+      | FROM ftk CROSS JOIN flex GROUP BY 1, 2),
+      |fbest AS (SELECT doc_id, lang, score, row_number() OVER
+      |  (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM fsc),
+      |flg AS (SELECT doc_id,
+      |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess
+      | FROM fbest WHERE rn = 1),
+      |fkeep AS (SELECT flw.doc_id FROM flw
+      |  JOIN frep ON flw.doc_id = frep.doc_id
+      |  JOIN flg ON flw.doc_id = flg.doc_id
+      |  WHERE nw >= 20 AND nw <= 100000
+      |    AND wc * 10 >= nw * 39 AND wc * 10 <= nw * 100
+      |    AND nstop * 10000 <= nw * 1500
+      |    AND frep.r_rep AND flg.lang_guess = 'en')""".stripMargin
 
   /** The BLOOM decon gate (q146): the same shingle stream, hits
     * decided by the 3-row × 64k-bit membership test (the q138 replay
@@ -3859,11 +3990,27 @@ object SparkEntry {
   private val CurationBloomChainSql: String =
     curationChainSql(CurationBloomDeconSql)
 
+  /** q162: the q126 chain with the quality funnel run FIRST — kept1
+    * additionally requires fkeep membership (the funnel is per-doc
+    * pure, so restricting the decon SURVIVOR set — not the per-doc
+    * overlap values — replays the fold exactly).
+    */
+  private val CurationFunnelChainSql: String =
+    curationChainSql(CurationFunnelSql + ",\n" + curationExactDeconSql(
+      "AND d.doc_id IN (SELECT doc_id FROM fkeep)"))
+
   // NOTE: the chain is ALREADY margin-stripped — concatenate the
   // tails without re-applying stripMargin over it (a second pass eats
   // one pipe of every `|| ' ' ||` continuation line).
   private val CurationFullOracleSql: String =
     CurationFullChainSql + "\n" +
+      """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+        |FROM r JOIN caps USING (lang)
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+
+  /** q162: the funnel-first full recipe's final selection. */
+  private val CurationFunnelOracleSql: String =
+    CurationFunnelChainSql + "\n" +
       """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
@@ -6498,29 +6645,48 @@ object SparkEntry {
 
     // IVF-SQ8 replay: q78's probe convention over the q155 quantized
     // lists — prune to probed labels, quantized-cosine rank.
-    "q159_ivf_sq8" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |  CAST(label AS BIGINT) AS label FROM embeddings),
-        |qv AS (SELECT vec_id, label,
-        |  list_transform(v, x -> floor((x * 127) /
-        |    list_max(list_transform(v, y -> abs(y))))) AS q
-        | FROM base
-        | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
-        |n AS (SELECT vec_id, label, q,
-        |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
-        |p AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
-        |  unnest([label, (label + 1) %
-        |    (SELECT MAX(label) + 1 FROM embeddings)]) AS probe
-        | FROM n WHERE vec_id < 8),
-        |sx AS (SELECT query_id, c.vec_id AS neighbor_id,
-        |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0 AS sim
-        | FROM p JOIN n c ON probe = c.label AND query_id <> c.vec_id),
-        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
-        |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        | FROM sx)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    "q159_ivf_sq8" -> IvfSq8OracleSql,
+
+    // Persisted SQ8 codes answer verbatim-equal to the in-memory
+    // q159 search (per-vector quantization is batching-independent;
+    // compaction preserves rows and partition values).
+    "q160_sq8_persisted" -> IvfSq8OracleSql,
+
+    // A loaded tokenizer artifact encodes bit-identically to the
+    // in-memory one — verbatim q107 oracle.
+    "q161_tokenizer_artifact" -> BpeEncodeIdsOracleSql,
+
+    // The funnel-first full curation recipe — one replay of the whole
+    // extended chain.
+    "q162_curation_funnel_gated" -> CurationFunnelOracleSql
   )
+
+  /** Shared by q159 (in-memory IVF-SQ8) and q160 (persisted code
+    * layers + compaction): q78's probe convention over the q155
+    * quantized lists.
+    */
+  private val IvfSq8OracleSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  CAST(label AS BIGINT) AS label FROM embeddings),
+      |qv AS (SELECT vec_id, label,
+      |  list_transform(v, x -> floor((x * 127) /
+      |    list_max(list_transform(v, y -> abs(y))))) AS q
+      | FROM base
+      | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+      |n AS (SELECT vec_id, label, q,
+      |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+      |p AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
+      |  unnest([label, (label + 1) %
+      |    (SELECT MAX(label) + 1 FROM embeddings)]) AS probe
+      | FROM n WHERE vec_id < 8),
+      |sx AS (SELECT query_id, c.vec_id AS neighbor_id,
+      |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0 AS sim
+      | FROM p JOIN n c ON probe = c.label AND query_id <> c.vec_id),
+      |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      | FROM sx)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by q152 (one-shot) and q153 (persisted-index folds). */
   private val CutBoilerplateOracleSql: String =

@@ -598,6 +598,59 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Append one batch of int8-quantized codes to a PERSISTED IVF-SQ8
+    * index ([[ivfIndexAppend]]'s layer layout — `batch=N/cluster=c/`
+    * under the `_LAYERS` manifest, [[compactVectorIndex]]-compatible
+    * with `partitionCol = "cluster"`): per-vector codes are
+    * batching-independent (each quantizes against its OWN max|x|), so
+    * the persisted index answers queries verbatim-equal to the
+    * in-memory [[ivfQuantizedTopK]]. At rest the codes are ONE byte
+    * per dimension + a precomputed norm — the 100 TB rerank tier
+    * stores ¼ the float32 bytes and prunes to probed clusters.
+    */
+  def sq8IndexAppend(batch: DataFrame, idCol: String, vecCol: String,
+                     cluster: Column, indexDir: String,
+                     batchId: Long): Unit = {
+    requireAppendable(indexDir, batchId)
+    quantizeInt8(batch.withColumn("__cl", cluster.cast("long")),
+        idCol, vecCol, keep = Seq("__cl"))
+      .withColumnRenamed("__cl", "cluster")
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/batch=$batchId")
+    registerLayer(indexDir, s"batch=$batchId")
+  }
+
+  /** Quantized top-k over the persisted SQ8 index: the distinct probe
+    * set collects to the driver (queries are small by contract) and
+    * filters the scan as a LITERAL predicate — partition pruning is
+    * certain, only the probed `cluster=` directories are read across
+    * every live layer. Scoring is the [[quantizedTopK]] integer-dot
+    * cosine over the at-rest codes.
+    */
+  def sq8IndexQuery(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, queries: DataFrame, idCol: String,
+                    vecCol: String, probesCol: String, k: Int): DataFrame = {
+    import graft.functions.Int8Ops
+    val q0 = quantizeInt8(queries, idCol, vecCol, keep = Seq(probesCol))
+      .select(col("emb_id").as("query_id"),
+        col(probesCol).cast("array<long>").as("__probes"),
+        col("qvec").as("qv"), col("qnorm").as("qn"))
+    val probeSet = q0.select(explode(col("__probes")).as("p"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val idx = readIndexLayers(spark, indexDir)
+      .filter(col("cluster").isin(probeSet: _*))
+    val q = broadcast(q0.select(col("query_id"), col("qv"), col("qn"),
+      explode(col("__probes")).as("probe")))
+    // a vector lives in exactly ONE cluster partition, so multi-probe
+    // queries cannot double-count a neighbor
+    val scored = q.join(idx,
+        col("probe") === col("cluster") && col("query_id") =!= col("emb_id"))
+      .withColumnRenamed("emb_id", "neighbor_id")
+      .withColumn("sim", Int8Ops.int8Dot(col("qv"), col("qvec"))
+        .cast("double") / (col("qn") * col("qnorm")))
+    topK(scored, k)
+  }
+
   // -------------------------------------------------- product quantization
 
   /** Rounded squared-L2 distance to a literal centroid — 4-decimal

@@ -1394,6 +1394,32 @@ object TextAnalysis {
       .join(broadcast(vocab), Seq("token"))
       .select(col("doc_id"), col("pos"), col("token_id"))
 
+  /** Persist a trained tokenizer — the ordered merge table
+    * ([[bpeTrain]]'s output) plus the id vocab ([[bpeVocab]]) — as the
+    * at-rest artifact a production pipeline trains ONCE and encodes
+    * against forever (the vocab.json/merges.txt pair of a GPT-2-style
+    * release, as parquet). Both tables are vocab-sized.
+    */
+  def saveTokenizer(merges: DataFrame, vocab: DataFrame,
+                    dir: String): Unit = {
+    merges.write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a persisted tokenizer: the merge table in training order
+    * (ready for [[bpeEncode]]/[[bpeEncodeIds]]) and the id vocab.
+    * Encoding with a loaded tokenizer is bit-identical to encoding
+    * with the in-memory one (q161 proves it against q107's oracle
+    * verbatim) — the artifact round-trip IS the freeze contract.
+    */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): (Seq[(String, String)], DataFrame) = {
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy("step").collect()
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    (merges, spark.read.parquet(s"$dir/vocab"))
+  }
+
   /** Word-boundary marking — the SentencePiece convention (Kudo &
     * Richardson 2018): prefix every word with `marker` BEFORE
     * training/encoding, so the tokenizer's symbol stream carries the

@@ -75,7 +75,18 @@ object CurationStream {
                     nearDupIdx: Option[String] = None,
                     ndShingleN: Int = 2, ndNumPerm: Int = 64,
                     ndBands: Int = 8, ndMinMatches: Int = 8,
-                    ndMaxBucket: Int = 100)
+                    ndMaxBucket: Int = 100,
+                    // heuristic quality funnel (Gopher/C4 rules, the
+                    // q157 gate) run FIRST in the fold — the cheapest
+                    // gate in the recipe (one per-row projection),
+                    // exactly where production pipelines put it. A
+                    // per-doc-pure function of the doc alone, so it
+                    // cannot break batch-boundary invariance. None
+                    // disables.
+                    funnelLangs: Option[Seq[String]] = None,
+                    funnelMinTokens: Long = 20L,
+                    funnelMaxStop10k: Long = 1500L,
+                    funnelMinAvgLen10: Long = 39L)
 
   /** Fold ONE micro-batch into the curation index — O(batch): the
     * decontamination gate and the DSIR scoring broadcast their
@@ -85,9 +96,20 @@ object CurationStream {
     * mixture caps) happen in [[select]] over the skinny index. Index
     * row: (doc_id, stratum, h, n_feats, contrib_sum).
     */
-  def foldBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
+  def foldBatch(batch0: DataFrame, batchId: Long, cfg: Config): Unit = {
     import graft.functions.GraftFunctions.{charPolyHash, shingles, tokens}
-    val s = batch.sparkSession
+    val s = batch0.sparkSession
+    // quality funnel first: per-row, zero shuffle, no persisted state
+    // — docs it drops never enter ANY index
+    val batch = cfg.funnelLangs.fold(batch0)(ls =>
+      batch0.join(
+        TextAnalysis.qualityFunnel(batch0, cfg.idCol, cfg.textCol, ls,
+            minTokens = cfg.funnelMinTokens,
+            maxStop10k = cfg.funnelMaxStop10k,
+            minAvgLen10 = cfg.funnelMinAvgLen10)
+          .filter(col("keep"))
+          .select(col("doc_id").as(cfg.idCol)),
+        cfg.idCol))
     // materialized once: the decon gate (batch shingle hashing + the
     // broadcast benchmark join) feeds up to five consumers below (span
     // layer, sig layer ×2, bucket layer, score + index write) and

@@ -147,6 +147,52 @@ class CurationStreamSpec extends SparkSpecBase {
     assert(streamed == oneShot)
   }
 
+  test("QUALITY FUNNEL gate: per-doc pure, so batch boundaries do not " +
+      "change the selection; funnel victims never enter ANY index") {
+    // 20 tokens per doc: short docs would trip the Gopher top-2gram
+    // bar (a single unique bigram covers >20% of a 10-token doc)
+    val docs = ((1L to 20L).map(i => CurDoc(i, "en",
+      s"the quick $i brown of fox and jumps it over " +
+        s"w$i x$i y$i z$i p$i q$i r$i s$i t$i u$i")) ++
+      Seq(CurDoc(51L, "en", "the cat"),                // r_len victim
+        CurDoc(52L, "en",
+          "uno dos tres cuatro cinco seis siete ocho"))) // r_lang victim
+      .toDF("doc_id", "lang", "text")
+    val benchIdx = mk(); val dsirIdx = mk()
+    TextAnalysis.buildBenchmarkIndex(docs.limit(0), "text", 5, benchIdx)
+    TextAnalysis.buildDsirIndex(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", 65536, 1000000L, dsirIdx)
+    def cfgFor(curIdx: String) = CurationStream.Config(
+      benchIdx, dsirIdx, curIdx, "doc_id", "text", "lang",
+      keepFrac10k = 10000L, funnelLangs = Some(Seq("en")),
+      funnelMinTokens = 5L, funnelMaxStop10k = 5000L,
+      funnelMinAvgLen10 = 20L)
+    val targets = Map("en" -> 10000L)
+
+    val oneIdx = mk(); val oneCfg = cfgFor(oneIdx)
+    CurationStream.foldBatch(docs, 0L, oneCfg)
+    val oneShot = CurationStream.select(spark, oneCfg, targets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(oneShot.map(_._1) == (1L to 20L).toSet)
+    // victims never reached the mixture index at all (gated in the
+    // fold, before any state write)
+    val idxIds = spark.read.parquet(oneIdx)
+      .select("doc_id").as[Long].collect().toSet
+    assert((idxIds & Set(51L, 52L)).isEmpty && idxIds.size == 20)
+
+    // adversarial split: each victim isolated with half the survivors
+    val twoIdx = mk(); val twoCfg = cfgFor(twoIdx)
+    CurationStream.foldBatch(
+      docs.filter($"doc_id" % 2 === 1), 1L, twoCfg)
+    CurationStream.foldBatch(
+      docs.filter($"doc_id" % 2 === 0), 2L, twoCfg)
+    val folded = CurationStream.select(spark, twoCfg, targets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(folded == oneShot)
+  }
+
   test("BLOOM decon gate: batch boundaries do not change the " +
       "selection; the exact gate's drops are a subset of the bloom's") {
     val docs = ((1L to 30L).map(i => CurDoc(i, "en", s"alpha beta doc $i")) ++

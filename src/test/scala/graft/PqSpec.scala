@@ -173,6 +173,39 @@ class PqSpec extends SparkSpecBase {
     assert(run() == withManifest && withManifest.nonEmpty)
   }
 
+  test("persisted SQ8 index: doc-disjoint code folds + compaction " +
+      "answer verbatim-equal to the in-memory quantized search; " +
+      "probes partition-prune the scan") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0L to 40L).map(i =>
+      (i, Array.fill(4)((i % 5).toFloat + 1f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("sq8_idx_spec").toString
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 20), "vec_id",
+      "embedding", col("label"), idx, 1L)
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") >= 20), "vec_id",
+      "embedding", col("label"), idx, 2L)
+    val qs = vecs.filter(col("vec_id") < 3)
+      .withColumn("probes", array(col("label").cast("long")))
+    def res() = Ann.sq8IndexQuery(spark, idx, qs, "vec_id", "embedding",
+        "probes", k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val inMem = Ann.ivfQuantizedTopK(qs, vecs, "vec_id", "embedding",
+        "label", "probes", k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(res() == inMem && inMem.nonEmpty)
+    // compaction preserves the answer; pruning survives
+    Ann.compactVectorIndex(spark, idx, partitionCol = "cluster")
+    assert(res() == inMem)
+    val p = Ann.sq8IndexQuery(spark, idx, qs, "vec_id", "embedding",
+      "probes", k = 2).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cluster"), p)
+    assert(!p.contains("PartitionFilters: []"), p)
+  }
+
   test("RetrievalStream: batch folds equal the one-shot encode; " +
       "re-folding a micro-batch id overwrites its own layer " +
       "(crash-replay idempotent)") {

@@ -249,6 +249,26 @@ class SelectionOpsSpec extends SparkSpecBase {
       "score", keepFrac10k = 0L).count() == 0L)
   }
 
+  test("tokenizer artifact: save → load round-trips the merge table " +
+      "in training order; a loaded tokenizer encodes bit-identically") {
+    val docs = Seq((1L, "abab abab ab low lower")).toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeTrain(docs, "text", numMerges = 6)
+    val inMem = trained.orderBy("step").collect()
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    val vocab = TextAnalysis.bpeVocab(docs, "text", inMem)
+    val dir = java.nio.file.Files
+      .createTempDirectory("tok_spec").toString
+    TextAnalysis.saveTokenizer(trained, vocab, dir)
+    val (loaded, loadedVocab) = TextAnalysis.loadTokenizer(spark, dir)
+    assert(loaded == inMem && loaded.nonEmpty)
+    def enc(m: Seq[(String, String)],
+            v: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", m, v)
+        .orderBy("pos").select("pos", "token_id")
+        .as[(Long, Long)].collect().toSeq
+    assert(enc(loaded, loadedVocab) == enc(inMem, vocab))
+  }
+
   test("bestMerge tie-break: equal counts resolve to the " +
       "lexicographically smallest pair") {
     val pairs = Seq(("ce", 5L), ("cd", 5L), ("aa", 3L))
