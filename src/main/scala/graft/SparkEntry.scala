@@ -3803,80 +3803,99 @@ object SparkEntry {
 
   private val CurationExactDeconSql: String = curationExactDeconSql()
 
-  /** The q157 quality-funnel rules with `f`-prefixed CTE names (no
-    * collisions inside the shared recursive chain), ending at `fkeep`
-    * — the funnel-surviving doc set the q162 chain's kept1 restricts
-    * to. Thresholds match the q162 fixture (minTokens 20, stop 15%,
-    * avg token length ≥ 3.9 chars, q77 repetition bars, lang en).
+  /** The quality-funnel rule chain (q157's thresholds: minTokens 20,
+    * stop 15%, avg token length ≥ 3.9 chars, q77 repetition bars,
+    * lang en), CTE names prefixed with `p` so the SAME builder serves
+    * the standalone q157 oracle (p = "", final `rules`) and the q162
+    * curation chain (p = "f", no collisions inside the shared
+    * recursive WITH) — the thresholds live in exactly one place.
+    * Ends at `{p}rules`: (doc_id, n_tokens, lang_guess, r_len,
+    * r_avg_len, r_stop, r_rep, r_lang, keep).
+    */
+  private def funnelRulesSql(p: String): String =
+    s"""${p}base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  list_filter(string_split(trim(text), chr(10)),
+       |    x -> len(trim(x)) > 0) AS ls,
+       |  list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> len(x) > 0) AS ws
+       | FROM documents),
+       |${p}lw AS (SELECT doc_id, len(ls) AS nl, len(ws) AS nw,
+       |  COALESCE(list_sum(list_transform(ls, x -> len(x))), 0) AS lc,
+       |  COALESCE(list_sum(list_transform(list_distinct(ls),
+       |    x -> len(x))), 0) AS dlc,
+       |  len(list_distinct(ls)) AS dnl,
+       |  COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS wc,
+       |  len(list_filter(ws, x -> list_contains(
+       |    ['the','a','of','and','to','in'], x))) AS nstop,
+       |  ws FROM ${p}base),
+       |${p}g2 AS (SELECT doc_id, unnest(list_transform(range(1, nw),
+       |  i -> ws[i] || ' ' || ws[i + 1])) AS g FROM ${p}lw WHERE nw >= 2),
+       |${p}c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM ${p}g2
+       | GROUP BY 1, 2),
+       |${p}b2 AS (SELECT doc_id, c, len(g) - 1 AS l FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY c DESC, len(g) - 1 DESC, g DESC) AS rn FROM ${p}c2)
+       | WHERE rn = 1),
+       |${p}g5 AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3),
+       |  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+       |    ws[i + 3] || ' ' || ws[i + 4])) AS g FROM ${p}lw
+       | WHERE nw >= 5),
+       |${p}c5 AS (SELECT doc_id,
+       |  SUM(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS dup
+       | FROM (SELECT doc_id, g, COUNT(*) AS c FROM ${p}g5 GROUP BY 1, 2)
+       | GROUP BY 1),
+       |${p}rep AS (SELECT ${p}lw.doc_id,
+       |  (CASE WHEN nl > 0 THEN CAST(nl - dnl AS DOUBLE) / nl
+       |    ELSE 0.0 END) <= 0.30 AND
+       |  (CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / lc
+       |    ELSE 0.0 END) <= 0.20 AND
+       |  (CASE WHEN ${p}b2.c IS NOT NULL AND wc > 0
+       |    THEN CAST(${p}b2.c * ${p}b2.l AS DOUBLE) / wc
+       |    ELSE 0.0 END) <= 0.20 AND
+       |  (CASE WHEN wc > 0 THEN least(1.0,
+       |      CAST(COALESCE(${p}c5.dup, 0) AS DOUBLE) / wc)
+       |    ELSE 0.0 END) <= 0.15 AS r_rep
+       | FROM ${p}lw LEFT JOIN ${p}b2 ON ${p}lw.doc_id = ${p}b2.doc_id
+       |   LEFT JOIN ${p}c5 ON ${p}lw.doc_id = ${p}c5.doc_id),
+       |${p}lex(lang, words) AS (VALUES
+       |  ('de', ['der','die','das','und','ist','ein','nicht','mit']),
+       |  ('en', ['the','and','of','to','is','in','that','it']),
+       |  ('es', ['el','la','los','las','es','una','que','por']),
+       |  ('fr', ['le','la','et','les','des','un','une','est']),
+       |  ('zh', ['的','是','了','在','我','有','和','不'])),
+       |${p}tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       | FROM documents),
+       |${p}sc AS (SELECT ${p}tk.doc_id, ${p}lex.lang,
+       |  SUM(CASE WHEN list_contains(${p}lex.words, ${p}tk.t)
+       |    THEN 1 ELSE 0 END) AS score
+       | FROM ${p}tk CROSS JOIN ${p}lex GROUP BY 1, 2),
+       |${p}best AS (SELECT doc_id, lang, score, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       | FROM ${p}sc),
+       |${p}lg AS (SELECT doc_id,
+       |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess
+       | FROM ${p}best WHERE rn = 1),
+       |${p}rules AS (SELECT ${p}lw.doc_id,
+       |  CAST(nw AS BIGINT) AS n_tokens, ${p}lg.lang_guess,
+       |  nw >= 20 AND nw <= 100000 AS r_len,
+       |  wc * 10 >= nw * 39 AND wc * 10 <= nw * 100 AS r_avg_len,
+       |  nstop * 10000 <= nw * 1500 AS r_stop,
+       |  ${p}rep.r_rep AS r_rep,
+       |  ${p}lg.lang_guess = 'en' AS r_lang,
+       |  nw >= 20 AND nw <= 100000
+       |    AND wc * 10 >= nw * 39 AND wc * 10 <= nw * 100
+       |    AND nstop * 10000 <= nw * 1500
+       |    AND ${p}rep.r_rep AND ${p}lg.lang_guess = 'en' AS keep
+       | FROM ${p}lw JOIN ${p}rep ON ${p}lw.doc_id = ${p}rep.doc_id
+       |   JOIN ${p}lg ON ${p}lw.doc_id = ${p}lg.doc_id)""".stripMargin
+
+  /** The q162 chain's funnel block: the shared rule chain (f-prefixed)
+    * reduced to the surviving doc set.
     */
   private val CurationFunnelSql: String =
-    """fbase AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |  list_filter(string_split(trim(text), chr(10)),
-      |    x -> len(trim(x)) > 0) AS ls,
-      |  list_filter(string_split_regex(trim(text), '\s+'),
-      |    x -> len(x) > 0) AS ws
-      | FROM documents),
-      |flw AS (SELECT doc_id, len(ls) AS nl, len(ws) AS nw,
-      |  COALESCE(list_sum(list_transform(ls, x -> len(x))), 0) AS lc,
-      |  COALESCE(list_sum(list_transform(list_distinct(ls),
-      |    x -> len(x))), 0) AS dlc,
-      |  len(list_distinct(ls)) AS dnl,
-      |  COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS wc,
-      |  len(list_filter(ws, x -> list_contains(
-      |    ['the','a','of','and','to','in'], x))) AS nstop,
-      |  ws FROM fbase),
-      |fg2 AS (SELECT doc_id, unnest(list_transform(range(1, nw),
-      |  i -> ws[i] || ' ' || ws[i + 1])) AS g FROM flw WHERE nw >= 2),
-      |fc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM fg2 GROUP BY 1, 2),
-      |fb2 AS (SELECT doc_id, c, len(g) - 1 AS l FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY doc_id
-      |    ORDER BY c DESC, len(g) - 1 DESC, g DESC) AS rn FROM fc2)
-      | WHERE rn = 1),
-      |fg5 AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3),
-      |  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
-      |    ws[i + 3] || ' ' || ws[i + 4])) AS g FROM flw WHERE nw >= 5),
-      |fc5 AS (SELECT doc_id,
-      |  SUM(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS dup
-      | FROM (SELECT doc_id, g, COUNT(*) AS c FROM fg5 GROUP BY 1, 2)
-      | GROUP BY 1),
-      |frep AS (SELECT flw.doc_id,
-      |  (CASE WHEN nl > 0 THEN CAST(nl - dnl AS DOUBLE) / nl
-      |    ELSE 0.0 END) <= 0.30 AND
-      |  (CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / lc
-      |    ELSE 0.0 END) <= 0.20 AND
-      |  (CASE WHEN fb2.c IS NOT NULL AND wc > 0
-      |    THEN CAST(fb2.c * fb2.l AS DOUBLE) / wc
-      |    ELSE 0.0 END) <= 0.20 AND
-      |  (CASE WHEN wc > 0 THEN least(1.0,
-      |      CAST(COALESCE(fc5.dup, 0) AS DOUBLE) / wc)
-      |    ELSE 0.0 END) <= 0.15 AS r_rep
-      | FROM flw LEFT JOIN fb2 ON flw.doc_id = fb2.doc_id
-      |   LEFT JOIN fc5 ON flw.doc_id = fc5.doc_id),
-      |flex(lang, words) AS (VALUES
-      |  ('de', ['der','die','das','und','ist','ein','nicht','mit']),
-      |  ('en', ['the','and','of','to','is','in','that','it']),
-      |  ('es', ['el','la','los','las','es','una','que','por']),
-      |  ('fr', ['le','la','et','les','des','un','une','est']),
-      |  ('zh', ['的','是','了','在','我','有','和','不'])),
-      |ftk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-      | FROM documents),
-      |fsc AS (SELECT ftk.doc_id, flex.lang,
-      |  SUM(CASE WHEN list_contains(flex.words, ftk.t) THEN 1 ELSE 0 END)
-      |    AS score
-      | FROM ftk CROSS JOIN flex GROUP BY 1, 2),
-      |fbest AS (SELECT doc_id, lang, score, row_number() OVER
-      |  (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM fsc),
-      |flg AS (SELECT doc_id,
-      |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess
-      | FROM fbest WHERE rn = 1),
-      |fkeep AS (SELECT flw.doc_id FROM flw
-      |  JOIN frep ON flw.doc_id = frep.doc_id
-      |  JOIN flg ON flw.doc_id = flg.doc_id
-      |  WHERE nw >= 20 AND nw <= 100000
-      |    AND wc * 10 >= nw * 39 AND wc * 10 <= nw * 100
-      |    AND nstop * 10000 <= nw * 1500
-      |    AND frep.r_rep AND flg.lang_guess = 'en')""".stripMargin
+    funnelRulesSql("f") + ",\n" +
+      "fkeep AS (SELECT doc_id FROM frules WHERE keep)"
 
   /** The BLOOM decon gate (q146): the same shingle stream, hits
     * decided by the 3-row × 64k-bit membership test (the q138 replay
@@ -6538,83 +6557,13 @@ object SparkEntry {
          |FROM r JOIN caps USING (source)
          |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin,
 
-    // Quality-funnel replay: the q77 repetition chain + the q45
-    // lang-id chain + exact-integer length/stop/avg-length compares,
-    // conjoined.
+    // Quality-funnel replay: the shared rule chain (also the q162
+    // funnel block, f-prefixed there) — thresholds live in ONE place.
     "q157_quality_funnel" ->
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  trim(text) AS t FROM documents),
-        |base AS (SELECT doc_id,
-        |  list_filter(string_split(t, chr(10)), x -> len(trim(x)) > 0) AS ls,
-        |  list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS ws
-        | FROM d),
-        |lw AS (SELECT doc_id, len(ls) AS nl, len(ws) AS nw,
-        |  COALESCE(list_sum(list_transform(ls, x -> len(x))), 0) AS lc,
-        |  COALESCE(list_sum(list_transform(list_distinct(ls),
-        |    x -> len(x))), 0) AS dlc,
-        |  len(list_distinct(ls)) AS dnl,
-        |  COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS wc,
-        |  len(list_filter(ws, x -> list_contains(
-        |    ['the','a','of','and','to','in'], x))) AS nstop,
-        |  ws FROM base),
-        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, nw),
-        |  i -> ws[i] || ' ' || ws[i + 1])) AS g FROM lw WHERE nw >= 2),
-        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
-        |b2 AS (SELECT doc_id, c, len(g) - 1 AS l FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY c DESC, len(g) - 1 DESC, g DESC) AS rn FROM c2)
-        | WHERE rn = 1),
-        |g5 AS (SELECT doc_id, unnest(list_transform(range(1, nw - 3),
-        |  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
-        |    ws[i + 3] || ' ' || ws[i + 4])) AS g FROM lw WHERE nw >= 5),
-        |c5 AS (SELECT doc_id,
-        |  SUM(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS dup
-        | FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
-        | GROUP BY 1),
-        |rep AS (SELECT lw.doc_id,
-        |  (CASE WHEN nl > 0 THEN CAST(nl - dnl AS DOUBLE) / nl
-        |    ELSE 0.0 END) <= 0.30 AND
-        |  (CASE WHEN lc > 0 THEN CAST(lc - dlc AS DOUBLE) / lc
-        |    ELSE 0.0 END) <= 0.20 AND
-        |  (CASE WHEN b2.c IS NOT NULL AND wc > 0
-        |    THEN CAST(b2.c * b2.l AS DOUBLE) / wc
-        |    ELSE 0.0 END) <= 0.20 AND
-        |  (CASE WHEN wc > 0 THEN least(1.0,
-        |      CAST(COALESCE(c5.dup, 0) AS DOUBLE) / wc)
-        |    ELSE 0.0 END) <= 0.15 AS r_rep
-        | FROM lw LEFT JOIN b2 ON lw.doc_id = b2.doc_id
-        |   LEFT JOIN c5 ON lw.doc_id = c5.doc_id),
-        |lex(lang, words) AS (VALUES
-        |  ('de', ['der','die','das','und','ist','ein','nicht','mit']),
-        |  ('en', ['the','and','of','to','is','in','that','it']),
-        |  ('es', ['el','la','los','las','es','una','que','por']),
-        |  ('fr', ['le','la','et','les','des','un','une','est']),
-        |  ('zh', ['的','是','了','在','我','有','和','不'])),
-        |tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-        | FROM documents),
-        |sc AS (SELECT tk.doc_id, lex.lang,
-        |  SUM(CASE WHEN list_contains(lex.words, tk.t) THEN 1 ELSE 0 END)
-        |    AS score
-        | FROM tk CROSS JOIN lex GROUP BY 1, 2),
-        |best AS (SELECT doc_id, lang, score, row_number() OVER
-        |  (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc),
-        |lg AS (SELECT doc_id,
-        |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess
-        | FROM best WHERE rn = 1),
-        |rules AS (SELECT lw.doc_id,
-        |  CAST(nw AS BIGINT) AS n_tokens, lg.lang_guess,
-        |  nw >= 20 AND nw <= 100000 AS r_len,
-        |  wc * 10 >= nw * 39 AND wc * 10 <= nw * 100 AS r_avg_len,
-        |  nstop * 10000 <= nw * 1500 AS r_stop,
-        |  rep.r_rep AS r_rep,
-        |  lg.lang_guess = 'en' AS r_lang
-        | FROM lw JOIN rep ON lw.doc_id = rep.doc_id
-        |   JOIN lg ON lw.doc_id = lg.doc_id)
-        |SELECT doc_id, n_tokens, lang_guess, r_len, r_avg_len, r_stop,
-        | r_rep, r_lang,
-        | r_len AND r_avg_len AND r_stop AND r_rep AND r_lang AS keep
-        |FROM rules ORDER BY doc_id""".stripMargin,
+      ("WITH " + funnelRulesSql("") + "\n" +
+        """SELECT doc_id, n_tokens, lang_guess, r_len, r_avg_len,
+          | r_stop, r_rep, r_lang, keep
+          |FROM rules ORDER BY doc_id""".stripMargin),
 
     // Per-source percentile replay: q94's LM score chain -> per-source
     // counts -> exact-integer caps -> (score DESC, doc_id) rank.

@@ -354,10 +354,13 @@ object Ann {
                        idCol: String, vecCol: String, clusterCol: String,
                        probesCol: String, k: Int): DataFrame = {
     import graft.functions.Int8Ops
+    // array_distinct: duplicate probe ids (e.g. a wrap-around probe
+    // convention colliding on a small label space) must not join a
+    // neighbor twice and corrupt ranks
     val q = broadcast(
       quantizeInt8(queries, idCol, vecCol, keep = Seq(probesCol))
         .select(col("emb_id").as("query_id"),
-          explode(col(probesCol)).as("probe"),
+          explode(array_distinct(col(probesCol))).as("probe"),
           col("qvec").as("qv"), col("qnorm").as("qn")))
     val c = quantizeInt8(candidates, idCol, vecCol,
         keep = Seq(clusterCol))
@@ -587,9 +590,9 @@ object Ann {
       .filter(col("cluster").isin(probeSet: _*))
     val q = broadcast(q0
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(col("__probes")).as("probe")))
-    // a vector lives in exactly ONE cluster partition, so multi-probe
-    // queries cannot double-count a neighbor
+        explode(array_distinct(col("__probes"))).as("probe")))
+    // distinct probes + a vector living in exactly ONE cluster
+    // partition ⇒ multi-probe queries cannot double-count a neighbor
     val scored = q.join(idx,
         col("probe") === col("cluster") && col("query_id") =!= col("emb_id"))
       .withColumnRenamed("emb_id", "neighbor_id")
@@ -640,9 +643,9 @@ object Ann {
     val idx = readIndexLayers(spark, indexDir)
       .filter(col("cluster").isin(probeSet: _*))
     val q = broadcast(q0.select(col("query_id"), col("qv"), col("qn"),
-      explode(col("__probes")).as("probe")))
-    // a vector lives in exactly ONE cluster partition, so multi-probe
-    // queries cannot double-count a neighbor
+      explode(array_distinct(col("__probes"))).as("probe")))
+    // distinct probes + a vector living in exactly ONE cluster
+    // partition ⇒ multi-probe queries cannot double-count a neighbor
     val scored = q.join(idx,
         col("probe") === col("cluster") && col("query_id") =!= col("emb_id"))
       .withColumnRenamed("emb_id", "neighbor_id")

@@ -168,22 +168,18 @@ object TextAnalysis {
                     maxStop10k: Long = 5000L,
                     minAvgLen10: Long = 30L, maxAvgLen10: Long = 100L,
                     stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val toks = tokens(col(textCol))
-    val stopArr = array(stopwords.map(lit): _*)
     docs.select(col(idCol).as("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => array_contains(stopArr, t)))
-          .cast("long").as("__nstop"),
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("__wc"),
+        funnelNTokens(col(textCol)).as("n_tokens"),
+        funnelNStop(col(textCol), stopwords).as("__nstop"),
+        funnelWordChars(col(textCol)).as("__wc"),
         repetitionStruct(col(textCol)).as("__r"),
         langId(col(textCol)).as("lang_guess"))
-      .withColumn("r_len",
-        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
-      .withColumn("r_avg_len",
-        col("__wc") * 10L >= col("n_tokens") * minAvgLen10 &&
-          col("__wc") * 10L <= col("n_tokens") * maxAvgLen10)
-      .withColumn("r_stop",
-        col("__nstop") * 10000L <= col("n_tokens") * maxStop10k)
+      .withColumn("r_len", funnelRuleLen(
+        col("n_tokens"), minTokens, maxTokens))
+      .withColumn("r_avg_len", funnelRuleAvgLen(
+        col("n_tokens"), col("__wc"), minAvgLen10, maxAvgLen10))
+      .withColumn("r_stop", funnelRuleStop(
+        col("n_tokens"), col("__nstop"), maxStop10k))
       .withColumn("r_rep", repetitionPass(
         col("__r.dup_line_frac"), col("__r.dup_line_char_frac"),
         col("__r.top_2gram_char_frac"), col("__r.dup_5gram_char_frac")))
@@ -192,6 +188,58 @@ object TextAnalysis {
         col("r_stop") && col("r_rep") && col("r_lang"))
       .select("doc_id", "n_tokens", "lang_guess", "r_len", "r_avg_len",
         "r_stop", "r_rep", "r_lang", "keep")
+  }
+
+  // The funnel's ingredient expressions and rule algebra — ONE
+  // definition feeding [[qualityFunnel]] (per-rule booleans) and
+  // [[qualityKeep]] (the filter-predicate form), so the two can never
+  // drift. The word list is length-FILTERED (like [[repetitionStruct]]
+  // and the oracle's list_filter): an empty/whitespace-only doc counts
+  // 0 tokens, not the [""] artifact of Spark's split.
+  private def funnelToks(text: Column): Column =
+    filter(tokens(text), t => length(t) > 0)
+  private def funnelNTokens(text: Column): Column =
+    size(funnelToks(text)).cast("long")
+  private def funnelNStop(text: Column, stopwords: Seq[String]): Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    size(filter(funnelToks(text), t => array_contains(stopArr, t)))
+      .cast("long")
+  }
+  private def funnelWordChars(text: Column): Column =
+    aggregate(funnelToks(text), lit(0L), (acc, t) => acc + length(t))
+  private def funnelRuleLen(nTok: Column, minTokens: Long,
+      maxTokens: Long): Column =
+    nTok >= minTokens && nTok <= maxTokens
+  private def funnelRuleAvgLen(nTok: Column, wc: Column,
+      minAvgLen10: Long, maxAvgLen10: Long): Column =
+    wc * 10L >= nTok * minAvgLen10 && wc * 10L <= nTok * maxAvgLen10
+  private def funnelRuleStop(nTok: Column, nStop: Column,
+      maxStop10k: Long): Column =
+    nStop * 10000L <= nTok * maxStop10k
+
+  /** The funnel's keep decision as a single per-row PREDICATE — the
+    * form a gate actually filters with (`df.filter(qualityKeep(...))`
+    * — no join, no second scan; [[graft.streaming.CurationStream]]'s
+    * funnel gate uses exactly this). Identical decision to
+    * [[qualityFunnel]]'s `keep` column by construction (both conjoin
+    * the same shared rule expressions).
+    */
+  def qualityKeep(text: Column, langs: Seq[String],
+                  minTokens: Long = 5L, maxTokens: Long = 100000L,
+                  maxStop10k: Long = 5000L,
+                  minAvgLen10: Long = 30L, maxAvgLen10: Long = 100L,
+                  stopwords: Seq[String] = DefaultStopwords): Column = {
+    val nTok = funnelNTokens(text)
+    val r = repetitionStruct(text)
+    funnelRuleLen(nTok, minTokens, maxTokens) &&
+      funnelRuleAvgLen(nTok, funnelWordChars(text),
+        minAvgLen10, maxAvgLen10) &&
+      funnelRuleStop(nTok, funnelNStop(text, stopwords), maxStop10k) &&
+      repetitionPass(r.getField("dup_line_frac"),
+        r.getField("dup_line_char_frac"),
+        r.getField("top_2gram_char_frac"),
+        r.getField("dup_5gram_char_frac")) &&
+      langId(text).isInCollection(langs)
   }
 
   /** Character n-gram profile based language ID heuristic. Scores each

@@ -99,17 +99,14 @@ object CurationStream {
   def foldBatch(batch0: DataFrame, batchId: Long, cfg: Config): Unit = {
     import graft.functions.GraftFunctions.{charPolyHash, shingles, tokens}
     val s = batch0.sparkSession
-    // quality funnel first: per-row, zero shuffle, no persisted state
-    // — docs it drops never enter ANY index
+    // quality funnel first: a pure per-row PREDICATE (no join, no
+    // second batch scan, zero shuffle) — docs it drops never enter
+    // ANY index
     val batch = cfg.funnelLangs.fold(batch0)(ls =>
-      batch0.join(
-        TextAnalysis.qualityFunnel(batch0, cfg.idCol, cfg.textCol, ls,
-            minTokens = cfg.funnelMinTokens,
-            maxStop10k = cfg.funnelMaxStop10k,
-            minAvgLen10 = cfg.funnelMinAvgLen10)
-          .filter(col("keep"))
-          .select(col("doc_id").as(cfg.idCol)),
-        cfg.idCol))
+      batch0.filter(TextAnalysis.qualityKeep(col(cfg.textCol), ls,
+        minTokens = cfg.funnelMinTokens,
+        maxStop10k = cfg.funnelMaxStop10k,
+        minAvgLen10 = cfg.funnelMinAvgLen10)))
     // materialized once: the decon gate (batch shingle hashing + the
     // broadcast benchmark join) feeds up to five consumers below (span
     // layer, sig layer ×2, bucket layer, score + index write) and

@@ -306,6 +306,14 @@ class DedupAnnSpec extends SparkSpecBase {
         "vec_id", "embedding", k = 10)
       .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
     assert(got == brute)
+    // duplicate probe ids must not double-count neighbors (a
+    // wrap-around probe convention can collide on a small label space)
+    val dup = Ann.ivfQuantizedTopK(
+        vecs.filter(col("vec_id") === 0L)
+          .withColumn("probes", array(lit(0L), lit(0L), lit(1L))),
+        vecs, "vec_id", "embedding", "label", "probes", k = 10)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(dup == got)
   }
 
   test("cutDupSpans removes exactly the covered tokens and rejoins " +
