@@ -40,9 +40,11 @@ object Bench {
     "q140_bm25_search", "q142_heavy_hitters",
     // round 11: corpus-frequency boilerplate cut (pre-reduced window-
     // hash DF agg + broadcast flag-back), int8-quantized brute scan
-    // (byte-packed codes, native integer dot), and the multi-rule
-    // quality funnel (zero-shuffle per-row projection)
-    "q152_cut_boilerplate", "q155_quantized_search", "q157_quality_funnel")
+    // (byte-packed codes, native integer dot), the multi-rule
+    // quality funnel (zero-shuffle per-row projection), and the RAG
+    // vertical (chunk → hash-embed → persisted SQ8 → pruned query)
+    "q152_cut_boilerplate", "q155_quantized_search",
+    "q157_quality_funnel", "q164_rag_vertical")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3229,6 +3229,77 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sliding-window chunking: the RAG-ingestion primitive ------
+    // 16-token windows, stride 12 (25% overlap); exact integer start
+    // arithmetic — chunk counts, offsets, and texts all replay.
+    "q163_chunk_windows" -> ((s, dir) => {
+      TextAnalysis.chunkWindows(
+          t(s, dir, "documents")
+            .withColumn("doc_id", col("doc_id").cast("long")),
+          "doc_id", "text", windowTokens = 16, strideTokens = 12)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- the RAG vertical: chunk → hash-embed → persisted SQ8 ------
+    // index (two appends) → pruned quantized query, ONE oracle over
+    // the whole chain — the retrieval-ingestion recipe a RAG corpus
+    // ships, with every stage exact-replayable (chunk offsets,
+    // signed-bucket embedding, floor quantization, modular coarse
+    // clusters, integer-dot cosine).
+    "q164_rag_vertical" -> ((s, dir) => {
+      import graft.streaming.RagStream
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val cfg = RagStream.Config(java.nio.file.Files
+        .createTempDirectory("rag_sq8").toString, "doc_id", "text")
+      RagStream.foldBatch(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
+      RagStream.foldBatch(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
+      val qs = RagStream.encodeBatch(d, cfg)
+        .filter(pmod(col("doc_id"), lit(5000L)) === 0)
+        .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
+          pmod(col("doc_id") + 1L, lit(4L))))
+      Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the SAME RAG chain through the ACTUAL streaming engine ----
+    // (a MemoryStream feeds RagStream.start; micro-batch ids become
+    // layer ids), answered from the streamed index under q164's
+    // verbatim oracle — chunking is per-doc pure, embedding per-chunk
+    // pure, quantization per-vector, so micro-batch boundaries are
+    // provably irrelevant.
+    "q165_rag_streamed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.RagStream
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val cfg = RagStream.Config(java.nio.file.Files
+        .createTempDirectory("rag_sq8_stream").toString, "doc_id", "text")
+      // test-scale collect: the sf corpus is the fixture feeding the
+      // MemoryStream, not a production pattern
+      val rows = d.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = RagStream.start(ms.toDF().toDF("doc_id", "text"), cfg,
+        java.nio.file.Files.createTempDirectory("rag_ck").toString)
+      ms.addData(rows.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val qs = RagStream.encodeBatch(d, cfg)
+        .filter(pmod(col("doc_id"), lit(5000L)) === 0)
+        .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
+          pmod(col("doc_id") + 1L, lit(4L))))
+      Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- tokenizer artifact round-trip: train → SAVE → LOAD → encode
     // — the frozen at-rest tokenizer (the production vocab.json/
     // merges.txt pair as parquet) must encode bit-identically to the
@@ -6607,8 +6678,88 @@ object SparkEntry {
 
     // The funnel-first full curation recipe — one replay of the whole
     // extended chain.
-    "q162_curation_funnel_gated" -> CurationFunnelOracleSql
+    "q162_curation_funnel_gated" -> CurationFunnelOracleSql,
+
+    // Chunk replay: exact integer chunk counts/starts + inclusive
+    // list slices.
+    "q163_chunk_windows" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS ws
+        | FROM documents),
+        |ch AS (SELECT doc_id, ws,
+        |  unnest(range(0, 1 + greatest(len(ws) - 16 + 11, 0) // 12))
+        |    AS ci
+        | FROM base WHERE len(ws) > 0)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        | CAST(ci * 12 AS BIGINT) AS start_tok,
+        | CAST(len(ws[CAST(ci * 12 AS INT) + 1 :
+        |   CAST(ci * 12 AS INT) + 16]) AS BIGINT) AS n_toks,
+        | array_to_string(ws[CAST(ci * 12 AS INT) + 1 :
+        |   CAST(ci * 12 AS INT) + 16], ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // RAG-vertical replay: q163's chunks → the q121 signed-bucket
+    // embedding per chunk → the q155 floor quantization → modular
+    // coarse probe → integer-dot cosine rank. Shared VERBATIM by
+    // q165 (the same chain through the streaming engine).
+    "q164_rag_vertical" -> RagVerticalOracleSql,
+
+    // The streamed RAG index answers under the one-shot replay —
+    // micro-batch boundaries irrelevant by per-doc/chunk/vector purity.
+    "q165_rag_streamed" -> RagVerticalOracleSql
   )
+
+  private val RagVerticalOracleSql: String =
+      s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  list_filter(string_split_regex(trim(text), '\\s+'),
+         |    x -> len(x) > 0) AS ws
+         | FROM documents),
+         |ch AS (SELECT doc_id, ws,
+         |  unnest(range(0, 1 + greatest(len(ws) - 16 + 11, 0) // 12))
+         |    AS ci
+         | FROM base WHERE len(ws) > 0),
+         |chunks AS (SELECT doc_id * 100 + ci AS chunk_id,
+         |  array_to_string(ws[CAST(ci * 12 AS INT) + 1 :
+         |    CAST(ci * 12 AS INT) + 16], ' ') AS chunk_text
+         | FROM ch),
+         |tok AS (SELECT chunk_id,
+         |  unnest(string_split_regex(trim(chunk_text), '\\s+')) AS tok
+         | FROM chunks),
+         |fx AS (SELECT chunk_id,
+         |  ${polyHashSql("tok")} % 32 AS b,
+         |  CASE WHEN ${polyHashSql("tok || '|sign'")} % 2 = 0
+         |    THEN 1 ELSE -1 END AS sgn
+         | FROM tok),
+         |ag AS (SELECT chunk_id, b, SUM(sgn) AS c FROM fx
+         | GROUP BY chunk_id, b),
+         |dense AS (SELECT c0.chunk_id, i.b, COALESCE(ag.c, 0) AS c
+         | FROM (SELECT DISTINCT chunk_id FROM chunks) c0
+         | CROSS JOIN (SELECT unnest(range(32)) AS b) i
+         | LEFT JOIN ag ON ag.chunk_id = c0.chunk_id AND ag.b = i.b),
+         |v AS (SELECT chunk_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+         | FROM dense GROUP BY chunk_id
+         | HAVING SUM(c * c) > 0),
+         |qv AS (SELECT chunk_id,
+         |  list_transform(v, x -> floor((x * 127) /
+         |    list_max(list_transform(v, y -> abs(y))))) AS q
+         | FROM v),
+         |n AS (SELECT chunk_id, q,
+         |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+         |p AS (SELECT chunk_id AS query_id, q AS qq, nrm AS qn,
+         |  unnest([chunk_id % 4, (chunk_id + 1) % 4]) AS probe
+         | FROM n WHERE chunk_id % 5000 = 0),
+         |sx AS (SELECT query_id, c.chunk_id AS neighbor_id,
+         |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0
+         |    AS sim
+         | FROM p JOIN n c ON probe = c.chunk_id % 4
+         |   AND query_id <> c.chunk_id),
+         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         |    AS rank
+         | FROM sx)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by q159 (in-memory IVF-SQ8) and q160 (persisted code
     * layers + compaction): q78's probe convention over the q155

@@ -1442,6 +1442,47 @@ object TextAnalysis {
       .join(broadcast(vocab), Seq("token"))
       .select(col("doc_id"), col("pos"), col("token_id"))
 
+  /** Sliding-window document chunking — the RAG-ingestion primitive
+    * (fixed-size token windows with overlap, the LangChain/LlamaIndex
+    * "chunk_size/chunk_overlap" contract): chunk starts step by
+    * `strideTokens`; the chunk COUNT is exactly
+    * `1 + ceil(max(nTok − windowTokens, 0) / stride)` so the last
+    * chunk reaches the document end and no degenerate tail fragments
+    * are emitted (a start past `nTok − (window − stride)` would chunk
+    * text the previous window already covered in full). A doc shorter
+    * than one window emits ONE chunk. Output: (doc_id, chunk_idx,
+    * start_tok, n_toks, chunk_text); empty docs emit nothing.
+    *
+    * Scale shape: pure per-row array expressions + one Generate — the
+    * corpus never shuffles; exact integer start arithmetic replays in
+    * any engine (the ceil is `greatest(n−w+s−1, 0) div s`, never an
+    * IEEE ceil).
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1, "windowTokens >= 1")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      "1 <= strideTokens <= windowTokens")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0L)
+      .withColumn("__nchunks", lit(1L) +
+        expr(s"greatest(__n - $windowTokens + $strideTokens - 1, 0L)" +
+          s" div $strideTokens"))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        posexplode(transform(
+          sequence(lit(0L), col("__nchunks") - 1L),
+          i => i * strideTokens)).as(Seq("chunk_idx", "start_tok")))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("start_tok").cast("int") + 1,
+          lit(windowTokens)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok"),
+        size(col("__chunk")).cast("long").as("n_toks"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Persist a trained tokenizer — the ordered merge table
     * ([[bpeTrain]]'s output) plus the id vocab ([[bpeVocab]]) — as the
     * at-rest artifact a production pipeline trains ONCE and encodes

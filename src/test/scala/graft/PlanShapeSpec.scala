@@ -434,6 +434,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "Exchange hashpartitioning\\(h#") == 1, p)
   }
 
+  test("chunkWindows is shuffle-free: per-row expressions + one " +
+      "Generate, no Exchange") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.chunkWindows(
+      docs, "doc_id", "text", windowTokens = 4, strideTokens = 2))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
   test("qualityFunnel is a zero-shuffle per-row projection") {
     val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
     val p = plan(graft.operators.TextAnalysis.qualityFunnel(

@@ -206,6 +206,41 @@ class PqSpec extends SparkSpecBase {
     assert(!p.contains("PartitionFilters: []"), p)
   }
 
+  test("RagStream: doc-split folds answer identically to the one-shot " +
+      "build; re-folding a batch id overwrites its own layer") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 12L).map(i =>
+      (i, (1 to 20).map(j => s"tok${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def build(splits: Seq[org.apache.spark.sql.DataFrame]) = {
+      val cfg = graft.streaming.RagStream.Config(java.nio.file.Files
+        .createTempDirectory("rag_spec").toString, "doc_id", "text",
+        windowTokens = 8, strideTokens = 6)
+      splits.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.RagStream.foldBatch(b, i.toLong, cfg) }
+      cfg
+    }
+    def res(cfg: graft.streaming.RagStream.Config) = {
+      val qs = graft.streaming.RagStream.encodeBatch(docs, cfg)
+        .filter(col("doc_id") === 100L) // doc 1's first chunk
+        .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
+          pmod(col("doc_id") + 1L, lit(4L))))
+      Ann.sq8IndexQuery(spark, cfg.indexDir, qs, "doc_id", "emb",
+          "probes", k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val oneShot = res(build(Seq(docs)))
+    assert(oneShot.nonEmpty)
+    val split = build(Seq(docs.filter(col("doc_id") <= 6),
+      docs.filter(col("doc_id") > 6)))
+    assert(res(split) == oneShot)
+    // crash replay: batch 1 re-folds under the same id — idempotent
+    graft.streaming.RagStream.foldBatch(
+      docs.filter(col("doc_id") > 6), 1L, split)
+    assert(res(split) == oneShot)
+  }
+
   test("RetrievalStream: batch folds equal the one-shot encode; " +
       "re-folding a micro-batch id overwrites its own layer " +
       "(crash-replay idempotent)") {

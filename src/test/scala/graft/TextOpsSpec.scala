@@ -169,6 +169,34 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out.filter(r => r._1 == 5L || r._1 == 6L).count(_._5) == 1)
   }
 
+  test("chunkWindows: exact chunk counts/offsets, full coverage, no " +
+      "degenerate tails; short docs emit one chunk; empty docs none") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // n=5, w=4, s=2 → chunks [0..3], [2..4]
+      (2L, "a b c"),           // n=3 < w → ONE chunk
+      (3L, "a b c d"),         // n=4 == w → ONE chunk (no tail junk)
+      (4L, "  "),              // whitespace-only → nothing
+      (5L, "a b c d e f g")    // n=7 → 1+ceil(3/2)=3: 0,2,4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "doc_id", "text",
+        windowTokens = 4, strideTokens = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_tok", "n_toks", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"), (1L, 1L, 2L, 3L, "c d e"),
+      (2L, 0L, 0L, 3L, "a b c"),
+      (3L, 0L, 0L, 4L, "a b c d"),
+      (5L, 0L, 0L, 4L, "a b c d"), (5L, 1L, 2L, 4L, "c d e f"),
+      (5L, 2L, 4L, 3L, "e f g")))
+    // coverage property: every token position of every doc falls in
+    // at least one [start, start + n_toks) span
+    for ((id, n) <- Seq((1L, 5), (2L, 3), (3L, 4), (5L, 7));
+         pos <- 0 until n)
+      assert(got.exists(c => c._1 == id &&
+        pos >= c._3 && pos < c._3 + c._4), s"doc $id pos $pos uncovered")
+  }
+
   test("packSequences: contiguous offsets, chunk spans, straddling docs") {
     val docs = Seq(
       (1L, "s", "a b c d"),        // 4 tokens: [0,4)   chunk 0
