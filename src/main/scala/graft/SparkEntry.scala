@@ -3300,6 +3300,46 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- release DIFF: the dataset-versioning audit -----------------
+    // Manifest A = splits+shards over the first half of the corpus,
+    // B = over all of it. The hash-range splits guarantee ZERO
+    // split_moved rows under growth (the leakage audit); shards DO
+    // move (rank layout) — both replayed exactly.
+    "q166_release_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      def manifest(docs: org.apache.spark.sql.DataFrame) = {
+        val withSplit = TextAnalysis.assignSplit(docs, "doc_id",
+          splits = Seq(("train", 8000L), ("val", 1000L),
+            ("test", 1000L)))
+        val sharded = TextAnalysis.shardAssign(
+          withSplit.filter(col("split") === "train"), "doc_id",
+          numShards = 4)
+        withSplit
+          .join(sharded.select(col("doc_id"), col("shard")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("split"),
+            coalesce(col("shard"), lit(-1L)).as("shard"))
+      }
+      TextAnalysis.releaseDiff(
+          manifest(d.filter(col("doc_id") < 250)), manifest(d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quantization RECALL eval: measure, don't guess -------------
+    // recall@5 of the int8-quantized cosine scan (q155) against the
+    // exact float cosine top-5 (q23's query set) — the metric that
+    // justifies shipping byte codes for the rerank tier.
+    "q167_sq8_recall" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+      Ann.recallAtK(
+          Ann.quantizedTopK(qs, em, "vec_id", "embedding", k = 5),
+          Ann.bruteForceTopK(qs, em, "vec_id", "embedding", k = 5),
+          k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // ---- tokenizer artifact round-trip: train → SAVE → LOAD → encode
     // — the frozen at-rest tokenizer (the production vocab.json/
     // merges.txt pair as parquet) must encode bit-identically to the
@@ -6707,7 +6747,79 @@ object SparkEntry {
 
     // The streamed RAG index answers under the one-shot replay —
     // micro-batch boundaries irrelevant by per-doc/chunk/vector purity.
-    "q165_rag_streamed" -> RagVerticalOracleSql
+    "q165_rag_streamed" -> RagVerticalOracleSql,
+
+    // Release-diff replay: the q113 hash-range splits + the q134
+    // rank-shards built for BOTH releases, full-outer diffed.
+    "q166_release_diff" -> {
+      def manifest(p: String, pred: String) =
+        s"""${p}dd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+           | FROM documents WHERE $pred),
+           |${p}spl AS (SELECT doc_id,
+           |  CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")}
+           |      % 10000 < 8000 THEN 'train'
+           |    WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")}
+           |      % 10000 < 9000 THEN 'val'
+           |    ELSE 'test' END AS split
+           | FROM ${p}dd),
+           |${p}hh AS (SELECT doc_id,
+           |  ${polyHashSql("CAST(doc_id AS VARCHAR) || '|shuffle'")} AS hh
+           | FROM ${p}spl WHERE split = 'train'),
+           |${p}rk AS (SELECT doc_id,
+           |  ROW_NUMBER() OVER (ORDER BY hh, doc_id) AS sp FROM ${p}hh),
+           |${p}m AS (SELECT s.doc_id, s.split,
+           |  COALESCE((r.sp - 1) % 4, -1) AS shard
+           | FROM ${p}spl s LEFT JOIN ${p}rk r ON s.doc_id = r.doc_id)"""
+          .stripMargin
+      s"""WITH ${manifest("a", "doc_id < 250")},
+         |${manifest("b", "TRUE")}
+         |SELECT COALESCE(am.doc_id, bm.doc_id) AS doc_id,
+         | CASE WHEN am.split IS NULL THEN 'added'
+         |   WHEN bm.split IS NULL THEN 'removed'
+         |   WHEN am.split <> bm.split THEN 'split_moved'
+         |   WHEN am.shard <> bm.shard THEN 'shard_moved'
+         |   ELSE 'unchanged' END AS status,
+         | am.split AS old_split, bm.split AS new_split,
+         | CAST(am.shard AS BIGINT) AS old_shard,
+         | CAST(bm.shard AS BIGINT) AS new_shard
+         |FROM am FULL JOIN bm ON am.doc_id = bm.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Quantization recall replay: exact float cosine top-5 (the q23
+    // chain) vs the q155 quantized top-5, per-query intersection.
+    "q167_sq8_recall" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_cosine_similarity(q.v, c.v), 4) + 0.0 DESC,
+        |      c.vec_id) AS rank
+        |  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8) WHERE rank <= 5),
+        |qv AS (SELECT vec_id,
+        |  list_transform(v, x -> floor((x * 127) /
+        |    list_max(list_transform(v, y -> abs(y))))) AS q
+        | FROM base
+        | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+        |n AS (SELECT vec_id, q,
+        |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_dot_product(a.q, b.q) / (a.nrm * b.nrm), 4)
+        |        + 0.0 DESC, b.vec_id) AS rank
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 8) WHERE rank <= 5),
+        |hits AS (SELECT a.query_id, COUNT(*) AS n_hit
+        | FROM approx a JOIN exact x ON a.query_id = x.query_id
+        |   AND a.neighbor_id = x.neighbor_id GROUP BY a.query_id)
+        |SELECT qq.query_id, CAST(5 AS BIGINT) AS k,
+        | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+        |FROM (SELECT DISTINCT query_id FROM exact) qq
+        |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
   )
 
   private val RagVerticalOracleSql: String =

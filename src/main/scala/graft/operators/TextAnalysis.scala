@@ -1442,6 +1442,38 @@ object TextAnalysis {
       .join(broadcast(vocab), Seq("token"))
       .select(col("doc_id"), col("pos"), col("token_id"))
 
+  /** Diff two release manifests ((doc_id, split, shard) rows — the
+    * [[assignSplit]] + [[shardAssign]] artifact of q150) — the
+    * dataset-versioning audit between corpus releases. Statuses:
+    * `added` / `removed`, `split_moved` (MUST be empty when both
+    * releases used [[assignSplit]] — a doc's hash-slot split never
+    * changes as the corpus grows, so growth is leakage-free; a
+    * non-empty set means someone changed the salt or ranges, which IS
+    * the leak audit this op exists for), `shard_moved` (expected:
+    * shards are an epoch LAYOUT — ranks shift as the corpus grows —
+    * not identity), `unchanged`. Output: (doc_id, status, old_split,
+    * new_split, old_shard, new_shard).
+    *
+    * Scale shape: one full-outer equi-join of two manifest-sized
+    * (skinny) tables on doc_id — no text, no corpus scan.
+    */
+  def releaseDiff(oldManifest: DataFrame,
+                  newManifest: DataFrame): DataFrame = {
+    val o = oldManifest.select(col("doc_id"),
+      col("split").as("old_split"), col("shard").as("old_shard"))
+    val n = newManifest.select(col("doc_id"),
+      col("split").as("new_split"), col("shard").as("new_shard"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_split").isNull, "added")
+          .when(col("new_split").isNull, "removed")
+          .when(col("old_split") =!= col("new_split"), "split_moved")
+          .when(col("old_shard") =!= col("new_shard"), "shard_moved")
+          .otherwise("unchanged"))
+      .select("doc_id", "status", "old_split", "new_split",
+        "old_shard", "new_shard")
+  }
+
   /** Sliding-window document chunking — the RAG-ingestion primitive
     * (fixed-size token windows with overlap, the LangChain/LlamaIndex
     * "chunk_size/chunk_overlap" contract): chunk starts step by

@@ -197,6 +197,40 @@ class TextOpsSpec extends SparkSpecBase {
         pos >= c._3 && pos < c._3 + c._4), s"doc $id pos $pos uncovered")
   }
 
+  test("releaseDiff: every status on a hand case; corpus GROWTH under " +
+      "assignSplit produces zero split_moved rows (the leakage audit)") {
+    val oldM = Seq((1L, "train", 0L), (2L, "train", 1L), (3L, "val", -1L),
+      (4L, "test", -1L)).toDF("doc_id", "split", "shard")
+    val newM = Seq((1L, "train", 0L),  // unchanged
+      (2L, "train", 2L),               // shard_moved
+      (3L, "test", -1L),               // split_moved (a salt change!)
+      (5L, "train", 1L))               // added; 4 removed
+      .toDF("doc_id", "split", "shard")
+    val got = TextAnalysis.releaseDiff(oldM, newM)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "shard_moved",
+      3L -> "split_moved", 4L -> "removed", 5L -> "added"))
+    // growth property: splits are hash-range functions of the id, so
+    // a superset release can only ADD or move shards — never splits
+    def manifest(docs: org.apache.spark.sql.DataFrame) = {
+      val ws = TextAnalysis.assignSplit(docs, "doc_id",
+        splits = Seq(("train", 8000L), ("val", 1000L), ("test", 1000L)))
+      val sh = TextAnalysis.shardAssign(
+        ws.filter(col("split") === "train"), "doc_id", numShards = 3)
+      ws.join(sh.select(col("doc_id"), col("shard")), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("shard"), lit(-1L)).as("shard"))
+    }
+    val docs = (1L to 120L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val diff = TextAnalysis.releaseDiff(
+        manifest(docs.filter(col("doc_id") <= 60)), manifest(docs))
+      .groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    assert(!diff.contains("split_moved") && !diff.contains("removed"))
+    assert(diff("added") == 60L)
+  }
+
   test("packSequences: contiguous offsets, chunk spans, straddling docs") {
     val docs = Seq(
       (1L, "s", "a b c d"),        // 4 tokens: [0,4)   chunk 0
