@@ -6720,24 +6720,14 @@ object SparkEntry {
     // extended chain.
     "q162_curation_funnel_gated" -> CurationFunnelOracleSql,
 
-    // Chunk replay: exact integer chunk counts/starts + inclusive
-    // list slices.
+    // Chunk replay: the shared chunk CTEs (also the q164/q165 front —
+    // the 16/12 window constants live in ONE builder).
     "q163_chunk_windows" ->
-      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  list_filter(string_split_regex(trim(text), '\s+'),
-        |    x -> len(x) > 0) AS ws
-        | FROM documents),
-        |ch AS (SELECT doc_id, ws,
-        |  unnest(range(0, 1 + greatest(len(ws) - 16 + 11, 0) // 12))
-        |    AS ci
-        | FROM base WHERE len(ws) > 0)
-        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
-        | CAST(ci * 12 AS BIGINT) AS start_tok,
-        | CAST(len(ws[CAST(ci * 12 AS INT) + 1 :
-        |   CAST(ci * 12 AS INT) + 16]) AS BIGINT) AS n_toks,
-        | array_to_string(ws[CAST(ci * 12 AS INT) + 1 :
-        |   CAST(ci * 12 AS INT) + 16], ' ') AS chunk_text
-        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+      (s"WITH ${chunkCtesSql("")}\n" +
+        """SELECT doc_id, chunk_idx, start_tok,
+          | CAST(len(chunk) AS BIGINT) AS n_toks,
+          | array_to_string(chunk, ' ') AS chunk_text
+          |FROM ct ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // RAG-vertical replay: q163's chunks → the q121 signed-bucket
     // embedding per chunk → the q155 floor quantization → modular
@@ -6822,19 +6812,31 @@ object SparkEntry {
         |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
   )
 
+  /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
+    * discipline — the 16/12 window constants live here ONLY): CTEs
+    * `${p}cb` (doc_id, ws), `${p}cc` (+ chunk index ci), and `${p}ct`
+    * (chunk_idx, start_tok, the sliced token list).
+    */
+  private def chunkCtesSql(p: String): String =
+    s"""${p}cb AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> len(x) > 0) AS ws
+       | FROM documents),
+       |${p}cc AS (SELECT doc_id, ws,
+       |  unnest(range(0, 1 + greatest(len(ws) - 16 + 11, 0) // 12))
+       |    AS ci
+       | FROM ${p}cb WHERE len(ws) > 0),
+       |${p}ct AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(ci * 12 AS BIGINT) AS start_tok,
+       |  ws[CAST(ci * 12 AS INT) + 1 : CAST(ci * 12 AS INT) + 16]
+       |    AS chunk
+       | FROM ${p}cc)""".stripMargin
+
   private val RagVerticalOracleSql: String =
-      s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |  list_filter(string_split_regex(trim(text), '\\s+'),
-         |    x -> len(x) > 0) AS ws
-         | FROM documents),
-         |ch AS (SELECT doc_id, ws,
-         |  unnest(range(0, 1 + greatest(len(ws) - 16 + 11, 0) // 12))
-         |    AS ci
-         | FROM base WHERE len(ws) > 0),
-         |chunks AS (SELECT doc_id * 100 + ci AS chunk_id,
-         |  array_to_string(ws[CAST(ci * 12 AS INT) + 1 :
-         |    CAST(ci * 12 AS INT) + 16], ' ') AS chunk_text
-         | FROM ch),
+      s"""WITH ${chunkCtesSql("")},
+         |chunks AS (SELECT doc_id * 100 + chunk_idx AS chunk_id,
+         |  array_to_string(chunk, ' ') AS chunk_text
+         | FROM ct),
          |tok AS (SELECT chunk_id,
          |  unnest(string_split_regex(trim(chunk_text), '\\s+')) AS tok
          | FROM chunks),

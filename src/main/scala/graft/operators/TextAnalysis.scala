@@ -229,17 +229,34 @@ object TextAnalysis {
                   maxStop10k: Long = 5000L,
                   minAvgLen10: Long = 30L, maxAvgLen10: Long = 100L,
                   stopwords: Seq[String] = DefaultStopwords): Column = {
-    val nTok = funnelNTokens(text)
-    val r = repetitionStruct(text)
-    funnelRuleLen(nTok, minTokens, maxTokens) &&
-      funnelRuleAvgLen(nTok, funnelWordChars(text),
-        minAvgLen10, maxAvgLen10) &&
-      funnelRuleStop(nTok, funnelNStop(text, stopwords), maxStop10k) &&
+    val stopArr = array(stopwords.map(lit): _*)
+    // ONE tokenization shared by the three count rules via the let
+    // binding (FilterExec codegen does no common-subexpression
+    // elimination — unshared, each rule would re-split the full
+    // text); repetitionStruct and langId tokenize separately on
+    // purpose (different normalizations: line split, lowercase)
+    val countRules = let(funnelToks(text)) { toks =>
+      val nTok = size(toks).cast("long")
+      funnelRuleLen(nTok, minTokens, maxTokens) &&
+        funnelRuleAvgLen(nTok,
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
+          minAvgLen10, maxAvgLen10) &&
+        funnelRuleStop(nTok,
+          size(filter(toks, t => array_contains(stopArr, t)))
+            .cast("long"),
+          maxStop10k)
+    }
+    // the struct rides a let as well: extracting 4 fields from a bare
+    // struct expression would clone the whole repetition computation
+    // per field (SimplifyExtractValueOps); on a let-bound lambda
+    // variable it is computed once
+    val repRule = let(repetitionStruct(text)) { r =>
       repetitionPass(r.getField("dup_line_frac"),
         r.getField("dup_line_char_frac"),
         r.getField("top_2gram_char_frac"),
-        r.getField("dup_5gram_char_frac")) &&
-      langId(text).isInCollection(langs)
+        r.getField("dup_5gram_char_frac"))
+    }
+    countRules && repRule && langId(text).isInCollection(langs)
   }
 
   /** Character n-gram profile based language ID heuristic. Scores each
@@ -1468,7 +1485,11 @@ object TextAnalysis {
         when(col("old_split").isNull, "added")
           .when(col("new_split").isNull, "removed")
           .when(col("old_split") =!= col("new_split"), "split_moved")
-          .when(col("old_shard") =!= col("new_shard"), "shard_moved")
+          // null-safe: a NULL shard on either side (a manifest built
+          // without the -1 off-train convention) is still a MOVE when
+          // the other side differs — =!= would NULL out and fall
+          // through to "unchanged", hiding it from the audit
+          .when(!(col("old_shard") <=> col("new_shard")), "shard_moved")
           .otherwise("unchanged"))
       .select("doc_id", "status", "old_split", "new_split",
         "old_shard", "new_shard")

@@ -40,10 +40,20 @@ object RagStream {
     * chunks dropped (no direction to quantize).
     */
   def encodeBatch(batch: DataFrame, cfg: Config): DataFrame = {
+    // loud per-row guard: chunk_id = doc_id·scale + idx is only
+    // injective while idx < scale — a silent collision would merge
+    // two unrelated chunks' features into one garbage embedding (and
+    // break the batching-independence invariant when the colliding
+    // docs land in different micro-batches)
     val chunks = TextAnalysis.chunkWindows(batch, cfg.idCol, cfg.textCol,
         cfg.windowTokens, cfg.strideTokens)
-      .withColumn("chunk_id",
-        col("doc_id") * cfg.chunkIdScale + col("chunk_idx"))
+      .withColumn("chunk_id", expr(
+        s"CASE WHEN chunk_idx >= ${cfg.chunkIdScale}L THEN " +
+          "CAST(raise_error('RagStream: doc ' || doc_id || " +
+          s"' has chunk_idx ' || chunk_idx || ' >= chunkIdScale " +
+          s"${cfg.chunkIdScale} — chunk ids would collide across " +
+          "docs; raise chunkIdScale') AS BIGINT) " +
+          s"ELSE doc_id * ${cfg.chunkIdScale}L + chunk_idx END"))
     Embed.hashEmbed(chunks, "chunk_id", "chunk_text", cfg.dim)
       .filter(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0)
   }
