@@ -3340,6 +3340,29 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- release DATASHEET: per (split, lang) doc + token counts ----
+    // over the q113-style manifest — the model-card numbers.
+    "q168_release_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val manifest = TextAnalysis.assignSplit(d, "doc_id",
+          splits = Seq(("train", 8000L), ("val", 1000L),
+            ("test", 1000L)))
+        .select("doc_id", "split")
+      TextAnalysis.releaseReport(manifest, d, "doc_id", "lang", "text")
+        .orderBy(col("split"), col("stratum"))
+    }),
+
+    // ---- per-rule funnel drop counts: the gate's alarm surface ------
+    "q169_funnel_report" -> ((s, dir) => {
+      TextAnalysis.qualityFunnelReport(
+          t(s, dir, "documents")
+            .withColumn("doc_id", col("doc_id").cast("long")),
+          "doc_id", "text", langs = Seq("en"),
+          minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)
+        .orderBy(col("rule"))
+    }),
+
     // ---- tokenizer artifact round-trip: train → SAVE → LOAD → encode
     // — the frozen at-rest tokenizer (the production vocab.json/
     // merges.txt pair as parquet) must encode bit-identically to the
@@ -6775,6 +6798,43 @@ object SparkEntry {
          |FROM am FULL JOIN bm ON am.doc_id = bm.doc_id
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Datasheet replay: the q113 split ranges + filtered token counts,
+    // one aggregate.
+    "q168_release_report" ->
+      s"""WITH spl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         |  CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")}
+         |      % 10000 < 8000 THEN 'train'
+         |    WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")}
+         |      % 10000 < 9000 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |    x -> len(x) > 0)) AS nt
+         | FROM documents)
+         |SELECT split, lang AS stratum,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |FROM spl GROUP BY split, lang
+         |ORDER BY split, stratum""".stripMargin,
+
+    // Funnel alarm-surface replay: the shared rule chain aggregated
+    // to per-rule fail counts + the kept total.
+    "q169_funnel_report" ->
+      ("WITH " + funnelRulesSql("") + ",\n" +
+        """agg AS (SELECT
+          |  SUM(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS f_len,
+          |  SUM(CASE WHEN NOT r_avg_len THEN 1 ELSE 0 END) AS f_avg,
+          |  SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS f_stop,
+          |  SUM(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS f_rep,
+          |  SUM(CASE WHEN NOT r_lang THEN 1 ELSE 0 END) AS f_lang,
+          |  SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept FROM rules)
+          |SELECT 'r_len' AS rule, CAST(f_len AS BIGINT) AS n FROM agg
+          |UNION ALL SELECT 'r_avg_len', CAST(f_avg AS BIGINT) FROM agg
+          |UNION ALL SELECT 'r_stop', CAST(f_stop AS BIGINT) FROM agg
+          |UNION ALL SELECT 'r_rep', CAST(f_rep AS BIGINT) FROM agg
+          |UNION ALL SELECT 'r_lang', CAST(f_lang AS BIGINT) FROM agg
+          |UNION ALL SELECT 'kept', CAST(kept AS BIGINT) FROM agg
+          |ORDER BY rule""".stripMargin),
 
     // Quantization recall replay: exact float cosine top-5 (the q23
     // chain) vs the q155 quantized top-5, per-query intersection.

@@ -1495,6 +1495,60 @@ object TextAnalysis {
         "old_shard", "new_shard")
   }
 
+  /** Release DATASHEET: per (split, stratum) document and token
+    * counts over a release manifest — the numbers a model card /
+    * dataset datasheet actually publishes (docs and token budget per
+    * split and language/source). `manifest` is (doc_id, split) rows
+    * (the [[assignSplit]] artifact); `docs` supplies the stratum and
+    * text. Output: (split, stratum, n_docs, n_tokens), exact integers.
+    *
+    * Scale shape: one doc-keyed equi-join (manifest is skinny) + one
+    * pre-reduced aggregate — the token counts ride map-side partial
+    * aggregation; nothing corpus-sized shuffles un-aggregated.
+    */
+  def releaseReport(manifest: DataFrame, docs: DataFrame, idCol: String,
+                    strataCol: String, textCol: String): DataFrame =
+    manifest.select(col("doc_id"), col("split"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(strataCol).as("stratum"),
+        size(filter(tokens(col(textCol)), t => length(t) > 0))
+          .cast("long").as("__nt")), Seq("doc_id"))
+      .groupBy("split", "stratum")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+
+  /** Per-rule drop counts for the [[qualityFunnel]] — the alarm
+    * surface a production gate monitors (a rule suddenly eating 40%
+    * of a batch is a data bug long before eval notices): for each
+    * rule, how many docs FAIL it (independently — a doc failing two
+    * rules counts in both), plus the kept total. Output:
+    * (rule, n_fail) rows + ("kept", n_kept). One funnel projection +
+    * one tiny aggregate.
+    */
+  def qualityFunnelReport(docs: DataFrame, idCol: String,
+      textCol: String, langs: Seq[String],
+      minTokens: Long = 5L, maxTokens: Long = 100000L,
+      maxStop10k: Long = 5000L,
+      minAvgLen10: Long = 30L, maxAvgLen10: Long = 100L,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val f = qualityFunnel(docs, idCol, textCol, langs, minTokens,
+      maxTokens, maxStop10k, minAvgLen10, maxAvgLen10, stopwords)
+    def cnt(c: String, neg: Boolean) =
+      sum(when(if (neg) !col(c) else col(c), 1L).otherwise(0L))
+    val agg = f.agg(
+      cnt("r_len", neg = true).as("r_len"),
+      cnt("r_avg_len", neg = true).as("r_avg_len"),
+      cnt("r_stop", neg = true).as("r_stop"),
+      cnt("r_rep", neg = true).as("r_rep"),
+      cnt("r_lang", neg = true).as("r_lang"),
+      cnt("keep", neg = false).as("kept"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one row per rule — the 1-row aggregate unpivoted driver-side
+    val r = agg.collect().head
+    Seq("r_len", "r_avg_len", "r_stop", "r_rep", "r_lang", "kept")
+      .map(k => (k, r.getAs[Long](k))).toDF("rule", "n")
+  }
+
   /** Sliding-window document chunking — the RAG-ingestion primitive
     * (fixed-size token windows with overlap, the LangChain/LlamaIndex
     * "chunk_size/chunk_overlap" contract): chunk starts step by

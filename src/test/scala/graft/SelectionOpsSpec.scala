@@ -269,6 +269,34 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(enc(loaded, loadedVocab) == enc(inMem, vocab))
   }
 
+  test("releaseReport: exact per-(split, stratum) doc/token counts; " +
+      "funnelReport matches the per-doc funnel's own booleans") {
+    val manifest = Seq((1L, "train"), (2L, "train"), (3L, "val"))
+      .toDF("doc_id", "split")
+    val docs = Seq((1L, "A", "a b c"), (2L, "B", "d e"),
+      (3L, "A", "f"), (4L, "A", "never released"))
+      .toDF("doc_id", "src", "text")
+    val rep = TextAnalysis.releaseReport(manifest, docs, "doc_id",
+        "src", "text")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(rep == Set(("train", "A", 1L, 3L), ("train", "B", 1L, 2L),
+      ("val", "A", 1L, 1L)))
+
+    val enTail = "the cat is in that hat and it sat on to of a mat"
+    val fdocs = Seq((1L, enTail), (2L, "x"), (3L, "uno dos tres"))
+      .toDF("doc_id", "text")
+    val fr = TextAnalysis.qualityFunnelReport(fdocs, "doc_id", "text",
+        langs = Seq("en"), minTokens = 3L, minAvgLen10 = 10L)
+      .as[(String, Long)].collect().toMap
+    val f = TextAnalysis.qualityFunnel(fdocs, "doc_id", "text",
+        langs = Seq("en"), minTokens = 3L, minAvgLen10 = 10L)
+      .collect()
+    for ((rule, i) <- Seq("r_len", "r_avg_len", "r_stop", "r_rep",
+        "r_lang").zipWithIndex)
+      assert(fr(rule) == f.count(!_.getBoolean(3 + i)), rule)
+    assert(fr("kept") == f.count(_.getBoolean(8)))
+  }
+
   test("bestMerge tie-break: equal counts resolve to the " +
       "lexicographically smallest pair") {
     val pairs = Seq(("ce", 5L), ("cd", 5L), ("aa", 3L))
