@@ -265,6 +265,22 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(e.getMessage != null)
   }
 
+  test("quantizeInt8: extreme elements map to ±127 exactly; packed " +
+      "values never leave int8 range") {
+    import graft.functions.Int8Ops
+    val vecs = Seq((1L, Seq(3.0f, -3.0f, 0.0f)),
+      (2L, Seq(1e-30f, -1e-30f)), (3L, Seq(-2.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Ann.quantizeInt8(vecs, "vec_id", "embedding")
+      .select(col("emb_id"), col("qvec")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(q(1L).toSeq == Seq[Byte](127, -127, 0))
+    assert(q(3L).toSeq == Seq[Byte](-127))
+    // denormal-magnitude elements still land in-range (the pack
+    // expression would throw loudly otherwise)
+    assert(q(2L).forall(b => b >= -128 && b <= 127))
+  }
+
   test("quantizedTopK: hand-computed quantized cosine, q23 ranking " +
       "convention, zero vectors dropped") {
     val vecs = Seq(

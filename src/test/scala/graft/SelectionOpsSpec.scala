@@ -297,6 +297,25 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(fr("kept") == f.count(_.getBoolean(8)))
   }
 
+  test("qualityKeep ≡ qualityFunnel.keep on a mixed corpus — the " +
+      "predicate and report forms can never drift") {
+    val enTail = "the cat is in that hat and it sat on to of a mat"
+    val docs = ((1L to 10L).map(i =>
+      (i, s"w$i x$i y$i z$i p$i q$i " + enTail)) ++ Seq(
+      (11L, "the cat"), (12L, "uno dos tres cuatro"),
+      (13L, ("is that " * 12) + enTail),
+      (14L, "b c d e f g h i j k " + enTail), (15L, "  ")))
+      .toDF("doc_id", "text")
+    val args = (Seq("en"), 3L, 100L, 5000L, 20L, 100L)
+    val viaPredicate = docs.filter(TextAnalysis.qualityKeep(col("text"),
+        args._1, args._2, args._3, args._4, args._5, args._6))
+      .select("doc_id").as[Long].collect().toSet
+    val viaFunnel = TextAnalysis.qualityFunnel(docs, "doc_id", "text",
+        args._1, args._2, args._3, args._4, args._5, args._6)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(viaPredicate == viaFunnel && viaPredicate.nonEmpty)
+  }
+
   test("bestMerge tie-break: equal counts resolve to the " +
       "lexicographically smallest pair") {
     val pairs = Seq(("ce", 5L), ("cd", 5L), ("aa", 3L))

@@ -231,6 +231,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(diff("added") == 60L)
   }
 
+  test("chunkWindows with stride == window (no overlap): exact tiling, " +
+      "single-token tail emitted once") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "doc_id", "text",
+        windowTokens = 4, strideTokens = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "start_tok", "n_toks", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 4L, 4L, "e f g h"),
+      (2L, 0L, 4L, "a b c d"), (2L, 4L, 4L, "e f g h"),
+      (2L, 8L, 1L, "i")))
+  }
+
   test("packSequences: contiguous offsets, chunk spans, straddling docs") {
     val docs = Seq(
       (1L, "s", "a b c d"),        // 4 tokens: [0,4)   chunk 0
