@@ -4279,7 +4279,7 @@ object SparkEntry {
     * Lazy: `ivfPqChainSql` is declared later in this object and a
     * strict val here would interpolate null.
     */
-  private lazy val IvfPqRefinedOracleSql: String = {
+  private lazy val IvfPqRefinedOracleSql: String = materializeCtes {
     def sq(e: String, c: String) =
       s"round(list_sum(list_transform(range(len($e)), " +
         s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
@@ -4450,15 +4450,37 @@ object SparkEntry {
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
     kc = 4, m = 4, sub = 16, k = 8, iters = 2, nProbe = 2)
 
-  private val ivfPqOracleSql: String = ivfPqTopKSql(ivfPqChainSql)
+  // materializeCtes on every IVF-PQ replay: same CTE-inlining blowup
+  // risk as q122 (the chain references ex/res/centroid CTEs from many
+  // downstream CTEs), just with a cheaper source — bound them all
+  private val ivfPqOracleSql: String =
+    materializeCtes(ivfPqTopKSql(ivfPqChainSql))
 
   /** q136: quantizers trained on the vec_id%2 sample, everything
     * encoded and searched.
     */
-  private val IvfPqSampledOracleSql: String = ivfPqTopKSql(ivfPqChain("",
-    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
-    kc = 4, m = 4, sub = 16, k = 8, iters = 2, nProbe = 2,
-    trainPred = Some("vec_id % 2 = 0")))
+  private val IvfPqSampledOracleSql: String = materializeCtes(
+    ivfPqTopKSql(ivfPqChain("",
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      kc = 4, m = 4, sub = 16, k = 8, iters = 2, nProbe = 2,
+      trainPred = Some("vec_id % 2 = 0"))))
+
+  /** Force every CTE of a generated chain to MATERIALIZE (DuckDB
+    * `AS MATERIALIZED`). The IVF-PQ replay references `ex` (and the
+    * Lloyd's intermediates) from a dozen downstream CTEs; DuckDB's
+    * default CTE INLINING duplicates the whole upstream subtree per
+    * reference, and with the q122 text→embed chain as the source the
+    * planner's expanded tree OOM-ed a 124 GiB gate box (round 11's
+    * only non-green row — oracle-side, reproduced standalone).
+    * Materialization evaluates each CTE once into a temp table, so
+    * oracle memory is bounded by the actual intermediate sizes
+    * (corpus-token-count rows at worst). Results are unchanged by
+    * construction. The builders only ever emit `AS (SELECT` at CTE
+    * heads (subqueries are `FROM (SELECT`, scalar subqueries
+    * `(SELECT MAX`), so the textual rewrite is exact.
+    */
+  private def materializeCtes(sql: String): String =
+    sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
 
   /** q122: the full retrieval vertical from RAW TEXT — the q121 embed
     * chain as the `ex` source of the IVF-PQ replay (dim 32 → sub 8).
@@ -4466,7 +4488,7 @@ object SparkEntry {
     * an L2 structure and [[graft.operators.Embed.hashEmbed]] emits one
     * row per doc by contract.
     */
-  private val TextRetrievalOracleSql: String = {
+  private val TextRetrievalOracleSql: String = materializeCtes {
     val embedPre =
       s"""toksq AS (SELECT doc_id,
          |   unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -6642,11 +6664,17 @@ object SparkEntry {
     // Decode round-trip: the oracle never replays the tokenizer — the
     // LAW is decode(encodeIds(mark(text))) == whitespace-normalized
     // text, so the expected output is just the normalized source.
+    // Restricted to docs with ≥1 token: bpeDecode emits no row for an
+    // empty id stream (documented), so an empty/whitespace-only doc in
+    // a future fixture must not fail the gate on row count.
     "q154_bpe_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         | array_to_string(string_split_regex(trim(text), '\s+'), ' ')
         |   AS decoded
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  x -> len(x) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // Int8-quantization replay: per-vector floor(x·127 / max|x|)
     // quantization (every step IEEE-exact), integer dots carried as
@@ -6921,7 +6949,8 @@ object SparkEntry {
          |n AS (SELECT chunk_id, q,
          |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
          |p AS (SELECT chunk_id AS query_id, q AS qq, nrm AS qn,
-         |  unnest([chunk_id % 4, (chunk_id + 1) % 4]) AS probe
+         |  unnest(list_distinct([chunk_id % 4, (chunk_id + 1) % 4]))
+         |    AS probe
          | FROM n WHERE chunk_id % 5000 = 0),
          |sx AS (SELECT query_id, c.chunk_id AS neighbor_id,
          |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0
@@ -6950,8 +6979,8 @@ object SparkEntry {
       |n AS (SELECT vec_id, label, q,
       |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
       |p AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
-      |  unnest([label, (label + 1) %
-      |    (SELECT MAX(label) + 1 FROM embeddings)]) AS probe
+      |  unnest(list_distinct([label, (label + 1) %
+      |    (SELECT MAX(label) + 1 FROM embeddings)])) AS probe
       | FROM n WHERE vec_id < 8),
       |sx AS (SELECT query_id, c.vec_id AS neighbor_id,
       |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0 AS sim

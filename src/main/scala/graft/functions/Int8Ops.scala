@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Int8 scalar-quantized vector support: pack a quantized `array<long>`
   * into a BINARY column (ONE byte per dimension — 4× smaller at rest
@@ -48,6 +49,14 @@ case class Int8Pack(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "int8_pack"
+  // analysis-time type check: ArrayData.getLong over e.g. array<int>
+  // would REINTERPRET element bytes and produce garbage at runtime
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"int8_pack requires array<bigint>, got ${other.sql}")
+    }
 
   protected override def nullSafeEval(a: Any): Any =
     Int8PackImpl.pack(a.asInstanceOf[ArrayData])
@@ -100,6 +109,14 @@ case class Int8Dot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "int8_dot"
+  // analysis-time type check: a non-binary operand would ClassCastException
+  // (or worse, reinterpret) at runtime inside the generated loop
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_dot requires (binary, binary), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
     Int8DotImpl.dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])

@@ -491,12 +491,22 @@ object Ann {
       case Some(layers) if layers.nonEmpty =>
         readLayerGroup(spark, indexDir, layers)
       case _ =>
-        // no (or empty) manifest: scan the directory for layer dirs and
-        // read them namespace-by-namespace — a raw recursive read would
-        // fail partition discovery if batch= and compact= dirs coexist
-        // (e.g. a manifest lost after compaction) and couldn't drop the
-        // compact column
+        // no (or empty) manifest: scan the directory for layer dirs —
+        // but ONLY within a single namespace. A compact= layer holds
+        // everything its absorbed batch= layers held, so if both
+        // namespaces coexist without a manifest (compaction crashed
+        // between the manifest swap and directory GC, manifest later
+        // lost) a union would silently DOUBLE-COUNT the absorbed rows.
+        // No local evidence can tell an absorbed batch from a fresh
+        // post-compaction append here, so fail loudly instead of
+        // guessing (restore the manifest, or delete the orphan dirs).
         val dirs = existingLayerDirs(indexDir)
+        val namespaces = dirs.map(_.takeWhile(_ != '=')).distinct
+        require(namespaces.length <= 1,
+          s"index $indexDir has no _LAYERS manifest but BOTH batch= and " +
+            "compact= layer dirs on disk — a compact= layer may already " +
+            "contain the batch= rows (double-count risk); restore the " +
+            "manifest or remove the superseded directories")
         if (dirs.nonEmpty) readLayerGroup(spark, indexDir, dirs)
         else spark.read.parquet(indexDir).drop("batch")
     }

@@ -148,10 +148,10 @@ class PqSpec extends SparkSpecBase {
     assert(run() == before)
   }
 
-  test("manifest loss on a compacted index: the directory-scan " +
-      "fallback reads batch= and compact= namespaces separately — " +
-      "query unchanged (a raw recursive read would fail partition " +
-      "discovery on the mixed namespaces)") {
+  test("manifest loss: single-namespace dirs fall back to a directory " +
+      "scan (query unchanged); MIXED batch=/compact= dirs without a " +
+      "manifest fail LOUDLY — a compact= layer may already contain the " +
+      "batch= rows, and a silent union would double-count them") {
     import org.apache.spark.sql.functions._
     val (coarse, cbs, codes) = Ann.ivfPqBuild(corpus, "vec_id",
       "embedding", kc = 2, m = 2, k = 2, iters = 2)
@@ -160,17 +160,27 @@ class PqSpec extends SparkSpecBase {
     Ann.ivfPqIndexAppend(codes.filter(col("emb_id") < 3), idx, 1L)
     Ann.ivfPqIndexAppend(
       codes.filter(col("emb_id") >= 3 && col("emb_id") < 6), idx, 2L)
-    Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
-    // a fresh append after compaction: batch= and compact= dirs coexist
-    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") >= 6), idx, 4L)
     val q = corpus.filter(col("vec_id") === 0L)
     def run() = Ann.ivfPqIndexQuery(spark, idx, q, "vec_id", "embedding",
         coarse, cbs, nProbe = 2, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
-    val withManifest = run()
+    // single-namespace (batch= only): manifest loss falls back to the
+    // directory scan, query unchanged
+    val batchOnly = run()
     java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_LAYERS"))
-    assert(run() == withManifest && withManifest.nonEmpty)
+    assert(run() == batchOnly && batchOnly.nonEmpty)
+    // restore via compaction, then a fresh append: batch= and compact=
+    // dirs coexist (legitimately, under the manifest)
+    Ann.compactVectorIndex(spark, idx, partitionCol = "coarse")
+    Ann.ivfPqIndexAppend(codes.filter(col("emb_id") >= 6), idx, 4L)
+    assert(run().nonEmpty)
+    // manifest lost over the MIXED namespaces: no local evidence can
+    // tell this fresh batch=4 from an orphan a crashed compaction
+    // already absorbed — the reader must refuse, not guess
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_LAYERS"))
+    val e = intercept[IllegalArgumentException] { run() }
+    assert(e.getMessage.contains("BOTH batch= and compact="))
   }
 
   test("persisted SQ8 index: doc-disjoint code folds + compaction " +
