@@ -3379,6 +3379,115 @@ object SparkEntry {
       val (merges, vocab) = TextAnalysis.loadTokenizer(s, tokDir)
       TextAnalysis.bpeEncodeIds(d, "doc_id", "text", merges, vocab)
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- RAG over TRAINED frozen centroids: the production shape ----
+    // Coarse centroids trained ONCE on batch 1's chunk embeddings
+    // (sampled chunk_id % 2 — the q136 pattern), FROZEN, then both
+    // folds assign chunks by rounded-cosine argmax and queries probe
+    // their 2 nearest centroids — geometric locality instead of q164's
+    // modular stand-in. Oracle replays the Lloyd's training (q90's
+    // pattern), the frozen assignment, and the pruned quantized rank.
+    "q170_rag_trained" -> ((s, dir) => {
+      import graft.streaming.RagStream
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val cfg0 = RagStream.Config(java.nio.file.Files
+        .createTempDirectory("rag_trained").toString, "doc_id", "text")
+      val b1 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b2 = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val cents = Ann.ivfTrainPortable(
+        RagStream.encodeBatch(b1, cfg0)
+          .filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "emb", k = 4, iters = 2)
+      val cfg = cfg0.copy(centroids = Some(cents))
+      RagStream.foldBatch(b1, 1L, cfg)
+      RagStream.foldBatch(b2, 2L, cfg)
+      val qs = RagStream.encodeBatch(d, cfg)
+        .filter(pmod(col("doc_id"), lit(5000L)) === 0)
+        .withColumn("probes", RagStream.probesOf(cfg, nProbe = 2))
+      Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- CHAIN-level recall of the trained-RAG retrieval: measure --
+    // the chunk→probe chain against exact float-cosine ground truth
+    // over the same chunks — q167's metric applied to the whole
+    // vertical, the proof probed-cluster pruning actually retrieves.
+    "q171_rag_trained_recall" -> ((s, dir) => {
+      import graft.streaming.RagStream
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val cfg0 = RagStream.Config(java.nio.file.Files
+        .createTempDirectory("rag_trained_rec").toString, "doc_id", "text")
+      val b1 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b2 = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val cents = Ann.ivfTrainPortable(
+        RagStream.encodeBatch(b1, cfg0)
+          .filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "emb", k = 4, iters = 2)
+      val cfg = cfg0.copy(centroids = Some(cents))
+      RagStream.foldBatch(b1, 1L, cfg)
+      RagStream.foldBatch(b2, 2L, cfg)
+      val chunks = RagStream.encodeBatch(d, cfg)
+      val qs = chunks.filter(pmod(col("doc_id"), lit(5000L)) === 0)
+        .withColumn("probes", RagStream.probesOf(cfg, nProbe = 2))
+      val approx = Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id",
+        "emb", "probes", k = 3)
+      val exact = Ann.bruteForceTopK(qs.drop("probes"), chunks,
+        "doc_id", "emb", k = 3)
+      Ann.recallAtK(approx, exact, k = 3).orderBy(col("query_id"))
+    }),
+
+    // ---- compaction INSIDE the RAG chain: fold → compact → fold → --
+    // query equals the one-shot build (the q122 shape for SQ8) under
+    // q164's verbatim oracle — small-files maintenance is provably
+    // invisible to the retrieval answer mid-ingest, not just at rest.
+    "q172_rag_compacted" -> ((s, dir) => {
+      import graft.streaming.RagStream
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val cfg = RagStream.Config(java.nio.file.Files
+        .createTempDirectory("rag_sq8_comp").toString, "doc_id", "text")
+      RagStream.foldBatch(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
+      Ann.compactVectorIndex(s, cfg.indexDir, partitionCol = "cluster")
+      RagStream.foldBatch(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
+      val qs = RagStream.encodeBatch(d, cfg)
+        .filter(pmod(col("doc_id"), lit(5000L)) === 0)
+        .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
+          pmod(col("doc_id") + 1L, lit(4L))))
+      Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- FUNNEL-GATED RAG ingest: the q157 quality gate applied ----
+    // BEFORE chunking (the q162 production order on this vertical) —
+    // boilerplate/off-language docs never cost chunk, embed, or index
+    // bytes; queries run over the gated chunk set.
+    "q177_rag_gated" -> ((s, dir) => {
+      import graft.streaming.RagStream
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val cfg = RagStream.Config(
+        java.nio.file.Files
+          .createTempDirectory("rag_gated").toString, "doc_id", "text",
+        funnel = Some(RagStream.Funnel(langs = Seq("en"),
+          minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)))
+      RagStream.foldBatch(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
+      RagStream.foldBatch(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
+      val qs = RagStream.encodeBatch(d, cfg)
+        .filter(pmod(col("doc_id"), lit(2000L)) === 0)
+        .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
+          pmod(col("doc_id") + 1L, lit(4L))))
+      Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -6897,7 +7006,24 @@ object SparkEntry {
         | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
         | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
         |FROM (SELECT DISTINCT query_id FROM exact) qq
-        |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
+        |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin,
+
+    // Trained-centroid RAG replay: Lloyd's over batch-1's sampled
+    // chunks (q90 pattern), frozen assignment, 2-nearest probes,
+    // quantized rank.
+    "q170_rag_trained" -> RagTrainedOracleSql,
+
+    // Chain-level recall: the q170 replay vs exact float-cosine
+    // ground truth over the same chunks.
+    "q171_rag_trained_recall" -> RagTrainedRecallOracleSql,
+
+    // Compaction between the folds is invisible to the answer —
+    // verbatim q164 oracle (same rows, same partition values).
+    "q172_rag_compacted" -> RagVerticalOracleSql,
+
+    // Funnel-gated RAG: the shared q157 rule chain gates documents
+    // before the q164 retrieval replay.
+    "q177_rag_gated" -> RagGatedOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
@@ -6905,11 +7031,12 @@ object SparkEntry {
     * `${p}cb` (doc_id, ws), `${p}cc` (+ chunk index ci), and `${p}ct`
     * (chunk_idx, start_tok, the sliced token list).
     */
-  private def chunkCtesSql(p: String): String =
+  private def chunkCtesSql(p: String,
+                           src: String = "documents"): String =
     s"""${p}cb AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |  list_filter(string_split_regex(trim(text), '\\s+'),
        |    x -> len(x) > 0) AS ws
-       | FROM documents),
+       | FROM $src),
        |${p}cc AS (SELECT doc_id, ws,
        |  unnest(range(0, 1 + greatest(len(ws) - 16 + 11, 0) // 12))
        |    AS ci
@@ -6920,49 +7047,174 @@ object SparkEntry {
        |    AS chunk
        | FROM ${p}cc)""".stripMargin
 
+  /** The chunk→embed front of every RAG oracle (expects the
+    * [[chunkCtesSql]] CTEs upstream): chunk ids, the q121
+    * signed-bucket embedding per chunk, zero vectors dropped. Ends at
+    * `v` (chunk_id, v: double list).
+    */
+  private def ragEmbedCtesSql: String =
+    s"""chunks AS (SELECT doc_id * 100 + chunk_idx AS chunk_id,
+       |  array_to_string(chunk, ' ') AS chunk_text
+       | FROM ct),
+       |tok AS (SELECT chunk_id,
+       |  unnest(string_split_regex(trim(chunk_text), '\\s+')) AS tok
+       | FROM chunks),
+       |fx AS (SELECT chunk_id,
+       |  ${polyHashSql("tok")} % 32 AS b,
+       |  CASE WHEN ${polyHashSql("tok || '|sign'")} % 2 = 0
+       |    THEN 1 ELSE -1 END AS sgn
+       | FROM tok),
+       |ag AS (SELECT chunk_id, b, SUM(sgn) AS c FROM fx
+       | GROUP BY chunk_id, b),
+       |dense AS (SELECT c0.chunk_id, i.b, COALESCE(ag.c, 0) AS c
+       | FROM (SELECT DISTINCT chunk_id FROM chunks) c0
+       | CROSS JOIN (SELECT unnest(range(32)) AS b) i
+       | LEFT JOIN ag ON ag.chunk_id = c0.chunk_id AND ag.b = i.b),
+       |v AS (SELECT chunk_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+       | FROM dense GROUP BY chunk_id
+       | HAVING SUM(c * c) > 0)""".stripMargin
+
+  /** The modular-cluster retrieval tail (quantize → own+next probe →
+    * integer-dot rank), parameterized over the query sampling mod.
+    * Ends at `r` (query_id, neighbor_id, sim, rank).
+    */
+  private def ragModularTailSql(queryMod: Long): String =
+    s"""qv AS (SELECT chunk_id,
+       |  list_transform(v, x -> floor((x * 127) /
+       |    list_max(list_transform(v, y -> abs(y))))) AS q
+       | FROM v),
+       |n AS (SELECT chunk_id, q,
+       |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+       |p AS (SELECT chunk_id AS query_id, q AS qq, nrm AS qn,
+       |  unnest(list_distinct([chunk_id % 4, (chunk_id + 1) % 4]))
+       |    AS probe
+       | FROM n WHERE chunk_id % $queryMod = 0),
+       |sx AS (SELECT query_id, c.chunk_id AS neighbor_id,
+       |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0
+       |    AS sim
+       | FROM p JOIN n c ON probe = c.chunk_id % 4
+       |   AND query_id <> c.chunk_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       |    AS rank
+       | FROM sx)""".stripMargin
+
+  private val RagTopKSelectSql: String =
+    """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   private val RagVerticalOracleSql: String =
-      s"""WITH ${chunkCtesSql("")},
-         |chunks AS (SELECT doc_id * 100 + chunk_idx AS chunk_id,
-         |  array_to_string(chunk, ' ') AS chunk_text
-         | FROM ct),
-         |tok AS (SELECT chunk_id,
-         |  unnest(string_split_regex(trim(chunk_text), '\\s+')) AS tok
-         | FROM chunks),
-         |fx AS (SELECT chunk_id,
-         |  ${polyHashSql("tok")} % 32 AS b,
-         |  CASE WHEN ${polyHashSql("tok || '|sign'")} % 2 = 0
-         |    THEN 1 ELSE -1 END AS sgn
-         | FROM tok),
-         |ag AS (SELECT chunk_id, b, SUM(sgn) AS c FROM fx
-         | GROUP BY chunk_id, b),
-         |dense AS (SELECT c0.chunk_id, i.b, COALESCE(ag.c, 0) AS c
-         | FROM (SELECT DISTINCT chunk_id FROM chunks) c0
-         | CROSS JOIN (SELECT unnest(range(32)) AS b) i
-         | LEFT JOIN ag ON ag.chunk_id = c0.chunk_id AND ag.b = i.b),
-         |v AS (SELECT chunk_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
-         | FROM dense GROUP BY chunk_id
-         | HAVING SUM(c * c) > 0),
-         |qv AS (SELECT chunk_id,
-         |  list_transform(v, x -> floor((x * 127) /
-         |    list_max(list_transform(v, y -> abs(y))))) AS q
-         | FROM v),
-         |n AS (SELECT chunk_id, q,
-         |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
-         |p AS (SELECT chunk_id AS query_id, q AS qq, nrm AS qn,
-         |  unnest(list_distinct([chunk_id % 4, (chunk_id + 1) % 4]))
-         |    AS probe
-         | FROM n WHERE chunk_id % 5000 = 0),
-         |sx AS (SELECT query_id, c.chunk_id AS neighbor_id,
-         |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0
-         |    AS sim
-         | FROM p JOIN n c ON probe = c.chunk_id % 4
-         |   AND query_id <> c.chunk_id),
-         |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
-         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
-         |    AS rank
-         | FROM sx)
-         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
-         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    s"""WITH ${chunkCtesSql("")},
+       |$ragEmbedCtesSql,
+       |${ragModularTailSql(5000L)}
+       |$RagTopKSelectSql""".stripMargin
+
+  /** q177: the q157 funnel (shared rule chain) gates the document set
+    * BEFORE chunking; the retrieval tail is the q164 machinery over
+    * the surviving chunks (wider query sampling — the gated corpus is
+    * smaller).
+    */
+  private val RagGatedOracleSql: String =
+    s"""WITH ${funnelRulesSql("")},
+       |fk AS (SELECT doc_id FROM rules WHERE keep),
+       |${chunkCtesSql("",
+          "(SELECT d.doc_id, d.text FROM documents d JOIN fk USING (doc_id))")},
+       |$ragEmbedCtesSql,
+       |${ragModularTailSql(2000L)}
+       |$RagTopKSelectSql""".stripMargin
+
+  /** The TRAINED-centroid RAG chain (q170/q171): the shared chunk +
+    * embed front, then the q90-pattern spherical Lloyd's (rounded-
+    * cosine argmax assignment, exact floor(x·10⁴) integer means,
+    * 4-lowest-id init) trained on batch 1's SAMPLED chunks
+    * (doc parity 0, chunk_id % 2 = 0 — the q136 practice), the FROZEN
+    * final centroids assigning every chunk and probing each query's 2
+    * nearest, and the quantized integer-dot rank. Ends at `r`.
+    */
+  private val RagTrainedChainSql: String = {
+    def assign(src: String, cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) + 0.0
+         |      DESC, c.cid) AS rn
+         |  FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(prevCents: String, asg: String, out: String) =
+      s"""${out}n AS (SELECT cid,
+         |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
+         | FROM (SELECT cid, i,
+         |    SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
+         |   FROM (SELECT cid, unnest(v) AS x,
+         |      unnest(range(len(v))) AS i FROM $asg)
+         |   GROUP BY cid, i) GROUP BY cid),
+         |$out AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+         | FROM $prevCents p LEFT JOIN ${out}n nn USING (cid))"""
+        .stripMargin
+    s"""${chunkCtesSql("")},
+       |$ragEmbedCtesSql,
+       |ex AS (SELECT chunk_id AS vec_id, v FROM v),
+       |trn AS (SELECT vec_id, v FROM ex
+       | WHERE (vec_id // 100) % 2 = 0 AND vec_id % 2 = 0),
+       |tc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |  v AS cv FROM (SELECT vec_id, v FROM trn ORDER BY vec_id
+       |    LIMIT 4)),
+       |${assign("trn", "tc0", "ta1")},
+       |${update("tc0", "ta1", "tc1")},
+       |${assign("trn", "tc1", "ta2")},
+       |${update("tc1", "ta2", "tc2")},
+       |${assign("ex", "tc2", "asg")},
+       |qzv AS (SELECT vec_id,
+       |  list_transform(v, x -> floor((x * 127) /
+       |    list_max(list_transform(v, y -> abs(y))))) AS q
+       | FROM ex),
+       |n AS (SELECT qzv.vec_id, asg.cid AS cl, q,
+       |  sqrt(list_dot_product(q, q)) AS nrm
+       | FROM qzv JOIN asg ON qzv.vec_id = asg.vec_id),
+       |qp AS (SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) + 0.0
+       |      DESC, c.cid) AS rn
+       |  FROM ex e CROSS JOIN tc2 c WHERE e.vec_id % 5000 = 0)
+       | WHERE rn <= 2),
+       |sx AS (SELECT qp.query_id, c.vec_id AS neighbor_id,
+       |  round(list_dot_product(a.q, c.q) / (a.nrm * c.nrm), 4) + 0.0
+       |    AS sim
+       | FROM qp JOIN n a ON a.vec_id = qp.query_id
+       | JOIN n c ON c.cl = qp.probe AND c.vec_id <> qp.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       |    AS rank
+       | FROM sx)""".stripMargin
+  }
+
+  private val RagTrainedOracleSql: String = materializeCtes(
+    s"WITH $RagTrainedChainSql\n$RagTopKSelectSql")
+
+  /** q171: the q170 chain's top-3 vs exact float-cosine top-3 over
+    * the same chunk embeddings, per-query hit counts (the q167 recall
+    * metric over the whole chunk→probe chain).
+    */
+  private val RagTrainedRecallOracleSql: String = materializeCtes(
+    s"""WITH $RagTrainedChainSql,
+       |approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+       |bfx AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS sim
+       | FROM ex a JOIN ex b ON a.vec_id <> b.vec_id
+       | WHERE a.vec_id % 5000 = 0),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS rank FROM bfx)
+       | WHERE rank <= 3),
+       |hits AS (SELECT a.query_id, COUNT(*) AS n_hit
+       | FROM approx a JOIN exact x
+       |   ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       | GROUP BY a.query_id)
+       |SELECT qq.query_id, CAST(3 AS BIGINT) AS k,
+       | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall
+       |FROM (SELECT DISTINCT query_id FROM exact) qq
+       |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin)
 
   /** Shared by q159 (in-memory IVF-SQ8) and q160 (persisted code
     * layers + compaction): q78's probe convention over the q155

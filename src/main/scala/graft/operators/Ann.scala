@@ -134,6 +134,30 @@ object Ann {
       .reduce((a, b) => coalesce(a, b))
   }
 
+  /** The `nProbe` nearest centroid ids by ROUNDED cosine similarity
+    * (descending; lowest id breaks exact ties) as an `array<long>` —
+    * the query-side probe set matching [[cosineCluster]]'s assignment
+    * geometry. Sorting key is `1 − sim_r` (ascending): the same order
+    * as sim descending, avoids an IEEE −0.0 appearing in the sort key.
+    * Engine-portable: an oracle replays it as
+    * `row_number() OVER (ORDER BY round(cos, 4) + 0.0 DESC, cid)`.
+    */
+  def cosineProbes(v: Column, cents: Seq[Seq[Double]],
+                   nProbe: Int): Column = {
+    require(nProbe >= 1, "nProbe >= 1")
+    if (cents.length == 1) return array(lit(0L))
+    val vn = l2Norm(v)
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      val cl = typedLit(c)
+      struct((lit(1.0) -
+          (round(cosineSimPre(v, cl, vn, l2Norm(cl)), 4) + lit(0.0)))
+          .as("d"),
+        lit(i.toLong).as("cid"))
+    }
+    transform(slice(array_sort(array(entries: _*)), 1, nProbe),
+      _.getField("cid"))
+  }
+
   /** ENGINE-PORTABLE Lloyd's training (spherical): like
     * [[ivfTrainCentroids]] but every step is replayable bit-for-bit by
     * an ANSI-SQL oracle, so a trained-clustering pipeline (train →

@@ -251,6 +251,76 @@ class PqSpec extends SparkSpecBase {
     assert(res(split) == oneShot)
   }
 
+  test("RagStream trained centroids + funnel gate: doc-split folds " +
+      "equal the one-shot build; gated docs never reach the index; " +
+      "trained probes retrieve same-topic chunks; chain recall is " +
+      "perfect on separable data") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.RagStream
+    // two disjoint-vocabulary topics (separable hash embeddings),
+    // rotated per doc so same-topic chunks are similar but not equal;
+    // doc 90 is junk (2-char tokens -> fails the avg-len rule)
+    def doc(i: Long, words: Seq[String]) = {
+      val rot = words.drop((i % 3).toInt) ++ words.take((i % 3).toInt)
+      (i, ("the" +: rot).mkString(" "))
+    }
+    val wordsA = (1 to 24).map(j => s"alpha$j")
+    val wordsB = (1 to 24).map(j => s"bravo$j")
+    val docs = ((1L to 6L).map(doc(_, wordsA)) ++
+      (7L to 12L).map(doc(_, wordsB)) :+
+      (90L, (1 to 24).map(j => s"x$j".take(2)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val gate = Some(RagStream.Funnel(langs = Seq("en")))
+    val proto = RagStream.Config("", "doc_id", "text",
+      windowTokens = 8, strideTokens = 6, funnel = gate)
+    // centroids trained ONCE on batch 1 (odd ids - both topics), frozen
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    val b2 = docs.filter(col("doc_id") % 2 === 0)
+    val cents = Ann.ivfTrainPortable(
+      RagStream.encodeBatch(b1, proto), "doc_id", "emb", k = 2, iters = 2)
+    def build(splits: Seq[org.apache.spark.sql.DataFrame]) = {
+      val cfg = proto.copy(indexDir = java.nio.file.Files
+        .createTempDirectory("rag_trained_spec").toString,
+        centroids = Some(cents))
+      splits.zipWithIndex.foreach { case (b, i) =>
+        RagStream.foldBatch(b, i.toLong, cfg) }
+      cfg
+    }
+    def res(cfg: RagStream.Config) = {
+      val qs = RagStream.encodeBatch(docs, cfg)
+        .filter(col("doc_id") === 100L) // doc 1's first chunk
+        .withColumn("probes", RagStream.probesOf(cfg, nProbe = 1))
+      Ann.sq8IndexQuery(spark, cfg.indexDir, qs, "doc_id", "emb",
+          "probes", k = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val one = build(Seq(docs))
+    val oneShot = res(one)
+    assert(oneShot.nonEmpty)
+    // the funnel gate held: no chunk of doc 90 anywhere in the index
+    val indexed = spark.read.parquet(one.indexDir)
+      .select("emb_id").as[Long].collect()
+    assert(indexed.nonEmpty && !indexed.exists(id => id / 100L == 90L))
+    // batching-independence extends to the gated, trained fold
+    assert(res(build(Seq(b1, b2))) == oneShot)
+    // geometric locality: probing doc 1's OWN trained cluster returns
+    // exclusively topic-A chunks (docs 1-6)
+    assert(oneShot.forall { case (_, n, _) => (1L to 6L).contains(n / 100L) })
+    // chain-level recall vs exact float cosine over the same chunks:
+    // perfect on separable data with both clusters probed
+    val chunks = RagStream.encodeBatch(docs, one)
+    val qs = chunks.filter(col("doc_id") % 100L === 0L)
+      .withColumn("probes", RagStream.probesOf(one, nProbe = 2))
+    val approx = Ann.sq8IndexQuery(spark, one.indexDir, qs, "doc_id",
+      "emb", "probes", k = 3)
+    val exact = Ann.bruteForceTopK(qs.drop("probes"), chunks,
+      "doc_id", "emb", k = 3)
+    val rec = Ann.recallAtK(approx, exact, k = 3)
+      .select("recall").as[Double].collect()
+    assert(rec.length == 12 && rec.forall(_ == 1.0), rec.mkString(","))
+  }
+
   test("RetrievalStream: batch folds equal the one-shot encode; " +
       "re-folding a micro-batch id overwrites its own layer " +
       "(crash-replay idempotent)") {
