@@ -28,6 +28,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic multi-line "web page" fixture for the line-level
+    * cleaning lanes (q173/q174): the flat documents table carries no
+    * newlines, so both engines build the same 6-line page per doc —
+    * nav chrome, body, share stub, the body AGAIN (an in-page
+    * duplicate), a symbol-heavy separator, footer. Null-safe on purpose (Spark's concat_ws
+    * skips nulls, DuckDB's || nulls the whole string — coalesce
+    * pins the two to the same page).
+    */
+  private def linePages(docs: DataFrame): DataFrame =
+    docs.withColumn("doc_id", col("doc_id").cast("long"))
+      .select(col("doc_id"), concat_ws("\n",
+        lit("HOME | LOGIN | SEARCH"),
+        coalesce(trim(col("text")), lit("")),
+        lit("share"),
+        coalesce(trim(col("text")), lit("")),
+        lit("= = = = ="),
+        lit("COPYRIGHT 2024 ACME")).as("text"))
+
   /** Shared full-recipe curation fixture (q126/q127/q135/q146/q150):
     * benchmark state (exact shingle index, or two folded bloom layers
     * when `deconBloom`), frozen DSIR model, gate/mixture dirs, and —
@@ -3462,6 +3480,25 @@ object SparkEntry {
       Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
           k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- LINE-level cleaning (RefinedWeb line-wise rules): the -----
+    // per-document complement of q152's corpus-frequency cut. The
+    // corpus has no newlines, so the lane builds deterministic
+    // multi-line pages (nav chrome + body + share stub + duplicated
+    // body + footer — every rule has real prey) identically in both
+    // engines, the q89 synthesize-in-query convention.
+    "q173_clean_lines" -> ((s, dir) => {
+      TextAnalysis.cleanLines(linePages(t(s, dir, "documents")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-rule removed-line counts: the line cleaner's alarm ----
+    "q174_line_report" -> ((s, dir) => {
+      TextAnalysis.cleanLinesReport(linePages(t(s, dir, "documents")),
+          "doc_id", "text")
+        .orderBy(col("rule"))
     }),
 
     // ---- FUNNEL-GATED RAG ingest: the q157 quality gate applied ----
@@ -7023,7 +7060,13 @@ object SparkEntry {
 
     // Funnel-gated RAG: the shared q157 rule chain gates documents
     // before the q164 retrieval replay.
-    "q177_rag_gated" -> RagGatedOracleSql
+    "q177_rag_gated" -> RagGatedOracleSql,
+
+    // Line-level cleaning replay over the shared page fixture.
+    "q173_clean_lines" -> CleanLinesOracleSql,
+
+    // Line-cleaner alarm surface: per-rule fail counts + kept total.
+    "q174_line_report" -> LineReportOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
@@ -7122,6 +7165,69 @@ object SparkEntry {
        |$ragEmbedCtesSql,
        |${ragModularTailSql(2000L)}
        |$RagTopKSelectSql""".stripMargin
+
+  /** The q173/q174 line-cleaning replay front: the [[linePages]]
+    * fixture, trimmed non-empty lines, and the four per-line rule
+    * booleans. Ends at `lfl` (doc_id, i, l, r_dup, r_short, r_caps,
+    * r_sym) + `lls` (doc_id, ls).
+    */
+  private val LineCleanCtesSql: String =
+    """lpg AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'HOME | LOGIN | SEARCH' || chr(10) ||
+      |  COALESCE(trim(text), '') || chr(10) || 'share' || chr(10) ||
+      |  COALESCE(trim(text), '') || chr(10) || '= = = = =' ||
+      |  chr(10) || 'COPYRIGHT 2024 ACME' AS text
+      | FROM documents),
+      |lls AS (SELECT doc_id,
+      |  list_filter(list_transform(string_split(trim(text), chr(10)),
+      |    x -> trim(x)), x -> len(x) > 0) AS ls
+      | FROM lpg),
+      |lix AS (SELECT doc_id, ls, CAST(i AS BIGINT) AS i,
+      |  ls[CAST(i AS INT) + 1] AS l
+      | FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM lls)),
+      |lfl AS (SELECT doc_id, i, l,
+      |  len(list_filter(ls[1:CAST(i AS INT)], x -> x = l)) > 0 AS r_dup,
+      |  len(list_filter(string_split_regex(l, '\s+'),
+      |    x -> len(x) > 0)) < 3 AS r_short,
+      |  (upper(l) = l AND regexp_matches(l, '[A-Za-z]')) AS r_caps,
+      |  (len(l) - len(regexp_replace(l, '[^A-Za-z0-9 ]', '', 'g')))
+      |    * 10000 > len(l) * 1500 AS r_sym
+      | FROM lix)""".stripMargin
+
+  /** q173: per-doc kept-line reassembly + counts. */
+  private val CleanLinesOracleSql: String =
+    s"""WITH $LineCleanCtesSql,
+       |lkp AS (SELECT doc_id, i, l FROM lfl
+       | WHERE NOT (r_dup OR r_short OR r_caps OR r_sym)),
+       |lag_ AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |  string_agg(l, chr(10) ORDER BY i) AS clean_text
+       | FROM lkp GROUP BY doc_id),
+       |lnl AS (SELECT doc_id, len(ls) AS n_lines FROM lls)
+       |SELECT lnl.doc_id, CAST(lnl.n_lines AS BIGINT) AS n_lines,
+       | CAST(COALESCE(lag_.n_kept, 0) AS BIGINT) AS n_kept,
+       | CAST(lnl.n_lines - COALESCE(lag_.n_kept, 0) AS BIGINT)
+       |   AS n_removed,
+       | COALESCE(lag_.clean_text, '') AS clean_text
+       |FROM lnl LEFT JOIN lag_ USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q174: per-rule line-fail counts + the kept total. */
+  private val LineReportOracleSql: String =
+    s"""WITH $LineCleanCtesSql,
+       |lagg AS (SELECT
+       |  SUM(CASE WHEN r_dup THEN 1 ELSE 0 END) AS f_dup,
+       |  SUM(CASE WHEN r_short THEN 1 ELSE 0 END) AS f_short,
+       |  SUM(CASE WHEN r_caps THEN 1 ELSE 0 END) AS f_caps,
+       |  SUM(CASE WHEN r_sym THEN 1 ELSE 0 END) AS f_sym,
+       |  SUM(CASE WHEN NOT (r_dup OR r_short OR r_caps OR r_sym)
+       |    THEN 1 ELSE 0 END) AS kept
+       | FROM lfl)
+       |SELECT 'r_dup' AS rule, CAST(f_dup AS BIGINT) AS n FROM lagg
+       |UNION ALL SELECT 'r_short', CAST(f_short AS BIGINT) FROM lagg
+       |UNION ALL SELECT 'r_caps', CAST(f_caps AS BIGINT) FROM lagg
+       |UNION ALL SELECT 'r_sym', CAST(f_sym AS BIGINT) FROM lagg
+       |UNION ALL SELECT 'kept', CAST(kept AS BIGINT) FROM lagg
+       |ORDER BY rule""".stripMargin
 
   /** The TRAINED-centroid RAG chain (q170/q171): the shared chunk +
     * embed front, then the q90-pattern spherical Lloyd's (rounded-

@@ -1549,6 +1549,104 @@ object TextAnalysis {
       .map(k => (k, r.getAs[Long](k))).toDF("rule", "n")
   }
 
+  /** Per-line flag array for [[cleanLines]] / [[cleanLinesReport]]:
+    * one struct per non-empty TRIMMED line with the four line-wise
+    * rule booleans and the keep conjunction. The dup check is an
+    * O(L²) in-array scan per document — L is a document's line count
+    * (bounded by doc size), and the alternative (explode + window)
+    * would shuffle the corpus; per-row it stays zero-Exchange.
+    */
+  private def lineFlags(textCol: Column, minLineTokens: Long,
+      maxSymbol10k: Long): Column =
+    let(filter(transform(split(trim(textCol), "\n"), l => trim(l)),
+        l => length(l) > 0)) { ls =>
+      // slice-bounded indices: a doc with ZERO non-empty lines would
+      // otherwise make sequence(0, -1) count DOWN and index past the
+      // empty array
+      transform(
+        slice(sequence(lit(0), greatest(size(ls) - 1, lit(0))),
+          lit(1), size(ls)), i =>
+        let(element_at(ls, i + 1)) { l =>
+          val dup = size(filter(slice(ls, lit(1), i), x => x === l)) > 0
+          val short = size(filter(split(l, "\\s+"),
+            t => length(t) > 0)) < minLineTokens
+          val caps = upper(l) === l && l.rlike("[A-Za-z]")
+          val sym = (length(l) -
+            length(regexp_replace(l, "[^A-Za-z0-9 ]", ""))).cast("long") *
+            lit(10000L) > length(l).cast("long") * lit(maxSymbol10k)
+          struct(l.as("line"), dup.as("r_dup"), short.as("r_short"),
+            caps.as("r_caps"), sym.as("r_sym"),
+            (!dup && !short && !caps && !sym).as("keep"))
+        })
+    }
+
+  /** LINE-level document cleaning — the per-document complement of
+    * [[graft.operators.Dedup.cutBoilerplate]]'s corpus-frequency cut
+    * (RefinedWeb's line-wise correction, Penedo et al. 2023 §3.2 /
+    * App. E: web pages carry nav chrome, share buttons, and repeated
+    * lines that survive document-level filters). Four rules per
+    * non-empty trimmed line, each engine-portable:
+    *
+    *   - `r_dup`    exact duplicate of an EARLIER line in the same
+    *     document (first occurrence kept; compared post-trim,
+    *     regardless of whether the earlier line was itself removed)
+    *   - `r_short`  fewer than `minLineTokens` whitespace tokens
+    *     (share buttons, counters)
+    *   - `r_caps`   has a letter and equals its own uppercasing
+    *     (ALL-CAPS nav/headers)
+    *   - `r_sym`    non-[A-Za-z0-9 space] characters exceed
+    *     `maxSymbol10k` parts-per-10⁴ of the line — exact-integer
+    *     compare `symChars·10⁴ > len·bound` (menu separators, ASCII
+    *     art; note CJK text is symbol-heavy under this ASCII-centric
+    *     rule by design — scope the operator to Latin-script corpora
+    *     or raise the bound)
+    *
+    * Output: (doc_id, n_lines, n_kept, n_removed, clean_text) with
+    * clean_text the kept lines re-joined by newline (empty when all
+    * lines drop). Per-document pure, zero shuffle — composes with
+    * [[graft.operators.Dedup.cutBoilerplate]] which handles the
+    * cross-document case.
+    */
+  def cleanLines(docs: DataFrame, idCol: String, textCol: String,
+                 minLineTokens: Long = 3L,
+                 maxSymbol10k: Long = 1500L): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        let(lineFlags(col(textCol), minLineTokens, maxSymbol10k)) { f =>
+          let(filter(f, x => x.getField("keep"))) { kept =>
+            struct(size(f).cast("long").as("n_lines"),
+              size(kept).cast("long").as("n_kept"),
+              (size(f) - size(kept)).cast("long").as("n_removed"),
+              array_join(transform(kept, x => x.getField("line")), "\n")
+                .as("clean_text"))
+          }
+        }.as("__s"))
+      .select(col("doc_id"), col("__s.*"))
+
+  /** Per-rule removed-line counts for [[cleanLines]] — the alarm
+    * surface of the line cleaner (the [[qualityFunnelReport]] analog
+    * at line granularity): for each rule the number of lines failing
+    * it (independently — a line failing two rules counts in both),
+    * plus the kept total. One per-row projection + one 1-row
+    * aggregate, unpivoted driver-side.
+    */
+  def cleanLinesReport(docs: DataFrame, idCol: String, textCol: String,
+                       minLineTokens: Long = 3L,
+                       maxSymbol10k: Long = 1500L): DataFrame = {
+    val f = docs.select(
+      lineFlags(col(textCol), minLineTokens, maxSymbol10k).as("__f"))
+    def cnt(field: String) =
+      sum(size(filter(col("__f"), x => x.getField(field))).cast("long"))
+    val agg = f.agg(
+      cnt("r_dup").as("r_dup"), cnt("r_short").as("r_short"),
+      cnt("r_caps").as("r_caps"), cnt("r_sym").as("r_sym"),
+      cnt("keep").as("kept"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = agg.collect().head
+    Seq("r_dup", "r_short", "r_caps", "r_sym", "kept")
+      .map(k => (k, r.getAs[Long](k))).toDF("rule", "n")
+  }
+
   /** Sliding-window document chunking — the RAG-ingestion primitive
     * (fixed-size token windows with overlap, the LangChain/LlamaIndex
     * "chunk_size/chunk_overlap" contract): chunk starts step by

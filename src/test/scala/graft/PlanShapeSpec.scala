@@ -449,6 +449,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "Exchange") == 0, p)
   }
 
+  test("cleanLines is a zero-shuffle per-row projection") {
+    val docs = Seq((1L, "HOME\nreal body line here\nHOME"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.cleanLines(
+      docs, "doc_id", "text"))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
   test("stratifiedQualityCut: literal-bounded per-stratum window " +
       "(partial top-k pushed), caps broadcast, no single-partition " +
       "window") {

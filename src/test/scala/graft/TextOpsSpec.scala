@@ -267,4 +267,35 @@ class TextOpsSpec extends SparkSpecBase {
     val s = out.filter(_._1 == "s")
     assert(s.sliding(2).forall(p => p(0)._5 == p(1)._4))
   }
+  test("cleanLines: each rule fires independently; dup counts against " +
+      "an earlier REMOVED line too; empty lines vanish; all-removed " +
+      "docs keep an empty clean_text") {
+    val docs = Seq(
+      // keep, CAPS-removed, dup-of-kept, short, symbol-heavy, and a
+      // dup of the REMOVED caps line (still a dup), plus blank lines
+      (1L, "real body line here\n\nMENU BAR\nreal body line here\n" +
+        "ok\n*** *** ***\nMENU BAR\nsecond body line kept"),
+      (2L, "AAA BBB CCC"), // single all-caps line: everything removed
+      (3L, "   \n  \n")  // only blank lines: zero lines
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanLines(docs, "doc_id", "text",
+        minLineTokens = 2L, maxSymbol10k = 1500L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "n_removed", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 7L, 2L, 5L,
+      "real body line here\nsecond body line kept")))
+    assert(out(1) == ((2L, 1L, 0L, 1L, "")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, "")))
+    // the report counts rules independently and sums across docs
+    val rep = TextAnalysis.cleanLinesReport(docs, "doc_id", "text",
+        minLineTokens = 2L, maxSymbol10k = 1500L)
+      .as[(String, Long)].collect().toMap
+    // dups: line 4 (dup of kept) + line 7 (dup of removed MENU BAR)
+    assert(rep("r_dup") == 2L)
+    assert(rep("r_short") == 1L)   // "ok"
+    assert(rep("r_caps") == 3L)    // MENU BAR x2 + AAA BBB CCC
+    assert(rep("r_sym") == 1L)     // *** *** ***
+    assert(rep("kept") == 2L)
+  }
 }
