@@ -3501,6 +3501,27 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    // ---- PERSISTED temperature-mix state: two doc-disjoint folds ---
+    // write skinny (id, stratum, hash, token-count) rows; τ=½
+    // re-balancing re-derives caps from the summed index — O(index)
+    // after new ingest — and equals the one-shot q156 selection
+    // (verbatim oracle).
+    "q175_temperature_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("tmix_idx").toString
+      TextAnalysis.tempMixIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "source",
+        "text", idx, 1L)
+      TextAnalysis.tempMixIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "source",
+        "text", idx, 2L)
+      TextAnalysis.temperatureMixFromIndex(s, idx, "source",
+          budgetDocs = 120L)
+        .select(col("doc_id"), col("source"), col("mix_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- FUNNEL-GATED RAG ingest: the q157 quality gate applied ----
     // BEFORE chunking (the q162 production order on this vertical) —
     // boilerplate/off-language docs never cost chunk, embed, or index
@@ -4678,6 +4699,27 @@ object SparkEntry {
        |SELECT CAST(cutoff AS BIGINT) AS cutoff, user_id, event_id, state,
        | value, ts_us AS valid_from_us, valid_until_us
        |FROM f ORDER BY cutoff, user_id, valid_from_us, event_id""".stripMargin
+
+  /** Shared by q156 (one-shot) and q175 (persisted token-sum
+    * index folds): per-source token sums, floor-sqrt weights,
+    * integer caps, hash-rank selection.
+    */
+  private val TemperatureMixOracleSql: String =
+      s"""WITH tk AS (SELECT source,
+         |  SUM(len(string_split_regex(trim(text), '\\s+'))) AS t
+         | FROM documents GROUP BY source),
+         |w AS (SELECT source,
+         |  CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS w FROM tk),
+         |sw AS (SELECT SUM(w) AS s FROM w),
+         |caps AS (SELECT source, (120 * w) // s AS k FROM w, sw),
+         |r AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+         |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|' || source")},
+         |    doc_id) AS mix_rank
+         | FROM documents)
+         |SELECT doc_id, source, CAST(mix_rank AS BIGINT) AS mix_rank
+         |FROM r JOIN caps USING (source)
+         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -6848,22 +6890,14 @@ object SparkEntry {
 
     // Temperature-mix replay: per-source token sums -> integer
     // sqrt weights -> budget caps -> the q96 hash-rank selection.
-    "q156_temperature_mix" ->
-      s"""WITH tk AS (SELECT source,
-         |  SUM(len(string_split_regex(trim(text), '\\s+'))) AS t
-         | FROM documents GROUP BY source),
-         |w AS (SELECT source,
-         |  CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS w FROM tk),
-         |sw AS (SELECT SUM(w) AS s FROM w),
-         |caps AS (SELECT source, (120 * w) // s AS k FROM w, sw),
-         |r AS (SELECT doc_id, source,
-         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-         |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|' || source")},
-         |    doc_id) AS mix_rank
-         | FROM documents)
-         |SELECT doc_id, source, CAST(mix_rank AS BIGINT) AS mix_rank
-         |FROM r JOIN caps USING (source)
-         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin,
+    "q156_temperature_mix" -> TemperatureMixOracleSql,
+
+    // Persisted index folds + re-derived caps equal the one-shot
+    // selection (token counts are per-doc pure and ADD across
+    // doc-disjoint folds) — verbatim q156 oracle.
+    "q175_temperature_incremental" -> TemperatureMixOracleSql,
+
+
 
     // Quality-funnel replay: the shared rule chain (also the q162
     // funnel block, f-prefixed there) — thresholds live in ONE place.

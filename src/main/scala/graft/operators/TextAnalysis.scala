@@ -859,13 +859,71 @@ object TextAnalysis {
       .agg(sum(size(tokens(col(textCol))).cast("long")).as("t"))
       .collect()
       .map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
-    val w = stats.map { case (s, t) =>
+    mixApplyCaps(docs, idCol, strataCol, temperatureCaps(stats, budgetDocs))
+  }
+
+  /** The τ=½ cap derivation shared by [[temperatureMix]] and
+    * [[temperatureMixFromIndex]] (driver-side, |strata|-sized input):
+    * w_s = floor(sqrt(token_s)), k_s = (budget · w_s) div Σw.
+    */
+  private[graft] def temperatureCaps(tokenSums: Map[String, Long],
+      budgetDocs: Long): Map[String, Long] = {
+    val w = tokenSums.map { case (s, t) =>
       s -> math.floor(math.sqrt(t.toDouble)).toLong }
     val sumW = w.values.sum
     val caps =
       if (sumW == 0L) Map.empty[String, Long]
       else w.map { case (s, ws) => s -> budgetDocs * ws / sumW }
-    mixApplyCaps(docs, idCol, strataCol, caps.filter(_._2 > 0))
+    caps.filter(_._2 > 0)
+  }
+
+  /** Append one ingest batch to a persisted TEMPERATURE-mix index —
+    * [[mixIndexAppend]]'s skinny-row pattern with the per-doc TOKEN
+    * COUNT frozen in alongside the sort hash: (doc_id, stratum, h,
+    * n_tokens). Token counts are per-doc pure, so per-stratum sums
+    * ADD across doc-disjoint folds; re-balancing after new ingest
+    * then re-derives the τ=½ caps from the index alone — O(index),
+    * never a corpus re-scan (the 100 TB text column never lands in
+    * the index). Append-only like the star pipeline's batches.
+    */
+  def tempMixIndexAppend(batch: DataFrame, idCol: String,
+                         strataCol: String, textCol: String,
+                         indexDir: String, batchId: Long): Unit =
+    batch.select(col(idCol).as("doc_id"),
+        col(strataCol).as("stratum"),
+        charPolyHash(concat(col(idCol).cast("string"), lit("|"),
+          col(strataCol))).as("h"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Re-derive the exact τ=½ temperature selection from the persisted
+    * index: per-stratum token sums from the skinny rows (strata-sized
+    * aggregate), [[temperatureCaps]] with the same exact-integer
+    * arithmetic, per-stratum window over the FROZEN sort hash. The
+    * kept set is a pure function of (all (id, stratum, tokens) seen,
+    * budget), so folding batches then selecting equals the one-shot
+    * [[temperatureMix]] over the union — q175 proves it against the
+    * verbatim q156 oracle. Returns (doc_id, `strataCol`, mix_rank).
+    */
+  def temperatureMixFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, strataCol: String,
+                              budgetDocs: Long): DataFrame = {
+    require(budgetDocs >= 0, "budgetDocs >= 0")
+    import spark.implicits._
+    val idx = spark.read.parquet(indexDir)
+      .select("doc_id", "stratum", "h", "n_tokens")
+    val stats = idx.groupBy("stratum")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+    val caps = temperatureCaps(stats, budgetDocs)
+    val capsDf = caps.toSeq.sortBy(_._1).toDF("stratum", "k")
+    val maxK = if (caps.isEmpty) 0L else caps.values.max
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("h"), col("doc_id"))
+    idx.join(broadcast(capsDf), Seq("stratum"))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .filter(col("mix_rank") <= lit(maxK) && col("mix_rank") <= col("k"))
+      .select(col("doc_id"), col("stratum").as(strataCol), col("mix_rank"))
   }
 
   /** Exact integer cap derivation (driver-side, |strata|-sized input):

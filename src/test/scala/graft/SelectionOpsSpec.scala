@@ -178,6 +178,42 @@ class SelectionOpsSpec extends SparkSpecBase {
       budgetDocs = 1000L).count() == 20L)
   }
 
+  test("temperatureMixFromIndex: doc-disjoint folds + re-derived " +
+      "caps equal the one-shot selection; a third fold re-balances " +
+      "without touching earlier rows") {
+    val docs = ((1L to 16L).map(i => (i, "A", s"w$i x$i y$i z$i")) ++
+      (17L to 20L).map(i => (i, "B", s"w$i x$i y$i z$i")))
+      .toDF("doc_id", "source", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("tmix_spec").toString
+    TextAnalysis.tempMixIndexAppend(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "source", "text",
+      idx, 1L)
+    TextAnalysis.tempMixIndexAppend(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "source", "text",
+      idx, 2L)
+    val incr = TextAnalysis.temperatureMixFromIndex(spark, idx,
+        "source", budgetDocs = 6L)
+      .select("doc_id", "source", "mix_rank").orderBy("doc_id").collect()
+    val oneShot = TextAnalysis.temperatureMix(docs, "doc_id", "source",
+        "text", budgetDocs = 6L)
+      .select("doc_id", "source", "mix_rank").orderBy("doc_id").collect()
+    assert(incr.toSeq == oneShot.toSeq && incr.nonEmpty)
+    // new ingest: 12 more B docs arrive — the union's caps re-derive
+    // from the index alone and still equal the one-shot replay
+    val more = (21L to 32L).map(i => (i, "B", s"w$i x$i y$i z$i"))
+      .toDF("doc_id", "source", "text")
+    TextAnalysis.tempMixIndexAppend(more, "doc_id", "source", "text",
+      idx, 3L)
+    val grown = TextAnalysis.temperatureMixFromIndex(spark, idx,
+        "source", budgetDocs = 6L)
+      .select("doc_id", "source", "mix_rank").orderBy("doc_id").collect()
+    val grownOneShot = TextAnalysis.temperatureMix(docs.union(more),
+        "doc_id", "source", "text", budgetDocs = 6L)
+      .select("doc_id", "source", "mix_rank").orderBy("doc_id").collect()
+    assert(grown.toSeq == grownOneShot.toSeq)
+  }
+
   test("bpeDecode round-trips a markWords-marked encode: original " +
       "spacing restored (whitespace-normalized), multibyte intact") {
     val docs = Seq((1L, "  the cat   sat  "), (2L, "低 low lower"),
