@@ -3501,6 +3501,39 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    // ---- multimodal: REAL multi-frame codec — GIF sequences --------
+    // Deterministic multi-frame GIFs generated per event (dims, frame
+    // count, and each frame's solid gray are pure functions of
+    // event_id), decoded through the REAL javax.imageio GIF reader on
+    // the q83 mapPartitions seam. The oracle predicts frame count and
+    // the dominant cross-frame luminance bin (integer frame-count
+    // argmax, lowest bin breaking ties) from event_id alone — frame
+    // ENUMERATION and per-frame pixel decode both have to be right.
+    "q176_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(50)) === 0)
+        .select(col("event_id").cast("long").as("media_id"),
+          (lit(8) + pmod(col("event_id"), lit(16))).cast("int").as("w"),
+          (lit(8) + pmod(col("event_id"), lit(5))).cast("int").as("h"),
+          (lit(1) + pmod(col("event_id"), lit(4))).cast("int").as("nf"),
+          pmod(col("event_id"), lit(256)).cast("int").as("g"))
+        .as[(Long, Int, Int, Int, Int)]
+        .map { case (id, w, h, nf, g) => Multimodal.MediaRow(
+          id, "video", Multimodal.encodeGif(w, h,
+            (0 until nf).map(f => (g + 17 * f) % 256)), "image/gif") }
+      Multimodal
+        .decodeFeatures(media, Multimodal.GifCodec, parallelism = Some(8))
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          (array_position(col("feature"), array_max(col("feature"))) - 1)
+            .cast("long").as("top_bin"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- PERSISTED temperature-mix state: two doc-disjoint folds ---
     // write skinny (id, stratum, hash, token-count) rows; τ=½
     // re-balancing re-derives caps from the summed index — O(index)
@@ -6896,6 +6929,27 @@ object SparkEntry {
     // selection (token counts are per-doc pure and ADD across
     // doc-disjoint folds) — verbatim q156 oracle.
     "q175_temperature_incremental" -> TemperatureMixOracleSql,
+
+    // GIF decode replay: every frame of a media is one solid gray, so
+    // the dominant luminance bin is the frame-count argmax over
+    // ((gray + 17f) % 256) // 32, lowest bin breaking ties (tied
+    // integer counts normalize to tied floats; array_position finds
+    // the first).
+    "q176_gif_frames" ->
+      s"""WITH e AS ($EventsUsSql),
+         |gm AS (SELECT CAST(event_id AS BIGINT) AS media_id,
+         |  8 + event_id % 16 AS width, 8 + event_id % 5 AS height,
+         |  1 + event_id % 4 AS nf, event_id % 256 AS gray
+         | FROM e WHERE event_id % 50 = 0),
+         |gc AS (SELECT media_id, width, height, nf,
+         |  list_transform(range(8), b -> len(list_filter(range(nf),
+         |    f -> ((gray + 17 * f) % 256) // 32 = b))) AS cl
+         | FROM gm)
+         |SELECT media_id, CAST(width AS BIGINT) AS width,
+         | CAST(height AS BIGINT) AS height,
+         | CAST(nf AS BIGINT) AS n_frames,
+         | CAST(list_position(cl, list_max(cl)) - 1 AS BIGINT) AS top_bin
+         |FROM gc ORDER BY media_id""".stripMargin,
 
 
 

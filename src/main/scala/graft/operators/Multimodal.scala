@@ -132,6 +132,91 @@ object Multimodal {
       }
   }
 
+  /** Real MULTI-FRAME image decode via `javax.imageio`'s GIF reader
+    * (pure JVM) — the third real modality on the codec seam, retiring
+    * [[FakeCodec]] for frame-indexed media: actual frame COUNT
+    * (`reader.getNumImages`), first-frame pixel dimensions, and the
+    * 8-bin luminance histogram aggregated across ALL frames
+    * (normalized to the total pixel count) as the feature vector. The
+    * Java GIF reader returns each sequence frame as written (our
+    * fixtures write full frames, no inter-frame delta disposal), so
+    * per-frame pixels are exact. Undecodable payloads fail the task —
+    * dead-letter upstream, as with [[ImageIoCodec]].
+    */
+  object GifCodec extends Codec {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"undecodable payload: media ${r.media_id}")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val nFrames = reader.getNumImages(true)
+          require(nFrames > 0, s"media ${r.media_id}: zero frames")
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          val hist = new Array[Long](8)
+          var total = 0L
+          var f = 0
+          while (f < nFrames) {
+            val img = reader.read(f)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                  + (rgb & 0xff)) / 3
+                hist(lum >> 5) += 1
+                x += 1
+              }
+              y += 1
+            }
+            total += img.getWidth.toLong * img.getHeight
+            f += 1
+          }
+          MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
+            w, h, nFrames, hist.map(_ / total.toFloat))
+        } finally reader.dispose()
+      }
+  }
+
+  /** Deterministic multi-frame GIF bytes (pure-JVM encode via the
+    * `javax.imageio` GIF writer's `writeToSequence`) — the fixture
+    * generator for [[GifCodec]]: frame count, dimensions, and each
+    * frame's solid gray are exact functions of the arguments, so an
+    * oracle can predict the decode output without seeing the bytes.
+    */
+  def encodeGif(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
+    require(grays.nonEmpty, "at least one frame")
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF writer in this JVM")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Deterministic 16-bit mono PCM WAV bytes (pure-JVM encode via
     * `javax.sound.sampled`) — the fixture generator for [[WavCodec]]:
     * sample rate, sample count, and the dominant histogram bin are

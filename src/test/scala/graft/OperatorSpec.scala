@@ -103,6 +103,35 @@ class OperatorSpec extends SparkSpecBase {
       f.n_bytes != f.width.toLong * f.height * 3))
   }
 
+  test("GifCodec: multi-frame GIF encode→decode round-trips frame " +
+    "count, dimensions, and the cross-frame luminance histogram") {
+    val rows = Seq(
+      // 3 frames at grays 32, 96, 96: bins 1, 3, 3 → dominant bin 3
+      Multimodal.MediaRow(1, "video",
+        Multimodal.encodeGif(12, 5, Seq(32, 96, 96)), "image/gif"),
+      // single frame: degenerate sequence still decodes
+      Multimodal.MediaRow(2, "video",
+        Multimodal.encodeGif(7, 9, Seq(255)), "image/gif"),
+      // 4 frames all one gray: histogram concentrates fully
+      Multimodal.MediaRow(3, "video",
+        Multimodal.encodeGif(6, 6, Seq(0, 0, 0, 0)), "image/gif"))
+      .toDS()
+    val feats = Multimodal
+      .decodeFeatures(rows, Multimodal.GifCodec, parallelism = Some(2))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.width, f.height, f.n_frames)).toSeq ==
+      Seq((12, 5, 3), (7, 9, 1), (6, 6, 4)))
+    val f1 = feats(0).feature
+    assert(math.abs(f1(1) - 1f / 3) < 1e-6 &&
+      math.abs(f1(3) - 2f / 3) < 1e-6)
+    assert(feats(1).feature(7) == 1.0f)
+    assert(feats(2).feature(0) == 1.0f)
+    // frame sampling composes over the REAL frame count
+    val frames = Multimodal.sampleFrames(feats.toSeq.toDF(), stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames == Set((1L, 0), (1L, 2), (2L, 0), (3L, 0), (3L, 2)))
+  }
+
   test("WavCodec: real javax.sound.sampled round-trip — header (rate, " +
       "channels) and frame parse (count, amplitude histogram) recovered " +
       "from encoded RIFF bytes") {
