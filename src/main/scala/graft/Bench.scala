@@ -44,7 +44,12 @@ object Bench {
     // quality funnel (zero-shuffle per-row projection), and the RAG
     // vertical (chunk → hash-embed → persisted SQ8 → pruned query)
     "q152_cut_boilerplate", "q155_quantized_search",
-    "q157_quality_funnel", "q164_rag_vertical")
+    "q157_quality_funnel", "q164_rag_vertical",
+    // round 12: the trained-centroid RAG chain (sample-train + frozen
+    // coarse quantizer + geometric probe pruning — the production
+    // retrieval shape) and line-level cleaning (the zero-shuffle
+    // per-row projection trendline for document hygiene)
+    "q170_rag_trained", "q173_clean_lines")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
