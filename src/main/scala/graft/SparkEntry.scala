@@ -3579,6 +3579,59 @@ object SparkEntry {
       Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
           k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- TOMBSTONE DELETE in the persisted vector index: the -------
+    // right-to-be-forgotten path. Fold evens → delete %3==0 → fold
+    // odds → query: even multiples of 3 stop being retrievable; odd
+    // multiples of 3 arrive AFTER the delete and must survive (the
+    // tombstone's upto bound kills the past, not the future).
+    "q178_vector_delete" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val idx = java.nio.file.Files
+        .createTempDirectory("sq8_del").toString
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", col("label"), idx, 1L)
+      Ann.deleteFromVectorIndex(s, idx,
+        em.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id"),
+        "vec_id")
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", col("label"), idx, 2L)
+      val qs = em.filter(col("vec_id") < 8)
+        .withColumn("probes", array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      Ann.sq8IndexQuery(s, idx, qs, "vec_id", "embedding", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- delete → COMPACT (physical erasure) → append → delete -----
+    // again: the first tombstone is applied and dropped by the
+    // rewrite; the second must reach BOTH the compact layer (rows
+    // effective at the absorbed high-water) and the fresh batch.
+    "q179_delete_compacted" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val idx = java.nio.file.Files
+        .createTempDirectory("sq8_del_comp").toString
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", col("label"), idx, 1L)
+      Ann.deleteFromVectorIndex(s, idx,
+        em.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id"),
+        "vec_id")
+      Ann.compactVectorIndex(s, idx, partitionCol = "cluster")
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", col("label"), idx, 2L)
+      Ann.deleteFromVectorIndex(s, idx,
+        em.filter(pmod(col("vec_id"), lit(5)) === 1).select("vec_id"),
+        "vec_id")
+      val qs = em.filter(col("vec_id") < 8)
+        .withColumn("probes", array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      Ann.sq8IndexQuery(s, idx, qs, "vec_id", "embedding", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -7154,7 +7207,14 @@ object SparkEntry {
     "q173_clean_lines" -> CleanLinesOracleSql,
 
     // Line-cleaner alarm surface: per-rule fail counts + kept total.
-    "q174_line_report" -> LineReportOracleSql
+    "q174_line_report" -> LineReportOracleSql,
+
+    // Tombstone delete: candidate set restricted to the rows the
+    // delete choreography leaves alive; queries unaffected.
+    "q178_vector_delete" -> VectorDeleteOracleSql,
+
+    // Delete → compact (physical) → append → delete again.
+    "q179_delete_compacted" -> VectorDeleteCompactedOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
@@ -7410,12 +7470,15 @@ object SparkEntry {
        |FROM (SELECT DISTINCT query_id FROM exact) qq
        |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin)
 
-  /** Shared by q159 (in-memory IVF-SQ8) and q160 (persisted code
-    * layers + compaction): q78's probe convention over the q155
-    * quantized lists.
+  /** The IVF-SQ8 search replay (q78's probe convention over the q155
+    * quantized lists), parameterized by the candidate SURVIVOR
+    * predicate — `TRUE` for the delete-free lanes; the q178/q179
+    * tombstone lanes restrict the candidate set to the rows their
+    * delete choreography leaves alive (queries are external and
+    * unaffected).
     */
-  private val IvfSq8OracleSql: String =
-    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+  private def ivfSq8OracleSql(survivors: String): String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |  CAST(label AS BIGINT) AS label FROM embeddings),
       |qv AS (SELECT vec_id, label,
       |  list_transform(v, x -> floor((x * 127) /
@@ -7430,12 +7493,35 @@ object SparkEntry {
       | FROM n WHERE vec_id < 8),
       |sx AS (SELECT query_id, c.vec_id AS neighbor_id,
       |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0 AS sim
-      | FROM p JOIN n c ON probe = c.label AND query_id <> c.vec_id),
+      | FROM p JOIN n c ON probe = c.label AND query_id <> c.vec_id
+      |   AND ($survivors)),
       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       | FROM sx)
       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by q159 (in-memory IVF-SQ8) and q160 (persisted code
+    * layers + compaction).
+    */
+  private val IvfSq8OracleSql: String = ivfSq8OracleSql("TRUE")
+
+  /** q178: fold evens → delete %3==0 (high-water 1) → fold odds.
+    * Even multiples of 3 die (eff 1 ≤ upto 1); odd multiples of 3
+    * arrive AFTER the delete (eff 2 > upto 1) and must survive — the
+    * delete-kills-the-past-not-the-future contract.
+    */
+  private val VectorDeleteOracleSql: String = ivfSq8OracleSql(
+    "(c.vec_id % 2 = 0 AND c.vec_id % 3 <> 0) OR c.vec_id % 2 = 1")
+
+  /** q179: q178's choreography with a compaction applying the first
+    * tombstone physically, then a SECOND delete (%5==1, high-water 2)
+    * that must reach both the compact layer (effective id = absorbed
+    * high-water) and the fresh batch.
+    */
+  private val VectorDeleteCompactedOracleSql: String = ivfSq8OracleSql(
+    "((c.vec_id % 2 = 0 AND c.vec_id % 3 <> 0) OR c.vec_id % 2 = 1) " +
+      "AND c.vec_id % 5 <> 1")
 
   /** Shared by q152 (one-shot) and q153 (persisted-index folds). */
   private val CutBoilerplateOracleSql: String =

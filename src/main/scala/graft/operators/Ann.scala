@@ -401,10 +401,11 @@ object Ann {
 
   // ----------------------------------------------- persisted-index layers
 
-  /** Both persisted vector indexes ([[ivfIndexAppend]],
-    * [[ivfPqIndexAppend]]) are append-only parquet layers: appends
-    * write `batch=N`, [[compactVectorIndex]] writes `compact=M` — a
-    * SEPARATE namespace, so a monotonically-numbered appender
+  /** All persisted vector indexes ([[ivfIndexAppend]],
+    * [[sq8IndexAppend]], [[ivfPqIndexAppend]]) are append-only parquet
+    * layers: appends write `batch=N`, [[compactVectorIndex]] writes
+    * `compact=M`, [[deleteFromVectorIndex]] writes `tombstone=T` —
+    * each a SEPARATE namespace, so a monotonically-numbered appender
     * (streaming micro-batch ids) can never collide with — and
     * silently replace — a compacted layer holding the whole index.
     * An optional `_LAYERS` manifest at the index root lists the LIVE
@@ -464,7 +465,8 @@ object Ann {
     if (!d.isDirectory) Seq.empty
     else d.listFiles.filter(f => f.isDirectory &&
         (f.getName.startsWith("batch=") ||
-          f.getName.startsWith("compact=")))
+          f.getName.startsWith("compact=") ||
+          f.getName.startsWith("tombstone=")))
       .map(_.getName).sorted.toSeq
   }
 
@@ -505,15 +507,56 @@ object Ann {
           .parquet(ls.sorted.map(l => s"$indexDir/$l"): _*).drop(pfx)
       }.reduce(_ unionByName _)
 
+  /** Data layers tagged with their EFFECTIVE batch id (`__eff`): a
+    * `batch=N` row carries N; a `compact=` row carries the absorbed
+    * high-water mark recorded when it was written (everything inside
+    * it is "as of" that append). The effective id is what tombstone
+    * `upto` bounds compare against — it is how a re-added id outlives
+    * the deletion of its earlier incarnation.
+    */
+  private def readDataLayersEff(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String,
+                                layers: Seq[String]): DataFrame =
+    layers.groupBy(_.takeWhile(_ != '=')).toSeq.sortBy(_._1)
+      .map { case (pfx, ls) =>
+        val df = spark.read.option("basePath", indexDir)
+          .parquet(ls.sorted.map(l => s"$indexDir/$l"): _*)
+        val eff = if (pfx == "batch") col("batch").cast("long")
+          else lit(absorbedHighWater(indexDir))
+        df.withColumn("__eff", eff).drop(pfx)
+      }.reduce(_ unionByName _)
+
+  /** Live rows of the index = data layers minus tombstones: a row is
+    * dead iff some tombstone names its `emb_id` with `upto` at or
+    * above the row's effective batch id. Tombstones are a sliver by
+    * contract (deletions, not churn) — broadcast onto the scan; when
+    * none exist this is exactly the plain layer union (zero plan
+    * change for delete-free indexes).
+    */
+  private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              layers: Seq[String]): DataFrame = {
+    val (tomb, data) = layers.partition(_.startsWith("tombstone="))
+    if (tomb.isEmpty) readLayerGroup(spark, indexDir, data)
+    else {
+      val ts = broadcast(readLayerGroup(spark, indexDir, tomb)
+        .select(col("emb_id").as("__t_id"), col("upto").as("__t_upto")))
+      readDataLayersEff(spark, indexDir, data)
+        .join(ts, col("emb_id") === col("__t_id") &&
+          col("__t_upto") >= col("__eff"), "left_anti")
+        .drop("__eff")
+    }
+  }
+
   /** Manifest-aware index scan: live layers only (with the
-    * cluster/coarse partition columns recovered via basePath); plain
-    * recursive scan for pre-manifest indexes.
+    * cluster/coarse partition columns recovered via basePath), minus
+    * tombstoned rows; plain recursive scan for pre-manifest indexes.
     */
   private def readIndexLayers(spark: org.apache.spark.sql.SparkSession,
                               indexDir: String): DataFrame =
     readLayers(indexDir) match {
       case Some(layers) if layers.nonEmpty =>
-        readLayerGroup(spark, indexDir, layers)
+        applyTombstones(spark, indexDir, layers)
       case _ =>
         // no (or empty) manifest: scan the directory for layer dirs —
         // but ONLY within a single namespace. A compact= layer holds
@@ -525,6 +568,14 @@ object Ann {
         // post-compaction append here, so fail loudly instead of
         // guessing (restore the manifest, or delete the orphan dirs).
         val dirs = existingLayerDirs(indexDir)
+        // a tombstone layer is only meaningful relative to the manifest
+        // that recorded it next to its data layers — without one we
+        // cannot know whether a compact= dir already applied it
+        // (resurrection risk), so fail loudly rather than guess
+        require(!dirs.exists(_.startsWith("tombstone=")),
+          s"index $indexDir has tombstone= layer dirs but no _LAYERS " +
+            "manifest — deletions cannot be safely replayed without " +
+            "the manifest; restore it or rebuild the index")
         val namespaces = dirs.map(_.takeWhile(_ != '=')).distinct
         require(namespaces.length <= 1,
           s"index $indexDir has no _LAYERS manifest but BOTH batch= and " +
@@ -554,7 +605,11 @@ object Ann {
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, partitionCol: String): Unit = {
     val layers = liveLayers(indexDir)
-    if (layers.length <= 1) return
+    val nData = layers.count(!_.startsWith("tombstone="))
+    // a lone data layer with live tombstones still compacts: that
+    // rewrite is what turns the logical deletion into PHYSICAL erasure
+    // (the GDPR property — bytes gone from disk, not just filtered)
+    if (nData <= 1 && layers.length == nData) return
     val absorbed = (absorbedHighWater(indexDir) +:
       layers.filter(_.startsWith("batch="))
         .flatMap(_.stripPrefix("batch=").toLongOption)).max
@@ -563,7 +618,7 @@ object Ann {
       .filter(_.startsWith("compact="))
       .flatMap(_.stripPrefix("compact=").toLongOption)
       .maxOption.getOrElse(0L) + 1}"
-    readLayerGroup(spark, indexDir, layers)
+    applyTombstones(spark, indexDir, layers)
       .write.mode("overwrite").partitionBy(partitionCol)
       .parquet(s"$indexDir/$dest")
     writeManifest(indexDir, Map("absorbed" -> absorbed.toString), Seq(dest))
@@ -575,6 +630,53 @@ object Ann {
           java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  /** Delete ids from a persisted vector index — the right-to-be-
+    *-forgotten path every production vector store needs (a user
+    * deletes a document; its chunks must stop being retrievable NOW
+    * and leave the disk at the next compaction). Deletion is a
+    * TOMBSTONE layer (`tombstone=N`, skinny `(emb_id, upto)` rows,
+    * registered in the `_LAYERS` manifest like any other layer):
+    *
+    *   - `upto` freezes the data high-water mark AT DELETE TIME, so a
+    *     LATER append that re-adds the same id is untouched — deletes
+    *     kill the past, not the future (readers compare `upto` against
+    *     each row's effective batch id);
+    *   - queries subtract tombstones via a broadcast anti-join
+    *     (tombstones are a sliver by contract); an index with no
+    *     tombstones keeps its exact pre-delete plan;
+    *   - [[compactVectorIndex]] applies tombstones during its rewrite
+    *     and drops them from the manifest — the logical delete becomes
+    *     PHYSICAL erasure (no deleted byte survives in any live file),
+    *     and the id is free to be re-appended afterwards;
+    *   - replaying a tombstone layer rewrites the same `(emb_id,
+    *     upto)` rows — deletion is idempotent by construction.
+    *
+    * Deleting an id the index never held is a harmless no-op row.
+    * Reference analog: the cascading-delete / retention operators on
+    * the star side (person data erasure); here applied to the
+    * embedding tier, where "delete my data" must reach the RAG index
+    * too, not just the document store.
+    */
+  def deleteFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, ids: DataFrame,
+                            idCol: String): Unit = {
+    val layers = liveLayers(indexDir)
+    val data = layers.filterNot(_.startsWith("tombstone="))
+    require(data.nonEmpty,
+      s"cannot delete from $indexDir: no live data layers")
+    val upto = (absorbedHighWater(indexDir) +:
+      data.filter(_.startsWith("batch="))
+        .flatMap(_.stripPrefix("batch=").toLongOption)).max
+    val dest = s"tombstone=${existingLayerDirs(indexDir)
+      .filter(_.startsWith("tombstone="))
+      .flatMap(_.stripPrefix("tombstone=").toLongOption)
+      .maxOption.getOrElse(0L) + 1}"
+    ids.select(col(idCol).as("emb_id")).distinct()
+      .withColumn("upto", lit(upto))
+      .write.mode("overwrite").parquet(s"$indexDir/$dest")
+    registerLayer(indexDir, dest)
   }
 
   /** Append one micro-batch of vectors to a PERSISTED IVF index — the

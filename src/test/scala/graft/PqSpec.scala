@@ -477,4 +477,123 @@ class PqSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
     assert(tied.toSeq == Seq((0L, 2L, false)))
   }
+
+  test("tombstone delete: deleted ids stop being retrievable; a later " +
+      "re-add survives the old tombstone; a later delete kills it; " +
+      "pruning survives; ids the index never held are harmless") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0L to 40L).map(i =>
+      (i, Array.fill(4)((i % 5).toFloat + 1f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("sq8_tomb_spec").toString
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 20), "vec_id",
+      "embedding", col("label"), idx, 1L)
+    val qs = vecs.filter(col("vec_id") === 0L)
+      .withColumn("probes", array(col("label").cast("long")))
+    def hits() = Ann.sq8IndexQuery(spark, idx, qs, "vec_id",
+        "embedding", "probes", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits().contains(5L) && hits().contains(10L))
+    // 99 was never in the index — deleting it is a harmless no-op row
+    Ann.deleteFromVectorIndex(spark, idx,
+      Seq(5L, 10L, 99L).toDF("vec_id"), "vec_id")
+    assert(!hits().contains(5L) && !hits().contains(10L))
+    assert(hits().contains(15L))
+    // batch 2 re-adds 5: effective id 2 > tombstone upto 1 — survives
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") === 5L ||
+        col("vec_id") >= 20), "vec_id", "embedding", col("label"),
+      idx, 2L)
+    assert(hits().contains(5L) && !hits().contains(10L))
+    // a SECOND delete (upto 2) reaches the re-added incarnation
+    Ann.deleteFromVectorIndex(spark, idx, Seq(5L).toDF("vec_id"),
+      "vec_id")
+    assert(!hits().contains(5L))
+    // the DATA scan still partition-prunes to the probed clusters;
+    // the tombstone scan is a skinny unpartitioned sliver (its empty
+    // PartitionFilters are expected)
+    val p = Ann.sq8IndexQuery(spark, idx, qs, "vec_id", "embedding",
+      "probes", k = 10).queryExecution.executedPlan.toString
+    val dataScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("cluster"))
+      .toSeq
+    assert(dataScans.nonEmpty, p)
+    assert(dataScans.forall(l => l.contains("PartitionFilters: [") &&
+      !l.contains("PartitionFilters: []")), dataScans.mkString("\n"))
+  }
+
+  test("tombstone delete: compaction is PHYSICAL erasure — deleted " +
+      "ids absent from every surviving parquet byte, tombstone dirs " +
+      "GC'd; answers unchanged; the id is free to return afterwards") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0L to 19L).map(i =>
+      (i, Array.fill(4)((i % 5).toFloat + 1f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("sq8_tomb_gdpr").toString
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 10), "vec_id",
+      "embedding", col("label"), idx, 1L)
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") >= 10), "vec_id",
+      "embedding", col("label"), idx, 2L)
+    Ann.deleteFromVectorIndex(spark, idx, Seq(3L, 14L).toDF("vec_id"),
+      "vec_id")
+    val qs = vecs.filter(col("vec_id") < 2)
+      .withColumn("probes", array(col("label").cast("long"),
+        pmod(col("label") + 3, lit(5)).cast("long")))
+    def res() = Ann.sq8IndexQuery(spark, idx, qs, "vec_id", "embedding",
+        "probes", k = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val before = res()
+    Ann.compactVectorIndex(spark, idx, partitionCol = "cluster")
+    assert(res() == before)
+    // physical: the only live layer holds NO deleted id anywhere
+    val dirs = new java.io.File(idx).listFiles.filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("compact=1"), dirs.toString)
+    val onDisk = spark.read.parquet(s"$idx/compact=1")
+      .select("emb_id").as[Long].collect().toSet
+    assert(!onDisk.contains(3L) && !onDisk.contains(14L))
+    assert(onDisk.size == 18)
+    // post-erasure the id can live again under a fresh batch id
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") === 3L), "vec_id",
+      "embedding", col("label"), idx, 3L)
+    val back = Ann.sq8IndexQuery(spark, idx,
+        vecs.filter(col("vec_id") === 8L)
+          .withColumn("probes", array(col("label").cast("long"))),
+        "vec_id", "embedding", "probes", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(back.contains(3L))
+  }
+
+  test("tombstone delete: works on the float IVF index through the " +
+      "same layer seam; empty index and manifest loss fail loudly") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0L to 19L).map(i =>
+      (i, Array.fill(4)((i % 2).toFloat * 10f + 1f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("ivf_tomb_spec").toString
+    intercept[IllegalArgumentException] {
+      Ann.deleteFromVectorIndex(spark, idx, Seq(1L).toDF("vec_id"),
+        "vec_id")
+    }
+    Ann.ivfIndexAppend(vecs, "vec_id", "embedding", col("label"), idx, 1L)
+    Ann.deleteFromVectorIndex(spark, idx, Seq(2L, 4L).toDF("vec_id"),
+      "vec_id")
+    val qs = vecs.filter(col("vec_id") === 0L)
+      .withColumn("probes", array(col("label").cast("long")))
+    val got = Ann.ivfIndexQuery(spark, idx, qs, "vec_id", "embedding",
+        "probes", k = 12)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(2L) && !got.contains(4L) && got.contains(6L))
+    // tombstones are meaningless without the manifest that scoped them
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(idx, "_LAYERS"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfIndexQuery(spark, idx, qs, "vec_id", "embedding",
+        "probes", k = 3).collect()
+    }
+    assert(e.getMessage.contains("tombstone"))
+  }
 }
