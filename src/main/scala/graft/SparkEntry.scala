@@ -3632,6 +3632,18 @@ object SparkEntry {
       Ann.sq8IndexQuery(s, idx, qs, "vec_id", "embedding", "probes",
           k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- LSH candidate-quality eval: precision/recall of the -------
+    // production MinHash-LSH pair candidates (q21's full-corpus run,
+    // bucket caps included) against exact bigram-Jaccard ground truth
+    // on the doc_id < 400 labeled subset (q20's bound) — the number
+    // that justifies a (numPerm, bands, cap) setting before 100 TB
+    // trusts it.
+    "q180_lsh_eval" -> ((s, dir) => {
+      Dedup.lshEval(t(s, dir, "documents"), "doc_id", "text",
+        evalPred = _ < 400, shingleN = 2, numPerm = 64, bands = 8,
+        threshold = 0.3, maxBucketSize = 100)
     })
   )
 
@@ -3989,6 +4001,38 @@ object SparkEntry {
        | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
        | GROUP BY 1, 2)""".stripMargin
   }
+
+  /** q180: the q21 LSH chain (capped) as the candidate side, exact
+    * bigram Jaccard from the chain's own `sh` shingle sets (restricted
+    * to the labeled subset) as truth, full-outer pair join → one
+    * precision/recall row.
+    */
+  private val LshEvalOracleSql: String = materializeCtes(
+    s"""WITH ${minhashLshChainSql(capped = true)},
+       |cnd AS (SELECT doc_a, doc_b FROM sc
+       | WHERE est_jaccard >= 0.3 AND doc_a < 400 AND doc_b < 400),
+       |tsz AS (SELECT doc_id, COUNT(*) AS n FROM sh
+       | WHERE doc_id < 400 GROUP BY doc_id),
+       |tint AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  COUNT(*) AS shared
+       | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       | WHERE x.doc_id < 400 AND y.doc_id < 400 GROUP BY 1, 2),
+       |tru AS (SELECT doc_a, doc_b FROM tint
+       | JOIN tsz sa ON sa.doc_id = tint.doc_a
+       | JOIN tsz sb ON sb.doc_id = tint.doc_b
+       | WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3),
+       |j AS (SELECT COALESCE(t.one, 0) AS t, COALESCE(c.one, 0) AS c
+       | FROM (SELECT doc_a, doc_b, 1 AS one FROM tru) t
+       | FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS one FROM cnd) c
+       |  USING (doc_a, doc_b))
+       |SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_true,
+       | CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_cand,
+       | CAST(COALESCE(SUM(t * c), 0) AS BIGINT) AS n_hit,
+       | CASE WHEN COALESCE(SUM(c), 0) = 0 THEN 0.0
+       |  ELSE CAST(SUM(t * c) AS DOUBLE) / SUM(c) END AS prec,
+       | CASE WHEN COALESCE(SUM(t), 0) = 0 THEN 0.0
+       |  ELSE CAST(SUM(t * c) AS DOUBLE) / SUM(t) END AS recall
+       |FROM j""".stripMargin)
 
   private val CmSketchOracleSql: String = {
     val mults = Seq(31L, 37L, 41L, 43L)
@@ -7214,7 +7258,11 @@ object SparkEntry {
     "q178_vector_delete" -> VectorDeleteOracleSql,
 
     // Delete → compact (physical) → append → delete again.
-    "q179_delete_compacted" -> VectorDeleteCompactedOracleSql
+    "q179_delete_compacted" -> VectorDeleteCompactedOracleSql,
+
+    // LSH candidate quality: q21 chain candidates vs exact bigram
+    // Jaccard truth on the labeled subset — one precision/recall row.
+    "q180_lsh_eval" -> LshEvalOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
@@ -383,6 +383,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / numPerm).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** Candidate-quality evaluation of the MinHash-LSH near-dup path —
+    * the measure-don't-guess discipline (the recall harness the ANN
+    * tier has in `Ann.recallAtK`) applied to dedup: precision and
+    * recall of the LSH pair candidates against EXACT n-gram Jaccard
+    * ground truth at the same threshold, on a bounded evaluation
+    * subset (`evalPred` over the id column — exact pairwise Jaccard
+    * is quadratic by definition, so the truth side runs on a labeled
+    * sample; the LSH side runs over the FULL corpus exactly as
+    * production does — bucket capping and band membership see
+    * everything — and only its PAIRS are restricted to the sample).
+    * One row: (n_true, n_cand, n_hit, prec, recall). Before anyone
+    * trusts a (numPerm, bands, cap) setting at 100 TB, this is the
+    * number that justifies it — recall lost to bucket caps or band
+    * granularity is invisible until measured.
+    */
+  def lshEval(docs: DataFrame, idCol: String, textCol: String,
+              evalPred: Column => Column, shingleN: Int, numPerm: Int,
+              bands: Int, threshold: Double,
+              maxBucketSize: Int): DataFrame = {
+    val truth = ngramJaccard(docs.filter(evalPred(col(idCol))), idCol,
+        textCol, n = shingleN, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__t"))
+    val cand = minhashLsh(docs, idCol, textCol, shingleN = shingleN,
+        numPerm = numPerm, bands = bands, estThreshold = threshold,
+        maxBucketSize = maxBucketSize, portable = true)
+      .filter(evalPred(col("doc_a")) && evalPred(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("__t") * col("__c")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_cand"))
+          .as("prec"),
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true"))
+          .as("recall"))
   }
 
   /** Persisted dedup state: the corpus's signature and bucket tables.

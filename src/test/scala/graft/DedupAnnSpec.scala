@@ -351,4 +351,45 @@ class DedupAnnSpec extends SparkSpecBase {
       (3L, 10L, 0L,
         "totally unrelated text with no shared windows here at all")))
   }
+
+  test("lshEval: perfect precision/recall on exact duplicates; a " +
+      "starved bucket cap loses recall and the metric reports it; " +
+      "pairs outside the eval subset are excluded") {
+    // three identical pairs + two singletons, 20 tokens each with a
+    // DISJOINT vocabulary per seed (a shared small alphabet saturates
+    // the bigram sets and makes every doc a true dup of every other)
+    def page(seed: Long) =
+      (1 to 20).map(j => s"p${seed}w$j").mkString(" ")
+    val base = Seq(
+      (1L, page(1)), (2L, page(1)),
+      (3L, page(2)), (4L, page(2)),
+      (5L, page(3)), (6L, page(3)),
+      (7L, page(7)), (8L, page(8))
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshEval(base, "doc_id", "text", evalPred = _ <= 8L,
+        shingleN = 2, numPerm = 64, bands = 8, threshold = 0.9,
+        maxBucketSize = 100)
+      .collect().head
+    // identical docs: est = exact = 1.0 >= 0.9 — all three pairs on
+    // both sides (page(7)/page(8) differ and stay below threshold)
+    assert(r.getAs[Long]("n_true") == 3 && r.getAs[Long]("n_cand") == 3)
+    assert(r.getAs[Long]("n_hit") == 3)
+    assert(r.getAs[Double]("prec") == 1.0 && r.getAs[Double]("recall") == 1.0)
+    // cap of 1 starves every bucket that holds a duplicate pair:
+    // candidates vanish, truth does not — recall collapses to 0
+    val starved = Dedup.lshEval(base, "doc_id", "text",
+        evalPred = _ <= 8L, shingleN = 2, numPerm = 64, bands = 8,
+        threshold = 0.9, maxBucketSize = 1)
+      .collect().head
+    assert(starved.getAs[Long]("n_true") == 3)
+    assert(starved.getAs[Long]("n_cand") == 0)
+    assert(starved.getAs[Double]("recall") == 0.0 &&
+      starved.getAs[Double]("prec") == 0.0)
+    // eval subset excludes doc 6: pair (5,6) leaves BOTH sides
+    val sub = Dedup.lshEval(base, "doc_id", "text", evalPred = _ <= 5L,
+        shingleN = 2, numPerm = 64, bands = 8, threshold = 0.9,
+        maxBucketSize = 100)
+      .collect().head
+    assert(sub.getAs[Long]("n_true") == 2 && sub.getAs[Long]("n_cand") == 2)
+  }
 }
