@@ -3644,6 +3644,19 @@ object SparkEntry {
       Dedup.lshEval(t(s, dir, "documents"), "doc_id", "text",
         evalPred = _ < 400, shingleN = 2, numPerm = 64, bands = 8,
         threshold = 0.3, maxBucketSize = 100)
+    }),
+
+    // ---- tokenizer coverage audit: per-source merged-piece ratio ----
+    // of the trained 20-merge table — the release gate that catches a
+    // vocabulary silently degrading to char-level on an unseen domain.
+    "q181_tokenizer_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right"))
+        .toSeq
+      TextAnalysis.tokenizerCoverage(d, "source", "text", merges)
+        .orderBy(col("stratum"))
     })
   )
 
@@ -3733,6 +3746,28 @@ object SparkEntry {
        |   AS pos,
        | sym AS token
        |FROM enc ORDER BY doc_id, pos""".stripMargin
+
+  /** q181: the q104 encode replay aggregated to per-source coverage —
+    * pieces of length > 1 are merge products; exact-integer
+    * parts-per-10⁴ ratio.
+    */
+  private val TokenizerCoverageOracleSql: String =
+    s"""WITH ${bpeChainSql(BpeSteps)},
+       |toks AS (SELECT doc_id,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       | FROM documents),
+       |enc AS (SELECT t.doc_id, v.sym
+       | FROM toks t JOIN v$BpeSteps v ON v.wid = t.tok),
+       |cov AS (SELECT d.source AS stratum, COUNT(e.sym) AS n_pieces,
+       |  COALESCE(SUM(CASE WHEN length(e.sym) > 1 THEN 1 ELSE 0 END),
+       |    0) AS n_merged
+       | FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+       | GROUP BY d.source)
+       |SELECT stratum, CAST(n_pieces AS BIGINT) AS n_pieces,
+       | CAST(n_merged AS BIGINT) AS n_merged,
+       | CAST(CASE WHEN n_pieces = 0 THEN 0
+       |   ELSE n_merged * 10000 // n_pieces END AS BIGINT) AS merged_10k
+       |FROM cov ORDER BY stratum""".stripMargin
 
   /** Vocab + id replay (the GPT-2 layout): base alphabet = distinct v0
     * symbols id'd in binary order; merged tokens follow at
@@ -7262,7 +7297,10 @@ object SparkEntry {
 
     // LSH candidate quality: q21 chain candidates vs exact bigram
     // Jaccard truth on the labeled subset — one precision/recall row.
-    "q180_lsh_eval" -> LshEvalOracleSql
+    "q180_lsh_eval" -> LshEvalOracleSql,
+
+    // Tokenizer coverage: q104 encode replay aggregated per source.
+    "q181_tokenizer_coverage" -> TokenizerCoverageOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -358,6 +358,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("token"))
 
+  /** Tokenizer COVERAGE audit — the release gate on a trained merge
+    * table: per stratum, how much of the encoded stream is actual
+    * merge products vs single-character fallback pieces (a vocabulary
+    * trained on one domain "works" everywhere — it just degrades to
+    * char-level on text it never saw, silently tripling sequence
+    * lengths; SentencePiece's `character_coverage` knob exists for
+    * exactly this failure). A piece of length > 1 is definitionally a
+    * merge product (the base alphabet is single characters).
+    *
+    * Output: (`strataCol`, n_pieces, n_merged, merged_10k) with
+    * merged_10k the exact-integer parts-per-10⁴ ratio (the repo's
+    * portable-ratio convention). Scale shape: per-doc piece counts
+    * are ONE pure projection (array HOFs — no explode, the token
+    * stream never materializes as rows) followed by one pre-reduced
+    * aggregate over |strata| groups; the merge table rides the plan
+    * (use [[bpeEncodeBc]]'s broadcast transport at production vocab
+    * sizes).
+    */
+  def tokenizerCoverage(docs: DataFrame, strataCol: String,
+                        textCol: String,
+                        merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(strataCol).as("stratum"),
+        let(flatten(transform(tokens(col(textCol)),
+          w => graft.functions.BpeOps.bpeApply(w, merges)))) { ps =>
+          struct(size(ps).cast("long").as("p"),
+            size(filter(ps, p => length(p) > 1)).cast("long").as("m"))
+        }.as("__c"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("__c.p")).as("n_pieces"),
+        sum(col("__c.m")).as("n_merged"))
+      .select(col("stratum"), col("n_pieces"), col("n_merged"),
+        expr("CASE WHEN n_pieces = 0L THEN 0L " +
+          "ELSE n_merged * 10000L div n_pieces END").as("merged_10k"))
+
   /** Test-set decontamination: flag training documents whose shingle
     * overlap with a benchmark/eval corpus exceeds `threshold` (the
     * GPT-3-style n-gram membership check, Brown et al. 2020 App. C;

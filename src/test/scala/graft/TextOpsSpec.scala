@@ -298,4 +298,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rep("r_sym") == 1L)     // *** *** ***
     assert(rep("kept") == 2L)
   }
+
+  test("tokenizerCoverage: merged pieces vs char fallback per stratum; " +
+      "exact-integer ratio; empty stratum reports zeros") {
+    // merge table ("a","b"): word "ab" encodes to ONE merged piece,
+    // any other word falls back to single chars
+    val docs = Seq(
+      ("in", "ab ab cd"),   // pieces: ab, ab, c, d -> 4 pieces, 2 merged
+      ("in", "ab"),         // 1 piece, 1 merged
+      ("out", "cd ef"),     // c,d,e,f -> 4 pieces, 0 merged
+      ("nil", " ")          // no tokens at all
+    ).toDF("source", "text")
+    val r = TextAnalysis.tokenizerCoverage(docs, "source", "text",
+        Seq(("a", "b")))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("in") == ((5L, 3L, 6000L)))   // 3*10000 div 5
+    assert(r("out") == ((4L, 0L, 0L)))
+    assert(r("nil") == ((0L, 0L, 0L)))
+  }
 }
