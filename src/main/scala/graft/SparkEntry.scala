@@ -3657,6 +3657,20 @@ object SparkEntry {
         .toSeq
       TextAnalysis.tokenizerCoverage(d, "source", "text", merges)
         .orderBy(col("stratum"))
+    }),
+
+    // ---- per-doc drop PROVENANCE through the funnel-gated full -----
+    // recipe: the row-level "why did my document disappear" table —
+    // first-dropping stage per input doc (funnel → decon → span →
+    // near-dup → DSIR cut → mixture cap → selected), labels replayed
+    // by the q162 chain oracle stage by stage.
+    "q182_drop_provenance" -> ((s, dir) => {
+      val cfg = curationFixture(s, dir, funnel = true)
+      val train = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      graft.streaming.CurationStream.provenance(s, cfg, train,
+          CurationTargets)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4499,6 +4513,31 @@ object SparkEntry {
       """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+
+  /** q182: the q162 funnel-gated chain labeled stage by stage — for
+    * every pipeline-input doc (doc_id % 20 <> 0; the %20 == 0 slice
+    * is the benchmark, never input) the first stage that dropped it,
+    * in the Spark CASE's exact gate order.
+    */
+  private val DropProvenanceOracleSql: String =
+    CurationFunnelChainSql + ",\n" +
+      """fsel AS (SELECT doc_id FROM r JOIN caps USING (lang)
+        | WHERE mix_rank <= k)
+        |SELECT b.doc_id,
+        | CASE
+        |  WHEN b.doc_id NOT IN (SELECT doc_id FROM fkeep)
+        |    THEN 'a_funnel'
+        |  WHEN b.doc_id NOT IN (SELECT doc_id FROM kept1)
+        |    THEN 'b_decon'
+        |  WHEN b.doc_id IN (SELECT doc_id FROM spandrop) THEN 'c_span'
+        |  WHEN b.doc_id IN (SELECT doc_id FROM nddrop) THEN 'd_neardup'
+        |  WHEN b.doc_id NOT IN (SELECT doc_id FROM kept3)
+        |    THEN 'e_dsir_cut'
+        |  WHEN b.doc_id NOT IN (SELECT doc_id FROM fsel)
+        |    THEN 'f_mix_cap'
+        |  ELSE 'g_selected' END AS stage
+        |FROM (SELECT doc_id FROM fbase WHERE doc_id % 20 <> 0) b
+        |ORDER BY doc_id""".stripMargin
 
   /** q146: the q126 chain with the decon gate swapped to the bloom
     * membership test — same final selection shape.
@@ -7300,7 +7339,10 @@ object SparkEntry {
     "q180_lsh_eval" -> LshEvalOracleSql,
 
     // Tokenizer coverage: q104 encode replay aggregated per source.
-    "q181_tokenizer_coverage" -> TokenizerCoverageOracleSql
+    "q181_tokenizer_coverage" -> TokenizerCoverageOracleSql,
+
+    // Per-doc drop provenance: the q162 chain labeled stage by stage.
+    "q182_drop_provenance" -> DropProvenanceOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -198,8 +198,17 @@ object CurationStream {
                               cfg: Config,
                               targetShare10k: Map[String, Long],
                               spanDrop: Option[DataFrame],
-                              ndDrop: Option[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                              ndDrop: Option[DataFrame]): DataFrame =
+    mixtureOver(spark, gatedKept(spark, cfg, spanDrop, ndDrop), cfg,
+      targetShare10k)
+
+  /** The gated, importance-ranked kept set (doc_id, stratum, h,
+    * dsir_score, imp_rank) — the recipe up to the DSIR top-fraction
+    * cut, shared by the final selection and [[provenance]].
+    */
+  private def gatedKept(spark: org.apache.spark.sql.SparkSession,
+                        cfg: Config, spanDrop: Option[DataFrame],
+                        ndDrop: Option[DataFrame]): DataFrame = {
     val idx0 = spark.read.parquet(cfg.curIdx)
       .select(col("doc_id"), col("stratum"), col("h"),
         (col("contrib_sum").cast("double") /
@@ -228,10 +237,20 @@ object CurationStream {
     // zipWithIndex over the corpus-cardinality index. localCheckpoint
     // (executor-block-stored) truncates the lineage at the ranked
     // sliver — keepFrac of the index, the smallest thing to pin.
-    val kept = graft.operators.Ranking.globalRowNumber(idx,
+    graft.operators.Ranking.globalRowNumber(idx,
         Seq(col("dsir_score").desc, col("doc_id")), "imp_rank")
       .filter(col("imp_rank") <= lit(keep))
       .localCheckpoint(true)
+  }
+
+  /** The exact mixture over an importance-kept set — the recipe's
+    * final stage, split out so [[provenance]] can run it on the SAME
+    * materialized kept set it labels against.
+    */
+  private def mixtureOver(spark: org.apache.spark.sql.SparkSession,
+                          kept: DataFrame, cfg: Config,
+                          targetShare10k: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = kept.groupBy("stratum").agg(count(lit(1)).as("cs"))
       .collect().map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
     val caps = TextAnalysis.deriveCaps(counts, targetShare10k)
@@ -284,6 +303,77 @@ object CurationStream {
       ("c_neardup_drop", nNd), ("d_gated", nGated),
       ("e_dsir_kept", nKept), ("f_selected", nSel))
       .toDF("stage", "n")
+  }
+
+  /** Per-document drop PROVENANCE over the full recipe — the
+    * production debugging table ("why did my document disappear"):
+    * for every pipeline-input document, the FIRST stage that dropped
+    * it in gate order — a_funnel, b_decon, c_span, d_neardup,
+    * e_dsir_cut (below the importance keep-fraction), f_mix_cap
+    * (over its stratum's mixture cap, or a stratum with no target
+    * share) — or g_selected. [[selectReport]] is the aggregate alarm;
+    * this is the row-level answer behind it.
+    *
+    * `docs` is the pipeline input (the union of the folded batches).
+    * The funnel and decon stages replay here (per-row predicate /
+    * broadcast-state join — O(docs), the same code paths
+    * [[foldBatch]] ran); span, near-dup, DSIR, and mixture labels
+    * derive from the persisted index state. Every flag is a skinny
+    * id set left-joined onto the input manifest — the text column is
+    * read once for the two replayed gates and never shuffled.
+    */
+  def provenance(spark: org.apache.spark.sql.SparkSession, cfg: Config,
+                 docs: DataFrame,
+                 targetShare10k: Map[String, Long]): DataFrame = {
+    val funnelPass = cfg.funnelLangs.fold(docs)(ls =>
+      docs.filter(TextAnalysis.qualityKeep(col(cfg.textCol), ls,
+        minTokens = cfg.funnelMinTokens,
+        maxStop10k = cfg.funnelMaxStop10k,
+        minAvgLen10 = cfg.funnelMinAvgLen10)))
+    val fPass = funnelPass
+      .select(col(cfg.idCol).as("doc_id"), lit(1).as("__fp"))
+    val deconDrop = (if (cfg.deconBloom)
+        TextAnalysis.bloomDecontaminateAgainst(funnelPass,
+            graft.operators.Sketches.bloomFromIndex(spark, cfg.benchIdx),
+            cfg.idCol, cfg.textCol, cfg.shingleN, cfg.bloomKHashes,
+            cfg.bloomMBits, cfg.deconThreshold)
+          .filter(col("flagged"))
+      else
+        TextAnalysis.decontaminateIncremental(spark, cfg.benchIdx,
+            funnelPass, cfg.idCol, cfg.textCol, cfg.shingleN,
+            cfg.deconThreshold)
+          .filter(col("contaminated")))
+      .select(col("doc_id"), lit(1).as("__dd"))
+    val spanDrop = cfg.spanIdx.map(d =>
+      spanDropSet(spark, d, cfg).localCheckpoint(false))
+    val ndDrop = cfg.nearDupIdx.map(d =>
+      nearDupDropSet(spark, d, cfg).localCheckpoint(false))
+    val kept = gatedKept(spark, cfg, spanDrop, ndDrop)
+    val sel = mixtureOver(spark, kept, cfg, targetShare10k)
+    val base0 = docs.select(col(cfg.idCol).as("doc_id"))
+      .join(fPass, Seq("doc_id"), "left")
+      .join(deconDrop, Seq("doc_id"), "left")
+    val base1 = spanDrop.fold(
+        base0.withColumn("__sd", lit(null).cast("int")))(ds =>
+      base0.join(ds.select(col("doc_id"), lit(1).as("__sd")),
+        Seq("doc_id"), "left"))
+    val base2 = ndDrop.fold(
+        base1.withColumn("__nd", lit(null).cast("int")))(ds =>
+      base1.join(ds.select(col("doc_id"), lit(1).as("__nd")),
+        Seq("doc_id"), "left"))
+    base2
+      .join(kept.select(col("doc_id"), lit(1).as("__k")),
+        Seq("doc_id"), "left")
+      .join(sel.select(col("doc_id"), lit(1).as("__m")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__fp").isNull, "a_funnel")
+          .when(col("__dd") === 1, "b_decon")
+          .when(col("__sd") === 1, "c_span")
+          .when(col("__nd") === 1, "d_neardup")
+          .when(col("__k").isNull, "e_dsir_cut")
+          .when(col("__m").isNull, "f_mix_cap")
+          .otherwise("g_selected").as("stage"))
   }
 
   /** Docs whose duplicated-window fraction exceeds the cap — derived

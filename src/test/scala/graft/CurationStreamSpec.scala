@@ -238,4 +238,68 @@ class CurationStreamSpec extends SparkSpecBase {
       .toSet
     assert(folded == oneShot)
   }
+
+  test("provenance: every input doc gets exactly one first-drop label; " +
+      "stage victims land where the gate order says; g_selected " +
+      "equals the selection; the DSIR cut is labeled when it bites") {
+    // no 5 consecutive tokens are ever doc-independent (max run of
+    // shared stopwords is 1), so distinct pages share ZERO 5-shingles
+    // with the benchmark — only doc 53's verbatim copy trips decon.
+    // 20 tokens, zero-padded ids: the Gopher top-2gram bar needs the
+    // char mass, and digit-count variance would flip it per doc
+    def page(i: Long) = {
+      val d = f"$i%03d"
+      s"the quick$d brown$d of fox$d and jumps$d it over$d " +
+        s"w$d x$d y$d z$d p$d q$d r$d s$d t$d u$d v$d"
+    }
+    val docs = ((1L to 10L).map(i => CurDoc(i, "en", page(i))) ++ Seq(
+      CurDoc(51L, "en", "the cat"),                    // funnel: too short
+      CurDoc(52L, "en",
+        "uno dos tres cuatro cinco seis siete ocho"),  // funnel: not en
+      CurDoc(53L, "en", page(53L)),                    // decon victim
+      CurDoc(61L, "en", page(61L)),                    // near-dup rep (kept)
+      CurDoc(62L, "en", page(61L)),                    // near-dup loser
+      CurDoc(71L, "de", page(71L))                     // mix-cap victim
+    )).toDF("doc_id", "lang", "text")
+    val benchIdx = mk(); val dsirIdx = mk()
+    // the benchmark contains doc 53's exact text -> full overlap
+    TextAnalysis.buildBenchmarkIndex(
+      Seq(CurDoc(999L, "en", page(53L))).toDF("doc_id", "lang", "text"),
+      "text", 5, benchIdx)
+    TextAnalysis.buildDsirIndex(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", 65536, 1000000L, dsirIdx)
+    def cfgFor(keep10k: Long) = CurationStream.Config(
+      benchIdx, dsirIdx, mk(), "doc_id", "text", "lang",
+      keepFrac10k = keep10k, nearDupIdx = Some(mk()),
+      funnelLangs = Some(Seq("en")), funnelMinTokens = 5L,
+      funnelMaxStop10k = 5000L, funnelMinAvgLen10 = 20L)
+    val targets = Map("en" -> 10000L)
+
+    val cfg = cfgFor(10000L)
+    CurationStream.foldBatch(docs.filter($"doc_id" <= 53L), 1L, cfg)
+    CurationStream.foldBatch(docs.filter($"doc_id" > 53L), 2L, cfg)
+    val prov = CurationStream.provenance(spark, cfg, docs, targets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prov.size == docs.count())
+    assert(prov(51L) == "a_funnel" && prov(52L) == "a_funnel")
+    assert(prov(53L) == "b_decon")
+    assert(prov(61L) == "g_selected" && prov(62L) == "d_neardup")
+    assert(prov(71L) == "f_mix_cap")
+    assert((1L to 10L).forall(prov(_) == "g_selected"))
+    val sel = CurationStream.select(spark, cfg, targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prov.filter(_._2 == "g_selected").keySet == sel)
+
+    // keepFrac 50%: gated survivors = 12 (14 input - 2 funnel - 1
+    // decon - 1 near-dup + wait: 16 input) -> recount below from the
+    // labels themselves; the cut labels exactly gated - keep docs
+    val cfg2 = cfgFor(5000L)
+    CurationStream.foldBatch(docs, 1L, cfg2)
+    val prov2 = CurationStream.provenance(spark, cfg2, docs, targets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gated = prov2.count(kv =>
+      !Set("a_funnel", "b_decon", "c_span", "d_neardup").contains(kv._2))
+    val cut = prov2.count(_._2 == "e_dsir_cut")
+    assert(cut == gated - gated * 5000L / 10000L && cut > 0)
+  }
 }
