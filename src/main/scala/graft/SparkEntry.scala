@@ -3671,6 +3671,16 @@ object SparkEntry {
       graft.streaming.CurationStream.provenance(s, cfg, train,
           CurationTargets)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- packing efficiency report: padding waste + split-doc ------
+    // fraction per stream for the q87 layout at a 512-token budget —
+    // the two numbers that grade a packed layout before training.
+    "q183_packing_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.packingReport(d, "doc_id", "source",
+          size(tokens(col("text"))).cast("long"), chunkTokens = 512)
+        .orderBy(col("stream"))
     })
   )
 
@@ -7342,7 +7352,35 @@ object SparkEntry {
     "q181_tokenizer_coverage" -> TokenizerCoverageOracleSql,
 
     // Per-doc drop provenance: the q162 chain labeled stage by stage.
-    "q182_drop_provenance" -> DropProvenanceOracleSql
+    "q182_drop_provenance" -> DropProvenanceOracleSql,
+
+    // Packing efficiency: the q87 cumsum layout aggregated per stream.
+    "q183_packing_report" ->
+      """WITH n AS (SELECT source AS stream, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |c AS (SELECT stream, doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS end_tok FROM n),
+        |f AS (SELECT stream, n_tokens,
+        |  (end_tok - n_tokens) // 512 AS fc,
+        |  (end_tok - 1) // 512 AS lc FROM c),
+        |a AS (SELECT stream, COUNT(*) AS n_docs,
+        |  SUM(n_tokens) AS n_tokens,
+        |  SUM(CASE WHEN n_tokens > 0 AND fc <> lc THEN 1 ELSE 0 END)
+        |    AS n_split_docs
+        | FROM f GROUP BY stream)
+        |SELECT stream, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks,
+        | CAST(n_split_docs AS BIGINT) AS n_split_docs,
+        | CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE n_tokens * 10000 //
+        |   (((n_tokens + 511) // 512) * 512) END AS BIGINT) AS fill_10k,
+        | CAST(CASE WHEN n_docs = 0 THEN 0
+        |   ELSE n_split_docs * 10000 // n_docs END AS BIGINT)
+        |   AS split_10k
+        |FROM a ORDER BY stream""".stripMargin
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -1947,4 +1947,40 @@ object TextAnalysis {
       .withColumn("first_chunk", floor(col("start_tok") / chunkTokens))
       .withColumn("last_chunk", floor((col("end_tok") - lit(1)) / chunkTokens))
   }
+
+  /** PACKING EFFICIENCY report — the two numbers that grade a packed
+    * pretraining layout before anyone trains on it: per stream,
+    *
+    *   - `fill_10k`: tokens ÷ (chunks × chunkTokens) in exact
+    *     parts-per-10⁴ — the padding waste of the final partial chunk
+    *     (a trainer pads or drops it; either way the deficit is paid
+    *     per stream, and many tiny streams bleed a chunk each);
+    *   - `n_split_docs` / `split_10k`: documents crossing a chunk
+    *     boundary — each split is a training sequence whose attention
+    *     window starts or ends mid-document (the cross-document
+    *     contamination that packing trades for density).
+    *
+    * Derived from [[packSequencesByCount]]'s layout (same single
+    * exact-int cumsum window) + one pre-reduced per-stream aggregate.
+    * Zero-width docs never count as split (their empty [start, end)
+    * interval can straddle a boundary only vacuously).
+    */
+  def packingReport(docs: DataFrame, idCol: String, groupCol: String,
+                    countCol: Column, chunkTokens: Int): DataFrame =
+    packSequencesByCount(docs, idCol, groupCol, countCol, chunkTokens)
+      .groupBy(col("stream"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("n_tokens") > 0 &&
+            col("first_chunk") =!= col("last_chunk"), 1L)
+          .otherwise(0L)).as("n_split_docs"))
+      .select(col("stream"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${chunkTokens - 1}L) div ${chunkTokens}L")
+          .as("n_chunks"),
+        col("n_split_docs"),
+        expr(s"CASE WHEN n_tokens = 0L THEN 0L ELSE n_tokens * 10000L" +
+          s" div (((n_tokens + ${chunkTokens - 1}L) div " +
+          s"${chunkTokens}L) * ${chunkTokens}L) END").as("fill_10k"),
+        expr("CASE WHEN n_docs = 0L THEN 0L ELSE " +
+          "n_split_docs * 10000L div n_docs END").as("split_10k"))
 }
