@@ -46,6 +46,34 @@ object SparkEntry {
         lit("= = = = ="),
         lit("COPYRIGHT 2024 ACME")).as("text"))
 
+  /** Deterministic HTML pages over the documents table (q184/q185):
+    * the corpus carries no markup, so the lane synthesizes it
+    * identically in both engines (the q89/q173 convention). Every
+    * extraction hazard has prey: a multi-line comment, a script body
+    * with raw `<`/`>` comparisons, a style block, inline `<b>` around
+    * a mid-text word (must rejoin seamlessly), block-level nav
+    * chrome, entities (incl. double-escaped `&amp;lt;` on every 3rd
+    * doc), and an unclosed-attribute-free footer.
+    */
+  private def htmlPages(docs: DataFrame): DataFrame =
+    docs.withColumn("doc_id", col("doc_id").cast("long"))
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>ignore me</title><style>\n" +
+          ".nav { display:none }\n</style><script type=\"text/js\">\n" +
+          "if (a<b && c>d) { run(); }\n</script></head>\n"),
+        lit("<body><!-- generated\n page -->"),
+        lit("<h1>DOC "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<ul><li>Home</li><li>Share &amp; Like</li></ul>"),
+        lit("<p>"),
+        replace(coalesce(trim(col("text")), lit("")),
+          lit("batch"), lit("<b>batch</b>")),
+        lit("</p>"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("<div>&quot;q&quot; &lt;tag&gt; &#39;x&#39;&nbsp;end " +
+            "&amp;lt;literal</div>")).otherwise(lit("")),
+        lit("<footer>COPYRIGHT 2026</footer></body></html>"))
+        .as("html"))
+
   /** Shared full-recipe curation fixture (q126/q127/q135/q146/q150):
     * benchmark state (exact shingle index, or two folded bloom layers
     * when `deconBloom`), frozen DSIR model, gate/mixture dirs, and —
@@ -3681,6 +3709,90 @@ object SparkEntry {
       TextAnalysis.packingReport(d, "doc_id", "source",
           size(tokens(col("text"))).cast("long"), chunkTokens = 512)
         .orderBy(col("stream"))
+    }),
+
+    // ---- HTML→text extraction: the stage BEFORE every line rule ----
+    // (RefinedWeb §3.1 — raw web corpora are HTML before they are
+    // text). Deterministic markup synthesized per doc (q89/q173
+    // convention); comments/script/style content removal, block-tag →
+    // line-structure, inline-tag seamless rejoin, and entity decoding
+    // (incl. the &amp;lt; double-escape) all have prey.
+    "q184_html_extract" -> ((s, dir) => {
+      TextAnalysis.extractHtml(htmlPages(t(s, dir, "documents")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the composed web-corpus front: HTML→lines→line cleaner ----
+    // extractHtml's output feeds cleanLines unchanged (same line
+    // shape); the nav chrome the extraction PRESERVES as lines is
+    // exactly what the line rules then judge (Home → r_short, DOC n →
+    // r_caps, the entity div → r_sym) — one oracle replays both
+    // stages.
+    "q185_html_clean" -> ((s, dir) => {
+      val pages = htmlPages(t(s, dir, "documents"))
+      TextAnalysis.cleanLines(
+          TextAnalysis.extractHtml(pages, "doc_id", "html"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- FUZZY decontamination: near-dup overlap vs the eval suite --
+    // The audit exact shingle membership (q84) cannot do: a
+    // paraphrased benchmark item shares few exact 3-shingles but
+    // near-dups under MinHash. Benchmark = the q84 %20 split;
+    // signatures/buckets are the q21 portable chain (2-shingle, 64
+    // perms, 8 bands), pairs confined to shared buckets with the
+    // bench side BROADCAST — the training corpus never shuffles.
+    "q186_fuzzy_decon" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.fuzzyDecontaminate(
+          d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", "doc_id", "text",
+          shingleN = 2, numPerm = 64, bands = 8, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- fuzzy decon from a PERSISTED signature index, two folds ----
+    // The benchmark is signed ONCE (buildFuzzyBenchmarkIndex), then two
+    // training batches fold independently against it; per-doc
+    // independence makes the union equal the one-shot run — same
+    // oracle as q186 verbatim.
+    "q187_fuzzy_decon_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("fuzzy_bench_idx").toString
+      TextAnalysis.buildFuzzyBenchmarkIndex(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", shingleN = 2, numPerm = 64, seed = 42L,
+        indexDir = idx)
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val folds = Seq(
+        train.filter(pmod(col("doc_id"), lit(2)) === 0),
+        train.filter(pmod(col("doc_id"), lit(2)) === 1)
+      ).map(b => TextAnalysis.fuzzyDecontaminateIncremental(s, idx, b,
+        "doc_id", "text", shingleN = 2, numPerm = 64, bands = 8,
+        threshold = 0.5))
+      folds.reduce(_ unionByName _).orderBy(col("doc_id"))
+    }),
+
+    // ---- fuzzy-decon candidate quality (the q180 discipline, -------
+    // cross-corpus): exact bigram Jaccard truth on a %2 labeled
+    // training sample × the full benchmark, banded candidates on the
+    // same sample — band-granularity recall is a MEASURED number.
+    // (%2: the planted cross-split near-dup at sf0.01 has an even
+    // training id — a sample predicate that misses every true pair
+    // would measure nothing.)
+    "q188_fuzzy_decon_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.fuzzyDeconEval(
+        d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", "doc_id", "text",
+        evalPred = id => pmod(id, lit(2)) === 0,
+        shingleN = 2, numPerm = 64, bands = 8, threshold = 0.5,
+        seed = 42L)
     })
   )
 
@@ -4024,16 +4136,16 @@ object SparkEntry {
     * rule applied to SQL). No leading WITH; ends at `sc` with
     * (doc_a, doc_b, est_jaccard).
     */
-  private def minhashLshChainSql(capped: Boolean): String = {
+  /** The shared signature prefix of every MinHash replay (q21/q54/
+    * q151 self-join, q186–q188 cross-corpus): bigram shingles, 64
+    * seed-42 portable perms, 8-band buckets. Ends at `sigj` (doc_id,
+    * j, m), `bnd` (doc_id, band, bucket) and keeps `sh` (the exact
+    * shingle sets) visible for truth sides.
+    */
+  private val MinhashSigCtesSql: String = {
     val perms = Dedup.minhashPerms(64, 42L)
     val aList = perms.map(_._1).mkString(", ")
     val bList = perms.map(_._2).mkString(", ")
-    val pairSrc = if (capped) "cap" else "bnd"
-    val capCte = if (capped)
-      """cap AS (SELECT doc_id, band, bucket FROM bnd
-        | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
-        |""".stripMargin
-    else ""
     s"""toks AS (SELECT doc_id,
        |  unnest(string_split_regex(trim(text), '\\s+')) AS tok,
        |  unnest(range(len(string_split_regex(trim(text), '\\s+')))) AS i
@@ -4050,7 +4162,17 @@ object SparkEntry {
        | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
        |bnd AS (SELECT doc_id, j // 8 AS band,
        |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
-       | FROM sigj GROUP BY doc_id, band),
+       | FROM sigj GROUP BY doc_id, band)""".stripMargin
+  }
+
+  private def minhashLshChainSql(capped: Boolean): String = {
+    val pairSrc = if (capped) "cap" else "bnd"
+    val capCte = if (capped)
+      """cap AS (SELECT doc_id, band, bucket FROM bnd
+        | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 100),
+        |""".stripMargin
+    else ""
+    s"""$MinhashSigCtesSql,
        |${capCte}pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        | FROM $pairSrc x JOIN $pairSrc y ON x.band = y.band
        |  AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
@@ -4060,6 +4182,76 @@ object SparkEntry {
        | JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
        | GROUP BY 1, 2)""".stripMargin
   }
+
+  /** The fuzzy-decon pair tail over [[MinhashSigCtesSql]]: training ×
+    * benchmark candidates through shared (band, bucket) cells, scored
+    * by signature-match fraction, thresholded at est ≥ 0.5. Ends at
+    * `fsc` (doc_id, bench_id, est).
+    */
+  private val FuzzyDeconPairCtesSql: String =
+    """fpr AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
+      | FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+      | WHERE x.doc_id % 20 <> 0 AND y.doc_id % 20 = 0),
+      |fsc AS (SELECT doc_id, bench_id, est FROM (
+      |  SELECT p.doc_id, p.bench_id,
+      |   SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est
+      |  FROM fpr p JOIN sigj sa ON sa.doc_id = p.doc_id
+      |  JOIN sigj sb ON sb.doc_id = p.bench_id AND sb.j = sa.j
+      |  GROUP BY 1, 2) WHERE est >= 0.5)""".stripMargin
+
+  /** q186 (one-shot) and q187 (persisted-index two-fold union —
+    * per-doc independence makes them identical): per-training-doc
+    * fuzzy contamination report.
+    */
+  private val FuzzyDeconOracleSql: String = materializeCtes(
+    s"""WITH $MinhashSigCtesSql,
+       |$FuzzyDeconPairCtesSql,
+       |fm AS (SELECT doc_id, COUNT(*) AS n_matches, MAX(est) AS mx
+       | FROM fsc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | CAST(COALESCE(fm.n_matches, 0) AS BIGINT) AS n_matches,
+       | COALESCE(fm.mx, 0.0) AS max_est_jaccard,
+       | COALESCE(fm.n_matches, 0) > 0 AS contaminated
+       |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+       |  WHERE doc_id % 20 <> 0) d
+       |LEFT JOIN fm USING (doc_id)
+       |ORDER BY doc_id""".stripMargin)
+
+  /** q188: exact bigram-Jaccard truth (labeled %2 sample × full
+    * benchmark, from the chain's own `sh` sets) vs the banded
+    * candidates — one precision/recall row.
+    */
+  private val FuzzyDeconEvalOracleSql: String = materializeCtes(
+    s"""WITH $MinhashSigCtesSql,
+       |$FuzzyDeconPairCtesSql,
+       |fsz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |ftp AS (SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+       |  COUNT(*) AS shared
+       | FROM sh a JOIN sh b ON a.s = b.s
+       | WHERE a.doc_id % 20 <> 0 AND a.doc_id % 2 = 0
+       |  AND b.doc_id % 20 = 0
+       | GROUP BY 1, 2),
+       |ftr AS (SELECT ftp.doc_id, ftp.bench_id, 1 AS t
+       | FROM ftp JOIN fsz ta ON ta.doc_id = ftp.doc_id
+       | JOIN fsz tb ON tb.doc_id = ftp.bench_id
+       | WHERE CAST(shared AS DOUBLE) / (ta.n + tb.n - shared) >= 0.5),
+       |fcd AS (SELECT doc_id, bench_id, 1 AS c FROM fsc
+       | WHERE doc_id % 2 = 0),
+       |fj AS (SELECT COALESCE(ftr.doc_id, fcd.doc_id) AS doc_id,
+       |  ftr.t, fcd.c
+       | FROM ftr FULL OUTER JOIN fcd
+       |  ON ftr.doc_id = fcd.doc_id AND ftr.bench_id = fcd.bench_id),
+       |fag AS (SELECT COALESCE(SUM(t), 0) AS n_true,
+       |  COALESCE(SUM(c), 0) AS n_cand,
+       |  COALESCE(SUM(t * c), 0) AS n_hit FROM fj)
+       |SELECT CAST(n_true AS BIGINT) AS n_true,
+       | CAST(n_cand AS BIGINT) AS n_cand,
+       | CAST(n_hit AS BIGINT) AS n_hit,
+       | CASE WHEN n_cand = 0 THEN 0.0
+       |   ELSE CAST(n_hit AS DOUBLE) / n_cand END AS prec,
+       | CASE WHEN n_true = 0 THEN 0.0
+       |   ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall
+       |FROM fag""".stripMargin)
 
   /** q180: the q21 LSH chain (capped) as the candidate side, exact
     * bigram Jaccard from the chain's own `sh` shingle sets (restricted
@@ -4860,8 +5052,26 @@ object SparkEntry {
     * heads (subqueries are `FROM (SELECT`, scalar subqueries
     * `(SELECT MAX`), so the textual rewrite is exact.
     */
-  private def materializeCtes(sql: String): String =
-    sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+  private def materializeCtes(sql: String): String = {
+    // Guard the textual rewrite: every occurrence of the token must be
+    // a CTE head, i.e. preceded by an identifier that follows either
+    // `WITH ` / `with ` or a CTE-separating `, ` (possibly with
+    // newlines). Builders emitting the token anywhere else (a column
+    // alias `x AS (SELECT...)` is not valid SQL, but a future
+    // generator could drift) must fail HERE, loudly, not produce an
+    // oracle that silently materializes the wrong nodes.
+    val token = " AS (SELECT"
+    val occurrences = sql.sliding(token.length).count(_ == token)
+    val heads =
+      """(?s)(?:\bWITH\s+|\),\s*)([A-Za-z_][A-Za-z0-9_]*)\s+AS \(SELECT"""
+        .r.findAllMatchIn(sql).size
+    // first CTE after WITH + each `), name AS (SELECT` continuation
+    require(heads == occurrences,
+      s"materializeCtes: $occurrences ' AS (SELECT' tokens but only " +
+        s"$heads look like CTE heads — generated SQL drifted; fix the " +
+        "generator or this rewrite before trusting the oracle")
+    sql.replace(token, " AS MATERIALIZED (SELECT")
+  }
 
   /** q122: the full retrieval vertical from RAW TEXT — the q121 embed
     * chain as the `ex` source of the IVF-PQ replay (dim 32 → sub 8).
@@ -7380,7 +7590,13 @@ object SparkEntry {
         | CAST(CASE WHEN n_docs = 0 THEN 0
         |   ELSE n_split_docs * 10000 // n_docs END AS BIGINT)
         |   AS split_10k
-        |FROM a ORDER BY stream""".stripMargin
+        |FROM a ORDER BY stream""".stripMargin,
+
+    "q184_html_extract" -> HtmlExtractOracleSql,
+    "q185_html_clean" -> HtmlCleanOracleSql,
+    "q186_fuzzy_decon" -> FuzzyDeconOracleSql,
+    "q187_fuzzy_decon_incremental" -> FuzzyDeconOracleSql,
+    "q188_fuzzy_decon_eval" -> FuzzyDeconEvalOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
@@ -7485,33 +7701,39 @@ object SparkEntry {
     * booleans. Ends at `lfl` (doc_id, i, l, r_dup, r_short, r_caps,
     * r_sym) + `lls` (doc_id, ls).
     */
-  private val LineCleanCtesSql: String =
-    """lpg AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |  'HOME | LOGIN | SEARCH' || chr(10) ||
-      |  COALESCE(trim(text), '') || chr(10) || 'share' || chr(10) ||
-      |  COALESCE(trim(text), '') || chr(10) || '= = = = =' ||
-      |  chr(10) || 'COPYRIGHT 2024 ACME' AS text
-      | FROM documents),
-      |lls AS (SELECT doc_id,
+  private def lineRuleCtesSql(pageCte: String): String =
+    s"""lls AS (SELECT doc_id,
       |  list_filter(list_transform(string_split(trim(text), chr(10)),
       |    x -> trim(x)), x -> len(x) > 0) AS ls
-      | FROM lpg),
+      | FROM $pageCte),
       |lix AS (SELECT doc_id, ls, CAST(i AS BIGINT) AS i,
       |  ls[CAST(i AS INT) + 1] AS l
       | FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM lls)),
       |lfl AS (SELECT doc_id, i, l,
       |  len(list_filter(ls[1:CAST(i AS INT)], x -> x = l)) > 0 AS r_dup,
-      |  len(list_filter(string_split_regex(l, '\s+'),
+      |  len(list_filter(string_split_regex(l, '\\s+'),
       |    x -> len(x) > 0)) < 3 AS r_short,
       |  (upper(l) = l AND regexp_matches(l, '[A-Za-z]')) AS r_caps,
       |  (len(l) - len(regexp_replace(l, '[^A-Za-z0-9 ]', '', 'g')))
       |    * 10000 > len(l) * 1500 AS r_sym
       | FROM lix)""".stripMargin
 
-  /** q173: per-doc kept-line reassembly + counts. */
-  private val CleanLinesOracleSql: String =
-    s"""WITH $LineCleanCtesSql,
-       |lkp AS (SELECT doc_id, i, l FROM lfl
+  private val LineCleanCtesSql: String =
+    s"""lpg AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'HOME | LOGIN | SEARCH' || chr(10) ||
+      |  COALESCE(trim(text), '') || chr(10) || 'share' || chr(10) ||
+      |  COALESCE(trim(text), '') || chr(10) || '= = = = =' ||
+      |  chr(10) || 'COPYRIGHT 2024 ACME' AS text
+      | FROM documents),
+      |${lineRuleCtesSql("lpg")}""".stripMargin
+
+  /** Kept-line reassembly + counts over the `lfl`/`lls` rule CTEs —
+    * the [[graft.operators.TextAnalysis.cleanLines]] output shape,
+    * shared by q173 (linePages fixture) and q185 (HTML-extracted
+    * pages).
+    */
+  private val CleanLinesTailSql: String =
+    """lkp AS (SELECT doc_id, i, l FROM lfl
        | WHERE NOT (r_dup OR r_short OR r_caps OR r_sym)),
        |lag_ AS (SELECT doc_id, COUNT(*) AS n_kept,
        |  string_agg(l, chr(10) ORDER BY i) AS clean_text
@@ -7524,6 +7746,79 @@ object SparkEntry {
        | COALESCE(lag_.clean_text, '') AS clean_text
        |FROM lnl LEFT JOIN lag_ USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** q173: per-doc kept-line reassembly + counts. */
+  private val CleanLinesOracleSql: String =
+    s"""WITH $LineCleanCtesSql,
+       |$CleanLinesTailSql""".stripMargin
+
+  /** The q184/q185 HTML replay: the [[htmlPages]] fixture synthesized
+    * in SQL, then the five extraction passes of
+    * [[graft.operators.TextAnalysis.htmlToText]] — comment strip,
+    * content-bearing element removal (script/style/title, in the
+    * Scala fold's order), block tags → chr(10), remaining tags → '',
+    * entity decode with `&amp;` LAST — and the trimmed non-empty line
+    * reassembly. Ends at `hout` (doc_id, n_raw_chars, n_lines, text).
+    */
+  private val HtmlExtractCtesSql: String =
+    """hpg AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  '<html><head><title>ignore me</title><style>' || chr(10) ||
+      |  '.nav { display:none }' || chr(10) ||
+      |  '</style><script type="text/js">' || chr(10) ||
+      |  'if (a<b && c>d) { run(); }' || chr(10) ||
+      |  '</script></head>' || chr(10) ||
+      |  '<body><!-- generated' || chr(10) || ' page -->' ||
+      |  '<h1>DOC ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+      |  '<ul><li>Home</li><li>Share &amp; Like</li></ul>' ||
+      |  '<p>' || replace(COALESCE(trim(text), ''), 'batch',
+      |    '<b>batch</b>') || '</p>' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN
+      |    '<div>&quot;q&quot; &lt;tag&gt; &#39;x&#39;&nbsp;end ' ||
+      |    '&amp;lt;literal</div>' ELSE '' END ||
+      |  '<footer>COPYRIGHT 2026</footer></body></html>' AS html
+      | FROM documents),
+      |hst AS (SELECT doc_id, CAST(len(html) AS BIGINT) AS n_raw_chars,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    html, '(?s)<!--.*?-->', '', 'g'),
+      |    '(?is)<script[^>]*>.*?</script\s*>', '', 'g'),
+      |    '(?is)<style[^>]*>.*?</style\s*>', '', 'g'),
+      |    '(?is)<title[^>]*>.*?</title\s*>', '', 'g') AS s
+      | FROM hpg),
+      |hbk AS (SELECT doc_id, n_raw_chars,
+      |  regexp_replace(regexp_replace(s,
+      |    '(?i)</?(?:p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|' ||
+      |    'table|thead|tbody|blockquote|pre|section|article|aside|' ||
+      |    'nav|header|footer|head|body|html|form)(?:[\s/][^>]*)?>',
+      |    chr(10), 'g'), '<[^>]*>', '', 'g') AS s
+      | FROM hst),
+      |hdc AS (SELECT doc_id, n_raw_chars,
+      |  replace(replace(replace(replace(replace(replace(s,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+      | FROM hbk),
+      |hout AS (SELECT doc_id, n_raw_chars,
+      |  CAST(len(list_filter(list_transform(string_split(s, chr(10)),
+      |    x -> trim(x)), x -> len(x) > 0)) AS BIGINT) AS n_lines,
+      |  array_to_string(list_filter(list_transform(
+      |    string_split(s, chr(10)), x -> trim(x)), x -> len(x) > 0),
+      |    chr(10)) AS text
+      | FROM hdc)""".stripMargin
+
+  /** q184: the extraction alone. */
+  private val HtmlExtractOracleSql: String =
+    s"""WITH $HtmlExtractCtesSql
+       |SELECT doc_id, n_raw_chars, n_lines, text FROM hout
+       |ORDER BY doc_id""".stripMargin
+
+  /** q185: extraction composed with the line cleaner — one oracle
+    * replaying both stages (the extracted nav chrome is the line
+    * rules' prey: `DOC n` → r_caps, `Home` → r_short, the entity div
+    * → r_sym).
+    */
+  private val HtmlCleanOracleSql: String =
+    s"""WITH $HtmlExtractCtesSql,
+       |${lineRuleCtesSql("hout")},
+       |$CleanLinesTailSql""".stripMargin
 
   /** q174: per-rule line-fail counts + the kept total. */
   private val LineReportOracleSql: String =

@@ -448,6 +448,21 @@ object Ann {
     readManifest(indexDir).flatMap(_._1.get("absorbed"))
       .flatMap(_.toLongOption).getOrElse(0L)
 
+  /** Highest `upto` any tombstone ever froze (0 = none). Recorded in
+    * the manifest meta at delete time so [[requireAppendable]] can
+    * reject a backfill append at or below it WITHOUT reading tombstone
+    * parquet: a `batch=N` append with N <= a live tombstone's `upto`
+    * would have its rows swallowed by the tombstone anti-join — a
+    * delete of "the past" silently deleting new data. The mark
+    * survives compaction on purpose (compaction drops the tombstone
+    * LAYERS but the absorbed ids stay unusable anyway via
+    * `absorbed`, which compaction raises to at least this value's
+    * batch range).
+    */
+  private def tombstoneHighWater(indexDir: String): Long =
+    readManifest(indexDir).flatMap(_._1.get("tombstone_upto"))
+      .flatMap(_.toLongOption).getOrElse(0L)
+
   private def writeManifest(indexDir: String, meta: Map[String, String],
                             layers: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(indexDir, "_LAYERS.tmp")
@@ -473,10 +488,13 @@ object Ann {
   private def liveLayers(indexDir: String): Seq[String] =
     readLayers(indexDir).getOrElse(existingLayerDirs(indexDir))
 
-  private def registerLayer(indexDir: String, name: String): Unit = {
+  private def registerLayer(indexDir: String, name: String,
+                            metaAdd: Map[String, String] = Map.empty)
+      : Unit = {
     val (meta, layers) = readManifest(indexDir)
       .getOrElse((Map.empty[String, String], existingLayerDirs(indexDir)))
-    writeManifest(indexDir, meta, layers.filterNot(_ == name) :+ name)
+    writeManifest(indexDir, meta ++ metaAdd,
+      layers.filterNot(_ == name) :+ name)
   }
 
   /** Fail an append that would resurrect a compacted-away batch id
@@ -490,6 +508,12 @@ object Ann {
       s"batch id $batchId was already folded into a compact= layer of " +
         s"$indexDir (absorbed high-water $hw) — appending it again " +
         "would duplicate its rows; use a fresh id above the high-water")
+    val thw = tombstoneHighWater(indexDir)
+    require(batchId > thw,
+      s"batch id $batchId is at or below a tombstone's frozen upto " +
+        s"($thw) in $indexDir — its rows would be silently swallowed " +
+        "by the tombstone anti-join; append ids must be strictly " +
+        "monotonic past every delete's high-water")
   }
 
   /** Union the given layers, partition columns recovered via basePath,
@@ -618,10 +642,26 @@ object Ann {
       .filter(_.startsWith("compact="))
       .flatMap(_.stripPrefix("compact=").toLongOption)
       .maxOption.getOrElse(0L) + 1}"
-    applyTombstones(spark, indexDir, layers)
-      .write.mode("overwrite").partitionBy(partitionCol)
+    val applied = applyTombstones(spark, indexDir, layers)
+    applied.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(s"$indexDir/$dest")
-    writeManifest(indexDir, Map("absorbed" -> absorbed.toString), Seq(dest))
+    // If the tombstones deleted EVERY row, partitionBy wrote a dir
+    // with no parquet files at all — a manifest pointing at it makes
+    // the index unreadable (parquet schema inference fails). Rewrite
+    // the empty frame unpartitioned: one schema-bearing empty file,
+    // with the partition column as a plain data column (pruning is
+    // moot on zero rows), keeps readIndexLayers working and the index
+    // appendable.
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(indexDir, dest))
+    val wroteFiles =
+      try walk.anyMatch(_.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    if (!wroteFiles)
+      applied.repartition(1).write.mode("overwrite")
+        .parquet(s"$indexDir/$dest")
+    writeManifest(indexDir, Map("absorbed" -> absorbed.toString,
+      "tombstone_upto" -> tombstoneHighWater(indexDir).toString), Seq(dest))
     // GC superseded layers AND any orphan dir a previous crashed
     // compaction left behind (anything not in the new manifest)
     existingLayerDirs(indexDir).filterNot(_ == dest).foreach { l =>
@@ -676,7 +716,8 @@ object Ann {
     ids.select(col(idCol).as("emb_id")).distinct()
       .withColumn("upto", lit(upto))
       .write.mode("overwrite").parquet(s"$indexDir/$dest")
-    registerLayer(indexDir, dest)
+    registerLayer(indexDir, dest, Map("tombstone_upto" ->
+      math.max(upto, tombstoneHighWater(indexDir)).toString))
   }
 
   /** Append one micro-batch of vectors to a PERSISTED IVF index — the

@@ -148,38 +148,41 @@ object Multimodal {
       rows.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"undecodable payload: media ${r.media_id}")
-        val reader = readers.next()
         try {
-          reader.setInput(iis)
-          val nFrames = reader.getNumImages(true)
-          require(nFrames > 0, s"media ${r.media_id}: zero frames")
-          val w = reader.getWidth(0)
-          val h = reader.getHeight(0)
-          val hist = new Array[Long](8)
-          var total = 0L
-          var f = 0
-          while (f < nFrames) {
-            val img = reader.read(f)
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
-                  + (rgb & 0xff)) / 3
-                hist(lum >> 5) += 1
-                x += 1
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext,
+            s"undecodable payload: media ${r.media_id}")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val nFrames = reader.getNumImages(true)
+            require(nFrames > 0, s"media ${r.media_id}: zero frames")
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            val hist = new Array[Long](8)
+            var total = 0L
+            var f = 0
+            while (f < nFrames) {
+              val img = reader.read(f)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                    + (rgb & 0xff)) / 3
+                  hist(lum >> 5) += 1
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              total += img.getWidth.toLong * img.getHeight
+              f += 1
             }
-            total += img.getWidth.toLong * img.getHeight
-            f += 1
-          }
-          MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
-            w, h, nFrames, hist.map(_ / total.toFloat))
-        } finally reader.dispose()
+            MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
+              w, h, nFrames, hist.map(_ / total.toFloat))
+          } finally reader.dispose()
+        } finally iis.close()
       }
   }
 

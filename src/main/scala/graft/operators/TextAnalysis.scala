@@ -473,6 +473,180 @@ object TextAnalysis {
     overlapCheck(batch, spark.read.parquet(indexDir), idCol, textCol,
       shingleN, threshold)
 
+  /** FUZZY decontamination — near-duplicate overlap against the eval
+    * suite, the audit Llama/GPT-4-style releases run IN ADDITION to
+    * exact shingle membership ([[decontaminate]] is GPT-3 App. C's
+    * 13-gram exact check; a paraphrased or lightly-edited benchmark
+    * item slips through it, which is why production audits also run
+    * MinHash near-dup between training docs and eval docs). This is a
+    * composition of the dedup tier's machinery
+    * ([[graft.operators.Dedup.minhashSignatures]] /
+    * [[graft.operators.Dedup.bandBuckets]]) across TWO corpora:
+    *
+    *   - benchmark side: signatures + band buckets, eval-sized by
+    *     contract → BROADCAST onto the training side (the q84
+    *     discipline — the 100 TB training corpus never shuffles);
+    *   - training side: signatures + band buckets, candidate pairs
+    *     confined to shared (band, bucket) cells — never all-pairs;
+    *   - unique (doc, bench) pairs scored once by signature match
+    *     fraction; a doc is contaminated iff some benchmark doc
+    *     scores ≥ `threshold` (≈0.8 ~ near-dup Jaccard).
+    *
+    * Output, one row per training doc (the q84 report shape):
+    * (doc_id, n_matches, max_est_jaccard, contaminated).
+    */
+  def fuzzyDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         benchIdCol: String, benchTextCol: String,
+                         shingleN: Int = 2, numPerm: Int = 64,
+                         bands: Int = 8, threshold: Double = 0.8,
+                         seed: Long = 42L,
+                         portable: Boolean = true): DataFrame = {
+    val benchSig = Dedup.minhashSignatures(benchmark, benchIdCol,
+      benchTextCol, shingleN, numPerm, seed, portable)
+      .withColumnRenamed("doc_id", "bench_id")
+    fuzzyDecontaminateAgainst(docs, benchSig, idCol, textCol,
+      shingleN, numPerm, bands, threshold, seed, portable)
+  }
+
+  /** The probe half of [[fuzzyDecontaminate]], against an already-
+    * signed benchmark (one-shot, or [[buildFuzzyBenchmarkIndex]] read
+    * back). Per-doc results are independent — folding training
+    * batches and unioning equals the one-shot run exactly, while each
+    * fold is O(batch) and never re-reads the benchmark TEXT (the
+    * signature table is the at-rest state, vocab-tiny).
+    */
+  def fuzzyDecontaminateAgainst(docs: DataFrame, benchSig: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleN: Int, numPerm: Int, bands: Int,
+                                threshold: Double, seed: Long,
+                                portable: Boolean): DataFrame = {
+    val scored = fuzzyPairs(docs, benchSig, idCol, textCol, shingleN,
+      numPerm, bands, threshold, seed, portable)
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  /** Persist the benchmark's MinHash signature table — the fuzzy
+    * analog of [[buildBenchmarkIndex]] (same lifecycle: built once
+    * per eval-suite change, broadcast by every training fold
+    * forever). Signatures, not buckets: buckets derive from the
+    * signature table in one vocab-sized projection, and storing only
+    * the canonical form keeps (numPerm, bands) re-bandable without a
+    * rebuild.
+    */
+  def buildFuzzyBenchmarkIndex(benchmark: DataFrame, benchIdCol: String,
+                               benchTextCol: String, shingleN: Int,
+                               numPerm: Int, seed: Long,
+                               indexDir: String): Unit =
+    Dedup.minhashSignatures(benchmark, benchIdCol, benchTextCol,
+        shingleN, numPerm, seed, portable = true)
+      .withColumnRenamed("doc_id", "bench_id")
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Fuzzy-decontaminate ONE training batch against a persisted
+    * [[buildFuzzyBenchmarkIndex]]. Fold-union == one-shot by per-doc
+    * independence (the q91 property).
+    */
+  def fuzzyDecontaminateIncremental(spark: org.apache.spark.sql.SparkSession,
+                                    indexDir: String, batch: DataFrame,
+                                    idCol: String, textCol: String,
+                                    shingleN: Int = 2, numPerm: Int = 64,
+                                    bands: Int = 8,
+                                    threshold: Double = 0.8,
+                                    seed: Long = 42L): DataFrame =
+    fuzzyDecontaminateAgainst(batch, spark.read.parquet(indexDir),
+      idCol, textCol, shingleN, numPerm, bands, threshold, seed,
+      portable = true)
+
+  /** Candidate-quality eval of the fuzzy decon path — the q180
+    * (`Dedup.lshEval`) discipline applied cross-corpus: EXACT
+    * shingle-set Jaccard between a labeled sample of training docs
+    * and the (full, eval-sized) benchmark as truth, the banded
+    * MinHash candidates (restricted to the same sample) as the
+    * measured side. One row: (n_true, n_cand, n_hit, prec, recall) —
+    * the recall number that justifies trusting band granularity
+    * before 100 TB rides on it.
+    */
+  def fuzzyDeconEval(docs: DataFrame, benchmark: DataFrame,
+                     idCol: String, textCol: String,
+                     benchIdCol: String, benchTextCol: String,
+                     evalPred: Column => Column, shingleN: Int,
+                     numPerm: Int, bands: Int,
+                     threshold: Double, seed: Long): DataFrame = {
+    import graft.functions.ShingleHash
+    def shingleSet(df: DataFrame, id: String, text: String,
+                   outId: String) =
+      df.select(col(id).cast("long").as(outId),
+        explode(array_distinct(
+          ShingleHash.shingleHashes(col(text), shingleN))).as("h"))
+    val dsh = shingleSet(docs.filter(evalPred(col(idCol))), idCol,
+      textCol, "doc_id")
+    val bsh = shingleSet(benchmark, benchIdCol, benchTextCol, "bench_id")
+    val dsz = dsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val bsz = bsh.groupBy("bench_id").agg(count(lit(1)).as("nb"))
+    val truth = dsh.join(bsh, "h")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .join(dsz, "doc_id").join(bsz, "bench_id")
+      .filter(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")) >= threshold)
+      .select(col("doc_id"), col("bench_id"), lit(1L).as("__t"))
+    val cand = {
+      val benchSig = Dedup.minhashSignatures(benchmark, benchIdCol,
+          benchTextCol, shingleN, numPerm, seed, portable = true)
+        .withColumnRenamed("doc_id", "bench_id")
+      fuzzyPairs(docs, benchSig, idCol, textCol, shingleN, numPerm,
+        bands, threshold, seed, portable = true)
+        .filter(evalPred(col("doc_id")))
+        .select(col("doc_id"), col("bench_id"), lit(1L).as("__c"))
+    }
+    truth.join(cand, Seq("doc_id", "bench_id"), "full_outer")
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("__t") * col("__c")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_cand"))
+          .as("prec"),
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true"))
+          .as("recall"))
+  }
+
+  /** The scored (doc, bench) pair set of [[fuzzyDecontaminateAgainst]]
+    * before the per-doc rollup — shared with [[fuzzyDeconEval]].
+    */
+  private def fuzzyPairs(docs: DataFrame, benchSig: DataFrame,
+                         idCol: String, textCol: String, shingleN: Int,
+                         numPerm: Int, bands: Int, threshold: Double,
+                         seed: Long, portable: Boolean): DataFrame = {
+    val benchBk = Dedup.bandBuckets(
+        benchSig.withColumnRenamed("bench_id", "doc_id"),
+        numPerm, bands, portable)
+      .withColumnRenamed("doc_id", "bench_id")
+    val docSig = Dedup.minhashSignatures(docs, idCol, textCol, shingleN,
+      numPerm, seed, portable)
+    val docBk = Dedup.bandBuckets(docSig, numPerm, bands, portable)
+    val sigArr = array((0 until numPerm).map(i => col(s"s$i")): _*)
+    val matches = size(filter(
+      zip_with(col("sa"), col("sb"), (x, y) => x === y), m => m))
+    docBk.join(broadcast(benchBk), Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+      .join(docSig.select(col("doc_id"), sigArr.as("sa")), "doc_id")
+      .join(broadcast(benchSig.select(col("bench_id"), sigArr.as("sb"))),
+        "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        (matches.cast("double") / numPerm).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Bloom-gated decontamination: the [[decontaminate]] check against
     * a BOUNDED-size membership sketch instead of the exact benchmark
     * hash set ([[graft.operators.Sketches.bloomBuild]] over the
@@ -1738,6 +1912,83 @@ object TextAnalysis {
     Seq("r_dup", "r_short", "r_caps", "r_sym", "kept")
       .map(k => (k, r.getAs[Long](k))).toDF("rule", "n")
   }
+
+  /** Block-level HTML tags: replaced by a line break during
+    * extraction so the text keeps its visual line structure (a nav
+    * list's items become separate lines the line cleaner can judge);
+    * every other tag (`<b>`, `<span>`, `<a href>`) is inline and
+    * vanishes without splitting the surrounding text. Tag name must
+    * be followed by whitespace, `/`, or the closing `>` — `<b>` must
+    * NOT match the `br`/`body`/`blockquote` alternatives, and the
+    * attribute tail is `[^>]*` so a `(?:[\s/>]...)` variant that let
+    * `>` open the tail would swallow the element's TEXT up to the
+    * next tag (leftmost-longest RE2 semantics).
+    */
+  private val BlockTagRe: String =
+    "(?i)</?(?:p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|" +
+      "thead|tbody|blockquote|pre|section|article|aside|nav|header|" +
+      "footer|head|body|html|form)(?:[\\s/][^>]*)?>"
+
+  /** HTML→text as one pure column expression — the extraction stage
+    * that PRECEDES every line-wise rule in a web-corpus pipeline
+    * (RefinedWeb §3.1: trafilatura extraction runs before the line
+    * corrections [[cleanLines]] implements; raw CommonCrawl is HTML,
+    * so a user hits this before anything else). Five passes, each
+    * engine-portable (Java regex and RE2 agree on every construct
+    * used: `(?is)` inline flags, lazy `.*?`, non-capturing groups):
+    *
+    *   1. comments `<!-- ... -->` removed WITH content (can span
+    *      lines and hide markup);
+    *   2. `<script>`/`<style>`/`<title>` elements removed WITH
+    *      content — script bodies contain `<`/`>` comparisons that
+    *      would corrupt naive tag stripping, which is why this pass
+    *      must precede pass 4;
+    *   3. block-level tags ([[BlockTagRe]]) → newline (structure
+    *      becomes line structure);
+    *   4. every remaining tag → empty (inline markup vanishes,
+    *      `<b>batch</b>` rejoins as `batch`);
+    *   5. the five ubiquitous character entities decoded (`&lt; &gt;
+    *      &quot; &#39; &nbsp;`, then `&amp;` LAST so `&amp;lt;`
+    *      decodes to the literal text `&lt;`, not `<`).
+    *
+    * Lines are then trimmed, empties dropped, and re-joined — the
+    * exact input shape [[cleanLines]] expects.
+    */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noHidden = Seq("script", "style", "title").foldLeft(noComment) {
+      (c, tag) =>
+        regexp_replace(c, s"(?is)<$tag[^>]*>.*?</$tag\\s*>", "")
+    }
+    val blocks = regexp_replace(noHidden, BlockTagRe, "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", "")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) =>
+        replace(c, lit(e), lit(v))
+      }
+    array_join(
+      filter(transform(split(decoded, "\n"), l => trim(l)),
+        l => length(l) > 0), "\n")
+  }
+
+  /** [[htmlToText]] over a document frame: (doc_id, n_raw_chars,
+    * n_lines, text). Per-document pure — zero Exchange, the q173
+    * shape — so it composes with [[cleanLines]] /
+    * [[graft.operators.Dedup.cutBoilerplate]] downstream and is
+    * batching-independent by construction in an incremental fold.
+    */
+  def extractHtml(docs: DataFrame, idCol: String,
+                  htmlCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      length(col(htmlCol)).cast("long").as("n_raw_chars"),
+      let(htmlToText(col(htmlCol))) { t =>
+        struct(
+          when(length(t) === 0, lit(0L))
+            .otherwise(size(split(t, "\n")).cast("long")).as("n_lines"),
+          t.as("text"))
+      }.as("__s"))
+      .select(col("doc_id"), col("n_raw_chars"), col("__s.*"))
 
   /** Sliding-window document chunking — the RAG-ingestion primitive
     * (fixed-size token windows with overlap, the LangChain/LlamaIndex

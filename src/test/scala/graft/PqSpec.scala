@@ -596,4 +596,55 @@ class PqSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("tombstone"))
   }
+
+  test("tombstone delete: a backfill append at or below a tombstone's " +
+      "frozen upto fails loudly (its rows would be silently swallowed); " +
+      "ids strictly above it pass") {
+    val vecs = (0L to 9L).map(i =>
+      (i, Array.fill(4)((i % 2).toFloat + 1f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("sq8_tomb_backfill").toString
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 5), "vec_id",
+      "embedding", col("label"), idx, 5L)
+    Ann.deleteFromVectorIndex(spark, idx, Seq(1L).toDF("vec_id"),
+      "vec_id")  // freezes upto = 5
+    // backfill id 3 <= tombstone upto 5: the anti-join would eat it
+    val e = intercept[IllegalArgumentException] {
+      Ann.sq8IndexAppend(vecs.filter(col("vec_id") >= 5), "vec_id",
+        "embedding", col("label"), idx, 3L)
+    }
+    assert(e.getMessage.contains("tombstone"), e.getMessage)
+    // strictly above passes, and its rows are retrievable
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") >= 5), "vec_id",
+      "embedding", col("label"), idx, 6L)
+    val got = Ann.sq8IndexQuery(spark, idx,
+        vecs.filter(col("vec_id") === 0L)
+          .withColumn("probes", array(col("label").cast("long"))),
+        "vec_id", "embedding", "probes", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.contains(6L) && !got.contains(1L))
+  }
+
+  test("tombstone delete: compacting an index whose tombstones delete " +
+      "EVERY row leaves a readable empty index that accepts appends") {
+    val vecs = (0L to 7L).map(i =>
+      (i, Array.fill(4)((i % 2).toFloat + 1f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("sq8_tomb_all_deleted").toString
+    Ann.sq8IndexAppend(vecs, "vec_id", "embedding", col("label"), idx, 1L)
+    Ann.deleteFromVectorIndex(spark, idx,
+      vecs.select("vec_id"), "vec_id")
+    Ann.compactVectorIndex(spark, idx, partitionCol = "cluster")
+    val qs = vecs.filter(col("vec_id") === 0L)
+      .withColumn("probes", array(col("label").cast("long")))
+    def hits() = Ann.sq8IndexQuery(spark, idx, qs, "vec_id",
+        "embedding", "probes", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits().isEmpty)          // readable, empty — not a crash
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 4), "vec_id",
+      "embedding", col("label"), idx, 2L)
+    assert(hits().contains(2L))     // fresh rows land and are served
+  }
 }

@@ -317,4 +317,85 @@ class TextOpsSpec extends SparkSpecBase {
     assert(r("out") == ((4L, 0L, 0L)))
     assert(r("nil") == ((0L, 0L, 0L)))
   }
+
+  test("extractHtml: comments/script/style/title removed WITH content, " +
+      "block tags become lines, inline tags rejoin seamlessly, " +
+      "entities decode with &amp; last; empty/insane inputs survive") {
+    val docs = Seq(
+      (1L, "<html><head><title>skip</title>" +
+        "<script>if (a<b && c>d) { x(); }</script>" +
+        "<style>.x{}</style></head><body>" +
+        "<!-- multi\nline comment -->" +
+        "<h1>Title</h1><p>one <b>two</b> three</p>" +
+        "<div>&amp;lt;literal &quot;q&quot; &#39;s&#39;&nbsp;&gt;</div>" +
+        "</body></html>"),
+      (2L, ""),                       // empty doc
+      (3L, "no markup at all"),       // plain text passes through
+      (4L, "<p></p><div>  </div>")    // tags around only whitespace
+    ).toDF("doc_id", "html")
+    val r = TextAnalysis.extractHtml(docs, "doc_id", "html")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((3L,
+      "Title\none two three\n&lt;literal \"q\" 's' >")))
+    assert(r(2L) == ((0L, "")))
+    assert(r(3L) == ((1L, "no markup at all")))
+    assert(r(4L) == ((0L, "")))
+  }
+
+  test("fuzzyDecontaminate: planted near-dup of a benchmark doc is " +
+      "flagged, unrelated docs are not; incremental folds over the " +
+      "persisted index union to the one-shot result") {
+    // near-dup: one token changed out of 12 — bigram jaccard ~0.77,
+    // every other doc disjoint from the benchmark
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val nearDup = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda nu"
+    val docs = Seq(
+      (1L, nearDup),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "x")                                   // shingle-less
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val oneShot = TextAnalysis.fuzzyDecontaminate(docs, bench,
+        "doc_id", "text", "doc_id", "text", threshold = 0.5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getBoolean(3))).toMap
+    assert(oneShot(1L)._2 && oneShot(1L)._1 == 1L)
+    assert(!oneShot(2L)._2 && !oneShot(3L)._2)
+    val idx = java.nio.file.Files
+      .createTempDirectory("fuzzy_idx_spec").toString
+    TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+      shingleN = 2, numPerm = 64, seed = 42L, indexDir = idx)
+    val folded = Seq(docs.filter(col("doc_id") <= 1L),
+        docs.filter(col("doc_id") > 1L))
+      .map(b => TextAnalysis.fuzzyDecontaminateIncremental(spark, idx,
+        b, "doc_id", "text", threshold = 0.5))
+      .reduce(_ unionByName _)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getBoolean(3))).toMap
+    assert(folded == oneShot)
+  }
+
+  test("fuzzyDeconEval: the planted pair is truth AND candidate on a " +
+      "sample that contains it; prec/recall exact") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val nearDup = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda nu"
+    val docs = Seq(
+      (2L, nearDup),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, nearDup)   // outside the %2 sample: must not count
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val r = TextAnalysis.fuzzyDeconEval(docs, bench, "doc_id", "text",
+        "doc_id", "text", evalPred = id => pmod(id, lit(2)) === 0,
+        shingleN = 2, numPerm = 64, bands = 8, threshold = 0.5,
+        seed = 42L)
+      .collect().head
+    assert(r.getLong(0) == 1L && r.getLong(2) == 1L) // n_true, n_hit
+    assert(r.getDouble(4) == 1.0)                    // recall
+  }
 }
