@@ -4703,25 +4703,25 @@ object SparkEntry {
   // NOTE: the chain is ALREADY margin-stripped — concatenate the
   // tails without re-applying stripMargin over it (a second pass eats
   // one pipe of every `|| ' ' ||` continuation line).
-  private val CurationFullOracleSql: String =
+  private val CurationFullOracleSql: String = materializeCtes(
     CurationFullChainSql + "\n" +
       """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
-        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin)
 
   /** q162: the funnel-first full recipe's final selection. */
-  private val CurationFunnelOracleSql: String =
+  private val CurationFunnelOracleSql: String = materializeCtes(
     CurationFunnelChainSql + "\n" +
       """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
-        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin)
 
   /** q182: the q162 funnel-gated chain labeled stage by stage — for
     * every pipeline-input doc (doc_id % 20 <> 0; the %20 == 0 slice
     * is the benchmark, never input) the first stage that dropped it,
     * in the Spark CASE's exact gate order.
     */
-  private val DropProvenanceOracleSql: String =
+  private val DropProvenanceOracleSql: String = materializeCtes(
     CurationFunnelChainSql + ",\n" +
       """fsel AS (SELECT doc_id FROM r JOIN caps USING (lang)
         | WHERE mix_rank <= k)
@@ -4739,22 +4739,22 @@ object SparkEntry {
         |    THEN 'f_mix_cap'
         |  ELSE 'g_selected' END AS stage
         |FROM (SELECT doc_id FROM fbase WHERE doc_id % 20 <> 0) b
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin)
 
   /** q146: the q126 chain with the decon gate swapped to the bloom
     * membership test — same final selection shape.
     */
-  private val CurationBloomOracleSql: String =
+  private val CurationBloomOracleSql: String = materializeCtes(
     CurationBloomChainSql + "\n" +
       """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
-        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin)
 
   /** q150: selection (the q126 chain) → split hash ranges (the q113
     * replay over the selected set) → train-split round-robin shards
     * (the q134 replay).
     */
-  private val ReleaseManifestOracleSql: String =
+  private val ReleaseManifestOracleSql: String = materializeCtes(
     CurationFullChainSql + ",\n" +
       s"""sel AS (SELECT doc_id, lang FROM r JOIN caps USING (lang)
          | WHERE mix_rank <= k),
@@ -4773,10 +4773,10 @@ object SparkEntry {
          |SELECT s.doc_id, s.lang, s.split,
          | CAST(COALESCE((t.pos - 1) % 4, -1) AS BIGINT) AS shard
          |FROM sp s LEFT JOIN tr t USING (doc_id)
-         |ORDER BY s.doc_id""".stripMargin
+         |ORDER BY s.doc_id""".stripMargin)
 
   /** The q135 funnel report: per-stage counts off the same chain. */
-  private val CurationReportOracleSql: String =
+  private val CurationReportOracleSql: String = materializeCtes(
     CurationFullChainSql + "\n" +
       """SELECT stage, CAST(n AS BIGINT) AS n FROM (
         | SELECT 'a_indexed' AS stage, COUNT(*) AS n FROM kept1
@@ -4786,7 +4786,7 @@ object SparkEntry {
         | UNION ALL SELECT 'e_dsir_kept', COUNT(*) FROM kept3
         | UNION ALL SELECT 'f_selected', COUNT(*)
         |  FROM r JOIN caps USING (lang) WHERE mix_rank <= k)
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin)
 
   private val LmQualityOracleSql: String =
       """WITH toks AS (SELECT doc_id,
@@ -5062,8 +5062,12 @@ object SparkEntry {
     // oracle that silently materializes the wrong nodes.
     val token = " AS (SELECT"
     val occurrences = sql.sliding(token.length).count(_ == token)
+    // a head is `name` or `name(cols)` (recursive CTEs), preceded by
+    // `WITH [RECURSIVE] ` for the first or `), ` for continuations;
+    // DuckDB accepts AS MATERIALIZED on recursive CTEs too (verified)
     val heads =
-      """(?s)(?:\bWITH\s+|\),\s*)([A-Za-z_][A-Za-z0-9_]*)\s+AS \(SELECT"""
+      ("""(?s)(?:\bWITH\s+(?:RECURSIVE\s+)?|\),\s*)""" +
+        """([A-Za-z_][A-Za-z0-9_]*)(?:\([^()]*\))?\s+AS \(SELECT""")
         .r.findAllMatchIn(sql).size
     // first CTE after WITH + each `), name AS (SELECT` continuation
     require(heads == occurrences,
@@ -6925,7 +6929,7 @@ object SparkEntry {
       val qdJoins = (1 until m).map(mi =>
         s"JOIN qd$mi ON qd$mi.cid = cd.k$mi" +
           s" AND qd$mi.query_id = qd0.query_id").mkString("\n ")
-      s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      materializeCtes(s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |$subCtes,
          |$initCtes,
@@ -6945,7 +6949,8 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |   ORDER BY adist, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY query_id, rank"""
+        .stripMargin)
     },
 
     // Curation-chain replay: q93's cap → q96's mix (counts from the
@@ -7038,7 +7043,7 @@ object SparkEntry {
       def sq(e: String, c: String) =
         s"round(list_sum(list_transform(range(len($e)), " +
           s"j -> ($e[j+1] - $c[j+1]) * ($e[j+1] - $c[j+1]))), 4) + 0.0"
-      s"""WITH $ivfPqChainSql,
+      materializeCtes(s"""WITH $ivfPqChainSql,
          |approx AS (SELECT query_id, neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adist, neighbor_id) AS rank FROM scored)
@@ -7056,7 +7061,8 @@ object SparkEntry {
          | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
          | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
          |FROM (SELECT DISTINCT query_id FROM exact) qq
-         |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
+         |LEFT JOIN hits h USING (query_id) ORDER BY query_id"""
+        .stripMargin)
     },
 
     // Persisted IVF-PQ index: codebooks are frozen at build and per-row
@@ -7687,14 +7693,14 @@ object SparkEntry {
     * the surviving chunks (wider query sampling — the gated corpus is
     * smaller).
     */
-  private val RagGatedOracleSql: String =
+  private val RagGatedOracleSql: String = materializeCtes(
     s"""WITH ${funnelRulesSql("")},
        |fk AS (SELECT doc_id FROM rules WHERE keep),
        |${chunkCtesSql("",
           "(SELECT d.doc_id, d.text FROM documents d JOIN fk USING (doc_id))")},
        |$ragEmbedCtesSql,
        |${ragModularTailSql(2000L)}
-       |$RagTopKSelectSql""".stripMargin
+       |$RagTopKSelectSql""".stripMargin)
 
   /** The q173/q174 line-cleaning replay front: the [[linePages]]
     * fixture, trimmed non-empty lines, and the four per-line rule
