@@ -74,6 +74,24 @@ object SparkEntry {
         lit("<footer>COPYRIGHT 2026</footer></body></html>"))
         .as("html"))
 
+  /** Multi-byte text fixture for the byte-level tokenizer lanes
+    * (q189–q191): every 4th doc gains Greek, CJK, and an emoji (1-, 2-,
+    * 3- and 4-byte UTF-8 sequences all present) — text a char-level
+    * vocabulary trained on this corpus would hole out on, and exactly
+    * what the byte-level base alphabet exists to absorb.
+    */
+  private def bytePages(docs: DataFrame): DataFrame =
+    docs.withColumn("doc_id", col("doc_id").cast("long"))
+      .select(col("doc_id"), col("source"),
+        concat(coalesce(col("text"), lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(" αβ 汉字 🙂"))
+            .otherwise(lit(""))).as("text"))
+
+  private val BytePagesSrcSql: String =
+    "(SELECT doc_id, source, COALESCE(text, '') || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ' αβ 汉字 🙂' ELSE '' END AS text " +
+      "FROM documents)"
+
   /** Shared full-recipe curation fixture (q126/q127/q135/q146/q150):
     * benchmark state (exact shingle index, or two folded bloom layers
     * when `deconBloom`), frozen DSIR model, gate/mixture dirs, and —
@@ -3793,6 +3811,49 @@ object SparkEntry {
         evalPred = id => pmod(id, lit(2)) === 0,
         shingleN = 2, numPerm = 64, bands = 8, threshold = 0.5,
         seed = 42L)
+    }),
+
+    // ---- BYTE-LEVEL BPE (the GPT-2 production base alphabet): ------
+    // symbols are UTF-8 bytes as fixed-width hex, so no input ever
+    // falls out of vocabulary. Trained on the multi-byte fixture
+    // (Greek/CJK/emoji) — merges form over multi-byte sequences too.
+    "q189_bpe_bytes_train" -> ((s, dir) => {
+      TextAnalysis.bpeTrainBytes(bytePages(t(s, dir, "documents")),
+          "text", numMerges = 20)
+        .orderBy(col("step"))
+    }),
+
+    // ---- byte-level round trip: mark → train → ids → decode --------
+    // must reproduce the whitespace-normalized fixture EXACTLY —
+    // including the scripts no char-level vocab trained here could
+    // represent; the oracle is the reconstruction invariant itself
+    // (the q154 convention).
+    "q190_bpe_bytes_roundtrip" -> ((s, dir) => {
+      val d = bytePages(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.markWords(col("text")).as("text"))
+      val merges = TextAnalysis.bpeTrainBytes(d, "text", numMerges = 30)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right"))
+        .toSeq
+      val vocab = TextAnalysis.bpeVocabBytes(s, merges)
+      val enc = TextAnalysis.bpeEncodeIdsBytes(d, "doc_id", "text",
+        merges, vocab)
+      TextAnalysis.bpeDecodeBytes(enc, vocab).orderBy(col("doc_id"))
+    }),
+
+    // ---- byte-level coverage audit (q181 over the byte table): -----
+    // merged ratio per stratum where a base piece is one BYTE — low
+    // ratio cleanly means "vocab doesn't fit this stratum", never
+    // "input didn't parse" (nothing is OOV by construction).
+    "q191_bpe_bytes_coverage" -> ((s, dir) => {
+      val d = bytePages(t(s, dir, "documents"))
+      val merges = TextAnalysis.bpeTrainBytes(d, "text", numMerges = 20)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right"))
+        .toSeq
+      TextAnalysis.tokenizerCoverageBytes(d, "source", "text", merges)
+        .orderBy(col("stratum"))
     })
   )
 
@@ -3822,7 +3883,30 @@ object SparkEntry {
     */
   private val BpeSteps = 20
 
-  private def bpeChainSql(steps: Int): String = {
+  private def bpeChainSql(steps: Int, byteLevel: Boolean = false,
+                          src: String = "documents"): String = {
+    // byte-level v0: symbols are UTF-8 bytes as fixed-width uppercase
+    // hex pairs — hex(encode(tok)) renders identically in Spark and
+    // DuckDB, so the merge loop above it is unchanged
+    val v0 =
+      if (byteLevel)
+        s"""v0 AS MATERIALIZED (SELECT tok AS wid, wc,
+           |    CAST(i AS BIGINT) + 1 AS pos,
+           |    substr(hex(encode(tok)), CAST(i AS INT) * 2 + 1, 2) AS sym
+           |  FROM (SELECT tok, wc,
+           |    unnest(range(octet_length(encode(tok)))) AS i FROM w))"""
+          .stripMargin
+      else
+        """v0 AS MATERIALIZED (SELECT tok AS wid, wc,
+          |    CAST(i AS BIGINT) + 1 AS pos,
+          |    substr(tok, CAST(i AS INT) + 1, 1) AS sym
+          |  FROM (SELECT tok, wc, unnest(range(len(tok))) AS i FROM w))"""
+          .stripMargin
+    bpeChainWithV0Sql(steps, v0, src)
+  }
+
+  private def bpeChainWithV0Sql(steps: Int, v0: String,
+                                src: String): String = {
     def stage(s: Int): String =
       s"""p$s AS MATERIALIZED (SELECT a.wid, a.wc, a.pos, a.sym AS x, b.sym AS y
          | FROM v${s - 1} a JOIN v${s - 1} b
@@ -3848,21 +3932,65 @@ object SparkEntry {
          |     WHERE a2.wid = t.wid AND a2.pos = t.pos - 1)))""".stripMargin
     s"""w AS MATERIALIZED (SELECT tok, COUNT(*) AS wc FROM (
        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |  FROM documents) GROUP BY tok),
-       |v0 AS MATERIALIZED (SELECT tok AS wid, wc,
-       |    CAST(i AS BIGINT) + 1 AS pos,
-       |    substr(tok, CAST(i AS INT) + 1, 1) AS sym
-       |  FROM (SELECT tok, wc, unnest(range(len(tok))) AS i FROM w)),
+       |  FROM $src) GROUP BY tok),
+       |$v0,
        |${(1 to steps).map(stage).mkString(",\n")}""".stripMargin
   }
 
-  private val BpeTrainOracleSql: String = {
-    val sel = (1 to BpeSteps).map(s =>
+  private def bpeTrainSelectSql(steps: Int): String =
+    (1 to steps).map(s =>
       s"""SELECT $s AS step, a AS "left", b AS "right", a || b AS merged,
          |  CAST(cnt AS BIGINT) AS pair_count FROM m$s""".stripMargin)
       .mkString("\nUNION ALL\n")
-    s"WITH ${bpeChainSql(BpeSteps)}\n$sel ORDER BY step"
-  }
+
+  private val BpeTrainOracleSql: String =
+    s"WITH ${bpeChainSql(BpeSteps)}\n${bpeTrainSelectSql(BpeSteps)} " +
+      "ORDER BY step"
+
+  /** q189: the byte-level training replay — the identical unrolled
+    * merge loop over the hex-byte v0 symbolization, on the multi-byte
+    * fixture.
+    */
+  private val BpeBytesTrainOracleSql: String =
+    s"WITH ${bpeChainSql(BpeSteps, byteLevel = true,
+        src = BytePagesSrcSql)}\n" +
+      s"${bpeTrainSelectSql(BpeSteps)} ORDER BY step"
+
+  /** q190: the byte-level round-trip invariant — decode∘encode must
+    * reproduce the whitespace-normalized fixture verbatim (the q154
+    * convention), including the Greek/CJK/emoji no char-level vocab
+    * trained here could hold.
+    */
+  private val BpeBytesRoundtripOracleSql: String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       | array_to_string(string_split_regex(trim(text), '\\s+'), ' ')
+       |   AS decoded
+       |FROM $BytePagesSrcSql
+       |WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |  x -> len(x) > 0)) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** q191: the q181 coverage audit over the BYTE-level table — a merge
+    * product is any piece longer than one byte symbol (2 hex chars).
+    */
+  private val BpeBytesCoverageOracleSql: String =
+    s"""WITH ${bpeChainSql(BpeSteps, byteLevel = true,
+         src = BytePagesSrcSql)},
+       |btk AS (SELECT doc_id,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       | FROM $BytePagesSrcSql),
+       |benc AS (SELECT t.doc_id, v.sym
+       | FROM btk t JOIN v$BpeSteps v ON v.wid = t.tok),
+       |bcov AS (SELECT d.source AS stratum, COUNT(e.sym) AS n_pieces,
+       |  COALESCE(SUM(CASE WHEN length(e.sym) > 2 THEN 1 ELSE 0 END),
+       |    0) AS n_merged
+       | FROM $BytePagesSrcSql d LEFT JOIN benc e ON d.doc_id = e.doc_id
+       | GROUP BY d.source)
+       |SELECT stratum, CAST(n_pieces AS BIGINT) AS n_pieces,
+       | CAST(n_merged AS BIGINT) AS n_merged,
+       | CAST(CASE WHEN n_pieces = 0 THEN 0
+       |   ELSE n_merged * 10000 // n_pieces END AS BIGINT) AS merged_10k
+       |FROM bcov ORDER BY stratum""".stripMargin
 
   /** Encode replay: a training-corpus word's encoding IS its final
     * vocab state (sequential-in-order application — the same rewrites
@@ -7602,7 +7730,10 @@ object SparkEntry {
     "q185_html_clean" -> HtmlCleanOracleSql,
     "q186_fuzzy_decon" -> FuzzyDeconOracleSql,
     "q187_fuzzy_decon_incremental" -> FuzzyDeconOracleSql,
-    "q188_fuzzy_decon_eval" -> FuzzyDeconEvalOracleSql
+    "q188_fuzzy_decon_eval" -> FuzzyDeconEvalOracleSql,
+    "q189_bpe_bytes_train" -> BpeBytesTrainOracleSql,
+    "q190_bpe_bytes_roundtrip" -> BpeBytesRoundtripOracleSql,
+    "q191_bpe_bytes_coverage" -> BpeBytesCoverageOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

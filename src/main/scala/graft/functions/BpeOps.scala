@@ -66,13 +66,33 @@ object BpeApply {
     m
   }
 
-  /** The shared rank-cursor merge loop (see class doc). */
+  /** Uppercase two-hex-char rendering of every byte value — the
+    * byte-level base alphabet. Fixed width keeps hex-string order ==
+    * byte-value order, and `hex(encode(w, 'UTF-8'))` produces the
+    * identical rendering in Spark SQL and DuckDB, so byte-level
+    * merges replay portably.
+    */
+  private[functions] val ByteSym: Array[String] =
+    Array.tabulate(256)(i => f"$i%02X")
+
+  /** The shared rank-cursor merge loop (see class doc). `byteLevel`
+    * symbolizes by UTF-8 BYTE (each rendered [[ByteSym]]) instead of
+    * code point — the GPT-2 base-alphabet layout where NO input can
+    * fall out of vocabulary (every byte is one of 256 base symbols).
+    */
   private[functions] def encodeWord(word: String,
       merges: IndexedSeq[(String, String)],
-      ranks: java.util.HashMap[(String, String), Int]): GenericArrayData = {
+      ranks: java.util.HashMap[(String, String), Int],
+      byteLevel: Boolean): GenericArrayData = {
     // symbolize by code point (whole characters — a surrogate pair is
-    // one symbol, never split)
-    var syms = {
+    // one symbol, never split), or by UTF-8 byte
+    var syms = if (byteLevel) {
+      val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val buf = new scala.collection.mutable.ArrayBuffer[String](bytes.length)
+      var i = 0
+      while (i < bytes.length) { buf += ByteSym(bytes(i) & 0xff); i += 1 }
+      buf
+    } else {
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
       while (i < word.length) {
@@ -114,7 +134,8 @@ object BpeApply {
 }
 
 /** Merge table inside the serialized expression — see [[BpeApply$]]. */
-case class BpeApply(child: Expression, merges: Seq[(String, String)])
+case class BpeApply(child: Expression, merges: Seq[(String, String)],
+                    byteLevel: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -124,7 +145,8 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val ranks = BpeApply.buildRanks(idx)
 
   protected override def nullSafeEval(input: Any): Any =
-    BpeApply.encodeWord(input.asInstanceOf[UTF8String].toString, idx, ranks)
+    BpeApply.encodeWord(input.asInstanceOf[UTF8String].toString, idx,
+      ranks, byteLevel)
 
   override protected def withNewChildInternal(newChild: Expression): BpeApply =
     copy(child = newChild)
@@ -137,7 +159,8 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   * to [[BpeApply]].
   */
 case class BpeApplyBroadcast(child: Expression,
-    bc: Broadcast[Array[(String, String)]])
+    bc: Broadcast[Array[(String, String)]],
+    byteLevel: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -148,7 +171,8 @@ case class BpeApplyBroadcast(child: Expression,
   @transient private lazy val ranks = BpeApply.buildRanks(idx)
 
   protected override def nullSafeEval(input: Any): Any =
-    BpeApply.encodeWord(input.asInstanceOf[UTF8String].toString, idx, ranks)
+    BpeApply.encodeWord(input.asInstanceOf[UTF8String].toString, idx,
+      ranks, byteLevel)
 
   override protected def withNewChildInternal(
       newChild: Expression): BpeApplyBroadcast = copy(child = newChild)
@@ -171,4 +195,19 @@ object BpeOps {
     */
   def bpeApplyBc(word: Column, bc: Broadcast[Array[(String, String)]]): Column =
     ColumnBridge.column(BpeApplyBroadcast(ColumnBridge.expression(word), bc))
+
+  /** BYTE-LEVEL [[bpeApply]]: the word symbolizes to its UTF-8 bytes
+    * (two-hex-char symbols), so the merge table must have been trained
+    * byte-level too. No input can fall out of vocabulary.
+    */
+  def bpeApplyBytes(word: Column,
+                    merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeApply(ColumnBridge.expression(word), merges,
+      byteLevel = true))
+
+  /** Byte-level [[bpeApplyBc]]. */
+  def bpeApplyBytesBc(word: Column,
+      bc: Broadcast[Array[(String, String)]]): Column =
+    ColumnBridge.column(BpeApplyBroadcast(ColumnBridge.expression(word),
+      bc, byteLevel = true))
 }

@@ -1447,14 +1447,19 @@ object TextAnalysis {
     */
   private[operators] def bpeMergeLoopLocal(
       spark: org.apache.spark.sql.SparkSession,
-      vocab: Array[(String, Long)], numMerges: Int): DataFrame = {
+      vocab: Array[(String, Long)], numMerges: Int,
+      byteLevel: Boolean = false): DataFrame = {
     import spark.implicits._
     import scala.collection.mutable
     // same symbolization as the distributed loop: split BETWEEN
     // characters, drop empties (Java split keeps no leading empty for
-    // (?!^) but an empty word yields [""])
+    // (?!^) but an empty word yields [""]); byte-level symbolizes to
+    // two-hex-char UTF-8 bytes (hex(encode(w)) in both SQL engines)
     val syms: Array[Array[String]] =
-      vocab.map(_._1.split("(?!^)").filter(_.nonEmpty))
+      if (byteLevel)
+        vocab.map(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"${b & 0xff}%02X"))
+      else vocab.map(_._1.split("(?!^)").filter(_.nonEmpty))
     val wcs: Array[Long] = vocab.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
     val members = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
@@ -1619,19 +1624,24 @@ object TextAnalysis {
     * through when the vocabulary exceeds the driver.
     */
   def bpeTrainDistributedWords(wordCounts: DataFrame,
-                               numMerges: Int): DataFrame = {
+                               numMerges: Int,
+                               preSymbolized: Boolean = false)
+      : DataFrame = {
     val spark = wordCounts.sparkSession
     import spark.implicits._
     // localCheckpoint (eager), not persist: each step's rewrite nests
     // another array fold into the logical plan — after ~10 chained
     // steps the accumulated plan OOMs analysis/codegen. Checkpointing
     // truncates lineage so every step plans against a flat scan.
-    var words = wordCounts
+    var words = (if (preSymbolized)
+      // `w` already an array<string> symbol column (byte-level path)
+      wordCounts.select(col("w").as("syms"), col("wc"))
+    else wordCounts
       // (?!^) splits BETWEEN characters without a leading empty token;
       // Spark's split keeps TRAILING empties (limit -1 semantics), so
       // strip them or every word grows a phantom "" symbol
       .select(filter(split(col("w"), "(?!^)"), s => length(s) > 0)
-        .as("syms"), col("wc"))
+        .as("syms"), col("wc")))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[
       (Int, String, String, String, Long)]()
@@ -1669,6 +1679,116 @@ object TextAnalysis {
     }
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
+
+  /** BYTE-LEVEL BPE training — the production base alphabet (GPT-2,
+    * Radford et al. 2019 §2.2): symbols are UTF-8 BYTES (rendered as
+    * two-hex-char strings, identical to `hex(encode(w, 'UTF-8'))` in
+    * both Spark and DuckDB — engine-portable by construction), so NO
+    * input character can ever fall out of vocabulary: unseen script,
+    * emoji, or binary junk degrades to its bytes instead of an
+    * unknown-token hole. Same merge loop as [[bpeTrain]] (driver-local
+    * under `driverVocabLimit`, distributed above it); a byte-level
+    * merge table is only meaningful to the byte-level encode
+    * ([[bpeEncodeBytes]] / [[graft.functions.BpeOps.bpeApplyBytes]]).
+    */
+  def bpeTrainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                    driverVocabLimit: Long = 4000000L): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val head = words.limit(
+      math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt).collect()
+    if (head.length <= driverVocabLimit)
+      bpeMergeLoopLocal(spark,
+        head.map(r => r.getString(0) -> r.getAs[Long]("wc")), numMerges,
+        byteLevel = true)
+    else bpeTrainDistributedWords(
+      words.withColumn("w", hexSyms(col("w"))), numMerges,
+      preSymbolized = true)
+  }
+
+  /** A word column → its byte-level symbol array (two-hex-char per
+    * UTF-8 byte). `(?<=\G..)` splits the hex string after every 2nd
+    * char (Java regex; the DuckDB replay uses substr arithmetic).
+    */
+  private def hexSyms(w: Column): Column =
+    filter(split(hex(encode(w, "UTF-8")), "(?<=\\G..)"),
+      s => length(s) > 0)
+
+  /** Byte-level [[bpeEncode]]: (doc_id, pos, token) with token a
+    * hex-byte merge product. Same zero-Exchange shape.
+    */
+  def bpeEncodeBytes(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeWith(docs, idCol, textCol,
+      w => graft.functions.BpeOps.bpeApplyBytes(w, merges))
+
+  /** Byte-level vocab (the GPT-2 id layout): the base alphabet is ALL
+    * 256 byte symbols — ids 0..255 in byte-value order (== fixed-width
+    * uppercase hex order), NOT just the bytes the corpus happened to
+    * contain: full coverage of every future input is the entire point
+    * of the byte-level base. Merge products follow at 256 + step - 1
+    * (first-occurrence dedup, the [[bpeVocab]] rule). No corpus pass
+    * at all — the base is static.
+    */
+  def bpeVocabBytes(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val base = (0 until 256).map(i => (i.toLong, f"$i%02X"))
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val merged = merges.zipWithIndex.flatMap { case ((a, b), i) =>
+      if (seen.add(a + b)) Some((256L + i, a + b)) else None
+    }
+    (base ++ merged).toDF("token_id", "token")
+  }
+
+  /** Byte-level [[bpeEncodeIds]]. */
+  def bpeEncodeIdsBytes(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)],
+                        vocab: DataFrame): DataFrame =
+    bpeEncodeBytes(docs, idCol, textCol, merges)
+      .join(broadcast(vocab), Seq("token"))
+      .select(col("doc_id"), col("pos"), col("token_id"))
+
+  /** Byte-level [[bpeDecode]]: ids → hex symbols → one hex string per
+    * doc → bytes → UTF-8 text, then the [[markWords]] markers back to
+    * spaces. Round-trip law (q190):
+    * decodeBytes(encodeIdsBytes(mark(text))) == whitespace-normalized
+    * text, for ANY text — including scripts the training corpus never
+    * saw (the byte-level guarantee [[bpeDecode]] cannot make).
+    */
+  def bpeDecodeBytes(encIds: DataFrame, vocab: DataFrame,
+                     marker: String = "▁"): DataFrame =
+    encIds.join(broadcast(vocab), Seq("token_id"))
+      .groupBy("doc_id")
+      .agg(ltrim(regexp_replace(
+        decode(unhex(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")), "")), "UTF-8"),
+        java.util.regex.Pattern.quote(marker), " ")).as("decoded"))
+
+  /** Byte-level [[tokenizerCoverage]]: a base symbol is 2 hex chars,
+    * so a merge product is any piece longer than that. Same report
+    * shape; over a byte-level table the char-fallback alarm becomes
+    * strictly more meaningful — EVERY input encodes (nothing is OOV),
+    * so a low merged ratio cleanly means "vocabulary doesn't fit this
+    * stratum", never "input didn't parse".
+    */
+  def tokenizerCoverageBytes(docs: DataFrame, strataCol: String,
+                             textCol: String,
+                             merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(strataCol).as("stratum"),
+        let(flatten(transform(tokens(col(textCol)),
+          w => graft.functions.BpeOps.bpeApplyBytes(w, merges)))) { ps =>
+          struct(size(ps).cast("long").as("p"),
+            size(filter(ps, p => length(p) > 2)).cast("long").as("m"))
+        }.as("__c"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("__c.p")).as("n_pieces"),
+        sum(col("__c.m")).as("n_merged"))
+      .select(col("stratum"), col("n_pieces"), col("n_merged"),
+        expr("CASE WHEN n_pieces = 0L THEN 0L " +
+          "ELSE n_merged * 10000L div n_pieces END").as("merged_10k"))
 
   /** Tokenizer vocabulary with deterministic ids (the GPT-2 layout:
     * base alphabet first, then merged tokens in training order):

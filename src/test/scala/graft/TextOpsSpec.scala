@@ -378,6 +378,38 @@ class TextOpsSpec extends SparkSpecBase {
     assert(folded == oneShot)
   }
 
+  test("byte-level BPE: a non-Latin word the training corpus never " +
+      "saw still encodes (base bytes, zero OOV) and round-trips " +
+      "exactly; merges compress the trained words; vocab base is all " +
+      "256 bytes") {
+    val train = Seq((1L, "abab abab cdcd")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainBytes(train, "text", numMerges = 4)
+      .orderBy(col("step")).collect()
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    assert(merges.nonEmpty)
+    // unseen scripts: Greek, CJK, 4-byte emoji — none in training
+    val docs = Seq((1L, "abab"), (2L, "αβγ 汉字 🙂")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncodeBytes(docs, "doc_id", "text", merges)
+    val byDoc = enc.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2))).toMap
+    // trained word compresses below its byte count (4 bytes -> fewer)
+    assert(byDoc(1L).length < 4)
+    // unseen text encodes to its raw byte symbols — nothing dropped:
+    // "αβγ" = 6 bytes, "汉字" = 6 bytes, emoji = 4 bytes
+    assert(byDoc(2L).length == 16)
+    assert(byDoc(2L).forall(_.length == 2))
+    val vocab = TextAnalysis.bpeVocabBytes(spark, merges)
+    assert(vocab.filter(col("token_id") < 256).count() == 256L)
+    val marked = docs.select(col("doc_id"),
+      TextAnalysis.markWords(col("text")).as("text"))
+    val ids = TextAnalysis.bpeEncodeIdsBytes(marked, "doc_id", "text",
+      merges, vocab)
+    val decoded = TextAnalysis.bpeDecodeBytes(ids, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded(1L) == "abab")
+    assert(decoded(2L) == "αβγ 汉字 🙂")
+  }
+
   test("fuzzyDeconEval: the planted pair is truth AND candidate on a " +
       "sample that contains it; prec/recall exact") {
     val benchText = "alpha beta gamma delta epsilon zeta eta theta " +
