@@ -3854,6 +3854,42 @@ object SparkEntry {
         .toSeq
       TextAnalysis.tokenizerCoverageBytes(d, "source", "text", merges)
         .orderBy(col("stratum"))
+    }),
+
+    // ---- multimodal: REAL video-container decode — MJPEG-in-AVI ----
+    // The last FakeCodec modality retired: deterministic AVI files
+    // (dims/frame count/per-frame MID-BIN grays pure functions of
+    // event_id — JPEG is lossy, so grays sit at 16+32k where the ≤~4
+    // DC-quantization error cannot cross a luminance-bin boundary),
+    // decoded by walking the RIFF tree and JPEG-decoding every 00dc
+    // chunk. Oracle predicts frame count, dims, and the dominant
+    // cross-frame bin from event_id alone — container parsing and
+    // per-frame pixel decode both have to be right.
+    "q192_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(50)) === 0)
+        .select(col("event_id").cast("long").as("media_id"),
+          (lit(8) + pmod(col("event_id"), lit(16))).cast("int").as("w"),
+          (lit(8) + pmod(col("event_id"), lit(5))).cast("int").as("h"),
+          (lit(1) + pmod(col("event_id"), lit(4))).cast("int").as("nf"),
+          pmod(col("event_id"), lit(8)).cast("int").as("g0"))
+        .as[(Long, Int, Int, Int, Int)]
+        .map { case (id, w, h, nf, g0) => Multimodal.MediaRow(
+          id, "video", Multimodal.encodeAviMjpeg(w, h,
+            (0 until nf).map(f => 16 + 32 * ((g0 + 5 * f) % 8))),
+          "video/x-msvideo") }
+      Multimodal
+        .decodeFeatures(media, Multimodal.AviMjpegCodec,
+          parallelism = Some(8))
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          (array_position(col("feature"), array_max(col("feature"))) - 1)
+            .cast("long").as("top_bin"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -7733,7 +7769,27 @@ object SparkEntry {
     "q188_fuzzy_decon_eval" -> FuzzyDeconEvalOracleSql,
     "q189_bpe_bytes_train" -> BpeBytesTrainOracleSql,
     "q190_bpe_bytes_roundtrip" -> BpeBytesRoundtripOracleSql,
-    "q191_bpe_bytes_coverage" -> BpeBytesCoverageOracleSql
+    "q191_bpe_bytes_coverage" -> BpeBytesCoverageOracleSql,
+
+    // The q176 prediction convention for the AVI/MJPEG lane: per-frame
+    // bins are (g0 + 5f) % 8 by construction (mid-bin grays survive
+    // the lossy JPEG round trip), dominant bin = frame-count argmax,
+    // lowest bin breaking ties.
+    "q192_avi_frames" ->
+      s"""WITH e AS ($EventsUsSql),
+         |am AS (SELECT CAST(event_id AS BIGINT) AS media_id,
+         |  8 + event_id % 16 AS width, 8 + event_id % 5 AS height,
+         |  1 + event_id % 4 AS nf, event_id % 8 AS g0
+         | FROM e WHERE event_id % 50 = 0),
+         |ac AS (SELECT media_id, width, height, nf,
+         |  list_transform(range(8), b -> len(list_filter(range(nf),
+         |    f -> ((g0 + 5 * f) % 8) = b))) AS cl
+         | FROM am)
+         |SELECT media_id, CAST(width AS BIGINT) AS width,
+         | CAST(height AS BIGINT) AS height,
+         | CAST(nf AS BIGINT) AS n_frames,
+         | CAST(list_position(cl, list_max(cl)) - 1 AS BIGINT) AS top_bin
+         |FROM ac ORDER BY media_id""".stripMargin
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -192,6 +192,136 @@ object Multimodal {
     * frame's solid gray are exact functions of the arguments, so an
     * oracle can predict the decode output without seeing the bytes.
     */
+  /** Real VIDEO-CONTAINER decode: MJPEG-in-AVI on the same pure-JVM
+    * seam — retires [[FakeCodec]] for the video modality the way
+    * [[GifCodec]] retired it for frame sequences. The RIFF/AVI
+    * container is walked chunk by chunk (`RIFF('AVI ' …
+    * LIST('movi' '00dc'…))`), every `…dc` video chunk is one complete
+    * JPEG frame (the MJPEG contract — no inter-frame state), decoded
+    * through `javax.imageio`'s JPEG reader. Output matches the
+    * [[GifCodec]] schema: first-frame dimensions, frame COUNT, and
+    * the 8-bin cross-frame luminance histogram. JPEG is LOSSY —
+    * fixtures must keep frame grays mid-bin (the [[encodeAviMjpeg]]
+    * contract) so decode error (DC-quantization, ≤ ~4 at default
+    * quality) cannot cross a bin boundary. Undecodable payloads fail
+    * the task — dead-letter upstream.
+    */
+  object AviMjpegCodec extends Codec {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val frames = mjpegFrames(r.payload, r.media_id)
+        require(frames.nonEmpty, s"media ${r.media_id}: no video frames")
+        val hist = new Array[Long](8)
+        var total = 0L
+        var w = 0; var h = 0
+        frames.foreach { jb =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jb))
+          require(img != null,
+            s"media ${r.media_id}: undecodable MJPEG frame")
+          if (w == 0) { w = img.getWidth; h = img.getHeight }
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                + (rgb & 0xff)) / 3
+              hist(lum >> 5) += 1
+              x += 1
+            }
+            y += 1
+          }
+          total += img.getWidth.toLong * img.getHeight
+        }
+        MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
+          w, h, frames.length, hist.map(_ / total.toFloat))
+      }
+
+    /** Walk the RIFF tree and return each `..dc` chunk's bytes (one
+      * JPEG per MJPEG frame). Only the `movi` LIST is descended —
+      * headers and the optional idx1 are skipped by size.
+      */
+    private def mjpegFrames(payload: Array[Byte],
+                            mediaId: Long): Seq[Array[Byte]] = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def four(): String = {
+        val b = new Array[Byte](4); bb.get(b)
+        new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      require(four() == "RIFF", s"media $mediaId: not a RIFF container")
+      bb.getInt // riff size
+      require(four() == "AVI ", s"media $mediaId: not an AVI")
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(end: Int, inMovi: Boolean): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = four()
+          val sz = bb.getInt
+          val next = bb.position() + sz + (sz % 2) // chunks pad to even
+          if (id == "LIST") {
+            val typ = four()
+            walk(bb.position() + sz - 4, inMovi || typ == "movi")
+          } else if (inMovi && id.endsWith("dc")) {
+            val b = new Array[Byte](sz); bb.get(b); frames += b
+          }
+          bb.position(next)
+        }
+      }
+      walk(payload.length, inMovi = false)
+      frames.toSeq
+    }
+  }
+
+  /** Deterministic MJPEG-in-AVI bytes — the fixture generator for
+    * [[AviMjpegCodec]]: a minimal RIFF AVI (`hdrl` with real
+    * avih/strh/strf headers, `movi` with one `00dc` JPEG per frame).
+    * Each frame is solid gray; callers MUST pass mid-bin grays
+    * (16 + 32k) so the lossy JPEG round trip stays inside the
+    * luminance bin and an oracle can predict the decode from the
+    * arguments alone.
+    */
+  def encodeAviMjpeg(width: Int, height: Int,
+                     grays: Seq[Int]): Array[Byte] = {
+    require(grays.nonEmpty, "at least one frame")
+    def jpeg(g: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ body)
+    def words(vals: Seq[Int]): Array[Byte] = vals.flatMap(le32).toArray
+    val avih = words(Seq(40000, 0, 0, 0, grays.length, 0, 1, 0,
+      width, height, 0, 0, 0, 0))
+    val strh = cc("vids") ++ cc("MJPG") ++ words(Seq(0, 0, 0,
+      1, 25, 0, grays.length, 0, -1, 0, 0, 0))
+    val strf = words(Seq(40, width, height, 1 | (24 << 16))) ++
+      cc("MJPG") ++ words(Seq(width * height * 3, 0, 0, 0, 0))
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      grays.flatMap(g => chunk("00dc", jpeg(g))).toArray)
+    chunk("RIFF", cc("AVI ") ++ hdrl ++ movi)
+  }
+
   def encodeGif(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
     require(grays.nonEmpty, "at least one frame")
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")

@@ -132,6 +132,43 @@ class OperatorSpec extends SparkSpecBase {
     assert(frames == Set((1L, 0), (1L, 2), (2L, 0), (3L, 0), (3L, 2)))
   }
 
+  test("AviMjpegCodec: MJPEG-in-AVI encode→decode round-trips frame " +
+    "count, dimensions, and (within JPEG loss) the luminance bins; " +
+    "non-RIFF payloads fail loudly") {
+    val rows = Seq(
+      // 3 frames at mid-bin grays 48, 112, 112: bins 1, 3, 3
+      Multimodal.MediaRow(1, "video",
+        Multimodal.encodeAviMjpeg(12, 6, Seq(48, 112, 112)),
+        "video/x-msvideo"),
+      // single frame, odd dims (odd-length JPEG chunks exercise the
+      // RIFF even-padding rule)
+      Multimodal.MediaRow(2, "video",
+        Multimodal.encodeAviMjpeg(7, 9, Seq(240)), "video/x-msvideo"),
+      Multimodal.MediaRow(3, "video",
+        Multimodal.encodeAviMjpeg(6, 6, Seq(16, 16, 16, 16)),
+        "video/x-msvideo"))
+      .toDS()
+    val feats = Multimodal
+      .decodeFeatures(rows, Multimodal.AviMjpegCodec,
+        parallelism = Some(2))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.width, f.height, f.n_frames)).toSeq ==
+      Seq((12, 6, 3), (7, 9, 1), (6, 6, 4)))
+    val f1 = feats(0).feature
+    assert(math.abs(f1(1) - 1f / 3) < 1e-6 &&
+      math.abs(f1(3) - 2f / 3) < 1e-6, f1.mkString(","))
+    assert(feats(1).feature(7) == 1.0f)
+    assert(feats(2).feature(0) == 1.0f)
+    val bad = Seq(Multimodal.MediaRow(9, "video",
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+      "video/x-msvideo")).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(bad, Multimodal.AviMjpegCodec).collect()
+    }
+    assert(e.getMessage.contains("RIFF") ||
+      e.getCause != null && e.getCause.getMessage.contains("RIFF"))
+  }
+
   test("WavCodec: real javax.sound.sampled round-trip — header (rate, " +
       "channels) and frame parse (count, amplitude histogram) recovered " +
       "from encoded RIFF bytes") {
