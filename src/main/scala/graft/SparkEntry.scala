@@ -3890,6 +3890,66 @@ object SparkEntry {
           (array_position(col("feature"), array_max(col("feature"))) - 1)
             .cast("long").as("top_bin"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- CENTROID-DRIFT monitor over a frozen-centroid SQ8 index ---
+    // Centroids trained on batch 1, frozen; batch 2 ingests a MOVED
+    // distribution (reversed vectors — deterministic drift). The
+    // report reads the at-rest codes only (O(index), no raw vectors)
+    // and shows batch 2's angular residuals jumping — the measured
+    // signal that triggers q194's retrain.
+    "q193_ivf_drift" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val b1 = em.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val b2 = em.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .withColumn("embedding", reverse(col("embedding")))
+      val cents = Ann.ivfTrainPortable(b1, "vec_id", "embedding", k = 4)
+      val idx = java.nio.file.Files
+        .createTempDirectory("drift_idx").toString
+      def cl = Ann.cosineCluster(
+        col("embedding").cast("array<double>"), cents)
+      Ann.sq8IndexAppend(b1, "vec_id", "embedding", cl, idx, 1L)
+      Ann.sq8IndexAppend(b2, "vec_id", "embedding", cl, idx, 2L)
+      Ann.vectorIndexDriftReport(s, idx, cents)
+        .orderBy(col("layer_batch"), col("cluster"))
+    }),
+
+    // ---- RETRAIN lifecycle: new epoch built offline, atomic swap ----
+    // The q193 drifted index retrains on the FULL (moved) corpus:
+    // retrainVectorIndex builds epoch=1 with fresh centroids while
+    // the old store answers, swaps the _EPOCH pointer, GCs the old
+    // layers. The query runs through the SAME root path — the oracle
+    // replays a FRESH build, so swap-equals-rebuild is the checked
+    // property.
+    "q194_ivf_retrain" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val b1 = em.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val b2 = em.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .withColumn("embedding", reverse(col("embedding")))
+      val all = b1.unionByName(b2)
+      val oldCents = Ann.ivfTrainPortable(b1, "vec_id", "embedding",
+        k = 4)
+      val idx = java.nio.file.Files
+        .createTempDirectory("retrain_idx").toString
+      Ann.sq8IndexAppend(b1, "vec_id", "embedding",
+        Ann.cosineCluster(col("embedding").cast("array<double>"),
+          oldCents), idx, 1L)
+      Ann.sq8IndexAppend(b2, "vec_id", "embedding",
+        Ann.cosineCluster(col("embedding").cast("array<double>"),
+          oldCents), idx, 2L)
+      val newCents = Ann.ivfTrainPortable(all, "vec_id", "embedding",
+        k = 4)
+      Ann.retrainVectorIndex(idx) { epochDir =>
+        Ann.sq8IndexAppend(all, "vec_id", "embedding",
+          Ann.cosineCluster(col("embedding").cast("array<double>"),
+            newCents), epochDir, 1L)
+      }
+      val qs = all.filter(col("vec_id") < 8)
+        .withColumn("probes", Ann.cosineProbes(
+          col("embedding").cast("array<double>"), newCents, 2))
+      Ann.sq8IndexQuery(s, idx, qs, "vec_id", "embedding", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -7789,7 +7849,10 @@ object SparkEntry {
          | CAST(height AS BIGINT) AS height,
          | CAST(nf AS BIGINT) AS n_frames,
          | CAST(list_position(cl, list_max(cl)) - 1 AS BIGINT) AS top_bin
-         |FROM ac ORDER BY media_id""".stripMargin
+         |FROM ac ORDER BY media_id""".stripMargin,
+
+    "q193_ivf_drift" -> IvfDriftOracleSql,
+    "q194_ivf_retrain" -> IvfRetrainOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
@@ -8039,25 +8102,54 @@ object SparkEntry {
     * final centroids assigning every chunk and probing each query's 2
     * nearest, and the quantized integer-dot rank. Ends at `r`.
     */
+  /** Engine-portable cosine-Lloyd CTE builders (the exact
+    * [[graft.operators.Ann.ivfTrainPortable]] semantics: rounded-cos
+    * argmax assignment with lowest-cid ties, floor(x·10⁴)
+    * integer-mean update, empty clusters keep their centroid) — ONE
+    * definition shared by the trained-RAG chain (q170/q171) and the
+    * drift/retrain replays (q193/q194).
+    */
+  private def cosAssignSql(src: String, cents: String,
+                           out: String): String =
+    s"""$out AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) + 0.0
+       |      DESC, c.cid) AS rn
+       |  FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  private def lloydUpdateSql(prevCents: String, asg: String,
+                             out: String): String =
+    s"""${out}n AS (SELECT cid,
+       |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
+       | FROM (SELECT cid, i,
+       |    SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
+       |   FROM (SELECT cid, unnest(v) AS x,
+       |      unnest(range(len(v))) AS i FROM $asg)
+       |   GROUP BY cid, i) GROUP BY cid),
+       |$out AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+       | FROM $prevCents p LEFT JOIN ${out}n nn USING (cid))"""
+      .stripMargin
+
+  /** Full 2-iter cosine-Lloyd over `src` (vec_id, v) with k-lowest-id
+    * init — centroids end at `${pfx}2`.
+    */
+  private def cosLloydCtesSql(src: String, k: Int,
+                              pfx: String): String =
+    s"""${pfx}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+       |  AS cid, v AS cv
+       | FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k)),
+       |${cosAssignSql(src, s"${pfx}0", s"${pfx}a1")},
+       |${lloydUpdateSql(s"${pfx}0", s"${pfx}a1", s"${pfx}1")},
+       |${cosAssignSql(src, s"${pfx}1", s"${pfx}a2")},
+       |${lloydUpdateSql(s"${pfx}1", s"${pfx}a2", s"${pfx}2")}"""
+      .stripMargin
+
   private val RagTrainedChainSql: String = {
     def assign(src: String, cents: String, out: String) =
-      s"""$out AS (SELECT vec_id, v, cid FROM (
-         |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
-         |    PARTITION BY e.vec_id
-         |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) + 0.0
-         |      DESC, c.cid) AS rn
-         |  FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      cosAssignSql(src, cents, out)
     def update(prevCents: String, asg: String, out: String) =
-      s"""${out}n AS (SELECT cid,
-         |  list(CAST(s AS DOUBLE) / (n * 10000.0) ORDER BY i) AS cv
-         | FROM (SELECT cid, i,
-         |    SUM(CAST(floor(x * 10000) AS BIGINT)) AS s, COUNT(*) AS n
-         |   FROM (SELECT cid, unnest(v) AS x,
-         |      unnest(range(len(v))) AS i FROM $asg)
-         |   GROUP BY cid, i) GROUP BY cid),
-         |$out AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
-         | FROM $prevCents p LEFT JOIN ${out}n nn USING (cid))"""
-        .stripMargin
+      lloydUpdateSql(prevCents, asg, out)
     s"""${chunkCtesSql("")},
        |$ragEmbedCtesSql,
        |ex AS (SELECT chunk_id AS vec_id, v FROM v),
@@ -8159,6 +8251,88 @@ object SparkEntry {
     * layers + compaction).
     */
   private val IvfSq8OracleSql: String = ivfSq8OracleSql("TRUE")
+
+  /** The q193/q194 drifted-corpus front: batch 1 = even ids as-is,
+    * batch 2 = odd ids REVERSED (a deterministic distribution move).
+    * Ends at `db1`/`db2`/`dall` (vec_id, v).
+    */
+  private val DriftCorpusCtesSql: String =
+    """dex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |db1 AS (SELECT vec_id, v FROM dex WHERE vec_id % 2 = 0),
+      |db2 AS (SELECT vec_id, list_reverse(v) AS v FROM dex
+      | WHERE vec_id % 2 = 1),
+      |dall AS (SELECT vec_id, v FROM db1
+      | UNION ALL SELECT vec_id, v FROM db2)""".stripMargin
+
+  /** q193: centroids = cosine-Lloyd over batch 1 (the exact
+    * ivfTrainPortable replay); every stored code's angular residual
+    * vs its assigned centroid, both sides quantized through the SAME
+    * floor(x·127/max) scheme; per (layer, cluster) exact-integer mean
+    * of (1 − cos)·10⁴.
+    */
+  private val IvfDriftOracleSql: String = materializeCtes(
+    s"""WITH $DriftCorpusCtesSql,
+       |${cosLloydCtesSql("db1", 4, "dc")},
+       |drows AS (SELECT 1 AS layer_batch, vec_id, v FROM db1
+       | UNION ALL SELECT 2, vec_id, v FROM db2),
+       |${cosAssignSql("drows", "dc2", "dag")},
+       |dq AS (SELECT layer_batch, vec_id,
+       |  list_transform(v, x -> floor(x * 127 / amax)) AS q
+       | FROM (SELECT layer_batch, vec_id, v,
+       |   list_max(list_transform(v, y -> abs(y))) AS amax FROM drows)
+       | WHERE amax > 0),
+       |dcq AS (SELECT cid,
+       |  list_transform(cv, x -> floor(x * 127 / camax)) AS cq
+       | FROM (SELECT cid, cv,
+       |   list_max(list_transform(cv, y -> abs(y))) AS camax FROM dc2)
+       | WHERE camax > 0),
+       |dres AS (SELECT q.layer_batch, a.cid AS cluster,
+       |  10000 - CAST(floor(list_dot_product(q.q, c.cq) /
+       |    (sqrt(list_dot_product(q.q, q.q)) *
+       |     sqrt(list_dot_product(c.cq, c.cq))) * 10000) AS BIGINT)
+       |    AS res
+       | FROM dq q JOIN dag a ON a.vec_id = q.vec_id
+       | JOIN dcq c ON c.cid = a.cid)
+       |SELECT CAST(layer_batch AS BIGINT) AS layer_batch,
+       | CAST(cluster AS BIGINT) AS cluster,
+       | CAST(COUNT(*) AS BIGINT) AS n,
+       | CAST(SUM(res) // COUNT(*) AS BIGINT) AS mean_res_10k
+       |FROM dres GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** q194: a FRESH-build replay — Lloyd over the full drifted corpus,
+    * SQ8 codes, 2-probe query — which the epoch-swapped index must
+    * answer identically (retrain == rebuild is the checked property).
+    */
+  private val IvfRetrainOracleSql: String = materializeCtes(
+    s"""WITH $DriftCorpusCtesSql,
+       |${cosLloydCtesSql("dall", 4, "nc")},
+       |${cosAssignSql("dall", "nc2", "nag")},
+       |nq AS (SELECT vec_id,
+       |  list_transform(v, x -> floor(x * 127 / amax)) AS q
+       | FROM (SELECT vec_id, v,
+       |   list_max(list_transform(v, y -> abs(y))) AS amax FROM dall)
+       | WHERE amax > 0),
+       |nn AS (SELECT nq.vec_id, nag.cid AS cl, q,
+       |  sqrt(list_dot_product(q, q)) AS nrm
+       | FROM nq JOIN nag ON nq.vec_id = nag.vec_id),
+       |qp AS (SELECT vec_id AS query_id, cid AS probe FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) + 0.0
+       |      DESC, c.cid) AS rn
+       |  FROM dall e CROSS JOIN nc2 c WHERE e.vec_id < 8)
+       | WHERE rn <= 2),
+       |sx AS (SELECT qp.query_id, c.vec_id AS neighbor_id,
+       |  round(list_dot_product(a.q, c.q) / (a.nrm * c.nrm), 4) + 0.0
+       |    AS sim
+       | FROM qp JOIN nn a ON a.vec_id = qp.query_id
+       | JOIN nn c ON c.cl = qp.probe AND c.vec_id <> qp.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       | FROM sx)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
   /** q178: fold evens → delete %3==0 (high-water 1) → fold odds.
     * Even multiples of 3 die (eff 1 ≤ upto 1); odd multiples of 3

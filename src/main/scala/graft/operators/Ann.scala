@@ -440,6 +440,22 @@ object Ann {
     }
   }
 
+  /** Epoch indirection — the retrain lifecycle's swap point. An index
+    * root MAY contain an `_EPOCH` pointer file naming the active
+    * epoch subdirectory (`epoch=N`, itself a complete layered index);
+    * every public read/append/delete/compact resolves through it, so
+    * [[retrainVectorIndex]] can build `epoch=N+1` OFFLINE while the
+    * old epoch keeps answering, then swap the pointer atomically. An
+    * index without `_EPOCH` is its own (epoch-less) store — full
+    * back-compat with every pre-epoch index on disk.
+    */
+  private def resolveEpoch(indexDir: String): String = {
+    val p = java.nio.file.Paths.get(indexDir, "_EPOCH")
+    if (java.nio.file.Files.exists(p))
+      s"$indexDir/${java.nio.file.Files.readString(p).trim}"
+    else indexDir
+  }
+
   private def readLayers(indexDir: String): Option[Seq[String]] =
     readManifest(indexDir).map(_._2)
 
@@ -577,7 +593,8 @@ object Ann {
     * tombstoned rows; plain recursive scan for pre-manifest indexes.
     */
   private def readIndexLayers(spark: org.apache.spark.sql.SparkSession,
-                              indexDir: String): DataFrame =
+                              rootDir: String): DataFrame = {
+    val indexDir = resolveEpoch(rootDir)
     readLayers(indexDir) match {
       case Some(layers) if layers.nonEmpty =>
         applyTombstones(spark, indexDir, layers)
@@ -609,6 +626,7 @@ object Ann {
         if (dirs.nonEmpty) readLayerGroup(spark, indexDir, dirs)
         else spark.read.parquet(indexDir).drop("batch")
     }
+  }
 
   /** Compact a persisted vector index: rewrite every live layer into
     * ONE `compact=` layer (partition-preserving — `partitionCol` is
@@ -627,7 +645,8 @@ object Ann {
     * index.
     */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
-                         indexDir: String, partitionCol: String): Unit = {
+                         rootDir: String, partitionCol: String): Unit = {
+    val indexDir = resolveEpoch(rootDir)
     val layers = liveLayers(indexDir)
     val nData = layers.count(!_.startsWith("tombstone="))
     // a lone data layer with live tombstones still compacts: that
@@ -699,9 +718,133 @@ object Ann {
     * embedding tier, where "delete my data" must reach the RAG index
     * too, not just the document store.
     */
+  /** Live index rows WITH their layer provenance (`layer_batch` = the
+    * effective batch id [[readDataLayersEff]] assigns) — the read
+    * surface maintenance diagnostics need: per-layer statistics over
+    * exactly the rows a query would see. O(index), codes only.
+    */
+  private[operators] def readIndexRowsWithLayer(
+      spark: org.apache.spark.sql.SparkSession,
+      rootDir: String): DataFrame = {
+    val indexDir = resolveEpoch(rootDir)
+    val layers = liveLayers(indexDir)
+    val (tomb, data) = layers.partition(_.startsWith("tombstone="))
+    require(data.nonEmpty, s"index $rootDir has no live data layers")
+    val d = readDataLayersEff(spark, indexDir, data)
+    val live = if (tomb.isEmpty) d else {
+      val ts = broadcast(readLayerGroup(spark, indexDir, tomb)
+        .select(col("emb_id").as("__t_id"), col("upto").as("__t_upto")))
+      d.join(ts, col("emb_id") === col("__t_id") &&
+        col("__t_upto") >= col("__eff"), "left_anti")
+    }
+    live.withColumnRenamed("__eff", "layer_batch")
+  }
+
+  /** CENTROID-DRIFT report for a frozen-centroid SQ8 index — the
+    * measured signal behind the retrain decision (q170's documented
+    * stance is centroids frozen forever; this is the instrument that
+    * says when that stops being acceptable). Per (layer_batch,
+    * cluster): row count and the mean ANGULAR residual between each
+    * stored code vector and its assigned centroid, in parts-per-10⁴
+    * of (1 − cosine) — rising residuals in later layers mean the
+    * ingest distribution has moved away from the centroids and probe
+    * pruning is silently losing recall ([[recallAtK]] confirms; this
+    * report is the cheap continuous monitor).
+    *
+    * Scale shape: O(index) and codes-only — one scan of the at-rest
+    * int8 layers (no raw vectors re-read, no shuffle beyond the
+    * |layers|×|clusters|-row aggregate); centroids quantize
+    * driver-side through the SAME floor(x·127/max) scheme the rows
+    * used, so the residual is an exact-integer-comparable number
+    * (integer dot / precomputed norms, floored at 10⁴ — the repo's
+    * portable-ratio convention).
+    */
+  def vectorIndexDriftReport(spark: org.apache.spark.sql.SparkSession,
+                             rootDir: String,
+                             cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Int8Ops
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      val amax = c.map(math.abs).max
+      require(amax > 0.0, s"centroid $i is the zero vector")
+      val q = c.map(x => math.floor(x * 127.0 / amax).toLong)
+      (i.toLong, q, math.sqrt(q.map(v => v.toDouble * v).sum))
+    }
+    val centDf = broadcast(centRows.toDF("cluster", "cq", "cnorm")
+      .select(col("cluster"), Int8Ops.int8Pack(col("cq")).as("ccode"),
+        col("cnorm")))
+    readIndexRowsWithLayer(spark, rootDir)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .join(centDf, Seq("cluster"))
+      .withColumn("res_10k", lit(10000L) -
+        floor(Int8Ops.int8Dot(col("qvec"), col("ccode")).cast("double") /
+          (col("qnorm") * col("cnorm")) * 10000.0).cast("long"))
+      .groupBy(col("layer_batch"), col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("res_10k")).as("sres"))
+      .select(col("layer_batch"), col("cluster"), col("n"),
+        expr("sres div n").as("mean_res_10k"))
+  }
+
+  /** RETRAIN lifecycle: rebuild an index under a NEW EPOCH while the
+    * old one keeps answering, then swap atomically. `build` receives
+    * the fresh epoch directory and populates it with the normal
+    * append API (new centroids, re-encoded rows — whatever the
+    * retrain entails); every reader resolving through the root keeps
+    * hitting the OLD epoch until the `_EPOCH` pointer moves (one
+    * atomic rename — the same swap discipline as the `_LAYERS`
+    * manifest), after which the superseded store is GC'd. Returns the
+    * new epoch's name.
+    *
+    * This is the answer to "centroids are frozen forever": freezing
+    * is per-epoch, and [[vectorIndexDriftReport]] says when to pay
+    * for the next epoch. A crash before the swap leaves the old
+    * epoch intact and the half-built new one invisible (orphan
+    * `epoch=` dirs are cleaned by the next successful retrain).
+    */
+  def retrainVectorIndex(rootDir: String)(build: String => Unit)
+      : String = {
+    val cur = resolveEpoch(rootDir)
+    val root = new java.io.File(rootDir)
+    val nextN = Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .flatMap(_.getName.stripPrefix("epoch=").toLongOption)
+      .maxOption.getOrElse(0L) + 1
+    val next = s"epoch=$nextN"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(rootDir, next))
+    build(s"$rootDir/$next")
+    val tmp = java.nio.file.Paths.get(rootDir, "_EPOCH.tmp")
+    java.nio.file.Files.write(tmp,
+      next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(rootDir, "_EPOCH"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC the superseded store: the previous epoch dir, or — on the
+    // first retrain of a pre-epoch index — the root-level layers
+    if (cur == rootDir) {
+      existingLayerDirs(rootDir)
+        .foreach(l => deleteRecursively(s"$rootDir/$l"))
+      java.nio.file.Files.deleteIfExists(layersPath(rootDir))
+    } else deleteRecursively(cur)
+    next
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   def deleteFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
-                            indexDir: String, ids: DataFrame,
+                            rootDir: String, ids: DataFrame,
                             idCol: String): Unit = {
+    val indexDir = resolveEpoch(rootDir)
     val layers = liveLayers(indexDir)
     val data = layers.filterNot(_.startsWith("tombstone="))
     require(data.nonEmpty,
@@ -736,8 +879,9 @@ object Ann {
     * (standard IVF practice — retraining centroids means rebuilding).
     */
   def ivfIndexAppend(batch: DataFrame, idCol: String, vecCol: String,
-                     cluster: Column, indexDir: String,
+                     cluster: Column, rootDir: String,
                      batchId: Long): Unit = {
+    val indexDir = resolveEpoch(rootDir)
     requireAppendable(indexDir, batchId)
     batch.select(col(idCol).as("emb_id"),
         toDoubleVec(col(vecCol)).as("v"),
@@ -789,8 +933,9 @@ object Ann {
     * stores ¼ the float32 bytes and prunes to probed clusters.
     */
   def sq8IndexAppend(batch: DataFrame, idCol: String, vecCol: String,
-                     cluster: Column, indexDir: String,
+                     cluster: Column, rootDir: String,
                      batchId: Long): Unit = {
+    val indexDir = resolveEpoch(rootDir)
     requireAppendable(indexDir, batchId)
     quantizeInt8(batch.withColumn("__cl", cluster.cast("long")),
         idCol, vecCol, keep = Seq("__cl"))
@@ -1100,8 +1245,9 @@ object Ann {
     * Codebooks are frozen at build time (standard PQ practice —
     * retraining means re-encoding).
     */
-  def ivfPqIndexAppend(codes: DataFrame, indexDir: String,
+  def ivfPqIndexAppend(codes: DataFrame, rootDir: String,
                        batchId: Long): Unit = {
+    val indexDir = resolveEpoch(rootDir)
     requireAppendable(indexDir, batchId)
     codes.write.mode("overwrite").partitionBy("coarse")
       .parquet(s"$indexDir/batch=$batchId")

@@ -626,6 +626,84 @@ class PqSpec extends SparkSpecBase {
     assert(got.contains(6L) && !got.contains(1L))
   }
 
+  test("retrain lifecycle: the old epoch answers until the atomic " +
+      "swap; after it the root serves the rebuilt index, old layers " +
+      "are GC'd, and appends/deletes land in the new epoch") {
+    val vecs = (0L to 19L).map(i =>
+      (i, Array.fill(4)((i % 2).toFloat * 10f + 1f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("epoch_spec").toString
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 10), "vec_id",
+      "embedding", col("label"), idx, 1L)
+    val qs = vecs.filter(col("vec_id") === 0L)
+      .withColumn("probes", array(col("label").cast("long")))
+    def hits() = Ann.sq8IndexQuery(spark, idx, qs, "vec_id",
+        "embedding", "probes", k = 20)
+      .select("neighbor_id").as[Long].collect().toSet
+    val before = hits()
+    assert(before.contains(2L) && !before.contains(12L))
+    var during: Set[Long] = null
+    Ann.retrainVectorIndex(idx) { epochDir =>
+      // rebuild with ALL vectors under a re-labeled assignment
+      Ann.sq8IndexAppend(vecs, "vec_id", "embedding", col("label"),
+        epochDir, 1L)
+      during = hits() // root still resolves to the OLD store here
+    }
+    assert(during == before)
+    val after = hits()
+    assert(after.contains(12L) && after.contains(2L))
+    // old root-level layers GC'd; _EPOCH pointer present
+    val names = new java.io.File(idx).listFiles.map(_.getName).toSet
+    assert(names.contains("_EPOCH") && names.contains("epoch=1"))
+    assert(!names.exists(_.startsWith("batch=")), names.toString)
+    // maintenance APIs keep working through the root: append + delete
+    Ann.sq8IndexAppend(vecs.filter(col("vec_id") === 0L)
+        .withColumn("vec_id", lit(99L)), "vec_id", "embedding",
+      col("label"), idx, 2L)
+    assert(hits().contains(99L))
+    Ann.deleteFromVectorIndex(spark, idx, Seq(99L).toDF("vec_id"),
+      "vec_id")
+    assert(!hits().contains(99L))
+    // a SECOND retrain GCs the previous epoch dir
+    Ann.retrainVectorIndex(idx) { epochDir =>
+      Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 4), "vec_id",
+        "embedding", col("label"), epochDir, 1L)
+    }
+    val names2 = new java.io.File(idx).listFiles.map(_.getName).toSet
+    assert(names2.contains("epoch=2") && !names2.contains("epoch=1"),
+      names2.toString)
+    assert(hits() == Set(2L))
+  }
+
+  test("vectorIndexDriftReport: moved-distribution layers show higher " +
+      "mean angular residual than the layer the centroids were " +
+      "trained on") {
+    val base = (0L to 29L).map { i =>
+      val ang = (i % 3).toInt // three tight direction groups
+      val v = Array.tabulate(4)(d =>
+        if (d == ang) 10f else 0.1f * ((i % 5) + 1))
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Ann.ivfTrainPortable(base, "vec_id", "embedding", k = 3)
+    val idx = java.nio.file.Files
+      .createTempDirectory("drift_spec").toString
+    def cl = Ann.cosineCluster(col("embedding").cast("array<double>"),
+      cents)
+    Ann.sq8IndexAppend(base, "vec_id", "embedding", cl, idx, 1L)
+    // drifted batch: same ids + 100, directions rotated off-axis
+    val moved = base.withColumn("vec_id", col("vec_id") + 100L)
+      .withColumn("embedding", reverse(col("embedding")))
+    Ann.sq8IndexAppend(moved, "vec_id", "embedding", cl, idx, 2L)
+    val rep = Ann.vectorIndexDriftReport(spark, idx, cents)
+      .groupBy("layer_batch")
+      .agg((sum(col("mean_res_10k") * col("n")) / sum(col("n")))
+        .as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(2L) > rep(1L),
+      s"drifted layer should show higher residual: $rep")
+  }
+
   test("tombstone delete: compacting an index whose tombstones delete " +
       "EVERY row leaves a readable empty index that accepts appends") {
     val vecs = (0L to 7L).map(i =>
