@@ -3950,6 +3950,55 @@ object SparkEntry {
       Ann.sq8IndexQuery(s, idx, qs, "vec_id", "embedding", "probes",
           k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- END-TO-END: HL7 lab reports → curation funnel → RAG index --
+    // The clinical-documents-to-RAG story both halves of this engine
+    // exist to serve: CoPath ORU^R01 messages carry each document as
+    // a TX report (the q59 wire shape), the parsed report text runs
+    // the q157 quality funnel, survivors chunk → embed → SQ8-fold in
+    // two wire batches, and retrieval answers over the result. One
+    // oracle replays from `documents` directly — wire parse fidelity,
+    // the funnel, chunking, embedding, and probing all have to agree.
+    "q195_wire_rag" -> ((s, dir) => {
+      import graft.sources.LabFunnel
+      import graft.streaming.RagStream
+      val id = col("doc_id").cast("string")
+      val report = regexp_replace(coalesce(col("text"), lit("")),
+        "[^A-Za-z0-9 ]", "")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|Bridges|UCLH|||20240501120000||ORU^R01|CP"),
+          id, lit("|P|2.4")),
+        concat(lit("ORC|RE|UH"), id, lit("|UH"), id, lit("||CM")),
+        concat(lit("OBR|1|UH"), id, lit("|UH"), id,
+          lit("|H^Histology^CPEAP|||20240501100000"), lit("|" * 15),
+          lit("20240501113000||CP|F")),
+        concat(lit("OBX|1|TX|UH"), id, lit("^^CPEAP||"), report,
+          lit("||||||F")))
+      val parsed = LabFunnel.parseCoPath(
+        t(s, dir, "documents").withColumn("raw", raw), "raw")
+      val tx = get(filter(col("coPathResults"),
+        r => r.getField("valueType") === "TX"), lit(0))
+      val labDocs = parsed.select(
+        regexp_extract(col("sourceMessageId"), "^CP(\\d+)_01$", 1)
+          .cast("long").as("doc_id"),
+        coalesce(tx.getField("stringValue"), lit("")).as("text"))
+      val cfg = RagStream.Config(
+        java.nio.file.Files
+          .createTempDirectory("wire_rag").toString, "doc_id", "text",
+        funnel = Some(RagStream.Funnel(langs = Seq("en"),
+          minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)))
+      RagStream.foldBatch(
+        labDocs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
+      RagStream.foldBatch(
+        labDocs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
+      val qs = RagStream.encodeBatch(labDocs, cfg)
+        .filter(pmod(col("doc_id"), lit(2000L)) === 0)
+        .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
+          pmod(col("doc_id") + 1L, lit(4L))))
+      Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -4718,13 +4767,14 @@ object SparkEntry {
     * Ends at `{p}rules`: (doc_id, n_tokens, lang_guess, r_len,
     * r_avg_len, r_stop, r_rep, r_lang, keep).
     */
-  private def funnelRulesSql(p: String): String =
+  private def funnelRulesSql(p: String,
+                             src: String = "documents"): String =
     s"""${p}base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |  list_filter(string_split(trim(text), chr(10)),
        |    x -> len(trim(x)) > 0) AS ls,
        |  list_filter(string_split_regex(trim(text), '\\s+'),
        |    x -> len(x) > 0) AS ws
-       | FROM documents),
+       | FROM $src),
        |${p}lw AS (SELECT doc_id, len(ls) AS nl, len(ws) AS nw,
        |  COALESCE(list_sum(list_transform(ls, x -> len(x))), 0) AS lc,
        |  COALESCE(list_sum(list_transform(list_distinct(ls),
@@ -7852,7 +7902,8 @@ object SparkEntry {
          |FROM ac ORDER BY media_id""".stripMargin,
 
     "q193_ivf_drift" -> IvfDriftOracleSql,
-    "q194_ivf_retrain" -> IvfRetrainOracleSql
+    "q194_ivf_retrain" -> IvfRetrainOracleSql,
+    "q195_wire_rag" -> WireRagOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
@@ -7948,6 +7999,25 @@ object SparkEntry {
        |fk AS (SELECT doc_id FROM rules WHERE keep),
        |${chunkCtesSql("",
           "(SELECT d.doc_id, d.text FROM documents d JOIN fk USING (doc_id))")},
+       |$ragEmbedCtesSql,
+       |${ragModularTailSql(2000L)}
+       |$RagTopKSelectSql""".stripMargin)
+
+  /** q195: the q177 gated-RAG chain sourced from the WIRE round trip —
+    * the TX report text is the sanitized document text by
+    * construction, so the oracle derives it straight from `documents`
+    * (the q59 prediction convention) and replays funnel→chunk→embed→
+    * probe over it.
+    */
+  private val WireRagOracleSql: String = materializeCtes(
+    s"""WITH wsrc AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  regexp_replace(COALESCE(text, ''), '[^A-Za-z0-9 ]', '', 'g')
+       |    AS text
+       | FROM documents),
+       |${funnelRulesSql("", src = "wsrc")},
+       |fk AS (SELECT doc_id FROM rules WHERE keep),
+       |${chunkCtesSql("",
+          "(SELECT d.doc_id, d.text FROM wsrc d JOIN fk USING (doc_id))")},
        |$ragEmbedCtesSql,
        |${ragModularTailSql(2000L)}
        |$RagTopKSelectSql""".stripMargin)
