@@ -49,7 +49,14 @@ object Bench {
     // coarse quantizer + geometric probe pruning — the production
     // retrieval shape) and line-level cleaning (the zero-shuffle
     // per-row projection trendline for document hygiene)
-    "q170_rag_trained", "q173_clean_lines")
+    "q170_rag_trained", "q173_clean_lines",
+    // round 13: HTML→text extraction (the zero-shuffle regexp front a
+    // web corpus pays before anything else), fuzzy decontamination
+    // (cross-corpus MinHash with the benchmark broadcast), byte-level
+    // BPE training (hex-byte symbol table through the same merge
+    // loop), and the end-to-end wire→funnel→RAG chain
+    "q184_html_extract", "q186_fuzzy_decon", "q189_bpe_bytes_train",
+    "q195_wire_rag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3999,6 +3999,23 @@ object SparkEntry {
       Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
           k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the FULL web front: raw HTML → extraction → line cleaner --
+    // → quality funnel, one oracle (RefinedWeb's §3 order end to
+    // end): extraction exposes the chrome as lines, the line rules
+    // strip it, and the funnel judges what text remains — each
+    // stage's output is the next one's exact input.
+    "q196_web_front" -> ((s, dir) => {
+      val pages = htmlPages(t(s, dir, "documents"))
+      val cleaned = TextAnalysis.cleanLines(
+          TextAnalysis.extractHtml(pages, "doc_id", "html"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      TextAnalysis.qualityFunnel(cleaned, "doc_id", "text",
+          langs = Seq("en"), minTokens = 20L, maxStop10k = 1500L,
+          minAvgLen10 = 39L)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -7903,7 +7920,8 @@ object SparkEntry {
 
     "q193_ivf_drift" -> IvfDriftOracleSql,
     "q194_ivf_retrain" -> IvfRetrainOracleSql,
-    "q195_wire_rag" -> WireRagOracleSql
+    "q195_wire_rag" -> WireRagOracleSql,
+    "q196_web_front" -> WebFrontOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
@@ -8145,6 +8163,24 @@ object SparkEntry {
     s"""WITH $HtmlExtractCtesSql,
        |${lineRuleCtesSql("hout")},
        |$CleanLinesTailSql""".stripMargin
+
+  /** q196: the full web front — extraction → line cleaner → quality
+    * funnel, each stage's replay feeding the next (the q157 rules
+    * over the CLEANED text).
+    */
+  private val WebFrontOracleSql: String = materializeCtes(
+    s"""WITH $HtmlExtractCtesSql,
+       |${lineRuleCtesSql("hout")},
+       |wlk AS (SELECT doc_id, i, l FROM lfl
+       | WHERE NOT (r_dup OR r_short OR r_caps OR r_sym)),
+       |wlg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text
+       | FROM wlk GROUP BY doc_id),
+       |wcl AS (SELECT h.doc_id, COALESCE(wlg.text, '') AS text
+       | FROM hout h LEFT JOIN wlg USING (doc_id)),
+       |${funnelRulesSql("", src = "wcl")}
+       |SELECT doc_id, n_tokens, lang_guess, r_len, r_avg_len,
+       | r_stop, r_rep, r_lang, keep
+       |FROM rules ORDER BY doc_id""".stripMargin)
 
   /** q174: per-rule line-fail counts + the kept total. */
   private val LineReportOracleSql: String =

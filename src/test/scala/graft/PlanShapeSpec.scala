@@ -494,4 +494,57 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "Exchange hashpartitioning") == 1, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("extractHtml is a zero-shuffle per-row projection — raw HTML " +
+      "extracts at scan speed") {
+    val docs = Seq((1L, "<html><body><p>hi <b>x</b></p></body></html>"))
+      .toDF("doc_id", "html")
+    val p = plan(graft.operators.TextAnalysis.extractHtml(
+      docs, "doc_id", "html"))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("fuzzy decontamination: every benchmark attachment (buckets and " +
+      "signatures) is a broadcast — the only sort-merge is the final " +
+      "id-skinny report join, never the bucket or signature paths") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta " +
+      "theta iota kappa")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.fuzzyDecontaminate(
+      docs, bench, "doc_id", "text", "doc_id", "text"))
+    assert(countIn(p, "BroadcastHashJoin") >= 2, p) // buckets + sigs
+    // bucket-cell candidates and both signature attachments must ride
+    // broadcasts; the per-doc report left-join (corpus ids × matched
+    // sliver, both skinny) may sort-merge — that one is shape-safe
+    assert(!p.contains("SortMergeJoin [band"), p)
+    assert(!p.contains("SortMergeJoin [bench_id"), p)
+    assert(countIn(p, "SortMergeJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("byte-level BPE encode is a zero-shuffle per-row rewrite (the " +
+      "q104 shape over the byte base)") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.bpeEncodeBytes(
+      docs, "doc_id", "text", Seq(("61", "62"))))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("vectorIndexDriftReport: centroids attach as a broadcast; the " +
+      "code scan pays one aggregate exchange and never sort-merges") {
+    val vecs = (0L to 19L).map(i =>
+      (i, Array.fill(4)((i % 2).toFloat + 1f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files
+      .createTempDirectory("drift_plan").toString
+    graft.operators.Ann.sq8IndexAppend(vecs, "vec_id", "embedding",
+      col("label"), idx, 1L)
+    val cents = Seq(Seq(1.0, 1.0, 1.0, 1.0), Seq(2.0, 1.0, 1.0, 1.0))
+    val p = plan(graft.operators.Ann.vectorIndexDriftReport(
+      spark, idx, cents))
+    assert(countIn(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
