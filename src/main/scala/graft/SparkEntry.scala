@@ -3975,14 +3975,26 @@ object SparkEntry {
           lit("20240501113000||CP|F")),
         concat(lit("OBX|1|TX|UH"), id, lit("^^CPEAP||"), report,
           lit("||||||F")))
+      // spread BEFORE the parse: documents.parquet is one file → one
+      // scan partition at test scale, and everything downstream (the
+      // wire parse, the funnel, chunk+embed) would run single-core
+      // (measured 5× the lane at sf0.1). At 100 TB the scan splits by
+      // row group and this repartition is a no-op cost-wise; here it
+      // is the difference between 1 and |cores| executors.
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val parsed = LabFunnel.parseCoPath(
-        t(s, dir, "documents").withColumn("raw", raw), "raw")
+        t(s, dir, "documents").repartition(nPart)
+          .withColumn("raw", raw), "raw")
       val tx = get(filter(col("coPathResults"),
         r => r.getField("valueType") === "TX"), lit(0))
+      // checkpoint the parsed (id, text) sliver: THREE consumers (two
+      // index folds + the query encode) would otherwise each re-parse
+      // every wire message — measured 3× the lane's cost at sf0.1
       val labDocs = parsed.select(
         regexp_extract(col("sourceMessageId"), "^CP(\\d+)_01$", 1)
           .cast("long").as("doc_id"),
         coalesce(tx.getField("stringValue"), lit("")).as("text"))
+        .localCheckpoint(false)
       val cfg = RagStream.Config(
         java.nio.file.Files
           .createTempDirectory("wire_rag").toString, "doc_id", "text",
@@ -3992,6 +4004,8 @@ object SparkEntry {
         labDocs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
       RagStream.foldBatch(
         labDocs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
+      // NOTE: the %2000 filter is on CHUNK ids (encodeBatch's output
+      // id) — it cannot move above the chunk explode
       val qs = RagStream.encodeBatch(labDocs, cfg)
         .filter(pmod(col("doc_id"), lit(2000L)) === 0)
         .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
