@@ -4015,6 +4015,43 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- fuzzy decon through the REAL streaming engine: the --------
+    // benchmark index built once, training micro-batches fold via
+    // foreachBatch into batch= report layers (overwrite-by-batch-id —
+    // at-least-once replays rewrite, never duplicate); layer union ==
+    // one-shot q186 under its verbatim oracle.
+    "q197_fuzzy_decon_streamed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.DeconStream
+      val d = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("fuzzy_idx_stream").toString
+      TextAnalysis.buildFuzzyBenchmarkIndex(
+        d.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", shingleN = 2, numPerm = 64, seed = 42L,
+        indexDir = idx)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("fuzzy_out_stream").toString
+      val rows = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = DeconStream.start(ms.toDF().toDF("doc_id", "text"), idx,
+        outDir,
+        java.nio.file.Files.createTempDirectory("fuzzy_ck").toString,
+        "doc_id", "text", threshold = 0.5)
+      ms.addData(rows.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+        .select("doc_id", "n_matches", "max_est_jaccard", "contaminated")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the FULL web front: raw HTML → extraction → line cleaner --
     // → quality funnel, one oracle (RefinedWeb's §3 order end to
     // end): extraction exposes the chrome as lines, the line rules
@@ -7935,7 +7972,8 @@ object SparkEntry {
     "q193_ivf_drift" -> IvfDriftOracleSql,
     "q194_ivf_retrain" -> IvfRetrainOracleSql,
     "q195_wire_rag" -> WireRagOracleSql,
-    "q196_web_front" -> WebFrontOracleSql
+    "q196_web_front" -> WebFrontOracleSql,
+    "q197_fuzzy_decon_streamed" -> FuzzyDeconOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -410,6 +410,40 @@ class TextOpsSpec extends SparkSpecBase {
     assert(decoded(2L) == "αβγ 汉字 🙂")
   }
 
+  test("DeconStream.foldBatch: replaying the same batch id rewrites " +
+      "the same rows (at-least-once safe); layer union equals the " +
+      "one-shot run") {
+    import graft.streaming.DeconStream
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val nearDup = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda nu"
+    val docs = Seq(
+      (1L, nearDup),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("dstream_idx").toString
+    TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+      shingleN = 2, numPerm = 64, seed = 42L, indexDir = idx)
+    val out = java.nio.file.Files
+      .createTempDirectory("dstream_out").toString
+    DeconStream.foldBatch(docs.filter(col("doc_id") === 1L), 0L, idx,
+      out, "doc_id", "text", threshold = 0.5)
+    // at-least-once replay of batch 0: same layer rewritten, no dups
+    DeconStream.foldBatch(docs.filter(col("doc_id") === 1L), 0L, idx,
+      out, "doc_id", "text", threshold = 0.5)
+    DeconStream.foldBatch(docs.filter(col("doc_id") === 2L), 1L, idx,
+      out, "doc_id", "text", threshold = 0.5)
+    val folded = spark.read.parquet(out)
+      .select("doc_id", "n_matches", "contaminated")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2))).toMap
+    assert(folded.size == 2)
+    assert(folded(1L) == ((1L, true)) && folded(2L) == ((0L, false)))
+  }
+
   test("fuzzyDeconEval: the planted pair is truth AND candidate on a " +
       "sample that contains it; prec/recall exact") {
     val benchText = "alpha beta gamma delta epsilon zeta eta theta " +
