@@ -4015,6 +4015,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- the persisted BYTE-LEVEL tokenizer artifact (q161 over ----
+    // the byte base): train → save (merge table + 256-base vocab) →
+    // load → encode to ids. The artifact round trip and the id layout
+    // are what a production release ships; oracle replays the byte
+    // chain's final vocab state per word.
+    "q198_bpe_bytes_artifact" -> ((s, dir) => {
+      val d = bytePages(t(s, dir, "documents"))
+      val trained = TextAnalysis.bpeTrainBytes(d, "text", numMerges = 20)
+      val mergesSeq = trained.orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right"))
+        .toSeq
+      val tokDir = java.nio.file.Files
+        .createTempDirectory("tok_bytes_artifact").toString
+      TextAnalysis.saveTokenizer(trained,
+        TextAnalysis.bpeVocabBytes(s, mergesSeq), tokDir)
+      val (merges, vocab) = TextAnalysis.loadTokenizer(s, tokDir)
+      TextAnalysis.bpeEncodeIdsBytes(d, "doc_id", "text", merges, vocab)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- fuzzy decon through the REAL streaming engine: the --------
     // benchmark index built once, training micro-batches fold via
     // foreachBatch into batch= report layers (overwrite-by-batch-id —
@@ -4274,6 +4294,38 @@ object SparkEntry {
        |   AS pos,
        | CAST(voc.token_id AS BIGINT) AS token_id
        |FROM enc JOIN voc ON voc.token = enc.sym
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  /** q198: the byte-level vocab/id replay — 256 static base ids in
+    * byte order, merge products at 256 + step - 1, each word's
+    * encoding = its final byte-chain state (the q107 layout over the
+    * byte base).
+    */
+  private val BpeBytesIdsOracleSql: String = {
+    val mergedSel = (1 to BpeSteps).map(s =>
+      s"SELECT $s AS step, a || b AS token FROM m$s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql(BpeSteps, byteLevel = true,
+         src = BytePagesSrcSql)},
+       |bbase AS (SELECT CAST(i AS BIGINT) AS token_id,
+       |  lpad(hex(i), 2, '0') AS token
+       | FROM (SELECT unnest(range(256)) AS i)),
+       |bmrg AS (SELECT CAST(256 + step - 1 AS BIGINT) AS token_id,
+       |  token FROM ($mergedSel)),
+       |bvoc AS (SELECT * FROM bbase UNION ALL SELECT * FROM bmrg),
+       |btk2 AS (SELECT doc_id,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |   unnest(range(len(string_split_regex(trim(text), '\\s+'))))
+       |     AS widx
+       | FROM $BytePagesSrcSql),
+       |benc2 AS (SELECT t.doc_id, t.widx, v.pos AS spos, v.sym
+       | FROM btk2 t JOIN v$BpeSteps v ON v.wid = t.tok)
+       |SELECT doc_id,
+       | ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx, spos) - 1
+       |   AS pos,
+       | CAST(bvoc.token_id AS BIGINT) AS token_id
+       |FROM benc2 JOIN bvoc ON bvoc.token = benc2.sym
        |ORDER BY doc_id, pos""".stripMargin
   }
 
@@ -7973,7 +8025,8 @@ object SparkEntry {
     "q194_ivf_retrain" -> IvfRetrainOracleSql,
     "q195_wire_rag" -> WireRagOracleSql,
     "q196_web_front" -> WebFrontOracleSql,
-    "q197_fuzzy_decon_streamed" -> FuzzyDeconOracleSql
+    "q197_fuzzy_decon_streamed" -> FuzzyDeconOracleSql,
+    "q198_bpe_bytes_artifact" -> BpeBytesIdsOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
