@@ -4053,6 +4053,8 @@ object SparkEntry {
         indexDir = idx)
       val outDir = java.nio.file.Files
         .createTempDirectory("fuzzy_out_stream").toString
+      // test-scale collect: the sf corpus is the fixture feeding the
+      // MemoryStream, not a production pattern (the q165 convention)
       val rows = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
         .select(col("doc_id"), col("text"))
         .collect().map(r => (r.getLong(0), r.getString(1)))

@@ -820,13 +820,19 @@ object Ann {
       java.nio.file.Paths.get(rootDir, "_EPOCH"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC the superseded store: the previous epoch dir, or — on the
-    // first retrain of a pre-epoch index — the root-level layers
+    // GC every superseded store: the previous epoch dir, any orphan
+    // epoch a CRASHED retrain left half-built (invisible to readers,
+    // but disk isn't free), and — on the first retrain of a pre-epoch
+    // index — the root-level layers
+    Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        f.getName != next)
+      .foreach(f => deleteRecursively(f.getPath))
     if (cur == rootDir) {
       existingLayerDirs(rootDir)
         .foreach(l => deleteRecursively(s"$rootDir/$l"))
       java.nio.file.Files.deleteIfExists(layersPath(rootDir))
-    } else deleteRecursively(cur)
+    }
     next
   }
 

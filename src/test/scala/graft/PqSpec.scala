@@ -665,14 +665,19 @@ class PqSpec extends SparkSpecBase {
     Ann.deleteFromVectorIndex(spark, idx, Seq(99L).toDF("vec_id"),
       "vec_id")
     assert(!hits().contains(99L))
-    // a SECOND retrain GCs the previous epoch dir
+    // a SECOND retrain GCs the previous epoch dir AND any orphan a
+    // crashed retrain left behind (epoch=5 here, never swapped in)
+    val orphan = java.nio.file.Paths.get(idx, "epoch=5")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk"),
+      Array[Byte](1, 2, 3))
     Ann.retrainVectorIndex(idx) { epochDir =>
       Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 4), "vec_id",
         "embedding", col("label"), epochDir, 1L)
     }
     val names2 = new java.io.File(idx).listFiles.map(_.getName).toSet
-    assert(names2.contains("epoch=2") && !names2.contains("epoch=1"),
-      names2.toString)
+    assert(names2.contains("epoch=6") && !names2.contains("epoch=1") &&
+      !names2.contains("epoch=5"), names2.toString)
     assert(hits() == Set(2L))
   }
 
