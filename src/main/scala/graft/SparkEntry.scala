@@ -4015,6 +4015,41 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- IMAGE near-dup via perceptual hash (the LAION shape): -----
+    // dHash block-averages each decoded image onto a 9×8 grid and
+    // bits the adjacent-cell luminance ORDER — the same two-band
+    // pattern at DIFFERENT sizes and gray levels hashes identically,
+    // so exact grouping on the hash is pixel-level near-dup
+    // detection. Fixture: grid-aligned banded PNGs whose hash class
+    // is a pure function of (event_id/50) % 2; the oracle predicts
+    // each image's duplicate-group size from event ids alone (decode,
+    // grid, and comparison bits all have to be right for sizes/grays
+    // to collapse into exactly two groups).
+    "q199_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(50)) === 0)
+        .withColumn("j", expr("event_id div 50").cast("long"))
+        .select(col("event_id").cast("long").as("media_id"),
+          (lit(9) * (lit(1) + pmod(col("j"), lit(4)))).cast("int")
+            .as("w"),
+          (lit(8) + pmod(col("j"), lit(9))).cast("int").as("h"),
+          pmod(col("j"), lit(2)).cast("int").as("cls"),
+          (lit(150) + pmod(col("j"), lit(50))).cast("int").as("bright"),
+          (lit(40) + pmod(col("j"), lit(40))).cast("int").as("dark"))
+        .as[(Long, Int, Int, Int, Int, Int)]
+        .map { case (id, w, h, cls, bright, dark) =>
+          val (gl, gr) = if (cls == 0) (bright, dark) else (dark, bright)
+          Multimodal.MediaRow(id, "image",
+            Multimodal.encodeBandedPng(w, h, gl, gr), "image/png") }
+      val hashes = Multimodal.dhashFeatures(media, Some(8)).toDF()
+      val sizes = hashes.groupBy("dhash").agg(count(lit(1)).as("__n"))
+      hashes.join(sizes, "dhash")
+        .select(col("media_id"),
+          (col("__n") - 1).cast("long").as("n_dups"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- the persisted BYTE-LEVEL tokenizer artifact (q161 over ----
     // the byte base): train → save (merge table + 256-base vocab) →
     // load → encode to ids. The artifact round trip and the id layout
@@ -8026,6 +8061,18 @@ object SparkEntry {
     "q193_ivf_drift" -> IvfDriftOracleSql,
     "q194_ivf_retrain" -> IvfRetrainOracleSql,
     "q195_wire_rag" -> WireRagOracleSql,
+
+    // dHash-class prediction: duplicate-group size from the fixture's
+    // class arithmetic alone (two bands, grid-aligned — size/gray
+    // invariance means exactly two hash groups).
+    "q199_image_neardup" ->
+      s"""WITH e AS ($EventsUsSql),
+         |im AS (SELECT CAST(event_id AS BIGINT) AS media_id,
+         |  (event_id // 50) % 2 AS cls
+         | FROM e WHERE event_id % 50 = 0),
+         |g AS (SELECT cls, COUNT(*) AS n FROM im GROUP BY cls)
+         |SELECT im.media_id, CAST(g.n - 1 AS BIGINT) AS n_dups
+         |FROM im JOIN g USING (cls) ORDER BY media_id""".stripMargin,
     "q196_web_front" -> WebFrontOracleSql,
     "q197_fuzzy_decon_streamed" -> FuzzyDeconOracleSql,
     "q198_bpe_bytes_artifact" -> BpeBytesIdsOracleSql

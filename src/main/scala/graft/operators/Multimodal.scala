@@ -394,6 +394,117 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Difference-hash (dHash) of one decoded image — the perceptual
+    * fingerprint image-dedup pipelines bucket on (LAION-style: two
+    * crops/rescales/re-encodes of the same picture hash identically,
+    * so EXACT grouping on the hash is NEAR-dup detection on pixels —
+    * the visual analog of the text tier's MinHash). Deterministic by
+    * construction:
+    *
+    *   - the image block-averages onto a 9×8 luminance grid (exact
+    *     integer pixel sums over rectangular cells — no resampling
+    *     library, no floating point);
+    *   - bit (row, col) = cell(row, col) brighter than
+    *     cell(row, col+1), compared as cross-multiplied integer sums
+    *     (`sumA·nB > sumB·nA` — exact at any cell size);
+    *   - 8 comparisons × 8 rows = one 64-bit Long, row-major, bit 63
+    *     first.
+    *
+    * Size/brightness invariance is the point: the same pattern at a
+    * different resolution or gray level produces the SAME hash (only
+    * the luminance ORDER of adjacent cells matters).
+    */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    // below the grid size, some cells would hold ZERO pixels and the
+    // hash would depend on WHICH rows/cols are empty — reject loudly
+    // (production pipelines upscale thumbnails before hashing)
+    require(w >= 9 && h >= 8,
+      s"dHash needs at least 9x8 pixels, got ${w}x$h")
+    // exact integer cell sums: pixel (x, y) belongs to cell
+    // (x*9/w, y*8/h) — the standard integer grid partition
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = (x.toLong * 9 / w).toInt
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+          + (rgb & 0xff)) / 3
+        sums(gy)(gx) += lum
+        counts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val brighter = sums(r)(c) * counts(r)(c + 1) >
+          sums(r)(c + 1) * counts(r)(c)
+        bits = (bits << 1) | (if (brighter) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  final case class MediaHash(media_id: Long, dhash: Long)
+
+  /** Per-payload dHash over the batched decode seam (any
+    * `javax.imageio` format). Output: (media_id, dhash) — feed the
+    * hash to the EXACT dedup tier ([[graft.operators.Dedup]] groupBy)
+    * for duplicate groups; hamming-near hashes can ride the text
+    * tier's banded LSH if byte-bucketing is wanted at scale.
+    */
+  def dhashFeatures(media: Dataset[MediaRow],
+                    parallelism: Option[Int] = None): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val part = parallelism.map(media.repartition(_)).getOrElse(media)
+    part.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null,
+        s"undecodable image payload: media ${r.media_id}")
+      MediaHash(r.media_id, dHash(img))
+    })
+  }
+
+  /** Deterministic two-band PNG (grid-aligned: width a multiple of 9,
+    * so the 9-column dHash grid never straddles the band boundary —
+    * the first 5 grid columns are `leftGray`, the last 4 `rightGray`)
+    * — the fixture generator for [[dhashFeatures]]: the HASH CLASS is
+    * a pure function of sign(leftGray − rightGray), independent of
+    * size and of the actual gray values.
+    */
+  def encodeBandedPng(width: Int, height: Int, leftGray: Int,
+                      rightGray: Int): Array[Byte] = {
+    require(width % 9 == 0, "width must be a multiple of 9")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val split = width / 9 * 5
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = if (x < split) leftGray else rightGray
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched decode over partitions. Repartitions to `parallelism` first
     * when the upstream has too few splits (binary blobs are often few,
     * large files).

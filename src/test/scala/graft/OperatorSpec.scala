@@ -169,6 +169,36 @@ class OperatorSpec extends SparkSpecBase {
       e.getCause != null && e.getCause.getMessage.contains("RIFF"))
   }
 
+  test("dHash: same pattern at different sizes and gray levels hashes " +
+    "identically; opposite pattern differs; uniform is zero; " +
+    "sub-grid images fail loudly") {
+    def img(bytes: Array[Byte]) = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val a = Multimodal.dHash(img(Multimodal.encodeBandedPng(9, 8, 200, 50)))
+    val b = Multimodal.dHash(img(Multimodal.encodeBandedPng(36, 21, 130, 90)))
+    val c = Multimodal.dHash(img(Multimodal.encodeBandedPng(18, 8, 50, 200)))
+    val u = Multimodal.dHash(img(Multimodal.encodeBandedPng(9, 8, 99, 99)))
+    assert(a == b)            // size + brightness invariant
+    assert(a != c)            // order flip changes the hash
+    assert(u == 0L)           // no gradient anywhere
+    // boundary bit: left-bright = bit at column 4->5 in every row
+    assert(a == java.lang.Long.parseLong("0808080808080808", 16))
+    intercept[IllegalArgumentException] {
+      Multimodal.dHash(img(Multimodal.encodeBandedPng(9, 4, 1, 2)))
+    }
+    // the dataset seam groups them: a and b are one dup group
+    val media = Seq(
+      Multimodal.MediaRow(1, "image",
+        Multimodal.encodeBandedPng(9, 8, 200, 50), "image/png"),
+      Multimodal.MediaRow(2, "image",
+        Multimodal.encodeBandedPng(36, 21, 130, 90), "image/png"),
+      Multimodal.MediaRow(3, "image",
+        Multimodal.encodeBandedPng(18, 8, 50, 200), "image/png")).toDS()
+    val hs = Multimodal.dhashFeatures(media).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    assert(hs(1L) == hs(2L) && hs(1L) != hs(3L))
+  }
+
   test("WavCodec: real javax.sound.sampled round-trip — header (rate, " +
       "channels) and frame parse (count, amplitude histogram) recovered " +
       "from encoded RIFF bytes") {
