@@ -4050,6 +4050,45 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- HAMMING-near image matching: dHash distance ≤ 1 via -------
+    // banded bit buckets (pigeonhole: a ≤1-bit difference leaves ≥3
+    // of 4 16-bit slices intact). Fixture rows carry the 2-bit class
+    // code, each class bit flipping EXACTLY one hash bit — so class
+    // codes at hamming ≤1 are near images and the oracle predicts
+    // every image's near-count from event arithmetic alone.
+    "q200_image_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val media = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(50)) === 0)
+        .withColumn("j", expr("event_id div 50").cast("long"))
+        .select(col("event_id").cast("long").as("media_id"),
+          (lit(9) * (lit(1) + pmod(col("j"), lit(3)))).cast("int")
+            .as("w"),
+          (lit(8) * (lit(1) + pmod(col("j"), lit(2)))).cast("int")
+            .as("h"),
+          pmod(col("j"), lit(4)).cast("int").as("cls"),
+          (lit(150) + pmod(col("j"), lit(50))).cast("int").as("bright"),
+          (lit(40) + pmod(col("j"), lit(40))).cast("int").as("dark"))
+        .as[(Long, Int, Int, Int, Int, Int)]
+        .map { case (id, w, h, cls, bright, dark) =>
+          val pattern = Seq((cls & 1) == 1, (cls & 2) == 2) ++
+            Seq.fill(6)(true)
+          Multimodal.MediaRow(id, "image",
+            Multimodal.encodeRowPatternPng(w, h, bright, dark, pattern),
+            "image/png") }
+      val hashes = Multimodal.dhashFeatures(media, Some(8)).toDF()
+      val pairs = Dedup.hammingNearDup(hashes, "media_id", "dhash",
+        maxDist = 1)
+      val sym = pairs.select(col("id_a").as("media_id"))
+        .unionAll(pairs.select(col("id_b").as("media_id")))
+        .groupBy("media_id").agg(count(lit(1)).as("__n"))
+      hashes.select("media_id")
+        .join(sym, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("__n"), lit(0L)).as("n_near"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- the persisted BYTE-LEVEL tokenizer artifact (q161 over ----
     // the byte base): train → save (merge table + 256-base vocab) →
     // load → encode to ids. The artifact round trip and the id layout
@@ -8073,6 +8112,22 @@ object SparkEntry {
          |g AS (SELECT cls, COUNT(*) AS n FROM im GROUP BY cls)
          |SELECT im.media_id, CAST(g.n - 1 AS BIGINT) AS n_dups
          |FROM im JOIN g USING (cls) ORDER BY media_id""".stripMargin,
+
+    // near-count = same-class others + every class one code-bit away
+    // (each class bit flips exactly one hash bit by construction)
+    "q200_image_hamming" ->
+      s"""WITH e AS ($EventsUsSql),
+         |im AS (SELECT CAST(event_id AS BIGINT) AS media_id,
+         |  (event_id // 50) % 4 AS cls
+         | FROM e WHERE event_id % 50 = 0),
+         |g AS (SELECT cls, COUNT(*) AS n FROM im GROUP BY cls),
+         |nb AS (SELECT a.cls AS ca, b.cls AS cb, b.n FROM g a
+         | JOIN g b ON bit_count(xor(a.cls, b.cls)) <= 1),
+         |cnt AS (SELECT ca AS cls,
+         |  SUM(CASE WHEN ca = cb THEN n - 1 ELSE n END) AS n_near
+         | FROM nb GROUP BY ca)
+         |SELECT im.media_id, CAST(cnt.n_near AS BIGINT) AS n_near
+         |FROM im JOIN cnt USING (cls) ORDER BY media_id""".stripMargin,
     "q196_web_front" -> WebFrontOracleSql,
     "q197_fuzzy_decon_streamed" -> FuzzyDeconOracleSql,
     "q198_bpe_bytes_artifact" -> BpeBytesIdsOracleSql

@@ -699,4 +699,45 @@ object Dedup {
         coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
         col("n_earlier_dups").isNull.as("kept"))
   }
+
+  /** HAMMING near-dup over 64-bit fingerprints (perceptual image
+    * hashes, SimHash signatures): candidate pairs via BANDED bit
+    * buckets — split each hash into `bands` equal bit slices; by
+    * pigeonhole, two hashes within `maxDist` differing bits share at
+    * least one identical slice when `maxDist < bands`, so the
+    * bucket-join finds every true pair while confining the quadratic
+    * to same-slice collisions (the text tier's LSH discipline applied
+    * to fixed-width binary codes). Exact `bit_count(xor)` verifies
+    * each candidate. Output: (id_a, id_b, dist), id_a < id_b.
+    */
+  def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
+                     maxDist: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
+    require(maxDist >= 0 && maxDist < bands,
+      s"maxDist $maxDist needs more than $maxDist bands (pigeonhole: " +
+        "every <=maxDist-bit difference must leave one band intact)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val b = df.select(col(idCol).as("__id"),
+        col(hashCol).cast("long").as("__h"))
+      .select(col("__id"), col("__h"),
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("__h"), i * width)
+              .bitwiseAND(lit(mask)).as("bucket"))): _*)).as("bk"))
+      .select(col("__id"), col("__h"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = b.as("a").join(b.as("x"),
+        col("a.band") === col("x.band") &&
+          col("a.bucket") === col("x.bucket") &&
+          col("a.__id") < col("x.__id"))
+      .select(col("a.__id").as("id_a"), col("x.__id").as("id_b"),
+        col("a.__h").as("__ha"), col("x.__h").as("__hb"))
+      .distinct()
+    cand
+      .withColumn("dist",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

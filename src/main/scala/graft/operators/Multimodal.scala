@@ -505,6 +505,40 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic row-pattern PNG (grid-aligned: width a multiple of
+    * 9, height a multiple of 8): each of the 8 dHash grid rows is a
+    * two-band row — `leftBright(r)` ? bright-left : bright-right.
+    * A bright-left row contributes hash byte 0x08 (one bit at the
+    * band boundary), a bright-right row 0x00 — so flipping one row
+    * flips EXACTLY ONE hash bit, giving fixtures with a chosen
+    * pairwise hamming distance (the [[dHash]] near-match fixture).
+    */
+  def encodeRowPatternPng(width: Int, height: Int, bright: Int,
+                          dark: Int,
+                          leftBright: Seq[Boolean]): Array[Byte] = {
+    require(width % 9 == 0, "width must be a multiple of 9")
+    require(height % 8 == 0, "height must be a multiple of 8")
+    require(leftBright.length == 8, "8 row choices")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val split = width / 9 * 5
+    var y = 0
+    while (y < height) {
+      val row = y * 8 / height
+      val (gl, gr) = if (leftBright(row)) (bright, dark) else (dark, bright)
+      var x = 0
+      while (x < width) {
+        val g = if (x < split) gl else gr
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched decode over partitions. Repartitions to `parallelism` first
     * when the upstream has too few splits (binary blobs are often few,
     * large files).

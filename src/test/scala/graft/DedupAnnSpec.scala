@@ -392,4 +392,29 @@ class DedupAnnSpec extends SparkSpecBase {
       .collect().head
     assert(sub.getAs[Long]("n_true") == 2 && sub.getAs[Long]("n_cand") == 2)
   }
+
+  test("hammingNearDup: every pair within maxDist found (pigeonhole " +
+      "holds across band boundaries), none beyond it; exact distances; " +
+      "insufficient bands fail loudly") {
+    import spark.implicits._
+    val hashes = Seq(
+      (1L, 0x0808080808080808L),            // base
+      (2L, 0x0808080808080809L),            // dist 1 (low band)
+      (3L, 0x0808080808080808L ^ (1L << 63)), // dist 1 (high band)
+      (4L, 0x0808080808080809L ^ (1L << 63)), // dist 2 from base
+      (5L, 0L)                               // far from everything
+    ).toDF("id", "h")
+    val got = graft.operators.Dedup
+      .hammingNearDup(hashes, "id", "h", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 1L, (3L, 4L) -> 1L))
+    // maxDist >= bands would break the pigeonhole guarantee
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingNearDup(hashes, "id", "h",
+        maxDist = 4, bands = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
 }
