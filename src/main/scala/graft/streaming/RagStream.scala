@@ -84,6 +84,13 @@ object RagStream {
     * dropped first when configured.
     */
   def encodeBatch(batch: DataFrame, cfg: Config): DataFrame = {
+    // NOT repartitioned here on purpose: a blanket spread-the-source
+    // shuffle was MEASURED as a regression across the RAG lanes
+    // (q170 8.8→16.8 s — every fold/query/training pass paid an
+    // extra exchange), while the one genuinely single-partition
+    // source (q195's wire parse) is fixed at ITS source. Spread
+    // upstream where a narrow source is known, not in the shared
+    // transform.
     val gated = cfg.funnel.fold(batch) { f =>
       batch.filter(TextAnalysis.qualityKeep(col(cfg.textCol), f.langs,
         f.minTokens, f.maxTokens, f.maxStop10k, f.minAvgLen10,
