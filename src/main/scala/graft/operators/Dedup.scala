@@ -530,21 +530,18 @@ object Dedup {
   private def bitVote(b: Int) =
     when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
 
-  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
-          .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxHamming)
-  }
+  /** SimHash near-dup pairs — delegates to the shared
+    * [[hammingNearDup]] banding (ONE implementation for every 64-bit
+    * fingerprint family: SimHash text signatures, dHash image
+    * fingerprints). The delegation also gains the loud pigeonhole
+    * guard the inline version lacked: `maxHamming >= 4` silently
+    * MISSED pairs before (a 4-bit difference can straddle all four
+    * 16-bit bands); now it fails with instructions instead.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame =
+    hammingNearDup(sigs, "doc_id", "simhash", maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("dist").as("hamming"))
 
   /** Embedding-cosine near-dup: pairs above simThreshold, using the IVF
     * bucket (or any coarse cluster id) as the blocking key.
