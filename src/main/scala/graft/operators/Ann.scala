@@ -776,8 +776,21 @@ object Ann {
     readIndexRowsWithLayer(spark, rootDir)
       .withColumn("cluster", col("cluster").cast("long"))
       .join(centDf, Seq("cluster"))
+      // loud per-row guard: int8Dot returns null on length mismatch,
+      // which would surface as a silently-null mean_res_10k instead
+      // of naming the wrong-dimensionality centroid argument
+      .withColumn("__dot",
+        when(length(col("qvec")) =!= length(col("ccode")),
+          raise_error(concat(
+            lit("vectorIndexDriftReport: centroid dim "),
+            length(col("ccode")).cast("string"),
+            lit(" != index code dim "),
+            length(col("qvec")).cast("string"),
+            lit(" — pass centroids of the index's dimensionality")))
+            .cast("long"))
+          .otherwise(Int8Ops.int8Dot(col("qvec"), col("ccode"))))
       .withColumn("res_10k", lit(10000L) -
-        floor(Int8Ops.int8Dot(col("qvec"), col("ccode")).cast("double") /
+        floor(col("__dot").cast("double") /
           (col("qnorm") * col("cnorm")) * 10000.0).cast("long"))
       .groupBy(col("layer_batch"), col("cluster"))
       .agg(count(lit(1)).as("n"), sum(col("res_10k")).as("sres"))
@@ -792,7 +805,9 @@ object Ann {
     * retrain entails); every reader resolving through the root keeps
     * hitting the OLD epoch until the `_EPOCH` pointer moves (one
     * atomic rename — the same swap discipline as the `_LAYERS`
-    * manifest), after which the superseded store is GC'd. Returns the
+    * manifest). The superseded store is GC'd by the NEXT retrain, not
+    * this one, so a reader that resolved the old pointer just before
+    * the swap finishes its query against an intact store. Returns the
     * new epoch's name.
     *
     * This is the answer to "centroids are frozen forever": freezing
@@ -820,15 +835,24 @@ object Ann {
       java.nio.file.Paths.get(rootDir, "_EPOCH"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC every superseded store: the previous epoch dir, any orphan
-    // epoch a CRASHED retrain left half-built (invisible to readers,
-    // but disk isn't free), and — on the first retrain of a pre-epoch
-    // index — the root-level layers
+    // GC superseded stores with ONE-RETRAIN DEFERRAL: a reader that
+    // resolved the old pointer just before the swap keeps answering
+    // from that store, so nothing THIS swap retired is deleted until
+    // the NEXT retrain (the orphan-epoch discipline applied to the
+    // live predecessor — the doc's "old epoch keeps answering"
+    // concurrency story holds without reader retries). Deleted here:
+    // epoch dirs already dead BEFORE this retrain — half-built
+    // orphans from crashed builds and the epoch the PREVIOUS swap
+    // retired — and, once the just-superseded store is itself an
+    // epoch, the root-level layers a pre-epoch index left behind
+    // (this also covers the crash window where a first retrain
+    // swapped the pointer but died before its own GC: every later
+    // retrain still cleans the dead root store).
     Option(root.listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
-        f.getName != next)
+        f.getName != next && s"$rootDir/${f.getName}" != cur)
       .foreach(f => deleteRecursively(f.getPath))
-    if (cur == rootDir) {
+    if (cur != rootDir) {
       existingLayerDirs(rootDir)
         .foreach(l => deleteRecursively(s"$rootDir/$l"))
       java.nio.file.Files.deleteIfExists(layersPath(rootDir))
@@ -907,10 +931,15 @@ object Ann {
   def ivfIndexQuery(spark: org.apache.spark.sql.SparkSession,
                     indexDir: String, queries: DataFrame, idCol: String,
                     vecCol: String, probesCol: String, k: Int): DataFrame = {
+    // pinned: TWO consumers (the probe-set collect and the broadcast
+    // join) would otherwise each replay the query lineage — which for
+    // query-by-example callers is a full encode chain (q195's was a
+    // corpus-wide funnel+chunk+embed, measured 2× the stage's cost)
     val q0 = queries.select(col(idCol).as("query_id"),
         toDoubleVec(col(vecCol)).as("qv"),
         col(probesCol).cast("array<long>").as("__probes"))
       .withColumn("qn", l2Norm(col("qv")))
+      .localCheckpoint(false)
     val probeSet = q0.select(explode(col("__probes")).as("p"))
       .distinct().collect().map(_.getLong(0)).sorted
     val idx = readIndexLayers(spark, indexDir)
@@ -962,10 +991,14 @@ object Ann {
                     indexDir: String, queries: DataFrame, idCol: String,
                     vecCol: String, probesCol: String, k: Int): DataFrame = {
     import graft.functions.Int8Ops
+    // pinned for the same two-consumer reason as [[ivfIndexQuery]]'s
+    // q0: the probe-set collect and the broadcast join must not each
+    // replay an expensive query-encode lineage
     val q0 = quantizeInt8(queries, idCol, vecCol, keep = Seq(probesCol))
       .select(col("emb_id").as("query_id"),
         col(probesCol).cast("array<long>").as("__probes"),
         col("qvec").as("qv"), col("qnorm").as("qn"))
+      .localCheckpoint(false)
     val probeSet = q0.select(explode(col("__probes")).as("p"))
       .distinct().collect().map(_.getLong(0)).sorted
     val idx = readIndexLayers(spark, indexDir)

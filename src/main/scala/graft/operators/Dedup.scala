@@ -51,6 +51,38 @@ object Dedup {
       .agg(min("keep_id").as("keep_id"), sum("n_dups").as("n_dups"))
       .select("keep_id", "n_dups")
 
+  /** The 128-BIT CONTENT-HASH form of the persisted exact-dedup index
+    * — the 100 TB shape [[exactIndexAppend]]'s doc promises: layers
+    * carry (xxhash64 bucket key, md5 content hash, min id, count) and
+    * NEVER the text, so at-rest state is ~50 fixed bytes per distinct
+    * document instead of the document itself. Identity is the 128-bit
+    * hash: for n distinct docs the collision odds are ~n²/2¹²⁹
+    * (≈ 10⁻¹⁵ at n = 10¹² — far below hardware error rates), the
+    * standard trade every content-addressed store makes. Layer and
+    * merge laws are [[exactIndexAppend]]'s exactly (min composes,
+    * counts add), so folds equal the one-shot [[exact]] (q201 against
+    * q19's verbatim oracle).
+    */
+  def exactHashedIndexAppend(batch: DataFrame, idCol: String,
+                             textCol: String, indexDir: String,
+                             batchId: Long): Unit =
+    batch.groupBy(xxhash64(col(textCol)).as("th"),
+        md5(col(textCol)).as("h128"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Merged dedup table from hash-only layers ([[exactFromIndex]]'s
+    * twin): re-group by the content hash, min the keepers, sum the
+    * counts. The xxhash64 pre-bucket keeps the shuffle key cheap; the
+    * md5 is the identity.
+    */
+  def exactFromHashedIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+      .groupBy("th", "h128")
+      .agg(min("keep_id").as("keep_id"), sum("n_dups").as("n_dups"))
+      .select("keep_id", "n_dups")
+
   /** Exact duplicated-SPAN detection — the window-hash form of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better"): whole-document dedup misses
@@ -533,10 +565,11 @@ object Dedup {
   /** SimHash near-dup pairs — delegates to the shared
     * [[hammingNearDup]] banding (ONE implementation for every 64-bit
     * fingerprint family: SimHash text signatures, dHash image
-    * fingerprints). The delegation also gains the loud pigeonhole
-    * guard the inline version lacked: `maxHamming >= 4` silently
-    * MISSED pairs before (a 4-bit difference can straddle all four
-    * 16-bit bands); now it fails with instructions instead.
+    * fingerprints). Band count AUTO-WIDENS with the radius
+    * (pigeonhole-complete at any `maxHamming` < 64), closing the two
+    * historical gaps at radius ≥ 4: the pre-r13 inline banding
+    * silently MISSED pairs there (a 4-bit difference can straddle all
+    * four 16-bit bands), and the r13 delegation failed loudly.
     */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame =
     hammingNearDup(sigs, "doc_id", "simhash", maxHamming)
@@ -708,33 +741,95 @@ object Dedup {
     * each candidate. Output: (id_a, id_b, dist), id_a < id_b.
     */
   def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
-                     maxDist: Int, bands: Int = 4): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
-    require(maxDist >= 0 && maxDist < bands,
-      s"maxDist $maxDist needs more than $maxDist bands (pigeonhole: " +
-        "every <=maxDist-bit difference must leave one band intact)")
-    val width = 64 / bands
+                     maxDist: Int, bands: Int = 0,
+                     maxBucketSize: Int = 0): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"maxDist $maxDist out of [0, 64)")
+    // bands = 0 → AUTO: the narrowest banding that still guarantees
+    // pigeonhole completeness (the smallest divisor of 64 strictly
+    // above maxDist) — production pHash radii (8–12 bits on 64) get
+    // 16 4-bit bands without the caller doing divisor arithmetic
+    val nb = if (bands > 0) bands
+      else Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
+    require(64 % nb == 0, s"bands $nb must divide 64")
+    require(maxDist < nb,
+      s"maxDist $maxDist needs more than $maxDist bands, got $nb " +
+        "(pigeonhole: every <=maxDist-bit difference must leave one " +
+        "band intact) — raise bands, or pass bands = 0 to auto-widen")
+    val width = 64 / nb
     val mask = if (width == 64) -1L else (1L << width) - 1
     val b = df.select(col(idCol).as("__id"),
         col(hashCol).cast("long").as("__h"))
       .select(col("__id"), col("__h"),
-        explode(array((0 until bands).map(i =>
+        explode(array((0 until nb).map(i =>
           struct(lit(i).as("band"),
             shiftrightunsigned(col("__h"), i * width)
               .bitwiseAND(lit(mask)).as("bucket"))): _*)).as("bk"))
       .select(col("__id"), col("__h"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val cand = b.as("a").join(b.as("x"),
+    // hot-bucket cap — the [[minhashLsh]] discipline: wide radii mean
+    // narrow bands (16 bands ⇒ 2⁴ buckets/band), and dist-0
+    // exact-duplicate groups make a cell's self-join quadratic in
+    // group size; the cap bounds both, and [[hammingEval]] measures
+    // the recall it costs before 100 TB rides on the setting
+    val capped = if (maxBucketSize > 0) {
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      b.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") <= maxBucketSize).drop("__n")
+    } else b
+    val cand = capped.as("a").join(capped.as("x"),
         col("a.band") === col("x.band") &&
           col("a.bucket") === col("x.bucket") &&
           col("a.__id") < col("x.__id"))
       .select(col("a.__id").as("id_a"), col("x.__id").as("id_b"),
         col("a.__h").as("__ha"), col("x.__h").as("__hb"))
-      .distinct()
+    // bit_count BEFORE the pair dedup: a same-bucket pair repeats once
+    // per shared band (up to `nb`×), so the exchange that dedups it
+    // should carry (id_a, id_b, dist) of FILTERED rows — three longs
+    // of true pairs, not four longs of every candidate repeat
     cand
       .withColumn("dist",
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
+
+  /** Candidate-quality eval of the banded Hamming path — [[lshEval]]'s
+    * measure-don't-guess discipline for 64-bit fingerprints: EXACT
+    * pairwise bit_count over a bounded `evalPred` sample as truth
+    * (all-pairs is quadratic by definition — sample by contract), the
+    * banded candidates (banding and cap run over the FULL corpus
+    * exactly as production does, only the PAIRS restrict to the
+    * sample) as the measured side. One row:
+    * (n_true, n_cand, n_hit, prec, recall) — candidates are already
+    * bit_count-verified so prec is 1.0 by construction; RECALL is the
+    * number a bucket cap or band setting has to justify.
+    */
+  def hammingEval(df: DataFrame, idCol: String, hashCol: String,
+                  evalPred: Column => Column, maxDist: Int,
+                  bands: Int = 0, maxBucketSize: Int = 0): DataFrame = {
+    val sub = df.filter(evalPred(col(idCol)))
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
+    val truth = sub.as("a").join(sub.as("x"),
+        col("a.__id") < col("x.__id") &&
+          bit_count(col("a.__h").bitwiseXOR(col("x.__h"))) <= maxDist)
+      .select(col("a.__id").as("id_a"), col("x.__id").as("id_b"),
+        lit(1L).as("__t"))
+    val cand = hammingNearDup(df, idCol, hashCol, maxDist, bands,
+        maxBucketSize)
+      .filter(evalPred(col("id_a")) && evalPred(col("id_b")))
+      .select(col("id_a"), col("id_b"), lit(1L).as("__c"))
+    truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("__t") * col("__c")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_cand"))
+          .as("prec"),
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true"))
+          .as("recall"))
   }
 }

@@ -539,6 +539,296 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Minimal pure-JVM PDF TEXT extractor on the codec seam — closes
+    * the bytes dead-end where CoPath lab reports land as PDF
+    * `byteValue` (the reference dispatches on the PDF mime and serves
+    * the raw bytes to the UI, ref
+    * `core/.../LabResultController.java:122-137`; a training/RAG
+    * corpus needs the TEXT). Handles the standard subset report
+    * generators emit: FlateDecode'd (or stored-plain) content
+    * streams, `BT..ET` text blocks, `Tj` / `'` / `TJ` show operators,
+    * PDF-string escapes (`\( \) \\ \n \r \t \b \f`, octal `\ddd`,
+    * escaped line continuations) and hex strings — NOT a general
+    * renderer (no CMap/encoding tables, no xref repair; undecodable
+    * payloads fail the task, dead-letter upstream as with
+    * [[ImageIoCodec]]).
+    *
+    * Line structure: each `BT..ET` block's shown strings concatenate
+    * in content order; blocks join with `\n` — the inverse of
+    * [[encodePdf]]'s one-block-per-line layout, so
+    * `text(encodePdf(lines)) == lines.mkString("\n")` exactly.
+    */
+  object PdfCodec {
+
+    def text(payload: Array[Byte], mediaId: Long): String =
+      contentStreams(payload, mediaId)
+        .map(extractText).filter(_.nonEmpty).mkString("\n")
+
+    /** Every stream object's DECODED bytes, in file order. */
+    private def contentStreams(payload: Array[Byte],
+                               mediaId: Long): Seq[Array[Byte]] = {
+      require(payload.length >= 5 &&
+        new String(payload, 0, 5,
+          java.nio.charset.StandardCharsets.ISO_8859_1) == "%PDF-",
+        s"media $mediaId: not a PDF payload")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val kwStream = "stream".getBytes
+      val kwEnd = "endstream".getBytes
+      var from = 0
+      var at = indexOfBytes(payload, kwStream, from)
+      while (at >= 0) {
+        // dict text between the enclosing "obj" (or buffer start) and
+        // the stream keyword names the filter
+        val dictStart = math.max(0, lastIndexOfBytes(payload, "obj".getBytes, at))
+        val dict = new String(payload, dictStart, at - dictStart,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        var dataStart = at + kwStream.length
+        if (dataStart < payload.length && payload(dataStart) == '\r')
+          dataStart += 1
+        if (dataStart < payload.length && payload(dataStart) == '\n')
+          dataStart += 1
+        // honor /Length when the dict carries it: compressed bytes can
+        // contain the "endstream" byte sequence by chance, so scanning
+        // for the keyword alone could truncate the stream
+        val lenRe = "/Length\\s+(\\d+)".r
+        val (dataEnd, endAt) = lenRe.findFirstMatchIn(dict) match {
+          case Some(m) =>
+            val de = dataStart + m.group(1).toInt
+            require(de <= payload.length,
+              s"media $mediaId: /Length past end of payload")
+            val ea = indexOfBytes(payload, kwEnd, de)
+            require(ea >= 0, s"media $mediaId: unterminated PDF stream")
+            (de, ea)
+          case None =>
+            val ea = indexOfBytes(payload, kwEnd, dataStart)
+            require(ea >= 0, s"media $mediaId: unterminated PDF stream")
+            var de = ea
+            if (de > dataStart && payload(de - 1) == '\n') de -= 1
+            if (de > dataStart && payload(de - 1) == '\r') de -= 1
+            (de, ea)
+        }
+        val raw = java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+        out += (if (dict.contains("/FlateDecode")) inflate(raw, mediaId)
+                else raw)
+        from = endAt + kwEnd.length
+        at = indexOfBytes(payload, kwStream, from)
+      }
+      out.toSeq
+    }
+
+    private def inflate(data: Array[Byte],
+                        mediaId: Long): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(data)
+        val bos = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          require(n > 0 || !inf.needsInput(),
+            s"media $mediaId: truncated FlateDecode stream")
+          bos.write(buf, 0, n)
+        }
+        bos.toByteArray
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"media $mediaId: corrupt FlateDecode stream", e)
+      } finally inf.end()
+    }
+
+    /** Shown text of one decoded content stream: a token walk that
+      * understands PDF strings (nested parens + escapes), hex
+      * strings, and the three show operators; every other operator
+      * just clears the pending operand strings.
+      */
+    private def extractText(content: Array[Byte]): String = {
+      val s = new String(content,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val block = new StringBuilder
+      val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+      var inBT = false
+      var i = 0
+      def parseString(): String = {
+        // i is at '(' — PDF strings nest unescaped parens
+        val sb = new StringBuilder
+        var depth = 1
+        i += 1
+        while (i < s.length && depth > 0) {
+          s.charAt(i) match {
+            case '\\' if i + 1 < s.length =>
+              val c = s.charAt(i + 1)
+              i += 2
+              c match {
+                case 'n' => sb += '\n'
+                case 'r' => sb += '\r'
+                case 't' => sb += '\t'
+                case 'b' => sb += '\b'
+                case 'f' => sb += '\f'
+                case '\n' => // escaped EOL: line continuation
+                case '\r' => if (i < s.length && s.charAt(i) == '\n') i += 1
+                case d if d >= '0' && d <= '7' =>
+                  var code = d - '0'
+                  var k = 0
+                  while (k < 2 && i < s.length &&
+                      s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                    code = code * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+                  }
+                  sb += code.toChar
+                case other => sb += other // includes \( \) \\
+              }
+            case '(' => depth += 1; sb += '('; i += 1
+            case ')' =>
+              depth -= 1
+              if (depth > 0) sb += ')'
+              i += 1
+            case c => sb += c; i += 1
+          }
+        }
+        sb.toString
+      }
+      def parseHexString(): String = {
+        val sb = new StringBuilder
+        i += 1
+        val hex = new StringBuilder
+        while (i < s.length && s.charAt(i) != '>') {
+          val c = s.charAt(i)
+          if (!c.isWhitespace) hex += c
+          i += 1
+        }
+        i += 1
+        if (hex.length % 2 == 1) hex += '0' // spec: odd count pads 0
+        var j = 0
+        while (j + 2 <= hex.length) {
+          sb += Integer.parseInt(hex.substring(j, j + 2), 16).toChar
+          j += 2
+        }
+        sb.toString
+      }
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '(') pending += parseString()
+        else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) != '<')
+          pending += parseHexString()
+        else if (c == '<') i += 2 // dict open <<
+        else if (c.isLetter || c == '\'' || c == '"') {
+          val start = i
+          if (c == '\'' || c == '"') i += 1
+          else while (i < s.length &&
+              (s.charAt(i).isLetterOrDigit || s.charAt(i) == '*')) i += 1
+          val op = s.substring(start, i)
+          op match {
+            case "BT" => inBT = true; block.clear(); pending.clear()
+            case "ET" =>
+              if (inBT) blocks += block.toString
+              inBT = false; pending.clear()
+            case "Tj" | "'" | "\"" =>
+              if (inBT && pending.nonEmpty) block ++= pending.last
+              pending.clear()
+            case "TJ" =>
+              if (inBT) pending.foreach(block ++= _)
+              pending.clear()
+            case _ => pending.clear()
+          }
+        } else i += 1
+      }
+      blocks.filter(_.nonEmpty).mkString("\n")
+    }
+
+    private def indexOfBytes(hay: Array[Byte], needle: Array[Byte],
+                             from: Int): Int = {
+      var i = math.max(0, from)
+      val limit = hay.length - needle.length
+      while (i <= limit) {
+        var j = 0
+        while (j < needle.length && hay(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+        i += 1
+      }
+      -1
+    }
+
+    private def lastIndexOfBytes(hay: Array[Byte], needle: Array[Byte],
+                                 before: Int): Int = {
+      var i = math.min(before, hay.length) - needle.length
+      while (i >= 0) {
+        var j = 0
+        while (j < needle.length && hay(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i + needle.length
+        i -= 1
+      }
+      0
+    }
+  }
+
+  /** Batched PDF→text extraction over partitions — the text-modality
+    * twin of [[decodeFeatures]] (same seam: one task per partition,
+    * pure-JVM decode amortized per batch). Output: (media_id, text).
+    */
+  def pdfTexts(media: Dataset[MediaRow],
+               parallelism: Option[Int] = None): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val part = parallelism.map(media.repartition(_)).getOrElse(media)
+    part.mapPartitions(rows =>
+        rows.map(r => (r.media_id, PdfCodec.text(r.payload, r.media_id))))
+      .toDF("media_id", "text")
+  }
+
+  /** Deterministic single-page PDF bytes — the fixture generator for
+    * [[PdfCodec]] (the [[encodeAviMjpeg]] pattern: a real container a
+    * real extractor decodes, oracle-predictable from the arguments).
+    * One `BT..ET` text block per line, Helvetica, FlateDecode'd
+    * content stream, correct xref offsets — `PdfCodec.text` returns
+    * exactly `lines.mkString("\n")`.
+    */
+  def encodePdf(lines: Seq[String]): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '('  => "\\("
+      case ')'  => "\\)"
+      case c    => c.toString
+    }
+    val content = lines.zipWithIndex.map { case (l, i) =>
+      s"BT /F1 12 Tf 72 ${720 - 14 * i} Td (${esc(l)}) Tj ET"
+    }.mkString("\n")
+    val deflater = new java.util.zip.Deflater()
+    val cb = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    deflater.setInput(cb); deflater.finish()
+    val cbuf = new java.io.ByteArrayOutputStream(cb.length)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished())
+      cbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val stream = cbuf.toByteArray
+    val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+    val bos = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = bos.write(s.getBytes(latin))
+    w("%PDF-1.4\n")
+    def obj(body: String): Unit = {
+      offsets += bos.size()
+      w(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    offsets += bos.size()
+    w(s"4 0 obj\n<< /Length ${stream.length} /Filter /FlateDecode >>\n" +
+      "stream\n")
+    bos.write(stream)
+    w("\nendstream\nendobj\n")
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val xref = bos.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n" +
+      offsets.map(o => f"$o%010d 00000 n \n").mkString)
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** Batched decode over partitions. Repartitions to `parallelism` first
     * when the upstream has too few splits (binary blobs are often few,
     * large files).

@@ -627,8 +627,10 @@ class PqSpec extends SparkSpecBase {
   }
 
   test("retrain lifecycle: the old epoch answers until the atomic " +
-      "swap; after it the root serves the rebuilt index, old layers " +
-      "are GC'd, and appends/deletes land in the new epoch") {
+      "swap; after it the root serves the rebuilt index, superseded " +
+      "stores are GC'd by the NEXT retrain (one-retrain deferral — " +
+      "in-flight readers of the old store finish), and " +
+      "appends/deletes land in the new epoch") {
     val vecs = (0L to 19L).map(i =>
       (i, Array.fill(4)((i % 2).toFloat * 10f + 1f), (i % 2).toInt))
       .toDF("vec_id", "embedding", "label")
@@ -653,10 +655,12 @@ class PqSpec extends SparkSpecBase {
     assert(during == before)
     val after = hits()
     assert(after.contains(12L) && after.contains(2L))
-    // old root-level layers GC'd; _EPOCH pointer present
+    // _EPOCH pointer present; the just-superseded root-level layers
+    // are NOT GC'd yet (one-retrain deferral: a reader that resolved
+    // the root store just before the swap is still answering from it)
     val names = new java.io.File(idx).listFiles.map(_.getName).toSet
     assert(names.contains("_EPOCH") && names.contains("epoch=1"))
-    assert(!names.exists(_.startsWith("batch=")), names.toString)
+    assert(names.exists(_.startsWith("batch=")), names.toString)
     // maintenance APIs keep working through the root: append + delete
     Ann.sq8IndexAppend(vecs.filter(col("vec_id") === 0L)
         .withColumn("vec_id", lit(99L)), "vec_id", "embedding",
@@ -665,8 +669,11 @@ class PqSpec extends SparkSpecBase {
     Ann.deleteFromVectorIndex(spark, idx, Seq(99L).toDF("vec_id"),
       "vec_id")
     assert(!hits().contains(99L))
-    // a SECOND retrain GCs the previous epoch dir AND any orphan a
-    // crashed retrain left behind (epoch=5 here, never swapped in)
+    // a SECOND retrain GCs the pre-epoch root layers (dead since the
+    // first swap — including the crash window where a first retrain
+    // swapped but died before its own GC) AND any orphan a crashed
+    // build left behind (epoch=5 here, never swapped in), while
+    // epoch=1 — the store THIS swap retires — defers to the third
     val orphan = java.nio.file.Paths.get(idx, "epoch=5")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("junk"),
@@ -676,9 +683,18 @@ class PqSpec extends SparkSpecBase {
         "embedding", col("label"), epochDir, 1L)
     }
     val names2 = new java.io.File(idx).listFiles.map(_.getName).toSet
-    assert(names2.contains("epoch=6") && !names2.contains("epoch=1") &&
-      !names2.contains("epoch=5"), names2.toString)
+    assert(names2.contains("epoch=6") && names2.contains("epoch=1") &&
+      !names2.contains("epoch=5") &&
+      !names2.exists(_.startsWith("batch=")), names2.toString)
     assert(hits() == Set(2L))
+    // the THIRD retrain finally drops epoch=1 (now two swaps old)
+    Ann.retrainVectorIndex(idx) { epochDir =>
+      Ann.sq8IndexAppend(vecs.filter(col("vec_id") < 4), "vec_id",
+        "embedding", col("label"), epochDir, 1L)
+    }
+    val names3 = new java.io.File(idx).listFiles.map(_.getName).toSet
+    assert(names3.contains("epoch=7") && names3.contains("epoch=6") &&
+      !names3.contains("epoch=1"), names3.toString)
   }
 
   test("vectorIndexDriftReport: moved-distribution layers show higher " +
@@ -707,6 +723,12 @@ class PqSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rep(2L) > rep(1L),
       s"drifted layer should show higher residual: $rep")
+    // wrong-dimensionality centroids fail loudly, not null-ly
+    val e = intercept[Exception] {
+      Ann.vectorIndexDriftReport(spark, idx,
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0))).collect()
+    }
+    assert(e.getMessage.contains("dimensionality"), e.getMessage)
   }
 
   test("tombstone delete: compacting an index whose tombstones delete " +
