@@ -225,8 +225,7 @@ object Bench {
     //         axis diff on top of the valid fold; budget: within 2× w3).
     section("fold") {
       import org.apache.spark.sql.functions._
-      val root = java.nio.file.Files
-        .createTempDirectory("bench_fold").toString
+      val root = graft.SparkEntry.tmpDir("bench_fold")
       val cfg = graft.streaming.StarPipeline.Config(root, Seq("user_id"),
         "ts_us", "event_id", Seq("event_type", "value"), nBuckets = 64)
       // canonical epoch-µs derivation shared with the oracle queries
@@ -252,8 +251,7 @@ object Bench {
       results("w3b_bucket_local_fold") = timeMinRep { rep =>
         graft.streaming.StarPipeline.foldBatch(oneBucket(rep), 200L + rep, cfg) }
 
-      val rootB = java.nio.file.Files
-        .createTempDirectory("bench_btfold").toString
+      val rootB = graft.SparkEntry.tmpDir("bench_btfold")
       val cfgB = graft.streaming.StarPipeline.Config(rootB, Seq("user_id"),
         "ts_us", "event_id", Seq("event_type", "value"), nBuckets = 64,
         storedFromUsCol = "stored_us")

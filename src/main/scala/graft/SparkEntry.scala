@@ -28,6 +28,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-run fixture/index temp dirs, SWEPT AT JVM EXIT: every lane
+    * allocates through this, and one shutdown hook deletes the lot —
+    * a long-lived bench/verify host no longer accumulates orphan
+    * fixture dirs per run (SCALING.md's own known cost, closed r14).
+    * Deletion is best-effort by design: the hook runs at exit, after
+    * every lane's reads are done.
+    */
+  private val tmpRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tmpRoots.forEach { root =>
+      try {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => })
+        finally walk.close()
+      } catch { case _: java.io.IOException => }
+    }))
+  def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpRoots.add(p)
+    p.toString
+  }
+
   /** Deterministic multi-line "web page" fixture for the line-level
     * cleaning lanes (q173/q174): the flat documents table carries no
     * newlines, so both engines build the same 6-line page per doc —
@@ -102,16 +129,43 @@ object SparkEntry {
     * per-query copy that drifted would silently test a different
     * chain than its oracle.
     */
+  /** `paraphrase = true` (q205) plants PARAPHRASE-GRADE contamination
+    * the exact gate structurally cannot catch: each benchmark doc
+    * re-enters the pipeline as a training doc (id + 100001 ⇒ ≡ 1 mod
+    * 20) with every 5th token dropped — NO intact 5-shingle survives
+    * (every 5-token window spans a dropped position), so the exact
+    * membership gate sees ~zero overlap, while the 2-shingle MinHash
+    * estimate still sits near 0.5 (≈ 3 of every 5 adjacencies
+    * survive). Exactly the Llama-audit scenario the fuzzy gate
+    * exists for.
+    */
   private def curationFixture(s: SparkSession, dir: String,
                               deconBloom: Boolean = false,
                               fold: Boolean = true,
-                              funnel: Boolean = false)
+                              funnel: Boolean = false,
+                              fuzzy: Boolean = false,
+                              paraphrase: Boolean = false)
       : graft.streaming.CurationStream.Config = {
-    val d = t(s, dir, "documents")
-    val mk = () => java.nio.file.Files
-      .createTempDirectory("curation_fx").toString
+    val d0 = t(s, dir, "documents")
+    val d = if (!paraphrase) d0 else {
+      val base = d0.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"), col("lang"))
+      base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 100001L).as("doc_id"),
+            array_join(filter(tokens(col("text")),
+              (_, i) => pmod(i + 1, lit(5)) =!= 0), " ").as("text"),
+            col("lang")))
+    }
+    val mk = () => graft.SparkEntry.tmpDir("curation_fx")
     val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
     val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val fuzzyIdx = if (fuzzy) {
+      val fz = mk()
+      TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+        shingleN = 2, numPerm = 64, seed = 42L, indexDir = fz)
+      Some(fz)
+    } else None
     if (deconBloom) {
       def sh5(b: DataFrame) = b.select(explode(array_distinct(
         shingles(tokens(col("text")), 5))).as("s"))
@@ -130,6 +184,7 @@ object SparkEntry {
     val cfg = graft.streaming.CurationStream.Config(
       benchIdx, dsirIdx, mixIdx, "doc_id", "text", "lang",
       keepFrac10k = 4000L, deconBloom = deconBloom,
+      fuzzyIdx = fuzzyIdx, fzBands = 32, fzThreshold = 0.45,
       spanIdx = Some(mk()), nearDupIdx = Some(mk()),
       funnelLangs = if (funnel) Some(Seq("en")) else None)
     if (fold) {
@@ -400,8 +455,7 @@ object SparkEntry {
     // oracle) — exact dedup under continuous ingest, O(batch) folds.
     "q130_exact_dedup_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("exact_idx").toString
+      val idx = graft.SparkEntry.tmpDir("exact_idx")
       Dedup.exactIndexAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
         idx, 1L)
@@ -1111,8 +1165,7 @@ object SparkEntry {
     // q84 run — the oracle IS the one-shot SQL.
     "q91_decontaminate_incr" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("bench_idx").toString
+      val idx = graft.SparkEntry.tmpDir("bench_idx")
       TextAnalysis.buildBenchmarkIndex(
         d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
         shingleN = 3, indexDir = idx)
@@ -1298,8 +1351,7 @@ object SparkEntry {
     "q132_quantiles_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("len"))
-      val idx = java.nio.file.Files
-        .createTempDirectory("hist_idx").toString
+      val idx = graft.SparkEntry.tmpDir("hist_idx")
       operators.Profile.histAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "len",
         idx, 1L)
@@ -1325,8 +1377,7 @@ object SparkEntry {
     // compose, minima min-union).
     "q128_profile_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("profile_idx").toString
+      val idx = graft.SparkEntry.tmpDir("profile_idx")
       operators.Profile.profileAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0),
         Seq("doc_id", "lang", "source"), kmvK = 64, idx, 1L)
@@ -1345,8 +1396,7 @@ object SparkEntry {
     // where the one-shot ground truth exists.
     "q129_lm_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("lm_idx").toString
+      val idx = graft.SparkEntry.tmpDir("lm_idx")
       TextAnalysis.lmIndexAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "text", idx, 1L)
       TextAnalysis.lmIndexAppend(
@@ -1673,8 +1723,7 @@ object SparkEntry {
     // oracle coalesces evens first, then re-coalesces with the odds).
     "q65_compacted_fold" -> ((s, dir) => {
       import graft.streaming.StarPipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q65_state").toString
+      val root = graft.SparkEntry.tmpDir("q65_state")
       val horizonUs = 1705276800000000L // 2024-01-15T00:00:00Z
       val cfg = StarPipeline.Config(root, Seq("user_id"), "ts_us",
         "event_id", Seq("event_type", "value"), nBuckets = 16)
@@ -1809,8 +1858,7 @@ object SparkEntry {
     // restart; ref informdb/AuditCore.java:32-35, TemporalCore.java:29-32)
     "q70_bitemporal_pipeline" -> ((s, dir) => {
       import graft.streaming.StarPipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q70_state").toString
+      val root = graft.SparkEntry.tmpDir("q70_state")
       val msgs = eventsUs(s, dir)
         .select(col("user_id"), col("ts_us"), col("event_id"),
           col("event_type").as("state"), col("value"),
@@ -1844,8 +1892,7 @@ object SparkEntry {
     // O6/O7 occupancy from persisted ADT state
     "q71_pipeline_occupancy" -> ((s, dir) => {
       import graft.streaming.WirePipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q71_state").toString
+      val root = graft.SparkEntry.tmpDir("q71_state")
       val dtm = date_format(timestamp_micros(
         expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
       val eid = col("event_id").cast("string")
@@ -1881,8 +1928,7 @@ object SparkEntry {
     // merges transitively close through the pipeline
     "q72_pipeline_mrn_map" -> ((s, dir) => {
       import graft.streaming.WirePipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q72_state").toString
+      val root = graft.SparkEntry.tmpDir("q72_state")
       val dtm = date_format(timestamp_micros(
         expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
       val eid = col("event_id").cast("string")
@@ -1911,8 +1957,7 @@ object SparkEntry {
     // AD/UP/DE actions; tombstoned keys drop from the live view
     "q73_pipeline_conditions" -> ((s, dir) => {
       import graft.streaming.WirePipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q73_state").toString
+      val root = graft.SparkEntry.tmpDir("q73_state")
       val dtm = date_format(timestamp_micros(
         expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
       val eid = col("event_id").cast("string")
@@ -1948,8 +1993,7 @@ object SparkEntry {
     // bucketed fold → live read-back, results exploded
     "q74_pipeline_labs" -> ((s, dir) => {
       import graft.streaming.WirePipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q74_state").toString
+      val root = graft.SparkEntry.tmpDir("q74_state")
       val k = col("o_orderkey").cast("string")
       val v1 = (pmod(col("o_orderkey"), lit(90)) + 10).cast("string")
       val v2 = (pmod(col("o_custkey"), lit(50)) + 1).cast("string")
@@ -1997,8 +2041,7 @@ object SparkEntry {
     // versions batch 1 believed in)
     "q76_wire_bitemporal" -> ((s, dir) => {
       import graft.streaming.WirePipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q76_state").toString
+      val root = graft.SparkEntry.tmpDir("q76_state")
       val dtm = date_format(timestamp_micros(
         expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
       val eid = col("event_id").cast("string")
@@ -2038,8 +2081,7 @@ object SparkEntry {
     // ---- persisted incremental IVF index: two appends → partition-
     // pruned 2-probe query over the on-disk index ---------------------
     "q78_ivf_index" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("q78_index").toString
+      val root = graft.SparkEntry.tmpDir("q78_index")
       val em = t(s, dir, "embeddings")
       val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
       Ann.ivfIndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
@@ -2135,8 +2177,7 @@ object SparkEntry {
     // core/.../FormController.java:110-164, FormProcessor.java:52-83)
     "q75_forms_pipeline" -> ((s, dir) => {
       import graft.streaming.FormsPipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q75_state").toString
+      val root = graft.SparkEntry.tmpDir("q75_state")
       val cfg = FormsPipeline.Config(root, nBuckets = 4)
       val k = col("o_orderkey")
       val ks = k.cast("string")
@@ -2272,8 +2313,7 @@ object SparkEntry {
     // live condition view.
     "q82_condition_visits" -> ((s, dir) => {
       import graft.streaming.WirePipeline
-      val root = java.nio.file.Files
-        .createTempDirectory("q82_state").toString
+      val root = graft.SparkEntry.tmpDir("q82_state")
       val dtm = date_format(timestamp_micros(
         expr("ts_us div 1000000") * 1000000L), "yyyyMMddHHmmss")
       val eid = col("event_id").cast("string")
@@ -2335,8 +2375,7 @@ object SparkEntry {
     // the oracle IS the q92 SQL.
     "q101_dsir_incr" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("dsir_idx").toString
+      val idx = graft.SparkEntry.tmpDir("dsir_idx")
       TextAnalysis.buildDsirIndex(d, d.filter(col("lang") === "en"),
         "doc_id", "text", nBuckets = 65536, scale = 1000000L,
         indexDir = idx)
@@ -2426,8 +2465,7 @@ object SparkEntry {
     // is a pure function of the summed vocab.
     "q116_bpe_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("word_idx").toString
+      val idx = graft.SparkEntry.tmpDir("word_idx")
       TextAnalysis.wordIndexAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "text", idx, 1L)
       TextAnalysis.wordIndexAppend(
@@ -2551,8 +2589,7 @@ object SparkEntry {
     // batches.
     "q124_cm_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("cm_idx").toString
+      val idx = graft.SparkEntry.tmpDir("cm_idx")
       operators.Sketches.cmSketchAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "text",
         depth = 4, width = 256, idx, 1L)
@@ -2574,8 +2611,7 @@ object SparkEntry {
     // recovers the one-shot q109 estimates exactly (verbatim oracle).
     "q125_kmv_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("kmv_idx").toString
+      val idx = graft.SparkEntry.tmpDir("kmv_idx")
       def toks(part: DataFrame) = part.select(col("source"), explode(
         graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
       operators.Sketches.kmvAppend(
@@ -2627,8 +2663,7 @@ object SparkEntry {
       val em = t(s, dir, "embeddings")
       val (coarse, cbs, codes) = Ann.ivfPqBuild(em, "vec_id", "embedding",
         kc = 4, m = 4, k = 8, iters = 2)
-      val idx = java.nio.file.Files
-        .createTempDirectory("ivfpq_idx").toString
+      val idx = graft.SparkEntry.tmpDir("ivfpq_idx")
       Ann.ivfPqIndexAppend(
         codes.filter(pmod(col("emb_id"), lit(2)) === 0), idx, 1L)
       Ann.ivfPqIndexAppend(
@@ -2650,8 +2685,7 @@ object SparkEntry {
       val em = t(s, dir, "embeddings")
       val (coarse, cbs, _) = Ann.ivfPqBuild(em, "vec_id", "embedding",
         kc = 4, m = 4, k = 8, iters = 2)
-      val mk = () => java.nio.file.Files
-        .createTempDirectory("retr_stream").toString
+      val mk = () => graft.SparkEntry.tmpDir("retr_stream")
       val idx = mk()
       val cfg = graft.streaming.RetrievalStream.Config(idx, "vec_id",
         "embedding", coarse, cbs)
@@ -2695,8 +2729,7 @@ object SparkEntry {
     // probe equals the one-shot q138 run — verbatim oracle.
     "q139_bloom_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("bloom_idx").toString
+      val idx = graft.SparkEntry.tmpDir("bloom_idx")
       val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
       def sh(b: DataFrame) = b.select(explode(array_distinct(
         shingles(tokens(col("text")), 3))).as("s"))
@@ -2738,8 +2771,7 @@ object SparkEntry {
     // q140 oracle.
     "q141_bm25_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("bm25_idx").toString
+      val idx = graft.SparkEntry.tmpDir("bm25_idx")
       Lexical.postingsAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
         idx, 1L)
@@ -2763,8 +2795,7 @@ object SparkEntry {
     "q149_bm25_streamed" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "documents")
-      val mk = () => java.nio.file.Files
-        .createTempDirectory("bm25_stream").toString
+      val mk = () => graft.SparkEntry.tmpDir("bm25_stream")
       val idx = mk()
       // test-scale collect: the sf corpus is the fixture feeding the
       // MemoryStream, not a production pattern
@@ -2845,8 +2876,7 @@ object SparkEntry {
     // sketch); the oracle replays the per-batch top-C sets.
     "q143_hh_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("hh_idx").toString
+      val idx = graft.SparkEntry.tmpDir("hh_idx")
       graft.operators.Sketches.heavyHittersAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "text",
         c = 12, depth = 4, width = 256, idx, 1L)
@@ -2873,8 +2903,7 @@ object SparkEntry {
     // verbatim q144 oracle.
     "q145_bottomk_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("bk_idx").toString
+      val idx = graft.SparkEntry.tmpDir("bk_idx")
       TextAnalysis.bottomKAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", 20,
         idx, 1L)
@@ -2930,8 +2959,7 @@ object SparkEntry {
         .localCheckpoint(true)
       val (coarse, cbs, codes) = Ann.ivfPqBuild(emb, "doc_id", "emb",
         kc = 4, m = 4, k = 8, iters = 2)
-      val idx = java.nio.file.Files
-        .createTempDirectory("text_retr_idx").toString
+      val idx = graft.SparkEntry.tmpDir("text_retr_idx")
       Ann.ivfPqIndexAppend(
         codes.filter(pmod(col("emb_id"), lit(3)) === 0), idx, 1L)
       Ann.ivfPqIndexAppend(
@@ -2999,8 +3027,7 @@ object SparkEntry {
     // folds, any index drift, any gate divergence shifts the kept set.
     "q110_incremental_curation" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val mk = () => java.nio.file.Files
-        .createTempDirectory("curation_idx").toString
+      val mk = () => graft.SparkEntry.tmpDir("curation_idx")
       val benchIdx = mk(); val dsirIdx = mk(); val mixIdx = mk()
       TextAnalysis.buildBenchmarkIndex(
         d.filter(pmod(col("doc_id"), lit(20)) === 0), "text",
@@ -3102,8 +3129,7 @@ object SparkEntry {
         .MemoryStream[(Long, String, String)](s)
       val q = graft.streaming.CurationStream.start(
         ms.toDF().toDF("doc_id", "text", "lang"), cfg,
-        java.nio.file.Files.createTempDirectory("curation_ck")
-          .toString)
+        tmpDir("curation_ck"))
       ms.addData(train.filter(_._1 % 2 == 1).toSeq)
       q.processAllAvailable()
       ms.addData(train.filter(_._1 % 2 == 0).toSeq)
@@ -3131,8 +3157,7 @@ object SparkEntry {
     // text column, only the index.
     "q105_mix_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("mix_idx").toString
+      val idx = graft.SparkEntry.tmpDir("mix_idx")
       TextAnalysis.mixIndexAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "lang",
         idx, 1L)
@@ -3163,8 +3188,7 @@ object SparkEntry {
     "q153_boilerplate_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
-      val idx = java.nio.file.Files
-        .createTempDirectory("bp_idx").toString
+      val idx = graft.SparkEntry.tmpDir("bp_idx")
       Dedup.boilerplateIndexAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
         windowTokens = 3, idx, 1L)
@@ -3268,8 +3292,7 @@ object SparkEntry {
     "q160_sq8_persisted" -> ((s, dir) => {
       val em = t(s, dir, "embeddings")
       val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
-      val idx = java.nio.file.Files
-        .createTempDirectory("sq8_idx").toString
+      val idx = graft.SparkEntry.tmpDir("sq8_idx")
       Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
         "vec_id", "embedding", col("label"), idx, 1L)
       Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 1),
@@ -3314,8 +3337,7 @@ object SparkEntry {
       import graft.streaming.RagStream
       val d = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
-      val cfg = RagStream.Config(java.nio.file.Files
-        .createTempDirectory("rag_sq8").toString, "doc_id", "text")
+      val cfg = RagStream.Config(graft.SparkEntry.tmpDir("rag_sq8"), "doc_id", "text")
       RagStream.foldBatch(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
       RagStream.foldBatch(
@@ -3340,8 +3362,7 @@ object SparkEntry {
       import graft.streaming.RagStream
       val d = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
-      val cfg = RagStream.Config(java.nio.file.Files
-        .createTempDirectory("rag_sq8_stream").toString, "doc_id", "text")
+      val cfg = RagStream.Config(graft.SparkEntry.tmpDir("rag_sq8_stream"), "doc_id", "text")
       // test-scale collect: the sf corpus is the fixture feeding the
       // MemoryStream, not a production pattern
       val rows = d.select(col("doc_id"), col("text"))
@@ -3349,7 +3370,7 @@ object SparkEntry {
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)](s)
       val q = RagStream.start(ms.toDF().toDF("doc_id", "text"), cfg,
-        java.nio.file.Files.createTempDirectory("rag_ck").toString)
+        graft.SparkEntry.tmpDir("rag_ck"))
       ms.addData(rows.filter(_._1 % 2 == 0).toSeq)
       q.processAllAvailable()
       ms.addData(rows.filter(_._1 % 2 == 1).toSeq)
@@ -3436,8 +3457,7 @@ object SparkEntry {
       val trained = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
       val mergesSeq = trained.orderBy(col("step")).collect()
         .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
-      val tokDir = java.nio.file.Files
-        .createTempDirectory("tok_artifact").toString
+      val tokDir = graft.SparkEntry.tmpDir("tok_artifact")
       TextAnalysis.saveTokenizer(trained,
         TextAnalysis.bpeVocab(d, "text", mergesSeq), tokDir)
       val (merges, vocab) = TextAnalysis.loadTokenizer(s, tokDir)
@@ -3456,8 +3476,7 @@ object SparkEntry {
       import graft.streaming.RagStream
       val d = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
-      val cfg0 = RagStream.Config(java.nio.file.Files
-        .createTempDirectory("rag_trained").toString, "doc_id", "text")
+      val cfg0 = RagStream.Config(graft.SparkEntry.tmpDir("rag_trained"), "doc_id", "text")
       val b1 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
       val b2 = d.filter(pmod(col("doc_id"), lit(2)) === 1)
       val cents = Ann.ivfTrainPortable(
@@ -3483,8 +3502,7 @@ object SparkEntry {
       import graft.streaming.RagStream
       val d = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
-      val cfg0 = RagStream.Config(java.nio.file.Files
-        .createTempDirectory("rag_trained_rec").toString, "doc_id", "text")
+      val cfg0 = RagStream.Config(graft.SparkEntry.tmpDir("rag_trained_rec"), "doc_id", "text")
       val b1 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
       val b2 = d.filter(pmod(col("doc_id"), lit(2)) === 1)
       val cents = Ann.ivfTrainPortable(
@@ -3512,8 +3530,7 @@ object SparkEntry {
       import graft.streaming.RagStream
       val d = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
-      val cfg = RagStream.Config(java.nio.file.Files
-        .createTempDirectory("rag_sq8_comp").toString, "doc_id", "text")
+      val cfg = RagStream.Config(graft.SparkEntry.tmpDir("rag_sq8_comp"), "doc_id", "text")
       RagStream.foldBatch(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
       Ann.compactVectorIndex(s, cfg.indexDir, partitionCol = "cluster")
@@ -3587,8 +3604,7 @@ object SparkEntry {
     // (verbatim oracle).
     "q175_temperature_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("tmix_idx").toString
+      val idx = graft.SparkEntry.tmpDir("tmix_idx")
       TextAnalysis.tempMixIndexAppend(
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "source",
         "text", idx, 1L)
@@ -3610,8 +3626,7 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
       val cfg = RagStream.Config(
-        java.nio.file.Files
-          .createTempDirectory("rag_gated").toString, "doc_id", "text",
+        graft.SparkEntry.tmpDir("rag_gated"), "doc_id", "text",
         funnel = Some(RagStream.Funnel(langs = Seq("en"),
           minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)))
       RagStream.foldBatch(
@@ -3635,8 +3650,7 @@ object SparkEntry {
     "q178_vector_delete" -> ((s, dir) => {
       val em = t(s, dir, "embeddings")
       val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
-      val idx = java.nio.file.Files
-        .createTempDirectory("sq8_del").toString
+      val idx = graft.SparkEntry.tmpDir("sq8_del")
       Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
         "vec_id", "embedding", col("label"), idx, 1L)
       Ann.deleteFromVectorIndex(s, idx,
@@ -3659,8 +3673,7 @@ object SparkEntry {
     "q179_delete_compacted" -> ((s, dir) => {
       val em = t(s, dir, "embeddings")
       val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
-      val idx = java.nio.file.Files
-        .createTempDirectory("sq8_del_comp").toString
+      val idx = graft.SparkEntry.tmpDir("sq8_del_comp")
       Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
         "vec_id", "embedding", col("label"), idx, 1L)
       Ann.deleteFromVectorIndex(s, idx,
@@ -3779,8 +3792,7 @@ object SparkEntry {
     // oracle as q186 verbatim.
     "q187_fuzzy_decon_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = java.nio.file.Files
-        .createTempDirectory("fuzzy_bench_idx").toString
+      val idx = graft.SparkEntry.tmpDir("fuzzy_bench_idx")
       TextAnalysis.buildFuzzyBenchmarkIndex(
         d.filter(pmod(col("doc_id"), lit(20)) === 0),
         "doc_id", "text", shingleN = 2, numPerm = 64, seed = 42L,
@@ -3904,8 +3916,7 @@ object SparkEntry {
       val b2 = em.filter(pmod(col("vec_id"), lit(2)) === 1)
         .withColumn("embedding", reverse(col("embedding")))
       val cents = Ann.ivfTrainPortable(b1, "vec_id", "embedding", k = 4)
-      val idx = java.nio.file.Files
-        .createTempDirectory("drift_idx").toString
+      val idx = graft.SparkEntry.tmpDir("drift_idx")
       def cl = Ann.cosineCluster(
         col("embedding").cast("array<double>"), cents)
       Ann.sq8IndexAppend(b1, "vec_id", "embedding", cl, idx, 1L)
@@ -3929,8 +3940,7 @@ object SparkEntry {
       val all = b1.unionByName(b2)
       val oldCents = Ann.ivfTrainPortable(b1, "vec_id", "embedding",
         k = 4)
-      val idx = java.nio.file.Files
-        .createTempDirectory("retrain_idx").toString
+      val idx = graft.SparkEntry.tmpDir("retrain_idx")
       Ann.sq8IndexAppend(b1, "vec_id", "embedding",
         Ann.cosineCluster(col("embedding").cast("array<double>"),
           oldCents), idx, 1L)
@@ -3996,8 +4006,7 @@ object SparkEntry {
         coalesce(tx.getField("stringValue"), lit("")).as("text"))
         .localCheckpoint(false)
       val cfg = RagStream.Config(
-        java.nio.file.Files
-          .createTempDirectory("wire_rag").toString, "doc_id", "text",
+        graft.SparkEntry.tmpDir("wire_rag"), "doc_id", "text",
         funnel = Some(RagStream.Funnel(langs = Seq("en"),
           minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)))
       RagStream.foldBatch(
@@ -4107,8 +4116,7 @@ object SparkEntry {
       val mergesSeq = trained.orderBy(col("step")).collect()
         .map(r => r.getAs[String]("left") -> r.getAs[String]("right"))
         .toSeq
-      val tokDir = java.nio.file.Files
-        .createTempDirectory("tok_bytes_artifact").toString
+      val tokDir = graft.SparkEntry.tmpDir("tok_bytes_artifact")
       TextAnalysis.saveTokenizer(trained,
         TextAnalysis.bpeVocabBytes(s, mergesSeq), tokDir)
       val (merges, vocab) = TextAnalysis.loadTokenizer(s, tokDir)
@@ -4126,14 +4134,12 @@ object SparkEntry {
       import graft.streaming.DeconStream
       val d = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("long"))
-      val idx = java.nio.file.Files
-        .createTempDirectory("fuzzy_idx_stream").toString
+      val idx = graft.SparkEntry.tmpDir("fuzzy_idx_stream")
       TextAnalysis.buildFuzzyBenchmarkIndex(
         d.filter(pmod(col("doc_id"), lit(20)) === 0),
         "doc_id", "text", shingleN = 2, numPerm = 64, seed = 42L,
         indexDir = idx)
-      val outDir = java.nio.file.Files
-        .createTempDirectory("fuzzy_out_stream").toString
+      val outDir = graft.SparkEntry.tmpDir("fuzzy_out_stream")
       // test-scale collect: the sf corpus is the fixture feeding the
       // MemoryStream, not a production pattern (the q165 convention)
       val rows = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
@@ -4143,7 +4149,7 @@ object SparkEntry {
         .MemoryStream[(Long, String)](s)
       val q = DeconStream.start(ms.toDF().toDF("doc_id", "text"), idx,
         outDir,
-        java.nio.file.Files.createTempDirectory("fuzzy_ck").toString,
+        graft.SparkEntry.tmpDir("fuzzy_ck"),
         "doc_id", "text", threshold = 0.5)
       ms.addData(rows.filter(_._1 % 2 == 0).toSeq)
       q.processAllAvailable()
@@ -4169,6 +4175,169 @@ object SparkEntry {
       TextAnalysis.qualityFunnel(cleaned, "doc_id", "text",
           langs = Seq("en"), minTokens = 20L, maxStop10k = 1500L,
           minAvgLen10 = 39L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the 128-BIT CONTENT-HASH exact-dedup index (q130's fold, --
+    // hash-only layers): at-rest state is ~50 fixed bytes per
+    // distinct doc instead of the text itself — the 100 TB form.
+    // Identity = md5; grouping by it equals grouping by the text
+    // (collision odds ~n²/2¹²⁹), so q19's one-shot oracle replays the
+    // fold VERBATIM.
+    "q201_exact_dedup_hashed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.SparkEntry.tmpDir("exact_hidx")
+      Dedup.exactHashedIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        idx, 1L)
+      Dedup.exactHashedIndexAppend(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        idx, 2L)
+      Dedup.exactFromHashedIndex(s, idx)
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ---- PRODUCTION-RADIUS Hamming banding, measured (the q180 ----
+    // discipline on 64-bit fingerprints): radius 8 ⇒ 16 auto-widened
+    // 4-bit bands, hot-bucket cap 40 — and the recall that cap+bands
+    // cost vs EXACT all-pairs bit_count truth on the %3 sample. The
+    // oracle REPLAYS the banding, cap and verify bit-for-bit, so the
+    // reported recall (0.833 here — the cap drops real cells) is an
+    // honest cross-engine number, not a self-grade. Fixture: pHash-
+    // shaped corpus — 77 near-dup GROUPS of 10, each group's base
+    // pattern spread multiplicatively over bits 16–47 (8 informative
+    // bands; the rest are degenerate-hot and rightly capped), members
+    // ≤4 noise bits apart (within radius); id-bounded (< 10000) so
+    // the corpus — and the measurement — is IDENTICAL at every sf.
+    "q202_hamming_eval" -> ((s, dir) => {
+      val g = expr("CAST(event_id AS BIGINT) div 130")
+      val h = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(13)) === 0 &&
+          col("event_id") < 10000)
+        .select(col("event_id").cast("long").as("media_id"),
+          (pmod(expr("CAST(event_id AS BIGINT) div 13"), lit(10L)) +
+            pmod(g * lit(2654435761L), lit(65536L)) * lit(65536L) +
+            pmod(g * lit(40503L), lit(65536L)) * lit(4294967296L))
+            .as("h"))
+      Dedup.hammingEval(h, "media_id", "h",
+        evalPred = id => pmod(id, lit(3)) === 0,
+        maxDist = 8, bands = 0, maxBucketSize = 40)
+    }),
+
+    // ---- PDF→TEXT on the codec seam: real single-page PDFs --------
+    // (FlateDecode content streams, Tj text operators, escapes) built
+    // per doc from the corpus, then extracted back — the oracle
+    // predicts the decode from the text alone, so container layout,
+    // inflate, and the string-escape walk all have to be right.
+    "q203_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"),
+          regexp_replace(coalesce(col("text"), lit("")),
+            "[^A-Za-z0-9 ]", "").as("txt"))
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          // two lines: a doc-derived header + the body — exercises
+          // the block-per-line join and parenthesis escaping
+          Multimodal.MediaRow(id, "pdf",
+            Multimodal.encodePdf(Seq(s"Report ($id)", txt)),
+            "application/pdf") }
+      Multimodal.pdfTexts(media)
+        .select(col("media_id"),
+          // flat compare column: the extracted text's lines
+          regexp_replace(col("text"), "\n", "|").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- END-TO-END: HL7 ORU wire carrying base64 PDF reports → ---
+    // bytes → PdfCodec text → funnel → RAG retrieval. q195's chain
+    // with the document riding as an actual PDF attachment (the q59
+    // CoPath ED shape, ref core/.../LabResultController.java:122-137)
+    // instead of inline TX — the corpus most hospital RAG systems
+    // actually hold. The oracle replays from `documents` directly, so
+    // PDF encode → base64 → MIME-preamble strip → unbase64 →
+    // FlateDecode → text-operator walk must be EXACTLY lossless
+    // before funnel/chunk/embed/probe even start.
+    "q204_wire_pdf_rag" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.LabFunnel
+      import graft.streaming.RagStream
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // PDF bytes per doc (driver-free, per-row JVM encode), base64'd
+      // for the ED OBX ride — spread at the narrow one-file origin
+      // (the q195 lesson)
+      val pdfs = t(s, dir, "documents").repartition(nPart)
+        .select(col("doc_id").cast("long"),
+          regexp_replace(coalesce(col("text"), lit("")),
+            "[^A-Za-z0-9 ]", "").as("txt"))
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          (id, java.util.Base64.getEncoder.encodeToString(
+            Multimodal.encodePdf(Seq(txt)))) }
+        .toDF("doc_id", "b64")
+      val id = col("doc_id").cast("string")
+      val raw = concat_ws("\r",
+        concat(lit("MSH|^~\\&|Bridges|UCLH|||20240501120000||ORU^R01|CP"),
+          id, lit("|P|2.4")),
+        concat(lit("ORC|RE|UH"), id, lit("|UH"), id, lit("||CM")),
+        concat(lit("OBR|1|UH"), id, lit("|UH"), id,
+          lit("|H^Histology^CPEAP|||20240501100000"), lit("|" * 15),
+          lit("20240501113000||CP|F")),
+        concat(lit("OBX|1|ED|UH"), id, lit("^^CPEAP||"),
+          lit("Content-Type: text/plain; charset=US-ASCII; name=r.pdf; "),
+          lit("Content-transfer-encoding: base64"), col("b64"),
+          lit("||||||F")))
+      val parsed = LabFunnel.parseCoPath(
+        pdfs.withColumn("raw", raw), "raw")
+      val ed = get(filter(col("coPathResults"),
+        r => r.getField("valueType") === "ED"), lit(0))
+      val media = parsed.select(
+          regexp_extract(col("sourceMessageId"), "^CP(\\d+)_01$", 1)
+            .cast("long").as("media_id"),
+          ed.getField("byteValue").as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (mid, bytes) =>
+          Multimodal.MediaRow(mid, "pdf", bytes, "application/pdf") }
+      // checkpoint the extracted (id, text) sliver — three consumers
+      // (two folds + the query encode), the q195 discipline
+      val labDocs = Multimodal.pdfTexts(media)
+        .select(col("media_id").as("doc_id"), col("text"))
+        .localCheckpoint(false)
+      val cfg = RagStream.Config(
+        graft.SparkEntry.tmpDir("wire_pdf_rag"), "doc_id", "text",
+        funnel = Some(RagStream.Funnel(langs = Seq("en"),
+          minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)))
+      RagStream.foldBatch(
+        labDocs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
+      RagStream.foldBatch(
+        labDocs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
+      // doc-derivable query prefilter (q195's arithmetic: chunk_id =
+      // doc_id·100 + idx ≡ 0 mod 2000 ⇒ idx = 0 ∧ doc_id ≡ 0 mod 20)
+      val qs = RagStream.encodeBatch(
+          labDocs.filter(pmod(col("doc_id"), lit(20L)) === 0), cfg)
+        .filter(pmod(col("doc_id"), lit(2000L)) === 0)
+        .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
+          pmod(col("doc_id") + 1L, lit(4L))))
+      Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
+          k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the FULL curation recipe with the FUZZY decon gate --------
+    // (Llama-style audit: the recipe drops near-dup overlap with the
+    // eval suite, not just exact 5-shingle membership). The fixture
+    // PLANTS paraphrase-grade contamination the exact gate
+    // structurally cannot catch (every-5th-token-dropped benchmark
+    // copies: zero intact 5-shingles, 2-shingle MinHash est ≈ 0.5 —
+    // see [[curationFixture]]); the recipe runs with Config.fuzzyIdx
+    // = the benchmark's persisted signature table and the oracle
+    // re-derives the fuzzy drop set through the q186 CTE chain over
+    // the same augmented corpus, threading it into kept1.
+    "q205_curation_fuzzy" -> ((s, dir) => {
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir, fuzzy = true, paraphrase = true),
+          CurationTargets)
         .orderBy(col("doc_id"))
     })
   )
@@ -4618,7 +4787,12 @@ object SparkEntry {
     * j, m), `bnd` (doc_id, band, bucket) and keeps `sh` (the exact
     * shingle sets) visible for truth sides.
     */
-  private val MinhashSigCtesSql: String = {
+  /** `bandPerms` = signature positions per LSH band (64/bands): 8 for
+    * the q21/q186 chains, 2 for q205's 32-band near-dup-sensitive
+    * banding (an 8-perm band needs est⁸ per-band match probability —
+    * ~0.4% at j ≈ 0.5, which silently missed paraphrase-grade pairs).
+    */
+  private def minhashSigCtesSql(bandPerms: Int): String = {
     val perms = Dedup.minhashPerms(64, 42L)
     val aList = perms.map(_._1).mkString(", ")
     val bList = perms.map(_._2).mkString(", ")
@@ -4636,10 +4810,12 @@ object SparkEntry {
        |  unnest(range(64)) AS j),
        |sigj AS (SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
        | FROM hs CROSS JOIN pm GROUP BY doc_id, j),
-       |bnd AS (SELECT doc_id, j // 8 AS band,
+       |bnd AS (SELECT doc_id, j // $bandPerms AS band,
        |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bucket
        | FROM sigj GROUP BY doc_id, band)""".stripMargin
   }
+
+  private val MinhashSigCtesSql: String = minhashSigCtesSql(8)
 
   private def minhashLshChainSql(capped: Boolean): String = {
     val pairSrc = if (capped) "cap" else "bnd"
@@ -4664,8 +4840,8 @@ object SparkEntry {
     * by signature-match fraction, thresholded at est ≥ 0.5. Ends at
     * `fsc` (doc_id, bench_id, est).
     */
-  private val FuzzyDeconPairCtesSql: String =
-    """fpr AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
+  private def fuzzyDeconPairCtesSql(threshold: Double): String =
+    s"""fpr AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
       | FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
       | WHERE x.doc_id % 20 <> 0 AND y.doc_id % 20 = 0),
       |fsc AS (SELECT doc_id, bench_id, est FROM (
@@ -4673,7 +4849,9 @@ object SparkEntry {
       |   SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est
       |  FROM fpr p JOIN sigj sa ON sa.doc_id = p.doc_id
       |  JOIN sigj sb ON sb.doc_id = p.bench_id AND sb.j = sa.j
-      |  GROUP BY 1, 2) WHERE est >= 0.5)""".stripMargin
+      |  GROUP BY 1, 2) WHERE est >= $threshold)""".stripMargin
+
+  private val FuzzyDeconPairCtesSql: String = fuzzyDeconPairCtesSql(0.5)
 
   /** q186 (one-shot) and q187 (persisted-index two-fold union —
     * per-doc independence makes them identical): per-training-doc
@@ -4692,6 +4870,63 @@ object SparkEntry {
        |  WHERE doc_id % 20 <> 0) d
        |LEFT JOIN fm USING (doc_id)
        |ORDER BY doc_id""".stripMargin)
+
+  /** q202: the banded-Hamming eval replayed bit-for-bit — id-derived
+    * 46-bit hashes (disjoint bit fields, so + is |), 16 4-bit bands,
+    * hot-bucket cap 40 over the FULL corpus, candidate pairs through
+    * shared cells, exact bit_count verify; truth = all-pairs
+    * bit_count ≤ 8 on the %3 sample. One precision/recall row.
+    */
+  private val HammingEvalOracleSql: String = materializeCtes(
+    s"""WITH e AS ($EventsUsSql),
+       |hh AS (SELECT CAST(event_id AS BIGINT) AS id,
+       |  ((event_id // 13) % 10)
+       |    + ((event_id // 130) * 2654435761) % 65536 * 65536
+       |    + ((event_id // 130) * 40503) % 65536 * 4294967296 AS h
+       | FROM e WHERE event_id % 13 = 0 AND event_id < 10000),
+       |hbd AS (SELECT id, h, band, (h >> (band * 4)) & 15 AS bucket
+       | FROM hh CROSS JOIN (SELECT unnest(range(16)) AS band) bands),
+       |hcap AS (SELECT id, h, band, bucket FROM hbd
+       | QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 40),
+       |hcnd AS (SELECT DISTINCT a.id AS ia, a.h AS ha,
+       |  x.id AS ib, x.h AS hb
+       | FROM hcap a JOIN hcap x ON a.band = x.band
+       |  AND a.bucket = x.bucket AND a.id < x.id),
+       |hver AS (SELECT ia, ib, 1 AS c FROM hcnd
+       | WHERE bit_count(xor(ha, hb)) <= 8
+       |  AND ia % 3 = 0 AND ib % 3 = 0),
+       |htru AS (SELECT a.id AS ia, x.id AS ib, 1 AS t
+       | FROM hh a JOIN hh x ON a.id < x.id
+       |  AND bit_count(xor(a.h, x.h)) <= 8
+       | WHERE a.id % 3 = 0 AND x.id % 3 = 0),
+       |hj AS (SELECT COALESCE(htru.t, 0) AS t, COALESCE(hver.c, 0) AS c
+       | FROM htru FULL OUTER JOIN hver
+       |  ON htru.ia = hver.ia AND htru.ib = hver.ib),
+       |hag AS (SELECT COALESCE(SUM(t), 0) AS n_true,
+       |  COALESCE(SUM(c), 0) AS n_cand,
+       |  COALESCE(SUM(t * c), 0) AS n_hit FROM hj)
+       |SELECT CAST(n_true AS BIGINT) AS n_true,
+       | CAST(n_cand AS BIGINT) AS n_cand,
+       | CAST(n_hit AS BIGINT) AS n_hit,
+       | CASE WHEN n_cand = 0 THEN 0.0
+       |   ELSE CAST(n_hit AS DOUBLE) / n_cand END AS prec,
+       | CASE WHEN n_true = 0 THEN 0.0
+       |   ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall
+       |FROM hag""".stripMargin)
+
+  /** q203: the PDF round trip predicted from the text alone —
+    * extraction joins the two fixture lines with a newline (rendered
+    * `|` in the lane's flat compare column) UNLESS the body block is
+    * empty (empty blocks don't join).
+    */
+  private val PdfExtractOracleSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      | 'Report (' || CAST(doc_id AS BIGINT) || ')' ||
+      |   CASE WHEN regexp_replace(COALESCE(text, ''),
+      |       '[^A-Za-z0-9 ]', '', 'g') = '' THEN ''
+      |     ELSE '|' || regexp_replace(COALESCE(text, ''),
+      |       '[^A-Za-z0-9 ]', '', 'g') END AS text
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** q188: exact bigram-Jaccard truth (labeled %2 sample × full
     * benchmark, from the chain's own `sh` sets) vs the banded
@@ -5167,6 +5402,51 @@ object SparkEntry {
 
   private val CurationBloomChainSql: String =
     curationChainSql(CurationBloomDeconSql)
+
+  /** q205: the q126 chain with the FUZZY decon gate composed in —
+    * the q186 CTE chain (2-shingle MinHash signatures, banded
+    * training×benchmark candidates, est ≥ 0.5) derives the fuzzy
+    * drop set, threaded into kept1 alongside the exact gate (a doc
+    * must pass BOTH, matching the fold's two survivor joins). The
+    * corpus is `pdocs` — documents PLUS the planted
+    * every-5th-token-dropped benchmark paraphrases (id + 100001,
+    * 1-based positions ≡ 0 mod 5 removed; Spark's `tokens` split
+    * replayed verbatim, no empty-token filter) — so every chain
+    * component's `documents` source rewrites to it.
+    */
+  private val CurationFuzzyChainSql: String = {
+    val paraDocs =
+      """pdocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang
+        | FROM documents
+        | UNION ALL
+        | SELECT CAST(doc_id AS BIGINT) + 100001 AS doc_id,
+        |  array_to_string(list_transform(list_filter(
+        |    range(1, len(pws) + 1), i -> i % 5 <> 0),
+        |    i -> pws[i]), ' ') AS text, lang
+        | FROM (SELECT doc_id, lang,
+        |   string_split_regex(trim(text), '\s+') AS pws
+        |  FROM documents WHERE doc_id % 20 = 0) pb)""".stripMargin
+    // 32 bands (2 perms each) + est ≥ 0.45: measured on the planted
+    // paraphrases — 8-perm bands candidate-missed 23 of 25 at j ≈ 0.5
+    // (0.5⁸ per band); this setting catches 25/25 with zero
+    // false-positive drops among ordinary training docs
+    val body = (CurationChainHeadSql.stripPrefix("WITH RECURSIVE ") +
+      ",\n" + minhashSigCtesSql(2) + ",\n" +
+      fuzzyDeconPairCtesSql(0.45) + ",\n" +
+      "fzdrop AS (SELECT DISTINCT doc_id FROM fsc),\n" +
+      curationExactDeconSql(
+        "AND d.doc_id NOT IN (SELECT doc_id FROM fzdrop)") + ",\n" +
+      CurationChainTailSql)
+      .replace("FROM documents", "FROM pdocs")
+      .replace("JOIN documents d", "JOIN pdocs d")
+    "WITH RECURSIVE " + paraDocs + ",\n" + body
+  }
+
+  private val CurationFuzzyOracleSql: String = materializeCtes(
+    CurationFuzzyChainSql + "\n" +
+      """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+        |FROM r JOIN caps USING (lang)
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin)
 
   /** q162: the q126 chain with the quality funnel run FIRST — kept1
     * additionally requires fkeep membership (the funnel is per-doc
@@ -8137,7 +8417,23 @@ object SparkEntry {
          |FROM im JOIN cnt USING (cls) ORDER BY media_id""".stripMargin,
     "q196_web_front" -> WebFrontOracleSql,
     "q197_fuzzy_decon_streamed" -> FuzzyDeconOracleSql,
-    "q198_bpe_bytes_artifact" -> BpeBytesIdsOracleSql
+    "q198_bpe_bytes_artifact" -> BpeBytesIdsOracleSql,
+
+    // hash-only layers group by md5 ≡ group by text (128-bit
+    // collision odds ~n²/2¹²⁹) — q19's oracle VERBATIM
+    "q201_exact_dedup_hashed" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q202_hamming_eval" -> HammingEvalOracleSql,
+    "q203_pdf_extract" -> PdfExtractOracleSql,
+
+    // the PDF ride (encode → base64 ED → MIME strip → unbase64 →
+    // FlateDecode → Tj walk) is lossless, so the wire→PDF→RAG lane
+    // replays q195's oracle VERBATIM
+    "q204_wire_pdf_rag" -> WireRagOracleSql,
+
+    "q205_curation_fuzzy" -> CurationFuzzyOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -60,6 +60,21 @@ object CurationStream {
                     // everything the exact gate drops, this drops too)
                     deconBloom: Boolean = false,
                     bloomKHashes: Int = 3, bloomMBits: Int = 65536,
+                    // FUZZY decon gate (the Llama-style audit: gate
+                    // the recipe on NEAR-DUP overlap with the eval
+                    // suite, not just exact shingle membership — a
+                    // paraphrased benchmark item slips the exact
+                    // gate). Some(dir) → dir holds the benchmark's
+                    // persisted MinHash signature table
+                    // ([[graft.operators.TextAnalysis
+                    // .buildFuzzyBenchmarkIndex]]); docs whose banded
+                    // candidates reach est_jaccard ≥ fzThreshold
+                    // vs ANY benchmark doc drop IN ADDITION
+                    // to the exact/bloom gate. Per-doc pure against
+                    // frozen state ⇒ batch-boundary invariance holds.
+                    fuzzyIdx: Option[String] = None,
+                    fzShingleN: Int = 2, fzNumPerm: Int = 64,
+                    fzBands: Int = 8, fzThreshold: Double = 0.8,
                     // ---- full-recipe gates (None disables; the v1
                     // decon → DSIR → mixture chain is unchanged) ----
                     // duplicated-span gate (Lee et al. 2022 shape):
@@ -124,7 +139,19 @@ object CurationStream {
             cfg.idCol, cfg.textCol, cfg.shingleN, cfg.deconThreshold)
           .filter(!col("contaminated"))
           .select(col("doc_id").as(cfg.idCol))
-    val clean = batch.join(deconSurvivors, cfg.idCol)
+    // fuzzy gate: same broadcast-benchmark shape as the exact gate
+    // (the eval-sized signature table attaches to the batch's banded
+    // buckets; the batch never shuffles its shingles), composed as a
+    // second survivor set — a doc must pass BOTH
+    val fuzzySurvivors = cfg.fuzzyIdx.map { dir =>
+      TextAnalysis.fuzzyDecontaminateIncremental(s, dir, batch,
+          cfg.idCol, cfg.textCol, cfg.fzShingleN, cfg.fzNumPerm,
+          cfg.fzBands, cfg.fzThreshold)
+        .filter(!col("contaminated"))
+        .select(col("doc_id").as(cfg.idCol))
+    }
+    val clean = fuzzySurvivors.fold(batch.join(deconSurvivors, cfg.idCol))(
+        fz => batch.join(deconSurvivors, cfg.idCol).join(fz, cfg.idCol))
       .localCheckpoint(false)
     // span-hash layer: one (doc, window position, hash) row per
     // window — per-row work, O(batch); which hashes are SHARED is a
@@ -308,8 +335,10 @@ object CurationStream {
   /** Per-document drop PROVENANCE over the full recipe — the
     * production debugging table ("why did my document disappear"):
     * for every pipeline-input document, the FIRST stage that dropped
-    * it in gate order — a_funnel, b_decon, c_span, d_neardup,
-    * e_dsir_cut (below the importance keep-fraction), f_mix_cap
+    * it in gate order — a_funnel, b_decon, b2_fuzzy (near-dup overlap
+    * with the benchmark, when [[Config.fuzzyIdx]] is set), c_span,
+    * d_neardup, e_dsir_cut (below the importance keep-fraction),
+    * f_mix_cap
     * (over its stratum's mixture cap, or a stratum with no target
     * share) — or g_selected. [[selectReport]] is the aggregate alarm;
     * this is the row-level answer behind it.
@@ -344,15 +373,24 @@ object CurationStream {
             cfg.deconThreshold)
           .filter(col("contaminated")))
       .select(col("doc_id"), lit(1).as("__dd"))
+    val fuzzyDrop = cfg.fuzzyIdx.map(dir =>
+      TextAnalysis.fuzzyDecontaminateIncremental(spark, dir, funnelPass,
+          cfg.idCol, cfg.textCol, cfg.fzShingleN, cfg.fzNumPerm,
+          cfg.fzBands, cfg.fzThreshold)
+        .filter(col("contaminated"))
+        .select(col("doc_id"), lit(1).as("__fz")))
     val spanDrop = cfg.spanIdx.map(d =>
       spanDropSet(spark, d, cfg).localCheckpoint(false))
     val ndDrop = cfg.nearDupIdx.map(d =>
       nearDupDropSet(spark, d, cfg).localCheckpoint(false))
     val kept = gatedKept(spark, cfg, spanDrop, ndDrop)
     val sel = mixtureOver(spark, kept, cfg, targetShare10k)
-    val base0 = docs.select(col(cfg.idCol).as("doc_id"))
+    val base0a = docs.select(col(cfg.idCol).as("doc_id"))
       .join(fPass, Seq("doc_id"), "left")
       .join(deconDrop, Seq("doc_id"), "left")
+    val base0 = fuzzyDrop.fold(
+        base0a.withColumn("__fz", lit(null).cast("int")))(fz =>
+      base0a.join(fz, Seq("doc_id"), "left"))
     val base1 = spanDrop.fold(
         base0.withColumn("__sd", lit(null).cast("int")))(ds =>
       base0.join(ds.select(col("doc_id"), lit(1).as("__sd")),
@@ -369,6 +407,7 @@ object CurationStream {
       .select(col("doc_id"),
         when(col("__fp").isNull, "a_funnel")
           .when(col("__dd") === 1, "b_decon")
+          .when(col("__fz") === 1, "b2_fuzzy")
           .when(col("__sd") === 1, "c_span")
           .when(col("__nd") === 1, "d_neardup")
           .when(col("__k").isNull, "e_dsir_cut")

@@ -239,6 +239,68 @@ class CurationStreamSpec extends SparkSpecBase {
     assert(folded == oneShot)
   }
 
+  test("FUZZY decon gate: paraphrase-grade contamination (every 5th " +
+      "token dropped — zero intact 5-shingles) slips the exact gate, " +
+      "is dropped by the fuzzy gate, labels b2_fuzzy in provenance, " +
+      "and batch boundaries don't change the selection") {
+    def page(i: Long) = {
+      val d = f"$i%03d"
+      s"the quick$d brown$d of fox$d and jumps$d it over$d " +
+        s"w$d x$d y$d z$d p$d q$d r$d s$d t$d u$d v$d"
+    }
+    // drop 1-based positions ≡ 0 mod 5: max kept run is 4 tokens, so
+    // NO 5-shingle of the paraphrase exists in the original — the
+    // exact membership gate sees zero overlap by construction
+    def para(t: String) = t.split("\\s+").zipWithIndex
+      .collect { case (w, i) if (i + 1) % 5 != 0 => w }.mkString(" ")
+    val docs = ((1L to 10L).map(i => CurDoc(i, "en", page(i))) ++ Seq(
+      CurDoc(53L, "en", page(999L)),        // verbatim: exact-gate prey
+      CurDoc(54L, "en", para(page(999L)))   // paraphrase: fuzzy-only prey
+    )).toDF("doc_id", "lang", "text")
+    val bench = Seq(CurDoc(999L, "en", page(999L)))
+      .toDF("doc_id", "lang", "text")
+    val benchIdx = mk(); val dsirIdx = mk(); val fuzzyIdx = mk()
+    TextAnalysis.buildBenchmarkIndex(bench, "text", 5, benchIdx)
+    TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+      shingleN = 2, numPerm = 64, seed = 42L, indexDir = fuzzyIdx)
+    TextAnalysis.buildDsirIndex(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", 65536, 1000000L, dsirIdx)
+    def cfgFor(fz: Option[String]) = CurationStream.Config(
+      benchIdx, dsirIdx, mk(), "doc_id", "text", "lang",
+      keepFrac10k = 10000L, fuzzyIdx = fz, fzBands = 32,
+      fzThreshold = 0.3)
+    val targets = Map("en" -> 10000L)
+
+    // WITHOUT the fuzzy gate the paraphrase sails through the exact
+    // gate into the selection — the new gate's prey is real
+    val cfgOff = cfgFor(None)
+    CurationStream.foldBatch(docs, 1L, cfgOff)
+    val selOff = CurationStream.select(spark, cfgOff, targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(selOff.contains(54L) && !selOff.contains(53L))
+
+    // WITH it: one-shot fold — paraphrase gone, provenance names it
+    val cfgOn = cfgFor(Some(fuzzyIdx))
+    CurationStream.foldBatch(docs, 1L, cfgOn)
+    val selOn = CurationStream.select(spark, cfgOn, targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!selOn.contains(54L) && !selOn.contains(53L))
+    assert((1L to 10L).forall(selOn.contains))
+    val prov = CurationStream.provenance(spark, cfgOn, docs, targets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prov(53L) == "b_decon")
+    assert(prov(54L) == "b2_fuzzy")
+
+    // batch-boundary invariance holds with the fuzzy gate on (the
+    // gate is per-doc pure against frozen benchmark state)
+    val cfgTwo = cfgFor(Some(fuzzyIdx))
+    CurationStream.foldBatch(docs.filter($"doc_id" % 2 === 0), 1L, cfgTwo)
+    CurationStream.foldBatch(docs.filter($"doc_id" % 2 === 1), 2L, cfgTwo)
+    val selTwo = CurationStream.select(spark, cfgTwo, targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(selTwo == selOn)
+  }
+
   test("provenance: every input doc gets exactly one first-drop label; " +
       "stage victims land where the gate order says; g_selected " +
       "equals the selection; the DSIR cut is labeled when it bites") {

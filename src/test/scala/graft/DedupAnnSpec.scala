@@ -417,4 +417,75 @@ class DedupAnnSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("pigeonhole"))
   }
+
+  test("hammingNearDup: bands auto-widen with the radius — a radius-8 " +
+      "pair whose differing bits straddle every 16-bit band is still " +
+      "found (16 4-bit bands), with the exact distance") {
+    import spark.implicits._
+    // 8 flipped bits, two per 16-bit quarter: the old fixed 4-band
+    // split has NO intact band; 4-bit bands leave plenty intact
+    val flips = Seq(0, 5, 16, 21, 32, 37, 48, 53)
+      .map(1L << _).reduce(_ | _)
+    val hashes = Seq(
+      (1L, 0x0F0F0F0F0F0F0F0L),
+      (2L, 0x0F0F0F0F0F0F0F0L ^ flips),
+      (3L, 0x7000000000000000L) // far away
+    ).toDF("id", "h")
+    val got = graft.operators.Dedup
+      .hammingNearDup(hashes, "id", "h", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 8L))
+  }
+
+  test("hammingNearDup: the hot-bucket cap drops a degenerate dist-0 " +
+      "duplicate group (quadratic in group size) and hammingEval " +
+      "reports the recall it cost — measured, not assumed") {
+    import spark.implicits._
+    // 50 identical hashes (one pathological exact-dup cluster: every
+    // band cell hot) + 4 near-dup pairs in distinct small groups
+    val hot = (1L to 50L).map(i => (i, 0x00000000000FF000L))
+    val pairs = (0 until 4).map { g =>
+      val base = (0x1L << (g * 8)) | (0x3FL << 40) | (1L << (56 + g))
+      Seq((100L + g * 2, base), (101L + g * 2, base ^ 1L))
+    }.flatten
+    val df = (hot ++ pairs).toDF("id", "h")
+    val uncapped = graft.operators.Dedup
+      .hammingNearDup(df, "id", "h", maxDist = 1)
+    assert(uncapped.count() == 50L * 49 / 2 + 4)
+    val capped = graft.operators.Dedup
+      .hammingNearDup(df, "id", "h", maxDist = 1, maxBucketSize = 10)
+    val got = capped.select("id_a").as[Long].collect()
+    assert(got.length == 4 && got.forall(_ >= 100L),
+      "the hot cluster's pairs must be capped away, the small groups kept")
+    val ev = graft.operators.Dedup
+      .hammingEval(df, "id", "h", evalPred = _ => lit(true),
+        maxDist = 1, maxBucketSize = 10)
+      .collect().head
+    assert(ev.getAs[Long]("n_true") == 50L * 49 / 2 + 4)
+    assert(ev.getAs[Long]("n_cand") == 4 &&
+      ev.getAs[Double]("prec") == 1.0)
+    val rec = ev.getAs[Double]("recall")
+    assert(rec > 0.0 && rec < 0.01, s"recall should expose the cap: $rec")
+  }
+
+  test("exact-dedup 128-bit hash index: hash-only folded layers equal " +
+      "the one-shot exact dedup, and layers carry no text column") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, s"text ${i % 7}")) ++
+      Seq((41L, "text 1"))).toDF("doc_id", "text")
+    val oneShot = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = java.nio.file.Files
+      .createTempDirectory("hash_idx_spec").toString
+    graft.operators.Dedup.exactHashedIndexAppend(
+      docs.filter($"doc_id" <= 20), "doc_id", "text", idx, 1L)
+    graft.operators.Dedup.exactHashedIndexAppend(
+      docs.filter($"doc_id" > 20), "doc_id", "text", idx, 2L)
+    val folded = graft.operators.Dedup.exactFromHashedIndex(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == oneShot)
+    val cols = spark.read.parquet(idx).columns.toSet
+    assert(!cols.contains("text") && cols.contains("h128"), cols)
+  }
 }

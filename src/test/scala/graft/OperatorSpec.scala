@@ -169,6 +169,47 @@ class OperatorSpec extends SparkSpecBase {
       e.getCause != null && e.getCause.getMessage.contains("RIFF"))
   }
 
+  test("PdfCodec: encode→extract round-trips multi-line text with " +
+      "parens, backslashes, octal escapes, TJ arrays and hex strings; " +
+      "empty blocks drop; plain (non-Flate) streams decode; " +
+      "non-PDF payloads fail loudly") {
+    // fixture generator round trip: lines join with \n exactly
+    val lines = Seq("Plain line one", "with (parens) and \\back\\slash",
+      "trailing ( unbalanced is escaped")
+    val bytes = Multimodal.encodePdf(lines)
+    assert(new String(bytes.take(5),
+      java.nio.charset.StandardCharsets.ISO_8859_1) == "%PDF-")
+    assert(Multimodal.PdfCodec.text(bytes, 1L) == lines.mkString("\n"))
+    // empty lines drop from the join (empty BT blocks contribute
+    // nothing) — the q203 oracle's CASE models exactly this
+    assert(Multimodal.PdfCodec.text(
+      Multimodal.encodePdf(Seq("a", "", "b")), 2L) == "a\nb")
+    // hand-built uncompressed stream: TJ array with kerning numbers,
+    // octal escape, line continuation, hex string, ' operator
+    val content = "BT /F1 9 Tf (He) Tj ET\n" +
+      "BT [(l) -120 (lo\\040w)] TJ ET\n" +
+      "BT (or\\\nld) ' <21> Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< >>\nstream\n" + content +
+      "\nendstream\nendobj\ntrailer\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Multimodal.PdfCodec.text(pdf, 3L) == "He\nllo w\norld!")
+    // batched dataset API on the mapPartitions seam
+    val rows = Seq(
+      Multimodal.MediaRow(1, "pdf", Multimodal.encodePdf(Seq("doc one")),
+        "application/pdf"),
+      Multimodal.MediaRow(2, "pdf", Multimodal.encodePdf(Seq("doc two")),
+        "application/pdf")).toDS()
+    val got = Multimodal.pdfTexts(rows, parallelism = Some(2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "doc one", 2L -> "doc two"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.pdfTexts(Seq(Multimodal.MediaRow(9, "pdf",
+        Array[Byte](1, 2, 3), "application/pdf")).toDS()).collect()
+    }
+    assert(e.getMessage.contains("not a PDF") ||
+      e.getCause != null && e.getCause.getMessage.contains("not a PDF"))
+  }
+
   test("dHash: same pattern at different sizes and gray levels hashes " +
     "identically; opposite pattern differs; uniform is zero; " +
     "sub-grid images fail loudly") {
