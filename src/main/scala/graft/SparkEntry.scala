@@ -139,12 +139,20 @@ object SparkEntry {
     * survive). Exactly the Llama-audit scenario the fuzzy gate
     * exists for.
     */
+  /** `image = true` (q206) threads the multimodal column through the
+    * recipe: every doc_id ≡ 0 mod 5 carries a row-pattern PNG whose
+    * pattern class is (doc_id div 15) mod 256 — REAL decode + dHash
+    * on the codec seam, size/brightness varying per doc (dHash is
+    * invariant to both), so the three docs of each div-15 group hash
+    * identically and the image gate keeps only the min-id member.
+    */
   private def curationFixture(s: SparkSession, dir: String,
                               deconBloom: Boolean = false,
                               fold: Boolean = true,
                               funnel: Boolean = false,
                               fuzzy: Boolean = false,
-                              paraphrase: Boolean = false)
+                              paraphrase: Boolean = false,
+                              image: Boolean = false)
       : graft.streaming.CurationStream.Config = {
     val d0 = t(s, dir, "documents")
     val d = if (!paraphrase) d0 else {
@@ -186,9 +194,35 @@ object SparkEntry {
       keepFrac10k = 4000L, deconBloom = deconBloom,
       fuzzyIdx = fuzzyIdx, fzBands = 32, fzThreshold = 0.45,
       spanIdx = Some(mk()), nearDupIdx = Some(mk()),
+      imageIdx = if (image) Some(mk()) else None,
       funnelLangs = if (funnel) Some(Seq("en")) else None)
     if (fold) {
-      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val train0 = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val train = if (!image) train0 else {
+        import s.implicits._
+        val media = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id").cast("long").as("media_id"),
+            pmod(expr("CAST(doc_id AS BIGINT) div 15"), lit(256L))
+              .cast("int").as("cls"),
+            (lit(150) + pmod(col("doc_id"), lit(50))).cast("int")
+              .as("bright"),
+            (lit(40) + pmod(col("doc_id"), lit(40))).cast("int")
+              .as("dark"))
+          .as[(Long, Int, Int, Int)]
+          .map { case (id, cls, bright, dark) =>
+            Multimodal.MediaRow(id, "image",
+              Multimodal.encodeRowPatternPng(
+                9 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt),
+                bright, dark,
+                (0 until 8).map(b => ((cls >> b) & 1) == 1)),
+              "image/png") }
+        val hashes = Multimodal.dhashFeatures(media, Some(8)).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("dhash").as("img_hash"))
+        train0.select(col("doc_id").cast("long").as("doc_id"),
+            col("text"), col("lang"))
+          .join(hashes, Seq("doc_id"), "left")
+      }
       graft.streaming.CurationStream.foldBatch(
         train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
       graft.streaming.CurationStream.foldBatch(
@@ -4339,6 +4373,21 @@ object SparkEntry {
           curationFixture(s, dir, fuzzy = true, paraphrase = true),
           CurationTargets)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the FULL curation recipe with the IMAGE near-dup gate -----
+    // (the multimodal column inside the recipe, end to end): docs
+    // carry banded-pattern PNGs, REAL decode + dHash on the codec
+    // seam feeds Config.imageHashCol, foldBatch persists the hash
+    // layers, and select keeps one member per identical-hash group —
+    // the oracle predicts every group from doc-id arithmetic alone
+    // (pattern class = (doc_id div 15) mod 256; decode, grid and
+    // comparison bits all have to be right for the size/brightness
+    // variants to collapse into exactly the predicted groups).
+    "q206_curation_imagegate" -> ((s, dir) => {
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir, image = true), CurationTargets)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5444,6 +5493,34 @@ object SparkEntry {
 
   private val CurationFuzzyOracleSql: String = materializeCtes(
     CurationFuzzyChainSql + "\n" +
+      """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+        |FROM r JOIN caps USING (lang)
+        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin)
+
+  /** q206: the q126 chain with the IMAGE near-dup gate — the drop set
+    * predicted from the fixture's pattern-class arithmetic (identical
+    * dHash ⇔ same (doc_id div 15) mod 256 among image-carrying
+    * doc_id ≡ 0 mod 5 survivors; min-id member kept), threaded into
+    * kept2 alongside the span and near-dup gates.
+    */
+  private val CurationImageChainSql: String = {
+    val kept2Tail = "AND doc_id NOT IN (SELECT doc_id FROM nddrop)),"
+    require(CurationChainTailSql.contains(kept2Tail),
+      "curation tail drifted: kept2's nddrop clause not found — fix " +
+        "the q206 image-gate splice")
+    CurationChainHeadSql + ",\n" + CurationExactDeconSql + ",\n" +
+      """imgd AS (SELECT doc_id FROM (
+        |  SELECT doc_id, MIN(doc_id) OVER
+        |    (PARTITION BY (doc_id // 15) % 256) AS keepi
+        |  FROM kept1 WHERE doc_id % 5 = 0) ik
+        | WHERE doc_id <> keepi),""".stripMargin + "\n" +
+      CurationChainTailSql.replace(kept2Tail,
+        "AND doc_id NOT IN (SELECT doc_id FROM nddrop)\n" +
+          "   AND doc_id NOT IN (SELECT doc_id FROM imgd)),")
+  }
+
+  private val CurationImageOracleSql: String = materializeCtes(
+    CurationImageChainSql + "\n" +
       """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
         |FROM r JOIN caps USING (lang)
         |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin)
@@ -8433,7 +8510,8 @@ object SparkEntry {
     // replays q195's oracle VERBATIM
     "q204_wire_pdf_rag" -> WireRagOracleSql,
 
-    "q205_curation_fuzzy" -> CurationFuzzyOracleSql
+    "q205_curation_fuzzy" -> CurationFuzzyOracleSql,
+    "q206_curation_imagegate" -> CurationImageOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -91,6 +91,19 @@ object CurationStream {
                     ndShingleN: Int = 2, ndNumPerm: Int = 64,
                     ndBands: Int = 8, ndMinMatches: Int = 8,
                     ndMaxBucket: Int = 100,
+                    // image near-dup gate (the multimodal column
+                    // story inside the recipe): imageHashCol names a
+                    // 64-bit perceptual-hash column the batch carries
+                    // (computed upstream on the codec seam, e.g.
+                    // [[graft.operators.Multimodal.dhashFeatures]] —
+                    // null = doc has no image and passes); foldBatch
+                    // persists (doc_id, dhash) layers under imageIdx
+                    // and [[select]] keeps only the min-id member of
+                    // each identical-hash group, derived from the
+                    // MERGED layers so batch boundaries cannot split
+                    // a duplicate group
+                    imageIdx: Option[String] = None,
+                    imageHashCol: String = "img_hash",
                     // heuristic quality funnel (Gopher/C4 rules, the
                     // q157 gate) run FIRST in the fold — the cheapest
                     // gate in the recipe (one per-row projection),
@@ -191,6 +204,15 @@ object CurationStream {
           cfg.ndBands, portable = true)
         .write.mode("overwrite").parquet(s"$dir/bucket/batch=$batchId")
     }
+    // image-hash layer: one (doc_id, dhash) row per image-carrying
+    // doc — per-row, O(batch); which hashes COLLIDE is a global
+    // question answered in [[select]] over the merged layers
+    cfg.imageIdx.foreach { dir =>
+      clean.filter(col(cfg.imageHashCol).isNotNull)
+        .select(col(cfg.idCol).as("doc_id"),
+          col(cfg.imageHashCol).cast("long").as("dhash"))
+        .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    }
     val scored = TextAnalysis.dsirScoreIncremental(s, cfg.dsirIdx,
       clean, cfg.idCol, cfg.textCol, cfg.nBuckets, cfg.scale)
     clean.select(col(cfg.idCol).as("doc_id"),
@@ -214,7 +236,8 @@ object CurationStream {
              targetShare10k: Map[String, Long]): DataFrame =
     selectWithDrops(spark, cfg, targetShare10k,
       cfg.spanIdx.map(dir => spanDropSet(spark, dir, cfg)),
-      cfg.nearDupIdx.map(dir => nearDupDropSet(spark, dir, cfg)))
+      cfg.nearDupIdx.map(dir => nearDupDropSet(spark, dir, cfg)),
+      cfg.imageIdx.map(dir => imageDropSet(spark, dir)))
 
   /** [[select]] with the gate drop sets supplied by the caller —
     * [[selectReport]] computes each set once and reuses it for the
@@ -225,8 +248,11 @@ object CurationStream {
                               cfg: Config,
                               targetShare10k: Map[String, Long],
                               spanDrop: Option[DataFrame],
-                              ndDrop: Option[DataFrame]): DataFrame =
-    mixtureOver(spark, gatedKept(spark, cfg, spanDrop, ndDrop), cfg,
+                              ndDrop: Option[DataFrame],
+                              imgDrop: Option[DataFrame] = None)
+      : DataFrame =
+    mixtureOver(spark,
+      gatedKept(spark, cfg, spanDrop, ndDrop, imgDrop), cfg,
       targetShare10k)
 
   /** The gated, importance-ranked kept set (doc_id, stratum, h,
@@ -235,7 +261,8 @@ object CurationStream {
     */
   private def gatedKept(spark: org.apache.spark.sql.SparkSession,
                         cfg: Config, spanDrop: Option[DataFrame],
-                        ndDrop: Option[DataFrame]): DataFrame = {
+                        ndDrop: Option[DataFrame],
+                        imgDrop: Option[DataFrame] = None): DataFrame = {
     val idx0 = spark.read.parquet(cfg.curIdx)
       .select(col("doc_id"), col("stratum"), col("h"),
         (col("contrib_sum").cast("double") /
@@ -246,11 +273,13 @@ object CurationStream {
     // of how the corpus was split into batches
     val idx1 = spanDrop.fold(idx0)(ds =>
       idx0.join(ds, Seq("doc_id"), "left_anti"))
+    val idx2 = imgDrop.fold(idx1)(ds =>
+      idx1.join(ds, Seq("doc_id"), "left_anti"))
     // materialized once: the gated index feeds the keep-count AND the
     // global rank below — without this every action re-runs the gate
     // joins (and the span aggregation) over the full index
-    val idx = ndDrop.fold(idx1)(ds =>
-      idx1.join(ds, Seq("doc_id"), "left_anti"))
+    val idx = ndDrop.fold(idx2)(ds =>
+      idx2.join(ds, Seq("doc_id"), "left_anti"))
       .localCheckpoint(false)
     val total = idx.count()
     val keep = total * cfg.keepFrac10k / 10000L
@@ -316,19 +345,27 @@ object CurationStream {
       .map(d => spanDropSet(spark, d, cfg).localCheckpoint(false))
     val ndDrop = cfg.nearDupIdx
       .map(d => nearDupDropSet(spark, d, cfg).localCheckpoint(false))
+    val imgDrop = cfg.imageIdx
+      .map(d => imageDropSet(spark, d).localCheckpoint(false))
     val nSpan = spanDrop.map(_.count()).getOrElse(0L)
     val nNd = ndDrop.map(_.count()).getOrElse(0L)
     val gated0 = spanDrop.fold(idx0)(ds =>
       idx0.join(ds, Seq("doc_id"), "left_anti"))
-    val gated = ndDrop.fold(gated0)(ds =>
+    val gated1 = ndDrop.fold(gated0)(ds =>
       gated0.join(ds, Seq("doc_id"), "left_anti"))
+    val gated = imgDrop.fold(gated1)(ds =>
+      gated1.join(ds, Seq("doc_id"), "left_anti"))
     val nGated = gated.count()
     val nKept = nGated * cfg.keepFrac10k / 10000L
     val nSel = selectWithDrops(spark, cfg, targetShare10k, spanDrop,
-      ndDrop).count()
-    Seq(("a_indexed", nIndexed), ("b_span_drop", nSpan),
-      ("c_neardup_drop", nNd), ("d_gated", nGated),
-      ("e_dsir_kept", nKept), ("f_selected", nSel))
+      ndDrop, imgDrop).count()
+    // the image-drop row appears only when the gate is configured, so
+    // pre-existing report consumers (q135) see an unchanged shape
+    val imgRow = imgDrop.map(ds => ("c2_image_drop", ds.count())).toSeq
+    (Seq(("a_indexed", nIndexed), ("b_span_drop", nSpan),
+      ("c_neardup_drop", nNd)) ++ imgRow ++
+      Seq(("d_gated", nGated),
+        ("e_dsir_kept", nKept), ("f_selected", nSel)))
       .toDF("stage", "n")
   }
 
@@ -337,8 +374,9 @@ object CurationStream {
     * for every pipeline-input document, the FIRST stage that dropped
     * it in gate order — a_funnel, b_decon, b2_fuzzy (near-dup overlap
     * with the benchmark, when [[Config.fuzzyIdx]] is set), c_span,
-    * d_neardup, e_dsir_cut (below the importance keep-fraction),
-    * f_mix_cap
+    * d_neardup, d2_imagedup (identical perceptual hash, when
+    * [[Config.imageIdx]] is set), e_dsir_cut (below the importance
+    * keep-fraction), f_mix_cap
     * (over its stratum's mixture cap, or a stratum with no target
     * share) — or g_selected. [[selectReport]] is the aggregate alarm;
     * this is the row-level answer behind it.
@@ -383,7 +421,9 @@ object CurationStream {
       spanDropSet(spark, d, cfg).localCheckpoint(false))
     val ndDrop = cfg.nearDupIdx.map(d =>
       nearDupDropSet(spark, d, cfg).localCheckpoint(false))
-    val kept = gatedKept(spark, cfg, spanDrop, ndDrop)
+    val imgDrop = cfg.imageIdx.map(d =>
+      imageDropSet(spark, d).localCheckpoint(false))
+    val kept = gatedKept(spark, cfg, spanDrop, ndDrop, imgDrop)
     val sel = mixtureOver(spark, kept, cfg, targetShare10k)
     val base0a = docs.select(col(cfg.idCol).as("doc_id"))
       .join(fPass, Seq("doc_id"), "left")
@@ -399,7 +439,11 @@ object CurationStream {
         base1.withColumn("__nd", lit(null).cast("int")))(ds =>
       base1.join(ds.select(col("doc_id"), lit(1).as("__nd")),
         Seq("doc_id"), "left"))
-    base2
+    val base3 = imgDrop.fold(
+        base2.withColumn("__im", lit(null).cast("int")))(ds =>
+      base2.join(ds.select(col("doc_id"), lit(1).as("__im")),
+        Seq("doc_id"), "left"))
+    base3
       .join(kept.select(col("doc_id"), lit(1).as("__k")),
         Seq("doc_id"), "left")
       .join(sel.select(col("doc_id"), lit(1).as("__m")),
@@ -410,6 +454,7 @@ object CurationStream {
           .when(col("__fz") === 1, "b2_fuzzy")
           .when(col("__sd") === 1, "c_span")
           .when(col("__nd") === 1, "d_neardup")
+          .when(col("__im") === 1, "d2_imagedup")
           .when(col("__k").isNull, "e_dsir_cut")
           .when(col("__m").isNull, "f_mix_cap")
           .otherwise("g_selected").as("stage"))
@@ -480,6 +525,24 @@ object CurationStream {
       "doc_id", "cluster_id", "n_distinct")
     clusters.join(reps.select(col("cluster_id"), col("keep_id")),
         Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+  }
+
+  /** Non-representative members of identical-perceptual-hash image
+    * groups — derived from the merged (doc_id, dhash) layers: exact
+    * grouping on the 64-bit hash (the q199 LAION shape: dHash is
+    * size- and gray-level-invariant by construction, so identical
+    * hashes ARE pixel-level near-dups), min-id member kept. One
+    * pre-reduced aggregate + flag-back join over skinny hash rows —
+    * never the image bytes. Radius > 0 matching is
+    * [[graft.operators.Dedup.hammingNearDup]] over the same layers.
+    */
+  def imageDropSet(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val ih = spark.read.parquet(dir).select("doc_id", "dhash")
+    val reps = ih.groupBy("dhash").agg(min("doc_id").as("keep_id"))
+    ih.join(reps, Seq("dhash"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select("doc_id")
   }

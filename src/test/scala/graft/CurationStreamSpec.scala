@@ -301,6 +301,72 @@ class CurationStreamSpec extends SparkSpecBase {
     assert(selTwo == selOn)
   }
 
+  test("IMAGE near-dup gate: identical-dHash groups keep the min-id " +
+      "member, docs without images pass, provenance labels " +
+      "d2_imagedup, the report gains its conditional row, and batch " +
+      "boundaries don't change the selection") {
+    import graft.operators.Multimodal
+    def page(i: Long) = {
+      val d = f"$i%03d"
+      s"the quick$d brown$d of fox$d and jumps$d it over$d " +
+        s"w$d x$d y$d z$d p$d q$d r$d s$d t$d u$d v$d"
+    }
+    // docs 1-9; 1/2/3 share an image pattern (varying size+grays),
+    // 4 has a distinct pattern, the rest carry no image
+    val docs = (1L to 9L).map(i => CurDoc(i, "en", page(i)))
+      .toDF("doc_id", "lang", "text")
+    val media = Seq(
+      (1L, 5, 200, 40, 9, 8), (2L, 5, 160, 80, 18, 16),
+      (3L, 5, 199, 41, 27, 8), (4L, 9, 200, 40, 9, 8))
+      .map { case (id, cls, b, dk, w, h) =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodeRowPatternPng(w, h, b, dk,
+            (0 until 8).map(bit => ((cls >> bit) & 1) == 1)),
+          "image/png") }.toDS()
+    val hashes = Multimodal.dhashFeatures(media).toDF()
+      .select(col("media_id").as("doc_id"), col("dhash").as("img_hash"))
+    val input = docs.join(hashes, Seq("doc_id"), "left")
+    val benchIdx = mk(); val dsirIdx = mk()
+    graft.operators.TextAnalysis.buildBenchmarkIndex(
+      Seq(CurDoc(999L, "en", "nothing shared here at all"))
+        .toDF("doc_id", "lang", "text"), "text", 5, benchIdx)
+    TextAnalysis.buildDsirIndex(docs, docs, "doc_id", "text",
+      65536, 1000000L, dsirIdx)
+    def cfg() = CurationStream.Config(
+      benchIdx, dsirIdx, mk(), "doc_id", "text", "lang",
+      keepFrac10k = 10000L, imageIdx = Some(mk()))
+    val targets = Map("en" -> 10000L)
+
+    val one = cfg()
+    CurationStream.foldBatch(input, 1L, one)
+    val sel = CurationStream.select(spark, one, targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L),
+      s"2 and 3 are image dups of 1; got $sel")
+    val prov = CurationStream.provenance(spark, one, input, targets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prov(2L) == "d2_imagedup" && prov(3L) == "d2_imagedup")
+    assert(prov(1L) == "g_selected" && prov(4L) == "g_selected")
+    val rep = CurationStream.selectReport(spark, one, targets)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("c2_image_drop") == 2L && rep("f_selected") == 7L)
+
+    // split folds: the duplicate group straddles the batch boundary
+    // (1 in one fold, 2/3 in the other) — merged layers still find it
+    val two = cfg()
+    CurationStream.foldBatch(input.filter($"doc_id" === 1L), 1L, two)
+    CurationStream.foldBatch(input.filter($"doc_id" =!= 1L), 2L, two)
+    val selTwo = CurationStream.select(spark, two, targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(selTwo == sel)
+    // a cfg WITHOUT the gate reports the unchanged 6-row shape
+    val off = CurationStream.Config(benchIdx, dsirIdx, mk(),
+      "doc_id", "text", "lang", keepFrac10k = 10000L)
+    CurationStream.foldBatch(docs, 1L, off)
+    assert(CurationStream.selectReport(spark, off, targets)
+      .collect().length == 6)
+  }
+
   test("provenance: every input doc gets exactly one first-drop label; " +
       "stage victims land where the gate order says; g_selected " +
       "equals the selection; the DSIR cut is labeled when it bites") {
