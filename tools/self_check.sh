@@ -11,7 +11,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${1:?usage: self_check.sh <round-number> [sf-dir]}"
 SF_DIR="${2:-/root/testdata/sf0.01}"
-OUT=/tmp/self_check_out
+# fresh dir per run: stale dumps at a canonical path (from a prior
+# round or the judge's own runs) would mask a query that fails to
+# dump today as a false OK
+OUT="$(mktemp -d /tmp/self_check_out.XXXXXX)"
+trap 'rm -rf "$OUT"' EXIT
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 python3 tools/check_oracle.py "$SF_DIR" "$OUT" \
   "CORRECTNESS_self_r${ROUND}.json"
