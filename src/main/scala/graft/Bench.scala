@@ -56,7 +56,13 @@ object Bench {
     // BPE training (hex-byte symbol table through the same merge
     // loop), and the end-to-end wire→funnel→RAG chain
     "q184_html_extract", "q186_fuzzy_decon", "q189_bpe_bytes_train",
-    "q195_wire_rag")
+    "q195_wire_rag",
+    // round 14: production-radius Hamming banding with its measured
+    // recall (the pHash dedup trendline), PDF→text extraction on the
+    // codec seam, and the wire→PDF→RAG end-to-end chain (documents
+    // riding as base64 PDF attachments — the corpus shape hospital
+    // RAG systems actually hold)
+    "q202_hamming_eval", "q203_pdf_extract", "q204_wire_pdf_rag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -152,7 +152,8 @@ object SparkEntry {
                               funnel: Boolean = false,
                               fuzzy: Boolean = false,
                               paraphrase: Boolean = false,
-                              image: Boolean = false)
+                              image: Boolean = false,
+                              imageRadius: Boolean = false)
       : graft.streaming.CurationStream.Config = {
     val d0 = t(s, dir, "documents")
     val d = if (!paraphrase) d0 else {
@@ -194,27 +195,43 @@ object SparkEntry {
       keepFrac10k = 4000L, deconBloom = deconBloom,
       fuzzyIdx = fuzzyIdx, fzBands = 32, fzThreshold = 0.45,
       spanIdx = Some(mk()), nearDupIdx = Some(mk()),
-      imageIdx = if (image) Some(mk()) else None,
+      imageIdx = if (image || imageRadius) Some(mk()) else None,
+      imageMaxDist = if (imageRadius) 1 else 0,
       funnelLangs = if (funnel) Some(Seq("en")) else None)
     if (fold) {
       val train0 = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      val train = if (!image) train0 else {
+      val train = if (!image && !imageRadius) train0 else {
         import s.implicits._
+        // exact mode: pattern class = (id div 15) % 256, injective in
+        // the dHash. RADIUS mode (q207): class = codeword((id div 15)
+        // % 4) for the div-15 group, with the group's THIRD member
+        // ((id div 5) % 3 == 2) one bit off — codewords {0x00, 0x07,
+        // 0x38, 0x3F} are pairwise ≥ 3 bits apart, so radius-1
+        // components are exactly the per-codeword doc sets (dist-0
+        // members + the 1-bit-off member), never cross-codeword
         val media = d.filter(pmod(col("doc_id"), lit(5)) === 0)
           .select(col("doc_id").cast("long").as("media_id"),
-            pmod(expr("CAST(doc_id AS BIGINT) div 15"), lit(256L))
+            (if (imageRadius)
+              pmod(expr("CAST(doc_id AS BIGINT) div 15"), lit(4L))
+            else
+              pmod(expr("CAST(doc_id AS BIGINT) div 15"), lit(256L)))
               .cast("int").as("cls"),
+            pmod(expr("CAST(doc_id AS BIGINT) div 5"), lit(3L))
+              .cast("int").as("m"),
             (lit(150) + pmod(col("doc_id"), lit(50))).cast("int")
               .as("bright"),
             (lit(40) + pmod(col("doc_id"), lit(40))).cast("int")
               .as("dark"))
-          .as[(Long, Int, Int, Int)]
-          .map { case (id, cls, bright, dark) =>
+          .as[(Long, Int, Int, Int, Int)]
+          .map { case (id, cls, m, bright, dark) =>
+            val code = if (imageRadius)
+              Seq(0x00, 0x07, 0x38, 0x3F)(cls) ^ (if (m == 2) 1 else 0)
+            else cls
             Multimodal.MediaRow(id, "image",
               Multimodal.encodeRowPatternPng(
                 9 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt),
                 bright, dark,
-                (0 until 8).map(b => ((cls >> b) & 1) == 1)),
+                (0 until 8).map(b => ((code >> b) & 1) == 1)),
               "image/png") }
         val hashes = Multimodal.dhashFeatures(media, Some(8)).toDF()
           .select(col("media_id").as("doc_id"),
@@ -4388,6 +4405,31 @@ object SparkEntry {
       graft.streaming.CurationStream.select(s,
           curationFixture(s, dir, image = true), CurationTargets)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the RADIUS-1 image gate: near-duplicate groups are -------
+    // CONNECTED COMPONENTS over banded-Hamming pairs (LAION's
+    // convention), not just identical hashes — the fixture's third
+    // group member is deliberately one dHash bit off its codeword
+    // (codewords pairwise ≥ 3 bits apart, so components never bleed
+    // across groups) and must still fold into its group's drop set.
+    "q207_curation_image_radius" -> ((s, dir) => {
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir, imageRadius = true), CurationTargets)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- EVERY gate at once: funnel → exact + fuzzy decon → span →
+    // near-dup → image → DSIR cut → mixture — the full multimodal
+    // curation recipe composed end-to-end under ONE oracle (each gate
+    // is green alone in q162/q126/q205/q206; this proves they
+    // compose, which is what a production run actually executes).
+    "q208_curation_all_gates" -> ((s, dir) => {
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir, funnel = true, fuzzy = true,
+            image = true),
+          CurationTargets)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4887,16 +4929,16 @@ object SparkEntry {
   /** The fuzzy-decon pair tail over [[MinhashSigCtesSql]]: training ×
     * benchmark candidates through shared (band, bucket) cells, scored
     * by signature-match fraction, thresholded at est ≥ 0.5. Ends at
-    * `fsc` (doc_id, bench_id, est).
+    * `fzsc` (doc_id, bench_id, est).
     */
   private def fuzzyDeconPairCtesSql(threshold: Double): String =
-    s"""fpr AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
+    s"""fzpr AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
       | FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
       | WHERE x.doc_id % 20 <> 0 AND y.doc_id % 20 = 0),
-      |fsc AS (SELECT doc_id, bench_id, est FROM (
+      |fzsc AS (SELECT doc_id, bench_id, est FROM (
       |  SELECT p.doc_id, p.bench_id,
       |   SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est
-      |  FROM fpr p JOIN sigj sa ON sa.doc_id = p.doc_id
+      |  FROM fzpr p JOIN sigj sa ON sa.doc_id = p.doc_id
       |  JOIN sigj sb ON sb.doc_id = p.bench_id AND sb.j = sa.j
       |  GROUP BY 1, 2) WHERE est >= $threshold)""".stripMargin
 
@@ -4910,7 +4952,7 @@ object SparkEntry {
     s"""WITH $MinhashSigCtesSql,
        |$FuzzyDeconPairCtesSql,
        |fm AS (SELECT doc_id, COUNT(*) AS n_matches, MAX(est) AS mx
-       | FROM fsc GROUP BY doc_id)
+       | FROM fzsc GROUP BY doc_id)
        |SELECT d.doc_id,
        | CAST(COALESCE(fm.n_matches, 0) AS BIGINT) AS n_matches,
        | COALESCE(fm.mx, 0.0) AS max_est_jaccard,
@@ -4995,7 +5037,7 @@ object SparkEntry {
        | FROM ftp JOIN fsz ta ON ta.doc_id = ftp.doc_id
        | JOIN fsz tb ON tb.doc_id = ftp.bench_id
        | WHERE CAST(shared AS DOUBLE) / (ta.n + tb.n - shared) >= 0.5),
-       |fcd AS (SELECT doc_id, bench_id, 1 AS c FROM fsc
+       |fcd AS (SELECT doc_id, bench_id, 1 AS c FROM fzsc
        | WHERE doc_id % 2 = 0),
        |fj AS (SELECT COALESCE(ftr.doc_id, fcd.doc_id) AS doc_id,
        |  ftr.t, fcd.c
@@ -5482,7 +5524,7 @@ object SparkEntry {
     val body = (CurationChainHeadSql.stripPrefix("WITH RECURSIVE ") +
       ",\n" + minhashSigCtesSql(2) + ",\n" +
       fuzzyDeconPairCtesSql(0.45) + ",\n" +
-      "fzdrop AS (SELECT DISTINCT doc_id FROM fsc),\n" +
+      "fzdrop AS (SELECT DISTINCT doc_id FROM fzsc),\n" +
       curationExactDeconSql(
         "AND d.doc_id NOT IN (SELECT doc_id FROM fzdrop)") + ",\n" +
       CurationChainTailSql)
@@ -5503,27 +5545,61 @@ object SparkEntry {
     * doc_id ≡ 0 mod 5 survivors; min-id member kept), threaded into
     * kept2 alongside the span and near-dup gates.
     */
-  private val CurationImageChainSql: String = {
+  /** The image-gate splice shared by q206/q207/q208: an `imgd` drop
+    * set predicted from the fixture's class arithmetic (identical or
+    * radius-merged dHash ⇔ same `partitionExpr` among image-carrying
+    * doc_id ≡ 0 mod 5 kept1 survivors; min-id member kept), threaded
+    * into kept2 alongside the span and near-dup gates.
+    */
+  private def imageGateSplicedTail(partitionExpr: String): String = {
     val kept2Tail = "AND doc_id NOT IN (SELECT doc_id FROM nddrop)),"
     require(CurationChainTailSql.contains(kept2Tail),
       "curation tail drifted: kept2's nddrop clause not found — fix " +
-        "the q206 image-gate splice")
-    CurationChainHeadSql + ",\n" + CurationExactDeconSql + ",\n" +
-      """imgd AS (SELECT doc_id FROM (
-        |  SELECT doc_id, MIN(doc_id) OVER
-        |    (PARTITION BY (doc_id // 15) % 256) AS keepi
-        |  FROM kept1 WHERE doc_id % 5 = 0) ik
-        | WHERE doc_id <> keepi),""".stripMargin + "\n" +
+        "the image-gate splice")
+    s"""imgd AS (SELECT doc_id FROM (
+       |  SELECT doc_id, MIN(doc_id) OVER
+       |    (PARTITION BY $partitionExpr) AS keepi
+       |  FROM kept1 WHERE doc_id % 5 = 0) ik
+       | WHERE doc_id <> keepi),""".stripMargin + "\n" +
       CurationChainTailSql.replace(kept2Tail,
         "AND doc_id NOT IN (SELECT doc_id FROM nddrop)\n" +
           "   AND doc_id NOT IN (SELECT doc_id FROM imgd)),")
   }
 
+  private val CurationSelectTailSql: String =
+    """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+      |FROM r JOIN caps USING (lang)
+      |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin
+
   private val CurationImageOracleSql: String = materializeCtes(
-    CurationImageChainSql + "\n" +
-      """SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
-        |FROM r JOIN caps USING (lang)
-        |WHERE mix_rank <= k ORDER BY doc_id""".stripMargin)
+    CurationChainHeadSql + ",\n" + CurationExactDeconSql + ",\n" +
+      imageGateSplicedTail("(doc_id // 15) % 256") + "\n" +
+      CurationSelectTailSql)
+
+  /** q207: the RADIUS-1 image gate — the fixture's third group member
+    * is one dHash bit off its codeword, so the drop partition is the
+    * codeword index (doc_id div 15 mod 4), merging the dist-0 members
+    * WITH the 1-bit-off member (the connected-component convention).
+    */
+  private val CurationImageRadiusOracleSql: String = materializeCtes(
+    CurationChainHeadSql + ",\n" + CurationExactDeconSql + ",\n" +
+      imageGateSplicedTail("(doc_id // 15) % 4") + "\n" +
+      CurationSelectTailSql)
+
+  /** q208: EVERY gate at once — funnel first, exact + fuzzy decon,
+    * span, near-dup, image — the full multimodal curation recipe
+    * under one oracle.
+    */
+  private val CurationAllGatesOracleSql: String = materializeCtes(
+    CurationChainHeadSql + ",\n" + minhashSigCtesSql(2) + ",\n" +
+      fuzzyDeconPairCtesSql(0.45) + ",\n" +
+      "fzdrop AS (SELECT DISTINCT doc_id FROM fzsc),\n" +
+      CurationFunnelSql + ",\n" +
+      curationExactDeconSql(
+        "AND d.doc_id IN (SELECT doc_id FROM fkeep) " +
+          "AND d.doc_id NOT IN (SELECT doc_id FROM fzdrop)") + ",\n" +
+      imageGateSplicedTail("(doc_id // 15) % 256") + "\n" +
+      CurationSelectTailSql)
 
   /** q162: the q126 chain with the quality funnel run FIRST — kept1
     * additionally requires fkeep membership (the funnel is per-doc
@@ -8511,7 +8587,9 @@ object SparkEntry {
     "q204_wire_pdf_rag" -> WireRagOracleSql,
 
     "q205_curation_fuzzy" -> CurationFuzzyOracleSql,
-    "q206_curation_imagegate" -> CurationImageOracleSql
+    "q206_curation_imagegate" -> CurationImageOracleSql,
+    "q207_curation_image_radius" -> CurationImageRadiusOracleSql,
+    "q208_curation_all_gates" -> CurationAllGatesOracleSql
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

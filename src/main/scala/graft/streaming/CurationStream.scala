@@ -104,6 +104,12 @@ object CurationStream {
                     // a duplicate group
                     imageIdx: Option[String] = None,
                     imageHashCol: String = "img_hash",
+                    // 0 = identical-hash groups only; > 0 = banded-
+                    // Hamming near-dup at that radius, duplicate
+                    // groups = connected components (the LAION
+                    // convention: a-b-c chains merge even when a and
+                    // c exceed the radius)
+                    imageMaxDist: Int = 0,
                     // heuristic quality funnel (Gopher/C4 rules, the
                     // q157 gate) run FIRST in the fold — the cheapest
                     // gate in the recipe (one per-row projection),
@@ -237,7 +243,8 @@ object CurationStream {
     selectWithDrops(spark, cfg, targetShare10k,
       cfg.spanIdx.map(dir => spanDropSet(spark, dir, cfg)),
       cfg.nearDupIdx.map(dir => nearDupDropSet(spark, dir, cfg)),
-      cfg.imageIdx.map(dir => imageDropSet(spark, dir)))
+      cfg.imageIdx.map(dir =>
+        imageDropSet(spark, dir, cfg.imageMaxDist)))
 
   /** [[select]] with the gate drop sets supplied by the caller —
     * [[selectReport]] computes each set once and reuses it for the
@@ -346,7 +353,8 @@ object CurationStream {
     val ndDrop = cfg.nearDupIdx
       .map(d => nearDupDropSet(spark, d, cfg).localCheckpoint(false))
     val imgDrop = cfg.imageIdx
-      .map(d => imageDropSet(spark, d).localCheckpoint(false))
+      .map(d => imageDropSet(spark, d, cfg.imageMaxDist)
+        .localCheckpoint(false))
     val nSpan = spanDrop.map(_.count()).getOrElse(0L)
     val nNd = ndDrop.map(_.count()).getOrElse(0L)
     val gated0 = spanDrop.fold(idx0)(ds =>
@@ -422,7 +430,7 @@ object CurationStream {
     val ndDrop = cfg.nearDupIdx.map(d =>
       nearDupDropSet(spark, d, cfg).localCheckpoint(false))
     val imgDrop = cfg.imageIdx.map(d =>
-      imageDropSet(spark, d).localCheckpoint(false))
+      imageDropSet(spark, d, cfg.imageMaxDist).localCheckpoint(false))
     val kept = gatedKept(spark, cfg, spanDrop, ndDrop, imgDrop)
     val sel = mixtureOver(spark, kept, cfg, targetShare10k)
     val base0a = docs.select(col(cfg.idCol).as("doc_id"))
@@ -539,12 +547,24 @@ object CurationStream {
     * [[graft.operators.Dedup.hammingNearDup]] over the same layers.
     */
   def imageDropSet(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): DataFrame = {
+                   dir: String, maxDist: Int = 0): DataFrame = {
     val ih = spark.read.parquet(dir).select("doc_id", "dhash")
-    val reps = ih.groupBy("dhash").agg(min("doc_id").as("keep_id"))
-    ih.join(reps, Seq("dhash"))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select("doc_id")
+    if (maxDist <= 0) {
+      val reps = ih.groupBy("dhash").agg(min("doc_id").as("keep_id"))
+      ih.join(reps, Seq("dhash"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select("doc_id")
+    } else {
+      // radius mode: banded-Hamming candidates (identical hashes are
+      // just dist-0 pairs of the same machinery) → min-label
+      // connected components → the min-id member of each component
+      // is its representative, everything else drops
+      val pairs = graft.operators.Dedup.hammingNearDup(ih, "doc_id",
+        "dhash", maxDist)
+      graft.operators.Dedup.dupClusters(pairs, "id_a", "id_b")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+    }
   }
 
   /** Start the streaming fold over a document stream. */

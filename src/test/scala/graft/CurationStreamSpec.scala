@@ -367,6 +367,62 @@ class CurationStreamSpec extends SparkSpecBase {
       .collect().length == 6)
   }
 
+  test("IMAGE gate radius mode: a 1-bit-off near-duplicate merges into " +
+      "its group's component (kept exact-only at radius 0), and " +
+      "components never bleed across codewords >= 3 bits apart") {
+    import graft.operators.Multimodal
+    def page(i: Long) = {
+      val d = f"$i%03d"
+      s"the quick$d brown$d of fox$d and jumps$d it over$d " +
+        s"w$d x$d y$d z$d p$d q$d r$d s$d t$d u$d v$d"
+    }
+    val docs = (1L to 8L).map(i => CurDoc(i, "en", page(i)))
+      .toDF("doc_id", "lang", "text")
+    // group A: docs 1,2 identical (code 0x00), doc 3 one bit off
+    // (0x01); group B: docs 4,5 identical at code 0x07 (3 bits from
+    // both A codes) — must stay a separate component
+    val media = Seq((1L, 0x00), (2L, 0x00), (3L, 0x01),
+      (4L, 0x07), (5L, 0x07))
+      .map { case (id, code) =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodeRowPatternPng(9, 8, 200, 40,
+            (0 until 8).map(b => ((code >> b) & 1) == 1)),
+          "image/png") }.toDS()
+    val hashes = Multimodal.dhashFeatures(media).toDF()
+      .select(col("media_id").as("doc_id"), col("dhash").as("img_hash"))
+    val input = docs.join(hashes, Seq("doc_id"), "left")
+    val benchIdx = mk(); val dsirIdx = mk()
+    graft.operators.TextAnalysis.buildBenchmarkIndex(
+      Seq(CurDoc(999L, "en", "nothing shared here at all"))
+        .toDF("doc_id", "lang", "text"), "text", 5, benchIdx)
+    TextAnalysis.buildDsirIndex(docs, docs, "doc_id", "text",
+      65536, 1000000L, dsirIdx)
+    def cfgAt(dist: Int) = CurationStream.Config(
+      benchIdx, dsirIdx, mk(), "doc_id", "text", "lang",
+      keepFrac10k = 10000L, imageIdx = Some(mk()),
+      imageMaxDist = dist)
+    val targets = Map("en" -> 10000L)
+
+    val r0 = cfgAt(0)
+    CurationStream.foldBatch(input, 1L, r0)
+    val sel0 = CurationStream.select(spark, r0, targets)
+      .select("doc_id").as[Long].collect().toSet
+    // exact mode: doc 3's near-dup hash is DISTINCT → it survives
+    assert(sel0 == Set(1L, 3L, 4L, 6L, 7L, 8L), sel0.toString)
+
+    val r1 = cfgAt(1)
+    CurationStream.foldBatch(input, 1L, r1)
+    val sel1 = CurationStream.select(spark, r1, targets)
+      .select("doc_id").as[Long].collect().toSet
+    // radius 1: doc 3 merges into group A's component; group B stays
+    // its own (codewords 3 bits apart)
+    assert(sel1 == Set(1L, 4L, 6L, 7L, 8L), sel1.toString)
+    val prov = CurationStream.provenance(spark, r1, input, targets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prov(3L) == "d2_imagedup" && prov(2L) == "d2_imagedup" &&
+      prov(5L) == "d2_imagedup" && prov(1L) == "g_selected")
+  }
+
   test("provenance: every input doc gets exactly one first-drop label; " +
       "stage victims land where the gate order says; g_selected " +
       "equals the selection; the DSIR cut is labeled when it bites") {
