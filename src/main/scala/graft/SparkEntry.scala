@@ -4430,6 +4430,78 @@ object SparkEntry {
             image = true),
           CurationTargets)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- AUDIO near-dup via the energy-envelope fingerprint (the ---
+    // dHash idea on the time axis): same loudness SHAPE at different
+    // VOLUMES fingerprints identically — the fixture's period-4
+    // amplitude comb is phase-shifted by the class, volumes vary per
+    // clip, and the oracle predicts each clip's duplicate-group size
+    // from event arithmetic alone (real WAV encode → javax.sound
+    // decode → exact-integer envelope, all of it has to be right for
+    // the volumes to collapse into exactly four groups).
+    "q209_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(50)) === 0)
+        .withColumn("j", expr("event_id div 50").cast("long"))
+        .select(col("event_id").cast("long").as("media_id"),
+          pmod(col("j"), lit(4)).cast("int").as("cls"),
+          (lit(500) + pmod(col("event_id"), lit(300))).cast("int")
+            .as("vol"),
+          (lit(8000) + pmod(col("j"), lit(3)) * lit(8000)).cast("int")
+            .as("rate"))
+        .as[(Long, Int, Int, Int)]
+        .map { case (id, cls, vol, rate) =>
+          val samples = Array.tabulate[Short](640) { k =>
+            val f = k / 10
+            if ((f + cls) % 4 == 0) vol.toShort else 0: Short
+          }
+          Multimodal.MediaRow(id, "audio",
+            Multimodal.encodeWav(rate, samples), "audio/wav") }
+      val fps = Multimodal.audioFingerprints(media, Some(8)).toDF()
+      val sizes = fps.groupBy("dhash").agg(count(lit(1)).as("__n"))
+      fps.join(sizes, "dhash")
+        .select(col("media_id"),
+          (col("__n") - 1).cast("long").as("n_dups"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- VIDEO near-dup via per-frame dHash sequences: a video's ---
+    // dedup identity is its ordered frame-fingerprint list, so
+    // re-encodes at different grays collapse while a changed frame
+    // separates. Fixture: 3 banded MJPEG frames per video, each
+    // frame's bright side = one bit of the class — the oracle
+    // predicts group sizes from (event div 50) % 8 alone, across the
+    // LOSSY JPEG round trip (block-aligned band boundary keeps the
+    // comparisons inside the margin).
+    "q210_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = eventsUs(s, dir)
+        .filter(pmod(col("event_id"), lit(50)) === 0)
+        .withColumn("j", expr("event_id div 50").cast("long"))
+        .select(col("event_id").cast("long").as("media_id"),
+          pmod(col("j"), lit(8)).cast("int").as("cls"),
+          (lit(200) + pmod(col("j"), lit(40))).cast("int").as("bright"),
+          (lit(20) + pmod(col("j"), lit(20))).cast("int").as("dark"))
+        .as[(Long, Int, Int, Int)]
+        .map { case (id, cls, bright, dark) =>
+          val frames = (0 until 3).map { k =>
+            if (((cls >> k) & 1) == 0) (bright, dark) else (dark, bright)
+          }
+          Multimodal.MediaRow(id, "video",
+            Multimodal.encodeAviMjpegBanded(72, 16, frames),
+            "video/x-msvideo") }
+      val fh = Multimodal.frameDhashes(media, Some(8)).toDF()
+      val sig = fh.groupBy("media_id")
+        .agg(transform(array_sort(collect_list(
+            struct(col("frame_idx"), col("dhash")))),
+          s => s.getField("dhash")).as("vsig"))
+      val sizes = sig.groupBy("vsig").agg(count(lit(1)).as("__n"))
+      sig.join(sizes, "vsig")
+        .select(col("media_id"),
+          (col("__n") - 1).cast("long").as("n_dups"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -8589,7 +8661,31 @@ object SparkEntry {
     "q205_curation_fuzzy" -> CurationFuzzyOracleSql,
     "q206_curation_imagegate" -> CurationImageOracleSql,
     "q207_curation_image_radius" -> CurationImageRadiusOracleSql,
-    "q208_curation_all_gates" -> CurationAllGatesOracleSql
+    "q208_curation_all_gates" -> CurationAllGatesOracleSql,
+
+    // envelope-fingerprint class prediction: duplicate-group size
+    // from the comb phase alone (volume and sample rate vary per
+    // clip — the fingerprint ignores both by construction)
+    "q209_audio_neardup" ->
+      s"""WITH e AS ($EventsUsSql),
+         |au AS (SELECT CAST(event_id AS BIGINT) AS media_id,
+         |  (event_id // 50) % 4 AS cls
+         | FROM e WHERE event_id % 50 = 0),
+         |g AS (SELECT cls, COUNT(*) AS n FROM au GROUP BY cls)
+         |SELECT au.media_id, CAST(g.n - 1 AS BIGINT) AS n_dups
+         |FROM au JOIN g USING (cls) ORDER BY media_id""".stripMargin,
+
+    // frame-sequence class prediction: the 3-bit class IS the
+    // frame-hash sequence (one bright-side bit per frame), so group
+    // size = class population, across the lossy JPEG round trip
+    "q210_video_neardup" ->
+      s"""WITH e AS ($EventsUsSql),
+         |vd AS (SELECT CAST(event_id AS BIGINT) AS media_id,
+         |  (event_id // 50) % 8 AS cls
+         | FROM e WHERE event_id % 50 = 0),
+         |g AS (SELECT cls, COUNT(*) AS n FROM vd GROUP BY cls)
+         |SELECT vd.media_id, CAST(g.n - 1 AS BIGINT) AS n_dups
+         |FROM vd JOIN g USING (cls) ORDER BY media_id""".stripMargin
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

@@ -238,6 +238,12 @@ object Multimodal {
           w, h, frames.length, hist.map(_ / total.toFloat))
       }
 
+    /** The raw JPEG bytes of each frame — [[frameDhashes]]'s entry to
+      * the same walk the feature decode uses.
+      */
+    def framesOf(payload: Array[Byte], mediaId: Long): Seq[Array[Byte]] =
+      mjpegFrames(payload, mediaId)
+
     /** Walk the RIFF tree and return each `..dc` chunk's bytes (one
       * JPEG per MJPEG frame). Only the `movi` LIST is descended —
       * headers and the optional idx1 are skipped by size.
@@ -284,7 +290,7 @@ object Multimodal {
   def encodeAviMjpeg(width: Int, height: Int,
                      grays: Seq[Int]): Array[Byte] = {
     require(grays.nonEmpty, "at least one frame")
-    def jpeg(g: Int): Array[Byte] = {
+    aviMjpegContainer(width, height, grays.map { g =>
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (g << 16) | (g << 8) | g
@@ -297,7 +303,46 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
-    }
+    })
+  }
+
+  /** MJPEG-in-AVI with BANDED frames — (leftGray, rightGray) per
+    * frame, split at 5/9 of the width like [[encodeBandedPng]] — the
+    * fixture for per-frame fingerprints ([[frameDhashes]]): each
+    * frame's dHash is a pure function of WHICH side is brighter. The
+    * lossy JPEG round trip stays inside the comparison margin when
+    * `width` is a multiple of 72 (the 5/9 split lands on an 8-px JPEG
+    * block boundary, so ringing never crosses a dHash grid cell) and
+    * the two grays are far apart.
+    */
+  def encodeAviMjpegBanded(width: Int, height: Int,
+                           frames: Seq[(Int, Int)]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    require(width % 72 == 0,
+      "width must be a multiple of 72 (9-col dHash grid × 8-px JPEG " +
+        "blocks — the band boundary must land on both)")
+    val split = width / 9 * 5
+    aviMjpegContainer(width, height, frames.map { case (gl, gr) =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = if (x < split) gl else gr
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    })
+  }
+
+  private def aviMjpegContainer(width: Int, height: Int,
+                                jpegs: Seq[Array[Byte]]): Array[Byte] = {
     def le32(v: Int): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -309,16 +354,16 @@ object Multimodal {
     def list(typ: String, body: Array[Byte]): Array[Byte] =
       chunk("LIST", cc(typ) ++ body)
     def words(vals: Seq[Int]): Array[Byte] = vals.flatMap(le32).toArray
-    val avih = words(Seq(40000, 0, 0, 0, grays.length, 0, 1, 0,
+    val avih = words(Seq(40000, 0, 0, 0, jpegs.length, 0, 1, 0,
       width, height, 0, 0, 0, 0))
     val strh = cc("vids") ++ cc("MJPG") ++ words(Seq(0, 0, 0,
-      1, 25, 0, grays.length, 0, -1, 0, 0, 0))
+      1, 25, 0, jpegs.length, 0, -1, 0, 0, 0))
     val strf = words(Seq(40, width, height, 1 | (24 << 16))) ++
       cc("MJPG") ++ words(Seq(width * height * 3, 0, 0, 0, 0))
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val movi = list("movi",
-      grays.flatMap(g => chunk("00dc", jpeg(g))).toArray)
+      jpegs.flatMap(jb => chunk("00dc", jb)).toArray)
     chunk("RIFF", cc("AVI ") ++ hdrl ++ movi)
   }
 
@@ -474,6 +519,96 @@ object Multimodal {
       require(img != null,
         s"undecodable image payload: media ${r.media_id}")
       MediaHash(r.media_id, dHash(img))
+    })
+  }
+
+  /** 64-bit AUDIO fingerprint — the dHash idea on the time-domain
+    * energy envelope: the clip splits into 64 equal frames, frame
+    * energies are EXACT integer sums of |sample|, and bit i compares
+    * energy(i) > energy((i+1) mod 64). Like dHash's gray-level
+    * invariance, the comparisons are invariant to VOLUME (scaling
+    * every sample scales every energy) and — because frames are
+    * duration-relative — to sample RATE; only the loudness SHAPE is
+    * fingerprinted. Pure integer arithmetic on lossless PCM, so the
+    * hash is bit-identical in any engine. Clips shorter than 64
+    * samples fail loudly (empty frames would make the hash depend on
+    * which frames are empty — the dHash sub-grid rule).
+    */
+  def audioFingerprint(samples: Array[Short], mediaId: Long): Long = {
+    val n = samples.length
+    require(n >= 64,
+      s"media $mediaId: audioFingerprint needs >= 64 samples, got $n")
+    val energy = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      // frame of sample i: the integer grid partition (dHash's rule)
+      energy((i.toLong * 64 / n).toInt) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var bits = 0L
+    var f = 0
+    while (f < 64) {
+      if (energy(f) > energy((f + 1) % 64)) bits |= (1L << f)
+      f += 1
+    }
+    bits
+  }
+
+  /** Per-payload audio fingerprints over the batched WAV-decode seam
+    * (16-bit mono PCM, the [[WavCodec]] contract). Output:
+    * (media_id, dhash) — the SAME 64-bit fingerprint family as
+    * [[dhashFeatures]], so audio near-dup rides the identical
+    * machinery: exact grouping, [[graft.operators.Dedup
+    * .hammingNearDup]] banding, the curation recipe's image gate.
+    */
+  def audioFingerprints(media: Dataset[MediaRow],
+                        parallelism: Option[Int] = None)
+      : Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val part = parallelism.map(media.repartition(_)).getOrElse(media)
+    part.mapPartitions(_.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media ${r.media_id}: expected 16-bit mono PCM, got $fmt")
+      val data = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val samples = new Array[Short](data.length / 2)
+      var i = 0
+      while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+      MediaHash(r.media_id, audioFingerprint(samples, r.media_id))
+    })
+  }
+
+  final case class FrameHash(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Per-FRAME dHash over the batched MJPEG-AVI decode seam — the
+    * video near-dup primitive: a video's identity for dedup is its
+    * (ordered) frame-fingerprint sequence, so re-encodes that keep
+    * the frames collapse together while an edit (inserted/changed
+    * frame) separates. Output: (media_id, frame_idx, dhash); group on
+    * the collected sequence for exact video dedup, or set-overlap the
+    * frames for partial-match detection.
+    */
+  def frameDhashes(media: Dataset[MediaRow],
+                   parallelism: Option[Int] = None): Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val part = parallelism.map(media.repartition(_)).getOrElse(media)
+    part.mapPartitions(_.flatMap { r =>
+      val frames = AviMjpegCodec.framesOf(r.payload, r.media_id)
+      require(frames.nonEmpty, s"media ${r.media_id}: no video frames")
+      frames.zipWithIndex.map { case (jb, idx) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(jb))
+        require(img != null,
+          s"media ${r.media_id}: undecodable MJPEG frame $idx")
+        FrameHash(r.media_id, idx, dHash(img))
+      }
     })
   }
 

@@ -210,6 +210,56 @@ class OperatorSpec extends SparkSpecBase {
       e.getCause != null && e.getCause.getMessage.contains("not a PDF"))
   }
 
+  test("audioFingerprint: same envelope shape at different volumes and " +
+      "sample rates hashes identically; a phase-shifted envelope " +
+      "differs; silence is zero; sub-64-sample clips fail loudly") {
+    def comb(phase: Int, vol: Short, n: Int = 640): Array[Short] =
+      Array.tabulate[Short](n) { k =>
+        if ((k * 64 / n + phase) % 4 == 0) vol else 0: Short
+      }
+    def fp(samples: Array[Short], rate: Int = 8000): Long = {
+      val rows = Seq(Multimodal.MediaRow(1, "audio",
+        Multimodal.encodeWav(rate, samples), "audio/wav")).toDS()
+      Multimodal.audioFingerprints(rows).collect().head.dhash
+    }
+    val base = fp(comb(0, 1000))
+    assert(base != 0L)
+    assert(fp(comb(0, 37)) == base, "volume invariance")
+    assert(fp(comb(0, 1000), rate = 44100) == base, "rate invariance")
+    assert(fp(comb(0, 900, n = 1280)) == base,
+      "duration-relative frames: same shape at 2x length")
+    assert(fp(comb(1, 1000)) != base, "phase shift must differ")
+    assert(fp(new Array[Short](640)) == 0L, "silence is zero")
+    val e = intercept[org.apache.spark.SparkException] {
+      fp(new Array[Short](63))
+    }
+    assert(e.getMessage.contains("64 samples") ||
+      e.getCause != null && e.getCause.getMessage.contains("64 samples"))
+  }
+
+  test("frameDhashes: per-frame hashes survive the lossy MJPEG round " +
+      "trip — re-encodes at different grays collapse to the same " +
+      "frame-hash sequence, a changed frame separates") {
+    def video(bits: Seq[Boolean], bright: Int, dark: Int) =
+      Multimodal.encodeAviMjpegBanded(72, 16,
+        bits.map(b => if (b) (bright, dark) else (dark, bright)))
+    val rows = Seq(
+      Multimodal.MediaRow(1, "video",
+        video(Seq(true, false, true), 200, 40), "video/x-msvideo"),
+      Multimodal.MediaRow(2, "video", // same sequence, other grays
+        video(Seq(true, false, true), 230, 25), "video/x-msvideo"),
+      Multimodal.MediaRow(3, "video", // frame 1 flipped
+        video(Seq(true, true, true), 200, 40), "video/x-msvideo"))
+      .toDS()
+    val fh = Multimodal.frameDhashes(rows, parallelism = Some(2))
+      .collect().groupBy(_.media_id)
+      .map { case (id, fs) =>
+        id -> fs.sortBy(_.frame_idx).map(_.dhash).toSeq }
+    assert(fh(1L).length == 3 && fh(1L) == fh(2L))
+    assert(fh(1L) != fh(3L) && fh(1L)(0) == fh(3L)(0) &&
+      fh(1L)(2) == fh(3L)(2) && fh(1L)(1) != fh(3L)(1))
+  }
+
   test("dHash: same pattern at different sizes and gray levels hashes " +
     "identically; opposite pattern differs; uniform is zero; " +
     "sub-grid images fail loudly") {
