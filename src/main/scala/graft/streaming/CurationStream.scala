@@ -94,9 +94,12 @@ object CurationStream {
                     // image near-dup gate (the multimodal column
                     // story inside the recipe): imageHashCol names a
                     // 64-bit perceptual-hash column the batch carries
-                    // (computed upstream on the codec seam, e.g.
-                    // [[graft.operators.Multimodal.dhashFeatures]] —
-                    // null = doc has no image and passes); foldBatch
+                    // (computed upstream on the codec seam —
+                    // [[graft.operators.Multimodal.dhashFeatures]],
+                    // or [[graft.operators.Multimodal
+                    // .audioFingerprints]] for an audio column: both
+                    // emit the same 64-bit family; null = doc has no
+                    // media and passes); foldBatch
                     // persists (doc_id, dhash) layers under imageIdx
                     // and [[select]] keeps only the min-id member of
                     // each identical-hash group, derived from the

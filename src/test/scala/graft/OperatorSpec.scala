@@ -193,6 +193,14 @@ class OperatorSpec extends SparkSpecBase {
       "\nendstream\nendobj\ntrailer\n")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(Multimodal.PdfCodec.text(pdf, 3L) == "He\nllo w\norld!")
+    // MULTI-PAGE layout: two content-stream objects (one per page)
+    // join exactly like blocks within a stream
+    val pdf2 = ("%PDF-1.4\n1 0 obj\n<< >>\nstream\n" +
+      "BT (page one) Tj ET\nendstream\nendobj\n" +
+      "2 0 obj\n<< >>\nstream\nBT (page two) Tj ET\nendstream\n" +
+      "endobj\ntrailer\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Multimodal.PdfCodec.text(pdf2, 4L) == "page one\npage two")
     // batched dataset API on the mapPartitions seam
     val rows = Seq(
       Multimodal.MediaRow(1, "pdf", Multimodal.encodePdf(Seq("doc one")),
