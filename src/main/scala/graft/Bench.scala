@@ -62,7 +62,12 @@ object Bench {
     // codec seam, and the wire→PDF→RAG end-to-end chain (documents
     // riding as base64 PDF attachments — the corpus shape hospital
     // RAG systems actually hold)
-    "q202_hamming_eval", "q203_pdf_extract", "q204_wire_pdf_rag")
+    "q202_hamming_eval", "q203_pdf_extract", "q204_wire_pdf_rag",
+    // round 14 second wave: SFT conversation assembly (the one-
+    // window-per-conversation span layout) and the WordPiece greedy
+    // longest-match encode (the corpus-scan-bound tokenizer
+    // application shape, native expression over a broadcast vocab)
+    "q213_sft_spans", "q217_wordpiece_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.kernel.BitemporalKernel
-import graft.operators.{Ann, Dedup, EntityUpserts, IdentityMerge, Lexical, LocationMeta, Multimodal, Temporal, TextAnalysis}
+import graft.operators.{Ann, Conversations, Dedup, EntityUpserts, IdentityMerge, Lexical, LocationMeta, Multimodal, Temporal, TextAnalysis, WordPiece}
 
 /** Driver contract (see SURVEY.md §7 + TESTDATA.md).
   *
@@ -153,7 +153,8 @@ object SparkEntry {
                               fuzzy: Boolean = false,
                               paraphrase: Boolean = false,
                               image: Boolean = false,
-                              imageRadius: Boolean = false)
+                              imageRadius: Boolean = false,
+                              audio: Boolean = false)
       : graft.streaming.CurationStream.Config = {
     val d0 = t(s, dir, "documents")
     val d = if (!paraphrase) d0 else {
@@ -195,12 +196,43 @@ object SparkEntry {
       keepFrac10k = 4000L, deconBloom = deconBloom,
       fuzzyIdx = fuzzyIdx, fzBands = 32, fzThreshold = 0.45,
       spanIdx = Some(mk()), nearDupIdx = Some(mk()),
-      imageIdx = if (image || imageRadius) Some(mk()) else None,
+      imageIdx = if (image || imageRadius || audio) Some(mk()) else None,
       imageMaxDist = if (imageRadius) 1 else 0,
       funnelLangs = if (funnel) Some(Seq("en")) else None)
     if (fold) {
       val train0 = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      val train = if (!image && !imageRadius) train0 else {
+      val train = if (audio) {
+        import s.implicits._
+        // AUDIO near-dup gate through the SAME hash machinery the
+        // image gate uses (Config.imageHashCol is just a 64-bit
+        // fingerprint column): doc_id ≡ 0 mod 5 docs carry WAV clips
+        // whose energy-envelope class = (doc_id div 15) % 4 — the
+        // q209 period-4 amplitude comb, phase-shifted by the class —
+        // at per-doc volumes AND sample rates. The envelope
+        // fingerprint is volume- and rate-invariant by construction,
+        // so clips collapse into exactly the four class groups.
+        val media = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id").cast("long").as("media_id"),
+            pmod(expr("CAST(doc_id AS BIGINT) div 15"), lit(4L))
+              .cast("int").as("cls"),
+            (lit(500) + pmod(col("doc_id"), lit(300))).cast("int")
+              .as("vol"),
+            (lit(8000) + pmod(col("doc_id"), lit(3)) * lit(8000))
+              .cast("int").as("rate"))
+          .as[(Long, Int, Int, Int)]
+          .map { case (id, cls, vol, rate) =>
+            val samples = Array.tabulate[Short](640) { k =>
+              if ((k / 10 + cls) % 4 == 0) vol.toShort else 0: Short
+            }
+            Multimodal.MediaRow(id, "audio",
+              Multimodal.encodeWav(rate, samples), "audio/wav") }
+        val hashes = Multimodal.audioFingerprints(media, Some(8)).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("dhash").as("img_hash"))
+        train0.select(col("doc_id").cast("long").as("doc_id"),
+            col("text"), col("lang"))
+          .join(hashes, Seq("doc_id"), "left")
+      } else if (!image && !imageRadius) train0 else {
         import s.implicits._
         // exact mode: pattern class = (id div 15) % 256, injective in
         // the dHash. RADIUS mode (q207): class = codeword((id div 15)
@@ -270,6 +302,168 @@ object SparkEntry {
   private val EventsUsSql =
     "SELECT user_id, event_id, event_type, value, " +
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events"
+
+  /** q213/q214 chat-turn fixture: 6-turn conversations from event-id
+    * arithmetic — alternating user/assistant roles, texts of 1–3
+    * repeated event-type words (variable widths exercise the span
+    * cumsum; the repeat keeps every token non-empty).
+    */
+  private def sftTurns(s: SparkSession, dir: String): DataFrame =
+    eventsUs(s, dir).select(
+      expr("CAST(event_id AS BIGINT) div 6").as("conv_id"),
+      pmod(col("event_id"), lit(6)).cast("long").as("turn_idx"),
+      when(pmod(col("event_id"), lit(2)) === 0, "user")
+        .otherwise("assistant").as("role"),
+      expr("trim(repeat(concat(event_type, ' '), " +
+        "CAST(event_id % 3 AS INT) + 1))").as("text"))
+
+  /** The q213/q214 oracle's matching turn CTEs: `t` (the fixture) and
+    * `p` (rendered piece + token width).
+    */
+  private val SftTurnCtesSql: String =
+    s"""e AS ($EventsUsSql),
+       |t AS (SELECT CAST(event_id // 6 AS BIGINT) AS conv_id,
+       |  CAST(event_id % 6 AS BIGINT) AS turn_idx,
+       |  CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+       |    AS role,
+       |  trim(repeat(event_type || ' ', CAST(event_id % 3 AS INT) + 1))
+       |    AS text
+       | FROM e),
+       |p AS (SELECT conv_id, turn_idx, role,
+       |  '<|' || role || '|> ' || text AS piece,
+       |  1 + len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> len(x) > 0)) AS n_tokens
+       | FROM t)""".stripMargin
+
+  /** q217/q220/q221 encode corpus: every 25th doc carries an appended
+    * 20-char word that trips BERT's max_input_chars_per_word=16 guard
+    * (→ whole-word [UNK]); the vocab is always mined from the RAW
+    * documents, so the long word exercises the guard, not the mining.
+    */
+  private def wpAugDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        when(pmod(col("doc_id"), lit(25)) === 0,
+          concat(col("text"), lit(" " + "x" * 20)))
+          .otherwise(col("text")).as("text"))
+
+  /** q216/q217 WordPiece vocabulary-mining replay: word frequencies →
+    * positional substring candidates (word-initial unmarked, later
+    * positions '##'-marked, length ≤ `maxPieceLen`) → `wpvocab` = all
+    * single-char pieces ∪ top-`topPieces` multi-char by (cnt DESC,
+    * piece ASC). Exact integer counts.
+    */
+  private def wordpieceVocabCtesSql(maxPieceLen: Int,
+                                    topPieces: Int): String = {
+    val single = "(piece LIKE '##%' AND len(piece) = 3) " +
+      "OR (piece NOT LIKE '##%' AND len(piece) = 1)"
+    s"""wtk AS (SELECT unnest(list_filter(
+       |    string_split_regex(trim(text), '\\s+'), x -> len(x) > 0))
+       |  AS tok FROM documents),
+       |wfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+       | FROM wtk GROUP BY tok),
+       |wcp AS (SELECT tok, wc, unnest(range(len(tok))) AS p FROM wfr),
+       |wcl AS (SELECT tok, wc, p,
+       |  unnest(range(1, least($maxPieceLen, len(tok) - p) + 1)) AS l
+       | FROM wcp),
+       |wpc AS (SELECT CASE WHEN p = 0
+       |   THEN substr(tok, 1, CAST(l AS INT))
+       |   ELSE '##' || substr(tok, CAST(p + 1 AS INT), CAST(l AS INT))
+       |  END AS piece, wc FROM wcl),
+       |wag AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+       | FROM wpc GROUP BY piece),
+       |wmu AS (SELECT piece, cnt FROM wag
+       | WHERE NOT ($single) ORDER BY cnt DESC, piece LIMIT $topPieces),
+       |wpvocab AS (SELECT piece, cnt FROM wag WHERE $single
+       | UNION ALL SELECT piece, cnt FROM wmu)""".stripMargin
+  }
+
+  /** q217's greedy longest-match replay: `stages` unrolled rounds
+    * over the distinct word table of the augmented corpus — round s
+    * finds each in-progress word's longest vocab piece at its cursor
+    * (`wb$s`) and advances (`wst$s`); a finished word passes through
+    * unchanged. A surviving word consumes ≥ 1 char per round, so
+    * `stages` = maxInputChars rounds are pigeonhole-complete; words
+    * over maxInputChars chars bypass the rounds as whole-word [UNK]
+    * (BERT's max_input_chars_per_word guard). The final SELECT only
+    * admits words whose cursor REACHED the end — a stalled word
+    * (vocabulary missing one of its single chars; impossible under
+    * the mining guarantee) would surface as a row-count mismatch,
+    * never a silently-partial encoding. Every stage CTE is
+    * MATERIALIZED (3 references each — the BPE-chain discipline).
+    */
+  private def wordpieceEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
+                                       maxInputChars: Int,
+                                       ids: Boolean = false): String = {
+    def pieceAt(tok: String, pos: String, l: String) =
+      s"CASE WHEN $pos = 0 THEN substr($tok, 1, CAST($l AS INT)) " +
+        s"ELSE '##' || substr($tok, CAST($pos + 1 AS INT), " +
+        s"CAST($l AS INT)) END"
+    val aug =
+      s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CASE WHEN doc_id % 25 = 0
+         |   THEN text || ' ${"x" * 20}' ELSE text END AS text
+         | FROM documents),
+         |adt AS (SELECT doc_id, widx, ws[CAST(widx + 1 AS INT)] AS tok
+         | FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS widx
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(
+         |    trim(text), '\\s+'), x -> len(x) > 0) AS ws
+         |   FROM adocs))),
+         |wst0 AS (SELECT tok, len(tok) AS n, 0 AS pos, '' AS toks
+         | FROM (SELECT DISTINCT tok FROM adt
+         |  WHERE len(tok) <= $maxInputChars))""".stripMargin
+    val stages = (1 to maxInputChars).map { s =>
+      val prev = s"wst${s - 1}"
+      s"""wb$s AS (SELECT tok, pos, MAX(l) AS bl FROM (
+         |  SELECT tok, pos, n, unnest(range(1,
+         |    least($maxPieceLen, n - pos) + 1)) AS l
+         |  FROM $prev WHERE pos < n) c
+         | JOIN wpvocab v
+         |  ON v.piece = ${pieceAt("c.tok", "c.pos", "c.l")}
+         | GROUP BY tok, pos),
+         |wst$s AS (SELECT s.tok, s.n, s.pos + b.bl AS pos,
+         |  CASE WHEN s.toks = '' THEN '' ELSE s.toks || ' ' END ||
+         |   ${pieceAt("s.tok", "s.pos", "b.bl")} AS toks
+         | FROM $prev s JOIN wb$s b ON s.tok = b.tok AND s.pos = b.pos
+         | WHERE s.pos < s.n
+         | UNION ALL
+         | SELECT tok, n, pos, toks FROM $prev
+         | WHERE pos >= n)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""wdone AS (SELECT tok, toks FROM wst$maxInputChars
+         | WHERE pos >= n
+         | UNION ALL
+         | SELECT DISTINCT tok, '[UNK]' AS toks FROM adt
+         | WHERE len(tok) > $maxInputChars),
+         |wpl AS (SELECT tok, string_split(toks, ' ') AS pl
+         | FROM wdone),
+         |wfl AS (SELECT doc_id, widx, k, pl[CAST(k + 1 AS INT)]
+         |  AS piece
+         | FROM (SELECT d.doc_id, d.widx, w.pl,
+         |   unnest(range(len(w.pl))) AS k
+         |  FROM adt d JOIN wpl w USING (tok)))""".stripMargin
+    val sel = if (!ids)
+      """SELECT doc_id,
+        | CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY widx, k) - 1 AS BIGINT) AS pos,
+        | piece
+        |FROM wfl ORDER BY doc_id, pos""".stripMargin
+    else
+      """wfp AS (SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY widx, k) - 1 AS BIGINT) AS pos, piece FROM wfl),
+        |idm AS (SELECT piece, CAST(row_number() OVER (ORDER BY piece)
+        |  - 1 AS BIGINT) AS piece_id FROM wpvocab)
+        |SELECT f.doc_id, f.pos,
+        | COALESCE(i.piece_id, CAST(-1 AS BIGINT)) AS piece_id
+        |FROM wfp f LEFT JOIN idm i USING (piece)
+        |ORDER BY doc_id, pos""".stripMargin
+    materializeCtes("WITH " +
+      wordpieceVocabCtesSql(maxPieceLen, topPieces) + ",\n" +
+      aug + ",\n" + stages + ",\n" + tail +
+      (if (ids) ",\n" else "\n") + sel)
+  }
 
   private def dec(c: Column, p: Int = 18, sc: Int = 2): Column =
     c.cast(s"decimal($p,$sc)")
@@ -4502,6 +4696,188 @@ object SparkEntry {
         .select(col("media_id"),
           (col("__n") - 1).cast("long").as("n_dups"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- the FULL curation recipe with an AUDIO near-dup gate ------
+    // (the claim behind q209 made load-bearing: the recipe's hash
+    // gate is modality-GENERIC — Config.imageHashCol is any 64-bit
+    // fingerprint column, so audio rides the identical banding/
+    // grouping/drop machinery with zero recipe changes). Docs carry
+    // WAV clips at per-doc volumes and sample rates; the real
+    // javax.sound decode → exact-integer energy envelope must
+    // collapse them into exactly the (doc_id div 15) mod 4 class
+    // groups the oracle predicts from arithmetic alone.
+    "q211_curation_audiogate" -> ((s, dir) => {
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir, audio = true), CurationTargets)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- HARD-NEGATIVE MINING for embedding-model training --------
+    // (the DPR/Sentence-Transformers recipe): for each labeled
+    // (query, positive) pair, the top-k most-similar corpus items
+    // that are not the query, not a labeled positive, and not above
+    // the false-negative margin (90% of the best positive's s4 here —
+    // near-positives are presumed unlabeled positives and excluded).
+    // Two labeled positives per query via id arithmetic; the oracle
+    // replays scoring, margin and re-rank in exact s4 integers.
+    "q212_hard_negatives" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val q8 = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"))
+      val pairs = q8.select(col("query_id"),
+          (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("query_id"),
+          (col("query_id") * 3L + 100L).as("pos_id")))
+      Ann.hardNegatives(pairs, em, "vec_id", "embedding", k = 5,
+          margin10k = 9000L)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- SFT conversation assembly: per-turn loss-mask spans -------
+    // (instruction-tuning data prep): chat turns synthesized from
+    // events arithmetic (6-turn conversations, alternating roles,
+    // variable-width texts via repeat) render as <|role|> pieces; the
+    // span layout is ONE exact-integer cumsum per conversation and
+    // in_loss marks the assistant turns a supervised loss reads.
+    "q213_sft_spans" -> ((s, dir) => {
+      Conversations.spans(sftTurns(s, dir),
+          "conv_id", "turn_idx", "role", "text")
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // ---- SFT rendered conversations: the training documents the ----
+    // q213 spans index into — pieces joined in turn order (the
+    // whitespace tokenization of `text` lines up with the spans
+    // token-for-token), with total and loss-bearing token widths.
+    "q214_sft_render" -> ((s, dir) => {
+      Conversations.render(sftTurns(s, dir),
+          "conv_id", "turn_idx", "role", "text")
+        .orderBy(col("conv_id"))
+    }),
+
+    // ---- INTERLEAVED MULTIMODAL PACKING (the MMC4/OBELICS layout): -
+    // one ordered stream of text docs AND images, an image occupying
+    // a fixed 64-token adapter budget; items lay end-to-end per
+    // stream and each (stream, chunk) row is the ordered item
+    // manifest with its exact text/image width split. Every 7th doc
+    // contributes an image item right after its text (id arithmetic:
+    // text = 2·doc, image = 2·doc + 1).
+    "q215_mm_interleave" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val textItems = d.select(
+        (col("doc_id").cast("long") * 2L).as("item_id"),
+        pmod(col("doc_id"), lit(4)).cast("long").as("stream"),
+        lit("text").as("kind"), col("text"))
+      val imgItems = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id").cast("long") * 2L + 1L).as("item_id"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("stream"),
+          lit("image").as("kind"), lit("").as("text"))
+      TextAnalysis.packInterleaved(
+          textItems.unionByName(imgItems), "item_id", "stream", "kind",
+          size(filter(tokens(col("text")),
+            t => length(t) > 0)).cast("long"),
+          imageTokens = 64, chunkTokens = 256)
+        .orderBy(col("stream"), col("chunk_idx"))
+    }),
+
+    // ---- WORDPIECE vocabulary mining (the BERT tokenizer family — -
+    // completes the triangle next to char BPE and byte BPE): every
+    // substring of every corpus word ('##'-marked off word starts,
+    // length ≤ 6) weighted by word frequency; vocab = ALL single-char
+    // pieces (character-coverage guarantee) + top-60 multi-char by
+    // (count DESC, piece ASC). Exact integer counts throughout.
+    "q216_wordpiece_vocab" -> ((s, dir) => {
+      WordPiece.mineVocab(t(s, dir, "documents"), "text",
+          maxPieceLen = 6, topPieces = 60)
+        .orderBy(col("piece"))
+    }),
+
+    // ---- WORDPIECE greedy longest-match encode: the mined vocab ----
+    // applied per word via the native expression (broadcast vocab,
+    // zero shuffle); every 25th doc carries an appended 20-char word
+    // that trips BERT's max_input_chars_per_word=16 guard → [UNK].
+    // The oracle re-mines the vocab AND replays the greedy match as
+    // 16 unrolled CTE rounds (a surviving word consumes ≥ 1 char per
+    // round, so 16 rounds are pigeonhole-complete).
+    "q217_wordpiece_encode" -> ((s, dir) => {
+      val vocab = WordPiece.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      WordPiece.encode(wpAugDocs(s, dir), "doc_id", "text", vocab,
+          maxInputChars = 16)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- hard negatives through the PERSISTED SQ8 index (the 100 TB
+    // path q212's scaladoc promises): candidates from the pruned
+    // quantized query over a 10-deep over-fetch horizon, positive
+    // sims from the SAME int8 scorer (codes fetched by id), then the
+    // identical exclusion → margin → dense re-rank tail. q160's index
+    // build (two appends + compaction) and probe convention.
+    "q218_hard_negatives_indexed" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val idx = graft.SparkEntry.tmpDir("hn_idx")
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", col("label"), idx, 1L)
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", col("label"), idx, 2L)
+      Ann.compactVectorIndex(s, idx, partitionCol = "cluster")
+      val qs = em.filter(col("vec_id") < 8)
+        .withColumn("probes", array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      val q8 = qs.select(col("vec_id").as("query_id"))
+      val pairs = q8.select(col("query_id"),
+          (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("query_id"),
+          (col("query_id") * 3L + 100L).as("pos_id")))
+      // margin 3× (random-vector fixture: positive sims sit near 0,
+      // so the production 0.95× would kill everything — 3× keeps a
+      // mix: 4 queries yield negatives, 4 are fully margin-killed,
+      // both paths under the oracle)
+      Ann.hardNegativesFromIndex(s, idx, pairs, qs, "vec_id",
+          "embedding", "probes", k = 3, overfetch = 10,
+          margin10k = 30000L)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- WordPiece ARTIFACT round trip: mine → save (one parquet
+    // table) → load → encode — bit-identical to q217 under its
+    // VERBATIM oracle (the freeze contract: q161/q198's discipline
+    // for the third tokenizer family).
+    "q220_wordpiece_artifact" -> ((s, dir) => {
+      val mined = WordPiece.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      val art = graft.SparkEntry.tmpDir("wp_vocab")
+      WordPiece.saveVocab(mined, art)
+      WordPiece.encode(wpAugDocs(s, dir), "doc_id", "text",
+          WordPiece.loadVocab(s, art), maxInputChars = 16)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- WordPiece token IDS: the (piece ASC) vocabulary-intrinsic
+    // id layout; [UNK] (not a mined piece) surfaces as the reserved
+    // id -1, never a dropped row.
+    "q221_wordpiece_ids" -> ((s, dir) => {
+      val vocab = WordPiece.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      WordPiece.encodeIds(wpAugDocs(s, dir), "doc_id", "text", vocab,
+          maxInputChars = 16)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- the SFT VERTICAL composed: turns → rendered conversations
+    // → fixed-chunk packing layout (the q87 cumsum over q214's
+    // rendered documents, 4 streams by conv arithmetic) — one oracle
+    // over the whole chain: a single token-width drift upstream
+    // shifts every offset downstream.
+    "q219_sft_pack" -> ((s, dir) => {
+      val rendered = Conversations.render(sftTurns(s, dir),
+          "conv_id", "turn_idx", "role", "text")
+        .withColumn("stream", pmod(col("conv_id"), lit(4)))
+      TextAnalysis.packSequencesByCount(rendered, "conv_id", "stream",
+          col("n_tokens"), chunkTokens = 64)
+        .orderBy(col("stream"), col("doc_id"))
     })
   )
 
@@ -5654,6 +6030,18 @@ object SparkEntry {
     * WITH the 1-bit-off member (the connected-component convention).
     */
   private val CurationImageRadiusOracleSql: String = materializeCtes(
+    CurationChainHeadSql + ",\n" + CurationExactDeconSql + ",\n" +
+      imageGateSplicedTail("(doc_id // 15) % 4") + "\n" +
+      CurationSelectTailSql)
+
+  /** q211: the AUDIO-gated recipe — the fixture's energy-envelope
+    * fingerprint class is (doc_id div 15) mod 4 (the q209 comb at
+    * per-doc volumes and sample rates, both invariant by
+    * construction), so the predicted drop partition is the SAME
+    * arithmetic as q207's — reached through a WAV decode instead of
+    * a PNG decode, in exact (dist-0) mode.
+    */
+  private val CurationAudioOracleSql: String = materializeCtes(
     CurationChainHeadSql + ",\n" + CurationExactDeconSql + ",\n" +
       imageGateSplicedTail("(doc_id // 15) % 4") + "\n" +
       CurationSelectTailSql)
@@ -8685,7 +9073,185 @@ object SparkEntry {
          | FROM e WHERE event_id % 50 = 0),
          |g AS (SELECT cls, COUNT(*) AS n FROM vd GROUP BY cls)
          |SELECT vd.media_id, CAST(g.n - 1 AS BIGINT) AS n_dups
-         |FROM vd JOIN g USING (cls) ORDER BY media_id""".stripMargin
+         |FROM vd JOIN g USING (cls) ORDER BY media_id""".stripMargin,
+
+    "q211_curation_audiogate" -> CurationAudioOracleSql,
+
+    // hard-negative replay: same cosine-to-s4 integers, the labeled
+    // pairs from id arithmetic, margin and re-rank in BIGINT math
+    "q212_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |  CAST(embedding AS DOUBLE[]) AS qv
+        | FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |p AS (SELECT query_id, query_id + 50 AS pos_id FROM q
+        | UNION ALL SELECT query_id, query_id * 3 + 100 FROM q),
+        |sx AS (SELECT query_id, neighbor_id,
+        |  CAST(round(list_cosine_similarity(qv, cv) * 10000, 0)
+        |    AS BIGINT) AS s4
+        | FROM q, c WHERE query_id <> neighbor_id),
+        |ps AS (SELECT s.query_id, MAX(s.s4) AS pos_s4
+        | FROM sx s JOIN p ON s.query_id = p.query_id
+        |  AND s.neighbor_id = p.pos_id
+        | GROUP BY s.query_id),
+        |neg AS (SELECT s.query_id, s.neighbor_id, s.s4, ps.pos_s4
+        | FROM sx s JOIN ps USING (query_id)
+        | WHERE s.s4 * 10000 <= ps.pos_s4 * 9000
+        |  AND NOT EXISTS (SELECT 1 FROM p
+        |   WHERE p.query_id = s.query_id AND p.pos_id = s.neighbor_id)),
+        |r AS (SELECT query_id, neighbor_id, s4, pos_s4,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY s4 DESC, neighbor_id) AS rank FROM neg)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        | s4 / 10000.0 AS sim, pos_s4 / 10000.0 AS pos_sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // SFT span replay: the shared turn CTEs + one ROWS-framed cumsum
+    "q213_sft_spans" ->
+      s"""WITH $SftTurnCtesSql,
+         |s AS (SELECT conv_id, turn_idx, role, piece, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS UNBOUNDED PRECEDING) AS end_tok
+         | FROM p)
+         |SELECT conv_id, turn_idx, role, piece,
+         | CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+         | CAST(end_tok AS BIGINT) AS end_tok,
+         | CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+         |   AS BIGINT) AS in_loss
+         |FROM s ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // SFT render replay: pieces string_agg'd in turn order
+    "q214_sft_render" ->
+      s"""WITH $SftTurnCtesSql
+         |SELECT conv_id,
+         | string_agg(piece, ' ' ORDER BY turn_idx) AS text,
+         | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CASE WHEN role = 'assistant' THEN n_tokens
+         |   ELSE 0 END) AS BIGINT) AS n_loss_tokens
+         |FROM p GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    // interleaved-packing replay: same cumsum, div-based chunk
+    // bounds, per-chunk width clamps — all BIGINT arithmetic
+    "q215_mm_interleave" ->
+      """WITH it AS (
+        | SELECT CAST(doc_id * 2 AS BIGINT) AS item_id,
+        |  CAST(doc_id % 4 AS BIGINT) AS stream, 'text' AS kind,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n
+        | FROM documents
+        | UNION ALL
+        | SELECT CAST(doc_id * 2 + 1 AS BIGINT),
+        |  CAST(doc_id % 4 AS BIGINT), 'image', 64
+        | FROM documents WHERE doc_id % 7 = 0),
+        |l AS (SELECT item_id, stream, kind, n,
+        |  CAST(SUM(n) OVER (PARTITION BY stream ORDER BY item_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM it),
+        |ex AS (SELECT stream, kind, item_id, end_tok - n AS start_tok,
+        |  end_tok, unnest(range((end_tok - n) // 256,
+        |    (end_tok - 1) // 256 + 1)) AS chunk_idx
+        | FROM l WHERE n > 0),
+        |cw AS (SELECT stream, chunk_idx, kind, item_id, start_tok,
+        |  LEAST(end_tok, (chunk_idx + 1) * 256)
+        |    - GREATEST(start_tok, chunk_idx * 256) AS w FROM ex)
+        |SELECT stream, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CASE WHEN kind = 'image' THEN 0 ELSE w END)
+        |   AS BIGINT) AS n_text_tokens,
+        | CAST(SUM(CASE WHEN kind = 'image' THEN w ELSE 0 END)
+        |   AS BIGINT) AS n_image_tokens,
+        | string_agg(kind || ':' || item_id, ' ' ORDER BY start_tok)
+        |   AS items
+        |FROM cw GROUP BY stream, chunk_idx
+        |ORDER BY stream, chunk_idx""".stripMargin,
+
+    // WordPiece mining replay: exact-integer substring frequencies,
+    // singles ∪ top-60 multi-char with the (cnt DESC, piece) cut
+    "q216_wordpiece_vocab" ->
+      ("WITH " + wordpieceVocabCtesSql(6, 60) + "\n" +
+        "SELECT piece, cnt FROM wpvocab ORDER BY piece"),
+
+    // WordPiece encode replay: re-mine the vocab, then 16 unrolled
+    // greedy longest-match rounds over the augmented corpus's
+    // distinct words (see wordpieceEncodeOracleSql)
+    "q217_wordpiece_encode" -> wordpieceEncodeOracleSql(6, 60, 16),
+
+    // artifact freeze contract: save→load→encode must be bit-
+    // identical to the in-memory path — q217's oracle VERBATIM
+    "q220_wordpiece_artifact" -> wordpieceEncodeOracleSql(6, 60, 16),
+
+    // id layout: the (piece ASC) rank map over the mined vocab,
+    // [UNK] → -1 via the left join
+    "q221_wordpiece_ids" ->
+      wordpieceEncodeOracleSql(6, 60, 16, ids = true),
+
+    // indexed hard-negative replay: the q159/q160 SQ8 quantization +
+    // probe chain, over-fetch cut BEFORE exclusions (the horizon is
+    // part of the contract), positives scored in the same quantized
+    // space, margin + re-rank in BIGINT s4 math
+    "q218_hard_negatives_indexed" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  CAST(label AS BIGINT) AS label FROM embeddings),
+        |qv AS (SELECT vec_id, label,
+        |  list_transform(v, x -> floor((x * 127) /
+        |    list_max(list_transform(v, y -> abs(y))))) AS q
+        | FROM base
+        | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+        |n AS (SELECT vec_id, label, q,
+        |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+        |p AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
+        |  unnest(list_distinct([label, (label + 1) %
+        |    (SELECT MAX(label) + 1 FROM embeddings)])) AS probe
+        | FROM n WHERE vec_id < 8),
+        |pp AS (SELECT vec_id AS query_id, vec_id + 50 AS pos_id
+        |  FROM embeddings WHERE vec_id < 8
+        | UNION ALL
+        | SELECT vec_id, vec_id * 3 + 100
+        |  FROM embeddings WHERE vec_id < 8),
+        |sx AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0
+        |    AS sim
+        | FROM p JOIN n c ON probe = c.label AND query_id <> c.vec_id),
+        |ofc AS (SELECT query_id, neighbor_id,
+        |  CAST(round(sim * 10000, 0) AS BIGINT) AS s4
+        | FROM (SELECT query_id, neighbor_id, sim, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+        |     AS rk FROM sx)
+        | WHERE rk <= 10),
+        |ps AS (SELECT pp.query_id, MAX(CAST(round(
+        |   list_dot_product(a.q, c.q) / (a.nrm * c.nrm) * 10000, 0)
+        |    AS BIGINT)) AS pos_s4
+        | FROM pp JOIN n a ON a.vec_id = pp.query_id
+        |  JOIN n c ON c.vec_id = pp.pos_id
+        | GROUP BY pp.query_id),
+        |neg AS (SELECT o.query_id, o.neighbor_id, o.s4, ps.pos_s4
+        | FROM ofc o JOIN ps USING (query_id)
+        | WHERE o.s4 * 10000 <= ps.pos_s4 * 30000
+        |  AND NOT EXISTS (SELECT 1 FROM pp
+        |   WHERE pp.query_id = o.query_id
+        |    AND pp.pos_id = o.neighbor_id)),
+        |r AS (SELECT query_id, neighbor_id, s4, pos_s4,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY s4 DESC, neighbor_id) AS rank FROM neg)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        | s4 / 10000.0 AS sim, pos_s4 / 10000.0 AS pos_sim
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // SFT-vertical replay: the shared turn CTEs → per-conversation
+    // token widths → the q87 cumsum layout with `//` chunk bounds
+    "q219_sft_pack" ->
+      s"""WITH $SftTurnCtesSql,
+         |rw AS (SELECT conv_id AS doc_id, conv_id % 4 AS stream,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         | FROM p GROUP BY conv_id),
+         |cz AS (SELECT stream, doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM rw)
+         |SELECT stream, doc_id, n_tokens, end_tok,
+         | end_tok - n_tokens AS start_tok,
+         | CAST((end_tok - n_tokens) // 64 AS BIGINT) AS first_chunk,
+         | CAST((end_tok - 1) // 64 AS BIGINT) AS last_chunk
+         |FROM cz ORDER BY stream, doc_id""".stripMargin
   )
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql

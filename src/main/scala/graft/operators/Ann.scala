@@ -33,6 +33,132 @@ object Ann {
     topK(scored, k)
   }
 
+  /** HARD-NEGATIVE MINING for embedding-model training (the DPR /
+    * Sentence-Transformers recipe: Karpukhin et al. 2020 §5.2 "hard
+    * negatives from retrieval"; the sentence-transformers
+    * `mine_hard_negatives` margin convention): for each labeled
+    * (query_id, pos_id) pair, the top-`k` corpus items by cosine that
+    * are (a) not the query itself, (b) not one of its labeled
+    * positives, and (c) not more similar than `margin10k`/10⁴ of the
+    * query's BEST labeled-positive similarity — a candidate scoring
+    * above that margin is presumed an unlabeled true positive (a
+    * "false negative"), and contrastive training against it poisons
+    * the loss.
+    *
+    * Determinism: similarities compare as s4 = round(sim·10⁴)
+    * integers (the [[topK]] rounding discipline lifted to an integer),
+    * so the margin test `cand_s4·10⁴ ≤ pos_s4·margin10k` and the rank
+    * order are pure integer arithmetic an oracle replays exactly.
+    *
+    * Scale shape: `pairs` is tiny next to the corpus — it broadcasts
+    * twice (once joined to corpus vectors to score the labeled
+    * positives, once as the per-query exclusion set); the corpus then
+    * streams through ONE scored scan (the [[bruteForceTopK]] shape:
+    * no shuffle until the per-query top-k window over k·|queries|
+    * rows). At 100 TB swap the scorer for a persisted-index query
+    * ([[sq8IndexQuery]]/[[ivfPqRerank]]) with an over-fetch horizon
+    * ≥ k + max positives per query + expected margin kills — the
+    * exclusion/margin/re-rank tail below is unchanged.
+    *
+    * Output: (query_id, neighbor_id, rank, sim, pos_sim) — `rank`
+    * re-numbered AFTER exclusions so callers always get a dense
+    * 1..≤k per query.
+    */
+  def hardNegatives(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    margin10k: Long = 9500L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val p = broadcast(pairs.select(col("query_id"), col("pos_id")))
+    val qv = corpus.join(
+        broadcast(p.select(col("query_id")).distinct()),
+        col(idCol) === col("query_id"))
+      .select(col("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    def s4(sim: Column): Column = round(sim * 10000, 0).cast("long")
+    // best labeled-positive similarity per query (|pairs| rows: tiny)
+    val posSim = p.join(c, col("pos_id") === col("neighbor_id"))
+      .join(qv.hint("broadcast"), "query_id")
+      .select(col("query_id"), s4(cosineSimPre(col("qv"), col("cv"),
+        col("qn"), col("cn"))).as("ps4"))
+      .groupBy("query_id").agg(max(col("ps4")).as("pos_s4"))
+    val q = broadcast(qv.join(posSim.hint("broadcast"), "query_id"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("s4", s4(cosineSimPre(col("qv"), col("cv"),
+        col("qn"), col("cn"))))
+      .join(p.withColumnRenamed("pos_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .filter(col("s4") * 10000L <= col("pos_s4") * margin10k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s4").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        (col("s4") / 10000.0).as("sim"),
+        (col("pos_s4") / 10000.0).as("pos_sim"))
+  }
+
+  /** [[hardNegatives]] through the PERSISTED SQ8 index — the 100 TB
+    * path the brute variant's scaladoc promises: candidates come from
+    * [[sq8IndexQuery]] over an `overfetch` horizon (probed-partition
+    * reads, codes not vectors), labeled-positive similarities from
+    * the SAME quantized scorer (positive codes fetched from the index
+    * by id — a broadcast semi-join, never a full scan), then the
+    * identical exclusion → margin → dense re-rank tail.
+    *
+    * Over-fetch discipline: exclusions and margin kills eat into the
+    * horizon, so size `overfetch` ≥ k + max positives per query +
+    * expected margin kills; a query whose admissible negatives are
+    * thinner than that returns fewer than k rows (the honest
+    * outcome — widening the horizon is the caller's lever, and the
+    * output makes the shortfall visible).
+    *
+    * Output: (query_id, neighbor_id, rank, sim, pos_sim) — the
+    * [[hardNegatives]] contract, sims from the int8 scorer.
+    */
+  def hardNegativesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, pairs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, probesCol: String, k: Int,
+      overfetch: Int, margin10k: Long = 9500L): DataFrame = {
+    import graft.functions.Int8Ops
+    require(overfetch >= k, "overfetch horizon must cover k")
+    def s4(sim: Column): Column = round(sim * 10000, 0).cast("long")
+    val p = broadcast(pairs.select(col("query_id"), col("pos_id")))
+    // positive codes by id from the index — broadcast semi-join
+    // against the skinny (emb_id, qvec, qnorm, cluster) code layers
+    val posCodes = readIndexLayers(spark, indexDir)
+      .join(broadcast(p.select(col("pos_id")).distinct()),
+        col("emb_id") === col("pos_id"))
+      .select(col("pos_id"), col("qvec").as("pv"),
+        col("qnorm").as("pn"))
+    val qq = quantizeInt8(queries, idCol, vecCol)
+      .select(col("emb_id").as("query_id"), col("qvec").as("qv"),
+        col("qnorm").as("qn"))
+    val posSim = p.join(broadcast(qq), "query_id")
+      .join(posCodes.hint("broadcast"), "pos_id")
+      .select(col("query_id"),
+        s4(Int8Ops.int8Dot(col("qv"), col("pv")).cast("double") /
+          (col("qn") * col("pn"))).as("ps4"))
+      .groupBy("query_id").agg(max(col("ps4")).as("pos_s4"))
+    val cand = sq8IndexQuery(spark, indexDir, queries, idCol, vecCol,
+        probesCol, overfetch)
+      .withColumn("s4", s4(col("sim")))
+      .join(p.withColumnRenamed("pos_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .join(posSim.hint("broadcast"), "query_id")
+      .filter(col("s4") * 10000L <= col("pos_s4") * margin10k)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("s4").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        (col("s4") / 10000.0).as("sim"),
+        (col("pos_s4") / 10000.0).as("pos_sim"))
+  }
+
   /** IVF-style bucketed ANN: candidates are restricted to the query's
     * coarse cluster (here any precomputed cluster/label column; in a full
     * IVF build this is argmin-centroid assignment). One equi-join on the

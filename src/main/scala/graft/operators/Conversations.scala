@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.tokens
+
+/** SFT (instruction-tuning) conversation assembly: chat-turn rows →
+  * rendered training conversations plus the per-turn token spans a
+  * supervised fine-tune needs to mask the loss to assistant turns
+  * only (the standard SFT recipe: every token is attended, but the
+  * loss reads assistant spans alone — user/system turns are context).
+  *
+  * The span layout IS the contract: a trainer tokenizes the rendered
+  * document and slices the loss mask from [start_tok, end_tok) per
+  * assistant turn, so both sides must come from the same arithmetic —
+  * [[spans]] and [[render]] share the piece template and the
+  * whitespace-token widths, and an oracle replays both exactly
+  * (strings + one integer cumsum; no floats anywhere).
+  */
+object Conversations {
+
+  private def pieceCol(roleCol: String, textCol: String) =
+    concat(lit("<|"), col(roleCol), lit("|> "), col(textCol))
+
+  /** The marker is one whitespace token; a turn's token width is
+    * 1 + |tokens(text)| (empty-token-filtered, the chunker's rule).
+    */
+  private def widthCol(textCol: String) =
+    (size(filter(tokens(col(textCol)), t => length(t) > 0)) + 1)
+      .cast("long")
+
+  /** Per-turn rendered pieces with token offsets and the loss flag.
+    *
+    * Offsets are ONE exact-integer cumsum window per conversation
+    * ordered by the turn index (ROWS frame pinned — the
+    * packSequencesByCount discipline: RANGE would merge duplicate
+    * turn indexes); `in_loss` = 1 marks assistant turns.
+    *
+    * Output: (conv_id, turn_idx, role, piece, start_tok, end_tok,
+    * in_loss).
+    *
+    * Scale shape: the rendering and widths are a zero-Exchange
+    * projection; the only shuffle is the conv_id window, and
+    * conversations are bounded (thousands of turns at the pathological
+    * worst) so there is no hot key. At 100 TB this partitions by
+    * conversation exactly the way the downstream packer wants it.
+    */
+  def spans(turns: DataFrame, convCol: String, turnCol: String,
+            roleCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns.select(col(convCol).cast("long").as("conv_id"),
+        col(turnCol).cast("long").as("turn_idx"),
+        col(roleCol).as("role"),
+        pieceCol(roleCol, textCol).as("piece"),
+        widthCol(textCol).as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("in_loss",
+        when(col("role") === "assistant", 1L).otherwise(0L))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("piece"), col("start_tok"), col("end_tok"), col("in_loss"))
+  }
+
+  /** The rendered conversation document — one row per conversation:
+    * pieces joined by a single space in turn order (so the document's
+    * whitespace tokenization lines up with [[spans]]' offsets
+    * token-for-token), total token width, and the number of
+    * loss-bearing (assistant) tokens.
+    *
+    * Scale shape: one groupBy(conv_id) with order-independent
+    * aggregates (collect_list sorted AFTER collection by the struct's
+    * leading turn_idx — arrival order never matters), partial-agg
+    * friendly.
+    */
+  def render(turns: DataFrame, convCol: String, turnCol: String,
+             roleCol: String, textCol: String): DataFrame =
+    turns.select(col(convCol).cast("long").as("conv_id"),
+        col(turnCol).cast("long").as("turn_idx"),
+        col(roleCol).as("role"),
+        pieceCol(roleCol, textCol).as("piece"),
+        widthCol(textCol).as("n_tokens"))
+      .groupBy(col("conv_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            struct(col("turn_idx"), col("piece")))),
+          s => s.getField("piece")), " ").as("text"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("role") === "assistant", col("n_tokens"))
+          .otherwise(0L)).as("n_loss_tokens"))
+}

@@ -2354,4 +2354,64 @@ object TextAnalysis {
           s"${chunkTokens}L) * ${chunkTokens}L) END").as("fill_10k"),
         expr("CASE WHEN n_docs = 0L THEN 0L ELSE " +
           "n_split_docs * 10000L div n_docs END").as("split_10k"))
+
+  /** INTERLEAVED MULTIMODAL PACKING (the MMC4 / OBELICS layout:
+    * Zhu et al. 2023, Laurençon et al. 2023): one ordered stream of
+    * text documents AND images, where an image occupies a fixed
+    * `imageTokens` budget (the vision adapter's patch count) and text
+    * occupies its own token count. Items lay end-to-end per stream
+    * ([[packSequencesByCount]]'s exact-integer cumsum, `div`-based
+    * chunk bounds — exact at any offset) and the output is one row
+    * per (stream, chunk): the ordered item manifest with its
+    * text/image budget split — the artifact an interleaved
+    * vision-language pretraining reader consumes.
+    *
+    * An item crossing a chunk boundary reports its in-chunk width in
+    * every chunk it touches (`n_items` counts touching items); a
+    * reader requiring atomic images bumps them to the next chunk at
+    * read time — the manifest carries the exact widths either way.
+    *
+    * Scale shape: one cumsum window per stream + one (stream, chunk)
+    * aggregation; the explode multiplies rows only by
+    * chunks-per-item (≈ item width / chunkTokens, bounded); no other
+    * shuffle. Output: (stream, chunk_idx, n_items, n_text_tokens,
+    * n_image_tokens, items) with `items` the space-joined
+    * "kind:id" list in stream order.
+    */
+  def packInterleaved(items: DataFrame, idCol: String, groupCol: String,
+                      kindCol: String, textCountCol: Column,
+                      imageTokens: Int, chunkTokens: Int): DataFrame = {
+    val cost = when(col(kindCol) === "image",
+      lit(imageTokens.toLong)).otherwise(textCountCol.cast("long"))
+    // the packSequencesByCount cumsum inlined with `kind` threaded
+    // through — joining kind back on doc_id would re-shuffle the
+    // whole item stream a second time for a column the window can
+    // just carry. Plan-locked: ONE Exchange total (the downstream
+    // (stream, chunk) aggregate clusters on a stream-prefixed key,
+    // so it reuses the window's partitioning), zero joins.
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val layout = items.select(col(groupCol).as("stream"),
+        col(idCol).as("doc_id"), col(kindCol).as("kind"),
+        cost.as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+    val b = s"${chunkTokens}L"
+    val exploded = layout.filter(col("n_tokens") > 0)
+      .withColumn("chunk_idx", explode(sequence(
+        expr(s"start_tok div $b"), expr(s"(end_tok - 1L) div $b"))))
+      .withColumn("w",
+        least(col("end_tok"), (col("chunk_idx") + 1L) * chunkTokens) -
+          greatest(col("start_tok"), col("chunk_idx") * chunkTokens))
+    exploded.groupBy(col("stream"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("kind") === "image", lit(0L)).otherwise(col("w")))
+          .as("n_text_tokens"),
+        sum(when(col("kind") === "image", col("w")).otherwise(lit(0L)))
+          .as("n_image_tokens"),
+        array_join(transform(array_sort(collect_list(struct(
+            col("start_tok"),
+            concat(col("kind"), lit(":"), col("doc_id")).as("item")))),
+          s => s.getField("item")), " ").as("items"))
+  }
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.tokens
+import graft.functions.WordPieceOps
+
+/** WordPiece tokenizer (the BERT family — Devlin et al. 2019; Wu et
+  * al. 2016 §4.1): completes the repo's tokenizer triangle next to
+  * character-level BPE ([[TextAnalysis.bpeTrain]]) and byte-level BPE
+  * ([[TextAnalysis.bpeTrainBytes]]). WordPiece differs from BPE in
+  * both directions: the vocabulary is a SET (no merge order), and
+  * encoding is greedy longest-match-first with '##' continuation
+  * marking — no training-order replay, so the vocabulary here is
+  * mined directly as the highest-frequency substrings (counts are
+  * exact integers; the likelihood-driven selection of the original
+  * paper needs corpus log-probs — floats — which this repo's
+  * oracle discipline deliberately avoids; frequency mining is the
+  * standard exact-arithmetic stand-in and produces the same greedy
+  * encode semantics downstream).
+  *
+  * Caveat shared with BERT itself: a corpus word that literally
+  * starts with '#' is ambiguous against the continuation marker; the
+  * mining and the encoder are consistent with each other (both treat
+  * '##'+s as a continuation), which is all the greedy rule needs.
+  */
+object WordPiece {
+
+  private def isSingle(piece: Column): Column =
+    (piece.startsWith("##") && length(piece) === 3) ||
+      (!piece.startsWith("##") && length(piece) === 1)
+
+  /** Mine the vocabulary from corpus word frequencies: every
+    * substring of every word (word-initial pieces unmarked,
+    * later-position pieces '##'-marked, length ≤ `maxPieceLen`)
+    * weighted by word count; the vocabulary keeps ALL single-char
+    * pieces (so every word over the corpus alphabet encodes without
+    * `[UNK]` — SentencePiece's character-coverage discipline) plus
+    * the top `topPieces` multi-char pieces by (count DESC, piece ASC).
+    *
+    * Output: (piece, cnt), one row per vocabulary entry.
+    *
+    * Scale shape: ONE corpus scan (explode → pre-reduced word-count
+    * aggregate); candidate generation then runs over the VOCAB-sized
+    * word table (≤ millions of rows at any corpus size) × O(len ·
+    * maxPieceLen) pieces per word — the same
+    * corpus-once/vocab-quadratic split as [[TextAnalysis.bpeTrain]].
+    * The top-N cut is one distributed sort-limit.
+    */
+  def mineVocab(docs: DataFrame, textCol: String, maxPieceLen: Int,
+                topPieces: Int): DataFrame = {
+    val words = docs.select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("wc"))
+    val pieces = words
+      .select(col("tok"), col("wc"),
+        explode(sequence(lit(0), length(col("tok")) - 1)).as("p"))
+      .select(col("tok"), col("wc"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("tok")) - col("p"))))
+          .as("l"))
+      .select(concat(
+          when(col("p") === 0, lit("")).otherwise(lit("##")),
+          expr("substring(tok, p + 1, l)")).as("piece"),
+        col("wc"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+    val singles = pieces.filter(isSingle(col("piece")))
+    val multi = pieces.filter(!isSingle(col("piece")))
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(topPieces)
+    singles.unionByName(multi)
+  }
+
+  /** Encode documents with a mined vocabulary: greedy longest-match
+    * per word via the native [[graft.functions.WordPieceApplyExpr]]
+    * (broadcast transport when `bc` is preferred — see
+    * [[encodeBc]]). Words longer than `maxInputChars` become `[UNK]`
+    * whole (BERT's max_input_chars_per_word guard).
+    *
+    * Output: (doc_id, pos, piece) — the [[TextAnalysis.bpeEncode]]
+    * stream shape, so packing/coverage/id-mapping downstream is
+    * shared.
+    *
+    * Scale shape: the vocab is vocabulary-sized by construction
+    * (collected under `driverVocabLimit`, the bpeTrain guard); the
+    * encode itself is a zero-Exchange per-row projection — the token
+    * stream materializes only at the posexplode the caller asked for.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame, maxInputChars: Int,
+             driverVocabLimit: Long = 4000000L): DataFrame = {
+    val head = vocab.select(col("piece"))
+      .limit(math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt)
+      .collect().map(_.getString(0))
+    require(head.length <= driverVocabLimit,
+      s"vocabulary exceeds driverVocabLimit=$driverVocabLimit — a " +
+        "WordPiece vocab is a tokenizer artifact, not corpus-sized; " +
+        "mine with a smaller topPieces")
+    val bc = docs.sparkSession.sparkContext.broadcast(head.sorted)
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(flatten(transform(
+          filter(tokens(col(textCol)), t => length(t) > 0),
+          w => WordPieceOps.wordpieceApplyBc(w, bc, maxInputChars)))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("piece"))
+  }
+
+  /** Persist the mined vocabulary — the WordPiece tokenizer artifact
+    * is ONE parquet table (piece, cnt). Encoding with a loaded
+    * artifact is bit-identical to encoding with the in-memory table
+    * (q220 proves it against q217's oracle verbatim — the freeze
+    * contract, the q161/q198 discipline).
+    */
+  def saveVocab(vocab: DataFrame, dir: String): Unit =
+    vocab.write.mode("overwrite").parquet(dir)
+
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** Stable piece→id mapping: id = the piece's rank in (piece ASC)
+    * order — vocabulary-intrinsic, so ids never shift when the same
+    * artifact encodes a different corpus. The single-partition
+    * ranking window is vocabulary-sized by construction (the
+    * [[TextAnalysis.bpeVocab]] shape), never corpus-sized.
+    */
+  def vocabIds(vocab: DataFrame): DataFrame =
+    vocab.select(col("piece"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("piece"))) - 1).cast("long").as("piece_id"))
+
+  /** [[encode]] to ids. `[UNK]` is not a mined piece: it surfaces as
+    * id -1 (the caller's reserved slot) via the left join — never a
+    * silently dropped row.
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                vocab: DataFrame, maxInputChars: Int): DataFrame =
+    encode(docs, idCol, textCol, vocab, maxInputChars)
+      .join(broadcast(vocabIds(vocab)), Seq("piece"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("piece_id"), lit(-1L)).as("piece_id"))
+}

@@ -547,4 +547,53 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "BroadcastHashJoin") == 1, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("WordPiece.encode is a zero-shuffle per-row projection — the " +
+      "broadcast-vocab greedy match runs at scan speed (q217 shape)") {
+    val docs = Seq((1L, "ab a b")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 2L), ("b", 2L), ("ab", 1L), ("##b", 1L))
+      .toDF("piece", "cnt")
+    val p = plan(graft.operators.WordPiece.encode(
+      docs, "doc_id", "text", vocab, maxInputChars = 16))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("Conversations: spans pay exactly ONE exchange (the per-" +
+      "conversation window); render pays exactly ONE (the groupBy)") {
+    val turns = Seq((1L, 0L, "user", "hi"), (1L, 1L, "assistant", "yo"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val ps = plan(graft.operators.Conversations.spans(
+      turns, "conv_id", "turn_idx", "role", "text"))
+    assert(countIn(ps, "Exchange hashpartitioning") == 1, ps)
+    val pr = plan(graft.operators.Conversations.render(
+      turns, "conv_id", "turn_idx", "role", "text"))
+    assert(countIn(pr, "Exchange hashpartitioning") == 1, pr)
+    assert(!pr.contains("SortMergeJoin"), pr)
+  }
+
+  test("packInterleaved: kind rides the cumsum window — ONE exchange " +
+      "total (the chunk aggregate clusters on a stream-prefixed key, " +
+      "so it reuses the window's partitioning), ZERO joins") {
+    val items = Seq((1L, 0L, "text", 100L), (2L, 0L, "image", 0L))
+      .toDF("item_id", "stream", "kind", "n")
+    val p = plan(graft.operators.TextAnalysis.packInterleaved(
+      items, "item_id", "stream", "kind", col("n"),
+      imageTokens = 64, chunkTokens = 128))
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("hardNegatives: the corpus pays ONE broadcast-scored scan — " +
+      "queries, exclusions and positive sims all ride broadcasts; " +
+      "nothing sort-merges") {
+    val corpus = (0L to 30L).map(i => (i, Seq(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 1L)).toDF("query_id", "pos_id")
+    val p = plan(graft.operators.Ann.hardNegatives(
+      pairs, corpus, "vec_id", "embedding", k = 3))
+    // ONE non-equi broadcast scan (queries × corpus) — the q23 shape
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

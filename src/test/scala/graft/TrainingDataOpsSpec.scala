@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Conversations, TextAnalysis, WordPiece}
+
+/** Round-14 training-data additions: hard-negative mining (margin +
+  * exclusions + dense re-rank), SFT conversation assembly (span
+  * layout ↔ rendered document alignment), interleaved multimodal
+  * packing (boundary-straddling widths), and the WordPiece tokenizer
+  * (greedy longest-match, [UNK] paths, mining guarantees).
+  */
+class TrainingDataOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- hard-negative mining ----------------------------------------
+
+  test("hardNegatives: excludes self + positives, kills above-margin " +
+      "near-positives, re-ranks densely") {
+    // 2-d geometry with exact cosines: query 0 = (1,0); labeled
+    // positive 1 = (4,3)/5 → 0.8; candidate 2 = (1,0) → 1.0 (above
+    // the 95% margin of 0.8 → presumed false negative, killed);
+    // 3 = (0.6,0.8) and 5 = (3,4)/5 → 0.6 ties broken by id;
+    // 4 = (0,1) → 0.0
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.8f, 0.6f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.6f, 0.8f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 1L)).toDF("query_id", "pos_id")
+    val r = Ann.hardNegatives(pairs, corpus, "vec_id", "embedding",
+        k = 2, margin10k = 9500L)
+      .orderBy("rank")
+      .select("neighbor_id", "rank", "sim", "pos_sim")
+      .as[(Long, Long, Double, Double)].collect()
+    // 2 (sim 1.0) killed by the margin (cutoff 0.76); 4 (sim 0.0)
+    // pushed out by k=2; 3 and 5 tie at 0.6 → id order
+    assert(r.toSeq == Seq((3L, 1L, 0.6, 0.8), (5L, 2L, 0.6, 0.8)))
+  }
+
+  test("hardNegatives: margin boundary is inclusive-below in s4 " +
+      "integers; query without a labeled positive yields no rows") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.8f, 0.6f)),
+      (2L, Seq(0.76f, 0.65f)), (9L, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 1L)).toDF("query_id", "pos_id")
+    val r = Ann.hardNegatives(pairs, corpus, "vec_id", "embedding",
+      k = 5, margin10k = 9500L)
+    // margin cutoff: pos_s4 = 8000 → keep s4·10⁴ ≤ 8000·9500
+    val kept = r.select("neighbor_id").as[Long].collect().toSet
+    val sims = r.select("neighbor_id", "sim").as[(Long, Double)]
+      .collect().toMap
+    assert(!kept.contains(0L) && !kept.contains(1L))
+    sims.values.foreach(sv => assert(sv <= 0.76))
+    // a query id absent from pairs produces no output rows
+    assert(r.filter($"query_id" === 9L).isEmpty)
+  }
+
+  test("hardNegativesFromIndex: the over-fetch horizon is the " +
+      "contract — exclusions and margin kills surface as <k rows, " +
+      "never refill from outside the horizon") {
+    // one cluster: 2 ≈ the query (margin-killed), 1 = the labeled
+    // positive (excluded), 3/4 admissible
+    val em = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.8f, 0.6f), 0),
+      (2L, Seq(1.0f, 0.01f), 0), (3L, Seq(0.6f, 0.8f), 0),
+      (4L, Seq(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val idx = SparkEntry.tmpDir("hn_spec_idx")
+    operators.Ann.sq8IndexAppend(em, "vec_id", "embedding",
+      col("label"), idx, 1L)
+    val qs = em.filter($"vec_id" === 0L)
+      .withColumn("probes", array(lit(0L)))
+    val pairs = Seq((0L, 1L)).toDF("query_id", "pos_id")
+    // horizon 2 = {2: killed by margin, 1: excluded} → honest 0 rows
+    val short = Ann.hardNegativesFromIndex(spark, idx, pairs, qs,
+      "vec_id", "embedding", "probes", k = 2, overfetch = 2)
+    assert(short.count() == 0)
+    // horizon 4 reaches the admissible negatives
+    val full = Ann.hardNegativesFromIndex(spark, idx, pairs, qs,
+        "vec_id", "embedding", "probes", k = 2, overfetch = 4)
+      .orderBy("rank").select("neighbor_id", "rank")
+      .as[(Long, Long)].collect().toSeq
+    assert(full == Seq((3L, 1L), (4L, 2L)))
+    intercept[IllegalArgumentException] {
+      Ann.hardNegativesFromIndex(spark, idx, pairs, qs, "vec_id",
+        "embedding", "probes", k = 2, overfetch = 1)
+    }
+  }
+
+  // ---- SFT conversation assembly -----------------------------------
+
+  private val turns = Seq(
+    (1L, 0L, "user", "hi there"),
+    (1L, 1L, "assistant", "hello"),
+    (2L, 0L, "system", "be brief"),
+    (2L, 1L, "assistant", "ok then")
+  ).toDF("conv_id", "turn_idx", "role", "text")
+
+  test("Conversations.spans: exact offsets, assistant-only loss") {
+    val r = Conversations.spans(turns, "conv_id", "turn_idx", "role",
+        "text")
+      .orderBy("conv_id", "turn_idx")
+      .select("conv_id", "piece", "start_tok", "end_tok", "in_loss")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "<|user|> hi there", 0L, 3L, 0L),
+      (1L, "<|assistant|> hello", 3L, 5L, 1L),
+      (2L, "<|system|> be brief", 0L, 3L, 0L),
+      (2L, "<|assistant|> ok then", 3L, 6L, 1L)))
+  }
+
+  test("Conversations.render aligns with spans token-for-token") {
+    val rendered = Conversations.render(turns, "conv_id", "turn_idx",
+        "role", "text")
+      .orderBy("conv_id")
+      .select("conv_id", "text", "n_tokens", "n_loss_tokens")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rendered == Seq(
+      (1L, "<|user|> hi there <|assistant|> hello", 5L, 2L),
+      (2L, "<|system|> be brief <|assistant|> ok then", 6L, 3L)))
+    // the loss-mask contract: slicing the rendered document's
+    // whitespace tokens by an assistant span yields that turn's piece
+    val doc1 = rendered.head._2.split("\\s+")
+    assert(doc1.slice(3, 5).mkString(" ") == "<|assistant|> hello")
+  }
+
+  // ---- interleaved multimodal packing ------------------------------
+
+  test("packInterleaved: boundary-straddling items report exact " +
+      "in-chunk widths; image budget is fixed") {
+    val items = Seq(
+      (1L, 0L, "text", 100L), (2L, 0L, "image", 0L),
+      (3L, 0L, "text", 200L)
+    ).toDF("item_id", "stream", "kind", "n")
+    val r = TextAnalysis.packInterleaved(items, "item_id", "stream",
+        "kind", col("n"), imageTokens = 64, chunkTokens = 128)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_items", "n_text_tokens",
+        "n_image_tokens", "items")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // layout: text:1 [0,100) image:2 [100,164) text:3 [164,364)
+    assert(r == Seq(
+      (0L, 2L, 100L, 28L, "text:1 image:2"),
+      (1L, 2L, 92L, 36L, "image:2 text:3"),
+      (2L, 1L, 108L, 0L, "text:3")))
+  }
+
+  // ---- WordPiece ----------------------------------------------------
+
+  test("WordPiece greedy longest-match picks the longest piece at " +
+      "each cursor (the BERT 'unaffable' example)") {
+    val vocab = Seq("un", "unaff", "##able", "##aff", "a", "u", "n",
+      "##a", "##f", "##b", "##l", "##e")
+    def enc(w: String): Seq[String] =
+      Seq(w).toDF("w")
+        .select(graft.functions.WordPieceOps
+          .wordpieceApply(col("w"), vocab, 16).as("p"))
+        .as[Seq[String]].head()
+    assert(enc("unaffable") == Seq("unaff", "##able"))
+    // no match at a position ('x' has no continuation piece) → the
+    // WHOLE word is [UNK], not a partial encoding
+    assert(enc("unaffablx") == Seq("[UNK]"))
+    // over max_input_chars_per_word → [UNK] without matching
+    assert(enc("a" * 17) == Seq("[UNK]"))
+  }
+
+  test("WordPiece.mineVocab: all singles retained, multi-char cut by " +
+      "(cnt DESC, piece ASC)") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val v = WordPiece.mineVocab(docs, "text", maxPieceLen = 6,
+        topPieces = 1)
+      .orderBy("piece").as[(String, Long)].collect().toSeq
+    // candidates: a→2, ab→2, ##b→2, b→1; singles a/b/##b all kept,
+    // top-1 multi = ab
+    assert(v == Seq(("##b", 2L), ("a", 2L), ("ab", 2L), ("b", 1L)))
+  }
+
+  test("WordPiece.encode: stream shape matches bpeEncode; singles " +
+      "guarantee no [UNK] within the mined alphabet") {
+    val docs = Seq((1L, "ab b"), (2L, "ab ab")).toDF("doc_id", "text")
+    val vocab = WordPiece.mineVocab(docs, "text", 6, 10)
+    val r = WordPiece.encode(docs, "doc_id", "text", vocab,
+        maxInputChars = 16)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(r == Seq((1L, 0L, "ab"), (1L, 1L, "b"),
+      (2L, 0L, "ab"), (2L, 1L, "ab")))
+  }
+}
