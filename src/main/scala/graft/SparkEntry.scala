@@ -4866,6 +4866,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- SFT context-window truncation: first turn + the longest
+    // fitting SUFFIX of later turns (middles dropped whole-turn, the
+    // chat-trainer rule), spans recomputed over what remains. Budget
+    // 12 bites on most fixture conversations (totals run 12–24).
+    "q222_sft_truncate" -> ((s, dir) => {
+      Conversations.truncate(sftTurns(s, dir),
+          "conv_id", "turn_idx", "role", "text", maxTokens = 12L)
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
     // ---- the SFT VERTICAL composed: turns → rendered conversations
     // → fixed-chunk packing layout (the q87 cumsum over q214's
     // rendered documents, 4 streams by conv arithmetic) — one oracle
@@ -9236,6 +9246,32 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | s4 / 10000.0 AS sim, pos_s4 / 10000.0 AS pos_sim
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // truncation replay: first turn + the reverse-cumsum suffix test,
+    // then the forward span cumsum over the kept turns
+    "q222_sft_truncate" ->
+      s"""WITH $SftTurnCtesSql,
+         |tf AS (SELECT *, MIN(turn_idx) OVER (PARTITION BY conv_id)
+         |   AS first_idx FROM p),
+         |tg AS (SELECT *,
+         |  MAX(CASE WHEN turn_idx = first_idx THEN n_tokens END)
+         |    OVER (PARTITION BY conv_id) AS w_first,
+         |  SUM(CASE WHEN turn_idx <> first_idx THEN n_tokens
+         |    ELSE 0 END) OVER (PARTITION BY conv_id
+         |     ORDER BY turn_idx DESC ROWS UNBOUNDED PRECEDING) AS rsum
+         | FROM tf),
+         |tk AS (SELECT conv_id, turn_idx, role, piece, n_tokens
+         | FROM tg WHERE turn_idx = first_idx
+         |  OR rsum + w_first <= 12),
+         |ts AS (SELECT conv_id, turn_idx, role, piece, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS UNBOUNDED PRECEDING) AS end_tok FROM tk)
+         |SELECT conv_id, turn_idx, role, piece,
+         | CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+         | CAST(end_tok AS BIGINT) AS end_tok,
+         | CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+         |   AS BIGINT) AS in_loss
+         |FROM ts ORDER BY conv_id, turn_idx""".stripMargin,
 
     // SFT-vertical replay: the shared turn CTEs → per-conversation
     // token widths → the q87 cumsum layout with `//` chunk bounds

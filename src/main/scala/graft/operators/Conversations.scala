@@ -63,6 +63,55 @@ object Conversations {
         col("piece"), col("start_tok"), col("end_tok"), col("in_loss"))
   }
 
+  /** CONTEXT-WINDOW TRUNCATION — the chat-trainer rule for
+    * conversations longer than the model's sequence budget: keep the
+    * FIRST turn (the system prompt's slot) plus the longest SUFFIX of
+    * later turns whose combined width fits `maxTokens`, dropping
+    * middle history whole-turn (a partial turn is useless to a chat
+    * loss; recency beats middles). The first turn is kept even if it
+    * alone exceeds the budget — the honest outcome a trainer should
+    * fail loudly on, never a silently emptied conversation.
+    *
+    * Output: [[spans]]' exact shape over the truncated conversation —
+    * original `turn_idx` values survive (the drop is visible), the
+    * offsets are recomputed over what remains.
+    *
+    * Scale shape: three windows, all partitioned on conv_id — one
+    * Exchange total (the suffix cumsum runs turn-DESC, the span
+    * cumsum turn-ASC; sorts re-run, the shuffle does not).
+    */
+  def truncate(turns: DataFrame, convCol: String, turnCol: String,
+               roleCol: String, textCol: String,
+               maxTokens: Long): DataFrame = {
+    val wAll = Window.partitionBy(col("conv_id"))
+    val wDesc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns.select(col(convCol).cast("long").as("conv_id"),
+        col(turnCol).cast("long").as("turn_idx"),
+        col(roleCol).as("role"),
+        pieceCol(roleCol, textCol).as("piece"),
+        widthCol(textCol).as("n_tokens"))
+      .withColumn("first_idx", min(col("turn_idx")).over(wAll))
+      .withColumn("w_first",
+        max(when(col("turn_idx") === col("first_idx"),
+          col("n_tokens"))).over(wAll))
+      .withColumn("rsum",
+        sum(when(col("turn_idx") =!= col("first_idx"), col("n_tokens"))
+          .otherwise(0L)).over(wDesc))
+      .filter(col("turn_idx") === col("first_idx") ||
+        col("rsum") + col("w_first") <= maxTokens)
+      .withColumn("end_tok", sum(col("n_tokens")).over(wAsc))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("in_loss",
+        when(col("role") === "assistant", 1L).otherwise(0L))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("piece"), col("start_tok"), col("end_tok"), col("in_loss"))
+  }
+
   /** The rendered conversation document — one row per conversation:
     * pieces joined by a single space in turn order (so the document's
     * whitespace tokenization lines up with [[spans]]' offsets

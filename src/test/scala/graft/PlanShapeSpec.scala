@@ -569,6 +569,11 @@ class PlanShapeSpec extends SparkSpecBase {
       turns, "conv_id", "turn_idx", "role", "text"))
     assert(countIn(pr, "Exchange hashpartitioning") == 1, pr)
     assert(!pr.contains("SortMergeJoin"), pr)
+    // truncate runs three windows (min/max, DESC suffix cumsum, ASC
+    // span cumsum) — all on conv_id, so the shuffle happens ONCE
+    val pt = plan(graft.operators.Conversations.truncate(
+      turns, "conv_id", "turn_idx", "role", "text", maxTokens = 8L))
+    assert(countIn(pt, "Exchange hashpartitioning") == 1, pt)
   }
 
   test("packInterleaved: kind rides the cumsum window — ONE exchange " +

@@ -125,6 +125,28 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     assert(doc1.slice(3, 5).mkString(" ") == "<|assistant|> hello")
   }
 
+  test("Conversations.truncate: first turn always kept, longest " +
+      "fitting suffix, middles dropped whole-turn, spans recomputed") {
+    val t4 = Seq(
+      (1L, 0L, "system", "be brief"),      // width 3
+      (1L, 1L, "user", "a b c"),           // width 4 (dropped middle)
+      (1L, 2L, "assistant", "d e"),        // width 3
+      (1L, 3L, "user", "f"),               // width 2
+      (9L, 0L, "system", "way too long here no suffix fits x y")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val r = Conversations.truncate(t4, "conv_id", "turn_idx", "role",
+        "text", maxTokens = 8L)
+      .orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "start_tok", "end_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // conv 1: first (3) + suffix {2:3, 3:2} = 8 ≤ 8; adding turn 1
+    // (4) would overflow → dropped; spans recomputed over kept turns.
+    // conv 9: the over-budget first turn is kept alone, never an
+    // emptied conversation.
+    assert(r == Seq((1L, 0L, 0L, 3L), (1L, 2L, 3L, 6L),
+      (1L, 3L, 6L, 8L), (9L, 0L, 0L, 10L)))
+  }
+
   // ---- interleaved multimodal packing ------------------------------
 
   test("packInterleaved: boundary-straddling items report exact " +
