@@ -347,6 +347,54 @@ object SparkEntry {
           concat(col("text"), lit(" " + "x" * 20)))
           .otherwise(col("text")).as("text"))
 
+  /** q223: the SFT-decontamination replay — plant benchmark text into
+    * every 50th conversation's last turn, render (the q214 piece
+    * template), union with the benchmark slice under a ≥ 10⁶ id
+    * offset, then the q186 signature chain (2-shingle portable
+    * MinHash, 32 bands of 2 perms) with the id-offset split
+    * discriminating training from benchmark.
+    */
+  private lazy val SftDeconOracleSql: String = {
+    val sig = minhashSigCtesSql(2).replace("FROM documents", "FROM sftc")
+    materializeCtes(
+      s"""WITH $SftTurnCtesSql,
+         |t2 AS (SELECT conv_id, turn_idx, role,
+         |  CASE WHEN conv_id % 50 = 0 AND turn_idx = 5
+         |   THEN (SELECT d.text FROM documents d
+         |     WHERE d.doc_id = ((t.conv_id // 50) % 25) * 20)
+         |   ELSE t.text END AS text
+         | FROM t),
+         |p2 AS (SELECT conv_id, turn_idx,
+         |  '<|' || role || '|> ' || text AS piece FROM t2),
+         |rend AS (SELECT conv_id + 1000000 AS doc_id,
+         |  string_agg(piece, ' ' ORDER BY turn_idx) AS text
+         | FROM p2 GROUP BY conv_id),
+         |sftc AS (SELECT doc_id, text FROM rend
+         | UNION ALL
+         | SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+         | FROM documents WHERE doc_id % 20 = 0),
+         |$sig,
+         |zpr AS (SELECT DISTINCT x.doc_id AS doc_id,
+         |  y.doc_id AS bench_id
+         | FROM bnd x JOIN bnd y ON x.band = y.band
+         |  AND x.bucket = y.bucket
+         | WHERE x.doc_id >= 1000000 AND y.doc_id < 1000000),
+         |zsc AS (SELECT doc_id, bench_id, est FROM (
+         |  SELECT p.doc_id, p.bench_id,
+         |   SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est
+         |  FROM zpr p JOIN sigj sa ON sa.doc_id = p.doc_id
+         |  JOIN sigj sb ON sb.doc_id = p.bench_id AND sb.j = sa.j
+         |  GROUP BY 1, 2) WHERE est >= 0.5),
+         |fm AS (SELECT doc_id, COUNT(*) AS n_matches, MAX(est) AS mx
+         | FROM zsc GROUP BY doc_id)
+         |SELECT r.doc_id,
+         | CAST(COALESCE(fm.n_matches, 0) AS BIGINT) AS n_matches,
+         | COALESCE(fm.mx, 0.0) AS max_est_jaccard,
+         | COALESCE(fm.n_matches, 0) > 0 AS contaminated
+         |FROM rend r LEFT JOIN fm USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q216/q217 WordPiece vocabulary-mining replay: word frequencies →
     * positional substring candidates (word-initial unmarked, later
     * positions '##'-marked, length ≤ `maxPieceLen`) → `wpvocab` = all
@@ -4866,6 +4914,41 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- SFT DECONTAMINATION: rendered conversations fuzzy-checked
+    // against the eval-suite signature index — the audit a real SFT
+    // corpus runs (an assistant turn QUOTING a benchmark item is
+    // contamination no exact template match sees). Every 50th
+    // conversation's last turn is PLANTED with a benchmark document's
+    // text; the per-conversation report must flag exactly what the
+    // oracle's signature replay flags.
+    "q223_sft_decon" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val fz = graft.SparkEntry.tmpDir("sft_decon")
+      TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+        shingleN = 2, numPerm = 64, seed = 42L, indexDir = fz)
+      val t0 = sftTurns(s, dir)
+      val isPlant = pmod(col("conv_id"), lit(50)) === 0 &&
+        col("turn_idx") === 5L
+      val planted = t0.filter(isPlant)
+        .withColumn("pd",
+          pmod(expr("conv_id div 50"), lit(25)) * 20L)
+        .drop("text")
+        .join(broadcast(bench.select(col("doc_id").as("pd"),
+          col("text"))), Seq("pd"))
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          col("text"))
+      val turns = t0.filter(!isPlant).unionByName(planted)
+      val rendered = Conversations.render(turns, "conv_id",
+          "turn_idx", "role", "text")
+        .select((col("conv_id") + 1000000L).as("conv_id"), col("text"))
+      TextAnalysis.fuzzyDecontaminateIncremental(s, fz, rendered,
+          "conv_id", "text", shingleN = 2, numPerm = 64, bands = 32,
+          threshold = 0.5, seed = 42L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- SFT context-window truncation: first turn + the longest
     // fitting SUFFIX of later turns (middles dropped whole-turn, the
     // chat-trainer rule), spans recomputed over what remains. Budget
@@ -9246,6 +9329,11 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | s4 / 10000.0 AS sim, pos_s4 / 10000.0 AS pos_sim
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // SFT-decon replay: plant → render → the q186 signature chain
+    // over the combined (rendered convs ∪ benchmark) corpus, with
+    // the ≥ 10⁶ id split discriminating training from benchmark
+    "q223_sft_decon" -> SftDeconOracleSql,
 
     // truncation replay: first turn + the reverse-cumsum suffix test,
     // then the forward span cumsum over the kept turns
