@@ -423,6 +423,69 @@ object SparkEntry {
        |FROM (SELECT DISTINCT query_id FROM tk) q
        |LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin)
 
+  /** q225: the probe-sweep replay — three chains over the shared
+    * quantization CTEs (probes 2/5/all, horizon corpus-wide so ONLY
+    * probes vary), aggregated recall vs the all-probes chain.
+    */
+  private lazy val HnProbeSweepOracleSql: String = {
+    def probeCte(sfx: String, p: String): String =
+      s"""p$sfx AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
+         |  unnest(list_distinct(list_transform(range($p),
+         |    i -> (label + i) % x.nl))) AS probe
+         | FROM n, (SELECT MAX(label) + 1 AS nl FROM embeddings) x
+         | WHERE vec_id < 8)""".stripMargin
+    def hitRow(p: Int, sfx: String): String =
+      s"""SELECT CAST($p AS BIGINT) AS n_probes,
+         | CAST(qn2.nq AS BIGINT) AS n_queries,
+         | CAST(h$sfx.sum_hit AS BIGINT) AS sum_hit,
+         | CAST(h$sfx.sum_hit * 10000 // (3 * qn2.nq) AS BIGINT)
+         |   AS recall_10k
+         |FROM h$sfx, qn2""".stripMargin
+    materializeCtes(
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  CAST(label AS BIGINT) AS label FROM embeddings),
+         |qv AS (SELECT vec_id, label,
+         |  list_transform(v, x -> floor((x * 127) /
+         |    list_max(list_transform(v, y -> abs(y))))) AS q
+         | FROM base
+         | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+         |n AS (SELECT vec_id, label, q,
+         |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+         |pp AS (SELECT vec_id AS query_id, vec_id + 50 AS pos_id
+         |  FROM embeddings WHERE vec_id < 8
+         | UNION ALL
+         | SELECT vec_id, vec_id * 3 + 100
+         |  FROM embeddings WHERE vec_id < 8),
+         |ps AS (SELECT pp.query_id, MAX(CAST(round(
+         |   list_dot_product(a.q, c.q) / (a.nrm * c.nrm) * 10000, 0)
+         |    AS BIGINT)) AS pos_s4
+         | FROM pp JOIN n a ON a.vec_id = pp.query_id
+         |  JOIN n c ON c.vec_id = pp.pos_id
+         | GROUP BY pp.query_id),
+         |${probeCte("S2", "2")},
+         |${probeCte("S5", "5")},
+         |${probeCte("ST", "(SELECT MAX(label) + 1 FROM embeddings)")},
+         |${hnChainSql("S2", 500, 30000L)},
+         |${hnChainSql("S5", 500, 30000L)},
+         |${hnChainSql("ST", 500, 30000L)},
+         |ak2 AS (SELECT query_id, neighbor_id FROM rS2 WHERE rank <= 3),
+         |ak5 AS (SELECT query_id, neighbor_id FROM rS5 WHERE rank <= 3),
+         |tkT AS (SELECT query_id, neighbor_id FROM rST WHERE rank <= 3),
+         |h2 AS (SELECT COUNT(*) AS sum_hit FROM ak2 a JOIN tkT t
+         | ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id),
+         |h5 AS (SELECT COUNT(*) AS sum_hit FROM ak5 a JOIN tkT t
+         | ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id),
+         |hT AS (SELECT COUNT(*) AS sum_hit FROM tkT),
+         |qn2 AS (SELECT COUNT(DISTINCT query_id) AS nq FROM tkT)
+         |SELECT * FROM (
+         | ${hitRow(2, "2")}
+         | UNION ALL
+         | ${hitRow(5, "5")}
+         | UNION ALL
+         | ${hitRow(10, "T")})
+         |ORDER BY n_probes""".stripMargin)
+  }
+
   /** q223: the SFT-decontamination replay — plant benchmark text into
     * every 50th conversation's last turn, render (the q214 piece
     * template), union with the benchmark slice under a ≥ 10⁶ id
@@ -5030,6 +5093,41 @@ object SparkEntry {
       Ann.recallAtK(approx, truth, 3).orderBy(col("query_id"))
     }),
 
+    // ---- the probe-sweep companion to q224: hold k/horizon/margin
+    // fixed (horizon = corpus-wide so ONLY probes vary) and widen
+    // probes 2 → 5 → 10-of-10 — aggregated recall must climb to
+    // exactly 10⁴ at full probes (approx ≡ truth), proving the
+    // pruning lever WORKS, not just that it costs.
+    "q225_hn_probe_sweep" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val idx = graft.SparkEntry.tmpDir("hn_sweep_idx")
+      Ann.sq8IndexAppend(em, "vec_id", "embedding", col("label"),
+        idx, 1L)
+      val q8 = em.filter(col("vec_id") < 8)
+      val pairs = q8.select(col("vec_id").as("query_id"))
+        .select(col("query_id"), (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("vec_id").as("query_id"))
+          .select(col("query_id"),
+            (col("query_id") * 3L + 100L).as("pos_id")))
+      def mine(p: Int) = Ann.hardNegativesFromIndex(s, idx, pairs,
+        q8.withColumn("probes", array_distinct(transform(
+          sequence(lit(0L), lit((p - 1).toLong)),
+          i => pmod(col("label") + i, lit(nLabels)).cast("long")))),
+        "vec_id", "embedding", "probes", k = 3, overfetch = 500,
+        margin10k = 30000L)
+      val truth = mine(nLabels)
+      Seq(2, 5, nLabels).map { p =>
+        Ann.recallAtK(mine(p), truth, 3)
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_hit")).as("sum_hit"))
+          .select(lit(p.toLong).as("n_probes"), col("n_queries"),
+            col("sum_hit"),
+            expr("sum_hit * 10000L div (3L * n_queries)")
+              .as("recall_10k"))
+      }.reduce(_.unionByName(_)).orderBy(col("n_probes"))
+    }),
+
     // ---- SFT DECONTAMINATION: rendered conversations fuzzy-checked
     // against the eval-suite signature index — the audit a real SFT
     // corpus runs (an assistant turn QUOTING a benchmark item is
@@ -9449,6 +9547,10 @@ object SparkEntry {
     // pruning-recall replay: both hard-negative chains (probed vs
     // all-clusters) over the shared quantization CTEs, the q171 tail
     "q224_hn_pruning_recall" -> HnPruningRecallOracleSql,
+
+    // probe-sweep replay: three chains (2/5/all probes), horizon
+    // corpus-wide, aggregated exact-integer recall rows
+    "q225_hn_probe_sweep" -> HnProbeSweepOracleSql,
 
     // SFT-decon replay: plant → render → the q186 signature chain
     // over the combined (rendered convs ∪ benchmark) corpus, with
