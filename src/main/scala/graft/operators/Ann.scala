@@ -50,6 +50,15 @@ object Ann {
     * so the margin test `cand_s4·10⁴ ≤ pos_s4·margin10k` and the rank
     * order are pure integer arithmetic an oracle replays exactly.
     *
+    * Margin semantics are calibrated for the standard case of a
+    * POSITIVE best-positive similarity (real embedding models put
+    * labeled positives well above 0): the cutoff is margin10k/10⁴ of
+    * pos_s4, so margin10k < 10⁴ tightens and > 10⁴ loosens. When
+    * pos_s4 is negative (possible only on structure-free fixtures),
+    * the multiplication flips that monotonicity — the rule stays
+    * well-defined and exactly replayable, but "95%" no longer reads
+    * as "slightly below the positive"; pick margins per-corpus.
+    *
     * Scale shape: `pairs` is tiny next to the corpus — it broadcasts
     * twice (once joined to corpus vectors to score the labeled
     * positives, once as the per-query exclusion set); the corpus then
