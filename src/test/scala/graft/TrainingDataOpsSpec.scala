@@ -125,6 +125,28 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     assert(doc1.slice(3, 5).mkString(" ") == "<|assistant|> hello")
   }
 
+  test("Conversations: arrival order never matters — shuffled turn " +
+      "rows render, span and truncate identically (the permutation " +
+      "discipline)") {
+    val shuffled = turns.orderBy(rand(7L))
+    def byConv(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("conv_id").collect().toSeq
+    def byTurn(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(byConv(Conversations.render(shuffled, "conv_id",
+        "turn_idx", "role", "text")) ==
+      byConv(Conversations.render(turns, "conv_id", "turn_idx",
+        "role", "text")))
+    assert(byTurn(Conversations.spans(shuffled, "conv_id", "turn_idx",
+        "role", "text")) ==
+      byTurn(Conversations.spans(turns, "conv_id", "turn_idx",
+        "role", "text")))
+    assert(byTurn(Conversations.truncate(shuffled, "conv_id",
+        "turn_idx", "role", "text", 4L)) ==
+      byTurn(Conversations.truncate(turns, "conv_id", "turn_idx",
+        "role", "text", 4L)))
+  }
+
   test("Conversations.truncate: first turn always kept, longest " +
       "fitting suffix, middles dropped whole-turn, spans recomputed") {
     val t4 = Seq(
