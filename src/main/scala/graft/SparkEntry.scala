@@ -434,7 +434,11 @@ object SparkEntry {
          |    i -> (label + i) % x.nl))) AS probe
          | FROM n, (SELECT MAX(label) + 1 AS nl FROM embeddings) x
          | WHERE vec_id < 8)""".stripMargin
-    def hitRow(p: Int, sfx: String): String =
+    // n_probes is a SQL expression: the all-probes row derives it
+    // from the data (MAX(label)+1) exactly like the engine's nLabels
+    // — a literal would break the key column, not measure recall, if
+    // the fixture's label count ever changed
+    def hitRow(p: String, sfx: String): String =
       s"""SELECT CAST($p AS BIGINT) AS n_probes,
          | CAST(qn2.nq AS BIGINT) AS n_queries,
          | CAST(h$sfx.sum_hit AS BIGINT) AS sum_hit,
@@ -478,11 +482,11 @@ object SparkEntry {
          |hT AS (SELECT COUNT(*) AS sum_hit FROM tkT),
          |qn2 AS (SELECT COUNT(DISTINCT query_id) AS nq FROM tkT)
          |SELECT * FROM (
-         | ${hitRow(2, "2")}
+         | ${hitRow("2", "2")}
          | UNION ALL
-         | ${hitRow(5, "5")}
+         | ${hitRow("5", "5")}
          | UNION ALL
-         | ${hitRow(10, "T")})
+         | ${hitRow("(SELECT MAX(label) + 1 FROM embeddings)", "T")})
          |ORDER BY n_probes""".stripMargin)
   }
 
@@ -560,7 +564,8 @@ object SparkEntry {
        |wag AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
        | FROM wpc GROUP BY piece),
        |wmu AS (SELECT piece, cnt FROM wag
-       | WHERE NOT ($single) ORDER BY cnt DESC, piece LIMIT $topPieces),
+       | WHERE NOT ($single) AND piece <> '[UNK]'
+       | ORDER BY cnt DESC, piece LIMIT $topPieces),
        |wpvocab AS (SELECT piece, cnt FROM wag WHERE $single
        | UNION ALL SELECT piece, cnt FROM wmu)""".stripMargin
   }
@@ -4991,7 +4996,7 @@ object SparkEntry {
       val vocab = WordPiece.mineVocab(t(s, dir, "documents"), "text",
         maxPieceLen = 6, topPieces = 60)
       WordPiece.encode(wpAugDocs(s, dir), "doc_id", "text", vocab,
-          maxInputChars = 16)
+          matchHorizon = 6, maxInputChars = 16)
         .orderBy(col("doc_id"), col("pos"))
     }),
 
@@ -5038,7 +5043,8 @@ object SparkEntry {
       val art = graft.SparkEntry.tmpDir("wp_vocab")
       WordPiece.saveVocab(mined, art)
       WordPiece.encode(wpAugDocs(s, dir), "doc_id", "text",
-          WordPiece.loadVocab(s, art), maxInputChars = 16)
+          WordPiece.loadVocab(s, art), matchHorizon = 6,
+          maxInputChars = 16)
         .orderBy(col("doc_id"), col("pos"))
     }),
 
@@ -5049,7 +5055,7 @@ object SparkEntry {
       val vocab = WordPiece.mineVocab(t(s, dir, "documents"), "text",
         maxPieceLen = 6, topPieces = 60)
       WordPiece.encodeIds(wpAugDocs(s, dir), "doc_id", "text", vocab,
-          maxInputChars = 16)
+          matchHorizon = 6, maxInputChars = 16)
         .orderBy(col("doc_id"), col("pos"))
     }),
 

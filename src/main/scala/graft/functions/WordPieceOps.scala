@@ -20,9 +20,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * word consumes ≥ 1 char per match, so ≤ maxInputChars matches).
   *
   * Unlike BPE there is no merge order to replay: the vocabulary is a
-  * set, and the greedy rule is the whole algorithm — `maxPieceLen` is
-  * derived from the vocabulary itself so the expression and any
-  * replay agree on the match horizon by construction.
+  * set, and the greedy rule is the whole algorithm — `matchHorizon`
+  * (the maximum word chars one match may consume) is passed in
+  * EXPLICITLY as the mining `maxPieceLen`, so the expression and any
+  * replay enumerate byte-identical candidate sets. Deriving the
+  * horizon from vocabulary piece lengths diverges in BOTH directions
+  * on '#'-leading corpus words: an UNMARKED mined piece literally
+  * starting with '##' consumes its full raw length (len−2 would
+  * under-count it and miss a longest match the replay finds), while a
+  * MARKED continuation piece of raw length > maxPieceLen could match
+  * literally at position 0 (raw length would over-count and find a
+  * match the replay's maxPieceLen-bounded unroll cannot). One
+  * documented consequence: a marked piece with raw length in
+  * (maxPieceLen, maxPieceLen+2] matches only as a continuation, never
+  * literally at position 0 — identical on both sides by construction.
   *
   * `CodegenFallback` for the same reason as [[BpeApply]]: the
   * per-word match loop is imperative, and a fallback expression still
@@ -35,12 +46,6 @@ object WordPieceApply {
   private def unkArray: GenericArrayData =
     new GenericArrayData(Array[Any](UTF8String.fromString(Unk)))
 
-  /** Effective match length of a piece: '##'-continuations match
-    * len-2 word chars.
-    */
-  private[functions] def effLen(p: String): Int =
-    if (p.startsWith("##")) p.length - 2 else p.length
-
   private[functions] def toSet(pieces: Array[String])
       : java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](pieces.length * 2)
@@ -49,14 +54,14 @@ object WordPieceApply {
   }
 
   private[functions] def encodeWord(word: String,
-      vocab: java.util.HashSet[String], maxPieceLen: Int,
+      vocab: java.util.HashSet[String], matchHorizon: Int,
       maxInputChars: Int): GenericArrayData = {
     val n = word.length
     if (n > maxInputChars) return unkArray
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var pos = 0
     while (pos < n) {
-      var l = math.min(maxPieceLen, n - pos)
+      var l = math.min(matchHorizon, n - pos)
       var found = -1
       while (l >= 1 && found < 0) {
         val cand = (if (pos == 0) "" else "##") +
@@ -77,7 +82,7 @@ object WordPieceApply {
   * (the [[BpeApply]]/[[BpeApplyBroadcast]] transport split).
   */
 case class WordPieceApplyExpr(child: Expression, pieces: Seq[String],
-                              maxInputChars: Int)
+                              matchHorizon: Int, maxInputChars: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -85,13 +90,10 @@ case class WordPieceApplyExpr(child: Expression, pieces: Seq[String],
 
   @transient private lazy val vocab =
     WordPieceApply.toSet(pieces.toArray)
-  @transient private lazy val maxLen =
-    if (pieces.isEmpty) 1
-    else pieces.iterator.map(WordPieceApply.effLen).max
 
   protected override def nullSafeEval(input: Any): Any =
     WordPieceApply.encodeWord(input.asInstanceOf[UTF8String].toString,
-      vocab, maxLen, maxInputChars)
+      vocab, matchHorizon, maxInputChars)
 
   override protected def withNewChildInternal(
       newChild: Expression): WordPieceApplyExpr = copy(child = newChild)
@@ -102,20 +104,17 @@ case class WordPieceApplyExpr(child: Expression, pieces: Seq[String],
   * transport).
   */
 case class WordPieceApplyBroadcast(child: Expression,
-    bc: Broadcast[Array[String]], maxInputChars: Int)
+    bc: Broadcast[Array[String]], matchHorizon: Int, maxInputChars: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "wordpiece_apply_bc"
 
   @transient private lazy val vocab = WordPieceApply.toSet(bc.value)
-  @transient private lazy val maxLen =
-    if (bc.value.isEmpty) 1
-    else bc.value.iterator.map(WordPieceApply.effLen).max
 
   protected override def nullSafeEval(input: Any): Any =
     WordPieceApply.encodeWord(input.asInstanceOf[UTF8String].toString,
-      vocab, maxLen, maxInputChars)
+      vocab, matchHorizon, maxInputChars)
 
   override protected def withNewChildInternal(
       newChild: Expression): WordPieceApplyBroadcast =
@@ -123,15 +122,18 @@ case class WordPieceApplyBroadcast(child: Expression,
 }
 
 object WordPieceOps {
-  /** Column API: greedy longest-match WordPiece over one word. */
+  /** Column API: greedy longest-match WordPiece over one word.
+    * `matchHorizon` = the vocabulary's mining maxPieceLen.
+    */
   def wordpieceApply(word: Column, pieces: Seq[String],
-                     maxInputChars: Int): Column =
+                     matchHorizon: Int, maxInputChars: Int): Column =
     ColumnBridge.column(WordPieceApplyExpr(
-      ColumnBridge.expression(word), pieces, maxInputChars))
+      ColumnBridge.expression(word), pieces, matchHorizon,
+      maxInputChars))
 
   /** [[wordpieceApply]] with the vocabulary behind a broadcast. */
   def wordpieceApplyBc(word: Column, bc: Broadcast[Array[String]],
-                       maxInputChars: Int): Column =
+                       matchHorizon: Int, maxInputChars: Int): Column =
     ColumnBridge.column(WordPieceApplyBroadcast(
-      ColumnBridge.expression(word), bc, maxInputChars))
+      ColumnBridge.expression(word), bc, matchHorizon, maxInputChars))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.tokens
@@ -30,12 +30,30 @@ object Conversations {
     (size(filter(tokens(col(textCol)), t => length(t) > 0)) + 1)
       .cast("long")
 
+  /** KEY CONTRACT: (conv_id, turn_idx) must be unique — two turns
+    * cannot share a position, and a per-row cumsum over colliding
+    * indexes would be tie-order-dependent (silently different offsets
+    * run to run). The guard is a lag over the SAME window spec the
+    * cumsum uses (same partition, same order — no extra Exchange):
+    * adjacent equal indexes raise loudly instead of emitting
+    * nondeterministic spans. Fires only on the true-duplicate branch
+    * (CaseWhen branch laziness), costs one offset frame otherwise.
+    */
+  private def dupGuard(over: org.apache.spark.sql.expressions
+      .WindowSpec): Column =
+    when(lag(col("turn_idx"), 1).over(over) <=> col("turn_idx"),
+      raise_error(concat(
+        lit("Conversations: duplicate (conv_id, turn_idx) = ("),
+        col("conv_id"), lit(", "), col("turn_idx"),
+        lit(") — turn positions must be unique"))).cast("long"))
+
   /** Per-turn rendered pieces with token offsets and the loss flag.
     *
     * Offsets are ONE exact-integer cumsum window per conversation
     * ordered by the turn index (ROWS frame pinned — the
     * packSequencesByCount discipline: RANGE would merge duplicate
-    * turn indexes); `in_loss` = 1 marks assistant turns.
+    * turn indexes); `in_loss` = 1 marks assistant turns. Duplicate
+    * (conv_id, turn_idx) input raises loudly (see [[dupGuard]]).
     *
     * Output: (conv_id, turn_idx, role, piece, start_tok, end_tok,
     * in_loss).
@@ -48,14 +66,17 @@ object Conversations {
     */
   def spans(turns: DataFrame, convCol: String, turnCol: String,
             roleCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val wOrd = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx"))
+    val w = wOrd
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     turns.select(col(convCol).cast("long").as("conv_id"),
         col(turnCol).cast("long").as("turn_idx"),
         col(roleCol).as("role"),
         pieceCol(roleCol, textCol).as("piece"),
         widthCol(textCol).as("n_tokens"))
-      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("end_tok",
+        coalesce(dupGuard(wOrd), sum(col("n_tokens")).over(w)))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
       .withColumn("in_loss",
         when(col("role") === "assistant", 1L).otherwise(0L))
@@ -84,8 +105,9 @@ object Conversations {
                roleCol: String, textCol: String,
                maxTokens: Long): DataFrame = {
     val wAll = Window.partitionBy(col("conv_id"))
-    val wDesc = Window.partitionBy(col("conv_id"))
+    val wDescOrd = Window.partitionBy(col("conv_id"))
       .orderBy(col("turn_idx").desc)
+    val wDesc = wDescOrd
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAsc = Window.partitionBy(col("conv_id"))
       .orderBy(col("turn_idx"))
@@ -99,9 +121,9 @@ object Conversations {
       .withColumn("w_first",
         max(when(col("turn_idx") === col("first_idx"),
           col("n_tokens"))).over(wAll))
-      .withColumn("rsum",
+      .withColumn("rsum", coalesce(dupGuard(wDescOrd),
         sum(when(col("turn_idx") =!= col("first_idx"), col("n_tokens"))
-          .otherwise(0L)).over(wDesc))
+          .otherwise(0L)).over(wDesc)))
       .filter(col("turn_idx") === col("first_idx") ||
         col("rsum") + col("w_first") <= maxTokens)
       .withColumn("end_tok", sum(col("n_tokens")).over(wAsc))
@@ -121,7 +143,9 @@ object Conversations {
     * Scale shape: one groupBy(conv_id) with order-independent
     * aggregates (collect_list sorted AFTER collection by the struct's
     * leading turn_idx — arrival order never matters), partial-agg
-    * friendly.
+    * friendly. Unlike [[spans]]/[[truncate]], duplicate turn indexes
+    * need no guard here: the struct sort tie-breaks on the piece
+    * string, so the rendering is deterministic regardless.
     */
   def render(turns: DataFrame, convCol: String, turnCol: String,
              roleCol: String, textCol: String): DataFrame =

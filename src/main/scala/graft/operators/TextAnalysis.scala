@@ -2370,6 +2370,11 @@ object TextAnalysis {
     * every chunk it touches (`n_items` counts touching items); a
     * reader requiring atomic images bumps them to the next chunk at
     * read time — the manifest carries the exact widths either way.
+    * ZERO-WIDTH items (a text item counting 0 tokens) are DROPPED
+    * entirely: they occupy no positions, so they appear in no chunk's
+    * manifest and in no `n_items` count — the manifest lists the
+    * items a reader will actually emit tokens for, not the input
+    * row set.
     *
     * Scale shape: one cumsum window per stream + one (stream, chunk)
     * aggregation; the explode multiplies rows only by

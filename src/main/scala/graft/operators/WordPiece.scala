@@ -22,7 +22,11 @@ import graft.functions.WordPieceOps
   * Caveat shared with BERT itself: a corpus word that literally
   * starts with '#' is ambiguous against the continuation marker; the
   * mining and the encoder are consistent with each other (both treat
-  * '##'+s as a continuation), which is all the greedy rule needs.
+  * '##'+s as a continuation), which is all the greedy rule needs —
+  * and the match horizon is the mining `maxPieceLen` passed
+  * EXPLICITLY on both sides, so the candidate enumeration is
+  * byte-identical even on '#'-leading words (see
+  * [[graft.functions.WordPieceApply]]).
   */
 object WordPiece {
 
@@ -65,7 +69,12 @@ object WordPiece {
         col("wc"))
       .groupBy("piece").agg(sum(col("wc")).as("cnt"))
     val singles = pieces.filter(isSingle(col("piece")))
-    val multi = pieces.filter(!isSingle(col("piece")))
+    // the literal '[UNK]' is RESERVED: [[encodeIds]] maps it to id -1
+    // via the left join, so a corpus word containing that substring
+    // must never mine it as a real piece (failed words would silently
+    // get the mined piece's id instead of the reserved slot)
+    val multi = pieces.filter(!isSingle(col("piece")) &&
+        col("piece") =!= graft.functions.WordPieceApply.Unk)
       .orderBy(col("cnt").desc, col("piece"))
       .limit(topPieces)
     singles.unionByName(multi)
@@ -75,7 +84,12 @@ object WordPiece {
     * per word via the native [[graft.functions.WordPieceApplyExpr]]
     * (broadcast transport when `bc` is preferred — see
     * [[encodeBc]]). Words longer than `maxInputChars` become `[UNK]`
-    * whole (BERT's max_input_chars_per_word guard).
+    * whole (BERT's max_input_chars_per_word guard). `matchHorizon`
+    * MUST be the vocabulary's mining `maxPieceLen` — the horizon is
+    * part of the tokenizer contract, carried alongside the artifact
+    * exactly like maxInputChars (see [[graft.functions.WordPieceApply]]
+    * for why deriving it from piece lengths diverges on '#'-leading
+    * words).
     *
     * Output: (doc_id, pos, piece) — the [[TextAnalysis.bpeEncode]]
     * stream shape, so packing/coverage/id-mapping downstream is
@@ -87,7 +101,7 @@ object WordPiece {
     * stream materializes only at the posexplode the caller asked for.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             vocab: DataFrame, maxInputChars: Int,
+             vocab: DataFrame, matchHorizon: Int, maxInputChars: Int,
              driverVocabLimit: Long = 4000000L): DataFrame = {
     val head = vocab.select(col("piece"))
       .limit(math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt)
@@ -100,7 +114,8 @@ object WordPiece {
     docs.select(col(idCol).as("doc_id"),
         posexplode(flatten(transform(
           filter(tokens(col(textCol)), t => length(t) > 0),
-          w => WordPieceOps.wordpieceApplyBc(w, bc, maxInputChars)))))
+          w => WordPieceOps.wordpieceApplyBc(w, bc, matchHorizon,
+            maxInputChars)))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("piece"))
   }
@@ -133,8 +148,9 @@ object WordPiece {
     * silently dropped row.
     */
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
-                vocab: DataFrame, maxInputChars: Int): DataFrame =
-    encode(docs, idCol, textCol, vocab, maxInputChars)
+                vocab: DataFrame, matchHorizon: Int,
+                maxInputChars: Int): DataFrame =
+    encode(docs, idCol, textCol, vocab, matchHorizon, maxInputChars)
       .join(broadcast(vocabIds(vocab)), Seq("piece"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("piece_id"), lit(-1L)).as("piece_id"))

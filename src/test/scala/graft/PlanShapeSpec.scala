@@ -554,7 +554,8 @@ class PlanShapeSpec extends SparkSpecBase {
     val vocab = Seq(("a", 2L), ("b", 2L), ("ab", 1L), ("##b", 1L))
       .toDF("piece", "cnt")
     val p = plan(graft.operators.WordPiece.encode(
-      docs, "doc_id", "text", vocab, maxInputChars = 16))
+      docs, "doc_id", "text", vocab, matchHorizon = 6,
+      maxInputChars = 16))
     assert(countIn(p, "Exchange") == 0, p)
   }
 

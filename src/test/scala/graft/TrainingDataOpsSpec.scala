@@ -147,6 +147,36 @@ class TrainingDataOpsSpec extends SparkSpecBase {
         "role", "text", 4L)))
   }
 
+  test("Conversations: duplicate (conv_id, turn_idx) raises loudly " +
+      "in spans and truncate — never tie-order-dependent offsets " +
+      "(the key contract); render stays deterministic") {
+    val dup = turns.unionByName(Seq((1L, 1L, "user", "again"))
+      .toDF("conv_id", "turn_idx", "role", "text"))
+    def fullMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      Conversations.spans(dup, "conv_id", "turn_idx", "role", "text")
+        .collect()
+    }
+    assert(fullMsg(e1).contains("duplicate (conv_id, turn_idx)"),
+      fullMsg(e1))
+    val e2 = intercept[Exception] {
+      Conversations.truncate(dup, "conv_id", "turn_idx", "role",
+        "text", 8L).collect()
+    }
+    assert(fullMsg(e2).contains("duplicate (conv_id, turn_idx)"),
+      fullMsg(e2))
+    // render needs no guard: the struct sort tie-breaks on the piece
+    // string, so duplicate indexes render deterministically
+    val r = Conversations.render(dup, "conv_id", "turn_idx", "role",
+        "text")
+      .filter(col("conv_id") === 1L)
+      .select("text", "n_tokens").as[(String, Long)].head()
+    assert(r == ("<|user|> hi there <|assistant|> hello " +
+      "<|user|> again", 7L))
+  }
+
   test("Conversations.truncate: first turn always kept, longest " +
       "fitting suffix, middles dropped whole-turn, spans recomputed") {
     val t4 = Seq(
@@ -199,7 +229,7 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     def enc(w: String): Seq[String] =
       Seq(w).toDF("w")
         .select(graft.functions.WordPieceOps
-          .wordpieceApply(col("w"), vocab, 16).as("p"))
+          .wordpieceApply(col("w"), vocab, 6, 16).as("p"))
         .as[Seq[String]].head()
     assert(enc("unaffable") == Seq("unaff", "##able"))
     // no match at a position ('x' has no continuation piece) → the
@@ -225,7 +255,7 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     val docs = Seq((1L, "ab b"), (2L, "ab ab")).toDF("doc_id", "text")
     val vocab = WordPiece.mineVocab(docs, "text", 6, 10)
     val r = WordPiece.encode(docs, "doc_id", "text", vocab,
-        maxInputChars = 16)
+        matchHorizon = 6, maxInputChars = 16)
       .orderBy("doc_id", "pos")
       .as[(Long, Long, String)].collect().toSeq
     assert(r == Seq((1L, 0L, "ab"), (1L, 1L, "b"),
