@@ -91,6 +91,12 @@ object Bench {
       // the legacy fixed-point resolver only.
       .config("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", "false")
       .config("spark.sql.analyzer.singlePassResolver.enabled", "false")
+      // stable generated-class names: the Janino cache keys on source
+      // text (comments excluded), so without the per-stage id in the
+      // class name, structurally identical stages across lanes/reps
+      // compile ONCE (tools/CodegenProbe r15: q195's warm rep
+      // recompiles 0 classes with this off vs 4 with it on)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -157,6 +163,21 @@ object Bench {
     // engine, not first-query JVM startup costs.
     time { spark.range(0, 1000000).selectExpr("sum(id)").collect() }
     time { spark.read.parquet(s"$sfDir/nation.parquet").count() }
+    // Wire-machinery pre-warm (untimed, 64 docs): a cold wire→RAG run
+    // pays ~20 s over warm — ~3 s Janino compile of ~80 generated
+    // classes, the rest HotSpot JIT of the interpreted-HOF HL7 parse
+    // + funnel expression machinery (tools/CodegenProbe, SCALING.md
+    // r15 adjudication). The warm-up is per-JVM and transfers across
+    // lanes (the expression CLASSES are shared), so one tiny slice
+    // here buys q195/q204/w2/w4 their warm shape from rep 1. On a
+    // long-lived 100 TB cluster this cost amortizes to noise; the
+    // bench pre-warms to measure the engine, not JVM startup.
+    time {
+      SparkEntry.wireRagChain(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(64),
+        "bench_prewarm").count()
+    }
+    dropCaches()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (name <- headline; fn <- SparkEntry.queries.get(name)) {

@@ -154,7 +154,8 @@ object SparkEntry {
                               paraphrase: Boolean = false,
                               image: Boolean = false,
                               imageRadius: Boolean = false,
-                              audio: Boolean = false)
+                              audio: Boolean = false,
+                              align: Boolean = false)
       : graft.streaming.CurationStream.Config = {
     val d0 = t(s, dir, "documents")
     val d = if (!paraphrase) d0 else {
@@ -198,6 +199,7 @@ object SparkEntry {
       spanIdx = Some(mk()), nearDupIdx = Some(mk()),
       imageIdx = if (image || imageRadius || audio) Some(mk()) else None,
       imageMaxDist = if (imageRadius) 1 else 0,
+      alignIdx = if (align) Some(mk()) else None,
       funnelLangs = if (funnel) Some(Seq("en")) else None)
     if (fold) {
       val train0 = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
@@ -232,6 +234,46 @@ object SparkEntry {
         train0.select(col("doc_id").cast("long").as("doc_id"),
             col("text"), col("lang"))
           .join(hashes, Seq("doc_id"), "left")
+      } else if (align) {
+        import s.implicits._
+        // CROSS-MODAL fixture: image docs (doc_id ≡ 0 mod 5) carry a
+        // luminance-strip PNG RENDERED FROM A CAPTION's hashEmbed —
+        // matched docs from their OWN caption (bin b gets
+        // max(emb_b, 0)+1 pixels of mid-bin gray), every 4th image
+        // doc ((doc_id div 5) % 4 == 1) from the REVERSED weights:
+        // the planted mismatched-caption victim. The engine DECODES
+        // the strip back to the raw histogram and scores
+        // cosine(caption embed, histogram) — measured split at
+        // sf0.01: matched median s4 8353 / mismatched max 3872, so
+        // threshold 5000 (Config default) kills every plant and
+        // keeps 71/75 matched pairs.
+        val imgDocs = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val emb = graft.operators.Embed.hashEmbed(
+          imgDocs, "doc_id", "text", dim = 8)
+        val media = emb
+          .select(col("doc_id"),
+            transform(col("emb"),
+              x => greatest(x, lit(0.0)) + 1).as("w"),
+            pmod(expr("CAST(doc_id AS BIGINT) div 5"), lit(4L))
+              .as("m"))
+          .select(col("doc_id"),
+            when(col("m") === 1, reverse(col("w")))
+              .otherwise(col("w")).as("w"))
+          .as[(Long, Seq[Double])]
+          .map { case (id, w) =>
+            Multimodal.MediaRow(id, "image",
+              Multimodal.encodeLumaStripPng(w.map(_.toInt).toArray),
+              "image/png") }
+        val hists = Multimodal.imageLumaHist(media).toDF()
+          .select(col("media_id").as("doc_id"), col("hist"))
+        val scores = emb.join(hists, Seq("doc_id"))
+          .select(col("doc_id"),
+            Multimodal.alignScore10k(col("emb"), col("hist"))
+              .as("align_s4"))
+        train0.select(col("doc_id").cast("long").as("doc_id"),
+            col("text"), col("lang"))
+          .join(scores, Seq("doc_id"), "left")
       } else if (!image && !imageRadius) train0 else {
         import s.implicits._
         // exact mode: pattern class = (id div 15) % 256, injective in
@@ -335,6 +377,69 @@ object SparkEntry {
        |    x -> len(x) > 0)) AS n_tokens
        | FROM t)""".stripMargin
 
+  /** q223/q227 planted-contamination fixture: every 50th
+    * conversation's last turn carries a benchmark document's text;
+    * returns (turns, fuzzy-index dir) — the turn table feeding the
+    * batch audit (q223) and the streamed fold (q227) identically.
+    */
+  private def sftPlantedTurns(s: SparkSession,
+                              dir: String): (DataFrame, String) = {
+    val d = t(s, dir, "documents")
+    val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val fz = graft.SparkEntry.tmpDir("sft_decon")
+    TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+      shingleN = 2, numPerm = 64, seed = 42L, indexDir = fz)
+    val t0 = sftTurns(s, dir)
+    val isPlant = pmod(col("conv_id"), lit(50)) === 0 &&
+      col("turn_idx") === 5L
+    val planted = t0.filter(isPlant)
+      .withColumn("pd",
+        pmod(expr("conv_id div 50"), lit(25)) * 20L)
+      .drop("text")
+      .join(broadcast(bench.select(col("doc_id").as("pd"),
+        col("text"))), Seq("pd"))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("text"))
+    (t0.filter(!isPlant).unionByName(planted), fz)
+  }
+
+  /** Drive a turn table through the REAL streaming engine
+    * ([[graft.streaming.SftStream]]) with every conversation's turns
+    * SPLIT across micro-batches — batch 1 carries the even turn
+    * indexes, batch 2 the odd ones PLUS a redelivered slice of batch
+    * 1 (every 3rd conversation's even turns again: the upstream
+    * at-least-once case the read-side distinct must collapse) — and
+    * return the merged turn state the assembly artifacts read.
+    * Test-scale collect feeding the MemoryStream, the q165
+    * convention.
+    */
+  private def sftStreamState(s: SparkSession,
+                             turns: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.streaming.SftStream
+    val cfg = SftStream.Config(graft.SparkEntry.tmpDir("sft_stream"))
+    val rows = turns
+      .select(col("conv_id").cast("long"), col("turn_idx").cast("long"),
+        col("role"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    val even = rows.filter(_._2 % 2 == 0)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, String)](s)
+    val q = SftStream.start(
+      ms.toDF().toDF("conv_id", "turn_idx", "role", "text"), cfg,
+      graft.SparkEntry.tmpDir("sft_ck"))
+    ms.addData(even.toSeq)
+    q.processAllAvailable()
+    ms.addData((rows.filter(_._2 % 2 == 1) ++
+      even.filter(_._1 % 3 == 0)).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    SftStream.turnsState(s, cfg)
+  }
+
   /** q217/q220/q221 encode corpus: every 25th doc carries an appended
     * 20-char word that trips BERT's max_input_chars_per_word=16 guard
     * (→ whole-word [UNK]); the vocab is always mined from the RAW
@@ -346,6 +451,76 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(25)) === 0,
           concat(col("text"), lit(" " + "x" * 20)))
           .otherwise(col("text")).as("text"))
+
+  /** The q195 wire→RAG chain over an arbitrary (doc_id, text) frame —
+    * shared by the lane and [[graft.Bench]]'s untimed JIT pre-warm
+    * (tools/CodegenProbe, r15: a cold run pays ~20 s over warm, ~3 s
+    * of it Janino compilation of ~80 generated classes and the rest
+    * HotSpot JIT warm-up of the shared interpreted-HOF parse
+    * machinery — per-JVM, and fully transferable: q204 right after
+    * q195 runs warm. Pre-warming this chain on a 64-row slice
+    * absorbs the whole tax in an untimed prefix).
+    */
+  private[graft] def wireRagChain(s: SparkSession, docs0: DataFrame,
+                                  tmpPrefix: String): DataFrame = {
+    import graft.sources.LabFunnel
+    import graft.streaming.RagStream
+    val id = col("doc_id").cast("string")
+    val report = regexp_replace(coalesce(col("text"), lit("")),
+      "[^A-Za-z0-9 ]", "")
+    val raw = concat_ws("\r",
+      concat(lit("MSH|^~\\&|Bridges|UCLH|||20240501120000||ORU^R01|CP"),
+        id, lit("|P|2.4")),
+      concat(lit("ORC|RE|UH"), id, lit("|UH"), id, lit("||CM")),
+      concat(lit("OBR|1|UH"), id, lit("|UH"), id,
+        lit("|H^Histology^CPEAP|||20240501100000"), lit("|" * 15),
+        lit("20240501113000||CP|F")),
+      concat(lit("OBX|1|TX|UH"), id, lit("^^CPEAP||"), report,
+        lit("||||||F")))
+    // spread BEFORE the parse: documents.parquet is one file → one
+    // scan partition at test scale, and everything downstream (the
+    // wire parse, the funnel, chunk+embed) would run single-core
+    // (measured 5× the lane at sf0.1). At 100 TB the scan splits by
+    // row group and this repartition is a no-op cost-wise; here it
+    // is the difference between 1 and |cores| executors.
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parsed = LabFunnel.parseCoPath(
+      docs0.repartition(nPart).withColumn("raw", raw), "raw")
+    val tx = get(filter(col("coPathResults"),
+      r => r.getField("valueType") === "TX"), lit(0))
+    // checkpoint the parsed (id, text) sliver: THREE consumers (two
+    // index folds + the query encode) would otherwise each re-parse
+    // every wire message — measured 3× the lane's cost at sf0.1
+    val labDocs = parsed.select(
+      regexp_extract(col("sourceMessageId"), "^CP(\\d+)_01$", 1)
+        .cast("long").as("doc_id"),
+      coalesce(tx.getField("stringValue"), lit("")).as("text"))
+      .localCheckpoint(false)
+    val cfg = RagStream.Config(
+      graft.SparkEntry.tmpDir(tmpPrefix), "doc_id", "text",
+      funnel = Some(RagStream.Funnel(langs = Seq("en"),
+        minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)))
+    RagStream.foldBatch(
+      labDocs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
+    RagStream.foldBatch(
+      labDocs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
+    // The %2000 filter is on CHUNK ids (encodeBatch's output id =
+    // doc_id·100 + chunk_idx, chunk_idx < 100) — but it IS
+    // doc-derivable: 100·d + i ≡ 0 (mod 2000) with 0 ≤ i < 100
+    // forces i = 0 (the residue is a multiple of 100) and then
+    // d ≡ 0 (mod 20). Prefiltering docs 20× shrinks the query-side
+    // encode (a corpus-wide funnel+chunk+embed pass — measured the
+    // lane's dominant stage, tools/WireRagProbe r14) to 5%; the
+    // chunk-level filter stays as the exactness guard.
+    val qs = RagStream.encodeBatch(
+        labDocs.filter(pmod(col("doc_id"), lit(20L)) === 0), cfg)
+      .filter(pmod(col("doc_id"), lit(2000L)) === 0)
+      .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
+        pmod(col("doc_id") + 1L, lit(4L))))
+    Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
+        k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** One hard-negative chain over the shared q218 quantization CTEs
     * (`n`, `pp`, `ps`): candidates from `${sfx}p`'s probe set,
@@ -488,6 +663,109 @@ object SparkEntry {
          | UNION ALL
          | ${hitRow("(SELECT MAX(label) + 1 FROM embeddings)", "T")})
          |ORDER BY n_probes""".stripMargin)
+  }
+
+  /** q230/q231/q232 Unigram piece-table CTEs: word frequencies →
+    * UNMARKED substring candidates (length ≤ `maxPieceLen` — unigram
+    * pieces are position-free) → all singles ∪ top-`topPieces`
+    * multi-char by (cnt DESC, piece ASC) with the reserved '[UNK]'
+    * filtered → s10k = cnt·10⁴ // total + 1 over the SELECTED
+    * table's count mass. Ends at `uvocab` (piece, cnt, s10k).
+    */
+  private def unigramVocabCtesSql(maxPieceLen: Int,
+                                  topPieces: Int): String =
+    s"""utk AS (SELECT unnest(list_filter(
+       |    string_split_regex(trim(text), '\\s+'), x -> len(x) > 0))
+       |  AS tok FROM documents),
+       |ufr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+       | FROM utk GROUP BY tok),
+       |ucp AS (SELECT tok, wc, unnest(range(len(tok))) AS p FROM ufr),
+       |ucl AS (SELECT tok, wc, p,
+       |  unnest(range(1, least($maxPieceLen, len(tok) - p) + 1)) AS l
+       | FROM ucp),
+       |upc AS (SELECT substr(tok, CAST(p + 1 AS INT), CAST(l AS INT))
+       |  AS piece, wc FROM ucl),
+       |uag AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+       | FROM upc GROUP BY piece),
+       |umu AS (SELECT piece, cnt FROM uag
+       | WHERE len(piece) > 1 AND piece <> '[UNK]'
+       | ORDER BY cnt DESC, piece LIMIT $topPieces),
+       |uv0 AS (SELECT piece, cnt FROM uag WHERE len(piece) = 1
+       | UNION ALL SELECT piece, cnt FROM umu),
+       |utot AS (SELECT SUM(cnt) AS t FROM uv0),
+       |uvocab AS (SELECT piece, cnt,
+       |  CAST(cnt * 10000 // x.t + 1 AS BIGINT) AS s10k
+       | FROM uv0, utot x)""".stripMargin
+
+  /** q231/q232: the max-product Viterbi replay by FULL ENUMERATION —
+    * `stages` = maxInputChars unrolled rounds keep EVERY partial
+    * segmentation (a path consumes ≥ 1 char per round, ≤ 2^(n-1)
+    * compositions per word), products in HUGEINT (10001^maxInputChars
+    * must fit — the maxInputChars ≤ 9 guard), then the per-word
+    * argmax by (prod DESC, n_pieces ASC, rendered seq ASC) — the
+    * native expression's exact tie-break. The engine runs the same
+    * argmax as a per-word DP; enumeration here is the independent
+    * check that the DP's per-position commits are globally optimal.
+    * Per stage the candidate lengths explode FIRST (≤ maxPieceLen
+    * rows per path) so the vocab join is a hashable string equality.
+    */
+  private def unigramEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
+                                     maxInputChars: Int): String = {
+    val aug =
+      s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CASE WHEN doc_id % 25 = 0
+         |   THEN text || ' ${"x" * 20}' ELSE text END AS text
+         | FROM documents),
+         |adt AS (SELECT doc_id, widx, ws[CAST(widx + 1 AS INT)] AS tok
+         | FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS widx
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(
+         |    trim(text), '\\s+'), x -> len(x) > 0) AS ws
+         |   FROM adocs))),
+         |ug0 AS (SELECT tok, len(tok) AS n, 0 AS pos, 0 AS np,
+         |  CAST(1 AS HUGEINT) AS prod, '' AS seq
+         | FROM (SELECT DISTINCT tok FROM adt
+         |  WHERE len(tok) <= $maxInputChars))""".stripMargin
+    val stages = (1 to maxInputChars).map { st =>
+      val prev = s"ug${st - 1}"
+      s"""ux$st AS (SELECT tok, n, pos, np, prod, seq,
+         |  unnest(range(1, least($maxPieceLen, n - pos) + 1)) AS l
+         | FROM $prev WHERE pos < n),
+         |ug$st AS (SELECT x.tok, x.n, x.pos + x.l AS pos,
+         |  x.np + 1 AS np, x.prod * CAST(v.s10k AS HUGEINT) AS prod,
+         |  CASE WHEN x.seq = '' THEN v.piece
+         |   ELSE x.seq || ' ' || v.piece END AS seq
+         | FROM ux$st x JOIN uvocab v
+         |  ON v.piece = substr(x.tok, CAST(x.pos + 1 AS INT),
+         |    CAST(x.l AS INT))
+         | UNION ALL
+         | SELECT tok, n, pos, np, prod, seq FROM $prev
+         | WHERE pos >= n)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""ubst AS (SELECT tok, seq FROM (
+         |  SELECT tok, seq, row_number() OVER (PARTITION BY tok
+         |   ORDER BY prod DESC, np ASC, seq ASC) AS rn
+         |  FROM ug$maxInputChars WHERE pos >= n) WHERE rn = 1),
+         |udone AS (SELECT tok, seq FROM ubst
+         | UNION ALL
+         | SELECT DISTINCT tok, '[UNK]' AS seq FROM adt
+         | WHERE len(tok) > $maxInputChars),
+         |upl AS (SELECT tok, string_split(seq, ' ') AS pl FROM udone),
+         |ufl AS (SELECT doc_id, widx, k, pl[CAST(k + 1 AS INT)]
+         |  AS piece
+         | FROM (SELECT d.doc_id, d.widx, w.pl,
+         |   unnest(range(len(w.pl))) AS k
+         |  FROM adt d JOIN upl w USING (tok)))""".stripMargin
+    materializeCtes(
+      s"""WITH ${unigramVocabCtesSql(maxPieceLen, topPieces)},
+         |$aug,
+         |$stages,
+         |$tail
+         |SELECT doc_id,
+         | CAST(row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY widx, k) - 1 AS BIGINT) AS pos,
+         | piece
+         |FROM ufl ORDER BY doc_id, pos""".stripMargin)
   }
 
   /** q223: the SFT-decontamination replay — plant benchmark text into
@@ -4407,66 +4685,8 @@ object SparkEntry {
     // two wire batches, and retrieval answers over the result. One
     // oracle replays from `documents` directly — wire parse fidelity,
     // the funnel, chunking, embedding, and probing all have to agree.
-    "q195_wire_rag" -> ((s, dir) => {
-      import graft.sources.LabFunnel
-      import graft.streaming.RagStream
-      val id = col("doc_id").cast("string")
-      val report = regexp_replace(coalesce(col("text"), lit("")),
-        "[^A-Za-z0-9 ]", "")
-      val raw = concat_ws("\r",
-        concat(lit("MSH|^~\\&|Bridges|UCLH|||20240501120000||ORU^R01|CP"),
-          id, lit("|P|2.4")),
-        concat(lit("ORC|RE|UH"), id, lit("|UH"), id, lit("||CM")),
-        concat(lit("OBR|1|UH"), id, lit("|UH"), id,
-          lit("|H^Histology^CPEAP|||20240501100000"), lit("|" * 15),
-          lit("20240501113000||CP|F")),
-        concat(lit("OBX|1|TX|UH"), id, lit("^^CPEAP||"), report,
-          lit("||||||F")))
-      // spread BEFORE the parse: documents.parquet is one file → one
-      // scan partition at test scale, and everything downstream (the
-      // wire parse, the funnel, chunk+embed) would run single-core
-      // (measured 5× the lane at sf0.1). At 100 TB the scan splits by
-      // row group and this repartition is a no-op cost-wise; here it
-      // is the difference between 1 and |cores| executors.
-      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val parsed = LabFunnel.parseCoPath(
-        t(s, dir, "documents").repartition(nPart)
-          .withColumn("raw", raw), "raw")
-      val tx = get(filter(col("coPathResults"),
-        r => r.getField("valueType") === "TX"), lit(0))
-      // checkpoint the parsed (id, text) sliver: THREE consumers (two
-      // index folds + the query encode) would otherwise each re-parse
-      // every wire message — measured 3× the lane's cost at sf0.1
-      val labDocs = parsed.select(
-        regexp_extract(col("sourceMessageId"), "^CP(\\d+)_01$", 1)
-          .cast("long").as("doc_id"),
-        coalesce(tx.getField("stringValue"), lit("")).as("text"))
-        .localCheckpoint(false)
-      val cfg = RagStream.Config(
-        graft.SparkEntry.tmpDir("wire_rag"), "doc_id", "text",
-        funnel = Some(RagStream.Funnel(langs = Seq("en"),
-          minTokens = 20L, maxStop10k = 1500L, minAvgLen10 = 39L)))
-      RagStream.foldBatch(
-        labDocs.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
-      RagStream.foldBatch(
-        labDocs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
-      // The %2000 filter is on CHUNK ids (encodeBatch's output id =
-      // doc_id·100 + chunk_idx, chunk_idx < 100) — but it IS
-      // doc-derivable: 100·d + i ≡ 0 (mod 2000) with 0 ≤ i < 100
-      // forces i = 0 (the residue is a multiple of 100) and then
-      // d ≡ 0 (mod 20). Prefiltering docs 20× shrinks the query-side
-      // encode (a corpus-wide funnel+chunk+embed pass — measured the
-      // lane's dominant stage, tools/WireRagProbe r14) to 5%; the
-      // chunk-level filter stays as the exactness guard.
-      val qs = RagStream.encodeBatch(
-          labDocs.filter(pmod(col("doc_id"), lit(20L)) === 0), cfg)
-        .filter(pmod(col("doc_id"), lit(2000L)) === 0)
-        .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
-          pmod(col("doc_id") + 1L, lit(4L))))
-      Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
-          k = 3)
-        .orderBy(col("query_id"), col("rank"))
-    }),
+    "q195_wire_rag" -> ((s, dir) =>
+      wireRagChain(s, t(s, dir, "documents"), "wire_rag")),
 
     // ---- IMAGE near-dup via perceptual hash (the LAION shape): -----
     // dHash block-averages each decoded image onto a 9×8 grid and
@@ -4790,6 +5010,22 @@ object SparkEntry {
     "q206_curation_imagegate" -> ((s, dir) => {
       graft.streaming.CurationStream.select(s,
           curationFixture(s, dir, image = true), CurationTargets)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the recipe with the CROSS-MODAL ALIGNMENT gate (CLIP-style
+    // image-text curation): captions embed (hashEmbed dim 8), images
+    // decode to raw luminance histograms on the codec seam, the
+    // per-doc s4 cosine folds into alignIdx layers, and select drops
+    // below-threshold pairs. The fixture renders every image FROM a
+    // caption — its own (matched) or bin-reversed (the planted
+    // mismatched victim, every 4th image doc); the oracle re-derives
+    // the embedding, the histogram, the cosine and the drop set from
+    // the caption text alone, so decode, binning and the score
+    // arithmetic all have to be exactly right.
+    "q229_curation_aligngate" -> ((s, dir) => {
+      graft.streaming.CurationStream.select(s,
+          curationFixture(s, dir, align = true), CurationTargets)
         .orderBy(col("doc_id"))
     }),
 
@@ -5142,24 +5378,7 @@ object SparkEntry {
     // text; the per-conversation report must flag exactly what the
     // oracle's signature replay flags.
     "q223_sft_decon" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val fz = graft.SparkEntry.tmpDir("sft_decon")
-      TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
-        shingleN = 2, numPerm = 64, seed = 42L, indexDir = fz)
-      val t0 = sftTurns(s, dir)
-      val isPlant = pmod(col("conv_id"), lit(50)) === 0 &&
-        col("turn_idx") === 5L
-      val planted = t0.filter(isPlant)
-        .withColumn("pd",
-          pmod(expr("conv_id div 50"), lit(25)) * 20L)
-        .drop("text")
-        .join(broadcast(bench.select(col("doc_id").as("pd"),
-          col("text"))), Seq("pd"))
-        .select(col("conv_id"), col("turn_idx"), col("role"),
-          col("text"))
-      val turns = t0.filter(!isPlant).unionByName(planted)
+      val (turns, fz) = sftPlantedTurns(s, dir)
       val rendered = Conversations.render(turns, "conv_id",
           "turn_idx", "role", "text")
         .select((col("conv_id") + 1000000L).as("conv_id"), col("text"))
@@ -5191,6 +5410,115 @@ object SparkEntry {
       TextAnalysis.packSequencesByCount(rendered, "conv_id", "stream",
           col("n_tokens"), chunkTokens = 64)
         .orderBy(col("stream"), col("doc_id"))
+    }),
+
+    // ---- the SFT vertical THROUGH THE STREAMING ENGINE (the q127/
+    // q165 discipline for the conversation half): every
+    // conversation's turns split across two micro-batches, plus an
+    // at-least-once redelivered slice, fold into SftStream's layer
+    // state — and the rendered+packed artifact over the merged state
+    // hash-matches the one-shot batch oracle VERBATIM (q219's).
+    "q226_sft_pack_streamed" -> ((s, dir) => {
+      val rendered = Conversations.render(
+          sftStreamState(s, sftTurns(s, dir)),
+          "conv_id", "turn_idx", "role", "text")
+        .withColumn("stream", pmod(col("conv_id"), lit(4)))
+      TextAnalysis.packSequencesByCount(rendered, "conv_id", "stream",
+          col("n_tokens"), chunkTokens = 64)
+        .orderBy(col("stream"), col("doc_id"))
+    }),
+
+    // ---- streamed SFT DECONTAMINATION: the q223 audit with the
+    // planted turns arriving through the real engine (split +
+    // redelivery as above) — q223's oracle VERBATIM.
+    "q227_sft_decon_streamed" -> ((s, dir) => {
+      val (turns, fz) = sftPlantedTurns(s, dir)
+      val rendered = Conversations.render(sftStreamState(s, turns),
+          "conv_id", "turn_idx", "role", "text")
+        .select((col("conv_id") + 1000000L).as("conv_id"), col("text"))
+      TextAnalysis.fuzzyDecontaminateIncremental(s, fz, rendered,
+          "conv_id", "text", shingleN = 2, numPerm = 64, bands = 32,
+          threshold = 0.5, seed = 42L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PREFERENCE-PAIR (DPO) ASSEMBLY, the full chain: chosen =
+    // argmax labeled positive, rejected = hard negatives (q212's
+    // margin-disciplined miner), preference-gap filter in s4
+    // integers, prompt-side fuzzy DECON vs the benchmark index (the
+    // q223 shape: prompt 0's text IS a benchmark document — the
+    // planted victim the gate must kill). One oracle replays mining,
+    // chosen pick, gap, rank, and the decon anti-join end to end.
+    "q228_dpo_pairs" -> ((s, dir) => {
+      import graft.operators.Preference
+      val em = t(s, dir, "embeddings")
+      val q8 = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"))
+      val pairs = q8.select(col("query_id"),
+          (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("query_id"),
+          (col("query_id") * 3L + 100L).as("pos_id")))
+      val negs = Ann.hardNegatives(pairs, em, "vec_id", "embedding",
+        k = 5, margin10k = 9000L)
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val fz = graft.SparkEntry.tmpDir("dpo_decon")
+      TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+        shingleN = 2, numPerm = 64, seed = 42L, indexDir = fz)
+      val prompts = d.filter(col("doc_id") < 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val contaminated = TextAnalysis.fuzzyDecontaminateIncremental(
+          s, fz, prompts, "doc_id", "text", shingleN = 2, numPerm = 64,
+          bands = 32, threshold = 0.5, seed = 42L)
+        .filter(col("contaminated"))
+        .select(col("doc_id").as("prompt_id"))
+      Preference.assemble(pairs, negs, em, "vec_id", "embedding",
+          minGap10k = 50L, pairsPerPrompt = 2)
+        .join(contaminated, Seq("prompt_id"), "left_anti")
+        .orderBy(col("prompt_id"), col("pair_rank"))
+    }),
+
+    // ---- UNIGRAM-LM tokenizer (SentencePiece family), completing
+    // the tokenizer SQUARE: frequency-mined piece table with
+    // 10^4-scaled integer probability scores (the documented
+    // EM-training stand-in — Unigram.scala scaladoc).
+    "q230_unigram_vocab" -> ((s, dir) => {
+      import graft.operators.Unigram
+      Unigram.scores(Unigram.mineVocab(t(s, dir, "documents"), "text",
+          maxPieceLen = 6, topPieces = 60))
+        .orderBy(col("piece"))
+    }),
+
+    // ---- Unigram ENCODE: max-product Viterbi per word (exact
+    // BigInteger products of s10k scores, ties: fewer pieces then
+    // lexicographic) via the native expression over a broadcast
+    // table. maxInputChars = 9 keeps the oracle's full-enumeration
+    // replay in HUGEINT (10001^9 < 2^127) — longer words [UNK] whole
+    // on both sides (every 25th doc carries the 20-char tripwire).
+    "q231_unigram_encode" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val vocab = Unigram.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      Unigram.encode(wpAugDocs(s, dir), "doc_id", "text", vocab,
+          matchHorizon = 6, maxInputChars = 9)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- Unigram ARTIFACT round trip: mine → save (one (piece, cnt)
+    // parquet — scores are vocabulary-intrinsic, no floats at rest)
+    // → load → encode, bit-identical to q231 under its VERBATIM
+    // oracle (the q161/q198/q220 freeze contract).
+    "q232_unigram_artifact" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val mined = Unigram.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      val art = graft.SparkEntry.tmpDir("ug_vocab")
+      Unigram.saveVocab(mined, art)
+      Unigram.encode(wpAugDocs(s, dir), "doc_id", "text",
+          Unigram.loadVocab(s, art), matchHorizon = 6,
+          maxInputChars = 9)
+        .orderBy(col("doc_id"), col("pos"))
     })
   )
 
@@ -6335,6 +6663,56 @@ object SparkEntry {
   private val CurationImageOracleSql: String = materializeCtes(
     CurationChainHeadSql + ",\n" + CurationExactDeconSql + ",\n" +
       imageGateSplicedTail("(doc_id // 15) % 256") + "\n" +
+      CurationSelectTailSql)
+
+  /** q229: the cross-modal ALIGNMENT gate splice — the caption
+    * hashEmbed replay (the q148 ef/eagg/edense/ev chain at dim 8,
+    * restricted to image docs), w = max(emb, 0)+1, the fixture's
+    * reversed-weights plant on (doc_id div 5) % 4 = 1, the s4 cosine
+    * in the engine's exact expression shape (dot / (sqrt·sqrt)), and
+    * the below-threshold drop threaded into kept2 exactly like the
+    * image gate.
+    */
+  private def alignGateSplicedTail(threshold: Long): String = {
+    val kept2Tail = "AND doc_id NOT IN (SELECT doc_id FROM nddrop)),"
+    require(CurationChainTailSql.contains(kept2Tail),
+      "curation tail drifted: kept2's nddrop clause not found — fix " +
+        "the align-gate splice")
+    s"""aef AS (SELECT doc_id, ${polyHashSql("tok")} % 8 AS b,
+       |   CASE WHEN ${polyHashSql("tok || '|sign'")} % 2 = 0
+       |     THEN 1 ELSE -1 END AS sgn
+       | FROM (SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |   FROM documents WHERE doc_id % 5 = 0)),
+       |aeg AS (SELECT doc_id, b, SUM(sgn) AS c FROM aef
+       | GROUP BY doc_id, b),
+       |aed AS (SELECT d.doc_id, i.b, COALESCE(a.c, 0) AS c
+       | FROM (SELECT DISTINCT doc_id FROM documents
+       |   WHERE doc_id % 5 = 0) d
+       | CROSS JOIN (SELECT unnest(range(8)) AS b) i
+       | LEFT JOIN aeg a ON a.doc_id = d.doc_id AND a.b = i.b),
+       |aev AS (SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+       | FROM aed GROUP BY doc_id HAVING SUM(c * c) > 0),
+       |ahs AS (SELECT doc_id, v,
+       |  CASE WHEN (doc_id // 5) % 4 = 1
+       |   THEN list_reverse(list_transform(v, x -> greatest(x, 0) + 1))
+       |   ELSE list_transform(v, x -> greatest(x, 0) + 1) END AS h
+       | FROM aev),
+       |ascr AS (SELECT doc_id,
+       |  CAST(round(list_dot_product(v, h) /
+       |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(h, h)))
+       |    * 10000, 0) AS BIGINT) AS s4
+       | FROM ahs),
+       |algd AS (SELECT doc_id FROM ascr WHERE s4 < $threshold),""".stripMargin + "\n" +
+      CurationChainTailSql.replace(kept2Tail,
+        "AND doc_id NOT IN (SELECT doc_id FROM nddrop)\n" +
+          "   AND doc_id NOT IN (SELECT doc_id FROM algd)),")
+  }
+
+  /** q229: the align-gated recipe oracle. */
+  private val CurationAlignOracleSql: String = materializeCtes(
+    CurationChainHeadSql + ",\n" + CurationExactDeconSql + ",\n" +
+      alignGateSplicedTail(5000L) + "\n" +
       CurationSelectTailSql)
 
   /** q207: the RADIUS-1 image gate — the fixture's third group member
@@ -9361,6 +9739,7 @@ object SparkEntry {
 
     "q205_curation_fuzzy" -> CurationFuzzyOracleSql,
     "q206_curation_imagegate" -> CurationImageOracleSql,
+    "q229_curation_aligngate" -> CurationAlignOracleSql,
     "q207_curation_image_radius" -> CurationImageRadiusOracleSql,
     "q208_curation_all_gates" -> CurationAllGatesOracleSql,
 
@@ -9591,20 +9970,120 @@ object SparkEntry {
 
     // SFT-vertical replay: the shared turn CTEs → per-conversation
     // token widths → the q87 cumsum layout with `//` chunk bounds
-    "q219_sft_pack" ->
-      s"""WITH $SftTurnCtesSql,
-         |rw AS (SELECT conv_id AS doc_id, conv_id % 4 AS stream,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-         | FROM p GROUP BY conv_id),
-         |cz AS (SELECT stream, doc_id, n_tokens,
-         |  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM rw)
-         |SELECT stream, doc_id, n_tokens, end_tok,
-         | end_tok - n_tokens AS start_tok,
-         | CAST((end_tok - n_tokens) // 64 AS BIGINT) AS first_chunk,
-         | CAST((end_tok - 1) // 64 AS BIGINT) AS last_chunk
-         |FROM cz ORDER BY stream, doc_id""".stripMargin
+    "q219_sft_pack" -> SftPackOracleSql,
+
+    // the streamed SFT fold must be INVISIBLE in the artifacts:
+    // q219's and q223's oracles VERBATIM (batch-boundary + at-least-
+    // once-redelivery invariance, the q127/q165/q197 discipline)
+    "q226_sft_pack_streamed" -> SftPackOracleSql,
+    "q227_sft_decon_streamed" -> SftDeconOracleSql,
+
+    // DPO assembly replay: the q212 mining chain (k=5, margin 9000)
+    // + argmax-positive chosen pick + s4 preference gap + top-2
+    // hardest rejected per prompt + the fuzzy prompt-decon anti-join
+    "q228_dpo_pairs" -> DpoPairsOracleSql,
+
+    // Unigram mining replay: exact-integer substring frequencies +
+    // the 10^4-scaled score derivation over the selected table
+    "q230_unigram_vocab" ->
+      s"""WITH ${unigramVocabCtesSql(6, 60)}
+         |SELECT piece, cnt, s10k FROM uvocab
+         |ORDER BY piece""".stripMargin,
+
+    // Unigram encode replay: re-mine the table, FULL-ENUMERATE every
+    // segmentation in 9 unrolled HUGEINT stages, argmax by the
+    // engine's exact tie-break — the independent check that the
+    // native DP's per-position commits are globally optimal
+    "q231_unigram_encode" -> unigramEncodeOracleSql(6, 60, 9),
+
+    // artifact freeze contract: loading the persisted table must be
+    // bit-identical to the in-memory path — q231's oracle VERBATIM
+    "q232_unigram_artifact" -> unigramEncodeOracleSql(6, 60, 9)
   )
+
+  /** q228: the preference-pair replay — q212's mining CTEs, the
+    * chosen argmax (s4 DESC, pos_id ASC), gap ≥ 50, rank ≤ 2, and
+    * the q186-family signature chain flagging contaminated prompts
+    * (prompt ids < 8 vs benchmark ids ≡ 0 mod 20; prompt 0 IS a
+    * benchmark member — est 1.0, always killed).
+    */
+  private lazy val DpoPairsOracleSql: String = materializeCtes(
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |  CAST(embedding AS DOUBLE[]) AS qv
+       | FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id,
+       |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |p AS (SELECT query_id, query_id + 50 AS pos_id FROM q
+       | UNION ALL SELECT query_id, query_id * 3 + 100 FROM q),
+       |sx AS (SELECT query_id, neighbor_id,
+       |  CAST(round(list_cosine_similarity(qv, cv) * 10000, 0)
+       |    AS BIGINT) AS s4
+       | FROM q, c WHERE query_id <> neighbor_id),
+       |ps AS (SELECT s.query_id, MAX(s.s4) AS pos_s4
+       | FROM sx s JOIN p ON s.query_id = p.query_id
+       |  AND s.neighbor_id = p.pos_id
+       | GROUP BY s.query_id),
+       |neg AS (SELECT s.query_id, s.neighbor_id, s.s4
+       | FROM sx s JOIN ps USING (query_id)
+       | WHERE s.s4 * 10000 <= ps.pos_s4 * 9000
+       |  AND NOT EXISTS (SELECT 1 FROM p
+       |   WHERE p.query_id = s.query_id AND p.pos_id = s.neighbor_id)),
+       |rr AS (SELECT query_id, neighbor_id, s4,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY s4 DESC, neighbor_id) AS rank FROM neg),
+       |chs AS (SELECT query_id, pos_id AS chosen_id,
+       |  s4 AS chosen_s4 FROM (
+       |  SELECT s.query_id, p.pos_id, s.s4,
+       |   row_number() OVER (PARTITION BY s.query_id
+       |    ORDER BY s.s4 DESC, p.pos_id) AS rn
+       |  FROM sx s JOIN p ON s.query_id = p.query_id
+       |   AND s.neighbor_id = p.pos_id)
+       | WHERE rn = 1),
+       |asm AS (SELECT ch.query_id AS prompt_id, ch.chosen_id,
+       |  rk.neighbor_id AS rejected_id,
+       |  row_number() OVER (PARTITION BY ch.query_id
+       |   ORDER BY rk.s4 DESC, rk.neighbor_id) AS pair_rank,
+       |  ch.chosen_s4, rk.s4 AS rejected_s4
+       | FROM chs ch JOIN rr rk ON rk.query_id = ch.query_id
+       | WHERE rk.rank <= 5
+       |  AND ch.chosen_s4 - rk.s4 >= 50),
+       |${minhashSigCtesSql(2)},
+       |dpr AS (SELECT DISTINCT x.doc_id AS prompt_id,
+       |  y.doc_id AS bench_id
+       | FROM bnd x JOIN bnd y ON x.band = y.band
+       |  AND x.bucket = y.bucket
+       | WHERE x.doc_id < 8 AND y.doc_id % 20 = 0),
+       |dflag AS (SELECT DISTINCT prompt_id FROM (
+       |  SELECT p.prompt_id, p.bench_id,
+       |   SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est
+       |  FROM dpr p JOIN sigj sa ON sa.doc_id = p.prompt_id
+       |  JOIN sigj sb ON sb.doc_id = p.bench_id AND sb.j = sa.j
+       |  GROUP BY 1, 2) WHERE est >= 0.5)
+       |SELECT a.prompt_id, a.chosen_id, a.rejected_id,
+       | CAST(a.pair_rank AS BIGINT) AS pair_rank,
+       | a.chosen_s4 / 10000.0 AS chosen_sim,
+       | a.rejected_s4 / 10000.0 AS rejected_sim
+       |FROM asm a
+       |WHERE a.pair_rank <= 2 AND NOT EXISTS
+       | (SELECT 1 FROM dflag f WHERE f.prompt_id = a.prompt_id)
+       |ORDER BY a.prompt_id, a.pair_rank""".stripMargin)
+
+  /** q219/q226 SFT packing replay — shared turn CTEs →
+    * per-conversation token widths → the q87 cumsum layout.
+    */
+  private lazy val SftPackOracleSql: String =
+    s"""WITH $SftTurnCtesSql,
+       |rw AS (SELECT conv_id AS doc_id, conv_id % 4 AS stream,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       | FROM p GROUP BY conv_id),
+       |cz AS (SELECT stream, doc_id, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok FROM rw)
+       |SELECT stream, doc_id, n_tokens, end_tok,
+       | end_tok - n_tokens AS start_tok,
+       | CAST((end_tok - n_tokens) // 64 AS BIGINT) AS first_chunk,
+       | CAST((end_tok - 1) // 64 AS BIGINT) AS last_chunk
+       |FROM cz ORDER BY stream, doc_id""".stripMargin
 
   /** q163's chunk replay, prefix-parameterized (the funnelRulesSql
     * discipline — the 16/12 window constants live here ONLY): CTEs

@@ -27,6 +27,9 @@ object Verify {
       // failure must not zero a round's correctness dump.
       .config("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", "false")
       .config("spark.sql.analyzer.singlePassResolver.enabled", "false")
+      // stable generated-class names -> Janino cache hits across
+      // structurally identical stages (tools/CodegenProbe, r15)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Unigram-LM tokenizer application (the SentencePiece family —
+  * Kudo 2018): encode one word into the segmentation that MAXIMIZES
+  * the product of its pieces' scores over a trained piece table — the
+  * Viterbi decode of the unigram language model.
+  *
+  * Exact-arithmetic discipline: piece scores are 10⁴-scaled integer
+  * probabilities (`s10k = cnt·10⁴ div total + 1` — the +1 floor keeps
+  * every score strictly positive, a documented smoothing, so no
+  * segmentation collapses to a zero product), and the Viterbi
+  * objective is the exact integer PRODUCT of scores (BigInteger —
+  * bounded by 10001^maxInputChars, which is why `maxInputChars` here
+  * doubles as the replay-tractability guard: an oracle enumerating
+  * all 2^(n-1) compositions of an n-char word needs n small, and
+  * HUGEINT holds the product for n ≤ 9). Ties break exactly:
+  * larger product, then FEWER pieces, then the lexicographically
+  * smaller space-joined piece sequence — a total order any replay
+  * can evaluate.
+  *
+  * The tie-break is DP-compatible: two prefixes reaching the same
+  * cursor cover the same characters, so neither rendered sequence is
+  * a strict prefix of the other — their comparison is decided at the
+  * first differing position and survives appending a common suffix,
+  * which is what lets the left-to-right DP commit per-position
+  * winners and still return the global argmax.
+  *
+  * Words longer than `maxInputChars`, or with no segmentation over
+  * the table (impossible under the mining's single-char coverage,
+  * kept for the contract), encode as whole-word `[UNK]` — the
+  * [[WordPieceApply]] guard.
+  *
+  * `CodegenFallback` for the [[BpeApply]]/[[WordPieceApply]] reason:
+  * the per-word DP loop is imperative, and a fallback expression
+  * still beats a Scala UDF (no Row conversion, no closure
+  * serialization).
+  */
+object UnigramApply {
+  val Unk = "[UNK]"
+
+  private def unkArray: GenericArrayData =
+    new GenericArrayData(Array[Any](UTF8String.fromString(Unk)))
+
+  private[functions] def toScores(pieces: Array[(String, Long)])
+      : java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long](pieces.length * 2)
+    pieces.foreach { case (p, s) => m.put(p, s) }
+    m
+  }
+
+  /** One DP cell: best product, piece count and rendered sequence of
+    * the best segmentation of word[0, pos).
+    */
+  private final class Cell(val prod: java.math.BigInteger, val n: Int,
+                           val seq: String)
+
+  private[functions] def encodeWord(word: String,
+      scores: java.util.HashMap[String, Long], maxPieceLen: Int,
+      maxInputChars: Int): GenericArrayData = {
+    val n = word.length
+    if (n > maxInputChars) return unkArray
+    val best = new Array[Cell](n + 1)
+    best(0) = new Cell(java.math.BigInteger.ONE, 0, "")
+    var end = 1
+    while (end <= n) {
+      var start = math.max(0, end - maxPieceLen)
+      var cell: Cell = null
+      while (start < end) {
+        if (best(start) != null) {
+          val s = scores.get(word.substring(start, end))
+          if (s != 0L) { // scores are ≥ 1; 0 = absent
+            val prev = best(start)
+            val prod = prev.prod.multiply(
+              java.math.BigInteger.valueOf(s))
+            val seq = if (prev.seq.isEmpty) word.substring(start, end)
+              else prev.seq + " " + word.substring(start, end)
+            val cand = new Cell(prod, prev.n + 1, seq)
+            // seq ties compare in binary UTF-8 order (UTF8String),
+            // matching the replay's DuckDB string comparison — Java's
+            // UTF-16 code-unit order diverges on supplementary chars
+            val better = cell == null || {
+              val c = cand.prod.compareTo(cell.prod)
+              c > 0 || (c == 0 && (cand.n < cell.n ||
+                (cand.n == cell.n &&
+                  UTF8String.fromString(cand.seq).compareTo(
+                    UTF8String.fromString(cell.seq)) < 0)))
+            }
+            if (better) cell = cand
+          }
+        }
+        start += 1
+      }
+      best(end) = cell
+      end += 1
+    }
+    if (best(n) == null) unkArray
+    else new GenericArrayData(
+      best(n).seq.split(' ').map(p => UTF8String.fromString(p))
+        .asInstanceOf[Array[Any]])
+  }
+}
+
+/** Piece table behind a `Broadcast` handle — one TorrentBroadcast per
+  * executor, tasks share the deserialized map (the production
+  * transport; the [[WordPieceApplyBroadcast]] split).
+  */
+case class UnigramApplyBroadcast(child: Expression,
+    bc: Broadcast[Array[(String, Long)]], matchHorizon: Int,
+    maxInputChars: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unigram_apply_bc"
+
+  @transient private lazy val scores = UnigramApply.toScores(bc.value)
+
+  protected override def nullSafeEval(input: Any): Any =
+    UnigramApply.encodeWord(input.asInstanceOf[UTF8String].toString,
+      scores, matchHorizon, maxInputChars)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramApplyBroadcast =
+    copy(child = newChild)
+}
+
+object UnigramOps {
+  /** Column API: max-product Viterbi over one word; `matchHorizon` =
+    * the table's mining maxPieceLen (the [[WordPieceOps]] contract).
+    */
+  def unigramApplyBc(word: Column, bc: Broadcast[Array[(String, Long)]],
+                     matchHorizon: Int, maxInputChars: Int): Column =
+    ColumnBridge.column(UnigramApplyBroadcast(
+      ColumnBridge.expression(word), bc, matchHorizon, maxInputChars))
+}

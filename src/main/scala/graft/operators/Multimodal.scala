@@ -419,6 +419,93 @@ object Multimodal {
     bos.toByteArray
   }
 
+  final case class MediaHist(media_id: Long, hist: Array[Long])
+
+  /** RAW 8-bin luminance histogram — exact integer pixel counts over
+    * the [[ImageIoCodec]] decode seam. [[ImageIoCodec]] itself
+    * normalizes the histogram to floats for the generic feature
+    * schema; the cross-modal ALIGNMENT gate needs the integer form
+    * (a cosine is scale-invariant, so raw counts carry the same
+    * direction with exact arithmetic an oracle replays). Output:
+    * (media_id, hist[8]).
+    */
+  def imageLumaHist(media: Dataset[MediaRow],
+                    parallelism: Option[Int] = None)
+      : Dataset[MediaHist] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val part = parallelism.map(media.repartition(_)).getOrElse(media)
+    part.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null,
+        s"undecodable image payload: media ${r.media_id}")
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+            + (rgb & 0xff)) / 3
+          hist(lum >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      MediaHist(r.media_id, hist)
+    })
+  }
+
+  /** Grayscale strip PNG whose decoded 8-bin luminance histogram is
+    * EXACTLY `binCounts`: `binCounts(b)` pixels of mid-bin gray
+    * b·32+16 laid bin-ascending in one row — the fixture generator
+    * for the alignment gate (a lossless round trip: PNG preserves the
+    * gray values, `lum >> 5` maps mid-bin gray b·32+16 back to bin
+    * b, so an oracle predicts the histogram from the counts that
+    * built the image).
+    */
+  def encodeLumaStripPng(binCounts: Array[Int]): Array[Byte] = {
+    require(binCounts.length == 8, "8 bins")
+    val width = binCounts.sum
+    require(width > 0, "at least one pixel")
+    val img = new java.awt.image.BufferedImage(width, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    var b = 0
+    while (b < 8) {
+      val g = b * 32 + 16
+      val rgb = (g << 16) | (g << 8) | g
+      var i = 0
+      while (i < binCounts(b)) { img.setRGB(x, 0, rgb); x += 1; i += 1 }
+      b += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Cross-modal alignment score (the CLIP-style image-text curation
+    * signal, exact-arithmetic form): s4 = round(cosine(emb, hist)·10⁴)
+    * between a caption embedding ([[Embed.hashEmbed]] — exact integer
+    * counts in doubles) and an image feature ([[imageLumaHist]] —
+    * exact integer counts). NULL when either side has zero norm (no
+    * direction to compare — such docs PASS an alignment gate, like
+    * docs with no image at all).
+    */
+  def alignScore10k(emb: org.apache.spark.sql.Column,
+                    hist: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import graft.functions.GraftFunctions.{cosineSimPre, l2Norm,
+      toDoubleVec}
+    val e = toDoubleVec(emb)
+    val h = toDoubleVec(hist)
+    val en = l2Norm(e)
+    val hn = l2Norm(h)
+    when(en > 0 && hn > 0,
+      round(cosineSimPre(e, h, en, hn) * 10000, 0).cast("long"))
+  }
+
   /** Deterministic solid-gray PNG bytes (pure-JVM encode) — the fixture
     * generator for [[ImageIoCodec]]: dimensions and the histogram bin
     * are exact functions of the arguments, so an oracle can predict the

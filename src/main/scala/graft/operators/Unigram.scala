@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.tokens
+import graft.functions.UnigramOps
+
+/** Unigram-LM tokenizer (the SentencePiece family — Kudo 2018),
+  * completing the repo's tokenizer square next to char BPE, byte BPE
+  * and WordPiece: the vocabulary is a SCORED piece table and encoding
+  * is the Viterbi decode — the segmentation maximizing the product of
+  * piece scores — not a greedy or merge-order replay.
+  *
+  * Training compromise (the [[WordPiece]] discipline, documented the
+  * same way): the original trains piece scores by EM over corpus
+  * likelihood — floats end to end. This repo's oracle discipline is
+  * exact arithmetic, so the table is FREQUENCY-mined (all substrings
+  * of corpus words, every single char kept for coverage, top-N
+  * multi-char by exact count) and each piece's score is the
+  * 10⁴-scaled integer probability `s10k = cnt·10⁴ div total + 1`
+  * (total = the selected vocabulary's count mass; the +1 floor is a
+  * documented smoothing keeping products positive). The ENCODE
+  * semantics — max-product Viterbi with exact tie-breaks — are the
+  * real algorithm, replayed by an oracle that enumerates every
+  * segmentation (bounded by maxInputChars) in HUGEINT arithmetic.
+  */
+object Unigram {
+
+  /** Mine the piece table: every substring of every word (length ≤
+    * `maxPieceLen`, NO positional marking — unigram pieces are
+    * position-free, unlike WordPiece's '##') weighted by word count;
+    * all single-char pieces kept (coverage: every word over the
+    * corpus alphabet segments without `[UNK]`) plus the top
+    * `topPieces` multi-char by (cnt DESC, piece ASC). The literal
+    * `[UNK]` is filtered — reserved, the [[WordPiece.mineVocab]]
+    * contract. Output: (piece, cnt).
+    *
+    * Scale shape: ONE corpus scan (explode → pre-reduced word-count
+    * aggregate); candidate generation runs over the vocab-sized word
+    * table × O(len · maxPieceLen) pieces — the [[WordPiece.mineVocab]]
+    * split; the top-N cut is one distributed sort-limit.
+    */
+  def mineVocab(docs: DataFrame, textCol: String, maxPieceLen: Int,
+                topPieces: Int): DataFrame = {
+    val words = docs.select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("wc"))
+    val pieces = words
+      .select(col("tok"), col("wc"),
+        explode(sequence(lit(0), length(col("tok")) - 1)).as("p"))
+      .select(col("tok"), col("wc"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("tok")) - col("p"))))
+          .as("l"))
+      .select(expr("substring(tok, p + 1, l)").as("piece"), col("wc"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+    val singles = pieces.filter(length(col("piece")) === 1)
+    val multi = pieces.filter(length(col("piece")) > 1 &&
+        col("piece") =!= graft.functions.UnigramApply.Unk)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(topPieces)
+    singles.unionByName(multi)
+  }
+
+  /** Attach the 10⁴-scaled integer scores: s10k = cnt·10⁴ div
+    * total + 1 over the SELECTED vocabulary's count mass — the score
+    * is vocabulary-intrinsic, so a persisted (piece, cnt) artifact
+    * re-derives identical scores ([[saveVocab]]/[[loadVocab]] round
+    * trip is bit-exact). The total rides a broadcast 1-row aggregate.
+    */
+  def scores(vocab: DataFrame): DataFrame =
+    vocab.crossJoin(
+        broadcast(vocab.agg(sum(col("cnt")).as("__tot"))))
+      .select(col("piece"), col("cnt"),
+        expr("cnt * 10000 div __tot + 1").as("s10k"))
+
+  /** Encode documents with a mined table: max-product Viterbi per
+    * word via the native [[graft.functions.UnigramApplyBroadcast]].
+    * `matchHorizon` MUST be the table's mining maxPieceLen (the
+    * [[WordPiece.encode]] contract); words longer than
+    * `maxInputChars` become `[UNK]` whole — and `maxInputChars`
+    * also bounds the oracle's segmentation enumeration AND the
+    * integer product (10001^n), so keep it ≤ 9 where a HUGEINT
+    * replay is required.
+    *
+    * Output: (doc_id, pos, piece) — the tokenizer stream shape.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame, matchHorizon: Int, maxInputChars: Int,
+             driverVocabLimit: Long = 4000000L): DataFrame = {
+    val scored = scores(vocab)
+    val head = scored.select(col("piece"), col("s10k"))
+      .limit(math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(head.length <= driverVocabLimit,
+      s"piece table exceeds driverVocabLimit=$driverVocabLimit — a " +
+        "unigram vocab is a tokenizer artifact, not corpus-sized; " +
+        "mine with a smaller topPieces")
+    val bc = docs.sparkSession.sparkContext
+      .broadcast(head.sortBy(_._1))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(flatten(transform(
+          filter(tokens(col(textCol)), t => length(t) > 0),
+          w => UnigramOps.unigramApplyBc(w, bc, matchHorizon,
+            maxInputChars)))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("piece"))
+  }
+
+  /** Persist the mined table — ONE parquet (piece, cnt); scores are
+    * intrinsic (see [[scores]]), so the artifact needs no floats.
+    */
+  def saveVocab(vocab: DataFrame, dir: String): Unit =
+    vocab.write.mode("overwrite").parquet(dir)
+
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame = spark.read.parquet(dir)
+}

@@ -113,6 +113,23 @@ object CurationStream {
                     // convention: a-b-c chains merge even when a and
                     // c exceed the radius)
                     imageMaxDist: Int = 0,
+                    // cross-modal ALIGNMENT gate (CLIP-style
+                    // image-text curation: a duplicate image is one
+                    // failure mode, a MISMATCHED caption is another):
+                    // alignScoreCol names a per-doc s4 alignment
+                    // score the batch carries (computed upstream on
+                    // the codec seam — [[graft.operators.Multimodal
+                    // .alignScore10k]] over the caption hashEmbed and
+                    // the image's raw luminance histogram; null = no
+                    // image / no direction → passes). foldBatch
+                    // persists (doc_id, align_s4) layers under
+                    // alignIdx and [[select]] drops docs whose score
+                    // sits below alignMin10k. Per-doc pure against
+                    // the doc's own (caption, image) pair ⇒ batch-
+                    // boundary invariance holds by construction.
+                    alignIdx: Option[String] = None,
+                    alignScoreCol: String = "align_s4",
+                    alignMin10k: Long = 5000L,
                     // heuristic quality funnel (Gopher/C4 rules, the
                     // q157 gate) run FIRST in the fold — the cheapest
                     // gate in the recipe (one per-row projection),
@@ -222,6 +239,15 @@ object CurationStream {
           col(cfg.imageHashCol).cast("long").as("dhash"))
         .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
+    // alignment layer: one (doc_id, align_s4) row per scored doc —
+    // per-row, O(batch); the threshold cut happens in [[select]] so
+    // re-gating at a different alignMin10k never refolds the corpus
+    cfg.alignIdx.foreach { dir =>
+      clean.filter(col(cfg.alignScoreCol).isNotNull)
+        .select(col(cfg.idCol).as("doc_id"),
+          col(cfg.alignScoreCol).cast("long").as("align_s4"))
+        .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    }
     val scored = TextAnalysis.dsirScoreIncremental(s, cfg.dsirIdx,
       clean, cfg.idCol, cfg.textCol, cfg.nBuckets, cfg.scale)
     clean.select(col(cfg.idCol).as("doc_id"),
@@ -247,7 +273,9 @@ object CurationStream {
       cfg.spanIdx.map(dir => spanDropSet(spark, dir, cfg)),
       cfg.nearDupIdx.map(dir => nearDupDropSet(spark, dir, cfg)),
       cfg.imageIdx.map(dir =>
-        imageDropSet(spark, dir, cfg.imageMaxDist)))
+        imageDropSet(spark, dir, cfg.imageMaxDist)),
+      cfg.alignIdx.map(dir =>
+        alignDropSet(spark, dir, cfg.alignMin10k)))
 
   /** [[select]] with the gate drop sets supplied by the caller —
     * [[selectReport]] computes each set once and reuses it for the
@@ -259,11 +287,12 @@ object CurationStream {
                               targetShare10k: Map[String, Long],
                               spanDrop: Option[DataFrame],
                               ndDrop: Option[DataFrame],
-                              imgDrop: Option[DataFrame] = None)
+                              imgDrop: Option[DataFrame] = None,
+                              alignDrop: Option[DataFrame] = None)
       : DataFrame =
     mixtureOver(spark,
-      gatedKept(spark, cfg, spanDrop, ndDrop, imgDrop), cfg,
-      targetShare10k)
+      gatedKept(spark, cfg, spanDrop, ndDrop, imgDrop, alignDrop),
+      cfg, targetShare10k)
 
   /** The gated, importance-ranked kept set (doc_id, stratum, h,
     * dsir_score, imp_rank) — the recipe up to the DSIR top-fraction
@@ -272,7 +301,9 @@ object CurationStream {
   private def gatedKept(spark: org.apache.spark.sql.SparkSession,
                         cfg: Config, spanDrop: Option[DataFrame],
                         ndDrop: Option[DataFrame],
-                        imgDrop: Option[DataFrame] = None): DataFrame = {
+                        imgDrop: Option[DataFrame] = None,
+                        alignDrop: Option[DataFrame] = None)
+      : DataFrame = {
     val idx0 = spark.read.parquet(cfg.curIdx)
       .select(col("doc_id"), col("stratum"), col("h"),
         (col("contrib_sum").cast("double") /
@@ -283,8 +314,10 @@ object CurationStream {
     // of how the corpus was split into batches
     val idx1 = spanDrop.fold(idx0)(ds =>
       idx0.join(ds, Seq("doc_id"), "left_anti"))
-    val idx2 = imgDrop.fold(idx1)(ds =>
+    val idx2a = imgDrop.fold(idx1)(ds =>
       idx1.join(ds, Seq("doc_id"), "left_anti"))
+    val idx2 = alignDrop.fold(idx2a)(ds =>
+      idx2a.join(ds, Seq("doc_id"), "left_anti"))
     // materialized once: the gated index feeds the keep-count AND the
     // global rank below — without this every action re-runs the gate
     // joins (and the span aggregation) over the full index
@@ -358,23 +391,31 @@ object CurationStream {
     val imgDrop = cfg.imageIdx
       .map(d => imageDropSet(spark, d, cfg.imageMaxDist)
         .localCheckpoint(false))
+    val alignDrop = cfg.alignIdx
+      .map(d => alignDropSet(spark, d, cfg.alignMin10k)
+        .localCheckpoint(false))
     val nSpan = spanDrop.map(_.count()).getOrElse(0L)
     val nNd = ndDrop.map(_.count()).getOrElse(0L)
     val gated0 = spanDrop.fold(idx0)(ds =>
       idx0.join(ds, Seq("doc_id"), "left_anti"))
     val gated1 = ndDrop.fold(gated0)(ds =>
       gated0.join(ds, Seq("doc_id"), "left_anti"))
-    val gated = imgDrop.fold(gated1)(ds =>
+    val gated1a = imgDrop.fold(gated1)(ds =>
       gated1.join(ds, Seq("doc_id"), "left_anti"))
+    val gated = alignDrop.fold(gated1a)(ds =>
+      gated1a.join(ds, Seq("doc_id"), "left_anti"))
     val nGated = gated.count()
     val nKept = nGated * cfg.keepFrac10k / 10000L
     val nSel = selectWithDrops(spark, cfg, targetShare10k, spanDrop,
-      ndDrop, imgDrop).count()
-    // the image-drop row appears only when the gate is configured, so
-    // pre-existing report consumers (q135) see an unchanged shape
+      ndDrop, imgDrop, alignDrop).count()
+    // the image-drop and align-drop rows appear only when their gates
+    // are configured, so pre-existing report consumers (q135) see an
+    // unchanged shape
     val imgRow = imgDrop.map(ds => ("c2_image_drop", ds.count())).toSeq
+    val alignRow = alignDrop
+      .map(ds => ("c3_align_drop", ds.count())).toSeq
     (Seq(("a_indexed", nIndexed), ("b_span_drop", nSpan),
-      ("c_neardup_drop", nNd)) ++ imgRow ++
+      ("c_neardup_drop", nNd)) ++ imgRow ++ alignRow ++
       Seq(("d_gated", nGated),
         ("e_dsir_kept", nKept), ("f_selected", nSel)))
       .toDF("stage", "n")
@@ -434,7 +475,10 @@ object CurationStream {
       nearDupDropSet(spark, d, cfg).localCheckpoint(false))
     val imgDrop = cfg.imageIdx.map(d =>
       imageDropSet(spark, d, cfg.imageMaxDist).localCheckpoint(false))
-    val kept = gatedKept(spark, cfg, spanDrop, ndDrop, imgDrop)
+    val alignDrop = cfg.alignIdx.map(d =>
+      alignDropSet(spark, d, cfg.alignMin10k).localCheckpoint(false))
+    val kept = gatedKept(spark, cfg, spanDrop, ndDrop, imgDrop,
+      alignDrop)
     val sel = mixtureOver(spark, kept, cfg, targetShare10k)
     val base0a = docs.select(col(cfg.idCol).as("doc_id"))
       .join(fPass, Seq("doc_id"), "left")
@@ -454,7 +498,11 @@ object CurationStream {
         base2.withColumn("__im", lit(null).cast("int")))(ds =>
       base2.join(ds.select(col("doc_id"), lit(1).as("__im")),
         Seq("doc_id"), "left"))
-    base3
+    val base4 = alignDrop.fold(
+        base3.withColumn("__al", lit(null).cast("int")))(ds =>
+      base3.join(ds.select(col("doc_id"), lit(1).as("__al")),
+        Seq("doc_id"), "left"))
+    base4
       .join(kept.select(col("doc_id"), lit(1).as("__k")),
         Seq("doc_id"), "left")
       .join(sel.select(col("doc_id"), lit(1).as("__m")),
@@ -466,6 +514,7 @@ object CurationStream {
           .when(col("__sd") === 1, "c_span")
           .when(col("__nd") === 1, "d_neardup")
           .when(col("__im") === 1, "d2_imagedup")
+          .when(col("__al") === 1, "d3_misaligned")
           .when(col("__k").isNull, "e_dsir_cut")
           .when(col("__m").isNull, "f_mix_cap")
           .otherwise("g_selected").as("stage"))
@@ -569,6 +618,19 @@ object CurationStream {
         .select("doc_id")
     }
   }
+
+  /** Docs whose cross-modal alignment score sits below the threshold —
+    * read straight off the merged (doc_id, align_s4) layers: the
+    * score is per-doc pure (its own caption × its own image), so the
+    * drop set is a FILTER, not a grouping — no global question to
+    * answer, the cheapest gate after the funnel. Distinct defends
+    * against the same doc scored in redelivered batches.
+    */
+  def alignDropSet(spark: org.apache.spark.sql.SparkSession,
+                   dir: String, min10k: Long): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("align_s4") < min10k)
+      .select("doc_id").distinct()
 
   /** Start the streaming fold over a document stream. */
   def start(stream: DataFrame, cfg: Config,

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming front end for the SFT conversation vertical:
+  * chat TURNS arrive as an unbounded stream — a conversation's turns
+  * routinely split across micro-batches (a session is minutes long,
+  * a batch seconds) — and the assembly artifacts
+  * ([[graft.operators.Conversations.spans]]/`render`/`truncate`, the
+  * q219 packing, the q223 decon audit) must come out IDENTICAL to a
+  * one-shot batch run over the same turns.
+  *
+  * The design invariant (the [[CurationStream]] discipline): each
+  * micro-batch fold writes only PER-ROW pure state — the raw turn
+  * rows, an append-only layer per batch. Every decision that needs
+  * the WHOLE conversation (the span cumsum, the render order, the
+  * truncation suffix, packing offsets) happens at READ time over the
+  * merged layers, so the streamed fold equals the batch result no
+  * matter how the turn stream was cut into batches.
+  *
+  * At-least-once semantics, two layers of defense:
+  *   - an engine-replayed batch (same batchId after a crash)
+  *     OVERWRITES its own layer — idempotent by construction;
+  *   - the same turn REDELIVERED in a different batch (an upstream
+  *     at-least-once producer) is collapsed by [[turnsState]]'s
+  *     full-row distinct. A CONFLICTING redelivery — same
+  *     (conv_id, turn_idx), different payload — survives the
+  *     distinct on purpose and trips [[graft.operators.Conversations]]'
+  *     duplicate-key guard: loud, never a tie-order-dependent span.
+  *
+  * Scale shape: the fold is O(batch) — a pure append, no read of
+  * prior state; the read-side distinct is one shuffle over the
+  * skinny turn rows (id pair + role + text), after which the
+  * conversation window re-partitions by conv_id. At 100 TB the
+  * upgrade is bucketing layers by conv_id (the [[StarPipeline]]
+  * convention) so dedup and the window share one co-partitioned
+  * layout; the read-time semantics are unchanged.
+  */
+object SftStream {
+
+  /** `root` holds the turn layers: `root/turns/batch=<id>`. */
+  case class Config(root: String)
+
+  private val TurnCols =
+    Seq("conv_id", "turn_idx", "role", "text")
+
+  /** Fold ONE micro-batch of turns — O(batch), one appended layer.
+    * Expects (conv_id, turn_idx, role, text); ids cast to long so
+    * every layer carries one schema.
+    */
+  def foldBatch(turns: DataFrame, batchId: Long, cfg: Config): Unit =
+    turns.select(col("conv_id").cast("long").as("conv_id"),
+        col("turn_idx").cast("long").as("turn_idx"),
+        col("role").cast("string").as("role"),
+        col("text").cast("string").as("text"))
+      .write.mode("overwrite")
+      .parquet(s"${cfg.root}/turns/batch=$batchId")
+
+  /** The merged turn state: all layers, exact-duplicate rows
+    * collapsed (cross-batch redelivery); conflicting duplicates kept
+    * for the Conversations guard to reject loudly.
+    */
+  def turnsState(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(s"${cfg.root}/turns")
+      .select(TurnCols.map(col): _*).distinct()
+
+  /** Start the streaming ingest over a turn stream — the
+    * [[CurationStream.start]] foreachBatch idiom: the batch fold is a
+    * parquet write, so Structured Streaming's batch-replay-after-crash
+    * semantics make it idempotent.
+    */
+  def start(stream: DataFrame, cfg: Config,
+            checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, cfg)
+      }
+      .start()
+}

@@ -22,6 +22,9 @@ object BenchOne {
       .config("spark.sql.codegen.maxFields", "2000")
       .config("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", "false")
       .config("spark.sql.analyzer.singlePassResolver.enabled", "false")
+      // stable generated-class names -> Janino cache hits across
+      // structurally identical stages (tools/CodegenProbe, r15)
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup as in Bench
