@@ -67,7 +67,15 @@ object Bench {
     // window-per-conversation span layout) and the WordPiece greedy
     // longest-match encode (the corpus-scan-bound tokenizer
     // application shape, native expression over a broadcast vocab)
-    "q213_sft_spans", "q217_wordpiece_encode")
+    "q213_sft_spans", "q217_wordpiece_encode",
+    // round 15: the DPO assembly chain (mining + chosen pick + gap +
+    // prompt decon) and the Unigram Viterbi encode (the fourth
+    // tokenizer's corpus-scan shape). The align-gated recipe (q229)
+    // stays OUT on purpose: ~19 s warm at sf0.1 — mostly its per-doc
+    // image-render fixture — would be the gate's single biggest lane
+    // for a trendline q126 already carries; its rehearsals live in
+    // SCALING.md.
+    "q228_dpo_pairs", "q231_unigram_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -235,45 +235,13 @@ object SparkEntry {
             col("text"), col("lang"))
           .join(hashes, Seq("doc_id"), "left")
       } else if (align) {
-        import s.implicits._
-        // CROSS-MODAL fixture: image docs (doc_id ≡ 0 mod 5) carry a
-        // luminance-strip PNG RENDERED FROM A CAPTION's hashEmbed —
-        // matched docs from their OWN caption (bin b gets
-        // max(emb_b, 0)+1 pixels of mid-bin gray), every 4th image
-        // doc ((doc_id div 5) % 4 == 1) from the REVERSED weights:
-        // the planted mismatched-caption victim. The engine DECODES
-        // the strip back to the raw histogram and scores
-        // cosine(caption embed, histogram) — measured split at
-        // sf0.01: matched median s4 8353 / mismatched max 3872, so
-        // threshold 5000 (Config default) kills every plant and
-        // keeps 71/75 matched pairs.
-        val imgDocs = d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        val emb = graft.operators.Embed.hashEmbed(
-          imgDocs, "doc_id", "text", dim = 8)
-        val media = emb
-          .select(col("doc_id"),
-            transform(col("emb"),
-              x => greatest(x, lit(0.0)) + 1).as("w"),
-            pmod(expr("CAST(doc_id AS BIGINT) div 5"), lit(4L))
-              .as("m"))
-          .select(col("doc_id"),
-            when(col("m") === 1, reverse(col("w")))
-              .otherwise(col("w")).as("w"))
-          .as[(Long, Seq[Double])]
-          .map { case (id, w) =>
-            Multimodal.MediaRow(id, "image",
-              Multimodal.encodeLumaStripPng(w.map(_.toInt).toArray),
-              "image/png") }
-        val hists = Multimodal.imageLumaHist(media).toDF()
-          .select(col("media_id").as("doc_id"), col("hist"))
-        val scores = emb.join(hists, Seq("doc_id"))
-          .select(col("doc_id"),
-            Multimodal.alignScore10k(col("emb"), col("hist"))
-              .as("align_s4"))
+        // CROSS-MODAL fixture ([[alignFixtureScores]]): measured
+        // split at sf0.01: matched median s4 8353 / mismatched max
+        // 3872, so threshold 5000 (Config default) kills every plant
+        // and keeps 71/75 matched pairs (q236 sweeps the knob).
         train0.select(col("doc_id").cast("long").as("doc_id"),
             col("text"), col("lang"))
-          .join(scores, Seq("doc_id"), "left")
+          .join(alignFixtureScores(s, d), Seq("doc_id"), "left")
       } else if (!image && !imageRadius) train0 else {
         import s.implicits._
         // exact mode: pattern class = (id div 15) % 256, injective in
@@ -376,6 +344,105 @@ object SparkEntry {
        |  1 + len(list_filter(string_split_regex(trim(text), '\\s+'),
        |    x -> len(x) > 0)) AS n_tokens
        | FROM t)""".stripMargin
+
+  /** q229/q236 alignment fixture scores: image docs (doc_id ≡ 0
+    * mod 5) carry luminance-strip PNGs rendered FROM a caption's
+    * hashEmbed — their OWN for matched docs, bin-REVERSED for every
+    * 4th image doc ((doc_id div 5) % 4 == 1, the planted mismatch);
+    * REAL decode on the ImageIO seam, s4 cosine vs the caption
+    * embedding. Returns (doc_id, align_s4).
+    */
+  private def alignFixtureScores(s: SparkSession,
+                                 d: DataFrame): DataFrame = {
+    import s.implicits._
+    val imgDocs = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val emb = graft.operators.Embed.hashEmbed(
+      imgDocs, "doc_id", "text", dim = 8)
+    val media = emb
+      .select(col("doc_id"),
+        transform(col("emb"),
+          x => greatest(x, lit(0.0)) + 1).as("w"),
+        pmod(expr("CAST(doc_id AS BIGINT) div 5"), lit(4L))
+          .as("m"))
+      .select(col("doc_id"),
+        when(col("m") === 1, reverse(col("w")))
+          .otherwise(col("w")).as("w"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, w) =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodeLumaStripPng(w.map(_.toInt).toArray),
+          "image/png") }
+    val hists = Multimodal.imageLumaHist(media).toDF()
+      .select(col("media_id").as("doc_id"), col("hist"))
+    emb.join(hists, Seq("doc_id"))
+      .select(col("doc_id"),
+        Multimodal.alignScore10k(col("emb"), col("hist"))
+          .as("align_s4"))
+  }
+
+  /** q75/q233 forms-vertical fixture: orders-driven form instances
+    * folded in two batches with a NEWER re-file of Q1 for even keys
+    * (value k%97 → k%97+1), form metadata for D0–D2, question
+    * metadata for Q1 only (Q2 stays a placeholder). Returns the
+    * folded state's Config — the answers star is the q75 oracle's
+    * subject and q233's conversation source.
+    */
+  private def formsFixtureState(s: SparkSession, dir: String)
+      : graft.streaming.FormsPipeline.Config = {
+    import graft.streaming.FormsPipeline
+    val root = graft.SparkEntry.tmpDir("q75_state")
+    val cfg = FormsPipeline.Config(root, nBuckets = 4)
+    val k = col("o_orderkey")
+    val ks = k.cast("string")
+    def inst(answers: Column) = struct(
+      concat(lit("F"), ks).as("formInstanceId"),
+      concat(lit("D"), pmod(k, lit(5)).cast("string")).as("formId"),
+      concat(lit("M"), col("o_custkey").cast("string")).as("mrn"),
+      concat(lit("V"), ks).as("visitNumber"),
+      (k * 1000L).as("firstFiledTimeUs"),
+      (k * 10L).as("msgId"),
+      answers.as("answers"))
+    def ans(q: String, filed: Column, msg: Column, sv: Column,
+            nv: Column) = struct(
+      lit(q).as("questionId"), filed.as("filedTimeUs"),
+      msg.as("msgId"), lit(null).cast("string").as("context"),
+      sv.as("stringValue"), nv.as("numericValue"),
+      lit(null).cast("boolean").as("booleanValue"),
+      lit(null).cast("string").as("dateValue"),
+      lit(null).cast("long").as("datetimeValueUs"))
+    val orders = t(s, dir, "orders")
+    val initial = orders.select(inst(array(
+      ans("Q1", k * 1000L, k * 10L + 1L,
+        lit(null).cast("string"), pmod(k, lit(97)).cast("double")),
+      ans("Q2", k * 1000L, k * 10L + 2L,
+        concat(lit("S"), pmod(k, lit(3)).cast("string")),
+        lit(null).cast("double")))).as("f")).select("f.*")
+    // batch 2 re-files Q1 for even instances with a CHANGED value
+    val refile = orders.filter(pmod(k, lit(2)) === 0)
+      .select(inst(array(
+        ans("Q1", k * 1000L + 7L, k * 10L + 3L,
+          lit(null).cast("string"),
+          (pmod(k, lit(97)) + 1).cast("double")))).as("f"))
+      .select("f.*")
+    val meta = s.range(3).select(
+      concat(lit("D"), col("id").cast("string")).as("formId"),
+      lit(1L).as("validFromUs"), col("id").as("msgId"),
+      concat(lit("Form D"), col("id").cast("string")).as("name"),
+      lit(null).cast("string").as("patientFriendlyName"))
+    val qMeta = s.range(1).select(
+      lit("Q1").as("questionId"), lit(1L).as("validFromUs"),
+      lit(9L).as("msgId"), lit("Numeric score").as("name"),
+      lit("score").as("abbrevName"),
+      lit(null).cast("string").as("description"))
+    FormsPipeline.foldBatch(1L, cfg,
+      forms = Some(initial.filter(pmod(col("o_orderkey"), lit(2)) === 1)))
+    FormsPipeline.foldBatch(2L, cfg,
+      forms = Some(initial.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .unionByName(refile)),
+      formMeta = Some(meta), qMeta = Some(qMeta))
+    cfg
+  }
 
   /** q223/q227 planted-contamination fixture: every 50th
     * conversation's last turn carries a benchmark document's text;
@@ -665,6 +732,99 @@ object SparkEntry {
          |ORDER BY n_probes""".stripMargin)
   }
 
+  /** q235: indexed-DPO replay — q218's quantized mining chain
+    * verbatim (int8 codes, probed partitions, over-fetch 10, margin
+    * 30000, k=3) for the rejected side; the CHOSEN side re-scored on
+    * the DENSE vectors (the production exact-re-rank of the tiny
+    * labeled set); gap ≥ 0, top-2 hardest per prompt.
+    */
+  private lazy val DpoIndexedOracleSql: String = materializeCtes(
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  CAST(label AS BIGINT) AS label FROM embeddings),
+       |qv AS (SELECT vec_id, label,
+       |  list_transform(v, x -> floor((x * 127) /
+       |    list_max(list_transform(v, y -> abs(y))))) AS q
+       | FROM base
+       | WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+       |n AS (SELECT vec_id, label, q,
+       |  sqrt(list_dot_product(q, q)) AS nrm FROM qv),
+       |p AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn,
+       |  unnest(list_distinct([label, (label + 1) %
+       |    (SELECT MAX(label) + 1 FROM embeddings)])) AS probe
+       | FROM n WHERE vec_id < 8),
+       |pp AS (SELECT vec_id AS query_id, vec_id + 50 AS pos_id
+       |  FROM embeddings WHERE vec_id < 8
+       | UNION ALL
+       | SELECT vec_id, vec_id * 3 + 100
+       |  FROM embeddings WHERE vec_id < 8),
+       |sx AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0
+       |    AS sim
+       | FROM p JOIN n c ON probe = c.label AND query_id <> c.vec_id),
+       |ofc AS (SELECT query_id, neighbor_id,
+       |  CAST(round(sim * 10000, 0) AS BIGINT) AS s4
+       | FROM (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       |     AS rk FROM sx)
+       | WHERE rk <= 10),
+       |ps AS (SELECT pp.query_id, MAX(CAST(round(
+       |   list_dot_product(a.q, c.q) / (a.nrm * c.nrm) * 10000, 0)
+       |    AS BIGINT)) AS pos_s4
+       | FROM pp JOIN n a ON a.vec_id = pp.query_id
+       |  JOIN n c ON c.vec_id = pp.pos_id
+       | GROUP BY pp.query_id),
+       |neg AS (SELECT o.query_id, o.neighbor_id, o.s4
+       | FROM ofc o JOIN ps USING (query_id)
+       | WHERE o.s4 * 10000 <= ps.pos_s4 * 30000
+       |  AND NOT EXISTS (SELECT 1 FROM pp
+       |   WHERE pp.query_id = o.query_id
+       |    AND pp.pos_id = o.neighbor_id)),
+       |rr AS (SELECT query_id, neighbor_id, s4,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY s4 DESC, neighbor_id) AS rank FROM neg),
+       |chs AS (SELECT query_id, pos_id AS chosen_id,
+       |  s4c AS chosen_s4 FROM (
+       |  SELECT pp.query_id, pp.pos_id,
+       |   CAST(round(list_cosine_similarity(a.v, c.v) * 10000, 0)
+       |     AS BIGINT) AS s4c,
+       |   row_number() OVER (PARTITION BY pp.query_id
+       |    ORDER BY CAST(round(list_cosine_similarity(a.v, c.v)
+       |      * 10000, 0) AS BIGINT) DESC, pp.pos_id) AS rn
+       |  FROM pp JOIN base a ON a.vec_id = pp.query_id
+       |   JOIN base c ON c.vec_id = pp.pos_id)
+       | WHERE rn = 1),
+       |asm AS (SELECT ch.query_id AS prompt_id, ch.chosen_id,
+       |  rk.neighbor_id AS rejected_id,
+       |  row_number() OVER (PARTITION BY ch.query_id
+       |   ORDER BY rk.s4 DESC, rk.neighbor_id) AS pair_rank,
+       |  ch.chosen_s4, rk.s4 AS rejected_s4
+       | FROM chs ch JOIN rr rk ON rk.query_id = ch.query_id
+       | WHERE rk.rank <= 3
+       |  AND ch.chosen_s4 - rk.s4 >= -20000)
+       |SELECT a.prompt_id, a.chosen_id, a.rejected_id,
+       | CAST(a.pair_rank AS BIGINT) AS pair_rank,
+       | a.chosen_s4 / 10000.0 AS chosen_sim,
+       | a.rejected_s4 / 10000.0 AS rejected_sim
+       |FROM asm a WHERE a.pair_rank <= 2
+       |ORDER BY a.prompt_id, a.pair_rank""".stripMargin)
+
+  /** q236: the align-threshold sweep replay. */
+  private lazy val AlignSweepOracleSql: String = materializeCtes(
+    s"""WITH $AlignScoreCtesSql,
+       |apl AS (SELECT doc_id, s4,
+       |  (doc_id // 5) % 4 = 1 AS planted FROM ascr)
+       |SELECT CAST(t AS BIGINT) AS threshold,
+       | CAST(SUM(CASE WHEN NOT planted AND s4 >= t
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS matched_kept,
+       | CAST(SUM(CASE WHEN NOT planted AND s4 < t
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS matched_dropped,
+       | CAST(SUM(CASE WHEN planted AND s4 < t
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS planted_dropped,
+       | CAST(SUM(CASE WHEN planted AND s4 >= t
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS planted_kept
+       |FROM apl, (SELECT unnest([2000, 5000, 8000]) AS t)
+       |GROUP BY t ORDER BY threshold""".stripMargin)
+
   /** q230/q231/q232 Unigram piece-table CTEs: word frequencies →
     * UNMARKED substring candidates (length ≤ `maxPieceLen` — unigram
     * pieces are position-free) → all singles ∪ top-`topPieces`
@@ -710,7 +870,8 @@ object SparkEntry {
     * rows per path) so the vocab join is a hashable string equality.
     */
   private def unigramEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
-                                     maxInputChars: Int): String = {
+                                     maxInputChars: Int,
+                                     ids: Boolean = false): String = {
     val aug =
       s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CASE WHEN doc_id % 25 = 0
@@ -741,10 +902,18 @@ object SparkEntry {
          | SELECT tok, n, pos, np, prod, seq FROM $prev
          | WHERE pos >= n)""".stripMargin
     }.mkString(",\n")
+    // normalized comparison: raw products GROW with piece count
+    // (scores exceed 1), so the argmax compares the true probability
+    // product via key = prod · 10⁴^(maxInputChars − np) — HUGEINT-
+    // bounded by 10001^maxInputChars (each s10k ≤ 10001, 10⁴ < 10001)
+    val normCase = (0 to maxInputChars).map(np =>
+      s"WHEN $np THEN CAST('1${"0" * (4 * (maxInputChars - np))}' " +
+        "AS HUGEINT)").mkString(" ")
     val tail =
       s"""ubst AS (SELECT tok, seq FROM (
          |  SELECT tok, seq, row_number() OVER (PARTITION BY tok
-         |   ORDER BY prod DESC, np ASC, seq ASC) AS rn
+         |   ORDER BY prod * (CASE np $normCase END) DESC,
+         |    np ASC, seq ASC) AS rn
          |  FROM ug$maxInputChars WHERE pos >= n) WHERE rn = 1),
          |udone AS (SELECT tok, seq FROM ubst
          | UNION ALL
@@ -756,16 +925,30 @@ object SparkEntry {
          | FROM (SELECT d.doc_id, d.widx, w.pl,
          |   unnest(range(len(w.pl))) AS k
          |  FROM adt d JOIN upl w USING (tok)))""".stripMargin
+    val sel = if (!ids)
+      """SELECT doc_id,
+        | CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY widx, k) - 1 AS BIGINT) AS pos,
+        | piece
+        |FROM ufl ORDER BY doc_id, pos""".stripMargin
+    else
+      """uvid AS (SELECT piece,
+        |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+        |   AS piece_id FROM uvocab)
+        |SELECT doc_id,
+        | CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY widx, k) - 1 AS BIGINT) AS pos,
+        | COALESCE(u.piece_id, -1) AS piece_id
+        |FROM ufl LEFT JOIN uvid u USING (piece)
+        |ORDER BY doc_id, pos""".stripMargin
+    // the ids variant carries its own uvid CTE head, so the chain
+    // gains one trailing comma before it
     materializeCtes(
       s"""WITH ${unigramVocabCtesSql(maxPieceLen, topPieces)},
          |$aug,
          |$stages,
-         |$tail
-         |SELECT doc_id,
-         | CAST(row_number() OVER (PARTITION BY doc_id
-         |   ORDER BY widx, k) - 1 AS BIGINT) AS pos,
-         | piece
-         |FROM ufl ORDER BY doc_id, pos""".stripMargin)
+         |$tail${if (ids) "," else ""}
+         |$sel""".stripMargin)
   }
 
   /** q223: the SFT-decontamination replay — plant benchmark text into
@@ -2892,57 +3075,7 @@ object SparkEntry {
     // core/.../FormController.java:110-164, FormProcessor.java:52-83)
     "q75_forms_pipeline" -> ((s, dir) => {
       import graft.streaming.FormsPipeline
-      val root = graft.SparkEntry.tmpDir("q75_state")
-      val cfg = FormsPipeline.Config(root, nBuckets = 4)
-      val k = col("o_orderkey")
-      val ks = k.cast("string")
-      def inst(answers: Column) = struct(
-        concat(lit("F"), ks).as("formInstanceId"),
-        concat(lit("D"), pmod(k, lit(5)).cast("string")).as("formId"),
-        concat(lit("M"), col("o_custkey").cast("string")).as("mrn"),
-        concat(lit("V"), ks).as("visitNumber"),
-        (k * 1000L).as("firstFiledTimeUs"),
-        (k * 10L).as("msgId"),
-        answers.as("answers"))
-      def ans(q: String, filed: Column, msg: Column, sv: Column,
-              nv: Column) = struct(
-        lit(q).as("questionId"), filed.as("filedTimeUs"),
-        msg.as("msgId"), lit(null).cast("string").as("context"),
-        sv.as("stringValue"), nv.as("numericValue"),
-        lit(null).cast("boolean").as("booleanValue"),
-        lit(null).cast("string").as("dateValue"),
-        lit(null).cast("long").as("datetimeValueUs"))
-      val orders = t(s, dir, "orders")
-      val initial = orders.select(inst(array(
-        ans("Q1", k * 1000L, k * 10L + 1L,
-          lit(null).cast("string"), pmod(k, lit(97)).cast("double")),
-        ans("Q2", k * 1000L, k * 10L + 2L,
-          concat(lit("S"), pmod(k, lit(3)).cast("string")),
-          lit(null).cast("double")))).as("f")).select("f.*")
-      // batch 2 re-files Q1 for even instances with a CHANGED value
-      val refile = orders.filter(pmod(k, lit(2)) === 0)
-        .select(inst(array(
-          ans("Q1", k * 1000L + 7L, k * 10L + 3L,
-            lit(null).cast("string"),
-            (pmod(k, lit(97)) + 1).cast("double")))).as("f"))
-        .select("f.*")
-      val meta = s.range(3).select(
-        concat(lit("D"), col("id").cast("string")).as("formId"),
-        lit(1L).as("validFromUs"), col("id").as("msgId"),
-        concat(lit("Form D"), col("id").cast("string")).as("name"),
-        lit(null).cast("string").as("patientFriendlyName"))
-      val qMeta = s.range(1).select(
-        lit("Q1").as("questionId"), lit(1L).as("validFromUs"),
-        lit(9L).as("msgId"), lit("Numeric score").as("name"),
-        lit("score").as("abbrevName"),
-        lit(null).cast("string").as("description"))
-      FormsPipeline.foldBatch(1L, cfg,
-        forms = Some(initial.filter(pmod(col("o_orderkey"), lit(2)) === 1)))
-      FormsPipeline.foldBatch(2L, cfg,
-        forms = Some(initial.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-          .unionByName(refile)),
-        formMeta = Some(meta), qMeta = Some(qMeta))
-      FormsPipeline.answers(s, cfg).get
+      FormsPipeline.answers(s, formsFixtureState(s, dir)).get
         .select(col("formInstanceId").as("form_instance"),
           col("questionId").as("question_id"),
           col("filedTimeUs").as("filed_us"),
@@ -5491,11 +5624,13 @@ object SparkEntry {
     }),
 
     // ---- Unigram ENCODE: max-product Viterbi per word (exact
-    // BigInteger products of s10k scores, ties: fewer pieces then
-    // lexicographic) via the native expression over a broadcast
-    // table. maxInputChars = 9 keeps the oracle's full-enumeration
-    // replay in HUGEINT (10001^9 < 2^127) — longer words [UNK] whole
-    // on both sides (every 25th doc carries the 20-char tripwire).
+    // BigInteger products of s10k scores compared under the
+    // common-length normalization — UnigramApply scaladoc; ties:
+    // fewer pieces then lexicographic) via the native expression
+    // over a broadcast table. maxInputChars = 9 keeps the oracle's
+    // full-enumeration replay in HUGEINT (normalized key ≤ 10001^9
+    // < 2^127) — longer words [UNK] whole on both sides (every 25th
+    // doc carries the 20-char tripwire).
     "q231_unigram_encode" -> ((s, dir) => {
       import graft.operators.Unigram
       val vocab = Unigram.mineVocab(t(s, dir, "documents"), "text",
@@ -5519,6 +5654,116 @@ object SparkEntry {
           Unigram.loadVocab(s, art), matchHorizon = 6,
           maxInputChars = 9)
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- WIRE → SFT BRIDGE: the clinical-wire half feeds the
+    // training-data half under ONE oracle (the q195/q204 composition
+    // precedent for conversations): the q75 forms vertical's folded
+    // Q&A star — question names from the metadata dim, placeholders
+    // surfacing as raw ids, the NEWER-ONLY re-file winning — renders
+    // as chat turns (user asks the question, assistant answers) and
+    // runs the q213 span assembly. The oracle re-derives every turn
+    // from orders arithmetic, so the forms fold, the dim joins, the
+    // placeholder rule AND the span cumsum all have to agree.
+    "q233_wire_sft" -> ((s, dir) => {
+      import graft.streaming.FormsPipeline
+      val a = FormsPipeline.answers(s, formsFixtureState(s, dir)).get
+      val base = a.select(
+        regexp_replace(col("formInstanceId"), "^F", "")
+          .cast("long").as("conv_id"),
+        ((regexp_replace(col("questionId"), "^Q", "")
+          .cast("long") - 1L) * 2L).as("qbase"),
+        coalesce(col("questionName"), col("questionId")).as("qtext"),
+        coalesce(col("numericValue").cast("long").cast("string"),
+          col("stringValue")).as("atext"))
+      val turns = base.select(col("conv_id"),
+          col("qbase").as("turn_idx"), lit("user").as("role"),
+          col("qtext").as("text"))
+        .unionByName(base.select(col("conv_id"),
+          (col("qbase") + 1L).as("turn_idx"),
+          lit("assistant").as("role"), col("atext").as("text")))
+      Conversations.spans(turns, "conv_id", "turn_idx", "role",
+          "text")
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // ---- Unigram token IDS: the (piece ASC) vocabulary-intrinsic
+    // layout, [UNK] → reserved -1 via the left join (q221's contract
+    // for the fourth tokenizer).
+    "q234_unigram_ids" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val vocab = Unigram.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      Unigram.encodeIds(wpAugDocs(s, dir), "doc_id", "text", vocab,
+          matchHorizon = 6, maxInputChars = 9)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- DPO assembly over the PERSISTED-INDEX miner (the 100 TB
+    // path composed): rejected candidates from q218's probed
+    // quantized reads, CHOSEN re-scored EXACTLY on the dense vectors
+    // (|pairs| rows — production re-ranks the tiny labeled side
+    // exactly while the corpus side stays int8), gap + rank on top.
+    "q235_dpo_pairs_indexed" -> ((s, dir) => {
+      import graft.operators.Preference
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val idx = graft.SparkEntry.tmpDir("dpo_idx")
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", col("label"), idx, 1L)
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", col("label"), idx, 2L)
+      Ann.compactVectorIndex(s, idx, partitionCol = "cluster")
+      val qs = em.filter(col("vec_id") < 8)
+        .withColumn("probes", array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      val q8 = qs.select(col("vec_id").as("query_id"))
+      val pairs = q8.select(col("query_id"),
+          (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("query_id"),
+          (col("query_id") * 3L + 100L).as("pos_id")))
+      val negs = Ann.hardNegativesFromIndex(s, idx, pairs, qs,
+        "vec_id", "embedding", "probes", k = 3, overfetch = 10,
+        margin10k = 30000L)
+      // gap −2.0: ADMIT every mined negative — on this structure-free
+      // fixture the dense-chosen vs int8-rejected gap at 0 kills all
+      // pairs (rejected sims sit at/above the near-zero chosen sims);
+      // the gap DISCIPLINE is q228's subject — this lane's subject is
+      // the composition with the quantized miner, which needs rows
+      Preference.assemble(pairs, negs, em, "vec_id", "embedding",
+          minGap10k = -20000L, pairsPerPrompt = 2)
+        .orderBy(col("prompt_id"), col("pair_rank"))
+    }),
+
+    // ---- ALIGN-THRESHOLD SWEEP (the q225/q180 measure-the-knob
+    // discipline for the cross-modal gate): the q229 fixture's
+    // planted truth is doc-id arithmetic, so the gate's confusion
+    // counts are measurable per threshold — 2000 / 5000 / 8000 with
+    // everything else held constant. The committed sf0.01 numbers:
+    // 2000 lets 9/25 plants THROUGH (2 matched casualties — too
+    // loose); 5000 kills 25/25 at 4 casualties; 8000 still kills
+    // 25/25 but eats 24 matched pairs for nothing — the q229
+    // default (5000) sits exactly at the knee.
+    "q236_align_sweep" -> ((s, dir) => {
+      val scored = alignFixtureScores(s, t(s, dir, "documents"))
+        .filter(col("align_s4").isNotNull)
+        .withColumn("planted",
+          pmod(expr("CAST(doc_id AS BIGINT) div 5"), lit(4L)) === 1)
+        .localCheckpoint(false) // three threshold consumers
+      Seq(2000L, 5000L, 8000L).map { t =>
+        scored.agg(
+            sum(when(!col("planted") && col("align_s4") >= t, 1L)
+              .otherwise(0L)).as("matched_kept"),
+            sum(when(!col("planted") && col("align_s4") < t, 1L)
+              .otherwise(0L)).as("matched_dropped"),
+            sum(when(col("planted") && col("align_s4") < t, 1L)
+              .otherwise(0L)).as("planted_dropped"),
+            sum(when(col("planted") && col("align_s4") >= t, 1L)
+              .otherwise(0L)).as("planted_kept"))
+          .select(lit(t).as("threshold"), col("matched_kept"),
+            col("matched_dropped"), col("planted_dropped"),
+            col("planted_kept"))
+      }.reduce(_.unionByName(_)).orderBy(col("threshold"))
     })
   )
 
@@ -6673,11 +6918,12 @@ object SparkEntry {
     * the below-threshold drop threaded into kept2 exactly like the
     * image gate.
     */
-  private def alignGateSplicedTail(threshold: Long): String = {
-    val kept2Tail = "AND doc_id NOT IN (SELECT doc_id FROM nddrop)),"
-    require(CurationChainTailSql.contains(kept2Tail),
-      "curation tail drifted: kept2's nddrop clause not found — fix " +
-        "the align-gate splice")
+  /** The q229/q236 alignment-score CTE block: caption hashEmbed
+    * replay (dim 8, image docs), the fixture's reversed-weights
+    * plant, the s4 cosine in the engine's exact expression shape —
+    * ends at `ascr` (doc_id, s4).
+    */
+  private lazy val AlignScoreCtesSql: String =
     s"""aef AS (SELECT doc_id, ${polyHashSql("tok")} % 8 AS b,
        |   CASE WHEN ${polyHashSql("tok || '|sign'")} % 2 = 0
        |     THEN 1 ELSE -1 END AS sgn
@@ -6702,8 +6948,15 @@ object SparkEntry {
        |  CAST(round(list_dot_product(v, h) /
        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(h, h)))
        |    * 10000, 0) AS BIGINT) AS s4
-       | FROM ahs),
-       |algd AS (SELECT doc_id FROM ascr WHERE s4 < $threshold),""".stripMargin + "\n" +
+       | FROM ahs)""".stripMargin
+
+  private def alignGateSplicedTail(threshold: Long): String = {
+    val kept2Tail = "AND doc_id NOT IN (SELECT doc_id FROM nddrop)),"
+    require(CurationChainTailSql.contains(kept2Tail),
+      "curation tail drifted: kept2's nddrop clause not found — fix " +
+        "the align-gate splice")
+    AlignScoreCtesSql + ",\n" +
+      s"algd AS (SELECT doc_id FROM ascr WHERE s4 < $threshold),\n" +
       CurationChainTailSql.replace(kept2Tail,
         "AND doc_id NOT IN (SELECT doc_id FROM nddrop)\n" +
           "   AND doc_id NOT IN (SELECT doc_id FROM algd)),")
@@ -9998,7 +10251,53 @@ object SparkEntry {
 
     // artifact freeze contract: loading the persisted table must be
     // bit-identical to the in-memory path — q231's oracle VERBATIM
-    "q232_unigram_artifact" -> unigramEncodeOracleSql(6, 60, 9)
+    "q232_unigram_artifact" -> unigramEncodeOracleSql(6, 60, 9),
+
+    // Unigram ids replay: the encode chain + the (piece ASC) rank
+    // join, [UNK] → -1 through the left join
+    "q234_unigram_ids" -> unigramEncodeOracleSql(6, 60, 9, ids = true),
+
+    // indexed-DPO replay: q218's quantized mining chain + the DENSE
+    // chosen re-score + gap/rank assembly
+    "q235_dpo_pairs_indexed" -> DpoIndexedOracleSql,
+
+    // align-threshold sweep replay: the shared score CTEs + the
+    // plant arithmetic, confusion counts per unnested threshold
+    "q236_align_sweep" -> AlignSweepOracleSql,
+
+    // wire→SFT bridge replay: the q75 forms-fold outcome from orders
+    // arithmetic (Q1 = k%97, re-filed k%97+1 for even k, newer wins;
+    // Q2 = 'S'||k%3; Q1 named by the metadata dim, Q2 a placeholder
+    // surfacing its raw id) rendered as turns + the q213 cumsum
+    "q233_wire_sft" ->
+      """WITH f AS (SELECT CAST(o_orderkey AS BIGINT) AS k
+        |  FROM orders),
+        |t AS (SELECT k AS conv_id, 0 AS turn_idx, 'user' AS role,
+        |   'Numeric score' AS text FROM f
+        | UNION ALL
+        | SELECT k, 1, 'assistant', CAST(CASE WHEN k % 2 = 0
+        |   THEN k % 97 + 1 ELSE k % 97 END AS VARCHAR) FROM f
+        | UNION ALL
+        | SELECT k, 2, 'user', 'Q2' FROM f
+        | UNION ALL
+        | SELECT k, 3, 'assistant', 'S' || CAST(k % 3 AS VARCHAR)
+        |  FROM f),
+        |p AS (SELECT conv_id, turn_idx, role,
+        |  '<|' || role || '|> ' || text AS piece,
+        |  1 + len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0)) AS n_tokens
+        | FROM t),
+        |s AS (SELECT conv_id, turn_idx, role, piece, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS UNBOUNDED PRECEDING) AS end_tok
+        | FROM p)
+        |SELECT CAST(conv_id AS BIGINT) AS conv_id,
+        | CAST(turn_idx AS BIGINT) AS turn_idx, role, piece,
+        | CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+        | CAST(end_tok AS BIGINT) AS end_tok,
+        | CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+        |   AS BIGINT) AS in_loss
+        |FROM s ORDER BY conv_id, turn_idx""".stripMargin
   )
 
   /** q228: the preference-pair replay — q212's mining CTEs, the

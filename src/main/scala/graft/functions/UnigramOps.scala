@@ -16,15 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Exact-arithmetic discipline: piece scores are 10⁴-scaled integer
   * probabilities (`s10k = cnt·10⁴ div total + 1` — the +1 floor keeps
-  * every score strictly positive, a documented smoothing, so no
-  * segmentation collapses to a zero product), and the Viterbi
-  * objective is the exact integer PRODUCT of scores (BigInteger —
-  * bounded by 10001^maxInputChars, which is why `maxInputChars` here
-  * doubles as the replay-tractability guard: an oracle enumerating
-  * all 2^(n-1) compositions of an n-char word needs n small, and
-  * HUGEINT holds the product for n ≤ 9). Ties break exactly:
-  * larger product, then FEWER pieces, then the lexicographically
-  * smaller space-joined piece sequence — a total order any replay
+  * every score strictly positive, a documented smoothing), and the
+  * Viterbi objective is the TRUE probability product Π(s10k_i/10⁴),
+  * compared exactly by normalizing every segmentation to a common
+  * length: key = (Π s10k_i) · 10⁴^(maxInputChars − n). Comparing the
+  * RAW products would be wrong — scores exceed 1, so a raw product
+  * always grows with more pieces and the decode would degenerate to
+  * all-singles; the normalization makes the integer comparison
+  * agree with the real Π p_i order. The key is bounded by
+  * 10001^maxInputChars (each s10k ≤ 10001 and 10⁴ < 10001), which is
+  * why `maxInputChars` doubles as the replay-tractability guard: an
+  * oracle enumerating all 2^(n-1) compositions needs n small, and
+  * HUGEINT holds the key for n ≤ 9. Ties break exactly: larger key,
+  * then FEWER pieces, then the lexicographically smaller space-joined
+  * piece sequence (binary UTF-8 order) — a total order any replay
   * can evaluate.
   *
   * The tie-break is DP-compatible: two prefixes reaching the same
@@ -63,11 +68,20 @@ object UnigramApply {
   private final class Cell(val prod: java.math.BigInteger, val n: Int,
                            val seq: String)
 
+  private val E4 = java.math.BigInteger.valueOf(10000L)
+
   private[functions] def encodeWord(word: String,
       scores: java.util.HashMap[String, Long], maxPieceLen: Int,
       maxInputChars: Int): GenericArrayData = {
     val n = word.length
     if (n > maxInputChars) return unkArray
+    // normalization powers: key(cell) = prod · 10⁴^(maxInputChars−n)
+    val pows = new Array[java.math.BigInteger](maxInputChars + 1)
+    pows(0) = java.math.BigInteger.ONE
+    var pi = 1
+    while (pi <= maxInputChars) { pows(pi) = pows(pi - 1).multiply(E4); pi += 1 }
+    def key(c: Cell): java.math.BigInteger =
+      c.prod.multiply(pows(maxInputChars - c.n))
     val best = new Array[Cell](n + 1)
     best(0) = new Cell(java.math.BigInteger.ONE, 0, "")
     var end = 1
@@ -88,7 +102,7 @@ object UnigramApply {
             // matching the replay's DuckDB string comparison — Java's
             // UTF-16 code-unit order diverges on supplementary chars
             val better = cell == null || {
-              val c = cand.prod.compareTo(cell.prod)
+              val c = key(cand).compareTo(key(cell))
               c > 0 || (c == 0 && (cand.n < cell.n ||
                 (cand.n == cell.n &&
                   UTF8String.fromString(cand.seq).compareTo(

@@ -9,7 +9,9 @@ import graft.functions.UnigramOps
   * completing the repo's tokenizer square next to char BPE, byte BPE
   * and WordPiece: the vocabulary is a SCORED piece table and encoding
   * is the Viterbi decode — the segmentation maximizing the product of
-  * piece scores — not a greedy or merge-order replay.
+  * piece PROBABILITIES (integer scores compared under a common-length
+  * normalization, [[graft.functions.UnigramApply]]) — not a greedy or
+  * merge-order replay.
   *
   * Training compromise (the [[WordPiece]] discipline, documented the
   * same way): the original trains piece scores by EM over corpus
@@ -106,6 +108,28 @@ object Unigram {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("piece"))
   }
+
+  /** Stable piece→id mapping — (piece ASC) rank, vocabulary-intrinsic
+    * (the [[WordPiece.vocabIds]] layout): ids never shift when the
+    * same artifact encodes a different corpus. Vocabulary-sized
+    * single-partition window by construction.
+    */
+  def vocabIds(vocab: DataFrame): DataFrame =
+    vocab.select(col("piece"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("piece"))) - 1).cast("long").as("piece_id"))
+
+  /** [[encode]] to ids. `[UNK]` is never a mined piece (reserved in
+    * [[mineVocab]]): it surfaces as id -1 via the left join — never
+    * a silently dropped row (the [[WordPiece.encodeIds]] contract).
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                vocab: DataFrame, matchHorizon: Int,
+                maxInputChars: Int): DataFrame =
+    encode(docs, idCol, textCol, vocab, matchHorizon, maxInputChars)
+      .join(broadcast(vocabIds(vocab)), Seq("piece"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("piece_id"), lit(-1L)).as("piece_id"))
 
   /** Persist the mined table — ONE parquet (piece, cnt); scores are
     * intrinsic (see [[scores]]), so the artifact needs no floats.

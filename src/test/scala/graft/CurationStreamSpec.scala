@@ -486,4 +486,79 @@ class CurationStreamSpec extends SparkSpecBase {
     val cut = prov2.count(_._2 == "e_dsir_cut")
     assert(cut == gated - gated * 5000L / 10000L && cut > 0)
   }
+
+  test("CROSS-MODAL alignment gate: below-threshold (caption, image) " +
+      "pairs drop, matched pairs and imageless docs pass, provenance " +
+      "labels d3_misaligned, the report gains c3_align_drop, and " +
+      "batch boundaries don't change the selection") {
+    import graft.operators.{Embed, Multimodal}
+    def page(i: Long) = {
+      val d = f"$i%03d"
+      s"the quick$d brown$d of fox$d and jumps$d it over$d " +
+        s"w$d x$d y$d z$d p$d q$d r$d s$d t$d u$d v$d"
+    }
+    // docs 1-9; 1/2/3/4 carry images rendered FROM captions — 1/2/4
+    // from their OWN (matched), 3 from doc 7's caption (mismatched);
+    // 5-9 carry no image and must pass untouched
+    val docs = (1L to 9L).map(i => CurDoc(i, "en", page(i)))
+      .toDF("doc_id", "lang", "text")
+    val emb = Embed.hashEmbed(docs, "doc_id", "text", dim = 8)
+    val embMap = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def strip(of: Long) = Multimodal.encodeLumaStripPng(
+      embMap(of).map(x => math.max(x, 0.0).toInt + 1))
+    val media = Seq(1L -> 1L, 2L -> 2L, 3L -> 7L, 4L -> 4L)
+      .map { case (id, capOf) =>
+        Multimodal.MediaRow(id, "image", strip(capOf), "image/png") }
+      .toDS()
+    val hists = Multimodal.imageLumaHist(media).toDF()
+      .select(col("media_id").as("doc_id"), col("hist"))
+    val scores = emb.join(hists, Seq("doc_id"))
+      .select(col("doc_id"),
+        Multimodal.alignScore10k(col("emb"), col("hist"))
+          .as("align_s4"))
+    // matched pairs outscore the foreign-caption plant (on these
+    // SHORT 16-token captions the +1 smoothing keeps absolute scores
+    // modest — the sf corpus's longer docs separate much wider, see
+    // the q229 fixture comment — but the ORDER is what the gate cuts)
+    val s4 = scores.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val matchedMin = Seq(s4(1L), s4(2L), s4(4L)).min
+    assert(s4(3L) < matchedMin, s4)
+    val thr = (s4(3L) + matchedMin) / 2 + 1
+    val input = docs.join(scores, Seq("doc_id"), "left")
+    val benchIdx = mk(); val dsirIdx = mk()
+    graft.operators.TextAnalysis.buildBenchmarkIndex(
+      Seq(CurDoc(999L, "en", "nothing shared here at all"))
+        .toDF("doc_id", "lang", "text"), "text", 5, benchIdx)
+    TextAnalysis.buildDsirIndex(docs, docs, "doc_id", "text",
+      65536, 1000000L, dsirIdx)
+    def cfg() = CurationStream.Config(
+      benchIdx, dsirIdx, mk(), "doc_id", "text", "lang",
+      keepFrac10k = 10000L, alignIdx = Some(mk()),
+      alignMin10k = thr)
+    val targets = Map("en" -> 10000L)
+
+    val one = cfg()
+    CurationStream.foldBatch(input, 1L, one)
+    val sel = CurationStream.select(spark, one, targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L),
+      s"3 carries doc 7's caption's image; got $sel")
+    val prov = CurationStream.provenance(spark, one, input, targets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prov(3L) == "d3_misaligned")
+    assert(prov(1L) == "g_selected" && prov(5L) == "g_selected")
+    val rep = CurationStream.selectReport(spark, one, targets)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("c3_align_drop") == 1L && rep("f_selected") == 8L)
+
+    // split folds: the gate is per-doc pure, so boundaries are free
+    val two = cfg()
+    CurationStream.foldBatch(input.filter($"doc_id" <= 3L), 1L, two)
+    CurationStream.foldBatch(input.filter($"doc_id" > 3L), 2L, two)
+    val selTwo = CurationStream.select(spark, two, targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(selTwo == sel)
+  }
 }

@@ -559,6 +559,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "Exchange") == 0, p)
   }
 
+  test("Unigram.encode is a zero-shuffle per-row projection — the " +
+      "broadcast-table Viterbi runs at scan speed (q231 shape, the " +
+      "WordPiece lock's fourth-tokenizer twin)") {
+    val docs = Seq((1L, "ab a b")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 2L), ("b", 2L), ("ab", 1L))
+      .toDF("piece", "cnt")
+    val p = plan(graft.operators.Unigram.encode(
+      docs, "doc_id", "text", vocab, matchHorizon = 6,
+      maxInputChars = 9))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("Preference.assemble: the corpus joins are ALL broadcast — " +
+      "no SortMergeJoin anywhere (pairs are tiny by contract, the " +
+      "corpus streams through scored scans)") {
+    val corpus = Seq((0L, Seq(1.0f, 0.0f)), (10L, Seq(0.8f, 0.6f)),
+      (20L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 10L)).toDF("query_id", "pos_id")
+    val negs = graft.operators.Ann.hardNegatives(pairs, corpus,
+      "vec_id", "embedding", k = 2)
+    val p = plan(graft.operators.Preference.assemble(pairs, negs,
+      corpus, "vec_id", "embedding", minGap10k = 0L,
+      pairsPerPrompt = 2))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("Conversations: spans pay exactly ONE exchange (the per-" +
       "conversation window); render pays exactly ONE (the groupBy)") {
     val turns = Seq((1L, 0L, "user", "hi"), (1L, 1L, "assistant", "yo"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Conversations, TextAnalysis, WordPiece}
+import graft.operators.{Ann, Conversations, Preference, TextAnalysis, Unigram, WordPiece}
 
 /** Round-14 training-data additions: hard-negative mining (margin +
   * exclusions + dense re-rank), SFT conversation assembly (span
@@ -260,5 +260,124 @@ class TrainingDataOpsSpec extends SparkSpecBase {
       .as[(Long, Long, String)].collect().toSeq
     assert(r == Seq((1L, 0L, "ab"), (1L, 1L, "b"),
       (2L, 0L, "ab"), (2L, 1L, "ab")))
+  }
+
+  // ---- preference-pair (DPO) assembly ------------------------------
+
+  test("Preference.assemble: chosen = argmax labeled positive " +
+      "(s4 DESC, pos_id ASC), gap filter in s4 integers, top-N " +
+      "hardest rejected, dense pair_rank") {
+    // corpus on axes: q0 at e0; positives 10 (cos 1.0) and 11
+    // (cos 0.6·ish via mix); candidates 20 (0.8 — inside the gap,
+    // killed), 21 (0.5 — admitted), 22 (0.2 — admitted)
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (10L, Array(1f, 0f)),
+      (11L, Array(1f, 1f)), (20L, Array(0.9998f, 0.02f)),
+      (21L, Array(1f, 1.7f)), (22L, Array(0.2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 10L), (0L, 11L)).toDF("query_id", "pos_id")
+    val negs = Ann.hardNegatives(pairs, corpus, "vec_id", "embedding",
+      k = 5, margin10k = 10000L)
+    val r = Preference.assemble(pairs, negs, corpus, "vec_id",
+        "embedding", minGap10k = 500L, pairsPerPrompt = 2)
+      .orderBy("pair_rank")
+      .select("prompt_id", "chosen_id", "rejected_id", "pair_rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // chosen = 10 (cos 1.0 beats 11's 0.7071); rejected ranked by
+    // sim: 20 (0.9998 — gap 2 < 500, killed), 21 (0.5071, kept),
+    // 22 (0.1961, kept)
+    assert(r == Seq((0L, 10L, 21L, 1L), (0L, 10L, 22L, 2L)), r)
+  }
+
+  test("Preference.assemble: chosen tie breaks on pos_id; " +
+      "pairsPerPrompt caps the output") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (10L, Array(1f, 0f)), (11L, Array(2f, 0f)),
+      (20L, Array(0.1f, 1f)), (21L, Array(0.2f, 1f)),
+      (22L, Array(0.3f, 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 10L), (0L, 11L)).toDF("query_id", "pos_id")
+    val negs = Ann.hardNegatives(pairs, corpus, "vec_id", "embedding",
+      k = 5, margin10k = 10000L)
+    val r = Preference.assemble(pairs, negs, corpus, "vec_id",
+        "embedding", minGap10k = 0L, pairsPerPrompt = 1)
+      .select("chosen_id", "rejected_id")
+      .as[(Long, Long)].collect().toSeq
+    // 10 and 11 both score cos 1.0 → lower pos_id wins; one pair only
+    assert(r == Seq((10L, 22L)), r)
+  }
+
+  // ---- unigram (SentencePiece-family) tokenizer ---------------------
+
+  test("Unigram Viterbi picks the GLOBAL max-product segmentation — " +
+      "not the greedy longest match (the case that separates the " +
+      "square's fourth tokenizer from WordPiece)") {
+    import org.apache.spark.sql.functions.col
+    val table = Array(("a", 2L), ("ab", 3L), ("bc", 100L), ("c", 2L),
+      ("b", 1L))
+    val bc = spark.sparkContext.broadcast(table)
+    def enc(w: String): Seq[String] =
+      Seq(w).toDF("w")
+        .select(graft.functions.UnigramOps
+          .unigramApplyBc(col("w"), bc, 6, 16).as("p"))
+        .as[Seq[String]].head()
+    // greedy longest-first would take "ab" then "c" (3·2 = 6);
+    // Viterbi finds "a" + "bc" (2·100 = 200; equal piece counts, so
+    // the normalization cancels)
+    assert(enc("abc") == Seq("a", "bc"))
+    // product tie at equal piece count → lexicographic rendering:
+    // "a ba" < "ab a" — needs ba=6, ab=6, a=4, b=1:
+    // a|ba = 24 = ab|a; a|b|a = 16
+    val bc2 = spark.sparkContext.broadcast(
+      Array(("a", 4L), ("b", 1L), ("ab", 6L), ("ba", 6L)))
+    val r2 = Seq("aba").toDF("w")
+      .select(graft.functions.UnigramOps
+        .unigramApplyBc(col("w"), bc2, 6, 16).as("p"))
+      .as[Seq[String]].head()
+    assert(r2 == Seq("a", "ba"), r2)
+    // fewer pieces beat an equal NORMALIZED product: with every
+    // score = 10⁴ the true probability is 1 per piece either way
+    // ("ab" key 10⁴·10⁴^15 = "a b" key 10⁸·10⁴^14) → n tie-break
+    val bc3 = spark.sparkContext.broadcast(
+      Array(("a", 10000L), ("b", 10000L), ("ab", 10000L)))
+    val r3 = Seq("ab").toDF("w")
+      .select(graft.functions.UnigramOps
+        .unigramApplyBc(col("w"), bc3, 6, 16).as("p"))
+      .as[Seq[String]].head()
+    assert(r3 == Seq("ab"), r3)
+    // no segmentation / over max_input_chars → whole-word [UNK]
+    assert(enc("xyz") == Seq("[UNK]"))
+    assert(enc("a" * 17) == Seq("[UNK]"))
+  }
+
+  test("Unigram.mineVocab + scores: positionless substrings, singles " +
+      "kept, s10k = cnt·10⁴ div total + 1 over the selected mass") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val v = Unigram.scores(Unigram.mineVocab(docs, "text",
+        maxPieceLen = 6, topPieces = 1))
+      .orderBy("piece").as[(String, Long, Long)].collect().toSeq
+    // candidates: a→2, ab→2, b→3 (2 from ab's positions + 1 solo);
+    // singles a/b kept, top-1 multi = ab; total = 2+3+2 = 7
+    assert(v == Seq(
+      ("a", 2L, 2L * 10000L / 7L + 1L),
+      ("ab", 2L, 2L * 10000L / 7L + 1L),
+      ("b", 3L, 3L * 10000L / 7L + 1L)), v)
+  }
+
+  test("Unigram.encode: stream shape; artifact round trip " +
+      "bit-identical") {
+    val docs = Seq((1L, "ab b"), (2L, "abab")).toDF("doc_id", "text")
+    val vocab = Unigram.mineVocab(docs, "text", 6, 10)
+    def run(v: org.apache.spark.sql.DataFrame) =
+      Unigram.encode(docs, "doc_id", "text", v, matchHorizon = 6,
+          maxInputChars = 9)
+        .orderBy("doc_id", "pos")
+        .as[(Long, Long, String)].collect().toSeq
+    val direct = run(vocab)
+    assert(direct.map(_._3).forall(_ != "[UNK]"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("ug_art").toString
+    Unigram.saveVocab(vocab, dir)
+    assert(run(Unigram.loadVocab(spark, dir)) == direct)
   }
 }
