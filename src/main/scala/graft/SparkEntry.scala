@@ -444,6 +444,31 @@ object SparkEntry {
     cfg
   }
 
+  /** q233/q237 bridge turns: the folded forms Q&A star rendered as
+    * chat turns — user asks the question (metadata name, or the raw
+    * id for placeholders), assistant answers (numeric cast to a
+    * BIGINT string, or the string value); turn ids from the form
+    * instance / question arithmetic.
+    */
+  private def formsTurns(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.FormsPipeline
+    val a = FormsPipeline.answers(s, formsFixtureState(s, dir)).get
+    val base = a.select(
+      regexp_replace(col("formInstanceId"), "^F", "")
+        .cast("long").as("conv_id"),
+      ((regexp_replace(col("questionId"), "^Q", "")
+        .cast("long") - 1L) * 2L).as("qbase"),
+      coalesce(col("questionName"), col("questionId")).as("qtext"),
+      coalesce(col("numericValue").cast("long").cast("string"),
+        col("stringValue")).as("atext"))
+    base.select(col("conv_id"),
+        col("qbase").as("turn_idx"), lit("user").as("role"),
+        col("qtext").as("text"))
+      .unionByName(base.select(col("conv_id"),
+        (col("qbase") + 1L).as("turn_idx"),
+        lit("assistant").as("role"), col("atext").as("text")))
+  }
+
   /** q223/q227 planted-contamination fixture: every 50th
     * conversation's last turn carries a benchmark document's text;
     * returns (turns, fuzzy-index dir) — the turn table feeding the
@@ -5665,27 +5690,20 @@ object SparkEntry {
     // runs the q213 span assembly. The oracle re-derives every turn
     // from orders arithmetic, so the forms fold, the dim joins, the
     // placeholder rule AND the span cumsum all have to agree.
-    "q233_wire_sft" -> ((s, dir) => {
-      import graft.streaming.FormsPipeline
-      val a = FormsPipeline.answers(s, formsFixtureState(s, dir)).get
-      val base = a.select(
-        regexp_replace(col("formInstanceId"), "^F", "")
-          .cast("long").as("conv_id"),
-        ((regexp_replace(col("questionId"), "^Q", "")
-          .cast("long") - 1L) * 2L).as("qbase"),
-        coalesce(col("questionName"), col("questionId")).as("qtext"),
-        coalesce(col("numericValue").cast("long").cast("string"),
-          col("stringValue")).as("atext"))
-      val turns = base.select(col("conv_id"),
-          col("qbase").as("turn_idx"), lit("user").as("role"),
-          col("qtext").as("text"))
-        .unionByName(base.select(col("conv_id"),
-          (col("qbase") + 1L).as("turn_idx"),
-          lit("assistant").as("role"), col("atext").as("text")))
-      Conversations.spans(turns, "conv_id", "turn_idx", "role",
-          "text")
-        .orderBy(col("conv_id"), col("turn_idx"))
-    }),
+    "q233_wire_sft" -> ((s, dir) =>
+      Conversations.spans(formsTurns(s, dir), "conv_id", "turn_idx",
+          "role", "text")
+        .orderBy(col("conv_id"), col("turn_idx"))),
+
+    // ---- the bridge THROUGH THE STREAMING ENGINE: q233's turns
+    // arrive via SftStream (split across micro-batches + an
+    // at-least-once redelivered slice, the q226 harness) — the wire
+    // fold, the turn rendering AND the streamed assembly compose
+    // under q233's oracle VERBATIM.
+    "q237_wire_sft_streamed" -> ((s, dir) =>
+      Conversations.spans(sftStreamState(s, formsTurns(s, dir)),
+          "conv_id", "turn_idx", "role", "text")
+        .orderBy(col("conv_id"), col("turn_idx"))),
 
     // ---- Unigram token IDS: the (piece ASC) vocabulary-intrinsic
     // layout, [UNK] → reserved -1 via the left join (q221's contract
@@ -10265,11 +10283,20 @@ object SparkEntry {
     // plant arithmetic, confusion counts per unnested threshold
     "q236_align_sweep" -> AlignSweepOracleSql,
 
+    // the streamed bridge must be invisible: q233's oracle VERBATIM
+    "q237_wire_sft_streamed" -> WireSftOracleSql,
+
     // wire→SFT bridge replay: the q75 forms-fold outcome from orders
     // arithmetic (Q1 = k%97, re-filed k%97+1 for even k, newer wins;
     // Q2 = 'S'||k%3; Q1 named by the metadata dim, Q2 a placeholder
     // surfacing its raw id) rendered as turns + the q213 cumsum
-    "q233_wire_sft" ->
+    "q233_wire_sft" -> WireSftOracleSql
+  )
+
+  /** q233/q237: the bridge replay — forms-fold outcome from orders
+    * arithmetic rendered as turns + the q213 cumsum.
+    */
+  private lazy val WireSftOracleSql: String =
       """WITH f AS (SELECT CAST(o_orderkey AS BIGINT) AS k
         |  FROM orders),
         |t AS (SELECT k AS conv_id, 0 AS turn_idx, 'user' AS role,
@@ -10298,7 +10325,6 @@ object SparkEntry {
         | CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
         |   AS BIGINT) AS in_loss
         |FROM s ORDER BY conv_id, turn_idx""".stripMargin
-  )
 
   /** q228: the preference-pair replay — q212's mining CTEs, the
     * chosen argmax (s4 DESC, pos_id ASC), gap ≥ 50, rank ≤ 2, and
