@@ -5753,6 +5753,27 @@ object SparkEntry {
         .orderBy(col("prompt_id"), col("pair_rank"))
     }),
 
+    // ---- PACKED LOSS-MASK MANIFEST: the q213 spans + the q219
+    // packing composed into the per-chunk loss layout a packed-SFT
+    // trainer slices its masks from — one token-width drift in
+    // EITHER half shifts every chunk's loss count (the composition
+    // is the check). Totals reconcile by construction: per stream,
+    // sum(n_tokens) = the packed stream's width and
+    // sum(n_loss_tokens) = the render's assistant mass.
+    "q238_sft_pack_loss" -> ((s, dir) => {
+      val turns = sftTurns(s, dir)
+      val rendered = Conversations.render(turns, "conv_id",
+          "turn_idx", "role", "text")
+        .withColumn("stream", pmod(col("conv_id"), lit(4)))
+      val packed = TextAnalysis.packSequencesByCount(rendered,
+        "conv_id", "stream", col("n_tokens"), chunkTokens = 64)
+      Conversations.packedLossManifest(
+          Conversations.spans(turns, "conv_id", "turn_idx", "role",
+            "text"),
+          packed, chunkTokens = 64)
+        .orderBy(col("stream"), col("chunk_idx"))
+    }),
+
     // ---- ALIGN-THRESHOLD SWEEP (the q225/q180 measure-the-knob
     // discipline for the cross-modal gate): the q229 fixture's
     // planted truth is doc-id arithmetic, so the gate's confusion
@@ -10278,6 +10299,42 @@ object SparkEntry {
     // indexed-DPO replay: q218's quantized mining chain + the DENSE
     // chosen re-score + gap/rank assembly
     "q235_dpo_pairs_indexed" -> DpoIndexedOracleSql,
+
+    // packed-loss replay: spans cumsum + pack cumsum joined on the
+    // conversation, ÷-bounded chunk explode, per-chunk overlap sums
+    "q238_sft_pack_loss" ->
+      s"""WITH $SftTurnCtesSql,
+         |sp AS (SELECT conv_id, role, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS UNBOUNDED PRECEDING) AS end_tok
+         | FROM p),
+         |rw AS (SELECT conv_id, conv_id % 4 AS stream,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         | FROM p GROUP BY conv_id),
+         |cz AS (SELECT stream, conv_id,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY stream
+         |    ORDER BY conv_id ROWS UNBOUNDED PRECEDING)
+         |   - n_tokens AS BIGINT) AS conv_off
+         | FROM rw),
+         |g AS (SELECT cz.stream,
+         |  CASE WHEN sp.role = 'assistant' THEN 1 ELSE 0 END
+         |    AS in_loss,
+         |  CAST(cz.conv_off + sp.end_tok - sp.n_tokens AS BIGINT)
+         |    AS gs,
+         |  CAST(cz.conv_off + sp.end_tok AS BIGINT) AS ge
+         | FROM sp JOIN cz USING (conv_id)),
+         |x AS (SELECT stream, in_loss, gs, ge,
+         |  unnest(range(gs // 64, (ge - 1) // 64 + 1)) AS chunk_idx
+         | FROM g)
+         |SELECT stream, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         | CAST(SUM(least(ge, (chunk_idx + 1) * 64) -
+         |   greatest(gs, chunk_idx * 64)) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CASE WHEN in_loss = 1
+         |   THEN least(ge, (chunk_idx + 1) * 64) -
+         |     greatest(gs, chunk_idx * 64) ELSE 0 END) AS BIGINT)
+         |  AS n_loss_tokens
+         |FROM x GROUP BY stream, chunk_idx
+         |ORDER BY stream, chunk_idx""".stripMargin,
 
     // align-threshold sweep replay: the shared score CTEs + the
     // plant arithmetic, confusion counts per unnested threshold

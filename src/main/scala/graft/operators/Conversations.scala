@@ -134,6 +134,52 @@ object Conversations {
         col("piece"), col("start_tok"), col("end_tok"), col("in_loss"))
   }
 
+  /** PACKED LOSS-MASK MANIFEST — the artifact a packed-SFT trainer
+    * actually consumes: after conversations lay end-to-end in fixed
+    * `chunkTokens` chunks (the q87/q219 packing), the loss mask must
+    * be sliced PER CHUNK — each chunk needs to know how many of its
+    * positions are loss-bearing (assistant tokens) and how many are
+    * conversation tokens at all (the last chunk of a stream is
+    * partial).
+    *
+    *   - `spans`: [[spans]]' output (conv-local [start_tok, end_tok)
+    *     + in_loss);
+    *   - `packed`: the packer's per-conversation layout — (doc_id =
+    *     conv_id, stream, start_tok = the conversation's global
+    *     offset in its stream), i.e.
+    *     [[TextAnalysis.packSequencesByCount]] over [[render]].
+    *
+    * Globalizes each turn span by its conversation's offset, explodes
+    * it over the chunks it touches (÷-arithmetic bounds — exact at
+    * any offset, the packInterleaved shape) and aggregates per
+    * (stream, chunk): (n_tokens, n_loss_tokens) — both exact-integer
+    * overlap widths.
+    *
+    * Scale shape: one conv_id equi-join (spans and layout both hash
+    * by conversation), the explode multiplies rows only by
+    * chunks-per-turn (bounded by turn width / chunkTokens), one
+    * (stream, chunk) aggregation — no other shuffle.
+    */
+  def packedLossManifest(spans: DataFrame, packed: DataFrame,
+                         chunkTokens: Int): DataFrame = {
+    val layout = packed.select(col("doc_id").as("conv_id"),
+      col("stream"), col("start_tok").as("__conv_off"))
+    val b = s"${chunkTokens}L"
+    spans.join(layout, Seq("conv_id"))
+      .select(col("stream"), col("in_loss"),
+        (col("__conv_off") + col("start_tok")).as("gs"),
+        (col("__conv_off") + col("end_tok")).as("ge"))
+      .withColumn("chunk_idx", explode(sequence(
+        expr(s"gs div $b"), expr(s"(ge - 1L) div $b"))))
+      .withColumn("w",
+        least(col("ge"), (col("chunk_idx") + 1L) * chunkTokens) -
+          greatest(col("gs"), col("chunk_idx") * chunkTokens))
+      .groupBy(col("stream"), col("chunk_idx"))
+      .agg(sum(col("w")).as("n_tokens"),
+        sum(when(col("in_loss") === 1L, col("w")).otherwise(0L))
+          .as("n_loss_tokens"))
+  }
+
   /** The rendered conversation document — one row per conversation:
     * pieces joined by a single space in turn order (so the document's
     * whitespace tokenization lines up with [[spans]]' offsets

@@ -262,6 +262,32 @@ class TrainingDataOpsSpec extends SparkSpecBase {
       (2L, 0L, "ab"), (2L, 1L, "ab")))
   }
 
+  test("Conversations.packedLossManifest: exact per-chunk token and " +
+      "loss widths; totals reconcile with the render") {
+    import graft.operators.TextAnalysis
+    val rendered = Conversations.render(turns, "conv_id", "turn_idx",
+        "role", "text")
+      .withColumn("stream", pmod(col("conv_id"), lit(2)))
+    val packed = TextAnalysis.packSequencesByCount(rendered,
+      "conv_id", "stream", col("n_tokens"), chunkTokens = 4)
+    val m = Conversations.packedLossManifest(
+        Conversations.spans(turns, "conv_id", "turn_idx", "role",
+          "text"),
+        packed, chunkTokens = 4)
+      .orderBy("stream", "chunk_idx")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // conv 1 (stream 1, width 5, assistant [3,5)): chunk 0 = 4 toks /
+    // 1 loss, chunk 1 = 1 tok / 1 loss; conv 2 (stream 0, width 6,
+    // assistant [3,6)): chunk 0 = 4/1, chunk 1 = 2/2
+    assert(m == Seq((0L, 0L, 4L, 1L), (0L, 1L, 2L, 2L),
+      (1L, 0L, 4L, 1L), (1L, 1L, 1L, 1L)), m)
+    // reconciliation: per stream, token totals = the packed widths
+    // and loss totals = the render's assistant mass
+    val totals = m.groupBy(_._1).view.mapValues(rows =>
+      (rows.map(_._3).sum, rows.map(_._4).sum)).toMap
+    assert(totals == Map(0L -> ((6L, 3L)), 1L -> ((5L, 2L))))
+  }
+
   // ---- preference-pair (DPO) assembly ------------------------------
 
   test("Preference.assemble: chosen = argmax labeled positive " +
