@@ -5753,6 +5753,24 @@ object SparkEntry {
         .orderBy(col("prompt_id"), col("pair_rank"))
     }),
 
+    // ---- TOKEN-BUDGET MIXTURE: the unit real data mixes are bought
+    // in — per-lang token budgets (en 40k / es 6k; de has no budget
+    // and drops whole), docs taken in the frozen-hash order while
+    // they START within budget (the boundary doc kept whole — a doc
+    // is indivisible). The doc-count mixture (q96 family) stays for
+    // count-capped audits; this is the training-run form.
+    "q239_token_mixture" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("text"))
+      TextAnalysis.tokenMixture(d, "doc_id", "lang",
+          size(filter(tokens(col("text")), t => length(t) > 0))
+            .cast("long"),
+          Map("en" -> 40000L, "es" -> 6000L))
+        .orderBy(col("lang"), col("tok_rank"))
+    }),
+
     // ---- PACKED LOSS-MASK MANIFEST: the q213 spans + the q219
     // packing composed into the per-chunk loss layout a packed-SFT
     // trainer slices its masks from — one token-width drift in
@@ -10299,6 +10317,29 @@ object SparkEntry {
     // indexed-DPO replay: q218's quantized mining chain + the DENSE
     // chosen re-score + gap/rank assembly
     "q235_dpo_pairs_indexed" -> DpoIndexedOracleSql,
+
+    // token-mixture replay: frozen-hash order + ROWS cumsum + the
+    // starts-within-budget cut, budgets as literal rows
+    "q239_token_mixture" ->
+      s"""WITH dt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         |  CAST(len(list_filter(string_split_regex(trim(text),
+         |    '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n,
+         |  ${polyHashSql("CAST(doc_id AS VARCHAR) || '|' || lang")}
+         |    AS hh
+         | FROM documents),
+         |c AS (SELECT doc_id, lang, n,
+         |  row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+         |    AS tok_rank,
+         |  CAST(SUM(n) OVER (PARTITION BY lang ORDER BY hh, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         | FROM dt),
+         |b AS (SELECT 'en' AS lang, 40000 AS budget
+         | UNION ALL SELECT 'es', 6000)
+         |SELECT doc_id, lang, CAST(tok_rank AS BIGINT) AS tok_rank,
+         | cum_tokens
+         |FROM c JOIN b USING (lang)
+         |WHERE cum_tokens - n < budget
+         |ORDER BY lang, tok_rank""".stripMargin,
 
     // packed-loss replay: spans cumsum + pack cumsum joined on the
     // conversation, ÷-bounded chunk explode, per-chunk overlap sums

@@ -1138,6 +1138,48 @@ object TextAnalysis {
     * N = min_s (c_s·10⁴) div share_s over strata present in BOTH the
     * corpus and the target map; k_s = (N·share_s) div 10⁴.
     */
+  /** TOKEN-budget mixture — the unit real LLM data mixes are specified
+    * in: a training run buys N TOKENS of a stratum, not N documents
+    * (doc counts drift with length distributions; token budgets
+    * don't). Per stratum, documents are taken in the FROZEN portable-
+    * hash order (the [[mixToTarget]] convention — reproducible, no
+    * RNG) while the running token total of the docs BEFORE them is
+    * still under the stratum's budget — i.e. every document that
+    * STARTS within budget is kept whole (a document is indivisible;
+    * the boundary doc overshoots by < its own length, the honest
+    * outcome — halving it would corrupt the corpus). Strata without a
+    * budget drop entirely.
+    *
+    * Output: (idCol, strataCol, tok_rank, cum_tokens) — `cum_tokens`
+    * the inclusive running total, `tok_rank` the doc's position in
+    * the stratum's frozen order.
+    *
+    * Scale shape: one broadcast of the budget table + ONE per-stratum
+    * window (hash order, ROWS cumsum) — the same single Exchange the
+    * doc-count mixture pays; strata are few and heavy by construction.
+    */
+  def tokenMixture(docs: DataFrame, idCol: String, strataCol: String,
+                   tokenCol: Column,
+                   targetTokens: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgets = targetTokens.toSeq.sortBy(_._1)
+      .toDF(strataCol, "__budget")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(charPolyHash(concat(col(idCol).cast("string"), lit("|"),
+        col(strataCol))), col(idCol))
+    val wRows = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    docs.select(col(idCol), col(strataCol),
+        tokenCol.cast("long").as("__n"))
+      .join(broadcast(budgets), Seq(strataCol))
+      .withColumn("tok_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("__n")).over(wRows))
+      .filter(col("cum_tokens") - col("__n") < col("__budget"))
+      .select(col(idCol), col(strataCol), col("tok_rank"),
+        col("cum_tokens"))
+  }
+
   private[graft] def deriveCaps(counts: Map[String, Long],
       targetShare10k: Map[String, Long]): Map[String, Long] = {
     val present = targetShare10k.filter { case (s, sh) =>

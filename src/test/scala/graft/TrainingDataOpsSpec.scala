@@ -288,6 +288,33 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     assert(totals == Map(0L -> ((6L, 3L)), 1L -> ((5L, 2L))))
   }
 
+  test("TextAnalysis.tokenMixture: docs taken WHOLE while they start " +
+      "within the token budget (boundary doc kept), no-budget strata " +
+      "drop, arrival order never matters") {
+    val docs = ((1L to 5L).map(i => (i, "en",
+      (1 to 10).map(k => s"w$k").mkString(" "))) ++
+      Seq((6L, "fr", "un deux trois")))
+      .toDF("doc_id", "lang", "text")
+    import graft.functions.GraftFunctions.tokens
+    val nTok = size(filter(tokens(col("text")), t => length(t) > 0))
+      .cast("long")
+    def run(budget: Long, d: org.apache.spark.sql.DataFrame =
+        docs) =
+      TextAnalysis.tokenMixture(d, "doc_id", "lang", nTok,
+          Map("en" -> budget))
+        .orderBy("tok_rank")
+        .as[(Long, String, Long, Long)].collect().toSeq
+    // budget 25 over 10-token docs: starts 0/10/20 < 25 → 3 docs kept
+    // whole (the third overshoots to 30 — indivisible), rest cut
+    val r = run(25L)
+    assert(r.size == 3 && r.map(_._4) == Seq(10L, 20L, 30L), r)
+    assert(r.forall(_._2 == "en")) // fr has no budget → dropped
+    // budget 1: only the frozen-hash-first doc (starts at 0)
+    assert(run(1L).size == 1)
+    // permutation discipline
+    assert(run(25L, docs.orderBy(rand(3L))) == r)
+  }
+
   // ---- preference-pair (DPO) assembly ------------------------------
 
   test("Preference.assemble: chosen = argmax labeled positive " +
