@@ -833,6 +833,35 @@ object SparkEntry {
        |FROM asm a WHERE a.pair_rank <= 2
        |ORDER BY a.prompt_id, a.pair_rank""".stripMargin)
 
+  /** q240: the token-budget release replay — the q126 chain's final
+    * selection as a CTE, token counts re-derived from the text, the
+    * q239 cumsum + starts-within-budget cut.
+    */
+  private lazy val CurationTokenReleaseOracleSql: String =
+    materializeCtes(
+      CurationFullChainSql + ",\n" +
+        s"""fsel AS (SELECT r.doc_id, r.lang FROM r
+           | JOIN caps USING (lang) WHERE mix_rank <= k),
+           |ftk AS (SELECT f.doc_id, f.lang,
+           |  CAST(len(list_filter(string_split_regex(trim(d.text),
+           |    '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n,
+           |  ${polyHashSql("CAST(f.doc_id AS VARCHAR) || '|' || f.lang")}
+           |    AS hh
+           | FROM fsel f JOIN documents d ON d.doc_id = f.doc_id),
+           |fc AS (SELECT doc_id, lang, n,
+           |  row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+           |    AS tok_rank,
+           |  CAST(SUM(n) OVER (PARTITION BY lang ORDER BY hh, doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           | FROM ftk),
+           |fb AS (SELECT 'en' AS lang, 20000 AS budget
+           | UNION ALL SELECT 'es', 3000)
+           |SELECT doc_id, lang, CAST(tok_rank AS BIGINT) AS tok_rank,
+           | cum_tokens
+           |FROM fc JOIN fb USING (lang)
+           |WHERE cum_tokens - n < budget
+           |ORDER BY lang, tok_rank""".stripMargin)
+
   /** q236: the align-threshold sweep replay. */
   private lazy val AlignSweepOracleSql: String = materializeCtes(
     s"""WITH $AlignScoreCtesSql,
@@ -5771,6 +5800,26 @@ object SparkEntry {
         .orderBy(col("lang"), col("tok_rank"))
     }),
 
+    // ---- TOKEN-BUDGET RELEASE over the CURATION SELECTION: the
+    // recipe picks quality docs (q126's full chain), the release
+    // then fills per-lang TOKEN budgets from that selection in the
+    // frozen-hash order — the final cut a training run ships. One
+    // oracle replays recipe + budgets end to end.
+    "q240_curation_token_release" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val sel = graft.streaming.CurationStream.select(s,
+        curationFixture(s, dir), CurationTargets)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      TextAnalysis.tokenMixture(
+          sel.select(col("doc_id"), col("lang")).join(d, Seq("doc_id")),
+          "doc_id", "lang",
+          size(filter(tokens(col("text")), t => length(t) > 0))
+            .cast("long"),
+          Map("en" -> 20000L, "es" -> 3000L))
+        .orderBy(col("lang"), col("tok_rank"))
+    }),
+
     // ---- PACKED LOSS-MASK MANIFEST: the q213 spans + the q219
     // packing composed into the per-chunk loss layout a packed-SFT
     // trainer slices its masks from — one token-width drift in
@@ -10317,6 +10366,10 @@ object SparkEntry {
     // indexed-DPO replay: q218's quantized mining chain + the DENSE
     // chosen re-score + gap/rank assembly
     "q235_dpo_pairs_indexed" -> DpoIndexedOracleSql,
+
+    // token-release replay: the FULL q126 chain through its final
+    // selection, then the frozen-hash token cumsum + budget cut
+    "q240_curation_token_release" -> CurationTokenReleaseOracleSql,
 
     // token-mixture replay: frozen-hash order + ROWS cumsum + the
     // starts-within-budget cut, budgets as literal rows
