@@ -5800,6 +5800,40 @@ object SparkEntry {
         .orderBy(col("lang"), col("tok_rank"))
     }),
 
+    // ---- the ALIGN-GATED recipe THROUGH THE STREAMING ENGINE (the
+    // q127 discipline for the new gate): the scored train docs
+    // arrive via the real foreachBatch query in two micro-batches —
+    // the per-doc-pure gate must make boundaries invisible; q229's
+    // oracle VERBATIM.
+    "q241_curation_aligngate_streamed" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val cfg = curationFixture(s, dir, align = true, fold = false)
+      val train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("text"))
+        .join(alignFixtureScores(s, d), Seq("doc_id"), "left")
+      // test-scale collect feeding the MemoryStream (q165 convention)
+      val rows = train
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("align_s4"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Option[Long])](s)
+      val q = graft.streaming.CurationStream.start(
+        ms.toDF().toDF("doc_id", "lang", "text", "align_s4"), cfg,
+        graft.SparkEntry.tmpDir("align_ck"))
+      ms.addData(rows.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.CurationStream.select(s, cfg, CurationTargets)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- TOKEN-BUDGET RELEASE over the CURATION SELECTION: the
     // recipe picks quality docs (q126's full chain), the release
     // then fills per-lang TOKEN budgets from that selection in the
@@ -10366,6 +10400,10 @@ object SparkEntry {
     // indexed-DPO replay: q218's quantized mining chain + the DENSE
     // chosen re-score + gap/rank assembly
     "q235_dpo_pairs_indexed" -> DpoIndexedOracleSql,
+
+    // the streamed align-gated fold must be invisible: q229's oracle
+    // VERBATIM (the q126/q127 pair's discipline for the new gate)
+    "q241_curation_aligngate_streamed" -> CurationAlignOracleSql,
 
     // token-release replay: the FULL q126 chain through its final
     // selection, then the frozen-hash token cumsum + budget cut
