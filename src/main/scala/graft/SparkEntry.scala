@@ -203,7 +203,7 @@ object SparkEntry {
       funnelLangs = if (funnel) Some(Seq("en")) else None)
     if (fold) {
       val train0 = d.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-      val train = if (audio) {
+      val trainBase = if (audio) {
         import s.implicits._
         // AUDIO near-dup gate through the SAME hash machinery the
         // image gate uses (Config.imageHashCol is just a 64-bit
@@ -234,14 +234,9 @@ object SparkEntry {
         train0.select(col("doc_id").cast("long").as("doc_id"),
             col("text"), col("lang"))
           .join(hashes, Seq("doc_id"), "left")
-      } else if (align) {
-        // CROSS-MODAL fixture ([[alignFixtureScores]]): measured
-        // split at sf0.01: matched median s4 8353 / mismatched max
-        // 3872, so threshold 5000 (Config default) kills every plant
-        // and keeps 71/75 matched pairs (q236 sweeps the knob).
+      } else if (align && !image) {
         train0.select(col("doc_id").cast("long").as("doc_id"),
             col("text"), col("lang"))
-          .join(alignFixtureScores(s, d), Seq("doc_id"), "left")
       } else if (!image && !imageRadius) train0 else {
         import s.implicits._
         // exact mode: pattern class = (id div 15) % 256, injective in
@@ -282,6 +277,14 @@ object SparkEntry {
             col("text"), col("lang"))
           .join(hashes, Seq("doc_id"), "left")
       }
+      // CROSS-MODAL scores compose onto ANY base (plain or image-
+      // hash-carrying — q242 runs both media gates at once): measured
+      // split at sf0.01: matched median s4 8353 / mismatched max
+      // 3872, so threshold 5000 (Config default) kills every plant
+      // and keeps 71/75 matched pairs (q236 sweeps the knob).
+      val train = if (!align) trainBase
+        else trainBase.join(alignFixtureScores(s, d),
+          Seq("doc_id"), "left")
       graft.streaming.CurationStream.foldBatch(
         train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, cfg)
       graft.streaming.CurationStream.foldBatch(
@@ -832,6 +835,54 @@ object SparkEntry {
        | a.rejected_s4 / 10000.0 AS rejected_sim
        |FROM asm a WHERE a.pair_rank <= 2
        |ORDER BY a.prompt_id, a.pair_rank""".stripMargin)
+
+  /** q242: EVERY gate — the q208 all-gates oracle with the align
+    * drop set threaded into kept2 alongside the image drop set (the
+    * two media gates compose on the same clause).
+    */
+  private lazy val CurationEveryGateOracleSql: String = {
+    val imgClause = "AND doc_id NOT IN (SELECT doc_id FROM nddrop)\n" +
+      "   AND doc_id NOT IN (SELECT doc_id FROM imgd)),"
+    val withImg = imageGateSplicedTail("(doc_id // 15) % 256")
+    require(withImg.contains(imgClause),
+      "image-gate splice drifted — fix the every-gate composition")
+    val bothGates = AlignScoreCtesSql + ",\n" +
+      "algd AS (SELECT doc_id FROM ascr WHERE s4 < 5000),\n" +
+      withImg.replace(imgClause,
+        "AND doc_id NOT IN (SELECT doc_id FROM nddrop)\n" +
+          "   AND doc_id NOT IN (SELECT doc_id FROM imgd)\n" +
+          "   AND doc_id NOT IN (SELECT doc_id FROM algd)),")
+    materializeCtes(
+      CurationChainHeadSql + ",\n" + minhashSigCtesSql(2) + ",\n" +
+        fuzzyDeconPairCtesSql(0.45) + ",\n" +
+        "fzdrop AS (SELECT DISTINCT doc_id FROM fzsc),\n" +
+        CurationFunnelSql + ",\n" +
+        curationExactDeconSql(
+          "AND d.doc_id IN (SELECT doc_id FROM fkeep) " +
+            "AND d.doc_id NOT IN (SELECT doc_id FROM fzdrop)") + ",\n" +
+        bothGates + "\n" +
+        """SELECT stage, n FROM (
+          | SELECT 'a_indexed' AS stage,
+          |   CAST((SELECT COUNT(*) FROM kept1) AS BIGINT) AS n
+          | UNION ALL SELECT 'b_span_drop',
+          |   CAST((SELECT COUNT(*) FROM spandrop) AS BIGINT)
+          | UNION ALL SELECT 'c_neardup_drop',
+          |   CAST((SELECT COUNT(*) FROM nddrop) AS BIGINT)
+          | UNION ALL SELECT 'c2_image_drop',
+          |   CAST((SELECT COUNT(*) FROM imgd) AS BIGINT)
+          | UNION ALL SELECT 'c3_align_drop',
+          |   CAST((SELECT COUNT(*) FROM algd
+          |     WHERE doc_id IN (SELECT doc_id FROM kept1)) AS BIGINT)
+          | UNION ALL SELECT 'd_gated',
+          |   CAST((SELECT COUNT(*) FROM kept2) AS BIGINT)
+          | UNION ALL SELECT 'e_dsir_kept',
+          |   CAST((SELECT (COUNT(*) * 4000) // 10000 FROM kept2)
+          |     AS BIGINT)
+          | UNION ALL SELECT 'f_selected',
+          |   CAST((SELECT COUNT(*) FROM r JOIN caps USING (lang)
+          |     WHERE mix_rank <= k) AS BIGINT))
+          |ORDER BY stage""".stripMargin)
+  }
 
   /** q240: the token-budget release replay — the q126 chain's final
     * selection as a CTE, token counts re-derived from the text, the
@@ -5834,6 +5885,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- EVERY gate at once INCLUDING the cross-modal pair: funnel
+    // → exact + fuzzy decon → span → near-dup → image near-dup →
+    // caption-image alignment → DSIR → mixture in ONE config — and
+    // the lane outputs the STAGE REPORT, so every gate's drop COUNT
+    // (incl. c3_align_drop) must be exactly right, not just the
+    // 11-doc final selection (which the brutal DSIR/mixture cut
+    // leaves insensitive to any single gate's marginal victims).
+    "q242_curation_every_gate" -> ((s, dir) => {
+      graft.streaming.CurationStream.selectReport(s,
+          curationFixture(s, dir, funnel = true, fuzzy = true,
+            image = true, align = true),
+          CurationTargets)
+        .orderBy(col("stage"))
+    }),
+
     // ---- TOKEN-BUDGET RELEASE over the CURATION SELECTION: the
     // recipe picks quality docs (q126's full chain), the release
     // then fills per-lang TOKEN budgets from that selection in the
@@ -10400,6 +10466,10 @@ object SparkEntry {
     // indexed-DPO replay: q218's quantized mining chain + the DENSE
     // chosen re-score + gap/rank assembly
     "q235_dpo_pairs_indexed" -> DpoIndexedOracleSql,
+
+    // every gate incl. align: q208's oracle with BOTH media-gate
+    // drop sets threaded into kept2
+    "q242_curation_every_gate" -> CurationEveryGateOracleSql,
 
     // the streamed align-gated fold must be invisible: q229's oracle
     // VERBATIM (the q126/q127 pair's discipline for the new gate)
