@@ -5900,6 +5900,21 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // ---- MIXTURE UNDER-SUPPLY AUDIT: exact-share mixtures scale
+    // the whole selection to the scarcest stratum — this report
+    // makes the price visible per stratum: fr (64 docs asked to be
+    // 10% of the mix at sf0.01) is the binding constraint, so the
+    // en "80%" achieves 7640 parts-per-10k of a much smaller capped
+    // total; de/zh carry docs but no target — present, cap 0,
+    // visibly excluded.
+    "q243_mixture_report" -> ((s, dir) => {
+      TextAnalysis.mixtureReport(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("en" -> 8000L, "es" -> 1500L, "fr" -> 1000L))
+        .orderBy(col("lang"))
+    }),
+
     // ---- TOKEN-BUDGET RELEASE over the CURATION SELECTION: the
     // recipe picks quality docs (q126's full chain), the release
     // then fills per-lang TOKEN budgets from that selection in the
@@ -10474,6 +10489,32 @@ object SparkEntry {
     // the streamed align-gated fold must be invisible: q229's oracle
     // VERBATIM (the q126/q127 pair's discipline for the new gate)
     "q241_curation_aligngate_streamed" -> CurationAlignOracleSql,
+
+    // mixture-report replay: counts + the deriveCaps min-ratio
+    // arithmetic + achieved shares over the capped total, with the
+    // no-data target and no-target stratum rows surfacing
+    "q243_mixture_report" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cs
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT * FROM (VALUES ('en', 8000), ('es', 1500),
+        |  ('fr', 1000)) t(lang, share10k)),
+        |p AS (SELECT t.lang, c.cs, t.share10k
+        | FROM t JOIN c USING (lang) WHERE t.share10k > 0),
+        |n AS (SELECT MIN(cs * 10000 // share10k) AS nn FROM p),
+        |caps AS (SELECT lang, CAST(nn * share10k // 10000 AS BIGINT)
+        |  AS cap FROM p, n),
+        |tot AS (SELECT SUM(cap) AS tc FROM caps),
+        |u AS (SELECT lang FROM c UNION SELECT lang FROM t)
+        |SELECT u.lang,
+        | CAST(COALESCE(c.cs, 0) AS BIGINT) AS n_avail,
+        | CAST(COALESCE(t.share10k, 0) AS BIGINT) AS share10k,
+        | CAST(COALESCE(caps.cap, 0) AS BIGINT) AS cap,
+        | CAST(CASE WHEN tot.tc > 0
+        |   THEN COALESCE(caps.cap, 0) * 10000 // tot.tc
+        |   ELSE 0 END AS BIGINT) AS achieved10k
+        |FROM u LEFT JOIN c USING (lang) LEFT JOIN t USING (lang)
+        | LEFT JOIN caps USING (lang) CROSS JOIN tot
+        |ORDER BY u.lang""".stripMargin,
 
     // token-release replay: the FULL q126 chain through its final
     // selection, then the frozen-hash token cumsum + budget cut

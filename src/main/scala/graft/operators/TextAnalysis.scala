@@ -1180,6 +1180,39 @@ object TextAnalysis {
         col("cum_tokens"))
   }
 
+  /** MIXTURE UNDER-SUPPLY AUDIT — the observability surface behind
+    * [[mixToTarget]]/[[deriveCaps]]: exact-share mixtures scale the
+    * WHOLE selection down to the scarcest stratum (caps = the min
+    * achievable multiple of the share vector), so "we asked for 15%
+    * Spanish" can silently shrink everything when Spanish is thin.
+    * One row per stratum in (targets ∪ data): how many docs are
+    * available, the requested share, the cap the mixture will
+    * actually take, and the achieved share over the capped total —
+    * strata with no target (cap 0, excluded) and targets with no
+    * data (the scarcity that zeroes the mixture — [[deriveCaps]]
+    * drops them from `present`, so they cap at 0 rather than zeroing
+    * everyone) both surface as visible rows.
+    *
+    * Scale shape: one pre-reduced count aggregate; everything else is
+    * strata-cardinality driver work (the [[mixToTarget]] convention).
+    */
+  def mixtureReport(docs: DataFrame, idCol: String, strataCol: String,
+                    targetShare10k: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cs")).toMap
+    val caps = deriveCaps(counts, targetShare10k)
+    val total = caps.values.sum
+    (counts.keySet ++ targetShare10k.keySet).toSeq.sorted.map { st =>
+      val cap = caps.getOrElse(st, 0L)
+      (st, counts.getOrElse(st, 0L),
+        targetShare10k.getOrElse(st, 0L), cap,
+        if (total == 0L) 0L else cap * 10000L / total)
+    }.toDF(strataCol, "n_avail", "share10k", "cap", "achieved10k")
+  }
+
   private[graft] def deriveCaps(counts: Map[String, Long],
       targetShare10k: Map[String, Long]): Map[String, Long] = {
     val present = targetShare10k.filter { case (s, sh) =>
