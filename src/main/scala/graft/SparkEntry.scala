@@ -5900,6 +5900,23 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // ---- the FULL packed-SFT artifact: truncate → pack → per-chunk
+    // loss masks in one chain (q222 + q219 + q238 composed) — what a
+    // context-window-bounded SFT run actually materializes: middles
+    // dropped whole-turn, survivors packed end-to-end, every chunk
+    // carrying its exact loss width.
+    "q244_sft_truncate_pack_loss" -> ((s, dir) => {
+      val tr = Conversations.truncate(sftTurns(s, dir), "conv_id",
+        "turn_idx", "role", "text", maxTokens = 12L)
+      val widths = tr.groupBy(col("conv_id"))
+        .agg(sum(col("end_tok") - col("start_tok")).as("n_tokens"))
+        .withColumn("stream", pmod(col("conv_id"), lit(4)))
+      val packed = TextAnalysis.packSequencesByCount(widths,
+        "conv_id", "stream", col("n_tokens"), chunkTokens = 64)
+      Conversations.packedLossManifest(tr, packed, chunkTokens = 64)
+        .orderBy(col("stream"), col("chunk_idx"))
+    }),
+
     // ---- MIXTURE UNDER-SUPPLY AUDIT: exact-share mixtures scale
     // the whole selection to the scarcest stratum — this report
     // makes the price visible per stratum: fr (64 docs asked to be
@@ -10489,6 +10506,53 @@ object SparkEntry {
     // the streamed align-gated fold must be invisible: q229's oracle
     // VERBATIM (the q126/q127 pair's discipline for the new gate)
     "q241_curation_aligngate_streamed" -> CurationAlignOracleSql,
+
+    // truncate→pack→loss replay: the q222 suffix-fit chain, widths
+    // over the SURVIVING turns, the q238 cumsum + chunk-overlap tail
+    "q244_sft_truncate_pack_loss" ->
+      s"""WITH $SftTurnCtesSql,
+         |tf AS (SELECT *, MIN(turn_idx) OVER (PARTITION BY conv_id)
+         |   AS first_idx FROM p),
+         |tg AS (SELECT *,
+         |  MAX(CASE WHEN turn_idx = first_idx THEN n_tokens END)
+         |    OVER (PARTITION BY conv_id) AS w_first,
+         |  SUM(CASE WHEN turn_idx <> first_idx THEN n_tokens
+         |    ELSE 0 END) OVER (PARTITION BY conv_id
+         |     ORDER BY turn_idx DESC ROWS UNBOUNDED PRECEDING) AS rsum
+         | FROM tf),
+         |tk AS (SELECT conv_id, turn_idx, role, n_tokens
+         | FROM tg WHERE turn_idx = first_idx
+         |  OR rsum + w_first <= 12),
+         |ts AS (SELECT conv_id, role, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS UNBOUNDED PRECEDING) AS end_tok FROM tk),
+         |rw AS (SELECT conv_id, conv_id % 4 AS stream,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         | FROM tk GROUP BY conv_id),
+         |cz AS (SELECT stream, conv_id,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY stream
+         |    ORDER BY conv_id ROWS UNBOUNDED PRECEDING)
+         |   - n_tokens AS BIGINT) AS conv_off
+         | FROM rw),
+         |g AS (SELECT cz.stream,
+         |  CASE WHEN ts.role = 'assistant' THEN 1 ELSE 0 END
+         |    AS in_loss,
+         |  CAST(cz.conv_off + ts.end_tok - ts.n_tokens AS BIGINT)
+         |    AS gs,
+         |  CAST(cz.conv_off + ts.end_tok AS BIGINT) AS ge
+         | FROM ts JOIN cz USING (conv_id)),
+         |x AS (SELECT stream, in_loss, gs, ge,
+         |  unnest(range(gs // 64, (ge - 1) // 64 + 1)) AS chunk_idx
+         | FROM g)
+         |SELECT stream, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         | CAST(SUM(least(ge, (chunk_idx + 1) * 64) -
+         |   greatest(gs, chunk_idx * 64)) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CASE WHEN in_loss = 1
+         |   THEN least(ge, (chunk_idx + 1) * 64) -
+         |     greatest(gs, chunk_idx * 64) ELSE 0 END) AS BIGINT)
+         |  AS n_loss_tokens
+         |FROM x GROUP BY stream, chunk_idx
+         |ORDER BY stream, chunk_idx""".stripMargin,
 
     // mixture-report replay: counts + the deriveCaps min-ratio
     // arithmetic + achieved shares over the capped total, with the
