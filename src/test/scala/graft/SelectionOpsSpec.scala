@@ -656,4 +656,27 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(TextAnalysis.bottomKSample(small, "doc_id", 100)
       .count() == 40L)
   }
+
+  test("mixtureReport: the scarcest stratum binds the mix visibly; " +
+      "a no-data target caps at 0 instead of zeroing everyone; " +
+      "no-target strata surface excluded") {
+    import graft.operators.TextAnalysis
+    val docs = ((1L to 80L).map(i => (i, "en")) ++
+      (81L to 90L).map(i => (i, "es")) ++
+      (91L to 95L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val r = TextAnalysis.mixtureReport(docs, "doc_id", "lang",
+        Map("en" -> 8000L, "es" -> 1000L, "fr" -> 1000L))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // es binds: nn = min(80*1e4/8000, 10*1e4/1000) = min(100, 100)
+    //  = 100 → caps en 80, es 10; fr has a target but NO docs —
+    // deriveCaps drops it from `present` (cap 0) instead of zeroing
+    // the whole mixture; de has docs but no target → cap 0
+    assert(r == Seq(
+      ("de", 5L, 0L, 0L, 0L),
+      ("en", 80L, 8000L, 80L, 8888L),
+      ("es", 10L, 1000L, 10L, 1111L),
+      ("fr", 0L, 1000L, 0L, 0L)), r)
+  }
 }
