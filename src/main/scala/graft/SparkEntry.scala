@@ -5900,6 +5900,34 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // ---- HARD-NEGATIVE MARGIN SWEEP (the q236/q225 measure-the-
+    // knob discipline for the false-negative margin the q212/q218/
+    // q228 chains ride): margins 0.9 / 3.0 / 10.0 of the best-
+    // positive sim, k/exclusions constant. Measured at sf0.01:
+    // 8q/40n → 8q/40n → 5q/25n — NOT monotone, and that is the
+    // point: this structure-free fixture gives 3 queries a NEGATIVE
+    // best-positive sim, where the multiplicative margin flips
+    // direction (the hardNegatives scaladoc's documented caveat,
+    // here measured live) — the reason margins are per-corpus knobs,
+    // not universal constants.
+    "q245_hn_margin_sweep" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val q8 = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"))
+      val pairs = q8.select(col("query_id"),
+          (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("query_id"),
+          (col("query_id") * 3L + 100L).as("pos_id")))
+      Seq(9000L, 30000L, 100000L).map { m =>
+        Ann.hardNegatives(pairs, em, "vec_id", "embedding", k = 5,
+            margin10k = m)
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_negatives"))
+          .select(lit(m).as("margin10k"), col("n_queries"),
+            col("n_negatives"))
+      }.reduce(_.unionByName(_)).orderBy(col("margin10k"))
+    }),
+
     // ---- the FULL packed-SFT artifact: truncate → pack → per-chunk
     // loss masks in one chain (q222 + q219 + q238 composed) — what a
     // context-window-bounded SFT run actually materializes: middles
@@ -10506,6 +10534,40 @@ object SparkEntry {
     // the streamed align-gated fold must be invisible: q229's oracle
     // VERBATIM (the q126/q127 pair's discipline for the new gate)
     "q241_curation_aligngate_streamed" -> CurationAlignOracleSql,
+
+    // margin-sweep replay: the q212 chain with the margin as an
+    // unnested parameter, counts over the rank<=5 admitted rows
+    "q245_hn_margin_sweep" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |  CAST(embedding AS DOUBLE[]) AS qv
+        | FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |p AS (SELECT query_id, query_id + 50 AS pos_id FROM q
+        | UNION ALL SELECT query_id, query_id * 3 + 100 FROM q),
+        |sx AS (SELECT query_id, neighbor_id,
+        |  CAST(round(list_cosine_similarity(qv, cv) * 10000, 0)
+        |    AS BIGINT) AS s4
+        | FROM q, c WHERE query_id <> neighbor_id),
+        |ps AS (SELECT s.query_id, MAX(s.s4) AS pos_s4
+        | FROM sx s JOIN p ON s.query_id = p.query_id
+        |  AND s.neighbor_id = p.pos_id
+        | GROUP BY s.query_id),
+        |m AS (SELECT unnest([9000, 30000, 100000]) AS mg),
+        |neg AS (SELECT m.mg, s.query_id, s.neighbor_id, s.s4
+        | FROM sx s JOIN ps USING (query_id) CROSS JOIN m
+        | WHERE s.s4 * 10000 <= ps.pos_s4 * m.mg
+        |  AND NOT EXISTS (SELECT 1 FROM p
+        |   WHERE p.query_id = s.query_id
+        |    AND p.pos_id = s.neighbor_id)),
+        |rr AS (SELECT mg, query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY mg, query_id
+        |   ORDER BY s4 DESC, neighbor_id) AS rank FROM neg)
+        |SELECT CAST(mg AS BIGINT) AS margin10k,
+        | CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+        | CAST(COUNT(*) AS BIGINT) AS n_negatives
+        |FROM rr WHERE rank <= 5
+        |GROUP BY mg ORDER BY margin10k""".stripMargin,
 
     // truncate→pack→loss replay: the q222 suffix-fit chain, widths
     // over the SURVIVING turns, the q238 cumsum + chunk-overlap tail
