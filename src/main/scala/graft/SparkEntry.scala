@@ -5507,18 +5507,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---- WordPiece ARTIFACT round trip: mine → save (one parquet
-    // table) → load → encode — bit-identical to q217 under its
-    // VERBATIM oracle (the freeze contract: q161/q198's discipline
-    // for the third tokenizer family).
+    // ---- WordPiece ARTIFACT round trip: mine → save (piece table +
+    // the meta row carrying matchHorizon/maxInputChars) → encode FROM
+    // the artifact (its own persisted contract, not caller-re-supplied
+    // convention) — bit-identical to q217 under its VERBATIM oracle
+    // (the freeze contract: q161/q198's discipline for the third
+    // tokenizer family).
     "q220_wordpiece_artifact" -> ((s, dir) => {
       val mined = WordPiece.mineVocab(t(s, dir, "documents"), "text",
         maxPieceLen = 6, topPieces = 60)
       val art = graft.SparkEntry.tmpDir("wp_vocab")
-      WordPiece.saveVocab(mined, art)
-      WordPiece.encode(wpAugDocs(s, dir), "doc_id", "text",
-          WordPiece.loadVocab(s, art), matchHorizon = 6,
-          maxInputChars = 16)
+      WordPiece.saveVocab(mined, art, maxPieceLen = 6,
+        maxInputChars = 16)
+      WordPiece.encodeArtifact(s, art, wpAugDocs(s, dir), "doc_id",
+          "text")
         .orderBy(col("doc_id"), col("pos"))
     }),
 
@@ -5745,19 +5747,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
-    // ---- Unigram ARTIFACT round trip: mine → save (one (piece, cnt)
-    // parquet — scores are vocabulary-intrinsic, no floats at rest)
-    // → load → encode, bit-identical to q231 under its VERBATIM
-    // oracle (the q161/q198/q220 freeze contract).
+    // ---- Unigram ARTIFACT round trip: mine → save ((piece, cnt)
+    // parquet + the meta row carrying matchHorizon/maxInputChars —
+    // scores are vocabulary-intrinsic, no floats at rest) → encode
+    // FROM the artifact (its own persisted contract), bit-identical
+    // to q231 under its VERBATIM oracle (the q161/q198/q220 freeze
+    // contract).
     "q232_unigram_artifact" -> ((s, dir) => {
       import graft.operators.Unigram
       val mined = Unigram.mineVocab(t(s, dir, "documents"), "text",
         maxPieceLen = 6, topPieces = 60)
       val art = graft.SparkEntry.tmpDir("ug_vocab")
-      Unigram.saveVocab(mined, art)
-      Unigram.encode(wpAugDocs(s, dir), "doc_id", "text",
-          Unigram.loadVocab(s, art), matchHorizon = 6,
-          maxInputChars = 9)
+      Unigram.saveVocab(mined, art, maxPieceLen = 6,
+        maxInputChars = 9)
+      Unigram.encodeArtifact(s, art, wpAugDocs(s, dir), "doc_id",
+          "text")
         .orderBy(col("doc_id"), col("pos"))
     }),
 

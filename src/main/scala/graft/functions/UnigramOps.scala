@@ -62,28 +62,42 @@ object UnigramApply {
     m
   }
 
-  /** One DP cell: best product, piece count and rendered sequence of
-    * the best segmentation of word[0, pos).
+  /** One DP cell: best product, piece count, rendered sequence and the
+    * PRECOMPUTED normalized comparison key (prod · 10⁴^(maxInputChars
+    * − n)) of the best segmentation of word[0, pos) — the key is built
+    * once at construction, never recomputed per comparison.
     */
   private final class Cell(val prod: java.math.BigInteger, val n: Int,
-                           val seq: String)
+                           val seq: String,
+                           val key: java.math.BigInteger)
 
   private val E4 = java.math.BigInteger.valueOf(10000L)
 
-  private[functions] def encodeWord(word: String,
-      scores: java.util.HashMap[String, Long], maxPieceLen: Int,
-      maxInputChars: Int): GenericArrayData = {
-    val n = word.length
-    if (n > maxInputChars) return unkArray
-    // normalization powers: key(cell) = prod · 10⁴^(maxInputChars−n)
+  /** Normalization power table 10⁴^0 .. 10⁴^maxInputChars — depends
+    * only on maxInputChars, so callers build it ONCE per expression
+    * instance ([[UnigramApplyBroadcast]] hoists it into a transient
+    * lazy val), not once per word in the corpus-scan hot path.
+    */
+  private[functions] def normPows(
+      maxInputChars: Int): Array[java.math.BigInteger] = {
     val pows = new Array[java.math.BigInteger](maxInputChars + 1)
     pows(0) = java.math.BigInteger.ONE
     var pi = 1
-    while (pi <= maxInputChars) { pows(pi) = pows(pi - 1).multiply(E4); pi += 1 }
-    def key(c: Cell): java.math.BigInteger =
-      c.prod.multiply(pows(maxInputChars - c.n))
+    while (pi <= maxInputChars) {
+      pows(pi) = pows(pi - 1).multiply(E4); pi += 1
+    }
+    pows
+  }
+
+  private[functions] def encodeWord(word: String,
+      scores: java.util.HashMap[String, Long], maxPieceLen: Int,
+      maxInputChars: Int,
+      pows: Array[java.math.BigInteger]): GenericArrayData = {
+    val n = word.length
+    if (n > maxInputChars) return unkArray
     val best = new Array[Cell](n + 1)
-    best(0) = new Cell(java.math.BigInteger.ONE, 0, "")
+    best(0) = new Cell(java.math.BigInteger.ONE, 0, "",
+      pows(maxInputChars))
     var end = 1
     while (end <= n) {
       var start = math.max(0, end - maxPieceLen)
@@ -97,12 +111,13 @@ object UnigramApply {
               java.math.BigInteger.valueOf(s))
             val seq = if (prev.seq.isEmpty) word.substring(start, end)
               else prev.seq + " " + word.substring(start, end)
-            val cand = new Cell(prod, prev.n + 1, seq)
+            val cand = new Cell(prod, prev.n + 1, seq,
+              prod.multiply(pows(maxInputChars - prev.n - 1)))
             // seq ties compare in binary UTF-8 order (UTF8String),
             // matching the replay's DuckDB string comparison — Java's
             // UTF-16 code-unit order diverges on supplementary chars
             val better = cell == null || {
-              val c = key(cand).compareTo(key(cell))
+              val c = cand.key.compareTo(cell.key)
               c > 0 || (c == 0 && (cand.n < cell.n ||
                 (cand.n == cell.n &&
                   UTF8String.fromString(cand.seq).compareTo(
@@ -136,10 +151,11 @@ case class UnigramApplyBroadcast(child: Expression,
   override def prettyName: String = "unigram_apply_bc"
 
   @transient private lazy val scores = UnigramApply.toScores(bc.value)
+  @transient private lazy val pows = UnigramApply.normPows(maxInputChars)
 
   protected override def nullSafeEval(input: Any): Any =
     UnigramApply.encodeWord(input.asInstanceOf[UTF8String].toString,
-      scores, matchHorizon, maxInputChars)
+      scores, matchHorizon, maxInputChars, pows)
 
   override protected def withNewChildInternal(
       newChild: Expression): UnigramApplyBroadcast =

@@ -169,6 +169,13 @@ object Conversations {
       .select(col("stream"), col("in_loss"),
         (col("__conv_off") + col("start_tok")).as("gs"),
         (col("__conv_off") + col("end_tok")).as("ge"))
+      // zero-width spans (ge == gs) are unreachable via spans/truncate
+      // (every turn is ≥ 1 token) but the operator is public: on a
+      // chunk boundary `sequence(gs div b, (ge-1) div b)` would have
+      // start > stop and emit a DESCENDING 2-element sequence —
+      // phantom chunks with n_tokens = 0 (the packInterleaved
+      // precedent: filter before the explode)
+      .filter(col("ge") > col("gs"))
       .withColumn("chunk_idx", explode(sequence(
         expr(s"gs div $b"), expr(s"(ge - 1L) div $b"))))
       .withColumn("w",

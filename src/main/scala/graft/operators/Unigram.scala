@@ -131,12 +131,31 @@ object Unigram {
       .select(col("doc_id"), col("pos"),
         coalesce(col("piece_id"), lit(-1L)).as("piece_id"))
 
-  /** Persist the mined table — ONE parquet (piece, cnt); scores are
-    * intrinsic (see [[scores]]), so the artifact needs no floats.
+  /** Persist the mined table + its encode contract: the (piece, cnt)
+    * parquet (scores are intrinsic — see [[scores]] — so no floats at
+    * rest) PLUS the [[TokenizerArtifact.Meta]] row carrying the mining
+    * maxPieceLen and maxInputChars, so a loaded artifact can never be
+    * silently encoded with a different horizon than it was mined with.
     */
-  def saveVocab(vocab: DataFrame, dir: String): Unit =
-    vocab.write.mode("overwrite").parquet(dir)
+  def saveVocab(vocab: DataFrame, dir: String, maxPieceLen: Int,
+                maxInputChars: Int): Unit =
+    TokenizerArtifact.save(vocab, dir,
+      TokenizerArtifact.Meta(maxPieceLen, maxInputChars))
 
   def loadVocab(spark: org.apache.spark.sql.SparkSession,
-                dir: String): DataFrame = spark.read.parquet(dir)
+                dir: String): DataFrame =
+    TokenizerArtifact.loadPieces(spark, dir)
+
+  /** Encode with a PERSISTED artifact — matchHorizon/maxInputChars
+    * come from the artifact's own meta row, never from the caller
+    * (re-supplying them by convention is the silent-drift footgun the
+    * meta table exists to close).
+    */
+  def encodeArtifact(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val m = TokenizerArtifact.loadMeta(spark, dir)
+    encode(docs, idCol, textCol, loadVocab(spark, dir),
+      matchHorizon = m.maxPieceLen, maxInputChars = m.maxInputChars)
+  }
 }

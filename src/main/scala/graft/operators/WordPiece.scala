@@ -120,17 +120,34 @@ object WordPiece {
         col("col").as("piece"))
   }
 
-  /** Persist the mined vocabulary — the WordPiece tokenizer artifact
-    * is ONE parquet table (piece, cnt). Encoding with a loaded
+  /** Persist the mined vocabulary + its encode contract
+    * ([[TokenizerArtifact]]: the (piece, cnt) parquet plus a meta row
+    * carrying maxPieceLen/maxInputChars). Encoding with a loaded
     * artifact is bit-identical to encoding with the in-memory table
     * (q220 proves it against q217's oracle verbatim — the freeze
-    * contract, the q161/q198 discipline).
+    * contract, the q161/q198 discipline) — and [[encodeArtifact]]
+    * consumes the persisted horizon, so the artifact can never be
+    * silently encoded with a different horizon than it was mined with.
     */
-  def saveVocab(vocab: DataFrame, dir: String): Unit =
-    vocab.write.mode("overwrite").parquet(dir)
+  def saveVocab(vocab: DataFrame, dir: String, maxPieceLen: Int,
+                maxInputChars: Int): Unit =
+    TokenizerArtifact.save(vocab, dir,
+      TokenizerArtifact.Meta(maxPieceLen, maxInputChars))
 
   def loadVocab(spark: org.apache.spark.sql.SparkSession,
-                dir: String): DataFrame = spark.read.parquet(dir)
+                dir: String): DataFrame =
+    TokenizerArtifact.loadPieces(spark, dir)
+
+  /** Encode with a PERSISTED artifact — matchHorizon/maxInputChars
+    * from the artifact's own meta row, never caller convention.
+    */
+  def encodeArtifact(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val m = TokenizerArtifact.loadMeta(spark, dir)
+    encode(docs, idCol, textCol, loadVocab(spark, dir),
+      matchHorizon = m.maxPieceLen, maxInputChars = m.maxInputChars)
+  }
 
   /** Stable piece→id mapping: id = the piece's rank in (piece ASC)
     * order — vocabulary-intrinsic, so ids never shift when the same

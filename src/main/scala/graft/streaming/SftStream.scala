@@ -25,16 +25,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     OVERWRITES its own layer — idempotent by construction;
   *   - the same turn REDELIVERED in a different batch (an upstream
   *     at-least-once producer) is collapsed by [[turnsState]]'s
-  *     full-row distinct. A CONFLICTING redelivery — same
-  *     (conv_id, turn_idx), different payload — survives the
-  *     distinct on purpose and trips [[graft.operators.Conversations]]'
-  *     duplicate-key guard: loud, never a tie-order-dependent span.
+  *     key-grouped payload dedup. A CONFLICTING redelivery — same
+  *     (conv_id, turn_idx), DIFFERENT payload — raises loudly AT READ
+  *     TIME inside [[turnsState]] itself, so EVERY consumer is
+  *     protected (the spans/truncate path additionally carries
+  *     [[graft.operators.Conversations]]' duplicate-key guard, but
+  *     render/pack/decon read the same state and must never silently
+  *     emit both payload versions as extra turns).
   *
   * Scale shape: the fold is O(batch) — a pure append, no read of
-  * prior state; the read-side distinct is one shuffle over the
-  * skinny turn rows (id pair + role + text), after which the
-  * conversation window re-partitions by conv_id. At 100 TB the
-  * upgrade is bucketing layers by conv_id (the [[StarPipeline]]
+  * prior state; the read-side dedup+guard is ONE aggregation shuffle
+  * keyed on (conv_id, turn_idx) over the skinny turn rows, after
+  * which the conversation window re-partitions by conv_id. At 100 TB
+  * the upgrade is bucketing layers by conv_id (the [[StarPipeline]]
   * convention) so dedup and the window share one co-partitioned
   * layout; the read-time semantics are unchanged.
   */
@@ -58,13 +61,32 @@ object SftStream {
       .write.mode("overwrite")
       .parquet(s"${cfg.root}/turns/batch=$batchId")
 
-  /** The merged turn state: all layers, exact-duplicate rows
-    * collapsed (cross-batch redelivery); conflicting duplicates kept
-    * for the Conversations guard to reject loudly.
+  /** The merged turn state: all layers grouped on (conv_id, turn_idx)
+    * — exact-duplicate payloads collapse (cross-batch redelivery), and
+    * a key arriving with MORE than one distinct payload raises loudly
+    * here, before any consumer can render both versions as extra
+    * turns. One aggregation Exchange total (the dedup IS the guard:
+    * collect_set of the payload struct, size > 1 = conflict). The
+    * guard rides coalesce on the projected columns so column pruning
+    * can never drop it.
     */
-  def turnsState(spark: SparkSession, cfg: Config): DataFrame =
+  def turnsState(spark: SparkSession, cfg: Config): DataFrame = {
+    val conflict = when(size(col("__rt")) > 1, raise_error(concat(
+      lit("SftStream: conflicting redelivery — (conv_id, turn_idx)"
+        + " = ("), col("conv_id"), lit(", "), col("turn_idx"),
+      lit(") arrived with "), size(col("__rt")).cast("string"),
+      lit(" distinct payloads"))).cast("string"))
     spark.read.parquet(s"${cfg.root}/turns")
-      .select(TurnCols.map(col): _*).distinct()
+      .select(TurnCols.map(col): _*)
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(sort_array(collect_set(struct(col("role"), col("text"))))
+        .as("__rt"))
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(conflict, col("__rt").getItem(0).getField("role"))
+          .as("role"),
+        coalesce(conflict, col("__rt").getItem(0).getField("text"))
+          .as("text"))
+  }
 
   /** Start the streaming ingest over a turn stream — the
     * [[CurationStream.start]] foreachBatch idiom: the batch fold is a

@@ -72,19 +72,27 @@ class SftStreamSpec extends SparkSpecBase {
   }
 
   test("a CONFLICTING redelivery — same (conv_id, turn_idx), " +
-      "different payload — survives the distinct and trips the " +
-      "Conversations duplicate-key guard loudly") {
+      "different payload — raises loudly at READ time in turnsState, " +
+      "protecting EVERY consumer (render included, which has no " +
+      "duplicate-key guard of its own)") {
     val state = streamIn(Seq(turns,
       Seq(SftTurn(1L, 1L, "assistant", "DIFFERENT payload"))))
     def fullMsg(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
-    val e = intercept[Exception] {
+    // spans (previously covered by the Conversations guard)
+    val e1 = intercept[Exception] {
       Conversations.spans(state, "conv_id", "turn_idx", "role", "text")
         .collect()
     }
-    assert(fullMsg(e).contains("duplicate (conv_id, turn_idx)"),
-      fullMsg(e))
+    assert(fullMsg(e1).contains("conflicting redelivery"), fullMsg(e1))
+    // render — the consumer the guard exists for: without it, both
+    // payload versions would silently render as extra turns
+    val e2 = intercept[Exception] {
+      Conversations.render(state, "conv_id", "turn_idx", "role", "text")
+        .collect()
+    }
+    assert(fullMsg(e2).contains("conflicting redelivery"), fullMsg(e2))
   }
 
   test("engine-level batch replay is idempotent: re-folding the same " +

@@ -430,7 +430,15 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     assert(direct.map(_._3).forall(_ != "[UNK]"))
     val dir = java.nio.file.Files
       .createTempDirectory("ug_art").toString
-    Unigram.saveVocab(vocab, dir)
+    Unigram.saveVocab(vocab, dir, maxPieceLen = 6, maxInputChars = 9)
     assert(run(Unigram.loadVocab(spark, dir)) == direct)
+    // the artifact carries its own encode contract: encodeArtifact
+    // consumes the persisted horizon/guard, bit-identical to the
+    // explicitly-parameterized encode above
+    assert(Unigram.encodeArtifact(spark, dir, docs, "doc_id", "text")
+      .orderBy("doc_id", "pos")
+      .as[(Long, Long, String)].collect().toSeq == direct)
+    val meta = graft.operators.TokenizerArtifact.loadMeta(spark, dir)
+    assert(meta.maxPieceLen == 6 && meta.maxInputChars == 9)
   }
 }
