@@ -148,24 +148,37 @@ object Bench {
     // phantom regression.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
 
+    // Raw per-rep wall-clock per lane, emitted verbatim in the JSON
+    // (r15 adjudication follow-through): two rounds running, the
+    // gate-vs-local delta needed a dedicated investigation — with the
+    // rep array IN the artifact, a co-tenant episode is self-evident
+    // (one spiked rep next to two quiet ones) and the min/median pair
+    // reads directly. Failed reps stay in the array as -1.
+    val repLog =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+
     /** Min over `reps` runs. STATEFUL lanes (the fold lanes mutate
       * on-disk state) use the rep index to fold a fresh equivalent
       * batch per rep (new batch id, shifted timestamps) — equal work
       * per rep, state grows only by the small batch between reps.
       * Caches dropped between reps so each measures the engine cold;
       * a failed rep contributes nothing, all-failed reports -1.
+      * Every rep's raw time is recorded under `name` for the JSON.
       */
-    def timeMinRep(body: Int => Unit): Double = {
-      val ts = (1 to reps).map { i =>
+    def timeMinRep(name: String)(body: Int => Unit): Double = {
+      val raw = (1 to reps).map { i =>
         val t = time(body(i))
         if (i < reps) dropCaches()
         t
-      }.filter(_ >= 0)
+      }
+      repLog(name) = raw
+      val ts = raw.filter(_ >= 0)
       if (ts.isEmpty) -1.0 else ts.min
     }
 
     /** Min over `reps` timed runs of the SAME body (idempotent lanes). */
-    def timeMin(body: => Unit): Double = timeMinRep(_ => body)
+    def timeMin(name: String)(body: => Unit): Double =
+      timeMinRep(name)(_ => body)
 
     // JIT/codegen/IO warmup (untimed) so per-query numbers measure the
     // engine, not first-query JVM startup costs.
@@ -190,7 +203,7 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (name <- headline; fn <- SparkEntry.queries.get(name)) {
       System.err.println(s"[bench] running $name")
-      results(name) = timeMin { fn(spark, sfDir).count() }
+      results(name) = timeMin(name) { fn(spark, sfDir).count() }
       System.err.println(f"[bench] $name: ${results(name)}%.2f s")
       dropCaches()
     }
@@ -200,7 +213,7 @@ object Bench {
     // extraction, DTM parse, trigger routing) — messages/s is the
     // ingest-front-end headline (reference envelope is ~10-100 msg/s
     // sustained; BASELINE.md).
-    results("w2_wire_parse") = timeMin {
+    results("w2_wire_parse") = timeMin("w2_wire_parse") {
       val q44 = SparkEntry.queries("q44_hl7_wire")
       require(q44(spark, sfDir).count() > 0)
     }
@@ -210,7 +223,7 @@ object Bench {
     // isolate merge + sensitivity re-parenting): a BOUNDED 10k-message
     // run so lab-builder perf regressions show in the headline without
     // tying the bench to the SF row count.
-    results("w4_lab_wire") = timeMin {
+    results("w4_lab_wire") = timeMin("w4_lab_wire") {
       import org.apache.spark.sql.functions._
       val k = col("id").cast("string")
       val raw = concat_ws("\r",
@@ -241,7 +254,7 @@ object Bench {
 
     // Waveform ingest: generate + collate 540k samples (30 locs × 300 Hz
     // × 60 s, 40 samples/msg) into ≤3000-sample rows.
-    results("w1_waveform_collate") = timeMin {
+    results("w1_waveform_collate") = timeMin("w1_waveform_collate") {
       import spark.implicits._
       implicit val s: SparkSession = spark
       val msgs = graft.sources.WaveformGenerator
@@ -281,14 +294,16 @@ object Bench {
         e.filter(pmod(xxhash64(col("user_id")), lit(50)) === 0)
           .withColumn("ts_us", col("ts_us") + rep * 86400L * 1000000L)
           .withColumn("event_id", col("event_id") + rep * 100000000L)
-      results("w3_incremental_fold") = timeMinRep { rep =>
+      results("w3_incremental_fold") = timeMinRep("w3_incremental_fold") {
+        rep =>
         graft.streaming.StarPipeline.foldBatch(small(rep), 100L + rep, cfg) }
       // keys of bucket 0 only (same hash the pipeline buckets by)
       def oneBucket(rep: Int) = e
         .filter(pmod(xxhash64(col("user_id")), lit(64)) === 0)
         .withColumn("ts_us", col("ts_us") + (100 + rep) * 86400L * 1000000L)
         .withColumn("event_id", col("event_id") + (100 + rep) * 100000000L)
-      results("w3b_bucket_local_fold") = timeMinRep { rep =>
+      results("w3b_bucket_local_fold") =
+        timeMinRep("w3b_bucket_local_fold") { rep =>
         graft.streaming.StarPipeline.foldBatch(oneBucket(rep), 200L + rep, cfg) }
 
       val rootB = graft.SparkEntry.tmpDir("bench_btfold")
@@ -297,7 +312,8 @@ object Bench {
         storedFromUsCol = "stored_us")
       val eb = e.withColumn("stored_us", lit(1700000000000000L))
       graft.streaming.StarPipeline.foldBatchBitemporal(eb, 1L, cfgB)
-      results("w5_bitemporal_fold") = timeMinRep { rep =>
+      results("w5_bitemporal_fold") = timeMinRep("w5_bitemporal_fold") {
+        rep =>
         graft.streaming.StarPipeline.foldBatchBitemporal(
           small(rep).withColumn("stored_us",
             lit(1700000100000000L) + rep * 1000000L), 100L + rep, cfgB) }
@@ -306,7 +322,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-lane raw rep arrays + medians: "queries" stays the min (the
+    // uncontended-cost estimate the trendline tracks); "reps" makes
+    // co-tenant spikes self-evident in the artifact; "median" is the
+    // noise-robust companion the reader compares against the min
+    def fmt(d: Double) = f"$d%.4f"
+    val repsJson = repLog.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val medJson = repLog.map { case (k, ts) =>
+      val ok = ts.filter(_ >= 0).sorted
+      val med = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
+      "\"" + k + "\":" + fmt(med)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$medJson,"reps":$repsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

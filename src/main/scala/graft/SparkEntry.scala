@@ -535,6 +535,48 @@ object SparkEntry {
     SftStream.turnsState(s, cfg)
   }
 
+  /** Drive labeled pairs + mined negatives through the REAL streaming
+    * engine ([[graft.streaming.PreferenceStream]]): both inputs ride
+    * one envelope stream, split across two micro-batches by query
+    * parity, batch 2 additionally REDELIVERING a slice of batch 1
+    * (every 3rd query's rows — the upstream at-least-once case the
+    * read-side distinct must collapse). Returns the merged
+    * (pairsState, negativesState) the assembly reads. Test-scale
+    * collect feeding the MemoryStream, the q165/q226 convention.
+    */
+  private def prefStreamState(s: SparkSession, pairs: DataFrame,
+      negs: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    import graft.streaming.PreferenceStream
+    val cfg = PreferenceStream.Config(
+      graft.SparkEntry.tmpDir("pref_stream"))
+    val pRows = pairs.select(col("query_id").cast("long"),
+        col("pos_id").cast("long")).collect()
+      .map(r => ("pair", r.getLong(0), r.getLong(1), 0L, 0L, 0L))
+    val nRows = negs.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"), col("rank").cast("long"),
+        round(col("sim") * 10000, 0).cast("long"),
+        round(col("pos_sim") * 10000, 0).cast("long")).collect()
+      .map(r => ("neg", r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val rows = pRows ++ nRows
+    val b1 = rows.filter(_._2 % 2 == 0)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long, Long, Long, Long)](s)
+    val q = PreferenceStream.start(
+      ms.toDF().toDF("kind", "query_id", "other_id", "rank",
+        "sim10k", "pos_sim10k"), cfg,
+      graft.SparkEntry.tmpDir("pref_ck"))
+    ms.addData(b1.toSeq)
+    q.processAllAvailable()
+    ms.addData((rows.filter(_._2 % 2 == 1) ++
+      b1.filter(_._2 % 3 == 0)).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    (PreferenceStream.pairsState(s, cfg),
+      PreferenceStream.negativesState(s, cfg))
+  }
+
   /** q217/q220/q221 encode corpus: every 25th doc carries an appended
     * 20-char word that trips BERT's max_input_chars_per_word=16 guard
     * (→ whole-word [UNK]); the vocab is always mined from the RAW
@@ -937,30 +979,32 @@ object SparkEntry {
     * filtered → s10k = cnt·10⁴ // total + 1 over the SELECTED
     * table's count mass. Ends at `uvocab` (piece, cnt, s10k).
     */
-  private def unigramVocabCtesSql(maxPieceLen: Int,
-                                  topPieces: Int): String =
-    s"""utk AS (SELECT unnest(list_filter(
+  private def unigramVocabCtesSql(maxPieceLen: Int, topPieces: Int,
+                                  p: String = "u",
+                                  src: String = "documents"): String =
+    s"""${p}tk AS (SELECT unnest(list_filter(
        |    string_split_regex(trim(text), '\\s+'), x -> len(x) > 0))
-       |  AS tok FROM documents),
-       |ufr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
-       | FROM utk GROUP BY tok),
-       |ucp AS (SELECT tok, wc, unnest(range(len(tok))) AS p FROM ufr),
-       |ucl AS (SELECT tok, wc, p,
+       |  AS tok FROM $src),
+       |${p}fr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+       | FROM ${p}tk GROUP BY tok),
+       |${p}cp AS (SELECT tok, wc, unnest(range(len(tok))) AS p
+       | FROM ${p}fr),
+       |${p}cl AS (SELECT tok, wc, p,
        |  unnest(range(1, least($maxPieceLen, len(tok) - p) + 1)) AS l
-       | FROM ucp),
-       |upc AS (SELECT substr(tok, CAST(p + 1 AS INT), CAST(l AS INT))
-       |  AS piece, wc FROM ucl),
-       |uag AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
-       | FROM upc GROUP BY piece),
-       |umu AS (SELECT piece, cnt FROM uag
+       | FROM ${p}cp),
+       |${p}pc AS (SELECT substr(tok, CAST(p + 1 AS INT),
+       |  CAST(l AS INT)) AS piece, wc FROM ${p}cl),
+       |${p}ag AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+       | FROM ${p}pc GROUP BY piece),
+       |${p}mu AS (SELECT piece, cnt FROM ${p}ag
        | WHERE len(piece) > 1 AND piece <> '[UNK]'
        | ORDER BY cnt DESC, piece LIMIT $topPieces),
-       |uv0 AS (SELECT piece, cnt FROM uag WHERE len(piece) = 1
-       | UNION ALL SELECT piece, cnt FROM umu),
-       |utot AS (SELECT SUM(cnt) AS t FROM uv0),
-       |uvocab AS (SELECT piece, cnt,
+       |${p}v0 AS (SELECT piece, cnt FROM ${p}ag WHERE len(piece) = 1
+       | UNION ALL SELECT piece, cnt FROM ${p}mu),
+       |${p}tot AS (SELECT SUM(cnt) AS t FROM ${p}v0),
+       |${p}vocab AS (SELECT piece, cnt,
        |  CAST(cnt * 10000 // x.t + 1 AS BIGINT) AS s10k
-       | FROM uv0, utot x)""".stripMargin
+       | FROM ${p}v0, ${p}tot x)""".stripMargin
 
   /** q231/q232: the max-product Viterbi replay by FULL ENUMERATION —
     * `stages` = maxInputChars unrolled rounds keep EVERY partial
@@ -976,7 +1020,8 @@ object SparkEntry {
     */
   private def unigramEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
                                      maxInputChars: Int,
-                                     ids: Boolean = false): String = {
+                                     ids: Boolean = false,
+                                     extendIds: Boolean = false): String = {
     val aug =
       s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CASE WHEN doc_id % 25 = 0
@@ -1030,6 +1075,25 @@ object SparkEntry {
          | FROM (SELECT d.doc_id, d.widx, w.pl,
          |   unnest(range(len(w.pl))) AS k
          |  FROM adt d JOIN upl w USING (tok)))""".stripMargin
+    // id layout: frozen (piece ASC) rank, OR — extendIds — the
+    // append-only allocator replay: base ids from the even-docs vocab
+    // (frozen rank), new pieces of the full vocab numbered after the
+    // base max (TokenizerArtifact.extendIds' exact arithmetic)
+    val idCtes = if (!extendIds)
+      """uvid AS (SELECT piece,
+        |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+        |   AS piece_id FROM uvocab)""".stripMargin
+    else
+      """vids AS (SELECT piece,
+        |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+        |   AS piece_id FROM vvocab),
+        |uvid AS (SELECT piece, piece_id FROM vids
+        | UNION ALL
+        | SELECT piece,
+        |  (SELECT COALESCE(MAX(piece_id), -1) FROM vids)
+        |   + row_number() OVER (ORDER BY piece) AS piece_id
+        | FROM uvocab
+        | WHERE piece NOT IN (SELECT piece FROM vids))""".stripMargin
     val sel = if (!ids)
       """SELECT doc_id,
         | CAST(row_number() OVER (PARTITION BY doc_id
@@ -1037,19 +1101,20 @@ object SparkEntry {
         | piece
         |FROM ufl ORDER BY doc_id, pos""".stripMargin
     else
-      """uvid AS (SELECT piece,
-        |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
-        |   AS piece_id FROM uvocab)
+      s"""$idCtes
         |SELECT doc_id,
         | CAST(row_number() OVER (PARTITION BY doc_id
         |   ORDER BY widx, k) - 1 AS BIGINT) AS pos,
         | COALESCE(u.piece_id, -1) AS piece_id
         |FROM ufl LEFT JOIN uvid u USING (piece)
         |ORDER BY doc_id, pos""".stripMargin
-    // the ids variant carries its own uvid CTE head, so the chain
+    val baseVocab = if (!extendIds) "" else
+      ",\n" + unigramVocabCtesSql(maxPieceLen, topPieces, p = "v",
+        src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)")
+    // the ids variant carries its own id-CTE head, so the chain
     // gains one trailing comma before it
     materializeCtes(
-      s"""WITH ${unigramVocabCtesSql(maxPieceLen, topPieces)},
+      s"""WITH ${unigramVocabCtesSql(maxPieceLen, topPieces)}$baseVocab,
          |$aug,
          |$stages,
          |$tail${if (ids) "," else ""}
@@ -1110,30 +1175,36 @@ object SparkEntry {
     * single-char pieces ∪ top-`topPieces` multi-char by (cnt DESC,
     * piece ASC). Exact integer counts.
     */
-  private def wordpieceVocabCtesSql(maxPieceLen: Int,
-                                    topPieces: Int): String = {
+  /** WordPiece mining CTEs, prefix/source-parameterized so a lane can
+    * mine TWO vocabularies (base corpus + extended corpus — the q246
+    * allocator replay) in one oracle. Ends at `${p}pvocab`.
+    */
+  private def wordpieceVocabCtesSql(maxPieceLen: Int, topPieces: Int,
+                                    p: String = "w",
+                                    src: String = "documents"): String = {
     val single = "(piece LIKE '##%' AND len(piece) = 3) " +
       "OR (piece NOT LIKE '##%' AND len(piece) = 1)"
-    s"""wtk AS (SELECT unnest(list_filter(
+    s"""${p}tk AS (SELECT unnest(list_filter(
        |    string_split_regex(trim(text), '\\s+'), x -> len(x) > 0))
-       |  AS tok FROM documents),
-       |wfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
-       | FROM wtk GROUP BY tok),
-       |wcp AS (SELECT tok, wc, unnest(range(len(tok))) AS p FROM wfr),
-       |wcl AS (SELECT tok, wc, p,
+       |  AS tok FROM $src),
+       |${p}fr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+       | FROM ${p}tk GROUP BY tok),
+       |${p}cp AS (SELECT tok, wc, unnest(range(len(tok))) AS p
+       | FROM ${p}fr),
+       |${p}cl AS (SELECT tok, wc, p,
        |  unnest(range(1, least($maxPieceLen, len(tok) - p) + 1)) AS l
-       | FROM wcp),
-       |wpc AS (SELECT CASE WHEN p = 0
+       | FROM ${p}cp),
+       |${p}pc AS (SELECT CASE WHEN p = 0
        |   THEN substr(tok, 1, CAST(l AS INT))
        |   ELSE '##' || substr(tok, CAST(p + 1 AS INT), CAST(l AS INT))
-       |  END AS piece, wc FROM wcl),
-       |wag AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
-       | FROM wpc GROUP BY piece),
-       |wmu AS (SELECT piece, cnt FROM wag
+       |  END AS piece, wc FROM ${p}cl),
+       |${p}ag AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+       | FROM ${p}pc GROUP BY piece),
+       |${p}mu AS (SELECT piece, cnt FROM ${p}ag
        | WHERE NOT ($single) AND piece <> '[UNK]'
        | ORDER BY cnt DESC, piece LIMIT $topPieces),
-       |wpvocab AS (SELECT piece, cnt FROM wag WHERE $single
-       | UNION ALL SELECT piece, cnt FROM wmu)""".stripMargin
+       |${p}pvocab AS (SELECT piece, cnt FROM ${p}ag WHERE $single
+       | UNION ALL SELECT piece, cnt FROM ${p}mu)""".stripMargin
   }
 
   /** q217's greedy longest-match replay: `stages` unrolled rounds
@@ -1221,6 +1292,69 @@ object SparkEntry {
       wordpieceVocabCtesSql(maxPieceLen, topPieces) + ",\n" +
       aug + ",\n" + stages + ",\n" + tail +
       (if (ids) ",\n" else "\n") + sel)
+  }
+
+  /** q246: the append-only allocator replay — base vocab mined from
+    * the even docs (prefix b), extended vocab from the full corpus
+    * (prefix w), base ids = frozen (piece ASC) rank, new pieces =
+    * base max + rank among themselves ([[graft.operators
+    * .TokenizerArtifact.extendIds]]' exact arithmetic).
+    */
+  private lazy val WpExtendIdsOracleSql: String = materializeCtes(
+    s"""WITH ${wordpieceVocabCtesSql(6, 60, p = "b",
+          src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
+       |${wordpieceVocabCtesSql(6, 60)},
+       |bids AS (SELECT piece,
+       |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+       |   AS piece_id FROM bpvocab),
+       |nids AS (SELECT piece,
+       |  (SELECT COALESCE(MAX(piece_id), -1) FROM bids)
+       |   + row_number() OVER (ORDER BY piece) AS piece_id
+       | FROM wpvocab WHERE piece NOT IN (SELECT piece FROM bids))
+       |SELECT piece, CAST(piece_id AS BIGINT) AS piece_id,
+       | CAST(is_new AS BIGINT) AS is_new FROM (
+       | SELECT piece, piece_id, 0 AS is_new FROM bids
+       | UNION ALL SELECT piece, piece_id, 1 AS is_new FROM nids)
+       |ORDER BY piece_id""".stripMargin)
+
+  /** q249: split-leakage replay — the union corpus (every 40th doc
+    * near-copied under id + 10⁶ with a 3-token tail) through the
+    * 32-band signature chain, candidate pairs scored by signature
+    * agreement, est ≥ 0.5 survivors joined to the q113 split hash on
+    * both sides, counted per UNORDERED split boundary.
+    */
+  private lazy val SplitLeakageOracleSql: String = {
+    val sig = minhashSigCtesSql(2).replace("FROM documents", "FROM lk")
+    val splitCase =
+      s"""CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")}
+         |    % 10000 < 8000 THEN 'train'
+         |  WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || '|split'")}
+         |    % 10000 < 9000 THEN 'val'
+         |  ELSE 'test' END""".stripMargin
+    materializeCtes(
+      s"""WITH lk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+         |  FROM documents
+         | UNION ALL
+         | SELECT CAST(doc_id AS BIGINT) + 1000000,
+         |  text || ' extra tail tokens'
+         | FROM documents WHERE doc_id % 40 = 0),
+         |$sig,
+         |zpr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM bnd x JOIN bnd y ON x.band = y.band
+         |  AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |zes AS (SELECT p.doc_a, p.doc_b,
+         |  SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS est
+         | FROM zpr p JOIN sigj sa ON sa.doc_id = p.doc_a
+         |  JOIN sigj sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+         | GROUP BY 1, 2),
+         |spl AS (SELECT doc_id, $splitCase AS split FROM lk),
+         |str AS (SELECT least(a.split, b.split) AS split_a,
+         |  greatest(a.split, b.split) AS split_b
+         | FROM zes e JOIN spl a ON a.doc_id = e.doc_a
+         |  JOIN spl b ON b.doc_id = e.doc_b
+         | WHERE e.est >= 0.5)
+         |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM str GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
   private def dec(c: Column, p: Int = 18, sc: Int = 2): Column =
@@ -5932,6 +6066,119 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy(col("margin10k"))
     }),
 
+    // ---- EXTENSION-STABLE VOCABULARY IDS: the continued-pretraining
+    // contract. The frozen (piece ASC) rank layout renumbers every id
+    // after any insert — extending a vocab with new-domain pieces
+    // (the standard domain-adaptation move) would silently invalidate
+    // every previously tokenized shard. The append-only allocator
+    // keeps every base id BIT-STABLE (retired pieces included) and
+    // numbers new pieces after the base max; this lane proves the
+    // arithmetic: base vocab mined from the EVEN docs, extended vocab
+    // from the full corpus, output = the allocation with its is_new
+    // provenance — one changed base id or one renumber = hash fail.
+    "q246_wordpiece_extend_ids" -> ((s, dir) => {
+      import graft.operators.TokenizerArtifact
+      val d = t(s, dir, "documents")
+      val base = WordPiece.mineVocab(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text",
+        maxPieceLen = 6, topPieces = 60)
+      val baseIds = WordPiece.vocabIds(base)
+      val ext = WordPiece.mineVocab(d, "text", maxPieceLen = 6,
+        topPieces = 60)
+      TokenizerArtifact.extendIds(baseIds, ext)
+        .join(baseIds.select(col("piece"), lit(1L).as("__old")),
+          Seq("piece"), "left")
+        .select(col("piece"), col("piece_id"),
+          when(col("__old").isNull, 1L).otherwise(0L).as("is_new"))
+        .orderBy(col("piece_id"))
+    }),
+
+    // ---- the allocator THROUGH THE FULL ENCODE + ARTIFACT round
+    // trip (the judge-specified done-condition): mine base (even
+    // docs), extend with the full corpus, persist the extended
+    // artifact (pieces + meta + append-only ids), load, encode to
+    // ids — the oracle re-derives BOTH minings, the allocator
+    // arithmetic AND the Viterbi encode, so a single base-id shift
+    // or a horizon drift in the round trip is a hash fail.
+    "q247_unigram_extend_encode" -> ((s, dir) => {
+      import graft.operators.{TokenizerArtifact, Unigram}
+      val d = t(s, dir, "documents")
+      val base = Unigram.mineVocab(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text",
+        maxPieceLen = 6, topPieces = 60)
+      val ext = Unigram.mineVocab(d, "text", maxPieceLen = 6,
+        topPieces = 60)
+      val extIds = TokenizerArtifact.extendIds(
+        Unigram.vocabIds(base), ext)
+      val art = graft.SparkEntry.tmpDir("ug_ext")
+      Unigram.saveVocab(ext, art, maxPieceLen = 6, maxInputChars = 9)
+      TokenizerArtifact.saveIds(extIds, art)
+      Unigram.encodeIdsArtifact(s, art, wpAugDocs(s, dir), "doc_id",
+          "text")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- the DPO vertical THROUGH THE STREAMING ENGINE (the last
+    // batch-only vertical closed — the q226/q237/q241 discipline):
+    // q228's labeled pairs and mined negatives arrive via
+    // PreferenceStream as one envelope stream — split across two
+    // micro-batches by query parity plus an at-least-once redelivered
+    // slice, sims persisted as s4 integers — and the assembly over
+    // the merged state (chosen pick + gap + rank + the prompt decon
+    // anti-join) hash-matches q228's one-shot oracle VERBATIM.
+    "q248_dpo_pairs_streamed" -> ((s, dir) => {
+      import graft.operators.Preference
+      val em = t(s, dir, "embeddings")
+      val q8 = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"))
+      val pairs = q8.select(col("query_id"),
+          (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("query_id"),
+          (col("query_id") * 3L + 100L).as("pos_id")))
+      val negs = Ann.hardNegatives(pairs, em, "vec_id", "embedding",
+        k = 5, margin10k = 9000L)
+      val (pSt, nSt) = prefStreamState(s, pairs, negs)
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val fz = graft.SparkEntry.tmpDir("dpo_decon_st")
+      TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+        shingleN = 2, numPerm = 64, seed = 42L, indexDir = fz)
+      val prompts = d.filter(col("doc_id") < 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val contaminated = TextAnalysis.fuzzyDecontaminateIncremental(
+          s, fz, prompts, "doc_id", "text", shingleN = 2, numPerm = 64,
+          bands = 32, threshold = 0.5, seed = 42L)
+        .filter(col("contaminated"))
+        .select(col("doc_id").as("prompt_id"))
+      Preference.assemble(pSt, nSt, em, "vec_id", "embedding",
+          minGap10k = 50L, pairsPerPrompt = 2)
+        .join(contaminated, Seq("prompt_id"), "left_anti")
+        .orderBy(col("prompt_id"), col("pair_rank"))
+    }),
+
+    // ---- SPLIT-LEAKAGE AUDIT: near-dup pairs STRADDLING a split
+    // boundary are the leakage that inflates eval numbers — exact-id
+    // hash splitting can't see them. Every 40th doc gets a planted
+    // near-copy (id + 10⁶, a 3-token tail appended) whose own id
+    // hashes into whatever split it lands in; the audit composes
+    // q113's split with the q21-family banding and must count every
+    // straddling pair exactly — the within-split rows are the benign
+    // baseline the boundary rows read against.
+    "q249_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = d.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" extra tail tokens")).as("text"))
+      TextAnalysis.splitLeakageAudit(d.unionByName(planted),
+          "doc_id", "text",
+          Seq("train" -> 8000L, "val" -> 1000L, "test" -> 1000L),
+          shingleN = 2, numPerm = 64, bands = 32, threshold = 0.5,
+          seed = 42L)
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // ---- the FULL packed-SFT artifact: truncate → pack → per-chunk
     // loss masks in one chain (q222 + q219 + q238 composed) — what a
     // context-window-bounded SFT run actually materializes: middles
@@ -10538,6 +10785,28 @@ object SparkEntry {
     // the streamed align-gated fold must be invisible: q229's oracle
     // VERBATIM (the q126/q127 pair's discipline for the new gate)
     "q241_curation_aligngate_streamed" -> CurationAlignOracleSql,
+
+    // append-only allocator replay: both minings re-derived (base =
+    // even docs, ext = full corpus), base ids = frozen rank, new
+    // pieces numbered after the base max
+    "q246_wordpiece_extend_ids" -> WpExtendIdsOracleSql,
+
+    // the streamed DPO vertical replays q228's one-shot oracle
+    // VERBATIM — micro-batch boundaries and the redelivered slice
+    // must be invisible in the assembled pairs
+    "q248_dpo_pairs_streamed" -> DpoPairsOracleSql,
+
+    // split-leakage replay: union corpus (docs + planted near-copies)
+    // through the 32-band signature chain, est ≥ 0.5 pairs joined to
+    // the q113 split hash on both sides, counts per unordered
+    // boundary
+    "q249_split_leakage" -> SplitLeakageOracleSql,
+
+    // the allocator through the full Viterbi encode: q231's
+    // enumeration replay with the id table swapped for the
+    // base-rank ∪ after-max-appended allocation
+    "q247_unigram_extend_encode" ->
+      unigramEncodeOracleSql(6, 60, 9, ids = true, extendIds = true),
 
     // margin-sweep replay: the q212 chain with the margin as an
     // unnested parameter, counts over the rank<=5 admitted rows

@@ -817,6 +817,51 @@ object TextAnalysis {
     docs.withColumn("split", expr)
   }
 
+  /** SPLIT-LEAKAGE AUDIT — the eval-integrity check [[assignSplit]]
+    * alone cannot give: hash-splitting is leakage-free on EXACT ids,
+    * but two near-duplicate documents (a quote, a mirror, a light
+    * paraphrase) carry different ids and hash independently — a
+    * near-dup pair STRADDLING the train/test boundary inflates eval
+    * numbers exactly like verbatim contamination. This composes the
+    * two existing tiers: [[assignSplit]]'s deterministic split +
+    * [[Dedup.minhashLsh]]'s banded near-dup candidates (est_jaccard ≥
+    * `threshold`, the portable chain), then counts pairs per
+    * UNORDERED split boundary. Within-split rows (split_a = split_b)
+    * are reported too — they are the benign baseline the straddler
+    * counts read against.
+    *
+    * Output: (split_a, split_b, n_pairs) with split_a ≤ split_b.
+    *
+    * Scale shape: the quadratic stays bucket-confined inside
+    * minhashLsh (banding + the `maxBucketSize` cap); this audit adds
+    * two broadcast-shaped joins of the SKINNY (doc_id, split) table
+    * (splits are derived per-row from the id hash — no corpus text
+    * moves) and one tiny ≤|splits|² aggregation. Recall of the
+    * banding itself is priced by [[Dedup.lshEval]] (q115) — this lane
+    * inherits that measured number rather than re-deriving it.
+    */
+  def splitLeakageAudit(docs: DataFrame, idCol: String,
+                        textCol: String, splits: Seq[(String, Long)],
+                        shingleN: Int, numPerm: Int, bands: Int,
+                        threshold: Double, seed: Long,
+                        maxBucketSize: Int = 0): DataFrame = {
+    val sp = assignSplit(docs.select(col(idCol)), idCol, splits)
+      .select(col(idCol).cast("long").as("__id"), col("split"))
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol,
+      shingleN = shingleN, numPerm = numPerm, bands = bands,
+      estThreshold = threshold, seed = seed,
+      maxBucketSize = maxBucketSize, portable = true)
+    pairs
+      .join(sp.select(col("__id").as("doc_a"),
+        col("split").as("__sa")), Seq("doc_a"))
+      .join(sp.select(col("__id").as("doc_b"),
+        col("split").as("__sb")), Seq("doc_b"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** PII scrubbing: count and redact emails, IPv4 addresses, and
     * international-format phone numbers. Pure per-row regex work (zero
     * shuffle, codegen'd); patterns are restricted to syntax with

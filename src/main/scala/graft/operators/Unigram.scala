@@ -111,8 +111,12 @@ object Unigram {
 
   /** Stable piece→id mapping — (piece ASC) rank, vocabulary-intrinsic
     * (the [[WordPiece.vocabIds]] layout): ids never shift when the
-    * same artifact encodes a different corpus. Vocabulary-sized
-    * single-partition window by construction.
+    * same artifact encodes a different corpus — while the piece set is
+    * FROZEN. Extending the vocabulary must go through
+    * [[TokenizerArtifact.extendIds]] (this layout is its empty-prior
+    * degenerate case): recomputing the rank after an insert renumbers
+    * every later id and invalidates previously tokenized shards.
+    * Vocabulary-sized single-partition window by construction.
     */
   def vocabIds(vocab: DataFrame): DataFrame =
     vocab.select(col("piece"),
@@ -126,10 +130,37 @@ object Unigram {
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 vocab: DataFrame, matchHorizon: Int,
                 maxInputChars: Int): DataFrame =
+    encodeIdsWith(docs, idCol, textCol, vocab, vocabIds(vocab),
+      matchHorizon, maxInputChars)
+
+  /** [[encodeIds]] with an EXPLICIT id table (an
+    * [[TokenizerArtifact.extendIds]] allocation, or a loaded
+    * artifact's ids) instead of the frozen rank layout — the encode
+    * path of an extended vocabulary. Pieces in `ids` but not in
+    * `vocab` (retired from the mining but id-retained) are harmless
+    * to the left join; `[UNK]` is never in `ids` → reserved -1.
+    */
+  def encodeIdsWith(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, ids: DataFrame,
+                    matchHorizon: Int, maxInputChars: Int): DataFrame =
     encode(docs, idCol, textCol, vocab, matchHorizon, maxInputChars)
-      .join(broadcast(vocabIds(vocab)), Seq("piece"), "left")
+      .join(broadcast(ids.select(col("piece"), col("piece_id"))),
+        Seq("piece"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("piece_id"), lit(-1L)).as("piece_id"))
+
+  /** Encode to ids from a PERSISTED artifact: pieces + meta + the
+    * append-only id table all come from the artifact directory — the
+    * full extended-vocabulary round trip.
+    */
+  def encodeIdsArtifact(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val m = TokenizerArtifact.loadMeta(spark, dir)
+    encodeIdsWith(docs, idCol, textCol, loadVocab(spark, dir),
+      TokenizerArtifact.loadIds(spark, dir),
+      matchHorizon = m.maxPieceLen, maxInputChars = m.maxInputChars)
+  }
 
   /** Persist the mined table + its encode contract: the (piece, cnt)
     * parquet (scores are intrinsic — see [[scores]] — so no floats at

@@ -151,9 +151,12 @@ object WordPiece {
 
   /** Stable piece→id mapping: id = the piece's rank in (piece ASC)
     * order — vocabulary-intrinsic, so ids never shift when the same
-    * artifact encodes a different corpus. The single-partition
-    * ranking window is vocabulary-sized by construction (the
-    * [[TextAnalysis.bpeVocab]] shape), never corpus-sized.
+    * artifact encodes a different corpus — while the piece set is
+    * FROZEN. Extending the vocabulary must go through
+    * [[TokenizerArtifact.extendIds]] (this layout is its empty-prior
+    * degenerate case). The single-partition ranking window is
+    * vocabulary-sized by construction (the [[TextAnalysis.bpeVocab]]
+    * shape), never corpus-sized.
     */
   def vocabIds(vocab: DataFrame): DataFrame =
     vocab.select(col("piece"),
@@ -167,8 +170,19 @@ object WordPiece {
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 vocab: DataFrame, matchHorizon: Int,
                 maxInputChars: Int): DataFrame =
+    encodeIdsWith(docs, idCol, textCol, vocab, vocabIds(vocab),
+      matchHorizon, maxInputChars)
+
+  /** [[encodeIds]] with an EXPLICIT id table (an
+    * [[TokenizerArtifact.extendIds]] allocation) — the encode path of
+    * an extended vocabulary (the [[Unigram.encodeIdsWith]] contract).
+    */
+  def encodeIdsWith(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, ids: DataFrame,
+                    matchHorizon: Int, maxInputChars: Int): DataFrame =
     encode(docs, idCol, textCol, vocab, matchHorizon, maxInputChars)
-      .join(broadcast(vocabIds(vocab)), Seq("piece"), "left")
+      .join(broadcast(ids.select(col("piece"), col("piece_id"))),
+        Seq("piece"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("piece_id"), lit(-1L)).as("piece_id"))
 }

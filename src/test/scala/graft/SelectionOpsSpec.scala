@@ -539,6 +539,31 @@ class SelectionOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("splitLeakageAudit: planted cross-split near-dups are counted " +
+      "on their exact boundary; unrelated docs contribute nothing") {
+    // long shared text → near-dup pair despite the appended tail;
+    // doc ids chosen so the pair genuinely straddles (asserted, not
+    // assumed — assignSplit hashes the id, we read what it gives)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (1L to 30L).map(i => (i, s"unique doc $i with words " +
+        s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g")) ++
+      Seq((100L, base), (101L, base + " tail"))
+    val df = docs.toDF("doc_id", "text")
+    val splits = Seq("train" -> 8000L, "val" -> 1000L, "test" -> 1000L)
+    val sp = TextAnalysis.assignSplit(df, "doc_id", splits)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    val out = TextAnalysis.splitLeakageAudit(df, "doc_id", "text",
+        splits, shingleN = 2, numPerm = 64, bands = 32,
+        threshold = 0.5, seed = 42L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_pairs"))).toSeq
+    val expected = (Seq(sp(100L), sp(101L)).min,
+      Seq(sp(100L), sp(101L)).max, 1L)
+    assert(out == Seq(expected), s"got $out, splits $sp")
+  }
+
   test("tokenCounts: trained-merge mode adds exact bpe_tokens") {
     val docs = Seq((1L, "abab abab ab"), (2L, "xy"), (3L, "ababab"))
       .toDF("doc_id", "text")

@@ -441,4 +441,62 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     val meta = graft.operators.TokenizerArtifact.loadMeta(spark, dir)
     assert(meta.maxPieceLen == 6 && meta.maxInputChars == 9)
   }
+
+  // ---- append-only vocabulary id allocation ------------------------
+
+  test("TokenizerArtifact.extendIds: empty prior reproduces the " +
+      "frozen layout; extension keeps old ids bit-stable (retired " +
+      "pieces included), numbers new pieces after the max, and is " +
+      "idempotent") {
+    import graft.operators.TokenizerArtifact
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("piece", "piece_id").as[(String, Long)]
+        .collect().toMap
+    val empty = Seq.empty[(String, Long)].toDF("piece", "piece_id")
+    val v1 = Seq(("b", 5L), ("a", 3L), ("c", 1L)).toDF("piece", "cnt")
+    val ids1 = TokenizerArtifact.extendIds(empty, v1)
+    // degenerate case = the frozen (piece ASC) rank layout
+    assert(rows(ids1) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // v2 retires b, keeps a/c, adds d and aa (aa sorts before every
+    // existing piece alphabetically — a RANK layout would give it id
+    // 1 and renumber b/c/d; the allocator must append it instead)
+    val v2 = Seq(("a", 9L), ("c", 2L), ("d", 4L), ("aa", 7L))
+      .toDF("piece", "cnt")
+    val ids2 = TokenizerArtifact.extendIds(ids1, v2)
+    assert(rows(ids2) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L,
+      "aa" -> 3L, "d" -> 4L))
+    // idempotent: extending with the same vocab allocates nothing
+    assert(rows(TokenizerArtifact.extendIds(ids2, v2)) == rows(ids2))
+    // composes: a third corpus extends the extended allocation
+    val v3 = Seq(("a", 1L), ("e", 1L)).toDF("piece", "cnt")
+    assert(rows(TokenizerArtifact.extendIds(ids2, v3))("e") == 5L)
+  }
+
+  test("extended-vocabulary encode: a doc untouched by any new piece " +
+      "keeps byte-identical token ids (the shard-stability contract)") {
+    import graft.operators.TokenizerArtifact
+    val baseDocs = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
+    val allDocs = Seq((1L, "ab ab ba"), (2L, "xy yx"))
+      .toDF("doc_id", "text")
+    // topPieces large enough that every substring of both corpora is
+    // kept — doc 1's greedy matches are identical under both vocabs
+    val base = WordPiece.mineVocab(baseDocs, "text", 4, 50)
+    val baseIds = WordPiece.vocabIds(base)
+    val ext = WordPiece.mineVocab(allDocs, "text", 4, 50)
+    val extIds = TokenizerArtifact.extendIds(baseIds, ext)
+    // the extension really adds pieces BEFORE doc 1's alphabetically
+    // (##x/##y/x/y sort after, but xy's substrings include none
+    // before 'a' — so force the check the other way: the frozen rank
+    // layout over ext must DISAGREE with extIds somewhere)
+    val frozen = WordPiece.vocabIds(ext).as[(String, Long)]
+      .collect().toMap
+    val appended = extIds.as[(String, Long)].collect().toMap
+    assert(frozen != appended, "extension fixture added no pieces")
+    def enc(ids: org.apache.spark.sql.DataFrame,
+            vocab: org.apache.spark.sql.DataFrame) =
+      WordPiece.encodeIdsWith(baseDocs, "doc_id", "text", vocab, ids,
+          matchHorizon = 4, maxInputChars = 16)
+        .orderBy("pos").as[(Long, Long, Long)].collect().toSeq
+    assert(enc(extIds, ext) == enc(baseIds, base))
+  }
 }
