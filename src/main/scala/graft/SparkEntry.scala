@@ -355,8 +355,15 @@ object SparkEntry {
     * REAL decode on the ImageIO seam, s4 cosine vs the caption
     * embedding. Returns (doc_id, align_s4).
     */
-  private def alignFixtureScores(s: SparkSession,
-                                 d: DataFrame): DataFrame = {
+  /** The q229-family cross-modal fixture's FEATURES: caption hash
+    * embeddings (dim 8) for every 5th doc, and the luma histograms of
+    * the strip-PNG images planted from them (w = max(emb,0)+1, bins
+    * REVERSED for (doc_id div 5) % 4 = 1 — the mismatched plants).
+    * Returns (emb: (doc_id, emb), hists: (doc_id, hist)) — the pair
+    * the alignment gate scores and the retrieval lanes index.
+    */
+  private def alignFixtureFeatures(s: SparkSession, d: DataFrame)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val imgDocs = d.filter(pmod(col("doc_id"), lit(5)) === 0)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -378,6 +385,12 @@ object SparkEntry {
           "image/png") }
     val hists = Multimodal.imageLumaHist(media).toDF()
       .select(col("media_id").as("doc_id"), col("hist"))
+    (emb, hists)
+  }
+
+  private def alignFixtureScores(s: SparkSession,
+                                 d: DataFrame): DataFrame = {
+    val (emb, hists) = alignFixtureFeatures(s, d)
     emb.join(hists, Seq("doc_id"))
       .select(col("doc_id"),
         Multimodal.alignScore10k(col("emb"), col("hist"))
@@ -1356,6 +1369,68 @@ object SparkEntry {
          |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM str GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
+
+  /** q250/q251 shared cross-modal retrieval CTEs: the alignment
+    * fixture's features (AlignScoreCtesSql's `ahs`: caption embed v +
+    * image hist h per image doc) int8-quantized on both sides (the
+    * quantizeInt8 replay), images clustered by (doc_id div 5) % 4,
+    * captions (every 20th doc, +5·10⁶ query ids) scored against
+    * probed clusters with the engine's exact
+    * round(dot/(n·n), 4)+0.0 ranking. `chain(sfx, probes)` ends at
+    * `xr$sfx` (query_id, neighbor_id, sim, rank).
+    */
+  private def xmodalChainSql(sfx: String, probes: String): String =
+    s"""xp$sfx AS (SELECT query_id, qq, qn,
+       |  unnest(list_distinct($probes)) AS probe FROM xqn),
+       |xs$sfx AS (SELECT query_id, c.doc_id AS neighbor_id,
+       |  round(list_dot_product(qq, c.q) / (qn * c.nrm), 4) + 0.0
+       |    AS sim
+       | FROM xp$sfx JOIN xnn c ON probe = c.cluster
+       |  AND query_id <> c.doc_id),
+       |xr$sfx AS (SELECT query_id, neighbor_id, sim,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY sim DESC, neighbor_id) AS rank FROM xs$sfx)"""
+      .stripMargin
+
+  private lazy val XmodalBaseCtesSql: String =
+    s"""$AlignScoreCtesSql,
+       |xn AS (SELECT doc_id, (doc_id // 5) % 4 AS cluster,
+       |  list_transform(h, x -> floor((x * 127) /
+       |    list_max(list_transform(h, y -> abs(y))))) AS q
+       | FROM ahs),
+       |xnn AS (SELECT doc_id, cluster, q,
+       |  sqrt(list_dot_product(q, q)) AS nrm FROM xn),
+       |xqv AS (SELECT doc_id, doc_id + 5000000 AS query_id,
+       |  list_transform(v, x -> floor((x * 127) /
+       |    list_max(list_transform(v, y -> abs(y))))) AS qq
+       | FROM ahs WHERE doc_id % 20 = 0
+       |  AND list_max(list_transform(v, y -> abs(y))) > 0),
+       |xqn AS (SELECT doc_id, query_id, qq,
+       |  sqrt(list_dot_product(qq, qq)) AS qn FROM xqv)""".stripMargin
+
+  private lazy val XmodalRetrievalOracleSql: String = materializeCtes(
+    s"""WITH $XmodalBaseCtesSql,
+       |${xmodalChainSql("A",
+          "[(doc_id // 5) % 4, ((doc_id // 5) + 1) % 4]")}
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM xrA WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+
+  private lazy val XmodalRecallOracleSql: String = materializeCtes(
+    s"""WITH $XmodalBaseCtesSql,
+       |${xmodalChainSql("A",
+          "[(doc_id // 5) % 4, ((doc_id // 5) + 1) % 4]")},
+       |${xmodalChainSql("T", "[0, 1, 2, 3]")},
+       |xak AS (SELECT query_id, neighbor_id FROM xrA WHERE rank <= 3),
+       |xtk AS (SELECT query_id, neighbor_id FROM xrT WHERE rank <= 3),
+       |xh AS (SELECT a.query_id, COUNT(*) AS n_hit
+       | FROM xak a JOIN xtk t ON a.query_id = t.query_id
+       |  AND a.neighbor_id = t.neighbor_id
+       | GROUP BY a.query_id)
+       |SELECT q.query_id, CAST(3 AS BIGINT) AS k,
+       | CAST(COALESCE(xh.n_hit, 0) AS BIGINT) AS n_hit,
+       | CAST(COALESCE(xh.n_hit, 0) AS DOUBLE) / 3 AS recall
+       |FROM (SELECT DISTINCT query_id FROM xtk) q
+       |LEFT JOIN xh USING (query_id) ORDER BY query_id""".stripMargin)
 
   private def dec(c: Column, p: Int = 18, sc: Int = 2): Column =
     c.cast(s"decimal($p,$sc)")
@@ -6157,6 +6232,58 @@ object SparkEntry {
         .orderBy(col("prompt_id"), col("pair_rank"))
     }),
 
+    // ---- CROSS-MODAL RETRIEVAL (the CLIP-retrieval artifact q229's
+    // alignment gate and q215's interleaved packer both assume
+    // upstream): caption hash-embeddings query a PERSISTED SQ8 index
+    // of image luma-hist features — probed-partition reads, codes not
+    // vectors, the q193/q218 machinery pointed across modalities.
+    // Query ids ride a +5·10⁶ offset so a caption retrieving ITS OWN
+    // image (the point of CLIP retrieval) is never self-excluded.
+    "q250_xmodal_retrieval" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{l2Norm, toDoubleVec}
+      val d = t(s, dir, "documents")
+      val (emb0, hists) = alignFixtureFeatures(s, d)
+      val emb = emb0.filter(l2Norm(toDoubleVec(col("emb"))) > 0)
+      val corpus = hists.join(emb.select("doc_id"), Seq("doc_id"))
+      val idx = graft.SparkEntry.tmpDir("xmodal_idx")
+      Ann.sq8IndexAppend(corpus, "doc_id", "hist",
+        pmod(expr("doc_id div 5"), lit(4L)), idx, 1L)
+      val qs = emb.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 5000000L).as("query_id"), col("emb"),
+          array(pmod(expr("doc_id div 5"), lit(4L)),
+            pmod(expr("doc_id div 5") + 1L, lit(4L))).as("probes"))
+      Ann.sq8IndexQuery(s, idx, qs, "query_id", "emb", "probes", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the retrieval's PRUNING RECALL (the q224/q225 discipline
+    // pointed at the cross-modal index): the production 2-of-4-probe
+    // config vs the all-probes truth, per-query — the measured price
+    // of partition pruning on this index before anyone trusts it at
+    // 100 TB.
+    "q251_xmodal_recall" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{l2Norm, toDoubleVec}
+      val d = t(s, dir, "documents")
+      val (emb0, hists) = alignFixtureFeatures(s, d)
+      val emb = emb0.filter(l2Norm(toDoubleVec(col("emb"))) > 0)
+      val corpus = hists.join(emb.select("doc_id"), Seq("doc_id"))
+      val idx = graft.SparkEntry.tmpDir("xmodal_rec_idx")
+      Ann.sq8IndexAppend(corpus, "doc_id", "hist",
+        pmod(expr("doc_id div 5"), lit(4L)), idx, 1L)
+      def qs(probes: Column) =
+        emb.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 5000000L).as("query_id"),
+            col("emb"), probes.as("probes"))
+      val approx = Ann.sq8IndexQuery(s, idx,
+        qs(array(pmod(expr("doc_id div 5"), lit(4L)),
+          pmod(expr("doc_id div 5") + 1L, lit(4L)))),
+        "query_id", "emb", "probes", k = 3)
+      val truth = Ann.sq8IndexQuery(s, idx,
+        qs(sequence(lit(0L), lit(3L))),
+        "query_id", "emb", "probes", k = 3)
+      Ann.recallAtK(approx, truth, 3).orderBy(col("query_id"))
+    }),
+
     // ---- SPLIT-LEAKAGE AUDIT: near-dup pairs STRADDLING a split
     // boundary are the leakage that inflates eval numbers — exact-id
     // hash splitting can't see them. Every 40th doc gets a planted
@@ -10801,6 +10928,15 @@ object SparkEntry {
     // the q113 split hash on both sides, counts per unordered
     // boundary
     "q249_split_leakage" -> SplitLeakageOracleSql,
+
+    // cross-modal retrieval replay: the alignment fixture's features
+    // int8-quantized both sides, probed-cluster join, the engine's
+    // exact rounded-cosine ranking
+    "q250_xmodal_retrieval" -> XmodalRetrievalOracleSql,
+
+    // pruning recall replay: the 2-of-4-probe chain vs the all-probes
+    // truth over the same index CTEs
+    "q251_xmodal_recall" -> XmodalRecallOracleSql,
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the
