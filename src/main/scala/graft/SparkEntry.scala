@@ -1034,7 +1034,10 @@ object SparkEntry {
   private def unigramEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
                                      maxInputChars: Int,
                                      ids: Boolean = false,
-                                     extendIds: Boolean = false): String = {
+                                     extendIds: Boolean = false,
+                                     nBest: Int = 0,
+                                     nBestList: Boolean = false,
+                                     sampleSeed: Long = 42L): String = {
     val aug =
       s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CASE WHEN doc_id % 25 = 0
@@ -1072,12 +1075,42 @@ object SparkEntry {
     val normCase = (0 to maxInputChars).map(np =>
       s"WHEN $np THEN CAST('1${"0" * (4 * (maxInputChars - np))}' " +
         "AS HUGEINT)").mkString(" ")
-    val tail =
-      s"""ubst AS (SELECT tok, seq FROM (
-         |  SELECT tok, seq, row_number() OVER (PARTITION BY tok
+    // the shared per-word ranking under the exact total order; the
+    // argmax (rn = 1), the n-best listing (rn ≤ nBest) and the
+    // seeded sampled pick (rn = polyHash(tok∥'|ugs'∥seed) mod
+    // |available| + 1) are all reads of this one window
+    val rankCte =
+      s"""urk AS (SELECT tok, seq, row_number() OVER (PARTITION BY tok
          |   ORDER BY prod * (CASE np $normCase END) DESC,
          |    np ASC, seq ASC) AS rn
-         |  FROM ug$maxInputChars WHERE pos >= n) WHERE rn = 1),
+         | FROM ug$maxInputChars WHERE pos >= n)""".stripMargin
+    if (nBestList) {
+      require(nBest >= 1, "nBestList requires nBest >= 1")
+      return materializeCtes(
+        s"""WITH ${unigramVocabCtesSql(maxPieceLen, topPieces)},
+           |$aug,
+           |$stages,
+           |$rankCte
+           |SELECT tok, CAST(rn AS BIGINT) AS nbest_rank, seq
+           |FROM urk WHERE rn <= $nBest
+           |UNION ALL
+           |SELECT DISTINCT tok, CAST(1 AS BIGINT), '[UNK]'
+           |FROM adt WHERE len(tok) > $maxInputChars
+           |ORDER BY tok, nbest_rank""".stripMargin)
+    }
+    val pick = if (nBest <= 0)
+      s"""$rankCte,
+         |ubst AS (SELECT tok, seq FROM urk WHERE rn = 1)""".stripMargin
+    else
+      s"""$rankCte,
+         |unb AS (SELECT tok, seq, rn FROM urk WHERE rn <= $nBest),
+         |una AS (SELECT tok, COUNT(*) AS na FROM unb GROUP BY tok),
+         |ubst AS (SELECT u.tok, u.seq FROM unb u JOIN una a USING (tok)
+         | WHERE u.rn =
+         |  ${polyHashSql(s"u.tok || '|ugs$sampleSeed'")} % a.na + 1)"""
+        .stripMargin
+    val tail =
+      s"""$pick,
          |udone AS (SELECT tok, seq FROM ubst
          | UNION ALL
          | SELECT DISTINCT tok, '[UNK]' AS seq FROM adt
@@ -1407,6 +1440,23 @@ object SparkEntry {
        |  AND list_max(list_transform(v, y -> abs(y))) > 0),
        |xqn AS (SELECT doc_id, query_id, qq,
        |  sqrt(list_dot_product(qq, qq)) AS qn FROM xqv)""".stripMargin
+
+  /** q213/q254: the span-layout replay — shared turn CTEs → one
+    * cumsum per conversation (q254 reads it over the COMPACTED
+    * stream state: compaction must be invisible).
+    */
+  private lazy val SftSpansOracleSql: String =
+    s"""WITH $SftTurnCtesSql,
+       |s AS (SELECT conv_id, turn_idx, role, piece, n_tokens,
+       |  SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+       |    ROWS UNBOUNDED PRECEDING) AS end_tok
+       | FROM p)
+       |SELECT conv_id, turn_idx, role, piece,
+       | CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+       | CAST(end_tok AS BIGINT) AS end_tok,
+       | CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+       |   AS BIGINT) AS in_loss
+       |FROM s ORDER BY conv_id, turn_idx""".stripMargin
 
   private lazy val XmodalRetrievalOracleSql: String = materializeCtes(
     s"""WITH $XmodalBaseCtesSql,
@@ -6232,6 +6282,61 @@ object SparkEntry {
         .orderBy(col("prompt_id"), col("pair_rank"))
     }),
 
+    // ---- SFT LAYER COMPACTION (the maintenance lane the 100 TB
+    // scaladoc path promised — the q64/q65 family for the turn
+    // store): fold turns in two layers, COMPACT to one, and the span
+    // assembly over the compacted state replays q213's oracle
+    // VERBATIM. The crash-window argument is structural (merged +
+    // old layers coexisting only duplicate rows, which the read side
+    // collapses) — the spec proves it by reading mid-window.
+    "q254_sft_compacted" -> ((s, dir) => {
+      import graft.streaming.SftStream
+      val cfg = SftStream.Config(graft.SparkEntry.tmpDir("sft_cmp"))
+      val turns = sftTurns(s, dir)
+      SftStream.foldBatch(
+        turns.filter(pmod(col("turn_idx"), lit(2)) === 0), 1L, cfg)
+      SftStream.foldBatch(
+        turns.filter(pmod(col("turn_idx"), lit(2)) === 1), 2L, cfg)
+      SftStream.compactTurns(s, cfg)
+      Conversations.spans(SftStream.turnsState(s, cfg), "conv_id",
+          "turn_idx", "role", "text")
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // ---- UNIGRAM N-BEST LISTING (Kudo 2018 §4's prerequisite): the
+    // top-4 segmentations per distinct corpus word under the exact
+    // total order — rank 1 is q231's argmax by construction; the
+    // oracle full-enumerates every segmentation in HUGEINT and
+    // replays the whole ranked list, so one mis-ordered tie anywhere
+    // in the n-best DP is a hash fail. Over-length words list the
+    // single [UNK].
+    "q252_unigram_nbest" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val vocab = Unigram.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      Unigram.nBest(wpAugDocs(s, dir), "text", vocab,
+          matchHorizon = 6, maxInputChars = 9, nBest = 4)
+        .orderBy(col("tok"), col("nbest_rank"))
+    }),
+
+    // ---- SUBWORD-REGULARIZATION SAMPLING ENCODE: the training-time
+    // regularizer — each word takes a seeded draw among its top-4
+    // segmentations instead of the argmax (draw = the oracle-portable
+    // polyHash(word∥'|ugs'∥seed) mod |available|: deterministic per
+    // (word, seed), different across seeds — the exact-arithmetic
+    // stand-in for Kudo's ∝pᵅ sampling, documented in
+    // UnigramSampleBroadcast's scaladoc). Same stream shape as q231;
+    // the oracle replays enumeration, ranking AND the draw.
+    "q253_unigram_sampled" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val vocab = Unigram.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      Unigram.encodeSampled(wpAugDocs(s, dir), "doc_id", "text",
+          vocab, matchHorizon = 6, maxInputChars = 9, nBestN = 4,
+          seed = 42L)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- CROSS-MODAL RETRIEVAL (the CLIP-retrieval artifact q229's
     // alignment gate and q215's interleaved packer both assume
     // upstream): caption hash-embeddings query a PERSISTED SQ8 index
@@ -10697,18 +10802,11 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // SFT span replay: the shared turn CTEs + one ROWS-framed cumsum
-    "q213_sft_spans" ->
-      s"""WITH $SftTurnCtesSql,
-         |s AS (SELECT conv_id, turn_idx, role, piece, n_tokens,
-         |  SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
-         |    ROWS UNBOUNDED PRECEDING) AS end_tok
-         | FROM p)
-         |SELECT conv_id, turn_idx, role, piece,
-         | CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
-         | CAST(end_tok AS BIGINT) AS end_tok,
-         | CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
-         |   AS BIGINT) AS in_loss
-         |FROM s ORDER BY conv_id, turn_idx""".stripMargin,
+    "q213_sft_spans" -> SftSpansOracleSql,
+
+    // the compacted state's spans replay q213's oracle VERBATIM —
+    // compaction must be invisible in every artifact
+    "q254_sft_compacted" -> SftSpansOracleSql,
 
     // SFT render replay: pieces string_agg'd in turn order
     "q214_sft_render" ->
@@ -10937,6 +11035,16 @@ object SparkEntry {
     // pruning recall replay: the 2-of-4-probe chain vs the all-probes
     // truth over the same index CTEs
     "q251_xmodal_recall" -> XmodalRecallOracleSql,
+
+    // the full ranked n-best list from the enumeration, ties under
+    // the exact total order
+    "q252_unigram_nbest" ->
+      unigramEncodeOracleSql(6, 60, 9, nBest = 4, nBestList = true),
+
+    // sampled-encode replay: enumeration → ranked window → the
+    // seeded polyHash draw → the picked segmentation's piece stream
+    "q253_unigram_sampled" ->
+      unigramEncodeOracleSql(6, 60, 9, nBest = 4, sampleSeed = 42L),
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the

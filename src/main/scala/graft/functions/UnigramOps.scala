@@ -136,6 +136,70 @@ object UnigramApply {
       best(n).seq.split(' ').map(p => UTF8String.fromString(p))
         .asInstanceOf[Array[Any]])
   }
+
+  /** The cells' total order — key DESC, then FEWER pieces, then the
+    * lexicographically smaller rendered sequence in binary UTF-8
+    * (the [[encodeWord]] comparison, reified for the n-best lists).
+    */
+  private val cellOrd: Ordering[Cell] = new Ordering[Cell] {
+    def compare(a: Cell, b: Cell): Int = {
+      val c = b.key.compareTo(a.key)
+      if (c != 0) c
+      else if (a.n != b.n) a.n - b.n
+      else UTF8String.fromString(a.seq)
+        .compareTo(UTF8String.fromString(b.seq))
+    }
+  }
+
+  /** N-BEST Viterbi (the subword-regularization prerequisite — Kudo
+    * 2018 §4): the top-`nBest` segmentations of one word under the
+    * SAME total order as [[encodeWord]]'s argmax. Per-position
+    * truncation to nBest is exact: key(prefix·s) = key(prefix)·s/10⁴
+    * (monotone in key(prefix)), the piece-count tie adds 1 to both
+    * sides, and the seq tie is decided at the first differing
+    * position and survives a common suffix — so a prefix outside its
+    * position's top-n can never re-enter the word's top-n (the
+    * standard n-best DP argument). Words over `maxInputChars` (or
+    * with no segmentation) return the single-entry `[UNK]` list.
+    */
+  private[functions] def nBestSegmentations(word: String,
+      scores: java.util.HashMap[String, Long], maxPieceLen: Int,
+      maxInputChars: Int, pows: Array[java.math.BigInteger],
+      nBest: Int): Array[String] = {
+    val n = word.length
+    if (n > maxInputChars) return Array(Unk)
+    val best = new Array[List[Cell]](n + 1)
+    best(0) = List(new Cell(java.math.BigInteger.ONE, 0, "",
+      pows(maxInputChars)))
+    var end = 1
+    while (end <= n) {
+      val cands = scala.collection.mutable.ArrayBuffer.empty[Cell]
+      var start = math.max(0, end - maxPieceLen)
+      while (start < end) {
+        if (best(start) != null) {
+          val s = scores.get(word.substring(start, end))
+          if (s != 0L) {
+            val piece = word.substring(start, end)
+            best(start).foreach { prev =>
+              val prod = prev.prod.multiply(
+                java.math.BigInteger.valueOf(s))
+              val seq = if (prev.seq.isEmpty) piece
+                else prev.seq + " " + piece
+              cands += new Cell(prod, prev.n + 1, seq,
+                prod.multiply(pows(maxInputChars - prev.n - 1)))
+            }
+          }
+        }
+        start += 1
+      }
+      best(end) =
+        if (cands.isEmpty) null
+        else cands.sorted(cellOrd).take(nBest).toList
+      end += 1
+    }
+    if (best(n) == null) Array(Unk)
+    else best(n).map(_.seq).toArray
+  }
 }
 
 /** Piece table behind a `Broadcast` handle — one TorrentBroadcast per
@@ -162,6 +226,74 @@ case class UnigramApplyBroadcast(child: Expression,
     copy(child = newChild)
 }
 
+/** The ranked n-best segmentation LIST of one word — each entry a
+  * space-joined piece sequence, index = rank. The listing form of the
+  * subword-regularization machinery ([[UnigramSampleBroadcast]] is
+  * the sampling form).
+  */
+case class UnigramNBestBroadcast(child: Expression,
+    bc: Broadcast[Array[(String, Long)]], matchHorizon: Int,
+    maxInputChars: Int, nBest: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nBest >= 1, "nBest >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unigram_nbest_bc"
+
+  @transient private lazy val scores = UnigramApply.toScores(bc.value)
+  @transient private lazy val pows = UnigramApply.normPows(maxInputChars)
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(UnigramApply.nBestSegmentations(
+      input.asInstanceOf[UTF8String].toString, scores, matchHorizon,
+      maxInputChars, pows, nBest)
+      .map(s => UTF8String.fromString(s)).asInstanceOf[Array[Any]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramNBestBroadcast =
+    copy(child = newChild)
+}
+
+/** SUBWORD-REGULARIZATION sampling encode (Kudo 2018 §4, the
+  * exact-arithmetic stand-in): instead of the argmax, pick ONE of the
+  * word's top-`nBest` segmentations — index = polyHash(word ∥ "|ugs"
+  * ∥ seed) mod |available| (the oracle-portable [[PolyHashImpl]]
+  * fold, mult 31), so the draw is seeded, deterministic per word, and
+  * replayable in ANSI SQL (the true algorithm samples ∝ pᵅ per
+  * occurrence with an RNG — unreplayable by an exact oracle; a seeded
+  * uniform over the n-best keeps the property that matters for the
+  * regularizer: the SAME word tokenizes differently under different
+  * seeds, never differently under the same seed). Words over
+  * `maxInputChars` stay whole-word `[UNK]`.
+  */
+case class UnigramSampleBroadcast(child: Expression,
+    bc: Broadcast[Array[(String, Long)]], matchHorizon: Int,
+    maxInputChars: Int, nBest: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(nBest >= 1, "nBest >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unigram_sample_bc"
+
+  @transient private lazy val scores = UnigramApply.toScores(bc.value)
+  @transient private lazy val pows = UnigramApply.normPows(maxInputChars)
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val list = UnigramApply.nBestSegmentations(word, scores,
+      matchHorizon, maxInputChars, pows, nBest)
+    val idx = (PolyHashImpl.hash(
+      UTF8String.fromString(word + "|ugs" + seed), 31L)
+      % list.length).toInt
+    new GenericArrayData(list(idx).split(' ')
+      .map(p => UTF8String.fromString(p)).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramSampleBroadcast =
+    copy(child = newChild)
+}
+
 object UnigramOps {
   /** Column API: max-product Viterbi over one word; `matchHorizon` =
     * the table's mining maxPieceLen (the [[WordPieceOps]] contract).
@@ -170,4 +302,21 @@ object UnigramOps {
                      matchHorizon: Int, maxInputChars: Int): Column =
     ColumnBridge.column(UnigramApplyBroadcast(
       ColumnBridge.expression(word), bc, matchHorizon, maxInputChars))
+
+  /** Column API: the ranked top-`nBest` segmentation list. */
+  def unigramNBestBc(word: Column, bc: Broadcast[Array[(String, Long)]],
+                     matchHorizon: Int, maxInputChars: Int,
+                     nBest: Int): Column =
+    ColumnBridge.column(UnigramNBestBroadcast(
+      ColumnBridge.expression(word), bc, matchHorizon, maxInputChars,
+      nBest))
+
+  /** Column API: the seeded sampled segmentation. */
+  def unigramSampleBc(word: Column,
+                      bc: Broadcast[Array[(String, Long)]],
+                      matchHorizon: Int, maxInputChars: Int,
+                      nBest: Int, seed: Long): Column =
+    ColumnBridge.column(UnigramSampleBroadcast(
+      ColumnBridge.expression(word), bc, matchHorizon, maxInputChars,
+      nBest, seed))
 }

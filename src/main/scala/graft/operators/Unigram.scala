@@ -87,24 +87,73 @@ object Unigram {
     *
     * Output: (doc_id, pos, piece) — the tokenizer stream shape.
     */
-  def encode(docs: DataFrame, idCol: String, textCol: String,
-             vocab: DataFrame, matchHorizon: Int, maxInputChars: Int,
-             driverVocabLimit: Long = 4000000L): DataFrame = {
-    val scored = scores(vocab)
-    val head = scored.select(col("piece"), col("s10k"))
+  private def broadcastScores(docs: DataFrame, vocab: DataFrame,
+      driverVocabLimit: Long)
+      : org.apache.spark.broadcast.Broadcast[Array[(String, Long)]] = {
+    val head = scores(vocab).select(col("piece"), col("s10k"))
       .limit(math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(head.length <= driverVocabLimit,
       s"piece table exceeds driverVocabLimit=$driverVocabLimit — a " +
         "unigram vocab is a tokenizer artifact, not corpus-sized; " +
         "mine with a smaller topPieces")
-    val bc = docs.sparkSession.sparkContext
-      .broadcast(head.sortBy(_._1))
+    docs.sparkSession.sparkContext.broadcast(head.sortBy(_._1))
+  }
+
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame, matchHorizon: Int, maxInputChars: Int,
+             driverVocabLimit: Long = 4000000L): DataFrame = {
+    val bc = broadcastScores(docs, vocab, driverVocabLimit)
     docs.select(col(idCol).as("doc_id"),
         posexplode(flatten(transform(
           filter(tokens(col(textCol)), t => length(t) > 0),
           w => UnigramOps.unigramApplyBc(w, bc, matchHorizon,
             maxInputChars)))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("piece"))
+  }
+
+  /** The ranked top-`nBest` segmentations per DISTINCT corpus word —
+    * the listing form of subword regularization (Kudo 2018 §4):
+    * training-time sampling draws from exactly this list, so the list
+    * itself is the auditable artifact. Output: (tok, nbest_rank,
+    * seq) — rank 1 is [[encode]]'s argmax by construction (same DP,
+    * same total order); over-length words list the single `[UNK]`.
+    *
+    * Scale shape: one corpus scan to the distinct-word table (vocab-
+    * sized), then a zero-Exchange per-word native expression —
+    * per-position truncation keeps the DP O(len·horizon·nBest).
+    */
+  def nBest(docs: DataFrame, textCol: String, vocab: DataFrame,
+            matchHorizon: Int, maxInputChars: Int, nBest: Int,
+            driverVocabLimit: Long = 4000000L): DataFrame = {
+    val bc = broadcastScores(docs, vocab, driverVocabLimit)
+    docs.select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("tok"))
+      .distinct()
+      .select(col("tok"), posexplode(UnigramOps.unigramNBestBc(
+        col("tok"), bc, matchHorizon, maxInputChars, nBest)))
+      .select(col("tok"), (col("pos") + 1).cast("long")
+        .as("nbest_rank"), col("col").as("seq"))
+  }
+
+  /** SUBWORD-REGULARIZATION sampling encode: [[encode]]'s stream
+    * shape, but each word takes a seeded draw among its top-`nBest`
+    * segmentations instead of the argmax
+    * ([[graft.functions.UnigramSampleBroadcast]] — deterministic per
+    * (word, seed), different across seeds: the property the
+    * regularizer needs, in oracle-replayable integers).
+    */
+  def encodeSampled(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, matchHorizon: Int,
+                    maxInputChars: Int, nBestN: Int, seed: Long,
+                    driverVocabLimit: Long = 4000000L): DataFrame = {
+    val bc = broadcastScores(docs, vocab, driverVocabLimit)
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(flatten(transform(
+          filter(tokens(col(textCol)), t => length(t) > 0),
+          w => UnigramOps.unigramSampleBc(w, bc, matchHorizon,
+            maxInputChars, nBestN, seed)))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("piece"))
   }

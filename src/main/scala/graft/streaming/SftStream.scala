@@ -88,6 +88,50 @@ object SftStream {
           .as("text"))
   }
 
+  /** COMPACT the turn layers — the bounded-listing maintenance the
+    * 100 TB scaladoc path promises (the vector-index compaction
+    * precedent, [[graft.operators.Ann]] epochs, adapted to this
+    * store's read-side semantics): merge every layer's rows
+    * (exact-duplicate payloads collapse — [[turnsState]]'s own
+    * arithmetic) into ONE new layer named `batch=c<maxId>`, then
+    * delete the old layers. Crash-safe WITHOUT an atomic pointer
+    * because the read side is idempotent by construction: in the
+    * window where the merged layer and the old layers coexist, every
+    * row is merely duplicated and [[turnsState]] collapses it — the
+    * state is IDENTICAL at every instant of the compaction. An engine
+    * replay of a compacted-away batchId re-creates its layer with the
+    * same rows — duplicates again, collapsed again.
+    *
+    * The conflict guard is compaction-proof the same way: a
+    * conflicting pair survives the merge as two rows and still
+    * raises at read time.
+    *
+    * No-op below two layers. Deterministic layer name (the max
+    * numeric id at compaction time, 'c'-prefixed) — no clock, so a
+    * re-run compaction is itself idempotent.
+    */
+  def compactTurns(spark: SparkSession, cfg: Config): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"${cfg.root}/turns")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val layers = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+    if (layers.length <= 1) return
+    val maxId = layers.map(_.getName.stripPrefix("batch=")
+        .stripPrefix("c")).flatMap(s => scala.util.Try(s.toLong).toOption)
+      .foldLeft(0L)(math.max)
+    val merged = spark.read.parquet(dir.toString)
+      .select(TurnCols.map(col): _*).distinct()
+      // the write below deletes what it reads via the new layer's
+      // lineage — materialize first (test-scale states; at 100 TB the
+      // merged write lands before any delete, same ordering)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .parquet(s"${cfg.root}/turns/batch=c$maxId")
+    layers.filter(_.getName != s"batch=c$maxId")
+      .foreach(p => fs.delete(p, true))
+  }
+
   /** Start the streaming ingest over a turn stream — the
     * [[CurationStream.start]] foreachBatch idiom: the batch fold is a
     * parquet write, so Structured Streaming's batch-replay-after-crash

@@ -103,4 +103,41 @@ class SftStreamSpec extends SparkSpecBase {
     SftStream.foldBatch(turns.take(4).toDF(), 1L, cfg) // crash replay
     assert(SftStream.turnsState(spark, cfg).count() == turns.size)
   }
+
+  private def layerNames(cfg: SftStream.Config): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"${cfg.root}/turns")
+    val fs = dir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSeq.sorted
+  }
+
+  test("compaction: layers collapse to one, artifacts identical " +
+      "before/after, the crash window (merged + old coexisting) is " +
+      "state-invisible, and a replay of a compacted-away batch " +
+      "collapses") {
+    val cfg = SftStream.Config(mk())
+    SftStream.foldBatch(turns.filter(_.turn_idx % 2 == 0).toDF(), 1L, cfg)
+    SftStream.foldBatch(turns.filter(_.turn_idx % 2 == 1).toDF(), 2L, cfg)
+    val before = artifacts(SftStream.turnsState(spark, cfg))
+    // simulate the crash window: write the merged layer WITHOUT
+    // deleting the old ones — the read side must see identical state
+    SftStream.turnsState(spark, cfg)
+      .write.mode("overwrite").parquet(s"${cfg.root}/turns/batch=c2")
+    assert(layerNames(cfg).size == 3)
+    assert(artifacts(SftStream.turnsState(spark, cfg)) == before)
+    // the real compaction (idempotent over the half-done state)
+    SftStream.compactTurns(spark, cfg)
+    assert(layerNames(cfg) == Seq("batch=c2"))
+    assert(artifacts(SftStream.turnsState(spark, cfg)) == before)
+    // engine replay of a compacted-away batchId re-creates its layer
+    // with the same rows — duplicates, collapsed
+    SftStream.foldBatch(turns.filter(_.turn_idx % 2 == 0).toDF(), 1L, cfg)
+    assert(artifacts(SftStream.turnsState(spark, cfg)) == before)
+    // and a SECOND compaction over {c2, 1} collapses again (max
+    // numeric id now 2 → layer c2 rewritten)
+    SftStream.compactTurns(spark, cfg)
+    assert(layerNames(cfg) == Seq("batch=c2"))
+    assert(artifacts(SftStream.turnsState(spark, cfg)) == before)
+  }
 }

@@ -442,6 +442,37 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     assert(meta.maxPieceLen == 6 && meta.maxInputChars == 9)
   }
 
+  test("Unigram n-best: rank 1 equals the argmax encode; the list is " +
+      "strictly ordered; sampled encode is deterministic per seed " +
+      "and varies across seeds") {
+    val docs = Seq((1L, "abab ab b abab ba")).toDF("doc_id", "text")
+    val vocab = Unigram.mineVocab(docs, "text", 4, 20)
+    val nb = Unigram.nBest(docs, "text", vocab, matchHorizon = 4,
+        maxInputChars = 9, nBest = 3)
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(_._3).toSeq }
+    // rank-1 per word = the argmax stream's segmentation
+    val arg = Unigram.encode(docs, "doc_id", "text", vocab,
+        matchHorizon = 4, maxInputChars = 9)
+      .orderBy("pos").as[(Long, Long, String)].collect().map(_._3)
+    val words = "abab ab b abab ba".split(' ')
+    val rebuilt = words.flatMap(w => nb(w).head.split(' '))
+    assert(rebuilt.toSeq == arg.toSeq)
+    // a 4-char word over {a, b, ab, ba, ...} has > 1 segmentation
+    assert(nb("abab").length > 1)
+    assert(nb("abab").distinct.length == nb("abab").length)
+    // sampling: bit-stable per seed, varies across seeds somewhere
+    def sample(seed: Long) = Unigram.encodeSampled(docs, "doc_id",
+        "text", vocab, matchHorizon = 4, maxInputChars = 9,
+        nBestN = 3, seed = seed)
+      .orderBy("pos").as[(Long, Long, String)].collect().toSeq
+    assert(sample(42L) == sample(42L))
+    val variants = (0L to 9L).map(sample).distinct
+    assert(variants.length > 1,
+      "ten seeds produced one identical encoding — the draw is dead")
+  }
+
   // ---- append-only vocabulary id allocation ------------------------
 
   test("TokenizerArtifact.extendIds: empty prior reproduces the " +
