@@ -1031,13 +1031,12 @@ object SparkEntry {
     * Per stage the candidate lengths explode FIRST (≤ maxPieceLen
     * rows per path) so the vocab join is a hashable string equality.
     */
-  private def unigramEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
-                                     maxInputChars: Int,
-                                     ids: Boolean = false,
-                                     extendIds: Boolean = false,
-                                     nBest: Int = 0,
-                                     nBestList: Boolean = false,
-                                     sampleSeed: Long = 42L): String = {
+  /** The shared Unigram-enumeration SQL parts (aug corpus, unrolled
+    * stages, the exact-total-order ranking window) — used by the
+    * encode/ids/nbest/sample oracles AND the q256 sweep.
+    */
+  private def unigramEnumParts(maxPieceLen: Int, maxInputChars: Int)
+      : (String, String, String) = {
     val aug =
       s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CASE WHEN doc_id % 25 = 0
@@ -1084,6 +1083,18 @@ object SparkEntry {
          |   ORDER BY prod * (CASE np $normCase END) DESC,
          |    np ASC, seq ASC) AS rn
          | FROM ug$maxInputChars WHERE pos >= n)""".stripMargin
+    (aug, stages, rankCte)
+  }
+
+  private def unigramEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
+                                     maxInputChars: Int,
+                                     ids: Boolean = false,
+                                     extendIds: Boolean = false,
+                                     nBest: Int = 0,
+                                     nBestList: Boolean = false,
+                                     sampleSeed: Long = 42L): String = {
+    val (aug, stages, rankCte) =
+      unigramEnumParts(maxPieceLen, maxInputChars)
     if (nBestList) {
       require(nBest >= 1, "nBestList requires nBest >= 1")
       return materializeCtes(
@@ -1165,6 +1176,43 @@ object SparkEntry {
          |$stages,
          |$tail${if (ids) "," else ""}
          |$sel""".stripMargin)
+  }
+
+  /** q256: the nBest-knob sweep replay — ONE enumeration + ranking,
+    * then per-nBest seeded picks (rn = polyHash mod LEAST(available,
+    * nBest) + 1) and the total sampled token count per knob value.
+    * Over-length words contribute their single [UNK] at every knob.
+    */
+  private def unigramNBestSweepOracleSql(maxPieceLen: Int,
+      topPieces: Int, maxInputChars: Int, nbs: Seq[Int],
+      seed: Long): String = {
+    val (aug, stages, rankCte) =
+      unigramEnumParts(maxPieceLen, maxInputChars)
+    val picks = nbs.map { nb =>
+      s"""pk$nb AS (SELECT u.tok, u.seq FROM urk u JOIN una a USING (tok)
+         | WHERE u.rn =
+         |  ${polyHashSql(s"u.tok || '|ugs$seed'")} % LEAST(a.nseg, $nb)
+         |   + 1),
+         |ct$nb AS (SELECT CAST(SUM(len(string_split(w.seq, ' ')))
+         |   AS BIGINT) AS n
+         | FROM adt d JOIN (SELECT tok, seq FROM pk$nb
+         |  UNION ALL
+         |  SELECT DISTINCT tok, '[UNK]' AS seq FROM adt
+         |  WHERE len(tok) > $maxInputChars) w USING (tok))"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = nbs.map(nb =>
+      s"SELECT CAST($nb AS BIGINT) AS n_best, n AS n_tokens FROM ct$nb")
+      .mkString("\n UNION ALL\n ")
+    materializeCtes(
+      s"""WITH ${unigramVocabCtesSql(maxPieceLen, topPieces)},
+         |$aug,
+         |$stages,
+         |$rankCte,
+         |una AS (SELECT tok, COUNT(*) AS nseg FROM urk GROUP BY tok),
+         |$picks
+         |$rows
+         |ORDER BY n_best""".stripMargin)
   }
 
   /** q223: the SFT-decontamination replay — plant benchmark text into
@@ -6389,6 +6437,53 @@ object SparkEntry {
       Ann.recallAtK(approx, truth, 3).orderBy(col("query_id"))
     }),
 
+    // ---- the cross-modal index through the INCREMENTAL lifecycle
+    // (the q235/q122 discipline pointed at q250): image features
+    // appended in two batches, layers COMPACTED, then the same
+    // caption queries — q250's oracle VERBATIM: the lifecycle must be
+    // invisible in the retrieval.
+    "q255_xmodal_incremental" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{l2Norm, toDoubleVec}
+      val d = t(s, dir, "documents")
+      val (emb0, hists) = alignFixtureFeatures(s, d)
+      val emb = emb0.filter(l2Norm(toDoubleVec(col("emb"))) > 0)
+      val corpus = hists.join(emb.select("doc_id"), Seq("doc_id"))
+      val idx = graft.SparkEntry.tmpDir("xmodal_inc_idx")
+      val cl = pmod(expr("doc_id div 5"), lit(4L))
+      Ann.sq8IndexAppend(
+        corpus.filter(pmod(expr("doc_id div 5"), lit(2)) === 0),
+        "doc_id", "hist", cl, idx, 1L)
+      Ann.sq8IndexAppend(
+        corpus.filter(pmod(expr("doc_id div 5"), lit(2)) === 1),
+        "doc_id", "hist", cl, idx, 2L)
+      Ann.compactVectorIndex(s, idx, partitionCol = "cluster")
+      val qs = emb.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 5000000L).as("query_id"), col("emb"),
+          array(pmod(expr("doc_id div 5"), lit(4L)),
+            pmod(expr("doc_id div 5") + 1L, lit(4L))).as("probes"))
+      Ann.sq8IndexQuery(s, idx, qs, "query_id", "emb", "probes", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the nBest KNOB priced (the q236/q245 measure-the-knob
+    // discipline for the new sampling knob): total sampled token
+    // count as nBest widens 1 → 2 → 4 → 8. nBest = 1 must equal the
+    // argmax stream's count EXACTLY (the degenerate draw), and the
+    // curve upward is the regularizer's cost in tokens — the number
+    // a 100 TB training run budgets before turning the knob.
+    "q256_unigram_nbest_sweep" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val vocab = Unigram.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      Seq(1, 2, 4, 8).map { nb =>
+        Unigram.encodeSampled(wpAugDocs(s, dir), "doc_id", "text",
+            vocab, matchHorizon = 6, maxInputChars = 9, nBestN = nb,
+            seed = 42L)
+          .agg(count(lit(1)).as("n_tokens"))
+          .select(lit(nb.toLong).as("n_best"), col("n_tokens"))
+      }.reduce(_.unionByName(_)).orderBy(col("n_best"))
+    }),
+
     // ---- SPLIT-LEAKAGE AUDIT: near-dup pairs STRADDLING a split
     // boundary are the leakage that inflates eval numbers — exact-id
     // hash splitting can't see them. Every 40th doc gets a planted
@@ -11045,6 +11140,15 @@ object SparkEntry {
     // seeded polyHash draw → the picked segmentation's piece stream
     "q253_unigram_sampled" ->
       unigramEncodeOracleSql(6, 60, 9, nBest = 4, sampleSeed = 42L),
+
+    // incremental cross-modal index: q250's oracle VERBATIM — the
+    // append/append/compact lifecycle must be invisible
+    "q255_xmodal_incremental" -> XmodalRetrievalOracleSql,
+
+    // nBest sweep replay: one enumeration, per-knob seeded picks,
+    // token totals
+    "q256_unigram_nbest_sweep" ->
+      unigramNBestSweepOracleSql(6, 60, 9, Seq(1, 2, 4, 8), 42L),
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the
