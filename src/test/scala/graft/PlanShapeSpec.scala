@@ -628,4 +628,43 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("Unigram.encodeSampled keeps the encode lock: a zero-shuffle " +
+      "per-row projection — the n-best DP + seeded draw never " +
+      "exchanges (q253 shape)") {
+    val docs = Seq((1L, "ab a b")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 2L), ("b", 2L), ("ab", 1L))
+      .toDF("piece", "cnt")
+    val p = plan(graft.operators.Unigram.encodeSampled(
+      docs, "doc_id", "text", vocab, matchHorizon = 6,
+      maxInputChars = 9, nBestN = 4, seed = 42L))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("extendIds: the allocator never shuffles the corpus — one " +
+      "vocab-sized anti-join, one vocab-sized ranking window, one " +
+      "broadcast 1-row max; nothing sort-merges") {
+    import graft.operators.TokenizerArtifact
+    val prior = Seq(("a", 0L), ("b", 1L)).toDF("piece", "piece_id")
+    val vocab = Seq(("a", 9L), ("c", 3L), ("d", 2L)).toDF("piece", "cnt")
+    val p = plan(TokenizerArtifact.extendIds(prior, vocab))
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only window is the new-piece ranking — vocabulary-sized by
+    // construction (the vocabIds shape), never corpus-sized
+    assert(countIn(p, "Window") <= 1, p)
+  }
+
+  test("splitLeakageAudit: the split table attaches to the LSH pairs " +
+      "as per-row hash derivation + equi-joins — no sort-merge, no " +
+      "cartesian; the quadratic stays inside the banded bucket join") {
+    val docs = (1L to 40L).map(i => (i, s"w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.splitLeakageAudit(
+      docs, "doc_id", "text",
+      Seq("train" -> 8000L, "val" -> 1000L, "test" -> 1000L),
+      shingleN = 2, numPerm = 64, bands = 32, threshold = 0.5,
+      seed = 42L))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
