@@ -75,7 +75,12 @@ object Bench {
     // image-render fixture — would be the gate's single biggest lane
     // for a trendline q126 already carries; its rehearsals live in
     // SCALING.md.
-    "q228_dpo_pairs", "q231_unigram_encode")
+    "q228_dpo_pairs", "q231_unigram_encode",
+    // round 16: the subword-regularization sampling encode — q231's
+    // corpus-scan shape plus the n-best DP and the seeded draw; the
+    // trendline for the training-time tokenizer pass a regularized
+    // run actually executes
+    "q253_unigram_sampled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6506,6 +6506,70 @@ object SparkEntry {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // ---- the split-leakage audit over the INCREMENTAL signature
+    // state (the 100 TB path load-bearing): signatures fold batch by
+    // batch (the q54 state — the planted copies land in a DIFFERENT
+    // batch than their originals: +10⁶ shifts doc_id mod 3), the
+    // pair stream comes from the folds, and the report over the
+    // union replays q249's one-shot oracle VERBATIM.
+    "q257_split_leakage_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = d.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" extra tail tokens")).as("text"))
+      val all = d.unionByName(planted)
+      val b0 = all.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val b1 = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val s0 = Dedup.emptyMinhashState(all, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 32, portable = true)
+      val (p0, st1r) = Dedup.incrementalMinhash(s0, b0, "doc_id",
+        "text", shingleN = 2, numPerm = 64, bands = 32,
+        estThreshold = 0.5, portable = true)
+      val st1 = Dedup.MinhashState(st1r.signatures.localCheckpoint(),
+        st1r.buckets.localCheckpoint())
+      val (p1, _) = Dedup.incrementalMinhash(st1, b1, "doc_id",
+        "text", shingleN = 2, numPerm = 64, bands = 32,
+        estThreshold = 0.5, portable = true)
+      TextAnalysis.splitLeakageFromPairs(p0.unionByName(p1),
+          all, "doc_id",
+          Seq("train" -> 8000L, "val" -> 1000L, "test" -> 1000L))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // ---- the streamed DPO vertical over the PERSISTED-INDEX miner
+    // (q235 × q248 — the full 100 TB composition): negatives from
+    // q218's probed int8 reads, labeled pairs + mined candidates
+    // through PreferenceStream's layers (split + redelivered), the
+    // mixed-scorer assembly over the merged state — q235's oracle
+    // VERBATIM.
+    "q258_dpo_indexed_streamed" -> ((s, dir) => {
+      import graft.operators.Preference
+      val em = t(s, dir, "embeddings")
+      val nLabels = em.agg(max(col("label"))).head.getInt(0) + 1
+      val idx = graft.SparkEntry.tmpDir("dpo_st_idx")
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", col("label"), idx, 1L)
+      Ann.sq8IndexAppend(em.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", col("label"), idx, 2L)
+      Ann.compactVectorIndex(s, idx, partitionCol = "cluster")
+      val qs = em.filter(col("vec_id") < 8)
+        .withColumn("probes", array(col("label").cast("long"),
+          pmod(col("label") + 1, lit(nLabels)).cast("long")))
+      val q8 = qs.select(col("vec_id").as("query_id"))
+      val pairs = q8.select(col("query_id"),
+          (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("query_id"),
+          (col("query_id") * 3L + 100L).as("pos_id")))
+      val negs = Ann.hardNegativesFromIndex(s, idx, pairs, qs,
+        "vec_id", "embedding", "probes", k = 3, overfetch = 10,
+        margin10k = 30000L)
+      val (pSt, nSt) = prefStreamState(s, pairs, negs)
+      Preference.assemble(pSt, nSt, em, "vec_id", "embedding",
+          minGap10k = -20000L, pairsPerPrompt = 2)
+        .orderBy(col("prompt_id"), col("pair_rank"))
+    }),
+
     // ---- the FULL packed-SFT artifact: truncate → pack → per-chunk
     // loss masks in one chain (q222 + q219 + q238 composed) — what a
     // context-window-bounded SFT run actually materializes: middles
@@ -11149,6 +11213,14 @@ object SparkEntry {
     // token totals
     "q256_unigram_nbest_sweep" ->
       unigramNBestSweepOracleSql(6, 60, 9, Seq(1, 2, 4, 8), 42L),
+
+    // the incremental-state audit replays the one-shot oracle
+    // VERBATIM — batch-by-batch signature folding must be invisible
+    "q257_split_leakage_incremental" -> SplitLeakageOracleSql,
+
+    // streamed indexed-DPO: q235's oracle VERBATIM — the streaming
+    // layers AND the index lifecycle both invisible in the pairs
+    "q258_dpo_indexed_streamed" -> DpoIndexedOracleSql,
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the

@@ -844,13 +844,27 @@ object TextAnalysis {
                         textCol: String, splits: Seq[(String, Long)],
                         shingleN: Int, numPerm: Int, bands: Int,
                         threshold: Double, seed: Long,
-                        maxBucketSize: Int = 0): DataFrame = {
+                        maxBucketSize: Int = 0): DataFrame =
+    splitLeakageFromPairs(
+      Dedup.minhashLsh(docs, idCol, textCol,
+        shingleN = shingleN, numPerm = numPerm, bands = bands,
+        estThreshold = threshold, seed = seed,
+        maxBucketSize = maxBucketSize, portable = true),
+      docs.select(col(idCol)), idCol, splits)
+
+  /** The audit's report tail over PRECOMPUTED near-dup pairs — the
+    * 100 TB entry point: at scale the signatures/buckets are the
+    * persisted artifact ([[Dedup.incrementalMinhash]] state) and only
+    * new documents hash, so the pair stream arrives from the
+    * incremental fold, not a fresh corpus scan. `pairs` must carry
+    * (doc_a, doc_b) already thresholded; `docs` only contributes ids
+    * (splits derive per-row from the id hash — no text moves).
+    */
+  def splitLeakageFromPairs(pairs: DataFrame, docs: DataFrame,
+                            idCol: String,
+                            splits: Seq[(String, Long)]): DataFrame = {
     val sp = assignSplit(docs.select(col(idCol)), idCol, splits)
       .select(col(idCol).cast("long").as("__id"), col("split"))
-    val pairs = Dedup.minhashLsh(docs, idCol, textCol,
-      shingleN = shingleN, numPerm = numPerm, bands = bands,
-      estThreshold = threshold, seed = seed,
-      maxBucketSize = maxBucketSize, portable = true)
     pairs
       .join(sp.select(col("__id").as("doc_a"),
         col("split").as("__sa")), Seq("doc_a"))
