@@ -1530,6 +1530,50 @@ object SparkEntry {
        |FROM (SELECT DISTINCT query_id FROM xtk) q
        |LEFT JOIN xh USING (query_id) ORDER BY query_id""".stripMargin)
 
+  /** q259: the allocator on the THIRD id layout (the BPE |Σ|+step
+    * table): BOTH merge trainings replayed (base = even docs, prefix
+    * e; ext = full corpus), each vocab assembled exactly like the
+    * q107 layout (chars in binary rank, products at |Σ|+step−1 with
+    * first-occurrence dedup via MIN), then the append-only
+    * arithmetic. The footgun this prices: the ext corpus's alphabet
+    * gains characters, which under the frozen layout renumbers EVERY
+    * merge product (nBase shifts) — the allocator keeps them all.
+    */
+  private lazy val BpeExtendIdsOracleSql: String = {
+    def vocCtes(pfx: String): String = {
+      val mergedSel = (1 to BpeSteps).map(s =>
+        s"SELECT $s AS step, a || b AS token FROM ${pfx}m$s")
+        .mkString("\nUNION ALL\n")
+      s"""${pfx}chars AS (SELECT DISTINCT sym AS token FROM ${pfx}v0),
+         |${pfx}cbase AS (SELECT ROW_NUMBER() OVER (ORDER BY token) - 1
+         |   AS token_id, token FROM ${pfx}chars),
+         |${pfx}cnb AS (SELECT COUNT(*) AS n FROM ${pfx}chars),
+         |${pfx}cmrg AS (SELECT MIN(nb.n + step - 1) AS token_id, token
+         | FROM ($mergedSel) m, ${pfx}cnb nb GROUP BY token),
+         |${pfx}cvoc AS (SELECT token_id, token FROM ${pfx}cbase
+         | UNION ALL SELECT token_id, token FROM ${pfx}cmrg)"""
+        .stripMargin
+    }
+    materializeCtes(
+      s"""WITH ${bpeChainSql(BpeSteps)},
+         |${bpeChainSql(BpeSteps,
+            src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            p = "e")},
+         |${vocCtes("e")},
+         |${vocCtes("")},
+         |xnew AS (SELECT token FROM cvoc
+         | WHERE token NOT IN (SELECT token FROM ecvoc)),
+         |xids AS (SELECT token,
+         |  (SELECT COALESCE(MAX(token_id), -1) FROM ecvoc)
+         |   + ROW_NUMBER() OVER (ORDER BY token) AS token_id
+         | FROM xnew)
+         |SELECT token, CAST(token_id AS BIGINT) AS token_id,
+         | CAST(is_new AS BIGINT) AS is_new FROM (
+         | SELECT token, token_id, 0 AS is_new FROM ecvoc
+         | UNION ALL SELECT token, token_id, 1 AS is_new FROM xids)
+         |ORDER BY token_id, token""".stripMargin)
+  }
+
   private def dec(c: Column, p: Int = 18, sc: Int = 2): Column =
     c.cast(s"decimal($p,$sc)")
 
@@ -6537,6 +6581,34 @@ object SparkEntry {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // ---- the allocator on the THIRD id layout — BPE's |Σ|+step
+    // table, where the footgun is sharpest: a NEW CHARACTER in the
+    // extension corpus inserts into the binary-ranked alphabet and
+    // under the frozen layout renumbers EVERY merge product (nBase
+    // shifts by one). Base = chars+merges trained on the even docs,
+    // ext = the full corpus; the allocator keeps every base id
+    // bit-stable and appends ext-only tokens after the max.
+    "q259_bpe_extend_ids" -> ((s, dir) => {
+      import graft.operators.TokenizerArtifact
+      val d = t(s, dir, "documents")
+      def vocabOf(src: DataFrame) = {
+        val merges = TextAnalysis.bpeTrain(src, "text", numMerges = 20)
+          .orderBy(col("step")).collect()
+          .map(r => r.getAs[String]("left") -> r.getAs[String]("right"))
+          .toSeq
+        TextAnalysis.bpeVocab(src, "text", merges)
+      }
+      val baseIds = vocabOf(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val ext = vocabOf(d)
+      TokenizerArtifact.extendIds(baseIds, ext, pieceCol = "token",
+          idCol = "token_id")
+        .join(baseIds.select(col("token"), lit(1L).as("__old")),
+          Seq("token"), "left")
+        .select(col("token"), col("token_id"),
+          when(col("__old").isNull, 1L).otherwise(0L).as("is_new"))
+        .orderBy(col("token_id"), col("token"))
+    }),
+
     // ---- the streamed DPO vertical over the PERSISTED-INDEX miner
     // (q235 × q248 — the full 100 TB composition): negatives from
     // q218's probed int8 reads, labeled pairs + mined candidates
@@ -6702,53 +6774,54 @@ object SparkEntry {
   private val BpeSteps = 20
 
   private def bpeChainSql(steps: Int, byteLevel: Boolean = false,
-                          src: String = "documents"): String = {
+                          src: String = "documents",
+                          p: String = ""): String = {
     // byte-level v0: symbols are UTF-8 bytes as fixed-width uppercase
     // hex pairs — hex(encode(tok)) renders identically in Spark and
     // DuckDB, so the merge loop above it is unchanged
     val v0 =
       if (byteLevel)
-        s"""v0 AS MATERIALIZED (SELECT tok AS wid, wc,
+        s"""${p}v0 AS MATERIALIZED (SELECT tok AS wid, wc,
            |    CAST(i AS BIGINT) + 1 AS pos,
            |    substr(hex(encode(tok)), CAST(i AS INT) * 2 + 1, 2) AS sym
            |  FROM (SELECT tok, wc,
-           |    unnest(range(octet_length(encode(tok)))) AS i FROM w))"""
+           |    unnest(range(octet_length(encode(tok)))) AS i FROM ${p}w))"""
           .stripMargin
       else
-        """v0 AS MATERIALIZED (SELECT tok AS wid, wc,
+        s"""${p}v0 AS MATERIALIZED (SELECT tok AS wid, wc,
           |    CAST(i AS BIGINT) + 1 AS pos,
           |    substr(tok, CAST(i AS INT) + 1, 1) AS sym
-          |  FROM (SELECT tok, wc, unnest(range(len(tok))) AS i FROM w))"""
+          |  FROM (SELECT tok, wc, unnest(range(len(tok))) AS i FROM ${p}w))"""
           .stripMargin
-    bpeChainWithV0Sql(steps, v0, src)
+    bpeChainWithV0Sql(steps, v0, src, p)
   }
 
   private def bpeChainWithV0Sql(steps: Int, v0: String,
-                                src: String): String = {
+                                src: String, p: String = ""): String = {
     def stage(s: Int): String =
-      s"""p$s AS MATERIALIZED (SELECT a.wid, a.wc, a.pos, a.sym AS x, b.sym AS y
-         | FROM v${s - 1} a JOIN v${s - 1} b
+      s"""${p}p$s AS MATERIALIZED (SELECT a.wid, a.wc, a.pos, a.sym AS x, b.sym AS y
+         | FROM ${p}v${s - 1} a JOIN ${p}v${s - 1} b
          |   ON a.wid = b.wid AND b.pos = a.pos + 1),
-         |m$s AS MATERIALIZED (SELECT x AS a, y AS b, SUM(wc) AS cnt
-         | FROM p$s GROUP BY x, y ORDER BY cnt DESC, a, b LIMIT 1),
-         |mt$s AS MATERIALIZED (SELECT p.wid, p.pos FROM p$s p JOIN m$s m
+         |${p}m$s AS MATERIALIZED (SELECT x AS a, y AS b, SUM(wc) AS cnt
+         | FROM ${p}p$s GROUP BY x, y ORDER BY cnt DESC, a, b LIMIT 1),
+         |${p}mt$s AS MATERIALIZED (SELECT p.wid, p.pos FROM ${p}p$s p JOIN ${p}m$s m
          |  ON p.x = m.a AND p.y = m.b),
-         |ap$s AS MATERIALIZED (SELECT wid, pos FROM (
+         |${p}ap$s AS MATERIALIZED (SELECT wid, pos FROM (
          |  SELECT wid, pos,
          |    ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY pos) AS rn
          |  FROM (SELECT wid, pos,
          |      pos - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS grp
-         |    FROM mt$s)) WHERE rn % 2 = 1),
-         |v$s AS MATERIALIZED (SELECT wid, wc,
+         |    FROM ${p}mt$s)) WHERE rn % 2 = 1),
+         |${p}v$s AS MATERIALIZED (SELECT wid, wc,
          |   ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym
          | FROM (SELECT t.wid, t.wc, t.pos,
          |     CASE WHEN ap.pos IS NOT NULL
-         |       THEN (SELECT a || b FROM m$s) ELSE t.sym END AS sym
-         |   FROM v${s - 1} t
-         |   LEFT JOIN ap$s ap ON t.wid = ap.wid AND t.pos = ap.pos
-         |   WHERE NOT EXISTS (SELECT 1 FROM ap$s a2
+         |       THEN (SELECT a || b FROM ${p}m$s) ELSE t.sym END AS sym
+         |   FROM ${p}v${s - 1} t
+         |   LEFT JOIN ${p}ap$s ap ON t.wid = ap.wid AND t.pos = ap.pos
+         |   WHERE NOT EXISTS (SELECT 1 FROM ${p}ap$s a2
          |     WHERE a2.wid = t.wid AND a2.pos = t.pos - 1)))""".stripMargin
-    s"""w AS MATERIALIZED (SELECT tok, COUNT(*) AS wc FROM (
+    s"""${p}w AS MATERIALIZED (SELECT tok, COUNT(*) AS wc FROM (
        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM $src) GROUP BY tok),
        |$v0,
@@ -11221,6 +11294,10 @@ object SparkEntry {
     // streamed indexed-DPO: q235's oracle VERBATIM — the streaming
     // layers AND the index lifecycle both invisible in the pairs
     "q258_dpo_indexed_streamed" -> DpoIndexedOracleSql,
+
+    // BPE allocator replay: both merge trainings + both |Σ|+step
+    // layouts + the append-only arithmetic
+    "q259_bpe_extend_ids" -> BpeExtendIdsOracleSql,
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the
