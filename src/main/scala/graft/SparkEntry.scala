@@ -1574,6 +1574,40 @@ object SparkEntry {
          |ORDER BY token_id, token""".stripMargin)
   }
 
+  /** q260/q261: length-bucketed batching CTEs, prefix-parameterized —
+    * whitespace widths → value buckets (n div bucketTokens) →
+    * frozen-hash within-bucket order → batch div → per-(bucket,
+    * batch) aggregates; ends at `${p}bt` (bucket, batch_idx, nd, mx,
+    * sm, pad, slots).
+    */
+  private def lengthBatchCte(bucketTokens: Long, p: String): String =
+    s"""${p}lb AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> len(x) > 0)) AS BIGINT) AS n
+       | FROM documents),
+       |${p}bk AS (SELECT doc_id, n, n // $bucketTokens AS bucket,
+       |  ${polyHashSql("CAST(doc_id AS VARCHAR) || '|lb'")} AS h
+       | FROM ${p}lb),
+       |${p}rn AS (SELECT doc_id, n, bucket,
+       |  (row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+       |   - 1) // 4 AS batch_idx
+       | FROM ${p}bk),
+       |${p}bt AS (SELECT bucket, batch_idx, COUNT(*) AS nd,
+       |  MAX(n) AS mx, SUM(n) AS sm,
+       |  COUNT(*) * MAX(n) - SUM(n) AS pad,
+       |  COUNT(*) * MAX(n) AS slots
+       | FROM ${p}rn GROUP BY bucket, batch_idx)""".stripMargin
+
+  private def lengthBatchOracleSql(bucketTokens: Long,
+                                   manifest: Boolean): String =
+    materializeCtes(
+      s"""WITH ${lengthBatchCte(bucketTokens, "m")}
+         |SELECT bucket, batch_idx, CAST(nd AS BIGINT) AS n_docs,
+         | CAST(mx AS BIGINT) AS max_tokens,
+         | CAST(sm AS BIGINT) AS sum_tokens,
+         | CAST(pad AS BIGINT) AS pad_tokens
+         |FROM mbt ORDER BY bucket, batch_idx""".stripMargin)
+
   private def dec(c: Column, p: Int = 18, sc: Int = 2): Column =
     c.cast(s"decimal($p,$sc)")
 
@@ -6609,6 +6643,44 @@ object SparkEntry {
         .orderBy(col("token_id"), col("token"))
     }),
 
+    // ---- LENGTH-BUCKETED BATCH ASSEMBLY (group_by_length): the
+    // padded-batching counterpart of the packing tier — SFT/seq2seq
+    // fine-tunes pad to the batch max, so batching random lengths
+    // together pays max-for-every-row; bucketing by length bounds
+    // the waste while the frozen-hash within-bucket order keeps the
+    // shuffle. Manifest per (bucket, batch): sizes, widths and the
+    // exact pad_tokens a trainer pays.
+    "q260_length_batches" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      TextAnalysis.lengthBucketedBatches(
+          t(s, dir, "documents"), "doc_id",
+          size(filter(tokens(col("text")), t => length(t) > 0)),
+          bucketTokens = 16L, batchSize = 4)
+        .orderBy(col("bucket"), col("batch_idx"))
+    }),
+
+    // ---- the bucket-width KNOB priced (the q236/q245/q256
+    // discipline): one huge bucket (= unbucketed random batching) vs
+    // 64- vs 16-token bands — total padded tokens and the
+    // parts-per-10⁴ waste of the padded slots must fall
+    // monotonically as the bands narrow; the measured saving is the
+    // number that justifies the extra Exchange at 100 TB.
+    "q261_length_bucket_sweep" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      Seq(1000000L, 64L, 16L).map { bt =>
+        TextAnalysis.lengthBucketedBatches(
+            t(s, dir, "documents"), "doc_id",
+            size(filter(tokens(col("text")), t => length(t) > 0)),
+            bucketTokens = bt, batchSize = 4)
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("pad_tokens")).as("pad_tokens"),
+            sum(col("n_docs") * col("max_tokens")).as("__slots"))
+          .select(lit(bt).as("bucket_tokens"), col("n_batches"),
+            col("pad_tokens"),
+            expr("pad_tokens * 10000L div __slots").as("pad_10k"))
+      }.reduce(_.unionByName(_)).orderBy(col("bucket_tokens"))
+    }),
+
     // ---- the streamed DPO vertical over the PERSISTED-INDEX miner
     // (q235 × q248 — the full 100 TB composition): negatives from
     // q218's probed int8 reads, labeled pairs + mined candidates
@@ -11298,6 +11370,29 @@ object SparkEntry {
     // BPE allocator replay: both merge trainings + both |Σ|+step
     // layouts + the append-only arithmetic
     "q259_bpe_extend_ids" -> BpeExtendIdsOracleSql,
+
+    // length-bucketed batch manifest replay
+    "q260_length_batches" -> lengthBatchOracleSql(16L, manifest = true),
+
+    // bucket-width sweep replay: per-knob batching + padded-slot
+    // ratios
+    "q261_length_bucket_sweep" ->
+      materializeCtes(s"""WITH ${lengthBatchCte(1000000L, "a")},
+        |${lengthBatchCte(64L, "b")},
+        |${lengthBatchCte(16L, "c")}
+        |SELECT * FROM (
+        | SELECT CAST(1000000 AS BIGINT) AS bucket_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(pad) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(pad) * 10000 // SUM(slots) AS BIGINT) AS pad_10k
+        | FROM abt
+        | UNION ALL
+        | SELECT 64, CAST(COUNT(*) AS BIGINT), CAST(SUM(pad) AS BIGINT),
+        |  CAST(SUM(pad) * 10000 // SUM(slots) AS BIGINT) FROM bbt
+        | UNION ALL
+        | SELECT 16, CAST(COUNT(*) AS BIGINT), CAST(SUM(pad) AS BIGINT),
+        |  CAST(SUM(pad) * 10000 // SUM(slots) AS BIGINT) FROM cbt)
+        |ORDER BY bucket_tokens""".stripMargin),
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the

@@ -876,6 +876,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** LENGTH-BUCKETED BATCH ASSEMBLY — the padded-batching counterpart
+    * of the packing tier (SFT and seq2seq fine-tunes usually PAD
+    * variable-length sequences instead of packing them; batching
+    * random-length docs together pays the batch max for every row).
+    * The standard fix (fairseq/HF `group_by_length`): bucket by
+    * length, shuffle WITHIN buckets, batch within buckets — bounded
+    * padding with preserved randomness. Deterministic, exact form:
+    *
+    *   - bucket = n_tokens div `bucketTokens` (per-row pure — length
+    *     VALUE buckets, never a corpus-sized rank);
+    *   - within a bucket, docs order by the frozen portable hash
+    *     (the [[assignSplit]]/[[tokenMixture]] salt discipline —
+    *     deterministic "shuffle"), batch = ordinal div `batchSize`;
+    *   - per (bucket, batch): n_docs, max/sum token widths, and
+    *     pad_tokens = n_docs·max − sum (dynamic padding to the batch
+    *     max — the waste a trainer actually pays).
+    *
+    * Output: (bucket, batch_idx, n_docs, max_tokens, sum_tokens,
+    * pad_tokens).
+    *
+    * Scale shape: one Exchange on bucket for the per-bucket ordinal
+    * window + the (bucket, batch) aggregation reusing it. A hot
+    * bucket (most of a corpus in one length band) sub-shards by a
+    * hash prefix at 100 TB — same semantics, documented lever; the
+    * q261 sweep prices the bucket-width knob in padded tokens.
+    */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String,
+                            widthCol: Column, bucketTokens: Long,
+                            batchSize: Int): DataFrame = {
+    require(bucketTokens >= 1, "bucketTokens >= 1")
+    require(batchSize >= 1, "batchSize >= 1")
+    val w = docs.select(col(idCol).cast("long").as("doc_id"),
+        widthCol.cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div ${bucketTokens}L"))
+      .withColumn("__h", charPolyHash(
+        concat(col("doc_id").cast("string"), lit("|lb"))))
+    val ord = Window.partitionBy(col("bucket"))
+      .orderBy(col("__h"), col("doc_id"))
+    w.withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("batch_idx", expr(s"(__rn - 1L) div $batchSize"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** PII scrubbing: count and redact emails, IPv4 addresses, and
     * international-format phone numbers. Pure per-row regex work (zero
     * shuffle, codegen'd); patterns are restricted to syntax with

@@ -564,6 +564,31 @@ class SelectionOpsSpec extends SparkSpecBase {
     assert(out == Seq(expected), s"got $out, splits $sp")
   }
 
+  test("lengthBucketedBatches: value buckets, batch caps, exact pad " +
+      "arithmetic, deterministic, and narrower buckets never pad more") {
+    val docs = (1L to 40L)
+      .map(i => (i, Seq.fill((i % 13 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{size => asize}
+    def run(bt: Long) = TextAnalysis.lengthBucketedBatches(docs,
+      "doc_id", asize(split(col("text"), " ")), bt, batchSize = 3)
+    val out = run(4L).collect().map(r => (r.getAs[Long]("bucket"),
+      r.getAs[Long]("batch_idx"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("max_tokens"), r.getAs[Long]("sum_tokens"),
+      r.getAs[Long]("pad_tokens"))).toSeq
+    assert(out.map(_._3).sum == 40L)          // every doc batched once
+    assert(out.forall(_._3 <= 3L))            // batch cap
+    assert(out.forall(b => b._6 == b._3 * b._4 - b._5)) // pad exact
+    // widths in a bucket stay inside the bucket's band
+    assert(out.forall(b => b._4 / 4 == b._1))
+    // deterministic across runs
+    assert(run(4L).collect().map(_.toString).sorted.toSeq ==
+      out.map(t => s"[${t.productIterator.mkString(",")}]").sorted)
+    // the knob pays monotonically on this mixed-width fixture
+    def pad(bt: Long) = run(bt).agg(sum("pad_tokens")).head.getLong(0)
+    assert(pad(1000L) >= pad(8L) && pad(8L) >= pad(2L))
+  }
+
   test("tokenCounts: trained-merge mode adds exact bpe_tokens") {
     val docs = Seq((1L, "abab abab ab"), (2L, "xy"), (3L, "ababab"))
       .toDF("doc_id", "text")
