@@ -558,7 +558,7 @@ object SparkEntry {
     * collect feeding the MemoryStream, the q165/q226 convention.
     */
   private def prefStreamState(s: SparkSession, pairs: DataFrame,
-      negs: DataFrame): (DataFrame, DataFrame) = {
+      negs: DataFrame, compact: Boolean = false): (DataFrame, DataFrame) = {
     import s.implicits._
     import graft.streaming.PreferenceStream
     val cfg = PreferenceStream.Config(
@@ -586,6 +586,9 @@ object SparkEntry {
       b1.filter(_._2 % 3 == 0)).toSeq)
     q.processAllAvailable()
     q.stop()
+    // q263: COMPACT both layer families after the folds — the merged
+    // state (and therefore the assembled pairs) must be identical
+    if (compact) PreferenceStream.compact(s, cfg)
     (PreferenceStream.pairsState(s, cfg),
       PreferenceStream.negativesState(s, cfg))
   }
@@ -1317,7 +1320,9 @@ object SparkEntry {
     */
   private def wordpieceEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
                                        maxInputChars: Int,
-                                       ids: Boolean = false): String = {
+                                       ids: Boolean = false,
+                                       src: String = "documents",
+                                       decodeWords: Boolean = false): String = {
     def pieceAt(tok: String, pos: String, l: String) =
       s"CASE WHEN $pos = 0 THEN substr($tok, 1, CAST($l AS INT)) " +
         s"ELSE '##' || substr($tok, CAST($pos + 1 AS INT), " +
@@ -1326,7 +1331,7 @@ object SparkEntry {
       s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CASE WHEN doc_id % 25 = 0
          |   THEN text || ' ${"x" * 20}' ELSE text END AS text
-         | FROM documents),
+         | FROM $src),
          |adt AS (SELECT doc_id, widx, ws[CAST(widx + 1 AS INT)] AS tok
          | FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS widx
          |  FROM (SELECT doc_id, list_filter(string_split_regex(
@@ -1366,7 +1371,35 @@ object SparkEntry {
          | FROM (SELECT d.doc_id, d.widx, w.pl,
          |   unnest(range(len(w.pl))) AS k
          |  FROM adt d JOIN wpl w USING (tok)))""".stripMargin
-    val sel = if (!ids)
+    val sel = if (decodeWords)
+      // encode to ids with the frozen BASE rank, decode BACK by id,
+      // and regroup the decoded pieces into words ('##' strips and
+      // appends, anything else — [UNK] included — opens a word): the
+      // q262 oracle. The ENGINE decodes with the EXTENDED id table,
+      // so the hash match IS the old-shards-keep-decoding guarantee.
+      """wfp AS (SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY widx, k) - 1 AS BIGINT) AS pos, piece FROM wfl),
+        |idm AS (SELECT piece, CAST(row_number() OVER (ORDER BY piece)
+        |  - 1 AS BIGINT) AS piece_id FROM wpvocab),
+        |enc AS (SELECT f.doc_id, f.pos,
+        |  COALESCE(i.piece_id, CAST(-1 AS BIGINT)) AS piece_id
+        | FROM wfp f LEFT JOIN idm i USING (piece)),
+        |dcd AS (SELECT e.doc_id, e.pos,
+        |  CASE WHEN e.piece_id = -1 THEN '[UNK]' ELSE i.piece END
+        |   AS piece
+        | FROM enc e LEFT JOIN idm i USING (piece_id)),
+        |wbx AS (SELECT doc_id, pos, piece,
+        |  SUM(CASE WHEN piece LIKE '##%' THEN 0 ELSE 1 END)
+        |   OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS UNBOUNDED PRECEDING) AS widx
+        | FROM dcd)
+        |SELECT doc_id, CAST(widx - 1 AS BIGINT) AS word_idx,
+        | string_agg(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+        |   ELSE piece END, '' ORDER BY pos) AS word
+        |FROM wbx GROUP BY doc_id, widx
+        |ORDER BY doc_id, word_idx""".stripMargin
+    else if (!ids)
       """SELECT doc_id,
         | CAST(row_number() OVER (PARTITION BY doc_id
         |   ORDER BY widx, k) - 1 AS BIGINT) AS pos,
@@ -1383,9 +1416,9 @@ object SparkEntry {
         |FROM wfp f LEFT JOIN idm i USING (piece)
         |ORDER BY doc_id, pos""".stripMargin
     materializeCtes("WITH " +
-      wordpieceVocabCtesSql(maxPieceLen, topPieces) + ",\n" +
+      wordpieceVocabCtesSql(maxPieceLen, topPieces, src = src) + ",\n" +
       aug + ",\n" + stages + ",\n" + tail +
-      (if (ids) ",\n" else "\n") + sel)
+      (if (ids || decodeWords) ",\n" else "\n") + sel)
   }
 
   /** q246: the append-only allocator replay — base vocab mined from
@@ -1580,11 +1613,17 @@ object SparkEntry {
     * batch) aggregates; ends at `${p}bt` (bucket, batch_idx, nd, mx,
     * sm, pad, slots).
     */
-  private def lengthBatchCte(bucketTokens: Long, p: String): String =
-    s"""${p}lb AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |    x -> len(x) > 0)) AS BIGINT) AS n
-       | FROM documents),
+  /** `lbSql` overrides the (doc_id, n) width source — the q264
+    * composition feeds RENDERED SFT conversation widths instead of
+    * raw document token counts.
+    */
+  private def lengthBatchCte(bucketTokens: Long, p: String,
+                             lbSql: Option[String] = None): String =
+    s"""${p}lb AS (${lbSql.getOrElse(
+         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            |    x -> len(x) > 0)) AS BIGINT) AS n
+            | FROM documents""".stripMargin)}),
        |${p}bk AS (SELECT doc_id, n, n // $bucketTokens AS bucket,
        |  ${polyHashSql("CAST(doc_id AS VARCHAR) || '|lb'")} AS h
        | FROM ${p}lb),
@@ -6681,6 +6720,145 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy(col("bucket_tokens"))
     }),
 
+    // ---- DECODE — the inverse of the id encode, and the lane that
+    // makes the allocator's "old shards keep decoding" guarantee
+    // LOAD-BEARING: the shard is encoded under the BASE artifact
+    // (even docs — the corpus that existed before the extension), the
+    // ENGINE decodes it with the EXTENDED id table, and the oracle
+    // decodes with the frozen base rank — the hash match IS the
+    // guarantee (extendIds keeps every base (piece, id) row
+    // bit-stable, so the extension is invisible to old shards).
+    // Decoded pieces regroup into words ('##' strips and appends;
+    // [UNK] — the augmented 20-char word — surfaces whole).
+    "q262_wordpiece_decode" -> ((s, dir) => {
+      import graft.operators.TokenizerArtifact
+      val d = t(s, dir, "documents")
+      val even = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val base = WordPiece.mineVocab(even, "text", maxPieceLen = 6,
+        topPieces = 60)
+      val baseIds = WordPiece.vocabIds(base)
+      val ext = WordPiece.mineVocab(d, "text", maxPieceLen = 6,
+        topPieces = 60)
+      val extIds = TokenizerArtifact.extendIds(baseIds, ext)
+      val shard = WordPiece.encodeIdsWith(
+        wpAugDocs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", base, baseIds,
+        matchHorizon = 6, maxInputChars = 9)
+      WordPiece.detokenize(WordPiece.decodeIds(shard, extIds))
+        .orderBy(col("doc_id"), col("word_idx"))
+    }),
+
+    // ---- PREFERENCE LAYER COMPACTION (q254's maintenance
+    // discipline for the DPO store): fold the envelope stream (split
+    // + redelivered slice), COMPACT both layer families to one layer
+    // each, and the assembly over the compacted state replays q248's
+    // — i.e. q228's — oracle VERBATIM. Crash-window-invisible for
+    // free: pair/negative rows are FACTS, so merged + old layers
+    // coexisting only duplicate rows the read-side distinct collapses
+    // (the spec reads mid-window).
+    "q263_dpo_stream_compacted" -> ((s, dir) => {
+      import graft.operators.Preference
+      val em = t(s, dir, "embeddings")
+      val q8 = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"))
+      val pairs = q8.select(col("query_id"),
+          (col("query_id") + 50L).as("pos_id"))
+        .unionByName(q8.select(col("query_id"),
+          (col("query_id") * 3L + 100L).as("pos_id")))
+      val negs = Ann.hardNegatives(pairs, em, "vec_id", "embedding",
+        k = 5, margin10k = 9000L)
+      val (pSt, nSt) = prefStreamState(s, pairs, negs, compact = true)
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val fz = graft.SparkEntry.tmpDir("dpo_decon_cmp")
+      TextAnalysis.buildFuzzyBenchmarkIndex(bench, "doc_id", "text",
+        shingleN = 2, numPerm = 64, seed = 42L, indexDir = fz)
+      val prompts = d.filter(col("doc_id") < 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val contaminated = TextAnalysis.fuzzyDecontaminateIncremental(
+          s, fz, prompts, "doc_id", "text", shingleN = 2, numPerm = 64,
+          bands = 32, threshold = 0.5, seed = 42L)
+        .filter(col("contaminated"))
+        .select(col("doc_id").as("prompt_id"))
+      Preference.assemble(pSt, nSt, em, "vec_id", "embedding",
+          minGap10k = 50L, pairsPerPrompt = 2)
+        .join(contaminated, Seq("prompt_id"), "left_anti")
+        .orderBy(col("prompt_id"), col("pair_rank"))
+    }),
+
+    // ---- LENGTH-BUCKETED BATCHES OVER THE SFT VERTICAL (q260 ×
+    // q214): padded batching is how SFT fine-tunes usually run — the
+    // RENDERED conversations bucket by total token width, frozen-hash
+    // "shuffle" within buckets, and the manifest carries the exact
+    // per-(bucket, batch) padding a trainer pays.
+    "q264_sft_length_batches" -> ((s, dir) => {
+      val rendered = Conversations.render(sftTurns(s, dir),
+        "conv_id", "turn_idx", "role", "text")
+      TextAnalysis.lengthBucketedBatches(rendered, "conv_id",
+          col("n_tokens"), bucketTokens = 4L, batchSize = 4)
+        .orderBy(col("bucket"), col("batch_idx"))
+    }),
+
+    // ---- PAD vs PACK, priced on the SAME corpus (the q236/q245/
+    // q261 measure-the-tradeoff discipline): the documents corpus
+    // (real width variance — the SFT fixture's uniform 12-token
+    // conversations would make padding trivially free) runs through
+    // BOTH batch-assembly tiers — padded length-bucketed batching
+    // (q260's layout, 16-token bands × batch 4) and fixed-chunk
+    // packing (q219's, 64-token chunks) — and the report puts the
+    // two costs side by side in exact integers: padding wastes slots
+    // (waste_10k), packing wastes only the per-stream partial chunk
+    // but SPLITS documents across chunk boundaries (the
+    // cross-document attention contamination padding never pays).
+    // The pair of numbers is the whole pad-or-pack decision for a
+    // given corpus shape.
+    "q265_pad_vs_pack" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val widths = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          size(filter(tokens(col("text")), t => length(t) > 0))
+            .cast("long").as("n_tokens"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("stream"))
+      val padded = TextAnalysis.lengthBucketedBatches(widths,
+          "doc_id", col("n_tokens"), bucketTokens = 16L, batchSize = 4)
+        .agg(sum(col("n_docs") * col("max_tokens")).as("slots"),
+          sum(col("sum_tokens")).as("n_tokens"),
+          sum(col("pad_tokens")).as("waste_tokens"))
+        .select(lit("pad_bucketed").as("strategy"), col("slots"),
+          col("n_tokens"), col("waste_tokens"),
+          expr("waste_tokens * 10000L div slots").as("waste_10k"),
+          lit(0L).as("n_split_docs"))
+      val packed = TextAnalysis.packingReport(widths, "doc_id",
+          "stream", col("n_tokens"), chunkTokens = 64)
+        .agg(sum(col("n_chunks") * 64L).as("slots"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_split_docs")).as("n_split_docs"))
+        .select(lit("pack_chunks").as("strategy"), col("slots"),
+          col("n_tokens"),
+          (col("slots") - col("n_tokens")).as("waste_tokens"),
+          expr("(slots - n_tokens) * 10000L div slots")
+            .as("waste_10k"),
+          col("n_split_docs"))
+      padded.unionByName(packed).orderBy(col("strategy"))
+    }),
+
+    // ---- FRACTIONAL EPOCH UPSAMPLING (the published-mix repetition
+    // factor — books ×2.5, wiki ×1.4, web ×0.8): per-lang epoch
+    // targets in 10⁴ integers — de 0.5 (frac-only downsample), zh
+    // 1.0 (exactly one copy, no draw), en 1.4, es 2.5 — materialized
+    // as the explicit copy manifest downstream shuffles/packs as
+    // rows. The extra-copy draw is the frozen per-doc hash: per-row
+    // pure (zero Exchange, plan-locked), stable under corpus growth
+    // — an epoch factor is a per-doc RATE; the corpus-wide budget
+    // variant is q239's tokenMixture and keeps its rank window.
+    "q266_epoch_upsample" -> ((s, dir) => {
+      TextAnalysis.epochUpsample(t(s, dir, "documents"), "doc_id",
+          "lang", Seq("de" -> 5000L, "zh" -> 10000L, "en" -> 14000L,
+            "es" -> 25000L))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // ---- the streamed DPO vertical over the PERSISTED-INDEX miner
     // (q235 × q248 — the full 100 TB composition): negatives from
     // q218's probed int8 reads, labeled pairs + mined candidates
@@ -11393,6 +11571,84 @@ object SparkEntry {
         | SELECT 16, CAST(COUNT(*) AS BIGINT), CAST(SUM(pad) AS BIGINT),
         |  CAST(SUM(pad) * 10000 // SUM(slots) AS BIGINT) FROM cbt)
         |ORDER BY bucket_tokens""".stripMargin),
+
+    // decode replay: the BASE-corpus encode chain (vocab AND shard
+    // both from the even docs — the pre-extension world), ids from
+    // the frozen base rank, decoded BACK by id and regrouped into
+    // words. The ENGINE decodes with the EXTENDED id table — the
+    // hash match is the old-shards-keep-decoding guarantee itself.
+    "q262_wordpiece_decode" -> wordpieceEncodeOracleSql(6, 60, 9,
+      src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+      decodeWords = true),
+
+    // compacted preference layers replay q248's — q228's — oracle
+    // VERBATIM: compaction must be invisible in the assembled pairs
+    "q263_dpo_stream_compacted" -> DpoPairsOracleSql,
+
+    // rendered-SFT length-batch replay: the q214 render CTEs feed the
+    // q260 bucketing chain (conv widths instead of raw doc widths)
+    "q264_sft_length_batches" -> materializeCtes(
+      s"""WITH $SftTurnCtesSql,
+         |${lengthBatchCte(4L, "m", lbSql = Some(
+             "SELECT conv_id AS doc_id, CAST(SUM(n_tokens) AS BIGINT)" +
+               " AS n FROM p GROUP BY conv_id"))}
+         |SELECT bucket, batch_idx, CAST(nd AS BIGINT) AS n_docs,
+         | CAST(mx AS BIGINT) AS max_tokens,
+         | CAST(sm AS BIGINT) AS sum_tokens,
+         | CAST(pad AS BIGINT) AS pad_tokens
+         |FROM mbt ORDER BY bucket, batch_idx""".stripMargin),
+
+    // pad-vs-pack replay: both batch-assembly chains over the same
+    // document widths — bucketed padding totals vs the packing
+    // cumsum's partial-chunk waste + boundary-split doc count
+    "q265_pad_vs_pack" -> materializeCtes(
+      s"""WITH ${lengthBatchCte(16L, "m")},
+         |rw AS (SELECT doc_id, doc_id % 4 AS stream, n FROM mlb),
+         |pcz AS (SELECT stream, doc_id, n,
+         |  CAST(SUM(n) OVER (PARTITION BY stream ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+         | FROM rw),
+         |pks AS (SELECT stream, SUM(n) AS nt,
+         |  SUM(CASE WHEN n > 0
+         |    AND (end_tok - n) // 64 <> (end_tok - 1) // 64
+         |   THEN 1 ELSE 0 END) AS nsplit
+         | FROM pcz GROUP BY stream),
+         |pkt AS (SELECT SUM(((nt + 63) // 64) * 64) AS slots,
+         |  SUM(nt) AS ntok, SUM(nsplit) AS nsplit FROM pks),
+         |pdt AS (SELECT SUM(nd * mx) AS slots, SUM(sm) AS ntok,
+         |  SUM(pad) AS waste FROM mbt)
+         |SELECT strategy, CAST(slots AS BIGINT) AS slots,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(waste_tokens AS BIGINT) AS waste_tokens,
+         | CAST(waste_10k AS BIGINT) AS waste_10k,
+         | CAST(n_split_docs AS BIGINT) AS n_split_docs
+         |FROM (
+         | SELECT 'pack_chunks' AS strategy, slots, ntok AS n_tokens,
+         |  slots - ntok AS waste_tokens,
+         |  (slots - ntok) * 10000 // slots AS waste_10k,
+         |  nsplit AS n_split_docs FROM pkt
+         | UNION ALL
+         | SELECT 'pad_bucketed', slots, ntok, waste,
+         |  waste * 10000 // slots, 0 FROM pdt)
+         |ORDER BY strategy""".stripMargin),
+
+    // epoch-upsample replay: full copies = e4 div 10⁴, the extra copy
+    // iff the frozen per-doc hash lands under the remainder
+    "q266_epoch_upsample" -> materializeCtes(
+      s"""WITH uep AS (SELECT * FROM (VALUES
+         |  ('de', CAST(5000 AS BIGINT)), ('zh', 10000),
+         |  ('en', 14000), ('es', 25000)) t(lang, e4)),
+         |ud AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+         |  e.e4 FROM documents d JOIN uep e ON d.lang = e.lang),
+         |uc AS (SELECT doc_id, lang,
+         |  e4 // 10000 + CASE WHEN
+         |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|ep'")}
+         |     % 10000 < e4 % 10000 THEN 1 ELSE 0 END AS nc
+         | FROM ud)
+         |SELECT doc_id, stratum, CAST(copy_idx AS BIGINT) AS copy_idx
+         |FROM (SELECT doc_id, lang AS stratum,
+         |  unnest(range(nc)) AS copy_idx FROM uc WHERE nc > 0)
+         |ORDER BY doc_id, copy_idx""".stripMargin),
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the

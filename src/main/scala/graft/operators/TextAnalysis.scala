@@ -924,6 +924,55 @@ object TextAnalysis {
         col("n_docs") * col("max_tokens") - col("sum_tokens"))
   }
 
+  /** FRACTIONAL EPOCH UPSAMPLING — the per-stratum repetition factor
+    * of the published pretraining mixes (e.g. books ×2.5, wiki ×1.4,
+    * web ×0.8): each stratum's documents repeat `epochs10k/10⁴` times,
+    * materialized as an explicit copy manifest (doc_id, stratum,
+    * copy_idx) so downstream shuffling/packing sees copies as rows.
+    * Deterministic, exact-integer form:
+    *
+    *   - every doc takes `epochs10k div 10⁴` full copies;
+    *   - the fractional remainder `epochs10k mod 10⁴` admits ONE extra
+    *     copy for the docs whose frozen salted hash lands under it —
+    *     `polyHash(doc_id ∥ '|ep') mod 10⁴ < frac` — per-row pure, so
+    *     the selection is a property of the doc alone (stable across
+    *     corpus growth, re-runs, and partitioning), at the price of a
+    *     hash-expected rather than rank-exact stratum fraction. The
+    *     rank-exact alternative is [[tokenMixture]]'s per-stratum
+    *     ordinal window; this operator deliberately trades that window
+    *     away — an epoch factor is a per-doc sampling rate, not a
+    *     corpus-wide budget.
+    *   - strata not in `epochs10k` contribute nothing (epochs 0 — the
+    *     tokenMixture convention); epochs10k < 10⁴ means frac-only
+    *     (downsampling by omission of copy 0 for unlucky docs).
+    *
+    * Output: (doc_id, stratum, copy_idx) with copy_idx 0-based.
+    *
+    * Scale shape: ZERO Exchange — one broadcast of the (stratum,
+    * epochs) table, the hash, and a sequence-explode per row
+    * (plan-locked). At 100 TB the manifest is the cheap side; the
+    * repeated TEXT never materializes here — consumers join copies to
+    * content by doc_id when (and where) they need it.
+    */
+  def epochUpsample(docs: DataFrame, idCol: String, strataCol: String,
+                    epochs10k: Seq[(String, Long)]): DataFrame = {
+    require(epochs10k.forall(_._2 >= 0L), "epochs10k >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val eps = epochs10k.sortBy(_._1).toDF(strataCol, "__e4")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(strataCol))
+      .join(broadcast(eps), Seq(strataCol))
+      .withColumn("__extra",
+        when(pmod(charPolyHash(concat(col("doc_id").cast("string"),
+          lit("|ep"))), lit(10000L)) < pmod(col("__e4"), lit(10000L)),
+          1L).otherwise(0L))
+      .withColumn("__n", expr("__e4 div 10000L") + col("__extra"))
+      .filter(col("__n") > 0L)
+      .select(col("doc_id"), col(strataCol).as("stratum"),
+        explode(sequence(lit(0L), col("__n") - 1L)).as("copy_idx"))
+  }
+
   /** PII scrubbing: count and redact emails, IPv4 addresses, and
     * international-format phone numbers. Pure per-row regex work (zero
     * shuffle, codegen'd); patterns are restricted to syntax with

@@ -185,4 +185,72 @@ object WordPiece {
         Seq("piece"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("piece_id"), lit(-1L)).as("piece_id"))
+
+  /** DECODE an id shard back to pieces — the inverse of
+    * [[encodeIdsWith]] and the operation the append-only allocator's
+    * "old shards keep decoding" guarantee exists FOR: because
+    * [[TokenizerArtifact.extendIds]] keeps every prior (piece, id) row
+    * bit-stable (retired pieces included), decoding a shard with the
+    * EXTENDED id table is bit-identical to decoding it with the table
+    * it was encoded under (q262 hash-proves exactly that: engine
+    * decodes with the extension, the oracle with the base).
+    *
+    * The reserved id -1 decodes to `[UNK]` (the [[encodeIds]]
+    * contract). Any OTHER id missing from the table is a corrupted
+    * shard or the wrong artifact — impossible under the append-only
+    * contract — and raises loudly instead of decoding to a silent
+    * placeholder.
+    *
+    * Scale shape: one broadcast join (the id table is
+    * vocabulary-sized), zero Exchange on the shard.
+    */
+  def decodeIds(shard: DataFrame, ids: DataFrame): DataFrame =
+    shard.select(col("doc_id"), col("pos"),
+        col("piece_id").cast("long").as("piece_id"))
+      .join(broadcast(ids.select(col("piece_id").cast("long")
+        .as("piece_id"), col("piece"))), Seq("piece_id"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("piece_id") === -1L,
+            lit(graft.functions.WordPieceApply.Unk))
+          .when(col("piece").isNull, raise_error(concat(
+            lit("decodeIds: id "), col("piece_id").cast("string"),
+            lit(" not in the id table — shard/artifact mismatch " +
+              "(the append-only contract makes this unreachable " +
+              "for shards encoded under any prior of this table)"))))
+          .otherwise(col("piece")).as("piece"))
+
+  /** DETOKENIZE a decoded piece stream back to words: a piece without
+    * the '##' continuation marker opens a word, '##'-pieces append
+    * (markers stripped). `[UNK]` is never '##'-marked, so it surfaces
+    * as its own word. Shares BERT's own ambiguity on corpus words that
+    * literally start with '##' (see the class scaladoc) — the
+    * detokenizer is consistent with the encoder's marking, which is
+    * the whole contract.
+    *
+    * Output: (doc_id, word_idx, word) — word_idx 0-based in stream
+    * order.
+    *
+    * Scale shape: ONE Exchange on doc_id — the word-boundary running
+    * count partitions by doc_id and the (doc_id, word_idx) aggregation
+    * reuses that partitioning (doc_id is a prefix of the grouping
+    * key), so the window and the groupBy share the shuffle.
+    */
+  def detokenize(decoded: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    decoded
+      .withColumn("__widx",
+        sum(when(col("piece").startsWith("##"), 0L).otherwise(1L))
+          .over(w))
+      .groupBy(col("doc_id"), (col("__widx") - 1L).as("word_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        s => when(s.getField("piece").startsWith("##"),
+            s.getField("piece").substr(lit(3),
+              length(s.getField("piece"))))
+          .otherwise(s.getField("piece"))), "").as("word"))
+  }
 }

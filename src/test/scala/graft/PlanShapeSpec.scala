@@ -654,6 +654,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countIn(p, "Window") <= 1, p)
   }
 
+  test("epochUpsample: ZERO exchange — the epoch table broadcasts, " +
+      "the draw and the copy explode are per-row pure (q266 shape: " +
+      "an epoch factor is a per-doc rate, never a corpus window)") {
+    val docs = Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang")
+    val p = plan(graft.operators.TextAnalysis.epochUpsample(
+      docs, "doc_id", "lang", Seq("en" -> 14000L, "fr" -> 5000L)))
+    assert(countIn(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("decodeIds + detokenize: the id table attaches as a broadcast " +
+      "(zero shuffle for the decode); the word regroup pays exactly " +
+      "ONE exchange — the boundary window partitions by doc_id and " +
+      "the (doc_id, word_idx) aggregation reuses it (q262 shape)") {
+    val shard = Seq((1L, 0L, 0L), (1L, 1L, 1L))
+      .toDF("doc_id", "pos", "piece_id")
+    val ids = Seq(("ab", 0L), ("##b", 1L)).toDF("piece", "piece_id")
+    val pd = plan(graft.operators.WordPiece.decodeIds(shard, ids))
+    assert(countIn(pd, "Exchange hashpartitioning") == 0, pd)
+    assert(countIn(pd, "BroadcastHashJoin") == 1, pd)
+    val pw = plan(graft.operators.WordPiece.detokenize(
+      graft.operators.WordPiece.decodeIds(shard, ids)))
+    assert(countIn(pw, "Exchange hashpartitioning") == 1, pw)
+    assert(!pw.contains("SortMergeJoin"), pw)
+  }
+
   test("splitLeakageAudit: the split table attaches to the LSH pairs " +
       "as per-row hash derivation + equi-joins — no sort-merge, no " +
       "cartesian; the quadratic stays inside the banded bucket join") {

@@ -99,4 +99,49 @@ class PreferenceStreamSpec extends SparkSpecBase {
     assert(n.count() == negs.count())
     assert(assembled(p, n) == assembled(pairs, negs))
   }
+
+  private def layerNames(cfg: PreferenceStream.Config,
+                         store: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"${cfg.root}/$store")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSeq.sorted
+  }
+
+  test("compaction: both layer families collapse to one, the " +
+      "assembled pairs are identical before/after, the crash window " +
+      "(merged + old coexisting) is state-invisible, and a replay of " +
+      "a compacted-away batch collapses") {
+    val cfg = PreferenceStream.Config(mk())
+    val env = envelope(pairs, negs)
+    val b1 = env.filter(_.query_id == 0L)
+    val b2 = env.filter(_.query_id != 0L)
+    PreferenceStream.foldBatch(b1.toDF(), 1L, cfg)
+    PreferenceStream.foldBatch(b2.toDF(), 2L, cfg)
+    val before = assembled(PreferenceStream.pairsState(spark, cfg),
+      PreferenceStream.negativesState(spark, cfg))
+    // crash window: merged layer written, old layers NOT yet deleted
+    // — pair/negative rows are facts, so the read side must see
+    // identical state through the whole window
+    PreferenceStream.pairsState(spark, cfg)
+      .write.mode("overwrite").parquet(s"${cfg.root}/pairs/batch=c2")
+    assert(layerNames(cfg, "pairs").size == 3)
+    assert(assembled(PreferenceStream.pairsState(spark, cfg),
+      PreferenceStream.negativesState(spark, cfg)) == before)
+    // the real compaction (idempotent over the half-done state)
+    PreferenceStream.compact(spark, cfg)
+    assert(layerNames(cfg, "pairs") == Seq("batch=c2"))
+    assert(layerNames(cfg, "negatives") == Seq("batch=c2"))
+    assert(assembled(PreferenceStream.pairsState(spark, cfg),
+      PreferenceStream.negativesState(spark, cfg)) == before)
+    // engine replay of a compacted-away batchId re-creates its layer
+    // with the same fact rows — duplicates, collapsed by the distinct
+    PreferenceStream.foldBatch(b1.toDF(), 1L, cfg)
+    assert(assembled(PreferenceStream.pairsState(spark, cfg),
+      PreferenceStream.negativesState(spark, cfg)) == before)
+    PreferenceStream.compact(spark, cfg)
+    assert(layerNames(cfg, "pairs") == Seq("batch=c2"))
+    assert(assembled(PreferenceStream.pairsState(spark, cfg),
+      PreferenceStream.negativesState(spark, cfg)) == before)
+  }
 }

@@ -262,6 +262,93 @@ class TrainingDataOpsSpec extends SparkSpecBase {
       (2L, 0L, "ab"), (2L, 1L, "ab")))
   }
 
+  test("WordPiece.decodeIds/detokenize: an id shard decodes to the " +
+      "exact piece stream under the EXTENDED id table (old shards " +
+      "keep decoding), words regroup with '##' stripped, [UNK] " +
+      "surfaces whole, and a foreign id raises loudly") {
+    val docs = Seq((1L, "ab b"), (2L, "ab ab " + "a" * 17))
+      .toDF("doc_id", "text")
+    val vocab = WordPiece.mineVocab(docs, "text", 6, 10)
+    val baseIds = WordPiece.vocabIds(vocab)
+    val shard = WordPiece.encodeIdsWith(docs, "doc_id", "text", vocab,
+      baseIds, matchHorizon = 6, maxInputChars = 16)
+    val pieces = WordPiece.encode(docs, "doc_id", "text", vocab, 6, 16)
+      .orderBy("doc_id", "pos").as[(Long, Long, String)]
+      .collect().toSeq
+    // decode under the base table reproduces the encode's stream
+    val decBase = WordPiece.decodeIds(shard, baseIds)
+      .orderBy("doc_id", "pos").as[(Long, Long, String)]
+      .collect().toSeq
+    assert(decBase == pieces)
+    // decode under an EXTENDED table is bit-identical — extendIds
+    // keeps every base (piece, id) row stable, which is the whole
+    // old-shards-keep-decoding contract (q262's oracle proves the
+    // same thing end-to-end at corpus scale)
+    val ext = graft.operators.TokenizerArtifact.extendIds(baseIds,
+      Seq(("zz", 1L)).toDF("piece", "cnt"))
+    val decExt = WordPiece.decodeIds(shard, ext)
+      .orderBy("doc_id", "pos").as[(Long, Long, String)]
+      .collect().toSeq
+    assert(decExt == pieces)
+    // detokenize regroups: the over-length word ([UNK], id -1)
+    // surfaces as its own whole word
+    val words = WordPiece.detokenize(WordPiece.decodeIds(shard, ext))
+      .orderBy("doc_id", "word_idx").as[(Long, Long, String)]
+      .collect().toSeq
+    assert(words == Seq((1L, 0L, "ab"), (1L, 1L, "b"),
+      (2L, 0L, "ab"), (2L, 1L, "ab"), (2L, 2L, "[UNK]")))
+    // an id missing from the table (≠ -1) is a corrupted shard or
+    // the wrong artifact — loud, never a silent placeholder
+    val bad = Seq((9L, 0L, 999L)).toDF("doc_id", "pos", "piece_id")
+    intercept[Exception] {
+      WordPiece.decodeIds(bad, baseIds).collect()
+    }
+  }
+
+  test("TextAnalysis.epochUpsample: floor copies for everyone, the " +
+      "fractional extra copy is the frozen per-doc hash draw (stable " +
+      "under corpus growth), unlisted strata drop, integer epochs " +
+      "take no draw, and copy_idx is dense") {
+    import graft.operators.TextAnalysis
+    import graft.functions.GraftFunctions.charPolyHash
+    val docs = (1L to 40L).map(i => (i, if (i <= 30) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val up = TextAnalysis.epochUpsample(docs, "doc_id", "lang",
+      Seq("en" -> 23000L)) // 2.3 epochs; fr unlisted → dropped
+    val counts = up.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet.forall(_ <= 30L))
+    assert(counts.size == 30 &&
+      counts.values.forall(c => c == 2L || c == 3L))
+    // the draw is exactly the per-doc frozen hash — per-row pure
+    val drawn = docs.filter(col("lang") === "en")
+      .select(col("doc_id"), (pmod(charPolyHash(concat(
+        col("doc_id").cast("string"), lit("|ep"))), lit(10000L))
+        < 3000L).as("x")).as[(Long, Boolean)].collect().toMap
+    assert(counts.forall { case (id, c) =>
+      c == (if (drawn(id)) 3L else 2L) })
+    // corpus growth never flips an existing doc's copy count
+    val grown = TextAnalysis.epochUpsample(
+        docs.unionByName((100L to 140L).map(i => (i, "en"))
+          .toDF("doc_id", "lang")),
+        "doc_id", "lang", Seq("en" -> 23000L))
+      .filter(col("doc_id") <= 40L)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(grown == counts)
+    // integer epochs: exact copy counts, no draw anywhere
+    val exact = TextAnalysis.epochUpsample(docs, "doc_id", "lang",
+        Seq("en" -> 20000L, "fr" -> 10000L))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert((1L to 30L).forall(exact(_) == 2L) &&
+      (31L to 40L).forall(exact(_) == 1L))
+    // copy_idx dense 0..n-1 per doc
+    val sparse = up.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), (max(col("copy_idx")) + 1L).as("m"),
+        countDistinct(col("copy_idx")).as("d"))
+      .filter(col("c") =!= col("m") || col("c") =!= col("d"))
+    assert(sparse.isEmpty)
+  }
+
   test("Conversations.packedLossManifest: exact per-chunk token and " +
       "loss widths; totals reconcile with the render") {
     import graft.operators.TextAnalysis
