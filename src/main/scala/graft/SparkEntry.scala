@@ -1322,7 +1322,8 @@ object SparkEntry {
                                        maxInputChars: Int,
                                        ids: Boolean = false,
                                        src: String = "documents",
-                                       decodeWords: Boolean = false): String = {
+                                       decodeWords: Boolean = false,
+                                       fertility: Boolean = false): String = {
     def pieceAt(tok: String, pos: String, l: String) =
       s"CASE WHEN $pos = 0 THEN substr($tok, 1, CAST($l AS INT)) " +
         s"ELSE '##' || substr($tok, CAST($pos + 1 AS INT), " +
@@ -1371,7 +1372,29 @@ object SparkEntry {
          | FROM (SELECT d.doc_id, d.widx, w.pl,
          |   unnest(range(len(w.pl))) AS k
          |  FROM adt d JOIN wpl w USING (tok)))""".stripMargin
-    val sel = if (decodeWords)
+    val sel = if (fertility)
+      // q273: the tokenizer-selection aggregate over the piece
+      // stream — every word opens with exactly one unmarked piece
+      // ([UNK] included), so n_words needs no corpus join
+      """wstat AS (SELECT
+        |  SUM(CASE WHEN piece LIKE '##%' THEN 0 ELSE 1 END)
+        |   AS n_words,
+        |  COUNT(*) AS n_pieces,
+        |  SUM(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END) AS n_unk,
+        |  SUM(CASE WHEN piece = '[UNK]' THEN 0
+        |    WHEN piece LIKE '##%' THEN len(piece) - 2
+        |    ELSE len(piece) END) AS content_chars
+        | FROM wfl)
+        |SELECT CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_pieces AS BIGINT) AS n_pieces,
+        | CAST(n_unk AS BIGINT) AS n_unk,
+        | CAST(n_pieces * 10000 // n_words AS BIGINT) AS fertility_10k,
+        | CAST(n_unk * 10000 // n_words AS BIGINT) AS unk_10k,
+        | CAST(content_chars AS BIGINT) AS content_chars,
+        | CAST(content_chars * 10000 // n_pieces AS BIGINT)
+        |  AS chars_per_piece_10k
+        |FROM wstat""".stripMargin
+    else if (decodeWords)
       // encode to ids with the frozen BASE rank, decode BACK by id,
       // and regroup the decoded pieces into words ('##' strips and
       // appends, anything else — [UNK] included — opens a word): the
@@ -1418,7 +1441,7 @@ object SparkEntry {
     materializeCtes("WITH " +
       wordpieceVocabCtesSql(maxPieceLen, topPieces, src = src) + ",\n" +
       aug + ",\n" + stages + ",\n" + tail +
-      (if (ids || decodeWords) ",\n" else "\n") + sel)
+      (if (ids || decodeWords || fertility) ",\n" else "\n") + sel)
   }
 
   /** q246: the append-only allocator replay — base vocab mined from
@@ -6859,6 +6882,123 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // ---- the REALIZED-MIXTURE audit for the epoch draw (the q243
+    // under-supply discipline): per stratum, corpus size vs manifest
+    // size, realized epochs in parts-per-10⁴ against the target, and
+    // both token masses — the sign-off table for the hash-expected
+    // draw's O(1/√n) small-stratum deviation, aggregated per ROW
+    // (the manifest is never exploded — one Exchange total).
+    "q267_epoch_mixture_report" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      TextAnalysis.epochMixtureReport(t(s, dir, "documents"),
+          "doc_id", "lang",
+          size(filter(tokens(col("text")), t => length(t) > 0))
+            .cast("long"),
+          Seq("de" -> 5000L, "zh" -> 10000L, "en" -> 14000L,
+            "es" -> 25000L))
+        .orderBy(col("stratum"))
+    }),
+
+    // ---- CURSOR RESUME over the batch layout (the mid-epoch restart
+    // a trainer actually does): the q260 manifest is totally ordered
+    // by (bucket, batch_idx), so "everything from the cursor on" is a
+    // PURE FILTER — no global step rank (which would be a
+    // manifest-sized single-partition sort), zero added Exchange.
+    // Oracle = q260's chain + the same WHERE.
+    "q268_length_batches_resume" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      TextAnalysis.resumeBatches(
+          TextAnalysis.lengthBucketedBatches(
+            t(s, dir, "documents"), "doc_id",
+            size(filter(tokens(col("text")), t => length(t) > 0)),
+            bucketTokens = 16L, batchSize = 4),
+          bucket0 = 3L, batch0 = 2L)
+        .orderBy(col("bucket"), col("batch_idx"))
+    }),
+
+    // ---- GREEDY NO-SPLIT PACKING (the third batch-assembly tier):
+    // docs lay WHOLE into 128-token chunks, a doc that no longer
+    // fits opens the next chunk — zero cross-document contamination
+    // at the price of per-chunk tail waste (q270 prices it). The
+    // fold is inherently sequential per stream (a non-associative
+    // scan), so this is the documented mapGroups seam — streams are
+    // the parallel unit; the oracle replays the fold with a
+    // recursive CTE over the per-stream ordinals.
+    "q269_pack_nosplit" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val widths = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          size(filter(tokens(col("text")), t => length(t) > 0))
+            .cast("long").as("n"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("stream"))
+      TextAnalysis.packWholeDocs(widths, "doc_id", "stream",
+          col("n"), chunkTokens = 128)
+        .orderBy(col("stream"), col("doc_id"))
+    }),
+
+    // ---- the BATCH-ASSEMBLY TIER SWEEP (q265 completed to the full
+    // decision space): padded bucketing vs split packing vs no-split
+    // packing, same corpus, chunk/batch budgets held fixed — waste
+    // and contamination side by side in exact integers. The missing
+    // third column in every pad-vs-pack debate is the no-split
+    // tier's tail waste; now all three are one measured table.
+    "q270_batch_tier_sweep" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val widths = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          size(filter(tokens(col("text")), t => length(t) > 0))
+            .cast("long").as("n"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("stream"))
+      val padded = TextAnalysis.lengthBucketedBatches(widths,
+          "doc_id", col("n"), bucketTokens = 16L, batchSize = 4)
+        .agg(sum(col("n_docs") * col("max_tokens")).as("slots"),
+          sum(col("sum_tokens")).as("n_tokens"),
+          sum(col("pad_tokens")).as("waste_tokens"))
+        .select(lit("pad_bucketed").as("strategy"), col("slots"),
+          col("n_tokens"), col("waste_tokens"),
+          expr("waste_tokens * 10000L div slots").as("waste_10k"),
+          lit(0L).as("n_split_docs"))
+      val split = TextAnalysis.packingReport(widths, "doc_id",
+          "stream", col("n"), chunkTokens = 128)
+        .agg(sum(col("n_chunks") * 128L).as("slots"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_split_docs")).as("n_split_docs"))
+        .select(lit("pack_split").as("strategy"), col("slots"),
+          col("n_tokens"),
+          (col("slots") - col("n_tokens")).as("waste_tokens"),
+          expr("(slots - n_tokens) * 10000L div slots")
+            .as("waste_10k"),
+          col("n_split_docs"))
+      val nosplit = TextAnalysis.packWholeDocs(widths, "doc_id",
+          "stream", col("n"), chunkTokens = 128)
+        .groupBy(col("stream"))
+        .agg((max(col("chunk_idx")) + 1L).as("nc"),
+          sum(col("n_tokens")).as("nt"))
+        .agg(sum(col("nc") * 128L).as("slots"),
+          sum(col("nt")).as("n_tokens"))
+        .select(lit("pack_nosplit").as("strategy"), col("slots"),
+          col("n_tokens"),
+          (col("slots") - col("n_tokens")).as("waste_tokens"),
+          expr("(slots - n_tokens) * 10000L div slots")
+            .as("waste_10k"),
+          lit(0L).as("n_split_docs"))
+      padded.unionByName(split).unionByName(nosplit)
+        .orderBy(col("strategy"))
+    }),
+
+    // ---- TOKENIZER FERTILITY / COMPRESSION (the tokenizer-selection
+    // numbers): pieces per word, [UNK] rate, content chars per piece
+    // — computed from the encode stream alone (every word contributes
+    // exactly ONE unmarked opener piece, so n_words needs no join
+    // back to the corpus). One global aggregate; exact integers.
+    "q271_wordpiece_fertility" -> ((s, dir) => {
+      val vocab = WordPiece.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      WordPiece.fertilityReport(
+        WordPiece.encode(wpAugDocs(s, dir), "doc_id", "text", vocab,
+          matchHorizon = 6, maxInputChars = 9))
+    }),
+
     // ---- the streamed DPO vertical over the PERSISTED-INDEX miner
     // (q235 × q248 — the full 100 TB composition): negatives from
     // q218's probed int8 reads, labeled pairs + mined candidates
@@ -11649,6 +11789,121 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang AS stratum,
          |  unnest(range(nc)) AS copy_idx FROM uc WHERE nc > 0)
          |ORDER BY doc_id, copy_idx""".stripMargin),
+
+    // realized-mixture replay: the same draw, aggregated per stratum
+    // with exact-integer realized epochs and token masses
+    "q267_epoch_mixture_report" -> materializeCtes(
+      s"""WITH uep AS (SELECT * FROM (VALUES
+         |  ('de', CAST(5000 AS BIGINT)), ('zh', 10000),
+         |  ('en', 14000), ('es', 25000)) t(lang, e4)),
+         |ud AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+         |  e.e4, CAST(len(list_filter(string_split_regex(trim(d.text),
+         |    '\\s+'), x -> len(x) > 0)) AS BIGINT) AS tk
+         | FROM documents d JOIN uep e ON d.lang = e.lang),
+         |uc AS (SELECT doc_id, lang, tk, e4,
+         |  e4 // 10000 + CASE WHEN
+         |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|ep'")}
+         |     % 10000 < e4 % 10000 THEN 1 ELSE 0 END AS nc
+         | FROM ud)
+         |SELECT lang AS stratum, CAST(MAX(e4) AS BIGINT) AS target_e4,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(nc) AS BIGINT) AS n_copies,
+         | CAST(SUM(nc) * 10000 // COUNT(*) AS BIGINT) AS realized_e4,
+         | CAST(SUM(tk) AS BIGINT) AS corpus_tokens,
+         | CAST(SUM(nc * tk) AS BIGINT) AS copy_tokens
+         |FROM uc GROUP BY lang ORDER BY stratum""".stripMargin),
+
+    // cursor-resume replay: q260's chain + the same WHERE
+    "q268_length_batches_resume" -> materializeCtes(
+      s"""WITH ${lengthBatchCte(16L, "m")}
+         |SELECT bucket, batch_idx, CAST(nd AS BIGINT) AS n_docs,
+         | CAST(mx AS BIGINT) AS max_tokens,
+         | CAST(sm AS BIGINT) AS sum_tokens,
+         | CAST(pad AS BIGINT) AS pad_tokens
+         |FROM mbt
+         |WHERE bucket > 3 OR (bucket = 3 AND batch_idx >= 2)
+         |ORDER BY bucket, batch_idx""".stripMargin),
+
+    // no-split packing replay: the sequential per-stream fold as a
+    // recursive CTE over the per-stream ordinals
+    "q269_pack_nosplit" -> materializeCtes(
+      s"""WITH RECURSIVE nlb AS (SELECT CAST(doc_id AS BIGINT)
+         |  AS doc_id, CAST(doc_id % 4 AS BIGINT) AS stream,
+         |  CAST(len(list_filter(string_split_regex(trim(text),
+         |    '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n
+         | FROM documents),
+         |nrn AS (SELECT stream, doc_id, n, row_number() OVER
+         |  (PARTITION BY stream ORDER BY doc_id) AS ord FROM nlb),
+         |nrec AS (SELECT stream, doc_id, n, ord,
+         |  CAST(0 AS BIGINT) AS chunk_idx, n AS fill
+         | FROM nrn WHERE ord = 1
+         | UNION ALL
+         | SELECT x.stream, x.doc_id, x.n, x.ord,
+         |  CASE WHEN r.fill + x.n <= 128 THEN r.chunk_idx
+         |   ELSE r.chunk_idx + 1 END,
+         |  CASE WHEN r.fill + x.n <= 128 THEN r.fill + x.n
+         |   ELSE x.n END
+         | FROM nrec r JOIN nrn x ON x.stream = r.stream
+         |  AND x.ord = r.ord + 1)
+         |SELECT stream, doc_id, n AS n_tokens, chunk_idx,
+         | fill AS fill_after
+         |FROM nrec ORDER BY stream, doc_id""".stripMargin),
+
+    // tier-sweep replay: all three chains over the same widths
+    "q270_batch_tier_sweep" -> materializeCtes(
+      s"""WITH RECURSIVE ${lengthBatchCte(16L, "m")},
+         |rw AS (SELECT doc_id, doc_id % 4 AS stream, n FROM mlb),
+         |pcz AS (SELECT stream, doc_id, n,
+         |  CAST(SUM(n) OVER (PARTITION BY stream ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+         | FROM rw),
+         |pks AS (SELECT stream, SUM(n) AS nt,
+         |  SUM(CASE WHEN n > 0
+         |    AND (end_tok - n) // 128 <> (end_tok - 1) // 128
+         |   THEN 1 ELSE 0 END) AS nsplit
+         | FROM pcz GROUP BY stream),
+         |pkt AS (SELECT SUM(((nt + 127) // 128) * 128) AS slots,
+         |  SUM(nt) AS ntok, SUM(nsplit) AS nsplit FROM pks),
+         |nrn AS (SELECT stream, doc_id, n, row_number() OVER
+         |  (PARTITION BY stream ORDER BY doc_id) AS ord FROM rw),
+         |nrec AS (SELECT stream, doc_id, n, ord,
+         |  CAST(0 AS BIGINT) AS chunk_idx, n AS fill
+         | FROM nrn WHERE ord = 1
+         | UNION ALL
+         | SELECT x.stream, x.doc_id, x.n, x.ord,
+         |  CASE WHEN r.fill + x.n <= 128 THEN r.chunk_idx
+         |   ELSE r.chunk_idx + 1 END,
+         |  CASE WHEN r.fill + x.n <= 128 THEN r.fill + x.n
+         |   ELSE x.n END
+         | FROM nrec r JOIN nrn x ON x.stream = r.stream
+         |  AND x.ord = r.ord + 1),
+         |nst AS (SELECT stream, MAX(chunk_idx) + 1 AS nc,
+         |  SUM(n) AS nt FROM nrec GROUP BY stream),
+         |nt2 AS (SELECT SUM(nc * 128) AS slots, SUM(nt) AS ntok
+         | FROM nst),
+         |pdt AS (SELECT SUM(nd * mx) AS slots, SUM(sm) AS ntok,
+         |  SUM(pad) AS waste FROM mbt)
+         |SELECT strategy, CAST(slots AS BIGINT) AS slots,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(waste_tokens AS BIGINT) AS waste_tokens,
+         | CAST(waste_10k AS BIGINT) AS waste_10k,
+         | CAST(n_split_docs AS BIGINT) AS n_split_docs
+         |FROM (
+         | SELECT 'pad_bucketed' AS strategy, slots, ntok AS n_tokens,
+         |  waste AS waste_tokens, waste * 10000 // slots AS waste_10k,
+         |  0 AS n_split_docs FROM pdt
+         | UNION ALL
+         | SELECT 'pack_split', slots, ntok, slots - ntok,
+         |  (slots - ntok) * 10000 // slots, nsplit FROM pkt
+         | UNION ALL
+         | SELECT 'pack_nosplit', slots, ntok, slots - ntok,
+         |  (slots - ntok) * 10000 // slots, 0 FROM nt2)
+         |ORDER BY strategy""".stripMargin),
+
+    // fertility replay: the encode chain + the one-row
+    // tokenizer-selection aggregate
+    "q271_wordpiece_fertility" ->
+      wordpieceEncodeOracleSql(6, 60, 9, fertility = true),
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the

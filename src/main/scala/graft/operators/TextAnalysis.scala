@@ -955,23 +955,63 @@ object TextAnalysis {
     * content by doc_id when (and where) they need it.
     */
   def epochUpsample(docs: DataFrame, idCol: String, strataCol: String,
-                    epochs10k: Seq[(String, Long)]): DataFrame = {
+                    epochs10k: Seq[(String, Long)]): DataFrame =
+    epochCopies(docs, idCol, strataCol, epochs10k)
+      .filter(col("__n") > 0L)
+      .select(col("doc_id"), col(strataCol).as("stratum"),
+        explode(sequence(lit(0L), col("__n") - 1L)).as("copy_idx"))
+
+  /** The shared per-doc copy count: floor(e4/10⁴) + the frozen-hash
+    * fractional draw — [[epochUpsample]] explodes it into the
+    * manifest, [[epochMixtureReport]] aggregates it directly (the
+    * report never needs the exploded rows).
+    */
+  private def epochCopies(docs: DataFrame, idCol: String,
+                          strataCol: String,
+                          epochs10k: Seq[(String, Long)]): DataFrame = {
     require(epochs10k.forall(_._2 >= 0L), "epochs10k >= 0")
     val spark = docs.sparkSession
     import spark.implicits._
     val eps = epochs10k.sortBy(_._1).toDF(strataCol, "__e4")
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        col(strataCol))
+    docs.withColumn("doc_id", col(idCol).cast("long"))
       .join(broadcast(eps), Seq(strataCol))
       .withColumn("__extra",
         when(pmod(charPolyHash(concat(col("doc_id").cast("string"),
           lit("|ep"))), lit(10000L)) < pmod(col("__e4"), lit(10000L)),
           1L).otherwise(0L))
       .withColumn("__n", expr("__e4 div 10000L") + col("__extra"))
-      .filter(col("__n") > 0L)
-      .select(col("doc_id"), col(strataCol).as("stratum"),
-        explode(sequence(lit(0L), col("__n") - 1L)).as("copy_idx"))
   }
+
+  /** REALIZED-MIXTURE audit for [[epochUpsample]] — the
+    * measure-the-knob companion (the q243 under-supply-audit
+    * discipline): per stratum, the corpus size, the manifest size the
+    * draw actually produced, the realized epochs in parts-per-10⁴
+    * against the target, and both token masses (corpus vs repeated) —
+    * the numbers a mixture owner signs off on BEFORE training, since
+    * the hash-expected draw deviates O(1/√n) on small strata.
+    *
+    * Output: (stratum, target_e4, n_docs, n_copies, realized_e4,
+    * corpus_tokens, copy_tokens).
+    *
+    * Scale shape: ONE Exchange (the per-stratum aggregation,
+    * partial-agg friendly) — copy counts aggregate per ROW, the
+    * manifest is never exploded.
+    */
+  def epochMixtureReport(docs: DataFrame, idCol: String,
+                         strataCol: String, tokenCol: Column,
+                         epochs10k: Seq[(String, Long)]): DataFrame =
+    epochCopies(docs.withColumn("__tok", tokenCol.cast("long")),
+        idCol, strataCol, epochs10k)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(max(col("__e4")).as("target_e4"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_copies"),
+        sum(col("__tok")).as("corpus_tokens"),
+        sum(col("__n") * col("__tok")).as("copy_tokens"))
+      .select(col("stratum"), col("target_e4"), col("n_docs"),
+        col("n_copies"),
+        expr("n_copies * 10000L div n_docs").as("realized_e4"),
+        col("corpus_tokens"), col("copy_tokens"))
 
   /** PII scrubbing: count and redact emails, IPv4 addresses, and
     * international-format phone numbers. Pure per-row regex work (zero
@@ -2585,6 +2625,67 @@ object TextAnalysis {
           s"${chunkTokens}L) * ${chunkTokens}L) END").as("fill_10k"),
         expr("CASE WHEN n_docs = 0L THEN 0L ELSE " +
           "n_split_docs * 10000L div n_docs END").as("split_10k"))
+
+  /** GREEDY NO-SPLIT PACKING — the third batch-assembly tier next to
+    * padded bucketing ([[lengthBucketedBatches]]) and split packing
+    * ([[packSequencesByCount]]): documents lay whole into fixed
+    * `chunkTokens` chunks, a doc that no longer fits opens the next
+    * chunk — zero cross-document attention contamination at the price
+    * of per-chunk tail waste (q270 prices all three tiers on one
+    * corpus). A doc WIDER than a chunk gets a solo overflowing chunk
+    * (fill_after > chunkTokens — the caller truncates or re-chunks;
+    * never silently split, never silently dropped).
+    *
+    * The fold is inherently SEQUENTIAL per stream (each placement
+    * depends on the previous fill — a non-associative scan no window
+    * frame expresses), so this is the documented `mapGroups` seam:
+    * streams are the parallel unit, and the per-stream state is the
+    * skinny (doc_id, n_tokens) manifest — ~24 B/doc, never text. At
+    * 100 TB choose the stream count so a stream's manifest fits an
+    * executor (the same contract as [[packSequencesByCount]]'s
+    * per-stream cumsum window, which shares this layout). Docs place
+    * in doc_id order (the split tier's order — apples-to-apples);
+    * length-sorted or frozen-hash orders change the waste and are the
+    * caller's choice of `idCol` ordering upstream.
+    *
+    * Output: (stream, doc_id, n_tokens, chunk_idx, fill_after).
+    */
+  def packWholeDocs(docs: DataFrame, idCol: String, groupCol: String,
+                    countCol: Column, chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val c = chunkTokens.toLong
+    docs.select(col(groupCol).cast("long").as("stream"),
+        col(idCol).cast("long").as("doc_id"),
+        countCol.cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (stream, it) =>
+        var chunk = -1L
+        var fill = c + 1L // forces the first doc to open chunk 0
+        it.toIndexedSeq.sortBy(_._2).iterator.map { case (_, id, n) =>
+          if (fill + n <= c) fill += n
+          else { chunk += 1L; fill = n }
+          (stream, id, n, chunk, fill)
+        }
+      }
+      .toDF("stream", "doc_id", "n_tokens", "chunk_idx", "fill_after")
+  }
+
+  /** Resume a length-bucketed batch layout from a CURSOR — the
+    * deterministic mid-epoch restart a trainer needs: the
+    * [[lengthBucketedBatches]] manifest is totally ordered by
+    * (bucket, batch_idx), so "everything from the cursor on" is a
+    * PURE FILTER — no global step rank, no window, zero added
+    * Exchange (the naive row_number-over-everything global step would
+    * be a corpus-manifest-sized single-partition sort). The cursor is
+    * the last COMPLETED batch's successor, exactly like a log offset.
+    */
+  def resumeBatches(manifest: DataFrame, bucket0: Long,
+                    batch0: Long): DataFrame =
+    manifest.filter(col("bucket") > bucket0 ||
+      (col("bucket") === bucket0 && col("batch_idx") >= batch0))
 
   /** INTERLEAVED MULTIMODAL PACKING (the MMC4 / OBELICS layout:
     * Zhu et al. 2023, Laurençon et al. 2023): one ordered stream of

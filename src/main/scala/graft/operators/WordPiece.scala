@@ -219,6 +219,41 @@ object WordPiece {
               "for shards encoded under any prior of this table)"))))
           .otherwise(col("piece")).as("piece"))
 
+  /** TOKENIZER FERTILITY / COMPRESSION report — the standard
+    * tokenizer-selection numbers (pieces per word, content chars per
+    * piece, [UNK] rate), computed from an [[encode]] piece stream
+    * alone: every word contributes exactly one unmarked piece (its
+    * opener — `[UNK]` included), so n_words is the unmarked-piece
+    * count and no join back to the corpus is needed. Exact integers,
+    * ratios in parts-per-10⁴ (the repo's s4 convention).
+    *
+    * Output (one row): (n_words, n_pieces, n_unk, fertility_10k =
+    * pieces·10⁴ div words, unk_10k, content_chars, chars_per_piece_10k
+    * — '##' markers and `[UNK]` placeholders excluded from content).
+    *
+    * Scale shape: one global aggregate over the stream (partial-agg
+    * friendly, 1-row result).
+    */
+  def fertilityReport(encoded: DataFrame): DataFrame = {
+    val unk = graft.functions.WordPieceApply.Unk
+    encoded.agg(
+        sum(when(col("piece").startsWith("##"), 0L).otherwise(1L))
+          .as("n_words"),
+        count(lit(1)).as("n_pieces"),
+        sum(when(col("piece") === unk, 1L).otherwise(0L)).as("n_unk"),
+        sum(when(col("piece") === unk, 0L)
+          .when(col("piece").startsWith("##"),
+            length(col("piece")) - 2L)
+          .otherwise(length(col("piece")).cast("long")))
+          .as("content_chars"))
+      .select(col("n_words"), col("n_pieces"), col("n_unk"),
+        expr("n_pieces * 10000L div n_words").as("fertility_10k"),
+        expr("n_unk * 10000L div n_words").as("unk_10k"),
+        col("content_chars"),
+        expr("content_chars * 10000L div n_pieces")
+          .as("chars_per_piece_10k"))
+  }
+
   /** DETOKENIZE a decoded piece stream back to words: a piece without
     * the '##' continuation marker opens a word, '##'-pieces append
     * (markers stripped). `[UNK]` is never '##'-marked, so it surfaces

@@ -680,6 +680,43 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!pw.contains("SortMergeJoin"), pw)
   }
 
+  test("epochMixtureReport: ONE exchange (the stratum aggregation, " +
+      "partial-agg friendly) — copies aggregate per row, the " +
+      "manifest is never exploded (q267 shape)") {
+    val docs = Seq((1L, "en", "a b"), (2L, "fr", "c"))
+      .toDF("doc_id", "lang", "text")
+    val p = plan(graft.operators.TextAnalysis.epochMixtureReport(
+      docs, "doc_id", "lang", length(col("text")).cast("long"),
+      Seq("en" -> 14000L, "fr" -> 5000L)))
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Generate"), p) // no explode anywhere
+  }
+
+  test("resumeBatches adds NOTHING to the manifest plan — the cursor " +
+      "is a pure filter, no global-step rank, no extra exchange " +
+      "(q268 shape)") {
+    val docs = Seq((1L, "a b c"), (2L, "d")).toDF("doc_id", "text")
+    import graft.functions.GraftFunctions.tokens
+    val m = graft.operators.TextAnalysis.lengthBucketedBatches(
+      docs, "doc_id",
+      size(filter(tokens(col("text")), t => length(t) > 0)),
+      bucketTokens = 2L, batchSize = 4)
+    val base = countIn(plan(m), "Exchange hashpartitioning")
+    val p = plan(graft.operators.TextAnalysis.resumeBatches(m, 1L, 0L))
+    assert(countIn(p, "Exchange hashpartitioning") == base, p)
+    assert(!p.contains("Window partitionBy()"), p)
+  }
+
+  test("packWholeDocs: ONE exchange — the per-stream sequential fold " +
+      "shuffles only the skinny width manifest by stream (q269 shape)") {
+    val widths = Seq((0L, 1L, 3L), (0L, 2L, 4L))
+      .toDF("stream", "doc_id", "n")
+    val p = plan(graft.operators.TextAnalysis.packWholeDocs(
+      widths, "doc_id", "stream", col("n"), chunkTokens = 8))
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("splitLeakageAudit: the split table attaches to the LSH pairs " +
       "as per-row hash derivation + equi-joins — no sort-merge, no " +
       "cartesian; the quadratic stays inside the banded bucket join") {

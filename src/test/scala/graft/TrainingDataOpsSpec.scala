@@ -349,6 +349,94 @@ class TrainingDataOpsSpec extends SparkSpecBase {
     assert(sparse.isEmpty)
   }
 
+  test("TextAnalysis.epochMixtureReport reconciles exactly with the " +
+      "exploded manifest (copies and token masses), and realized_e4 " +
+      "is the exact integer ratio") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 20L).map(i =>
+      (i, if (i <= 15) "en" else "fr", "w " * i.toInt))
+      .toDF("doc_id", "lang", "text")
+    import graft.functions.GraftFunctions.tokens
+    val nTok = size(filter(tokens(col("text")), t => length(t) > 0))
+      .cast("long")
+    val eps = Seq("en" -> 17000L, "fr" -> 10000L)
+    val rep = TextAnalysis.epochMixtureReport(docs, "doc_id", "lang",
+        nTok, eps)
+      .orderBy("stratum")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // reconcile against the manifest × widths
+    val man = TextAnalysis.epochUpsample(docs, "doc_id", "lang", eps)
+      .join(docs.select(col("doc_id"), nTok.as("tk")), Seq("doc_id"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_copies"), sum(col("tk")).as("ct"))
+      .orderBy("stratum").as[(String, Long, Long)].collect().toSeq
+    assert(rep.map(r => (r._1, r._4, r._7)) == man)
+    rep.foreach { r =>
+      assert(r._5 == r._4 * 10000L / r._3) // realized_e4 exact
+      assert(r._2 == (if (r._1 == "en") 17000L else 10000L))
+    }
+    // fr at integer epochs: n_copies == n_docs, copy mass == corpus
+    val fr = rep.find(_._1 == "fr").get
+    assert(fr._4 == fr._3 && fr._7 == fr._6)
+  }
+
+  test("TextAnalysis.packWholeDocs: docs lay whole in doc_id order, " +
+      "a non-fitting doc opens the next chunk, an oversize doc gets " +
+      "a solo overflowing chunk (never split, never dropped)") {
+    import graft.operators.TextAnalysis
+    val widths = Seq(
+      (0L, 1L, 6L), (0L, 2L, 3L), (0L, 3L, 2L), (0L, 4L, 9L),
+      (1L, 5L, 13L), (1L, 6L, 10L)) // 13 > chunk 10 → solo overflow
+      .toDF("stream", "doc_id", "n")
+    val r = TextAnalysis.packWholeDocs(widths, "doc_id", "stream",
+        col("n"), chunkTokens = 10)
+      .orderBy("stream", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      // stream 0: 6 fits c0, 3 fits c0 (9), 2 opens c1, 9 opens c2
+      (0L, 1L, 6L, 0L, 6L), (0L, 2L, 3L, 0L, 9L),
+      (0L, 3L, 2L, 1L, 2L), (0L, 4L, 9L, 2L, 9L),
+      // stream 1: 13 is oversize → solo chunk 0 overflowing;
+      // 10 exactly fills chunk 1
+      (1L, 5L, 13L, 0L, 13L), (1L, 6L, 10L, 1L, 10L)), r)
+  }
+
+  test("TextAnalysis.resumeBatches: the cursor filter partitions the " +
+      "manifest exactly (resumed ∪ completed = everything, disjoint)") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 60L).map(i => (i, "w " * (i % 40 + 1).toInt))
+      .toDF("doc_id", "text")
+    import graft.functions.GraftFunctions.tokens
+    val m = TextAnalysis.lengthBucketedBatches(docs, "doc_id",
+      size(filter(tokens(col("text")), t => length(t) > 0)),
+      bucketTokens = 8L, batchSize = 4)
+    val resumed = TextAnalysis.resumeBatches(m, 2L, 1L)
+    val completed = m.exceptAll(resumed)
+    assert(resumed.count() + completed.count() == m.count())
+    assert(resumed.intersect(completed).isEmpty)
+    // every completed row strictly precedes the cursor
+    assert(completed.filter(col("bucket") > 2L ||
+      (col("bucket") === 2L && col("batch_idx") >= 1L)).isEmpty)
+    assert(resumed.filter(col("bucket") < 2L ||
+      (col("bucket") === 2L && col("batch_idx") < 1L)).isEmpty)
+  }
+
+  test("WordPiece.fertilityReport: exact hand-computed counts — " +
+      "n_words from the unmarked openers ([UNK] included), content " +
+      "chars exclude '##' markers and [UNK] placeholders") {
+    val docs = Seq((1L, "ab b"), (2L, "ab ab " + "a" * 17))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("a", 4L), ("b", 2L), ("##b", 3L))
+      .toDF("piece", "cnt")
+    // encodes: ab→(a,##b) ×3, b→(b), the 17-char word→[UNK]
+    val r = WordPiece.fertilityReport(
+        WordPiece.encode(docs, "doc_id", "text", vocab,
+          matchHorizon = 6, maxInputChars = 16))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((5L, 8L, 1L, 16000L, 2000L, 7L, 8750L)), r)
+  }
+
   test("Conversations.packedLossManifest: exact per-chunk token and " +
       "loss widths; totals reconcile with the render") {
     import graft.operators.TextAnalysis
