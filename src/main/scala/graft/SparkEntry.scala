@@ -6986,6 +6986,34 @@ object SparkEntry {
         .orderBy(col("strategy"))
     }),
 
+    // ---- FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022): the
+    // code-model pretraining rewrite — a seeded 90% of docs re-render
+    // in PSM order (<PRE> p <SUF> s <MID> m) with token-level cut
+    // points from salted hashes; the rest pass through normalized.
+    // Per-row pure (zero Exchange, plan-locked); the oracle replays
+    // draw, cuts and the exact rebuilt strings.
+    "q272_fim_transform" -> ((s, dir) => {
+      TextAnalysis.fimTransform(t(s, dir, "documents"), "doc_id",
+          "text", rate10k = 9000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- ANNEALING PHASES (the "highest-quality data last" recipe):
+    // the top-scored docs up to a 6k-token budget form the final
+    // phase — tokenMixture's whole-doc boundary rule under the
+    // (score DESC, hash, id) global order, computed WITHOUT a global
+    // window: cross-bucket cumulatives ride the tiny distinct-score
+    // table (broadcast), each doc adds only its bucket-confined
+    // running offset. Score = distinct-token count (an integer band).
+    "q273_anneal_phases" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val tk = filter(tokens(col("text")), t => length(t) > 0)
+      TextAnalysis.annealPhases(t(s, dir, "documents"), "doc_id",
+          size(tk).cast("long"), size(array_distinct(tk)).cast("long"),
+          annealTokens = 6000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- TOKENIZER FERTILITY / COMPRESSION (the tokenizer-selection
     // numbers): pieces per word, [UNK] rate, content chars per piece
     // — computed from the encode stream alone (every word contributes
@@ -11904,6 +11932,67 @@ object SparkEntry {
     // tokenizer-selection aggregate
     "q271_wordpiece_fertility" ->
       wordpieceEncodeOracleSql(6, 60, 9, fertility = true),
+
+    // FIM replay: draw, both cut hashes, the exact rebuilt PSM
+    // strings (1-based inclusive list slices)
+    "q272_fim_transform" -> materializeCtes(
+      s"""WITH fws AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  list_filter(string_split_regex(trim(text), '\\s+'),
+         |    x -> len(x) > 0) AS ws
+         | FROM documents),
+         |fcx AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+         |  CASE WHEN ${polyHashSql(
+               "CAST(doc_id AS VARCHAR) || '|fim'")} % 10000 < 9000
+         |    AND len(ws) > 0 THEN 1 ELSE 0 END AS fim
+         | FROM fws),
+         |fc2 AS (SELECT doc_id, ws, n, fim,
+         |  CASE WHEN fim = 1 THEN ${polyHashSql(
+               "CAST(doc_id AS VARCHAR) || '|fim1'")} % (n + 1)
+         |   ELSE 0 END AS c1
+         | FROM fcx),
+         |fc3 AS (SELECT doc_id, ws, n, fim, c1,
+         |  CASE WHEN fim = 1 THEN c1 + ${polyHashSql(
+               "CAST(doc_id AS VARCHAR) || '|fim2'")} % (n - c1 + 1)
+         |   ELSE n END AS c2
+         | FROM fc2)
+         |SELECT doc_id, CAST(fim AS BIGINT) AS fim,
+         | CAST(c1 AS BIGINT) AS n_prefix,
+         | CAST(c2 - c1 AS BIGINT) AS n_middle,
+         | CAST(n - c2 AS BIGINT) AS n_suffix,
+         | CASE WHEN fim = 1 THEN '<PRE> ' ||
+         |   COALESCE(array_to_string(ws[1:CAST(c1 AS INT)], ' '), '')
+         |   || ' <SUF> ' ||
+         |   COALESCE(array_to_string(
+         |     ws[CAST(c2 + 1 AS INT):CAST(n AS INT)], ' '), '')
+         |   || ' <MID> ' ||
+         |   COALESCE(array_to_string(
+         |     ws[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '), '')
+         |  ELSE array_to_string(ws, ' ') END AS text
+         |FROM fc3 ORDER BY doc_id""".stripMargin),
+
+    // annealing replay: per-score-bucket cumulatives + the
+    // within-bucket frozen-hash running offset, one global start rule
+    "q273_anneal_phases" -> materializeCtes(
+      s"""WITH ans AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(len(list_filter(string_split_regex(trim(text),
+         |    '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(list_filter(string_split_regex(
+         |    trim(text), '\\s+'), x -> len(x) > 0))) AS BIGINT)
+         |   AS score
+         | FROM documents),
+         |abt AS (SELECT score, SUM(n) AS bt FROM ans GROUP BY score),
+         |acm AS (SELECT score, SUM(bt) OVER (ORDER BY score DESC
+         |  ROWS UNBOUNDED PRECEDING) - bt AS cumb FROM abt),
+         |arn AS (SELECT doc_id, score, n,
+         |  SUM(n) OVER (PARTITION BY score ORDER BY
+         |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|an'")},
+         |    doc_id ROWS UNBOUNDED PRECEDING) - n AS rsb
+         | FROM ans)
+         |SELECT r.doc_id, r.score, r.n AS n_tokens,
+         | CAST(CASE WHEN c.cumb + r.rsb < 6000 THEN 1 ELSE 0 END
+         |  AS BIGINT) AS phase
+         |FROM arn r JOIN acm c USING (score)
+         |ORDER BY doc_id""".stripMargin),
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the

@@ -1013,6 +1013,109 @@ object TextAnalysis {
         expr("n_copies * 10000L div n_docs").as("realized_e4"),
         col("corpus_tokens"), col("copy_tokens"))
 
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the code-
+    * model pretraining rewrite: a seeded fraction of documents is
+    * re-rendered in PSM order (`<PRE> prefix <SUF> suffix <MID>
+    * middle`) so the model learns infilling; the rest pass through.
+    * Deterministic exact-arithmetic form:
+    *
+    *   - applied iff `polyHash(doc_id ∥ '|fim') mod 10⁴ < rate10k`
+    *     (the paper's fim_rate, the repo's frozen-draw idiom);
+    *   - token-level cut points from two more salted hashes:
+    *     c1 = h1 mod (n+1), c2 = c1 + h2 mod (n−c1+1) — every
+    *     (c1 ≤ c2) split reachable, empty segments legal (the paper
+    *     trains on them);
+    *   - output text is rebuilt from the NORMALIZED token stream on
+    *     both branches (raw-whitespace passthrough would make the
+    *     transformed/untransformed rows inconsistent corpora).
+    *
+    * Output: (doc_id, fim, n_prefix, n_middle, n_suffix, text).
+    *
+    * Scale shape: ZERO Exchange — three per-row hashes, three array
+    * slices, one join-back-free projection (plan-locked).
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   rate10k: Long): DataFrame = {
+    require(rate10k >= 0L && rate10k <= 10000L, "rate10k in [0,10⁴]")
+    def h(salt: String) = charPolyHash(
+      concat(col("doc_id").cast("string"), lit(salt)))
+    val out = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("fim",
+        when(pmod(h("|fim"), lit(10000L)) < rate10k && col("n") > 0L,
+          1L).otherwise(0L))
+      .withColumn("c1", when(col("fim") === 1L,
+        pmod(h("|fim1"), col("n") + 1L)).otherwise(0L))
+      .withColumn("c2", when(col("fim") === 1L,
+        col("c1") + pmod(h("|fim2"), col("n") - col("c1") + 1L))
+        .otherwise(col("n")))
+    out.select(col("doc_id"), col("fim"),
+      col("c1").as("n_prefix"),
+      (col("c2") - col("c1")).as("n_middle"),
+      (col("n") - col("c2")).as("n_suffix"),
+      // fixed separators via plain concat — concat_ws empty-segment
+      // semantics differ across engines (DuckDB's empty list slice
+      // stringifies to NULL and concat_ws skips it; Spark keeps '')
+      when(col("fim") === 1L,
+        concat(lit("<PRE> "),
+          array_join(slice(col("ws"), lit(1), col("c1").cast("int")),
+            " "),
+          lit(" <SUF> "),
+          array_join(expr("slice(ws, CAST(c2 AS INT) + 1, " +
+            "CAST(n - c2 AS INT))"), " "),
+          lit(" <MID> "),
+          array_join(expr("slice(ws, CAST(c1 AS INT) + 1, " +
+            "CAST(c2 - c1 AS INT))"), " ")))
+        .otherwise(array_join(col("ws"), " ")).as("text"))
+  }
+
+  /** ANNEALING-PHASE assignment — the "highest-quality data last"
+    * schedule of modern pretraining recipes (Llama-3 / MiniCPM style
+    * annealing): the top-scored documents, up to `annealTokens`
+    * tokens, form the final training phase (phase 1); everything else
+    * is phase 0. Deterministic, exact-integer, and scale-shaped:
+    *
+    * The selection rule is [[tokenMixture]]'s (docs taken WHOLE while
+    * they START within the budget, boundary doc kept) under the
+    * global order (score DESC, frozen hash, id) — but computed
+    * WITHOUT a global window: per-score-bucket token totals cumulate
+    * over the tiny distinct-score table (broadcast), and each doc
+    * only needs its within-bucket running offset (a bucket-confined
+    * window). `scoreCol` must therefore be an integer BAND (a
+    * quality score in s4 / a distinct-token count), not a unique
+    * per-doc float — cardinality is the broadcast bound.
+    *
+    * Output: (doc_id, score, n_tokens, phase).
+    */
+  def annealPhases(docs: DataFrame, idCol: String, tokenCol: Column,
+                   scoreCol: Column, annealTokens: Long): DataFrame = {
+    require(annealTokens >= 0L, "annealTokens >= 0")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokenCol.cast("long").as("n_tokens"),
+      scoreCol.cast("long").as("score"))
+    val cum = base.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__cumb",
+        sum(col("__bt")).over(Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("__bt"))
+      .select(col("score"), col("__cumb"))
+    val wb = Window.partitionBy(col("score"))
+      .orderBy(charPolyHash(concat(col("doc_id").cast("string"),
+        lit("|an"))), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(cum), Seq("score"))
+      .withColumn("__rsb",
+        sum(col("n_tokens")).over(wb) - col("n_tokens"))
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        when(col("__cumb") + col("__rsb") < annealTokens, 1L)
+          .otherwise(0L).as("phase"))
+  }
+
   /** PII scrubbing: count and redact emails, IPv4 addresses, and
     * international-format phone numbers. Pure per-row regex work (zero
     * shuffle, codegen'd); patterns are restricted to syntax with

@@ -717,6 +717,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("fimTransform: ZERO exchange — three per-row hashes, three " +
+      "array slices, one projection (q272 shape)") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.fimTransform(
+      docs, "doc_id", "text", 9000L))
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("annealPhases: the cross-bucket cumulative rides the tiny " +
+      "distinct-score table (broadcast back), docs pay only the " +
+      "bucket-confined window — no global window over the corpus, " +
+      "no sort-merge (q273 shape)") {
+    val docs = Seq((1L, 2L, 3L), (2L, 1L, 4L)).toDF("doc_id", "s", "n")
+    val p = plan(graft.operators.TextAnalysis.annealPhases(
+      docs, "doc_id", col("n"), col("s"), 5L))
+    assert(countIn(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only single-partition window is the distinct-score
+    // cumulative; the per-doc window partitions by score
+    assert(countIn(p, "Exchange SinglePartition") <= 1, p)
+  }
+
   test("splitLeakageAudit: the split table attaches to the LSH pairs " +
       "as per-row hash derivation + equi-joins — no sort-merge, no " +
       "cartesian; the quadratic stays inside the banded bucket join") {

@@ -422,6 +422,78 @@ class TrainingDataOpsSpec extends SparkSpecBase {
       (col("bucket") === 2L && col("batch_idx") < 1L)).isEmpty)
   }
 
+  test("TextAnalysis.fimTransform: segment widths always sum to the " +
+      "doc width, PSM segments reassemble to the original tokens, " +
+      "rate endpoints behave, and the draw is the frozen doc hash") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 7).toInt).map(k => s"w$k").mkString(" ")))
+      .toDF("doc_id", "text") // includes empty docs (i % 7 == 0)
+    val r = TextAnalysis.fimTransform(docs, "doc_id", "text", 9000L)
+    // widths always partition the doc
+    import graft.functions.GraftFunctions.tokens
+    val n = docs.select(col("doc_id"),
+      size(filter(tokens(col("text")), t => length(t) > 0))
+        .cast("long").as("n"))
+    assert(r.join(n, Seq("doc_id"))
+      .filter(col("n_prefix") + col("n_middle") + col("n_suffix")
+        =!= col("n")).isEmpty)
+    // PSM reassembly: prefix ++ middle ++ suffix == original tokens
+    val reassembled = r.filter(col("fim") === 1L)
+      .select(col("doc_id"),
+        expr("substring_index(substring_index(text, ' <SUF> ', 1), " +
+          "'<PRE> ', -1)").as("p"),
+        expr("substring_index(text, ' <MID> ', -1)").as("m"),
+        expr("substring_index(substring_index(text, ' <MID> ', 1), " +
+          "' <SUF> ', -1)").as("s"))
+      .select(col("doc_id"),
+        filter(tokens(concat_ws(" ", col("p"), col("m"), col("s"))),
+          t => length(t) > 0).as("re"))
+    val orig = docs.select(col("doc_id"),
+      filter(tokens(col("text")), t => length(t) > 0).as("o"))
+    assert(reassembled.join(orig, Seq("doc_id"))
+      .filter(col("re") =!= col("o")).isEmpty)
+    // empty docs never flag
+    assert(r.join(n, Seq("doc_id"))
+      .filter(col("n") === 0L && col("fim") === 1L).isEmpty)
+    // rate endpoints
+    assert(TextAnalysis.fimTransform(docs, "doc_id", "text", 0L)
+      .filter(col("fim") === 1L).isEmpty)
+    assert(TextAnalysis.fimTransform(docs, "doc_id", "text", 10000L)
+      .join(n, Seq("doc_id"))
+      .filter(col("n") > 0L && col("fim") === 0L).isEmpty)
+  }
+
+  test("TextAnalysis.annealPhases equals the naive global-order rule " +
+      "(score DESC, hash, id — whole docs while they start within " +
+      "the budget), and budget endpoints behave") {
+    import graft.operators.TextAnalysis
+    import graft.functions.GraftFunctions.charPolyHash
+    val docs = (1L to 30L).map(i => (i, i % 5 + 1, (i % 4 + 1) * 2))
+      .toDF("doc_id", "score", "n")
+    def phases(budget: Long) =
+      TextAnalysis.annealPhases(docs, "doc_id", col("n"), col("score"),
+        budget).orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    // naive reference: one global window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc,
+        charPolyHash(concat(col("doc_id").cast("string"), lit("|an"))),
+        col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val ref = docs.select(col("doc_id"), col("score").cast("long"),
+        col("n").cast("long").as("n"),
+        (sum(col("n").cast("long")).over(w) - col("n")).as("start"))
+      .select(col("doc_id"), col("score"), col("n"),
+        when(col("start") < 37L, 1L).otherwise(0L).as("phase"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(phases(37L) == ref)
+    assert(phases(0L).forall(_._4 == 0L))
+    assert(phases(1000L).forall(_._4 == 1L))
+  }
+
   test("WordPiece.fertilityReport: exact hand-computed counts — " +
       "n_words from the unmarked openers ([UNK] included), content " +
       "chars exclude '##' markers and [UNK] placeholders") {
