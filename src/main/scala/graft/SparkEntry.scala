@@ -1636,6 +1636,47 @@ object SparkEntry {
     * batch) aggregates; ends at `${p}bt` (bucket, batch_idx, nd, mx,
     * sm, pad, slots).
     */
+  /** q272/q275 shared FIM chain: the seeded 90% draw, both salted
+    * cut hashes, and the exact rebuilt PSM strings (fixed separators
+    * — concat_ws is NOT portable: DuckDB stringifies an empty list
+    * slice to NULL and concat_ws skips it, Spark keeps ''). Ends at
+    * `fdoc` (doc_id, fim, n_prefix, n_middle, n_suffix, text).
+    */
+  private lazy val FimCtesSql: String =
+    s"""fws AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> len(x) > 0) AS ws
+       | FROM documents),
+       |fcx AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+       |  CASE WHEN ${polyHashSql(
+             "CAST(doc_id AS VARCHAR) || '|fim'")} % 10000 < 9000
+       |    AND len(ws) > 0 THEN 1 ELSE 0 END AS fim
+       | FROM fws),
+       |fc2 AS (SELECT doc_id, ws, n, fim,
+       |  CASE WHEN fim = 1 THEN ${polyHashSql(
+             "CAST(doc_id AS VARCHAR) || '|fim1'")} % (n + 1)
+       |   ELSE 0 END AS c1
+       | FROM fcx),
+       |fc3 AS (SELECT doc_id, ws, n, fim, c1,
+       |  CASE WHEN fim = 1 THEN c1 + ${polyHashSql(
+             "CAST(doc_id AS VARCHAR) || '|fim2'")} % (n - c1 + 1)
+       |   ELSE n END AS c2
+       | FROM fc2),
+       |fdoc AS (SELECT doc_id, CAST(fim AS BIGINT) AS fim,
+       |  CAST(c1 AS BIGINT) AS n_prefix,
+       |  CAST(c2 - c1 AS BIGINT) AS n_middle,
+       |  CAST(n - c2 AS BIGINT) AS n_suffix,
+       |  CASE WHEN fim = 1 THEN '<PRE> ' ||
+       |    COALESCE(array_to_string(ws[1:CAST(c1 AS INT)], ' '), '') ||
+       |    ' <SUF> ' ||
+       |    COALESCE(array_to_string(
+       |      ws[CAST(c2 + 1 AS INT):CAST(n AS INT)], ' '), '') ||
+       |    ' <MID> ' ||
+       |    COALESCE(array_to_string(
+       |      ws[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '), '')
+       |   ELSE array_to_string(ws, ' ') END AS text
+       | FROM fc3)""".stripMargin
+
   /** `lbSql` overrides the (doc_id, n) width source — the q264
     * composition feeds RENDERED SFT conversation widths instead of
     * raw document token counts.
@@ -7027,6 +7068,35 @@ object SparkEntry {
           matchHorizon = 6, maxInputChars = 9))
     }),
 
+    // ---- the SAME fertility report from an ID SHARD + the id table
+    // ALONE (q271's "attachable to any persisted shard without its
+    // source text" made literal): encode→ids→decode→report, q271's
+    // oracle VERBATIM — the id round trip must be invisible.
+    "q274_shard_fertility" -> ((s, dir) => {
+      val vocab = WordPiece.mineVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 6, topPieces = 60)
+      val ids = WordPiece.vocabIds(vocab)
+      val shard = WordPiece.encodeIdsWith(wpAugDocs(s, dir), "doc_id",
+        "text", vocab, ids, matchHorizon = 6, maxInputChars = 9)
+      WordPiece.fertilityReport(WordPiece.decodeIds(shard, ids))
+    }),
+
+    // ---- FIM → PACKED CHUNKS (the code-model pipeline end-to-end):
+    // the PSM rewrite feeds the q219 cumsum packing over the
+    // REWRITTEN widths (sentinels are tokens — +3 per applied doc);
+    // one composed oracle, so a drift in either stage shifts every
+    // downstream chunk boundary.
+    "q275_fim_pack" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val fim = TextAnalysis.fimTransform(t(s, dir, "documents"),
+          "doc_id", "text", rate10k = 9000L)
+        .withColumn("stream", pmod(col("doc_id"), lit(4)))
+      TextAnalysis.packSequencesByCount(fim, "doc_id", "stream",
+          size(filter(tokens(col("text")), t => length(t) > 0))
+            .cast("long"), chunkTokens = 64)
+        .orderBy(col("stream"), col("doc_id"))
+    }),
+
     // ---- the streamed DPO vertical over the PERSISTED-INDEX miner
     // (q235 × q248 — the full 100 TB composition): negatives from
     // q218's probed int8 reads, labeled pairs + mined candidates
@@ -11933,42 +12003,37 @@ object SparkEntry {
     "q271_wordpiece_fertility" ->
       wordpieceEncodeOracleSql(6, 60, 9, fertility = true),
 
+    // the shard-only report replays q271's oracle VERBATIM — the
+    // encode→ids→decode round trip must be invisible
+    "q274_shard_fertility" ->
+      wordpieceEncodeOracleSql(6, 60, 9, fertility = true),
+
     // FIM replay: draw, both cut hashes, the exact rebuilt PSM
-    // strings (1-based inclusive list slices)
+    // strings (1-based inclusive list slices; shared with q275)
     "q272_fim_transform" -> materializeCtes(
-      s"""WITH fws AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |  list_filter(string_split_regex(trim(text), '\\s+'),
-         |    x -> len(x) > 0) AS ws
-         | FROM documents),
-         |fcx AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
-         |  CASE WHEN ${polyHashSql(
-               "CAST(doc_id AS VARCHAR) || '|fim'")} % 10000 < 9000
-         |    AND len(ws) > 0 THEN 1 ELSE 0 END AS fim
-         | FROM fws),
-         |fc2 AS (SELECT doc_id, ws, n, fim,
-         |  CASE WHEN fim = 1 THEN ${polyHashSql(
-               "CAST(doc_id AS VARCHAR) || '|fim1'")} % (n + 1)
-         |   ELSE 0 END AS c1
-         | FROM fcx),
-         |fc3 AS (SELECT doc_id, ws, n, fim, c1,
-         |  CASE WHEN fim = 1 THEN c1 + ${polyHashSql(
-               "CAST(doc_id AS VARCHAR) || '|fim2'")} % (n - c1 + 1)
-         |   ELSE n END AS c2
-         | FROM fc2)
-         |SELECT doc_id, CAST(fim AS BIGINT) AS fim,
-         | CAST(c1 AS BIGINT) AS n_prefix,
-         | CAST(c2 - c1 AS BIGINT) AS n_middle,
-         | CAST(n - c2 AS BIGINT) AS n_suffix,
-         | CASE WHEN fim = 1 THEN '<PRE> ' ||
-         |   COALESCE(array_to_string(ws[1:CAST(c1 AS INT)], ' '), '')
-         |   || ' <SUF> ' ||
-         |   COALESCE(array_to_string(
-         |     ws[CAST(c2 + 1 AS INT):CAST(n AS INT)], ' '), '')
-         |   || ' <MID> ' ||
-         |   COALESCE(array_to_string(
-         |     ws[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '), '')
-         |  ELSE array_to_string(ws, ' ') END AS text
-         |FROM fc3 ORDER BY doc_id""".stripMargin),
+      s"""WITH $FimCtesSql
+         |SELECT doc_id, fim, n_prefix, n_middle, n_suffix, text
+         |FROM fdoc ORDER BY doc_id""".stripMargin),
+
+    // FIM -> packed chunks (the code-model pipeline): the fim chain
+    // feeds the q219 cumsum over the REWRITTEN widths (sentinels are
+    // tokens)
+    "q275_fim_pack" -> materializeCtes(
+      s"""WITH $FimCtesSql,
+         |fpw AS (SELECT doc_id, doc_id % 4 AS stream,
+         |  CAST(len(list_filter(string_split_regex(trim(text),
+         |    '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         | FROM fdoc),
+         |fcz AS (SELECT stream, doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY stream
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |   AS end_tok
+         | FROM fpw)
+         |SELECT stream, doc_id, n_tokens, end_tok,
+         | end_tok - n_tokens AS start_tok,
+         | CAST((end_tok - n_tokens) // 64 AS BIGINT) AS first_chunk,
+         | CAST((end_tok - 1) // 64 AS BIGINT) AS last_chunk
+         |FROM fcz ORDER BY stream, doc_id""".stripMargin),
 
     // annealing replay: per-score-bucket cumulatives + the
     // within-bucket frozen-hash running offset, one global start rule
