@@ -1636,6 +1636,29 @@ object SparkEntry {
     * batch) aggregates; ends at `${p}bt` (bucket, batch_idx, nd, mx,
     * sm, pad, slots).
     */
+  /** q273/q276 shared annealing chain: widths + integer-band scores,
+    * per-score-bucket cumulatives, within-bucket frozen-hash running
+    * offsets — ends at `ast` (doc_id, score, n, st = global start).
+    */
+  private lazy val AnnealCtesSql: String =
+    s"""ans AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(len(list_filter(string_split_regex(trim(text),
+       |    '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n,
+       |  CAST(len(list_distinct(list_filter(string_split_regex(
+       |    trim(text), '\\s+'), x -> len(x) > 0))) AS BIGINT)
+       |   AS score
+       | FROM documents),
+       |abt AS (SELECT score, SUM(n) AS bt FROM ans GROUP BY score),
+       |acm AS (SELECT score, SUM(bt) OVER (ORDER BY score DESC
+       |  ROWS UNBOUNDED PRECEDING) - bt AS cumb FROM abt),
+       |arn AS (SELECT doc_id, score, n,
+       |  SUM(n) OVER (PARTITION BY score ORDER BY
+       |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|an'")},
+       |    doc_id ROWS UNBOUNDED PRECEDING) - n AS rsb
+       | FROM ans),
+       |ast AS (SELECT r.doc_id, r.score, r.n, c.cumb + r.rsb AS st
+       | FROM arn r JOIN acm c USING (score))""".stripMargin
+
   /** q272/q275 shared FIM chain: the seeded 90% draw, both salted
     * cut hashes, and the exact rebuilt PSM strings (fixed separators
     * — concat_ws is NOT portable: DuckDB stringifies an empty list
@@ -7068,6 +7091,26 @@ object SparkEntry {
           matchHorizon = 6, maxInputChars = 9))
     }),
 
+    // ---- the anneal-budget KNOB priced (the q236/q245/q261/q256
+    // discipline): 2k/6k/20k-token final phases — docs, tokens and
+    // the minimum quality score each budget admits; the boundary doc
+    // overshoot (docs taken whole) is visible in n_tokens vs budget.
+    "q276_anneal_sweep" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val tk = filter(tokens(col("text")), t => length(t) > 0)
+      Seq(2000L, 6000L, 20000L).map { b =>
+        TextAnalysis.annealPhases(t(s, dir, "documents"), "doc_id",
+            size(tk).cast("long"),
+            size(array_distinct(tk)).cast("long"), b)
+          .filter(col("phase") === 1L)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("score")).as("min_score"))
+          .select(lit(b).as("anneal_tokens"), col("n_docs"),
+            col("n_tokens"), col("min_score"))
+      }.reduce(_.unionByName(_)).orderBy(col("anneal_tokens"))
+    }),
+
     // ---- the SAME fertility report from an ID SHARD + the id table
     // ALONE (q271's "attachable to any persisted shard without its
     // source text" made literal): encode→ids→decode→report, q271's
@@ -12038,26 +12081,31 @@ object SparkEntry {
     // annealing replay: per-score-bucket cumulatives + the
     // within-bucket frozen-hash running offset, one global start rule
     "q273_anneal_phases" -> materializeCtes(
-      s"""WITH ans AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |  CAST(len(list_filter(string_split_regex(trim(text),
-         |    '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n,
-         |  CAST(len(list_distinct(list_filter(string_split_regex(
-         |    trim(text), '\\s+'), x -> len(x) > 0))) AS BIGINT)
-         |   AS score
-         | FROM documents),
-         |abt AS (SELECT score, SUM(n) AS bt FROM ans GROUP BY score),
-         |acm AS (SELECT score, SUM(bt) OVER (ORDER BY score DESC
-         |  ROWS UNBOUNDED PRECEDING) - bt AS cumb FROM abt),
-         |arn AS (SELECT doc_id, score, n,
-         |  SUM(n) OVER (PARTITION BY score ORDER BY
-         |    ${polyHashSql("CAST(doc_id AS VARCHAR) || '|an'")},
-         |    doc_id ROWS UNBOUNDED PRECEDING) - n AS rsb
-         | FROM ans)
-         |SELECT r.doc_id, r.score, r.n AS n_tokens,
-         | CAST(CASE WHEN c.cumb + r.rsb < 6000 THEN 1 ELSE 0 END
-         |  AS BIGINT) AS phase
-         |FROM arn r JOIN acm c USING (score)
-         |ORDER BY doc_id""".stripMargin),
+      s"""WITH $AnnealCtesSql
+         |SELECT doc_id, score, n AS n_tokens,
+         | CAST(CASE WHEN st < 6000 THEN 1 ELSE 0 END AS BIGINT)
+         |  AS phase
+         |FROM ast ORDER BY doc_id""".stripMargin),
+
+    // anneal-budget sweep: one chain, three budgets over the global
+    // start offsets
+    "q276_anneal_sweep" -> materializeCtes(
+      s"""WITH $AnnealCtesSql
+         |SELECT * FROM (
+         | SELECT CAST(2000 AS BIGINT) AS anneal_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(score) AS BIGINT) AS min_score
+         | FROM ast WHERE st < 2000
+         | UNION ALL
+         | SELECT 6000, CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(n) AS BIGINT), CAST(MIN(score) AS BIGINT)
+         | FROM ast WHERE st < 6000
+         | UNION ALL
+         | SELECT 20000, CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(n) AS BIGINT), CAST(MIN(score) AS BIGINT)
+         | FROM ast WHERE st < 20000)
+         |ORDER BY anneal_tokens""".stripMargin),
 
     // the allocator through the full Viterbi encode: q231's
     // enumeration replay with the id table swapped for the
