@@ -80,7 +80,13 @@ object Bench {
     // corpus-scan shape plus the n-best DP and the seeded draw; the
     // trendline for the training-time tokenizer pass a regularized
     // run actually executes
-    "q253_unigram_sampled")
+    "q253_unigram_sampled",
+    // round 16 second wave: the decode direction (two minings + the
+    // allocator + the extended-table decode — the continued-
+    // pretraining round trip) and the batch-assembly tier sweep
+    // (pad vs split-pack vs no-split-pack incl. the sequential
+    // mapGroups fold) — one trendline lane per new family
+    "q262_wordpiece_decode", "q270_batch_tier_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
