@@ -1318,20 +1318,27 @@ object SparkEntry {
     * never a silently-partial encoding. Every stage CTE is
     * MATERIALIZED (3 references each — the BPE-chain discipline).
     */
-  private def wordpieceEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
-                                       maxInputChars: Int,
-                                       ids: Boolean = false,
-                                       src: String = "documents",
-                                       decodeWords: Boolean = false,
-                                       fertility: Boolean = false): String = {
+  /** The WordPiece mining + greedy-encode CTE chain alone (ends at
+    * `wfl`, with `adt` as the corpus word table) — composable into
+    * multi-tokenizer oracles (q277). `augment = false` drops the
+    * every-25th-doc long-word augment (the plain corpus both
+    * tokenizers of a selection table must share).
+    */
+  private def wordpieceEncodeCtesSql(maxPieceLen: Int, topPieces: Int,
+                                     maxInputChars: Int,
+                                     src: String = "documents",
+                                     augment: Boolean = true): String = {
     def pieceAt(tok: String, pos: String, l: String) =
       s"CASE WHEN $pos = 0 THEN substr($tok, 1, CAST($l AS INT)) " +
         s"ELSE '##' || substr($tok, CAST($pos + 1 AS INT), " +
         s"CAST($l AS INT)) END"
+    val augText = if (augment)
+      s"""CASE WHEN doc_id % 25 = 0
+         |   THEN text || ' ${"x" * 20}' ELSE text END""".stripMargin
+    else "text"
     val aug =
       s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |  CASE WHEN doc_id % 25 = 0
-         |   THEN text || ' ${"x" * 20}' ELSE text END AS text
+         |  $augText AS text
          | FROM $src),
          |adt AS (SELECT doc_id, widx, ws[CAST(widx + 1 AS INT)] AS tok
          | FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS widx
@@ -1372,6 +1379,16 @@ object SparkEntry {
          | FROM (SELECT d.doc_id, d.widx, w.pl,
          |   unnest(range(len(w.pl))) AS k
          |  FROM adt d JOIN wpl w USING (tok)))""".stripMargin
+    wordpieceVocabCtesSql(maxPieceLen, topPieces, src = src) + ",\n" +
+      aug + ",\n" + stages + ",\n" + tail
+  }
+
+  private def wordpieceEncodeOracleSql(maxPieceLen: Int, topPieces: Int,
+                                       maxInputChars: Int,
+                                       ids: Boolean = false,
+                                       src: String = "documents",
+                                       decodeWords: Boolean = false,
+                                       fertility: Boolean = false): String = {
     val sel = if (fertility)
       // q273: the tokenizer-selection aggregate over the piece
       // stream — every word opens with exactly one unmarked piece
@@ -1439,8 +1456,8 @@ object SparkEntry {
         |FROM wfp f LEFT JOIN idm i USING (piece)
         |ORDER BY doc_id, pos""".stripMargin
     materializeCtes("WITH " +
-      wordpieceVocabCtesSql(maxPieceLen, topPieces, src = src) + ",\n" +
-      aug + ",\n" + stages + ",\n" + tail +
+      wordpieceEncodeCtesSql(maxPieceLen, topPieces, maxInputChars,
+        src = src) +
       (if (ids || decodeWords || fertility) ",\n" else "\n") + sel)
   }
 
@@ -7091,6 +7108,39 @@ object SparkEntry {
           matchHorizon = 6, maxInputChars = 9))
     }),
 
+    // ---- the TOKENIZER-SELECTION TABLE (the cross-tokenizer form of
+    // q271): char-BPE (20 trained merges) and WordPiece (6/60 mined
+    // vocab) fertility on the SAME plain corpus, one comparison row
+    // each — the artifact a tokenizer choice is actually made from.
+    // ONE oracle replays both training chains + both encodes + the
+    // shared word count, so either tokenizer drifting breaks the row.
+    "q277_tokenizer_selection" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokens
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val wpVocab = WordPiece.mineVocab(d, "text", maxPieceLen = 6,
+        topPieces = 60)
+      val wp = WordPiece.fertilityReport(
+          WordPiece.encode(d, "doc_id", "text", wpVocab,
+            matchHorizon = 6, maxInputChars = 16))
+        .select(lit("wordpiece").as("tokenizer"), col("n_words"),
+          col("n_pieces"), col("fertility_10k"))
+      val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 20)
+        .orderBy(col("step")).collect()
+        .map(r => r.getAs[String]("left") -> r.getAs[String]("right"))
+        .toSeq
+      val words = d.select(explode(filter(tokens(col("text")),
+          t => length(t) > 0)).as("w"))
+        .agg(count(lit(1)).as("n_words"))
+      val bp = TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
+        .agg(count(lit(1)).as("n_pieces"))
+        .crossJoin(broadcast(words))
+        .select(lit("bpe_char").as("tokenizer"), col("n_words"),
+          col("n_pieces"),
+          expr("n_pieces * 10000L div n_words").as("fertility_10k"))
+      bp.unionByName(wp).orderBy(col("tokenizer"))
+    }),
+
     // ---- the anneal-budget KNOB priced (the q236/q245/q261/q256
     // discipline): 2k/6k/20k-token final phases — docs, tokens and
     // the minimum quality score each budget admits; the boundary doc
@@ -12050,6 +12100,29 @@ object SparkEntry {
     // encode→ids→decode round trip must be invisible
     "q274_shard_fertility" ->
       wordpieceEncodeOracleSql(6, 60, 9, fertility = true),
+
+    // cross-tokenizer selection replay: the WordPiece chain (plain
+    // corpus, 16-char horizon) + the z-prefixed 20-step BPE chain +
+    // the shared word count, two comparison rows
+    "q277_tokenizer_selection" -> materializeCtes(
+      s"""WITH ${wordpieceEncodeCtesSql(6, 60, 16, augment = false)},
+         |${bpeChainSql(BpeSteps, p = "z")},
+         |wN AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words FROM adt),
+         |wpn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pieces
+         | FROM wfl),
+         |zenc AS (SELECT t.doc_id, v.sym
+         | FROM adt t JOIN zv$BpeSteps v ON v.wid = t.tok),
+         |zpn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pieces
+         | FROM zenc)
+         |SELECT tokenizer, n_words, n_pieces,
+         | CAST(n_pieces * 10000 // n_words AS BIGINT)
+         |  AS fertility_10k
+         |FROM (
+         | SELECT 'bpe_char' AS tokenizer, w.n_words, z.n_pieces
+         | FROM wN w, zpn z
+         | UNION ALL
+         | SELECT 'wordpiece', w.n_words, p.n_pieces FROM wN w, wpn p)
+         |ORDER BY tokenizer""".stripMargin),
 
     // FIM replay: draw, both cut hashes, the exact rebuilt PSM
     // strings (1-based inclusive list slices; shared with q275)
