@@ -1327,7 +1327,8 @@ object SparkEntry {
   private def wordpieceEncodeCtesSql(maxPieceLen: Int, topPieces: Int,
                                      maxInputChars: Int,
                                      src: String = "documents",
-                                     augment: Boolean = true): String = {
+                                     augment: Boolean = true,
+                                     p: String = ""): String = {
     def pieceAt(tok: String, pos: String, l: String) =
       s"CASE WHEN $pos = 0 THEN substr($tok, 1, CAST($l AS INT)) " +
         s"ELSE '##' || substr($tok, CAST($pos + 1 AS INT), " +
@@ -1337,49 +1338,49 @@ object SparkEntry {
          |   THEN text || ' ${"x" * 20}' ELSE text END""".stripMargin
     else "text"
     val aug =
-      s"""adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      s"""${p}adocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  $augText AS text
          | FROM $src),
-         |adt AS (SELECT doc_id, widx, ws[CAST(widx + 1 AS INT)] AS tok
+         |${p}adt AS (SELECT doc_id, widx, ws[CAST(widx + 1 AS INT)] AS tok
          | FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS widx
          |  FROM (SELECT doc_id, list_filter(string_split_regex(
          |    trim(text), '\\s+'), x -> len(x) > 0) AS ws
-         |   FROM adocs))),
-         |wst0 AS (SELECT tok, len(tok) AS n, 0 AS pos, '' AS toks
-         | FROM (SELECT DISTINCT tok FROM adt
+         |   FROM ${p}adocs))),
+         |${p}wst0 AS (SELECT tok, len(tok) AS n, 0 AS pos, '' AS toks
+         | FROM (SELECT DISTINCT tok FROM ${p}adt
          |  WHERE len(tok) <= $maxInputChars))""".stripMargin
     val stages = (1 to maxInputChars).map { s =>
-      val prev = s"wst${s - 1}"
-      s"""wb$s AS (SELECT tok, pos, MAX(l) AS bl FROM (
+      val prev = s"${p}wst${s - 1}"
+      s"""${p}wb$s AS (SELECT tok, pos, MAX(l) AS bl FROM (
          |  SELECT tok, pos, n, unnest(range(1,
          |    least($maxPieceLen, n - pos) + 1)) AS l
          |  FROM $prev WHERE pos < n) c
-         | JOIN wpvocab v
+         | JOIN ${p}wpvocab v
          |  ON v.piece = ${pieceAt("c.tok", "c.pos", "c.l")}
          | GROUP BY tok, pos),
-         |wst$s AS (SELECT s.tok, s.n, s.pos + b.bl AS pos,
+         |${p}wst$s AS (SELECT s.tok, s.n, s.pos + b.bl AS pos,
          |  CASE WHEN s.toks = '' THEN '' ELSE s.toks || ' ' END ||
          |   ${pieceAt("s.tok", "s.pos", "b.bl")} AS toks
-         | FROM $prev s JOIN wb$s b ON s.tok = b.tok AND s.pos = b.pos
+         | FROM $prev s JOIN ${p}wb$s b ON s.tok = b.tok AND s.pos = b.pos
          | WHERE s.pos < s.n
          | UNION ALL
          | SELECT tok, n, pos, toks FROM $prev
          | WHERE pos >= n)""".stripMargin
     }.mkString(",\n")
     val tail =
-      s"""wdone AS (SELECT tok, toks FROM wst$maxInputChars
+      s"""${p}wdone AS (SELECT tok, toks FROM ${p}wst$maxInputChars
          | WHERE pos >= n
          | UNION ALL
-         | SELECT DISTINCT tok, '[UNK]' AS toks FROM adt
+         | SELECT DISTINCT tok, '[UNK]' AS toks FROM ${p}adt
          | WHERE len(tok) > $maxInputChars),
-         |wpl AS (SELECT tok, string_split(toks, ' ') AS pl
-         | FROM wdone),
-         |wfl AS (SELECT doc_id, widx, k, pl[CAST(k + 1 AS INT)]
+         |${p}wpl AS (SELECT tok, string_split(toks, ' ') AS pl
+         | FROM ${p}wdone),
+         |${p}wfl AS (SELECT doc_id, widx, k, pl[CAST(k + 1 AS INT)]
          |  AS piece
          | FROM (SELECT d.doc_id, d.widx, w.pl,
          |   unnest(range(len(w.pl))) AS k
-         |  FROM adt d JOIN wpl w USING (tok)))""".stripMargin
-    wordpieceVocabCtesSql(maxPieceLen, topPieces, src = src) + ",\n" +
+         |  FROM ${p}adt d JOIN ${p}wpl w USING (tok)))""".stripMargin
+    wordpieceVocabCtesSql(maxPieceLen, topPieces, p = s"${p}w", src = src) + ",\n" +
       aug + ",\n" + stages + ",\n" + tail
   }
 
@@ -7141,6 +7142,26 @@ object SparkEntry {
       bp.unionByName(wp).orderBy(col("tokenizer"))
     }),
 
+    // ---- the VOCAB-BUDGET knob priced (the q261/q256/q276
+    // discipline on the tokenizer itself): WordPiece fertility at
+    // topPieces 30/60/120 over the same corpus — the standard
+    // fertility-vs-vocab-size curve a tokenizer budget is chosen
+    // from; the oracle replays all three minings + encodes
+    // (prefix-parameterized chains) in one query.
+    "q278_vocab_budget_sweep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      Seq(30, 60, 120).map { tp =>
+        WordPiece.fertilityReport(
+            WordPiece.encode(d, "doc_id", "text",
+              WordPiece.mineVocab(d, "text", maxPieceLen = 6,
+                topPieces = tp),
+              matchHorizon = 6, maxInputChars = 16))
+          .select(lit(tp.toLong).as("top_pieces"), col("n_pieces"),
+            col("fertility_10k"), col("chars_per_piece_10k"))
+      }.reduce(_.unionByName(_)).orderBy(col("top_pieces"))
+    }),
+
     // ---- the anneal-budget KNOB priced (the q236/q245/q261/q256
     // discipline): 2k/6k/20k-token final phases — docs, tokens and
     // the minimum quality score each budget admits; the boundary doc
@@ -12100,6 +12121,35 @@ object SparkEntry {
     // encode→ids→decode round trip must be invisible
     "q274_shard_fertility" ->
       wordpieceEncodeOracleSql(6, 60, 9, fertility = true),
+
+    // vocab-budget sweep replay: three prefixed mining+encode chains
+    // (plain corpus, 16-char horizon), one fertility row each
+    "q278_vocab_budget_sweep" -> materializeCtes(
+      s"""WITH ${wordpieceEncodeCtesSql(6, 30, 16, augment = false,
+            p = "va")},
+         |${wordpieceEncodeCtesSql(6, 60, 16, augment = false,
+            p = "vb")},
+         |${wordpieceEncodeCtesSql(6, 120, 16, augment = false,
+            p = "vc")},
+         |${Seq("va" -> 30, "vb" -> 60, "vc" -> 120).map {
+            case (p, tp) =>
+              s"""${p}st AS (SELECT CAST($tp AS BIGINT) AS top_pieces,
+                 |  COUNT(*) AS n_pieces,
+                 |  SUM(CASE WHEN piece LIKE '##%' THEN 0 ELSE 1 END)
+                 |   AS n_words,
+                 |  SUM(CASE WHEN piece = '[UNK]' THEN 0
+                 |    WHEN piece LIKE '##%' THEN len(piece) - 2
+                 |    ELSE len(piece) END) AS content_chars
+                 | FROM ${p}wfl)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT top_pieces, CAST(n_pieces AS BIGINT) AS n_pieces,
+         | CAST(n_pieces * 10000 // n_words AS BIGINT)
+         |  AS fertility_10k,
+         | CAST(content_chars * 10000 // n_pieces AS BIGINT)
+         |  AS chars_per_piece_10k
+         |FROM (SELECT * FROM vast UNION ALL
+         |  SELECT * FROM vbst UNION ALL SELECT * FROM vcst)
+         |ORDER BY top_pieces""".stripMargin),
 
     // cross-tokenizer selection replay: the WordPiece chain (plain
     // corpus, 16-char horizon) + the z-prefixed 20-step BPE chain +
