@@ -7109,6 +7109,35 @@ object SparkEntry {
           matchHorizon = 6, maxInputChars = 9))
     }),
 
+    // ---- DECODE FROM THE PERSISTED ARTIFACT (q247's round-trip
+    // discipline pointed at the decode direction): the extended
+    // artifact ships pieces + meta + append-only ids as one
+    // directory; an old shard decoded through the LOADED id table
+    // replays q262's oracle VERBATIM — persistence and the
+    // extension both invisible to old shards.
+    "q279_decode_artifact" -> ((s, dir) => {
+      import graft.operators.TokenizerArtifact
+      val d = t(s, dir, "documents")
+      val even = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val base = WordPiece.mineVocab(even, "text", maxPieceLen = 6,
+        topPieces = 60)
+      val baseIds = WordPiece.vocabIds(base)
+      val ext = WordPiece.mineVocab(d, "text", maxPieceLen = 6,
+        topPieces = 60)
+      val extIds = TokenizerArtifact.extendIds(baseIds, ext)
+      val art = graft.SparkEntry.tmpDir("wp_dec_art")
+      WordPiece.saveVocab(ext, art, maxPieceLen = 6,
+        maxInputChars = 9)
+      TokenizerArtifact.saveIds(extIds, art)
+      val shard = WordPiece.encodeIdsWith(
+        wpAugDocs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", base, baseIds,
+        matchHorizon = 6, maxInputChars = 9)
+      WordPiece.detokenize(WordPiece.decodeIds(shard,
+          TokenizerArtifact.loadIds(s, art)))
+        .orderBy(col("doc_id"), col("word_idx"))
+    }),
+
     // ---- the TOKENIZER-SELECTION TABLE (the cross-tokenizer form of
     // q271): char-BPE (20 trained merges) and WordPiece (6/60 mined
     // vocab) fertility on the SAME plain corpus, one comparison row
@@ -11930,6 +11959,12 @@ object SparkEntry {
     // words. The ENGINE decodes with the EXTENDED id table — the
     // hash match is the old-shards-keep-decoding guarantee itself.
     "q262_wordpiece_decode" -> wordpieceEncodeOracleSql(6, 60, 9,
+      src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+      decodeWords = true),
+
+    // decode through the PERSISTED extended artifact: q262's oracle
+    // VERBATIM — the saved/loaded id table must be invisible
+    "q279_decode_artifact" -> wordpieceEncodeOracleSql(6, 60, 9,
       src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
       decodeWords = true),
 
