@@ -169,10 +169,14 @@ case class BpeApplyBroadcast(child: Expression,
   @transient private lazy val idx: IndexedSeq[(String, String)] =
     scala.collection.immutable.ArraySeq.unsafeWrapArray(bc.value)
   @transient private lazy val ranks = BpeApply.buildRanks(idx)
+  @transient private lazy val memo = new WordMemo()
 
-  protected override def nullSafeEval(input: Any): Any =
-    BpeApply.encodeWord(input.asInstanceOf[UTF8String].toString, idx,
-      ranks, byteLevel)
+  protected override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    memo.getOrCompute(w) {
+      BpeApply.encodeWord(w, idx, ranks, byteLevel).asInstanceOf[AnyRef]
+    }
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): BpeApplyBroadcast = copy(child = newChild)

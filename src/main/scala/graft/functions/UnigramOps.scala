@@ -49,6 +49,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * still beats a Scala UDF (no Row conversion, no closure
   * serialization).
   */
+/** Per-task memo for deterministic per-word encode results (round 16):
+  * every tokenizer apply is a pure function of (word, frozen vocab
+  * params), and natural-language corpora repeat words heavily — the
+  * memo turns the per-OCCURRENCE DP into a per-DISTINCT-WORD DP per
+  * task. Expressions are deserialized per task (the same assumption
+  * the `@transient lazy val` vocab rebuilds already rely on), so the
+  * map is single-threaded. Results are immutable (`GenericArrayData`
+  * over `UTF8String`s), so returning a shared instance is safe. The
+  * cap bounds memory against adversarial all-unique token streams;
+  * NOT cross-run state — it lives and dies with the task.
+  */
+private[functions] final class WordMemo(cap: Int = 1 << 16) {
+  private val m = new java.util.HashMap[String, AnyRef](1024)
+  def getOrCompute(w: String)(f: => AnyRef): AnyRef = {
+    val hit = m.get(w)
+    if (hit != null) hit
+    else {
+      val r = f
+      if (m.size < cap) m.put(w, r)
+      r
+    }
+  }
+}
+
 object UnigramApply {
   val Unk = "[UNK]"
 
@@ -216,10 +240,15 @@ case class UnigramApplyBroadcast(child: Expression,
 
   @transient private lazy val scores = UnigramApply.toScores(bc.value)
   @transient private lazy val pows = UnigramApply.normPows(maxInputChars)
+  @transient private lazy val memo = new WordMemo()
 
-  protected override def nullSafeEval(input: Any): Any =
-    UnigramApply.encodeWord(input.asInstanceOf[UTF8String].toString,
-      scores, matchHorizon, maxInputChars, pows)
+  protected override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    memo.getOrCompute(w) {
+      UnigramApply.encodeWord(w, scores, matchHorizon, maxInputChars,
+        pows)
+    }
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): UnigramApplyBroadcast =
@@ -242,12 +271,16 @@ case class UnigramNBestBroadcast(child: Expression,
 
   @transient private lazy val scores = UnigramApply.toScores(bc.value)
   @transient private lazy val pows = UnigramApply.normPows(maxInputChars)
+  @transient private lazy val memo = new WordMemo()
 
-  protected override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(UnigramApply.nBestSegmentations(
-      input.asInstanceOf[UTF8String].toString, scores, matchHorizon,
-      maxInputChars, pows, nBest)
-      .map(s => UTF8String.fromString(s)).asInstanceOf[Array[Any]])
+  protected override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    memo.getOrCompute(w) {
+      new GenericArrayData(UnigramApply.nBestSegmentations(
+        w, scores, matchHorizon, maxInputChars, pows, nBest)
+        .map(s => UTF8String.fromString(s)).asInstanceOf[Array[Any]])
+    }
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): UnigramNBestBroadcast =
@@ -277,16 +310,19 @@ case class UnigramSampleBroadcast(child: Expression,
 
   @transient private lazy val scores = UnigramApply.toScores(bc.value)
   @transient private lazy val pows = UnigramApply.normPows(maxInputChars)
+  @transient private lazy val memo = new WordMemo()
 
   protected override def nullSafeEval(input: Any): Any = {
     val word = input.asInstanceOf[UTF8String].toString
-    val list = UnigramApply.nBestSegmentations(word, scores,
-      matchHorizon, maxInputChars, pows, nBest)
-    val idx = (PolyHashImpl.hash(
-      UTF8String.fromString(word + "|ugs" + seed), 31L)
-      % list.length).toInt
-    new GenericArrayData(list(idx).split(' ')
-      .map(p => UTF8String.fromString(p)).asInstanceOf[Array[Any]])
+    memo.getOrCompute(word) {
+      val list = UnigramApply.nBestSegmentations(word, scores,
+        matchHorizon, maxInputChars, pows, nBest)
+      val idx = (PolyHashImpl.hash(
+        UTF8String.fromString(word + "|ugs" + seed), 31L)
+        % list.length).toInt
+      new GenericArrayData(list(idx).split(' ')
+        .map(p => UTF8String.fromString(p)).asInstanceOf[Array[Any]])
+    }
   }
 
   override protected def withNewChildInternal(

@@ -111,10 +111,15 @@ case class WordPieceApplyBroadcast(child: Expression,
   override def prettyName: String = "wordpiece_apply_bc"
 
   @transient private lazy val vocab = WordPieceApply.toSet(bc.value)
+  @transient private lazy val memo = new WordMemo()
 
-  protected override def nullSafeEval(input: Any): Any =
-    WordPieceApply.encodeWord(input.asInstanceOf[UTF8String].toString,
-      vocab, matchHorizon, maxInputChars)
+  protected override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    memo.getOrCompute(w) {
+      WordPieceApply.encodeWord(w, vocab, matchHorizon, maxInputChars)
+        .asInstanceOf[AnyRef]
+    }
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): WordPieceApplyBroadcast =

@@ -328,29 +328,35 @@ object Dedup {
     val P = 2147483647L // 2^31-1; keeps a*h+b far from Long overflow (ANSI)
     val perms = minhashPerms(numPerm, seed)
 
-    // Portable path: the fused native tokenize→shingle→poly-hash
-    // expression (one pass over the text, no intermediate strings —
-    // profiling showed string materialization dominated this stage).
-    // Duplicate hashes within a doc are harmless under the min-
-    // aggregates, so distinct runs on the cheap long array.
-    val shingleRows =
-      if (portable)
+    // Portable path (round 16, guide §2.4): the signature is a pure
+    // function of the row's own text, so the whole explode → 64-way
+    // min-aggregate → Exchange shape collapses into ONE native
+    // expression call per row ([[graft.functions.MinHashSig]] — the
+    // fused ShingleHash kernel plus the permutation minima in a single
+    // generated loop). Zero Exchange; a zero-shingle doc returns null
+    // and is filtered, matching the groupBy's row set exactly.
+    val sigCols =
+      if (portable) {
         docs.select(col(idCol).as("doc_id"),
-          explode(array_distinct(graft.functions.ShingleHash
-            .shingleHashes(col(textCol), shingleN))).as("h"))
-      else
+            graft.functions.MinHashSig
+              .minhashSig(col(textCol), shingleN, perms).as("__sig"))
+          .filter(col("__sig").isNotNull)
+          .select(col("doc_id") +: (0 until numPerm).map(i =>
+            col("__sig").getItem(i).as(s"s$i")): _*)
+      } else {
         docs.select(col(idCol).as("doc_id"),
-          explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
-            .as("s"))
+            explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+              .as("s"))
           .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+          .groupBy(col("doc_id"))
+          .agg(min(pmod(lit(perms.head._1) * col("h") + lit(perms.head._2),
+              lit(P))).as("s0"),
+            perms.tail.zipWithIndex.map { case ((a, b), i) =>
+              min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s${i + 1}")
+            }: _*)
+      }
 
-    shingleRows
-      .groupBy(col("doc_id"))
-      .agg(min(pmod(lit(perms.head._1) * col("h") + lit(perms.head._2),
-          lit(P))).as("s0"),
-        perms.tail.zipWithIndex.map { case ((a, b), i) =>
-          min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s${i + 1}")
-        }: _*)
+    sigCols
       // computed once, reused by 3 consumers (bucket explode + both pair
       // joins). localCheckpoint, measured against the alternatives at
       // sf0.1 in the full bench sequence (round 8): lazy MEMORY_AND_DISK

@@ -21,37 +21,35 @@ import graft.functions.GraftFunctions._
   */
 object Embed {
 
-  /** (idCol, `emb` array<double> of length dim) — one row per DISTINCT
-    * input id, always: a doc whose text is null or tokenless (explode
-    * of its token array emits no feature rows) comes back as the ZERO
-    * vector rather than vanishing — a silent row drop here would
-    * shrink every downstream join with no signal. Callers that want
-    * such docs out filter on the norm (as q121 does for
+  /** (idCol, `emb` array<double> of length dim) — one row per input
+    * id (callers pass id-unique inputs: parquet doc_ids, injective
+    * chunk ids): a doc whose text is null or tokenless comes back as
+    * the ZERO vector rather than vanishing — a silent row drop here
+    * would shrink every downstream join with no signal. Callers that
+    * want such docs out filter on the norm (as q121 does for
     * sign-cancelled zero vectors anyway). Neural embedders plug in at
     * the same seam ([[Multimodal]]'s batched mapPartitions); this one
     * needs no model artifact.
+    *
+    * ZERO Exchange by construction (round 16, guide §2.4): the signed
+    * bucket-count vector is a pure function of the row's own token
+    * array, so the explode → groupBy(doc,b) → groupBy(doc) → join-back
+    * shape this used to run (3 Exchanges + a map build for a per-row
+    * computation) is replaced by one in-row fold: hash each token once
+    * into a (bucket, sign) struct, then accumulate into a dim-length
+    * long array. Integer addition commutes, so the sums are bit-equal
+    * to the grouped formulation. The kernel is the native
+    * [[graft.functions.HashEmbed]] expression (one generated static
+    * call per row — HOFs would fall out of whole-stage codegen), so
+    * every embed pass (q121/q122/q164/q170/q195/q204/q228 and the ANN
+    * build loops that re-scan embeds) is a shuffle-free scan.
     */
   def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
                 dim: Int): DataFrame = {
     require(dim >= 2, "dim >= 2")
-    val feats = docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"),
-        pmod(charPolyHash(col("tok")), lit(dim.toLong)).as("b"),
-        when(pmod(charPolyHash(concat(col("tok"), lit("|sign"))),
-          lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)).as("sgn"))
-      .groupBy("doc_id", "b").agg(sum("sgn").as("c"))
-    val maps = feats.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
-        .as("m"))
-    // left join from the distinct id set: element_at on the missing
-    // map is null, so absent buckets AND absent docs coalesce to 0.0
-    docs.select(col(idCol).as("doc_id")).distinct()
-      .join(maps, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        transform(sequence(lit(0L), lit(dim.toLong - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
-          .as("emb"))
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.HashEmbed.hashEmbedVec(col(textCol), dim)
+        .as("emb"))
   }
 
   /** Contrastive training triples for an embedder: (anchor, positive,

@@ -72,11 +72,16 @@ object Lexical {
     // second time; in the persisted path (postingsAppend) both land
     // at rest and searches never rescan the corpus at all
     val src = docs.filter(col(textCol).isNotNull)
-    val toks = src.select(col(idCol).as("doc_id"),
-      size(tokens(col(textCol))).cast("long").as("dl"),
-      explode(tokens(col(textCol))).as("token"))
-    val postings = toks.groupBy(col("token"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    // round 16 (guide §2.4): tf is a WITHIN-document count — counting
+    // inside the row ([[graft.functions.TokenTf]], one native call)
+    // and exploding the already-reduced (token, tf) pairs removes the
+    // corpus-wide (token, doc_id, dl) Exchange + hash-agg the groupBy
+    // formulation paid; the emitted row multiset is identical.
+    val postings = src.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .select(col("p.token").as("token"), col("doc_id"), col("dl"),
+        col("p.tf").as("tf"))
     val doclens = src.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     (postings, doclens)

@@ -469,9 +469,58 @@ object TextAnalysis {
                                indexDir: String, batch: DataFrame,
                                idCol: String, textCol: String,
                                shingleN: Int = 5,
-                               threshold: Double = 0.1): DataFrame =
-    overlapCheck(batch, spark.read.parquet(indexDir), idCol, textCol,
-      shingleN, threshold)
+                               threshold: Double = 0.1): DataFrame = {
+    // round 16 (guide §2.4): the gate decision is per-row pure against
+    // the FROZEN eval-sized hash set, so the explode → broadcast join →
+    // per-doc aggregate Exchange collapses into one native call per row
+    // ([[graft.functions.GateOps.shingleOverlap]]). Driver footprint
+    // unchanged — the old BroadcastHashJoin collected the same set to
+    // the driver to build its hash relation.
+    val bc = benchHashesBc(spark, indexDir)
+    batch.select(col(idCol).as("doc_id"),
+        graft.functions.GateOps
+          .shingleOverlap(col(textCol), shingleN, bc).as("__o"))
+      .select(col("doc_id"),
+        col("__o").getField("n_shingles").as("n_shingles"),
+        col("__o").getField("n_overlap").as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          col("n_overlap").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
+  /** The persisted benchmark hash set as a sorted broadcast array —
+    * shared by [[decontaminateIncremental]] and the per-row keep
+    * predicate. Eval-sized by the [[buildBenchmarkIndex]] contract;
+    * the loud guard catches an index that has silently outgrown the
+    * broadcast budget (the driverVocabLimit discipline).
+    */
+  private[graft] def benchHashesBc(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String)
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val hs = spark.read.parquet(indexDir).select("h").collect()
+      .map(_.getLong(0))
+    require(hs.length <= 100000000,
+      s"decontaminateIncremental: benchmark index $indexDir holds " +
+        s"${hs.length} hashes — beyond the broadcast budget (1e8); " +
+        "switch this pipeline to the bloom gate (deconBloom)")
+    java.util.Arrays.sort(hs)
+    spark.sparkContext.broadcast(hs)
+  }
+
+  /** [[decontaminateIncremental]]'s keep decision as a single per-row
+    * PREDICATE (the [[qualityKeep]] form — `batch.filter(...)`): no
+    * join, no gate aggregation, no join-back; one kernel call per row.
+    * Identical decision by construction: the kernel computes the same
+    * counts and the same IEEE division the report columns carry.
+    */
+  def deconKeepIncremental(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, text: Column,
+                           shingleN: Int = 5,
+                           threshold: Double = 0.1): Column =
+    !(graft.functions.GateOps.shingleOverlapFrac(text, shingleN,
+      benchHashesBc(spark, indexDir)) >= threshold)
 
   /** FUZZY decontamination — near-duplicate overlap against the eval
     * suite, the audit Llama/GPT-4-style releases run IN ADDITION to
@@ -1236,9 +1285,41 @@ object TextAnalysis {
                            indexDir: String, batch: DataFrame,
                            idCol: String, textCol: String, nBuckets: Int,
                            scale: Long = 1000000L,
-                           threshold: Double = 0.5): DataFrame =
-    dsirScore(dsirFeats(batch, idCol, textCol, nBuckets),
-      spark.read.parquet(indexDir), scale, threshold)
+                           threshold: Double = 0.5): DataFrame = {
+    // round 16 (guide §2.4): scoring against the FROZEN bucket table
+    // (≤ nBuckets rows) is per-row pure — the explode → broadcast join
+    // → per-doc aggregate Exchange collapses into one native call per
+    // row ([[graft.functions.GateOps.dsirGate]]); docs with no indexed
+    // feature return null and are filtered, matching the inner join's
+    // row set exactly.
+    val bc = dsirContribBc(spark, indexDir, nBuckets)
+    batch.select(col(idCol).as("doc_id"),
+        graft.functions.GateOps
+          .dsirGate(col(textCol), nBuckets, bc).as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(col("doc_id"),
+        col("__d").getField("n_feats").as("n_feats"),
+        col("__d").getField("contrib_sum").as("contrib_sum"))
+      .withColumn("dsir_score", col("contrib_sum").cast("double") /
+        (col("n_feats") * lit(scale)).cast("double"))
+      .withColumn("selected", col("dsir_score") >= threshold)
+  }
+
+  /** The persisted DSIR bucket table as a dense broadcast array
+    * (index = bucket, -1 = absent) — ≤ nBuckets longs by construction.
+    */
+  private[graft] def dsirContribBc(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      nBuckets: Int)
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    require(nBuckets <= (1 << 24),
+      s"dsirScoreIncremental: nBuckets $nBuckets beyond the dense " +
+        "broadcast budget (2^24)")
+    val contrib = Array.fill[Long](nBuckets)(-1L)
+    spark.read.parquet(indexDir).select("b", "contrib").collect()
+      .foreach(r => contrib(r.getLong(0).toInt) = r.getLong(1))
+    spark.sparkContext.broadcast(contrib)
+  }
 
   /** Per-domain document caps with a blocklist (the C4 / RefinedWeb URL
     * curation shape): drop blocklisted domains outright, then keep at

@@ -166,18 +166,22 @@ object CurationStream {
     // layer, sig layer ×2, bucket layer, score + index write) and
     // would otherwise re-run per consumer — measured 10.5 s → 6.4 s
     // on the two sf0.1 folds (tools/CurationProbe)
-    val deconSurvivors =
+    // exact decon gate (round 16, guide §2.4): a per-row PREDICATE
+    // over the broadcast eval-sized hash set — no gate aggregation, no
+    // survivor join-back (the bloom variant keeps its bit-position
+    // join machinery and composes as a survivor set as before)
+    val exactGated =
       if (cfg.deconBloom)
-        TextAnalysis.bloomDecontaminateAgainst(batch,
-            graft.operators.Sketches.bloomFromIndex(s, cfg.benchIdx),
-            cfg.idCol, cfg.textCol, cfg.shingleN, cfg.bloomKHashes,
-            cfg.bloomMBits, cfg.deconThreshold)
-          .filter(!col("flagged")).select(col("doc_id").as(cfg.idCol))
+        batch.join(
+          TextAnalysis.bloomDecontaminateAgainst(batch,
+              graft.operators.Sketches.bloomFromIndex(s, cfg.benchIdx),
+              cfg.idCol, cfg.textCol, cfg.shingleN, cfg.bloomKHashes,
+              cfg.bloomMBits, cfg.deconThreshold)
+            .filter(!col("flagged")).select(col("doc_id").as(cfg.idCol)),
+          cfg.idCol)
       else
-        TextAnalysis.decontaminateIncremental(s, cfg.benchIdx, batch,
-            cfg.idCol, cfg.textCol, cfg.shingleN, cfg.deconThreshold)
-          .filter(!col("contaminated"))
-          .select(col("doc_id").as(cfg.idCol))
+        batch.filter(TextAnalysis.deconKeepIncremental(s, cfg.benchIdx,
+          col(cfg.textCol), cfg.shingleN, cfg.deconThreshold))
     // fuzzy gate: same broadcast-benchmark shape as the exact gate
     // (the eval-sized signature table attaches to the batch's banded
     // buckets; the batch never shuffles its shingles), composed as a
@@ -189,26 +193,25 @@ object CurationStream {
         .filter(!col("contaminated"))
         .select(col("doc_id").as(cfg.idCol))
     }
-    val clean = fuzzySurvivors.fold(batch.join(deconSurvivors, cfg.idCol))(
-        fz => batch.join(deconSurvivors, cfg.idCol).join(fz, cfg.idCol))
+    val clean = fuzzySurvivors.fold(exactGated)(
+        fz => exactGated.join(fz, cfg.idCol))
       .localCheckpoint(false)
-    // span-hash layer: one (doc, window position, hash) row per
-    // window — per-row work, O(batch); which hashes are SHARED is a
-    // global question answered in [[select]] over the index (like
-    // exact-substring dedup, the state is inherently O(corpus tokens),
-    // but hash-only: ~8 B per token vs the text bytes)
-    // one (doc, hash) row per window OCCURRENCE (duplicates kept —
-    // n_win counts occurrences); no position column: the gate only
-    // drops whole docs, so storing win_idx would double the
-    // O(corpus-tokens) at-rest state for a column no reader uses
-    // (span CUTTING, which needs positions, is Dedup.cutDupSpans)
+    // span-hash layer: one (doc, hash, occurrence-count) row per
+    // DISTINCT window hash — per-row work, O(batch); which hashes are
+    // SHARED is a global question answered in [[select]] over the
+    // index. Round 16: occurrences pre-reduce INSIDE the row
+    // ([[graft.functions.ShingleHashTf]] — the fused tokenize →
+    // shingle → poly-hash kernel plus an in-row count), so the
+    // at-rest state shrinks from O(corpus window occurrences) to
+    // O(corpus distinct (doc, hash)) with the exact occurrence counts
+    // carried in `cnt`; no reader consumed per-occurrence rows (span
+    // CUTTING, which needs positions, is Dedup.cutDupSpans).
     cfg.spanIdx.foreach { dir =>
       clean.select(col(cfg.idCol).as("doc_id"),
-          explode_outer(
-            shingles(tokens(col(cfg.textCol)), cfg.spanWindow))
-            .as("win"))
-        .filter(col("win").isNotNull)
-        .select(col("doc_id"), charPolyHash(col("win")).as("wh"))
+          explode(graft.functions.ShingleHashTf.shingleHashTf(
+            col(cfg.textCol), cfg.spanWindow)).as("w"))
+        .select(col("doc_id"), col("w.h").as("wh"),
+          col("w.cnt").as("cnt"))
         .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
     // near-dup layers: per-doc minhash signature + quality (sig/) and
@@ -217,17 +220,30 @@ object CurationStream {
     // [[select]], so a cross-batch near-dup pair is found no matter
     // which fold saw which member
     cfg.nearDupIdx.foreach { dir =>
-      val sigs = graft.operators.Dedup.minhashSignatures(clean,
-        cfg.idCol, cfg.textCol, cfg.ndShingleN, cfg.ndNumPerm,
-        seed = 42L, portable = true)
-      val sigArr = array((0 until cfg.ndNumPerm).map(i => col(s"s$i")): _*)
-      sigs.select(col("doc_id"), sigArr.as("sig"))
-        .join(clean.select(col(cfg.idCol).as("doc_id"),
+      // round 16: signature AND quality in ONE per-row projection (the
+      // native MinHashSig kernel) — the old shape ran the signature
+      // aggregate then joined n_distinct back onto it (an Exchange for
+      // columns the same row already had). The checkpoint pins the
+      // projection for its two layer writes.
+      val perms = graft.operators.Dedup.minhashPerms(cfg.ndNumPerm, 42L)
+      val sigged = clean.select(col(cfg.idCol).as("doc_id"),
+          graft.functions.MinHashSig.minhashSig(col(cfg.textCol),
+            cfg.ndShingleN, perms).as("sig"),
           size(array_distinct(tokens(col(cfg.textCol)))).cast("long")
-            .as("n_distinct")), Seq("doc_id"))
+            .as("n_distinct"))
+        .filter(col("sig").isNotNull)
+        .localCheckpoint(false)
+      sigged.select("doc_id", "sig", "n_distinct")
         .write.mode("overwrite").parquet(s"$dir/sig/batch=$batchId")
-      graft.operators.Dedup.bandBuckets(sigs, cfg.ndNumPerm,
-          cfg.ndBands, portable = true)
+      val rowsPerBand = cfg.ndNumPerm / cfg.ndBands
+      val bandStructs = array((0 until cfg.ndBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until rowsPerBand).map(r =>
+            col("sig").getItem(b * rowsPerBand + r)): _*).as("bucket"))
+      }: _*)
+      sigged.select(col("doc_id"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"))
         .write.mode("overwrite").parquet(s"$dir/bucket/batch=$batchId")
     }
     // image-hash layer: one (doc_id, dhash) row per image-carrying
@@ -248,15 +264,22 @@ object CurationStream {
           col(cfg.alignScoreCol).cast("long").as("align_s4"))
         .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
-    val scored = TextAnalysis.dsirScoreIncremental(s, cfg.dsirIdx,
-      clean, cfg.idCol, cfg.textCol, cfg.nBuckets, cfg.scale)
+    // round 16: the DSIR score is per-row against the frozen broadcast
+    // bucket array, so the index row assembles in the SAME projection —
+    // no scored-side aggregate, no doc_id equi-join (filter keeps the
+    // inner join's row set: docs with no indexed feature drop)
+    val dBc = TextAnalysis.dsirContribBc(s, cfg.dsirIdx, cfg.nBuckets)
     clean.select(col(cfg.idCol).as("doc_id"),
         col(cfg.strataCol).as("stratum"),
         graft.functions.GraftFunctions.charPolyHash(
           concat(col(cfg.idCol).cast("string"), lit("|"),
-            col(cfg.strataCol))).as("h"))
-      .join(scored.select(col("doc_id"), col("n_feats"),
-        col("contrib_sum")), Seq("doc_id"))
+            col(cfg.strataCol))).as("h"),
+        graft.functions.GateOps.dsirGate(col(cfg.textCol),
+          cfg.nBuckets, dBc).as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(col("doc_id"), col("stratum"), col("h"),
+        col("__d").getField("n_feats").as("n_feats"),
+        col("__d").getField("contrib_sum").as("contrib_sum"))
       .write.mode("overwrite").parquet(s"${cfg.curIdx}/batch=$batchId")
   }
 
@@ -530,14 +553,18 @@ object CurationStream {
     */
   def spanDropSet(spark: org.apache.spark.sql.SparkSession,
                           dir: String, cfg: Config): DataFrame = {
-    val sp = spark.read.parquet(dir).select("doc_id", "wh")
+    // layer rows are (doc_id, wh, cnt) since round 16 — cnt carries
+    // the occurrence count the per-occurrence rows used to spell out,
+    // so n_win/n_dup are the SAME integers as before: n_win = Σ cnt,
+    // n_dup = Σ cnt over shared hashes
+    val sp = spark.read.parquet(dir).select("doc_id", "wh", "cnt")
     val shared = sp.groupBy("wh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
     sp.join(shared.select(col("wh"), lit(1L).as("f")), Seq("wh"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_win"),
-        sum(coalesce(col("f"), lit(0L))).as("n_dup"))
+      .agg(sum(col("cnt")).as("n_win"),
+        sum(coalesce(col("f"), lit(0L)) * col("cnt")).as("n_dup"))
       .filter(col("n_dup") * lit(10000L) >
         col("n_win") * lit(cfg.spanMaxDupFrac10k))
       .select("doc_id")

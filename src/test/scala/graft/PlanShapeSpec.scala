@@ -234,23 +234,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("incremental decontamination keeps the q84 shape: broadcast " +
-    "index, one training-side exchange") {
-    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+  test("incremental decontamination is a zero-Exchange per-row scan " +
+    "(round 16: the frozen index rides a broadcast into the kernel)") {
+    // parquet-backed docs: a LocalRelation would constant-fold the
+    // whole per-row gate away and the plan would show nothing
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("decon_docs_plan").toString
+    Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val docs = spark.read.parquet(docsDir)
     val bench = Seq((9L, "c d e f")).toDF("doc_id", "text")
     val idx = java.nio.file.Files
       .createTempDirectory("bench_idx_plan").toString
     graft.operators.TextAnalysis.buildBenchmarkIndex(bench, "text", 3, idx)
     val p = plan(graft.operators.TextAnalysis.decontaminateIncremental(
       spark, idx, docs, "doc_id", "text", shingleN = 3))
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    // batch side: exactly the per-doc agg exchange — and the benchmark
-    // side now has NO distinct exchange at all (hashed once at index
-    // build; the fold just scans the persisted longs into a broadcast)
-    assert(countIn(p, "Exchange hashpartitioning\\(doc_id") == 1, p)
-    assert(countIn(p, "Exchange hashpartitioning\\(h") == 0, p)
-    assert(p.contains("partial_count"), p)
+    // the whole gate is one per-row projection: no join of any kind,
+    // no gate aggregation, nothing shuffles (guide §2.4 — the 100 TB
+    // training side is never exchanged for a per-row-pure decision)
+    assert(countIn(p, "Exchange") == 0, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("shingle_overlap"), p)
   }
 
   test("sequence packing: one exchange, reused by the window cumsum") {
