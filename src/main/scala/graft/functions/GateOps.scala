@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-row gate kernels against broadcast frozen state — the round-16
@@ -64,6 +65,41 @@ object GateOpsImpl {
     val o = overlap(input, n, mult, bench)
     val nsh = o.getLong(0)
     if (nsh == 0L) 0.0 else o.getLong(1).toDouble / nsh.toDouble
+  }
+
+  /** Per-row DSIR feature-bucket occurrence counts:
+    * array<struct<b, cnt>> over the doc's 1-gram + 2-gram shingle-hash
+    * stream bucketed mod nBuckets — the pre-reduced form of the
+    * exploded feature stream (Σ cnt per bucket ≡ the occurrence rows).
+    * Null text → null (the explode emitted no rows).
+    */
+  def dsirFeatTf(input: UTF8String, mult: Long,
+                 nBuckets: Int): ArrayData = {
+    if (input == null) return null
+    val counts = new java.util.LinkedHashMap[java.lang.Long, java.lang.Long](64)
+    var g = 1
+    while (g <= 2) {
+      val hs = ShingleHashImpl.hashes(input, g, mult)
+      val m = hs.numElements()
+      var i = 0
+      while (i < m) {
+        val b = java.lang.Long.valueOf(hs.getLong(i) % nBuckets)
+        val c = counts.get(b)
+        counts.put(b, if (c == null) 1L else c + 1L)
+        i += 1
+      }
+      g += 1
+    }
+    if (counts.isEmpty) return null
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(e.getKey.longValue(), e.getValue.longValue())
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** DSIR feature score vs the frozen bucket-contribution array
@@ -162,6 +198,33 @@ case class ShingleOverlapFrac(child: Expression, n: Int, mult: Long,
     copy(child = newChild)
 }
 
+/** array<struct<b, cnt>> of bucketed feature counts; null for null/
+  * featureless text.
+  */
+case class DsirFeatTf(child: Expression, mult: Long, nBuckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "dsir_feat_tf"
+
+  protected override def nullSafeEval(input: Any): Any =
+    GateOpsImpl.dsirFeatTf(input.asInstanceOf[UTF8String], mult, nBuckets)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = GateOpsImpl.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $impl.dsirFeatTf($c, ${mult}L, $nBuckets);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirFeatTf =
+    copy(child = newChild)
+}
+
 /** struct<n_feats, contrib_sum> per row; null when no feature matched. */
 case class DsirGate(child: Expression, mult: Long, nBuckets: Int,
                     bc: Broadcast[Array[Long]])
@@ -206,6 +269,11 @@ object GateOps {
                          mult: Long = 31L): Column =
     ColumnBridge.column(ShingleOverlapFrac(ColumnBridge.expression(text),
       n, mult, bc))
+
+  /** Column API: pre-reduced (bucket, count) DSIR feature pairs. */
+  def dsirFeatTf(text: Column, nBuckets: Int, mult: Long = 31L): Column =
+    ColumnBridge.column(DsirFeatTf(ColumnBridge.expression(text), mult,
+      nBuckets))
 
   /** Column API: (n_feats, contrib_sum) of text vs the frozen DSIR
     * bucket array; null when no feature hits an indexed bucket.

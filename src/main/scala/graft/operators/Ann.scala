@@ -312,8 +312,13 @@ object Ann {
     */
   def ivfTrainPortable(vectors: DataFrame, idCol: String, vecCol: String,
                        k: Int, iters: Int = 2): Seq[Seq[Double]] = {
+    // round 16: materialize the training slice once — init + every
+    // Lloyd's iteration is its own job, and callers pass expression-
+    // heavy chains (q170 trains on a chunk+embed pass), so without the
+    // pin each of the (iters + 1) jobs re-ran the whole upstream chain
     val v = vectors.select(col(idCol).as("__id"),
-      toDoubleVec(col(vecCol)).as("v"))
+        toDoubleVec(col(vecCol)).as("v"))
+      .localCheckpoint(false)
     val init: Seq[Seq[Double]] = v.orderBy(col("__id")).limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
     lloydPortable(v, init, iters, cosineCluster)
@@ -1188,13 +1193,31 @@ object Ann {
     val dim = v0.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { mi =>
-      val vs = v0.select(col("__id"),
-        slice(col("v"), mi * sub + 1, sub).as("v"))
-      val init: Seq[Seq[Double]] = vs.orderBy(col("__id")).limit(k)
-        .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
-      lloydPortable(vs, init, iters, pqCluster)
-    }
+    // round 16 (guide §2.6): the m sub-quantizer trainings are
+    // INDEPENDENT (each over its own slice of the same materialized
+    // residuals) but were submitted sequentially — every Lloyd's
+    // aggregate waited for the previous subspace's to drain. A small
+    // driver pool overlaps them so each training's tail back-fills
+    // with the next subspace's work; results are identical (no shared
+    // state, deterministic per subspace).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = (0 until m).map { mi =>
+        scala.concurrent.Future {
+          val vs = v0.select(col("__id"),
+            slice(col("v"), mi * sub + 1, sub).as("v"))
+          val init: Seq[Seq[Double]] = vs.orderBy(col("__id")).limit(k)
+            .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+          lloydPortable(vs, init, iters, pqCluster)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** PQ-encode vectors: each row compresses to m small codes (nearest

@@ -634,12 +634,15 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("label").as("nl"))
+      // round 16: carry the changed flag THROUGH the propagation join
+      // instead of re-joining next against the old labels per round —
+      // the convergence count rides the same materializing action
       val next = labels.join(prop, Seq("node"), "left")
-        .select(col("node"), least(col("label"), col("nl")).as("label"))
+        .select(col("node"), least(col("label"), col("nl")).as("label"),
+          (col("nl") < col("label")).as("__ch"))
         .localCheckpoint(false)
-      changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("__ch")).count()
+      labels = next.select("node", "label")
       round += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

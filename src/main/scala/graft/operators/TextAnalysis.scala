@@ -1226,14 +1226,18 @@ object TextAnalysis {
   }
 
   /** Hashed unigram+bigram feature stream: (doc_id, bucket). */
+  /** (doc_id, b, cnt) — bucketed 1+2-gram feature counts, pre-reduced
+    * INSIDE the row (round 16, guide §2.3:
+    * [[graft.functions.GateOps.dsirFeatTf]]): Σ cnt per bucket is
+    * exactly the old per-occurrence explode, with ~2× fewer rows
+    * flowing into every downstream aggregate.
+    */
   private def dsirFeats(df: DataFrame, idCol: String, textCol: String,
-                        nBuckets: Int): DataFrame = {
-    import graft.functions.ShingleHash
+                        nBuckets: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(concat(ShingleHash.shingleHashes(col(textCol), 1),
-          ShingleHash.shingleHashes(col(textCol), 2))).as("h"))
-      .select(col("doc_id"), pmod(col("h"), lit(nBuckets.toLong)).as("b"))
-  }
+        explode(graft.functions.GateOps
+          .dsirFeatTf(col(textCol), nBuckets)).as("f"))
+      .select(col("doc_id"), col("f.b").as("b"), col("f.cnt").as("cnt"))
 
   /** Bucket table with per-feature contributions. Every doc feature's
     * bucket is present in p (p is built from the same stream), so the
@@ -1242,8 +1246,8 @@ object TextAnalysis {
     */
   private def dsirBuckets(raw: DataFrame, targetFeats: DataFrame,
                           scale: Long): DataFrame = {
-    val p = raw.groupBy("b").agg(count(lit(1)).as("p_cnt"))
-    val q = targetFeats.groupBy("b").agg(count(lit(1)).as("q_cnt"))
+    val p = raw.groupBy("b").agg(sum(col("cnt")).as("p_cnt"))
+    val q = targetFeats.groupBy("b").agg(sum(col("cnt")).as("q_cnt"))
     p.join(q, Seq("b"), "left")
       .select(col("b"),
         expr(s"((coalesce(q_cnt, 0L) + 1L) * ${scale}L) div (p_cnt + 1L)")
@@ -1254,7 +1258,8 @@ object TextAnalysis {
                         threshold: Double): DataFrame =
     feats.join(broadcast(buckets), Seq("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("contrib").as("contrib_sum"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("contrib")).as("contrib_sum"))
       .withColumn("dsir_score", col("contrib_sum").cast("double") /
         (col("n_feats") * lit(scale)).cast("double"))
       .withColumn("selected", col("dsir_score") >= threshold)
@@ -1701,9 +1706,13 @@ object TextAnalysis {
     */
   def lmQualityScore(docs: DataFrame, idCol: String, textCol: String,
                      headMin: Double, midMin: Double): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok"))
-    val docTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    // round 16 (guide §2.4): the per-(doc, token) counts are per-row
+    // pure — explode the in-row TokenTf pairs instead of grouping the
+    // exploded token stream (one Exchange fewer; identical counts)
+    val docTok = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .select(col("doc_id"), col("p.token").as("tok"),
+        col("p.tf").as("k"))
     val freq = docTok.groupBy("tok").agg(sum("k").as("c"))
     val total = docTok.agg(sum("k").as("t_total"))
     docTok.join(freq, Seq("tok"))
@@ -1730,8 +1739,9 @@ object TextAnalysis {
     */
   def lmIndexAppend(batch: DataFrame, textCol: String, indexDir: String,
                     batchId: Long): Unit =
-    batch.select(explode(tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
+    batch.select(
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .groupBy(col("p.token").as("tok")).agg(sum(col("p.tf")).as("c"))
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
 
   /** Score one batch of documents against the persisted LM index with
@@ -1752,8 +1762,9 @@ object TextAnalysis {
       .groupBy("tok").agg(sum("c").as("c"))
     val total = freq.agg(sum("c").as("t_total"))
     val docTok = batch.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .select(col("doc_id"), col("p.token").as("tok"),
+        col("p.tf").as("k"))
     // LEFT join: a token the model never saw scores 0 but still
     // counts in n_tokens (the frozen-reference-model case; when the
     // index holds the scored corpus itself, every token matches and
@@ -1834,8 +1845,9 @@ object TextAnalysis {
     * transform — no second corpus scan, no shuffle beyond the two aggs.
     */
   def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
-    val words = docs.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val words = docs.select(
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .groupBy(col("p.token").as("w")).agg(sum(col("p.tf")).as("wc"))
     // guard length >= 2 BEFORE sequence(): sequence(1, 0) would step
     // DOWNWARD ([1, 0]) and fabricate pairs from 1-char words
     words.filter(length(col("w")) >= 2)
@@ -1880,8 +1892,10 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
                driverVocabLimit: Long = 4000000L): DataFrame = {
     val spark = docs.sparkSession
-    val words = docs.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // round 16 (guide §2.3): in-row TokenTf pre-reduction, same sums
+    val words = docs.select(
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .groupBy(col("p.token").as("w")).agg(sum(col("p.tf")).as("wc"))
     // one job: if the vocab fits, this IS the complete word table
     val head = words.limit(
       math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt).collect()
@@ -2040,8 +2054,9 @@ object TextAnalysis {
     */
   def wordIndexAppend(batch: DataFrame, textCol: String,
                       indexDir: String, batchId: Long): Unit =
-    batch.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+    batch.select(
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .groupBy(col("p.token").as("w")).agg(sum(col("p.tf")).as("wc"))
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
 
   /** Train the tokenizer from the persisted word index: sum the
@@ -2070,8 +2085,9 @@ object TextAnalysis {
   def bpeTrainDistributed(docs: DataFrame, textCol: String,
                           numMerges: Int): DataFrame =
     bpeTrainDistributedWords(
-      docs.select(explode(tokens(col(textCol))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("wc")),
+      docs.select(
+          explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+        .groupBy(col("p.token").as("w")).agg(sum(col("p.tf")).as("wc")),
       numMerges)
 
   /** The distributed loop over an already-built word-frequency table
@@ -2149,8 +2165,9 @@ object TextAnalysis {
   def bpeTrainBytes(docs: DataFrame, textCol: String, numMerges: Int,
                     driverVocabLimit: Long = 4000000L): DataFrame = {
     val spark = docs.sparkSession
-    val words = docs.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val words = docs.select(
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .groupBy(col("p.token").as("w")).agg(sum(col("p.tf")).as("wc"))
     val head = words.limit(
       math.min(driverVocabLimit + 1, Int.MaxValue.toLong).toInt).collect()
     if (head.length <= driverVocabLimit)

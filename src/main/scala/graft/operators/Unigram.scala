@@ -44,9 +44,13 @@ object Unigram {
     */
   def mineVocab(docs: DataFrame, textCol: String, maxPieceLen: Int,
                 topPieces: Int): DataFrame = {
-    val words = docs.select(explode(filter(tokens(col(textCol)),
-        t => length(t) > 0)).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("wc"))
+    // round 16 (guide §2.3): word occurrences pre-reduce INSIDE the
+    // row (TokenTf) — the WordPiece.mineVocab change, same exact sums
+    val words = docs.select(
+        explode(graft.functions.TokenTf.tokenTf(col(textCol))).as("p"))
+      .filter(length(col("p.token")) > 0)
+      .groupBy(col("p.token").as("tok"))
+      .agg(sum(col("p.tf")).as("wc"))
     val pieces = words
       .select(col("tok"), col("wc"),
         explode(sequence(lit(0), length(col("tok")) - 1)).as("p"))
