@@ -346,7 +346,12 @@ object Bench {
       val med = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
       "\"" + k + "\":" + fmt(med)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$medJson,"reps":$repsJson,"sf":"$sfDir"}""")
+    // The rep arrays + medians go on their OWN line: round 16 put them
+    // inside the final JSON line and the driver's tail capture truncated
+    // the line's *start*, leaving PERF with no per-query data at all.
+    // The harness contract is the compact final line; diagnostics first.
+    println(s"""{"metric":"reps","median":$medJson,"reps":$repsJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
