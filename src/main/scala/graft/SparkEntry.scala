@@ -2843,7 +2843,7 @@ object SparkEntry {
     "q121_hash_embed_search" -> ((s, dir) => {
       val emb = operators.Embed.hashEmbed(
           t(s, dir, "documents"), "doc_id", "text", dim = 32)
-        .filter(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0)
+        .filter(graft.functions.VectorOps.vecDot(col("emb"), col("emb")) > 0)
       Ann.bruteForceTopK(emb.filter(pmod(col("doc_id"), lit(50)) === 0),
           emb, "doc_id", "emb", k = 3)
         .orderBy(col("query_id"), col("rank"))
@@ -4322,7 +4322,7 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("rank"))
       val emb = operators.Embed.hashEmbed(d, "doc_id", "text",
           dim = 32)
-        .filter(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0)
+        .filter(graft.functions.VectorOps.vecDot(col("emb"), col("emb")) > 0)
       val dense = Ann.bruteForceTopK(
           emb.filter(pmod(col("doc_id"), lit(97)) === 0), emb,
           "doc_id", "emb", k = 5)
@@ -4824,7 +4824,14 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
       RagStream.foldBatch(
         d.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
-      val qs = RagStream.encodeBatch(d, cfg)
+      // the %5000 filter is on CHUNK ids (chunk_id = doc_id·100 +
+      // chunk_idx, chunk_idx < 100): 100·d + i ≡ 0 (mod 5000) forces
+      // i = 0 and d ≡ 0 (mod 50) — so prefiltering DOCS 50× shrinks
+      // the query-side encode (a corpus-wide chunk+embed pass) to 2%
+      // with the chunk-level filter kept as the exactness guard (the
+      // round-16 q195 pattern)
+      val qs = RagStream.encodeBatch(
+          d.filter(pmod(col("doc_id"), lit(50L)) === 0), cfg)
         .filter(pmod(col("doc_id"), lit(5000L)) === 0)
         .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
           pmod(col("doc_id") + 1L, lit(4L))))
@@ -4858,7 +4865,14 @@ object SparkEntry {
       ms.addData(rows.filter(_._1 % 2 == 1).toSeq)
       q.processAllAvailable()
       q.stop()
-      val qs = RagStream.encodeBatch(d, cfg)
+      // the %5000 filter is on CHUNK ids (chunk_id = doc_id·100 +
+      // chunk_idx, chunk_idx < 100): 100·d + i ≡ 0 (mod 5000) forces
+      // i = 0 and d ≡ 0 (mod 50) — so prefiltering DOCS 50× shrinks
+      // the query-side encode (a corpus-wide chunk+embed pass) to 2%
+      // with the chunk-level filter kept as the exactness guard (the
+      // round-16 q195 pattern)
+      val qs = RagStream.encodeBatch(
+          d.filter(pmod(col("doc_id"), lit(50L)) === 0), cfg)
         .filter(pmod(col("doc_id"), lit(5000L)) === 0)
         .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
           pmod(col("doc_id") + 1L, lit(4L))))
@@ -4968,7 +4982,14 @@ object SparkEntry {
       val cfg = cfg0.copy(centroids = Some(cents))
       RagStream.foldBatch(b1, 1L, cfg)
       RagStream.foldBatch(b2, 2L, cfg)
-      val qs = RagStream.encodeBatch(d, cfg)
+      // the %5000 filter is on CHUNK ids (chunk_id = doc_id·100 +
+      // chunk_idx, chunk_idx < 100): 100·d + i ≡ 0 (mod 5000) forces
+      // i = 0 and d ≡ 0 (mod 50) — so prefiltering DOCS 50× shrinks
+      // the query-side encode (a corpus-wide chunk+embed pass) to 2%
+      // with the chunk-level filter kept as the exactness guard (the
+      // round-16 q195 pattern)
+      val qs = RagStream.encodeBatch(
+          d.filter(pmod(col("doc_id"), lit(50L)) === 0), cfg)
         .filter(pmod(col("doc_id"), lit(5000L)) === 0)
         .withColumn("probes", RagStream.probesOf(cfg, nProbe = 2))
       Ann.sq8IndexQuery(s, cfg.indexDir, qs, "doc_id", "emb", "probes",
@@ -5018,7 +5039,14 @@ object SparkEntry {
       Ann.compactVectorIndex(s, cfg.indexDir, partitionCol = "cluster")
       RagStream.foldBatch(
         d.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
-      val qs = RagStream.encodeBatch(d, cfg)
+      // the %5000 filter is on CHUNK ids (chunk_id = doc_id·100 +
+      // chunk_idx, chunk_idx < 100): 100·d + i ≡ 0 (mod 5000) forces
+      // i = 0 and d ≡ 0 (mod 50) — so prefiltering DOCS 50× shrinks
+      // the query-side encode (a corpus-wide chunk+embed pass) to 2%
+      // with the chunk-level filter kept as the exactness guard (the
+      // round-16 q195 pattern)
+      val qs = RagStream.encodeBatch(
+          d.filter(pmod(col("doc_id"), lit(50L)) === 0), cfg)
         .filter(pmod(col("doc_id"), lit(5000L)) === 0)
         .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
           pmod(col("doc_id") + 1L, lit(4L))))
@@ -5115,7 +5143,11 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(2)) === 0), 1L, cfg)
       RagStream.foldBatch(
         d.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, cfg)
-      val qs = RagStream.encodeBatch(d, cfg)
+      // chunk-id algebra as the q164 lanes: 100·d + i ≡ 0 (mod 2000)
+      // forces i = 0 and d ≡ 0 (mod 20) — docs prefilter 20×, the
+      // chunk-level filter stays as the exactness guard
+      val qs = RagStream.encodeBatch(
+          d.filter(pmod(col("doc_id"), lit(20L)) === 0), cfg)
         .filter(pmod(col("doc_id"), lit(2000L)) === 0)
         .withColumn("probes", array(pmod(col("doc_id"), lit(4L)),
           pmod(col("doc_id") + 1L, lit(4L))))

@@ -61,8 +61,15 @@ object GraftFunctions {
 
   // ---------------------------------------------------------------- vectors
 
-  /** Cast array<float> to array<double> (stable fold arithmetic). */
-  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+  /** Cast array<float> to array<double> (stable fold arithmetic).
+    * Round 17: a native element-wise Cast, not `transform(_.cast)` —
+    * ArrayTransform is CodegenFallback, and this wrapper fronts every
+    * vector path (quantize, norms, k-means assignments), so the HOF
+    * form knocked whole projections out of whole-stage codegen. Cast
+    * applies the identical per-element cast (and is a no-op when the
+    * input is already array<double>).
+    */
+  def toDoubleVec(v: Column): Column = v.cast("array<double>")
 
   /** Dot product — deterministic sequential left fold, backed by the
     * native [[graft.functions.DotProduct]] expression (one generated

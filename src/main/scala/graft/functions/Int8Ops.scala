@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Int8 scalar-quantized vector support: pack a quantized `array<long>`
   * into a BINARY column (ONE byte per dimension — 4× smaller at rest
@@ -142,6 +143,96 @@ case class Int8Dot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused SQ8 quantization kernel (round 17): amax → floor-quantize →
+  * pack → norm in ONE pass over the row's own vector. The relational
+  * form ([[graft.operators.Ann.quantizeInt8]]) ran two `transform`
+  * HOFs + `array_max` + [[Int8Pack]] + [[Int8Dot]] per row — the
+  * HOFs are CodegenFallback, so the whole projection fell out of
+  * whole-stage codegen on every index fold and query encode. Every
+  * arithmetic step replicates the relational form bit-exactly:
+  * amax via the SQL double ordering (NaN greatest, null elements
+  * skipped), the `amax > 0` keep-test via the same ordering
+  * (null/empty/all-zero → null, caller filters), per-element
+  * `floor(x * 127.0 / amax).toLong` in IEEE order, the [[Int8Pack]]
+  * loud range guard, and qnorm = sqrt of the exact integer
+  * self-dot. A null ELEMENT with a positive amax yields
+  * (null, null) fields — exactly [[Int8Pack]]'s null-element result.
+  */
+object Int8QuantizeImpl {
+  def quantize(a: ArrayData): InternalRow = {
+    if (a == null) return null
+    val n = a.numElements()
+    var amax = 0.0
+    var hasMax = false
+    var anyNull = false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) anyNull = true
+      else {
+        val v = java.lang.Math.abs(a.getDouble(i))
+        if (!hasMax || java.lang.Double.compare(v, amax) > 0) {
+          amax = v; hasMax = true
+        }
+      }
+      i += 1
+    }
+    if (!hasMax || java.lang.Double.compare(amax, 0.0) <= 0) return null
+    val out = new GenericInternalRow(2)
+    if (anyNull) return out // fields stay null — the Int8Pack contract
+    val bytes = new Array[Byte](n)
+    var ss = 0L
+    i = 0
+    while (i < n) {
+      val q = java.lang.Math.floor(a.getDouble(i) * 127.0 / amax).toLong
+      if (q < -128L || q > 127L)
+        throw new IllegalArgumentException(
+          s"int8_quantize: value $q at index $i outside [-128, 127]")
+      bytes(i) = q.toByte
+      ss += q * q
+      i += 1
+    }
+    out.update(0, bytes)
+    out.update(1, java.lang.Double.valueOf(java.lang.Math.sqrt(ss.toDouble)))
+    out
+  }
+}
+
+/** array<double> → struct<qvec binary, qnorm double>; null when the
+  * vector has no positive max-|x| (null / empty / all-zero — no
+  * direction to quantize, the [[graft.operators.Ann.quantizeInt8]]
+  * drop rule).
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("qvec", BinaryType, nullable = true),
+    StructField("qnorm", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quantize"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"int8_quantize requires array<double>, got ${other.sql}")
+    }
+
+  protected override def nullSafeEval(a: Any): Any =
+    Int8QuantizeImpl.quantize(a.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = Int8QuantizeImpl.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  $impl.quantize($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
 object Int8Ops {
   /** Column API: pack a quantized array<long> into one-byte-per-dim binary. */
   def int8Pack(a: Column): Column =
@@ -151,4 +242,10 @@ object Int8Ops {
   def int8Dot(a: Column, b: Column): Column =
     ColumnBridge.column(Int8Dot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: fused SQ8 quantize — struct(qvec, qnorm), null when
+    * the vector has no positive max-|x|.
+    */
+  def int8Quantize(v: Column): Column =
+    ColumnBridge.column(Int8Quantize(ColumnBridge.expression(v)))
 }

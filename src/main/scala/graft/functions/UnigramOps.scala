@@ -61,7 +61,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * NOT cross-run state — it lives and dies with the task.
   */
 private[functions] final class WordMemo(cap: Int = 1 << 16) {
-  private val m = new java.util.HashMap[String, AnyRef](1024)
+  // ConcurrentHashMap (round 17): the per-task-deserialization
+  // assumption above holds today, but a future driver-side interpreted
+  // eval of a reused plan would share one instance across threads — a
+  // plain HashMap could then corrupt internally. CHM costs nothing at
+  // this granularity and removes the execution-model dependency.
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef](1024)
   def getOrCompute(w: String)(f: => AnyRef): AnyRef = {
     val hit = m.get(w)
     if (hit != null) hit

@@ -469,14 +469,19 @@ object Ann {
   def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String,
                    keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.Int8Ops
-    val dv = toDoubleVec(col(vecCol))
-    val amax = array_max(transform(dv, x => abs(x)))
-    val q = transform(dv, x => floor(x * lit(127.0) / col("__amax")))
-    vecs.withColumn("__amax", amax)
-      .filter(col("__amax") > 0.0)
-      .select(col(idCol).as("emb_id") +: keep.map(col) :+
-        Int8Ops.int8Pack(q).as("qvec"): _*)
-      .withColumn("qnorm", sqrt(Int8Ops.int8Dot(col("qvec"), col("qvec"))))
+    // round 17: amax → floor-quantize → pack → norm fused into ONE
+    // native kernel per row ([[graft.functions.Int8Quantize]]) — the
+    // two `transform` HOFs of the old form were CodegenFallback and
+    // knocked every index fold / query encode projection out of
+    // whole-stage codegen. Bit-identical arithmetic and row set
+    // (null = no positive amax = the old `__amax > 0` drop);
+    // Int8QuantizeSpec pins the equivalence.
+    vecs.select(col(idCol).as("emb_id") +: keep.map(col) :+
+        Int8Ops.int8Quantize(toDoubleVec(col(vecCol))).as("__q"): _*)
+      .filter(col("__q").isNotNull)
+      .select(col("emb_id") +: keep.map(col) :+
+        col("__q").getField("qvec").as("qvec") :+
+        col("__q").getField("qnorm").as("qnorm"): _*)
   }
 
   /** Brute-force cosine top-k over int8-quantized vectors — the
@@ -1188,8 +1193,12 @@ object Ann {
   def pqTrainCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
                        m: Int, k: Int,
                        iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    // round 17: pin v0 before fanning out (the ivfTrainPortable
+    // discipline) — the m concurrent sub-trainings would otherwise
+    // each re-run the upstream vectors chain per Lloyd's pass
     val v0 = vectors.select(col(idCol).as("__id"),
       toDoubleVec(col(vecCol)).as("v"))
+      .localCheckpoint(false)
     val dim = v0.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -1217,7 +1226,8 @@ object Ann {
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futs),
         scala.concurrent.duration.Duration.Inf)
-    } finally pool.shutdown()
+    } finally pool.shutdownNow() // a failed subspace must not leave the
+                                 // other in-flight trainings running
   }
 
   /** PQ-encode vectors: each row compresses to m small codes (nearest

@@ -626,6 +626,39 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(false)
+    // round 17 (guide §1.2 — remove passes): the LSH/banding candidate
+    // pairs are bucket-capped upstream, so the edge set is usually a
+    // sliver of the corpus. Below a driver budget, a single collect +
+    // union-find replaces the whole propagation loop (each round = a
+    // join + an aggregate + a count action); labels are IDENTICAL —
+    // min-label propagation's fixpoint IS the component-minimum id.
+    // Past the budget (or for non-long ids) the distributed loop runs
+    // unchanged — 100 TB candidate sets never collect to the driver.
+    val longIds = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    val nEdges = edges.count() // materializes the checkpoint either way
+    if (longIds && nEdges <= 2000000L) {
+      val s = pairs.sparkSession
+      import s.implicits._
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+        .foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            // attach the larger root under the smaller: the root stays
+            // the component minimum, so labels read off directly
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      return parent.keys.toSeq.sorted.map(n => (n, find(n)))
+        .toDF("doc_id", "cluster_id")
+    }
     var labels = edges.groupBy("src").agg(min("dst").as("m"))
       .select(col("src").as("node"), least(col("src"), col("m")).as("label"))
       .localCheckpoint(false)

@@ -558,8 +558,14 @@ object CurationStream {
     // so n_win/n_dup are the SAME integers as before: n_win = Σ cnt,
     // n_dup = Σ cnt over shared hashes
     val sp = spark.read.parquet(dir).select("doc_id", "wh", "cnt")
+    // round 17: count(1), not countDistinct — layer rows are one per
+    // DISTINCT (doc_id, wh) per batch and a doc folds into exactly one
+    // layer (replays overwrite their own batch id), so the plain count
+    // IS the distinct doc count. countDistinct planned a second
+    // Exchange (dedup on (wh, doc_id), then re-shuffle on wh); this is
+    // one. n_win below already leans on the same uniqueness contract.
     val shared = sp.groupBy("wh")
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
     sp.join(shared.select(col("wh"), lit(1L).as("f")), Seq("wh"), "left")
       .groupBy("doc_id")

@@ -110,8 +110,12 @@ object RagStream {
           s"${cfg.chunkIdScale} — chunk ids would collide across " +
           "docs; raise chunkIdScale') AS BIGINT) " +
           s"ELSE doc_id * ${cfg.chunkIdScale}L + chunk_idx END"))
+    // round 17: the zero-vector drop via the native vec_dot self-dot —
+    // same IEEE left-fold sum of squares as the old `aggregate` HOF
+    // (which was CodegenFallback and broke codegen for the whole
+    // encode projection); identical row set by identical arithmetic
     Embed.hashEmbed(chunks, "chunk_id", "chunk_text", cfg.dim)
-      .filter(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x) > 0)
+      .filter(graft.functions.VectorOps.vecDot(col("emb"), col("emb")) > 0)
   }
 
   /** Fold ONE micro-batch into the SQ8 index as layer
