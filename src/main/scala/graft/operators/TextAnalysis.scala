@@ -68,9 +68,19 @@ object TextAnalysis {
     * bit-deterministic doubles.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // round 17: signals from the one-pass native kernel (the HOF
+    // `repetitionStruct` formulation stays as the reference in
+    // FunnelKernelSpec); identical values per column
     docs.select(col(idCol).as("doc_id"),
-        repetitionStruct(col(textCol)).as("__s"))
-      .select(col("doc_id"), col("__s.*"))
+        graft.functions.FunnelOps.funnelStats(col(textCol),
+          DefaultStopwords).as("__s"))
+      .select(col("doc_id"),
+        col("__s").getField("n_lines").as("n_lines"),
+        col("__s").getField("n_words").as("n_words"),
+        col("__s").getField("dup_line_frac").as("dup_line_frac"),
+        col("__s").getField("dup_line_char_frac").as("dup_line_char_frac"),
+        col("__s").getField("top_2gram_char_frac").as("top_2gram_char_frac"),
+        col("__s").getField("dup_5gram_char_frac").as("dup_5gram_char_frac"))
       .withColumn("repetition_pass", repetitionPass(
         col("dup_line_frac"), col("dup_line_char_frac"),
         col("top_2gram_char_frac"), col("dup_5gram_char_frac"))
@@ -82,61 +92,6 @@ object TextAnalysis {
   private[operators] def repetitionPass(dupLine: Column, dupLineChar: Column,
       top2: Column, dup5: Column): Column =
     dupLine <= 0.30 && dupLineChar <= 0.20 && top2 <= 0.20 && dup5 <= 0.15
-
-  /** The repetition-signal struct as a per-row Column (shared by
-    * [[repetitionStats]] and [[qualityFunnel]]).
-    */
-  private[operators] def repetitionStruct(textCol: Column): Column = {
-    val t = trim(textCol)
-    val stats = let(filter(split(t, "\n"), l => length(trim(l)) > 0)) { lines =>
-      let(filter(split(t, "\\s+"), w => length(w) > 0)) { words =>
-        val nl = size(lines)
-        val nw = size(words)
-        val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
-        val distLineChars = aggregate(array_distinct(lines), lit(0L),
-          (acc, l) => acc + length(l))
-        val wordChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-        val dupLineFrac = when(nl > 0,
-          (nl - size(array_distinct(lines))).cast("double") / nl)
-          .otherwise(0.0)
-        val dupLineCharFrac = when(lineChars > 0,
-          (lineChars - distLineChars).cast("double") / lineChars)
-          .otherwise(0.0)
-
-        def grams(n: Int): Column =
-          when(nw >= n, transform(sequence(lit(1), nw - (n - 1)),
-            i => array_join(slice(words, i, lit(n)), " ")))
-            .otherwise(array().cast("array<string>"))
-        // (count, gram char length) of the most frequent 2-gram; struct
-        // max = count, then length, then text — the documented tie-break
-        val top2 = let(grams(2)) { g2 =>
-          let(array_max(transform(array_distinct(g2), g => struct(
-            size(filter(g2, x => x === g)).as("c"),
-            (length(g) - 1).as("l"), g.as("g"))))) { best =>
-            when(size(g2) > 0 && wordChars > 0,
-              (best.getField("c") * best.getField("l")).cast("double") /
-                wordChars).otherwise(0.0)
-          }
-        }
-        val dup5 = let(grams(5)) { g5 =>
-          let(aggregate(array_distinct(g5), lit(0L), (acc, g) =>
-            acc + let(size(filter(g5, x => x === g))) { c =>
-              when(c > 1, c.cast("long") * (length(g) - 4)).otherwise(0L)
-            })) { dupChars =>
-            when(wordChars > 0,
-              least(lit(1.0), dupChars.cast("double") / wordChars))
-              .otherwise(0.0)
-          }
-        }
-        struct(nl.as("n_lines"), nw.as("n_words"),
-          dupLineFrac.as("dup_line_frac"),
-          dupLineCharFrac.as("dup_line_char_frac"),
-          top2.as("top_2gram_char_frac"),
-          dup5.as("dup_5gram_char_frac"))
-      }
-    }
-    stats
-  }
 
   /** Composite quality FUNNEL — the multi-rule heuristic gate every
     * production corpus runs before any model-based filter (Gopher's
@@ -168,12 +123,24 @@ object TextAnalysis {
                     maxStop10k: Long = 5000L,
                     minAvgLen10: Long = 30L, maxAvgLen10: Long = 100L,
                     stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    // round 17: every signal from ONE native kernel pass per row
+    // ([[graft.functions.FunnelOps.funnelStats]] — the old shape ran a
+    // ~10-HOF interpreted pyramid with six tokenizations per doc); the
+    // rule algebra over the struct fields is unchanged, so the per-rule
+    // booleans and the keep conjunction are value-identical
+    // (FunnelKernelSpec pins the equivalence)
     docs.select(col(idCol).as("doc_id"),
-        funnelNTokens(col(textCol)).as("n_tokens"),
-        funnelNStop(col(textCol), stopwords).as("__nstop"),
-        funnelWordChars(col(textCol)).as("__wc"),
-        repetitionStruct(col(textCol)).as("__r"),
-        langId(col(textCol)).as("lang_guess"))
+        graft.functions.FunnelOps.funnelStats(col(textCol), stopwords)
+          .as("__s"))
+      .select(col("doc_id"),
+        col("__s").getField("n_tokens").as("n_tokens"),
+        col("__s").getField("n_stop").as("__nstop"),
+        col("__s").getField("word_chars").as("__wc"),
+        col("__s").getField("dup_line_frac").as("__f1"),
+        col("__s").getField("dup_line_char_frac").as("__f2"),
+        col("__s").getField("top_2gram_char_frac").as("__f3"),
+        col("__s").getField("dup_5gram_char_frac").as("__f4"),
+        col("__s").getField("lang_guess").as("lang_guess"))
       .withColumn("r_len", funnelRuleLen(
         col("n_tokens"), minTokens, maxTokens))
       .withColumn("r_avg_len", funnelRuleAvgLen(
@@ -181,8 +148,7 @@ object TextAnalysis {
       .withColumn("r_stop", funnelRuleStop(
         col("n_tokens"), col("__nstop"), maxStop10k))
       .withColumn("r_rep", repetitionPass(
-        col("__r.dup_line_frac"), col("__r.dup_line_char_frac"),
-        col("__r.top_2gram_char_frac"), col("__r.dup_5gram_char_frac")))
+        col("__f1"), col("__f2"), col("__f3"), col("__f4")))
       .withColumn("r_lang", col("lang_guess").isInCollection(langs))
       .withColumn("keep", col("r_len") && col("r_avg_len") &&
         col("r_stop") && col("r_rep") && col("r_lang"))
@@ -190,23 +156,11 @@ object TextAnalysis {
         "r_stop", "r_rep", "r_lang", "keep")
   }
 
-  // The funnel's ingredient expressions and rule algebra — ONE
-  // definition feeding [[qualityFunnel]] (per-rule booleans) and
-  // [[qualityKeep]] (the filter-predicate form), so the two can never
-  // drift. The word list is length-FILTERED (like [[repetitionStruct]]
-  // and the oracle's list_filter): an empty/whitespace-only doc counts
-  // 0 tokens, not the [""] artifact of Spark's split.
-  private def funnelToks(text: Column): Column =
-    filter(tokens(text), t => length(t) > 0)
-  private def funnelNTokens(text: Column): Column =
-    size(funnelToks(text)).cast("long")
-  private def funnelNStop(text: Column, stopwords: Seq[String]): Column = {
-    val stopArr = array(stopwords.map(lit): _*)
-    size(filter(funnelToks(text), t => array_contains(stopArr, t)))
-      .cast("long")
-  }
-  private def funnelWordChars(text: Column): Column =
-    aggregate(funnelToks(text), lit(0L), (acc, t) => acc + length(t))
+  // The funnel's rule algebra — shared by [[qualityFunnel]] (per-rule
+  // booleans over the kernel's signal struct) and the kernel-side keep
+  // predicate (FunnelStatsImpl.keep applies the same comparisons), with
+  // FunnelKernelSpec pinning the two against the pre-round-17 HOF
+  // formulation so they can never drift.
   private def funnelRuleLen(nTok: Column, minTokens: Long,
       maxTokens: Long): Column =
     nTok >= minTokens && nTok <= maxTokens
@@ -228,48 +182,26 @@ object TextAnalysis {
                   minTokens: Long = 5L, maxTokens: Long = 100000L,
                   maxStop10k: Long = 5000L,
                   minAvgLen10: Long = 30L, maxAvgLen10: Long = 100L,
-                  stopwords: Seq[String] = DefaultStopwords): Column = {
-    val stopArr = array(stopwords.map(lit): _*)
-    // ONE tokenization shared by the three count rules via the let
-    // binding (FilterExec codegen does no common-subexpression
-    // elimination — unshared, each rule would re-split the full
-    // text); repetitionStruct and langId tokenize separately on
-    // purpose (different normalizations: line split, lowercase)
-    val countRules = let(funnelToks(text)) { toks =>
-      val nTok = size(toks).cast("long")
-      funnelRuleLen(nTok, minTokens, maxTokens) &&
-        funnelRuleAvgLen(nTok,
-          aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
-          minAvgLen10, maxAvgLen10) &&
-        funnelRuleStop(nTok,
-          size(filter(toks, t => array_contains(stopArr, t)))
-            .cast("long"),
-          maxStop10k)
-    }
-    // the struct rides a let as well: extracting 4 fields from a bare
-    // struct expression would clone the whole repetition computation
-    // per field (SimplifyExtractValueOps); on a let-bound lambda
-    // variable it is computed once
-    val repRule = let(repetitionStruct(text)) { r =>
-      repetitionPass(r.getField("dup_line_frac"),
-        r.getField("dup_line_char_frac"),
-        r.getField("top_2gram_char_frac"),
-        r.getField("dup_5gram_char_frac"))
-    }
-    countRules && repRule && langId(text).isInCollection(langs)
-  }
+                  stopwords: Seq[String] = DefaultStopwords): Column =
+    // round 17: the whole conjunction as ONE native kernel call per row
+    // ([[graft.functions.FunnelOps.funnelKeep]] — the HOF pyramid ran
+    // six interpreted tokenizations + quadratic gram counting per doc,
+    // measured as the dominant cost of funnel-gated encodes). The keep
+    // DECISION is identical: same signals, same rule algebra; null text
+    // evaluated to null-or-false before and false now — a filter drops
+    // the row either way (FunnelKernelSpec pins both).
+    graft.functions.FunnelOps.funnelKeep(text, stopwords, langs,
+      minTokens, maxTokens, maxStop10k, minAvgLen10, maxAvgLen10)
 
   /** Character n-gram profile based language ID heuristic. Scores each
     * language by stopword-lexicon hits and common-bigram hits; returns the
     * argmax (ties broken alphabetically). Profiles are tiny hardcoded
     * lexicons — at scale this broadcasts as literals inside codegen.
     */
-  private val LangLexicons: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
-    "es" -> Seq("el", "la", "los", "las", "es", "una", "que", "por"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+  // single source with the native funnel kernel (round 17) — the
+  // Column-form langId below and FunnelStatsImpl.stats must agree
+  private val LangLexicons: Map[String, Seq[String]] =
+    graft.functions.FunnelStatsImpl.LangLexicons.toMap
 
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
